@@ -1,0 +1,157 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication at training-data scale.
+  *
+  * Four strategies with distinct scale profiles:
+  *  - exact: one hash-groupBy shuffle on a 64-bit fingerprint (cheap).
+  *  - MinHash + LSH: per-doc signatures computed map-side, candidate
+  *    pairs only where a band bucket collides — the shuffle volume is
+  *    O(docs × bands), never O(docs²).
+  *  - SimHash: one 64-bit signature per doc; near-dup = small Hamming
+  *    distance, bucketed by signature prefix.
+  *  - n-gram Jaccard: exact verification metric, evaluated only on the
+  *    candidate pairs the sketches propose.
+  */
+object Dedup {
+
+  /** Exact dedup: group on content fingerprint, keep the lowest id.
+    * At 100 TB this is one shuffle of (fingerprint, id) pairs — project
+    * the two columns before grouping so the shuffle carries no payload. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(md5(col(textCol).cast("binary")).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Rows that survive exact dedup (first id per distinct text). */
+  def dropExactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // MinHash signatures and LSH band buckets are native codegen'd
+  // expressions (graft.functions.minhash_sig / minhash_bands, see
+  // functions.TextHash): a higher-order-function formulation
+  // (transform/aggregate) is interpreted per lambda element and
+  // measured 20×+ slower on the same corpus.
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `rowsPerBand` hashes; docs sharing any band bucket are candidates.
+    * Returns (id_a, id_b) with id_a < id_b, distinct across bands.
+    *
+    * Scale: the exploded (band, bucket, id) relation is `bands`× the doc
+    * count — the self-join happens per bucket, so skewed buckets (e.g.
+    * empty-text clusters) are the thing to watch; `spark.sql.adaptive`
+    * skew-join handles moderate cases, and a `maxBucket` cap guards
+    * degenerate ones.
+    */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    val banded = docs
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.minhash_bands(col(textCol), shingleWidth,
+          bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val sized = banded.withColumn("bsize",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsize") <= maxBucket).drop("bsize")
+    val a = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact word-shingle Jaccard between two token-set columns. */
+  def jaccard(aSet: Column, bSet: Column): Column = {
+    val inter = size(array_intersect(aSet, bSet)).cast("double")
+    inter / (size(aSet) + size(bSet) - inter).cast("double")
+  }
+
+  /** Full near-dup pipeline: LSH candidates → exact Jaccard verify →
+    * pairs above threshold. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleWidth: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val cands = lshCandidates(docs, idCol, textCol, shingleWidth, bands, rowsPerBand)
+    val sets = docs.select(col(idCol).as("id"),
+      graft.functions.shingle_set(col(textCol), shingleWidth).as("sh"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash from regex tokens: per-token xxhash64; each of the
+    * 64 bit positions votes +1/-1; the signature bit is the majority.
+    * Computed with higher-order functions — one pass, map-side only.
+    */
+  /** Literal array of the 64 single-bit masks (1L<<63 = Long.MinValue is
+    * still a valid mask under bitwise ops). */
+  private val bitMasks: Column =
+    array(Array.tabulate(64)(j => lit(1L << j)).toIndexedSeq: _*)
+
+  def simhash64(text: Column): Column = {
+    val hashes = transform(TextOps.regexTokens(text), t => xxhash64(t))
+    // counts[j] = sum over tokens of (bit j set ? +1 : -1)
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitMasks,
+        (c, m) => c + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counts, bitMasks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by the top `prefixBits` bits (near
+    * duplicates almost always agree on a prefix after one permutation in
+    * this compact variant), verify full Hamming distance within buckets. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, prefixBits: Int = 16): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      graft.functions.simhash64(col(textCol)).as("sig"))
+      .withColumn("bucket", shiftrightunsigned(col("sig"), 64 - prefixBits))
+    val a = sigs.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs: all-pairs exact cosine above a
+    * threshold. Exact and O(n²) — the correctness baseline; at scale the
+    * LSH-bucketed [[graft.sim.Similarity.annTopK]] path bounds the pair
+    * space first. */
+  def cosineDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    import graft.sim.Similarity
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Jaccard of every document against a fixed probe token set — the
+    * SQL-checkable face of n-gram Jaccard similarity. */
+  def jaccardToProbe(docs: DataFrame, idCol: String, textCol: String,
+      probeTokens: Seq[String]): DataFrame = {
+    val probe = array(probeTokens.distinct.sorted.map(lit): _*)
+    docs.select(col(idCol),
+      round(jaccard(TextOps.tokenSet(col(textCol)), probe), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic surrogate-key assignment — the batch reformulation of
+  * PDI's row-at-a-time CombinationLookup (`etl_final.ktr:2748-3009`,
+  * `tablemax` max+1 keys). Batch Spark cannot (and should not) replicate
+  * arrival-order keys; instead keys are 1..N in the canonical sort order
+  * of the natural-key tuple, which is deterministic across runs and
+  * cluster layouts. Parity checks must compare join *results*, not raw
+  * key values (SURVEY.md §7.4.1).
+  */
+object SurrogateKeys {
+
+  /** Build a dimension: distinct natural-key tuples + surrogate id.
+    *
+    * Scale note: `row_number()` over a global `Window.orderBy` collapses
+    * to a SINGLE partition — fine for a 25-row dim, fatal for a 10^9-row
+    * one. This implementation sorts (range-partitioned, fully parallel)
+    * and then uses `zipWithIndex` (a distributed O(1)-per-row pass with
+    * one tiny driver round-trip for partition offsets), so dimension
+    * build scales linearly with cluster size.
+    */
+  def dim(df: DataFrame, naturalKeys: Seq[String], idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.select(naturalKeys.map(col): _*).distinct()
+      .orderBy(naturalKeys.map(col): _*)
+    val schema = sorted.schema.add(idCol, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Small-dimension variant kept on the pure DataFrame API (single
+    * partition window — only for dims known to be driver-tiny, where the
+    * extra RDD hop of [[dim]] is not worth it). */
+  def dimSmall(df: DataFrame, naturalKeys: Seq[String], idCol: String): DataFrame =
+    df.select(naturalKeys.map(col): _*).distinct()
+      .withColumn(idCol,
+        row_number().over(Window.orderBy(naturalKeys.map(col): _*)).cast(LongType))
+
+  /** Incremental append — the one inherently sequential CombinationLookup
+    * semantic: new natural keys get ids above the current max. Anti-join
+    * finds the new tuples; the offset is a scalar agg. Existing ids are
+    * never reassigned.
+    */
+  def dimAppend(existing: DataFrame, incoming: DataFrame,
+      naturalKeys: Seq[String], idCol: String): DataFrame = {
+    val maxId = existing.agg(max(col(idCol))).head.getLong(0)
+    val newKeys = incoming.select(naturalKeys.map(col): _*).distinct()
+      .join(existing, naturalKeys, "left_anti")
+    val fresh = dim(newKeys, naturalKeys, idCol)
+      .withColumn(idCol, col(idCol) + lit(maxId))
+    existing.unionByName(fresh)
+  }
+
+  /** Replace natural keys in a fact stream with the dim's surrogate key —
+    * dims are broadcast (they are small relative to facts by
+    * construction), so no fact-side shuffle happens. */
+  def resolve(facts: DataFrame, dimension: DataFrame,
+      naturalKeys: Seq[String], idCol: String): DataFrame =
+    facts.join(broadcast(dimension), naturalKeys, "left")
+}

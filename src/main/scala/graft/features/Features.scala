@@ -1,0 +1,126 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML feature-prep operators (SURVEY.md §2.H): splits, weights,
+  * imputation, scaling, encoding, sampling. All distributed; the only
+  * driver-side materialization is per-class statistics (k rows, where k
+  * = number of classes — bounded and tiny by definition).
+  */
+object Features {
+
+  /** Seeded random split — `train_test_split(random_state=42)`
+    * (`machineLearning.py:433`). */
+  def randomSplit(df: DataFrame, testFraction: Double, seed: Long): (DataFrame, DataFrame) = {
+    val Array(train, test) = df.randomSplit(Array(1 - testFraction, testFraction), seed)
+    (train, test)
+  }
+
+  /** Stratified split: per-class sampling via `sampleBy`, preserving
+    * class proportions (the `stratify=y` semantics). */
+  def stratifiedSplit(df: DataFrame, labelCol: String, testFraction: Double,
+      seed: Long): (DataFrame, DataFrame) = {
+    val classes = df.select(labelCol).distinct().collect().map(_.get(0))
+    val fractions = classes.map(c => c -> (1 - testFraction)).toMap
+    val train = df.stat.sampleBy(labelCol, fractions, seed)
+    val test = df.join(train, df.columns.toSeq, "left_anti")
+    (train, test)
+  }
+
+  /** Time-ordered split: first `trainFraction` of rows by event order —
+    * `machineLearning.py:611-615`. `percent_rank` needs a global order;
+    * the tie-breaker column keeps it deterministic. At scale prefer a
+    * precomputed cutoff timestamp (one scalar agg) over the global
+    * window; both are provided. */
+  def timeSplitTag(df: DataFrame, timeCol: String, tieBreak: String,
+      trainFraction: Double, tagCol: String = "split"): DataFrame =
+    df.withColumn(tagCol,
+      when(percent_rank().over(Window.orderBy(col(timeCol), col(tieBreak)))
+        <= trainFraction, "train").otherwise("test"))
+
+  /** Scale path: cutoff by approximate quantile of the time column —
+    * no global sort, two passes over the data. */
+  def timeSplitByQuantile(df: DataFrame, timeCol: String,
+      trainFraction: Double): (DataFrame, DataFrame) = {
+    val cutoff = df.stat.approxQuantile(timeCol, Array(trainFraction), 1e-4)(0)
+    (df.filter(col(timeCol) <= cutoff), df.filter(col(timeCol) > cutoff))
+  }
+
+  /** Balanced class weights n/(k·count) — `machineLearning.py:80-98`. */
+  def classWeights(df: DataFrame, labelCol: String): DataFrame = {
+    val total = df.count().toDouble
+    val counts = df.groupBy(labelCol).agg(count(lit(1)).as("n"))
+    val k = counts.count().toDouble
+    counts.withColumn("weight", lit(total) / (lit(k) * col("n")))
+  }
+
+  /** Mean imputation — `SimpleImputer(strategy="mean")`
+    * (`machineLearning.py:288`). One scalar agg, then a codegen'd
+    * coalesce; no shuffle of the main table. */
+  def imputeMean(df: DataFrame, c: String): DataFrame = {
+    val mean = df.agg(avg(col(c))).head.getDouble(0)
+    df.withColumn(c, coalesce(col(c), lit(mean)))
+  }
+
+  /** Most-frequent imputation — mode via count + `max_by` (one tiny agg
+    * over the categorical domain). */
+  def imputeMode(df: DataFrame, c: String): DataFrame = {
+    val mode = df.filter(col(c).isNotNull).groupBy(col(c)).count()
+      .agg(max_by(col(c), struct(col("count"), col(c)))).head.get(0)
+    df.withColumn(c, coalesce(col(c), lit(mode)))
+  }
+
+  /** Z-score standardization — `StandardScaler` (`machineLearning.py:289`):
+    * sample stddev, matching sklearn/DuckDB `stddev`. */
+  def standardize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(avg(col(c)).as(s"${c}_mean"),
+      stddev_samp(col(c)).as(s"${c}_std")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head
+    cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      acc.withColumn(s"${c}_z",
+        (col(c) - lit(stats.getDouble(2 * i))) / lit(stats.getDouble(2 * i + 1)))
+    }
+  }
+
+  /** Frequency-ordered label encoding — `StringIndexer` semantics
+    * (most frequent label → 0; ties broken by value). Returns the
+    * mapping table; apply with a broadcast join. */
+  def labelEncoding(df: DataFrame, c: String): DataFrame =
+    df.filter(col(c).isNotNull).groupBy(col(c)).agg(count(lit(1)).as("n"))
+      .withColumn("label_idx",
+        (row_number().over(Window.orderBy(col("n").desc, col(c))) - 1).cast("long"))
+      .drop("n")
+
+  /** Deterministic hash sampling: portable across engines (md5 of the
+    * key string), unlike seeded `rand()`. `fraction` maps to a hex
+    * prefix threshold on the md5 of the key. */
+  def hashSample(df: DataFrame, keyCol: Column, hexThreshold: String): Column =
+    substring(md5(keyCol.cast("string").cast("binary")), 1, hexThreshold.length) < hexThreshold
+
+  /** k sample rows per group, seeded — `groupby.apply(sample)`
+    * (`machineLearning.py:376-380`). */
+  def groupedSample(df: DataFrame, groupCol: String, k: Int, seed: Long): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(col(groupCol)).orderBy(rand(seed))))
+      .filter(col("__rn") <= k).drop("__rn")
+
+  /** Top-k rows per group by an explicit deterministic order. */
+  def topKPerGroup(df: DataFrame, groupCol: String, order: Seq[Column], k: Int,
+      rankCol: String = "rn"): DataFrame =
+    df.withColumn(rankCol,
+        row_number().over(Window.partitionBy(col(groupCol)).orderBy(order: _*)).cast("long"))
+      .filter(col(rankCol) <= k)
+
+  /** Partition schema fields into (numeric, categorical) — the dtype
+    * driven feature classification (`machineLearning.py:281-282`). */
+  def classifyColumns(df: DataFrame): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.types._
+    val (num, cat) = df.schema.fields.partition(f => f.dataType match {
+      case _: NumericType => true
+      case _ => false
+    })
+    (num.map(_.name).toSeq, cat.map(_.name).toSeq)
+  }
+}

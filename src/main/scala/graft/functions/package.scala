@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.Bridge
+
+/** Column-level entry points for graft's custom Catalyst expressions. */
+package object functions {
+
+  /** Lowercase + NFD accent strip + whitespace collapse + trim, as a
+    * codegen'd native expression (see [[NormalizeString]]). */
+  def normalize_string(c: Column): Column =
+    Bridge.column(NormalizeString(Bridge.expression(c)))
+
+  /** k-view MinHash signature (`array<long>`) of the w-word shingle
+    * set — native one-pass expression. */
+  def minhash_sig(c: Column, width: Int, k: Int): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(c), width, k))
+
+  /** LSH band buckets (`array<long>`) of the MinHash signature. */
+  def minhash_bands(c: Column, width: Int, bands: Int, r: Int): Column =
+    Bridge.column(MinHashBandsExpr(Bridge.expression(c), width, bands, r))
+
+  /** Sorted distinct w-word shingles (`array<string>`). */
+  def shingle_set(c: Column, width: Int): Column =
+    Bridge.column(ShingleSetExpr(Bridge.expression(c), width))
+
+  /** 64-bit SimHash over lowercase ascii word tokens. */
+  def simhash64(c: Column): Column =
+    Bridge.column(SimHashExpr(Bridge.expression(c)))
+
+  /** Oracle-portable polynomial rolling hash over word tokens. */
+  def rolling_hash(c: Column): Column =
+    Bridge.column(RollingHashExpr(Bridge.expression(c)))
+}

@@ -1,0 +1,124 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * shingling, language ID, quality scoring, fingerprinting. All are
+  * expression-tree compositions (higher-order array functions), so they
+  * whole-stage-codegen and run scan-local — zero shuffle per document.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Distinct token set (order-normalized for set operations). */
+  def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
+
+  /** Regex tokens — a BPE-ish word/number segmentation. The pattern is
+    * deliberately RE2-safe so engine oracles (DuckDB) agree with Java
+    * regex semantics. */
+  val wordPattern = "[a-z0-9]+"
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(wordPattern), lit(0))
+
+  /** w-word shingles: join each sliding window of `w` tokens with a
+    * separator. Built from `transform` over index `sequence` — stays in
+    * codegen. */
+  def wordShingles(text: Column, w: Int): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    when(n >= w,
+      transform(sequence(lit(0), n - w),
+        i => concat_ws(" ", slice(ts, i + 1, lit(w))))
+    ).otherwise(array(concat_ws(" ", ts)))
+  }
+
+  /** Character n-grams of a string. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val len = length(text)
+    when(len >= n,
+      transform(sequence(lit(1), len - n + 1), i => text.substr(i, lit(n))))
+      .otherwise(array(text))
+  }
+
+  /** Per-language stopword marker lists for the n-gram/stopword language
+    * heuristic. Tiny and embedded: language ID at 100 TB is a per-row
+    * map-side expression, not a join. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "est"))
+
+  /** Stopword-hit score for one language: number of marker words present
+    * in the text (whitespace-delimited containment on a padded string —
+    * identical semantics in DuckDB for the oracle). */
+  def langScore(text: Column, words: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    words.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
+      .reduce[Column](_ + _)
+  }
+
+  /** Heuristic language ID: argmax of per-language stopword scores,
+    * ties broken by the order of [[stopwords]]; all-zero → "und". */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (l, ws) => l -> langScore(text, ws) }
+    val best = scores.map(_._2).reduce[Column]((a, b) => greatest(a, b))
+    // foldRight nests first language outermost → first-wins tie-break.
+    scores.foldRight(lit("und")) { case ((l, s), rest) =>
+      when(best > 0 && s === best, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** Quality-score ingredients: token count, mean token length,
+    * stopword ratio, alpha ratio. Composite score in [0,1]-ish. */
+  def nTokens(text: Column): Column = size(tokens(text)).cast("long")
+
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(ts), lit(1)).cast("double")
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val sw = stopwords.flatMap(_._2).distinct
+    val ts = tokens(lower(text))
+    size(filter(ts, t => t.isin(sw: _*))).cast("double") /
+      greatest(size(ts), lit(1)).cast("double")
+  }
+
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Composite quality score — weighted blend of the ratios (weights are
+    * engine-portable constants, not learned). */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0),
+      lit(0.4) * least(nTokens(text).cast("double") / lit(20.0), lit(1.0)) +
+      lit(0.3) * alphaRatio(text) +
+      lit(0.3) * least(stopwordRatio(text) * lit(4.0), lit(1.0)))
+
+  /** 64-bit content fingerprint (xxhash64 of normalized text) — the
+    * fast exact-dedup key. */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Engine-portable polynomial rolling hash over tokens:
+    * h = fold(h*31 + (17*len(w) + ascii(w))) mod 1e9+7. Weaker than
+    * xxhash64 but expressible identically in SQL oracles (DuckDB
+    * `list_reduce`). */
+  def rollingHash(text: Column): Column =
+    rollingHashTokens(tokens(text))
+
+  /** Rolling hash over an explicit token-array column (use
+    * [[regexTokens]] for an ascii-stable token stream whose `ascii()`
+    * agrees across engines). */
+  def rollingHashTokens(toks: Column): Column =
+    aggregate(
+      transform(toks, w => (length(w) * 17 + ascii(w)).cast("long")),
+      lit(0L),
+      (h, x) => (h * 31L + x) % 1000000007L)
+}
