@@ -470,6 +470,21 @@ object Queries {
       |FROM (SELECT max(CAST(o_orderdate AS DATE)) AS d0 FROM orders)
       |ORDER BY d""".stripMargin
 
+  /** E4 via the OLAP cube API: drillDown = rollup + grouping_id level
+    * mask (the Mondrian drill-down semantics; same oracle shape as
+    * q04 but exercised through [[graft.olap.Cube]]). */
+  def q30CubeDrill(s: SparkSession, dir: String): DataFrame =
+    Cube.drillDown(
+      t(s, dir, "orders").select(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"), col("o_totalprice")),
+      Cube.Hierarchy("fecha", Seq("y", "m")),
+      Seq(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue")),
+      depth = 2)
+      .withColumnRenamed("level_mask", "lvl")
+      .orderBy(col("lvl"), col("y").asc_nulls_first, col("m").asc_nulls_first)
+
+  val q30Sql: String = q04Sql
+
   /** ANN top-k via LSH bucketing (rows-only check: approximate by
     * design; ScalaTest asserts recall against brute force). */
   def q27AnnTopK(s: SparkSession, dir: String): DataFrame = {
@@ -522,6 +537,7 @@ object Queries {
     "q24_simhash_dup" -> (q24SimhashDup _),
     "q25_embed_dup" -> (q25EmbedDup _),
     "q26_dateseq" -> (q26DateSeq _),
+    "q30_cube_drill" -> (q30CubeDrill _),
     "q27_ann_topk" -> (q27AnnTopK _),
     "q28_minhash_sig" -> (q28MinhashSig _),
     "q29_simhash_sig" -> (q29SimhashSig _),
@@ -553,6 +569,7 @@ object Queries {
     "q23_minhash_dup" -> q23Sql,
     "q25_embed_dup" -> q25Sql,
     "q26_dateseq" -> q26Sql,
+    "q30_cube_drill" -> q30Sql,
   )
 
   /** Headline queries for the per-round benchmark. */

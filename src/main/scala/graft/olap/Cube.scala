@@ -31,19 +31,18 @@ object Cube {
   def drillDown(wide: DataFrame, hierarchy: Hierarchy, measures: Seq[Column],
       depth: Int): DataFrame = {
     val levels = hierarchy.levels.take(depth)
-    wide.rollup(levels.map(col): _*)
-      .agg(measures.head, measures.tail: _*)
-      .withColumn("level_mask",
-        levels.map(l => grouping(col(l))).reduce[Column]((a, b) => shiftleft(a, 1) + b)
-          .cast("long"))
+    // grouping_id() is only resolvable inside the rollup's own agg list
+    // (not a downstream projection); its bitmask has the first rollup
+    // column as the most significant bit — exactly the level mask.
+    val aggs = measures :+ grouping_id().cast("long").as("level_mask")
+    wide.rollup(levels.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Cross-hierarchy cube (every subtotal combination). */
-  def cube2(wide: DataFrame, a: String, b: String, measures: Seq[Column]): DataFrame =
-    wide.cube(col(a), col(b))
-      .agg(measures.head, measures.tail: _*)
-      .withColumn("level_mask",
-        (shiftleft(grouping(col(a)), 1) + grouping(col(b))).cast("long"))
+  def cube2(wide: DataFrame, a: String, b: String, measures: Seq[Column]): DataFrame = {
+    val aggs = measures :+ grouping_id().cast("long").as("level_mask")
+    wide.cube(col(a), col(b)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** The two reference measures (`Schema_Trabajo_Final.xml:69-71,87-89`). */
   def countMovements(key: String): Column = count(col(key)).as("cantidad_movimientos")

@@ -1,0 +1,94 @@
+package graft.features
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FeaturesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val customer = TestSpark.table("customer")
+
+  test("randomSplit is seeded-deterministic and partitions the data") {
+    val (tr1, te1) = Features.randomSplit(customer, 0.2, 42)
+    val (tr2, te2) = Features.randomSplit(customer, 0.2, 42)
+    assert(tr1.count() === tr2.count() && te1.count() === te2.count())
+    assert(tr1.count() + te1.count() === customer.count())
+  }
+
+  test("stratifiedSplit keeps all classes in train") {
+    val (tr, te) = Features.stratifiedSplit(customer, "c_mktsegment", 0.2, 42)
+    assert(tr.count() + te.count() === customer.count())
+    val classes = customer.select("c_mktsegment").distinct().count()
+    assert(tr.select("c_mktsegment").distinct().count() === classes)
+  }
+
+  test("timeSplitByQuantile splits near the requested fraction") {
+    val orders = TestSpark.table("orders")
+      .withColumn("ep", unix_timestamp($"o_orderdate").cast("double"))
+    val (tr, te) = Features.timeSplitByQuantile(orders, "ep", 0.8)
+    val frac = tr.count().toDouble / orders.count()
+    assert(frac > 0.7 && frac < 0.9, s"train frac $frac")
+    // no time overlap
+    val maxTr = tr.agg(max($"ep")).head.getDouble(0)
+    val minTe = te.agg(min($"ep")).head.getDouble(0)
+    assert(maxTr <= minTe)
+  }
+
+  test("classWeights: weighted total equals class count") {
+    val w = Features.classWeights(TestSpark.table("embeddings"), "label")
+    // sum over classes of n * weight = total, so sum of weights*n/total = 1 per class avg
+    val total = TestSpark.table("embeddings").count().toDouble
+    val sumWeighted = w.select(sum($"n" * $"weight")).head.getDouble(0)
+    assert(math.abs(sumWeighted - total) < 1e-6)
+  }
+
+  test("imputeMean fills nulls with the column mean") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("x")
+    val out = Features.imputeMean(df, "x").collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(1.0, 2.0, 3.0))
+  }
+
+  test("imputeMode fills nulls with the most frequent value") {
+    val df = Seq(Some("a"), Some("b"), Some("a"), None).toDF("x")
+    val out = Features.imputeMode(df, "x").collect().map(_.getString(0))
+    assert(out.toSeq === Seq("a", "b", "a", "a"))
+  }
+
+  test("standardize yields ~zero mean, unit variance") {
+    val out = Features.standardize(customer, Seq("c_acctbal"))
+    val stats = out.agg(avg($"c_acctbal_z"), stddev_samp($"c_acctbal_z")).head
+    assert(math.abs(stats.getDouble(0)) < 1e-9)
+    assert(math.abs(stats.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("labelEncoding: most frequent gets 0, dense ids") {
+    val df = Seq("a", "b", "b", "c", "b", "a").toDF("x")
+    val enc = Features.labelEncoding(df, "x").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(enc === Map("b" -> 0L, "a" -> 1L, "c" -> 2L))
+  }
+
+  test("topKPerGroup returns at most k per group in order") {
+    val top = Features.topKPerGroup(TestSpark.table("lineitem"), "l_orderkey",
+      Seq($"l_extendedprice".desc, $"l_linenumber".asc), 2)
+    val counts = top.groupBy("l_orderkey").count().agg(max("count")).head.getLong(0)
+    assert(counts <= 2)
+  }
+
+  test("groupedSample is seeded-deterministic") {
+    val a = Features.groupedSample(TestSpark.table("lineitem"), "l_returnflag", 5, 42)
+      .select("l_orderkey", "l_linenumber").collect().toSet
+    val b = Features.groupedSample(TestSpark.table("lineitem"), "l_returnflag", 5, 42)
+      .select("l_orderkey", "l_linenumber").collect().toSet
+    assert(a === b)
+    assert(a.size === 15) // 3 flags x 5
+  }
+
+  test("classifyColumns partitions by dtype") {
+    val (num, cat) = Features.classifyColumns(customer)
+    assert(num.toSet === Set("c_custkey", "c_nationkey", "c_acctbal"))
+    assert(cat.toSet === Set("c_name", "c_mktsegment"))
+  }
+}

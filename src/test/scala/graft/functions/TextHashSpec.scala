@@ -1,0 +1,85 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextHashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val u = UTF8String.fromString _
+
+  test("shingle set: distinct, sorted, short-doc fallback") {
+    val sh = TextHash.shingleSet(u("a b c d a b c"), 3)
+    val expect = Set("a b c", "b c d", "c d a", "d a b")
+    assert(scala.jdk.CollectionConverters.SetHasAsScala(sh).asScala == expect)
+    val short = TextHash.shingleSet(u("x y"), 3)
+    assert(scala.jdk.CollectionConverters.SetHasAsScala(short).asScala == Set("x y"))
+    assert(scala.jdk.CollectionConverters.SetHasAsScala(
+      TextHash.shingleSet(u(""), 3)).asScala == Set(""))
+  }
+
+  test("minhash: equal docs equal sigs; disjoint docs disagree") {
+    val a = TextHash.minhashSig(u("the quick brown fox jumps over the lazy dog"), 3, 32)
+    val b = TextHash.minhashSig(u("the quick brown fox jumps over the lazy dog"), 3, 32)
+    val c = TextHash.minhashSig(u("completely different words entirely here now ok"), 3, 32)
+    assert(a.toSeq === b.toSeq)
+    assert(a.toSeq !== c.toSeq)
+    assert(a.length === 32)
+  }
+
+  test("minhash sig agreement tracks jaccard (statistical)") {
+    // two docs sharing most shingles should agree on most signature slots
+    val d1 = (1 to 50).map(i => s"w$i").mkString(" ")
+    val d2 = (1 to 48).map(i => s"w$i").mkString(" ") + " x y"
+    val s1 = TextHash.minhashSig(u(d1), 3, 128)
+    val s2 = TextHash.minhashSig(u(d2), 3, 128)
+    val agree = s1.zip(s2).count { case (x, y) => x == y } / 128.0
+    assert(agree > 0.75, s"agreement $agree")
+  }
+
+  test("band buckets: identical docs share all bands") {
+    val b1 = TextHash.minhashBands(u("a b c d e f g"), 3, 8, 4)
+    val b2 = TextHash.minhashBands(u("a b c d e f g"), 3, 8, 4)
+    assert(b1.toLongArray().toSeq === b2.toLongArray().toSeq)
+    assert(b1.numElements() === 8)
+  }
+
+  test("simhash: equal docs equal; near docs near; far docs far") {
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 99).map(i => s"tok$i").mkString(" ") + " other"
+    val far = (200 to 300).map(i => s"zz$i").mkString(" ")
+    val hb = TextHash.simhash64(u(base))
+    assert(hb === TextHash.simhash64(u(base)))
+    val dNear = java.lang.Long.bitCount(hb ^ TextHash.simhash64(u(near)))
+    val dFar = java.lang.Long.bitCount(hb ^ TextHash.simhash64(u(far)))
+    assert(dNear < dFar)
+    assert(dNear <= 10, s"near distance $dNear")
+  }
+
+  test("rolling hash matches the reference fold") {
+    // h = fold(h*31 + (17*len + firstCharCode)) mod 1e9+7 over [a-z0-9]+ of lower
+    def ref(text: String): Long = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+      toks.foldLeft(0L)((h, w) => (h * 31 + (17L * w.length + w.head.toLong)) % 1000000007L)
+    }
+    for (s <- Seq("Hello, World 42!", "a", "", "ONE two THREE four85 ..x"))
+      assert(TextHash.rollingHash(u(s)) === ref(s), s)
+  }
+
+  test("column API round-trips through codegen projection") {
+    val df = Seq("a b c d e", "x y z w v", "a b c d e").toDF("t")
+    val rows = df.select(
+      minhash_sig($"t", 3, 8).as("sig"),
+      simhash64($"t").as("sh"),
+      rolling_hash($"t").as("rh"),
+      shingle_set($"t", 3).as("ss")).collect()
+    assert(rows(0).getSeq[Long](0) === rows(2).getSeq[Long](0))
+    assert(rows(0).getLong(1) === rows(2).getLong(1))
+    assert(rows(0).getLong(2) === rows(2).getLong(2))
+    assert(rows(0).getSeq[String](3) === Seq("a b c", "b c d", "c d e"))
+    assert(rows(0).getSeq[Long](0) !== rows(1).getSeq[Long](0))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.sim
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = TestSpark.table("embeddings")
+
+  test("cosine of a vector with itself is 1") {
+    val self = emb.limit(5)
+      .select(round(Similarity.cosine($"embedding", $"embedding"), 6).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(_ === 1.0))
+  }
+
+  test("brute-force top-k: probe ranks first, k rows, descending") {
+    val probe = emb.filter($"vec_id" === 0)
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+      .collect()
+    assert(top.length === 10)
+    assert(top.head.getLong(0) === 0L) // the probe itself
+    assert(top.head.getDouble(1) === 1.0)
+    val cos = top.map(_.getDouble(1))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("ANN top-k has decent recall vs brute force") {
+    val probe = emb.filter($"vec_id" === 0)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", probe,
+      k = 10, bits = 8, dim = 64, multiprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & ann).size / 10.0
+    assert(ann.contains(0L), "probe must be its own neighbor")
+    assert(recall >= 0.3, s"recall $recall") // LSH on random gaussians is hard;
+    // the contract is candidate-set pruning + exact re-rank, not exact top-k
+  }
+
+  test("lshBucket is deterministic and bounded") {
+    val b = emb.select(Similarity.lshBucket($"embedding", 12, 64).as("b"))
+    val vals = b.collect().map(_.getLong(0))
+    assert(vals.forall(v => v >= 0 && v < (1L << 12)))
+    val again = emb.select(Similarity.lshBucket($"embedding", 12, 64).as("b"))
+      .collect().map(_.getLong(0))
+    assert(vals.toSeq === again.toSeq)
+  }
+}
