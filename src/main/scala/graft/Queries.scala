@@ -485,6 +485,55 @@ object Queries {
 
   val q30Sql: String = q04Sql
 
+  /** J-extension: batch sessionization (gaps-and-islands over lag +
+    * running sum; the batch face of streaming.EventStream's custom-state
+    * sessionizer). Session bounds as integer unix seconds — DuckDB keeps
+    * nanosecond timestamps, Spark microseconds, so raw ts would differ. */
+  def q31Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events"), 3600)
+      .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
+        col("n_events"),
+        unix_timestamp(col("session_start")).as("start_s"),
+        unix_timestamp(col("session_end")).as("end_s"))
+      .orderBy("user_id", "session_seq")
+
+  val q31Sql: String =
+    """WITH x AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) es,
+      |  ts FROM events),
+      |y AS (SELECT user_id, es, event_id,
+      |  CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 3600
+      |       THEN 1 ELSE 0 END new_s
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |z AS (SELECT user_id, es,
+      |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) session_seq FROM y)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      | min(es) AS start_s, max(es) AS end_s
+      |FROM z GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Multimodal plumbing round-trip: fake-encode documents as media
+    * binaries, decode metadata via the partition-local stub decoder
+    * (mapPartitions), project the typed struct. */
+  def q32MediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, Multimodal.fakeMedia("img", 8, 4, text.getBytes("UTF-8")))
+      }.toDF("doc_id", "media")
+    Multimodal.withMeta(media, "media")
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.n_bytes").as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  val q32Sql: String =
+    """SELECT doc_id, 'img' AS format, 8 AS width, 4 AS height,
+      | CAST(strlen(text) AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** ANN top-k via LSH bucketing (rows-only check: approximate by
     * design; ScalaTest asserts recall against brute force). */
   def q27AnnTopK(s: SparkSession, dir: String): DataFrame = {
@@ -538,6 +587,8 @@ object Queries {
     "q25_embed_dup" -> (q25EmbedDup _),
     "q26_dateseq" -> (q26DateSeq _),
     "q30_cube_drill" -> (q30CubeDrill _),
+    "q31_sessionize" -> (q31Sessionize _),
+    "q32_media_meta" -> (q32MediaMeta _),
     "q27_ann_topk" -> (q27AnnTopK _),
     "q28_minhash_sig" -> (q28MinhashSig _),
     "q29_simhash_sig" -> (q29SimhashSig _),
@@ -570,6 +621,8 @@ object Queries {
     "q25_embed_dup" -> q25Sql,
     "q26_dateseq" -> q26Sql,
     "q30_cube_drill" -> q30Sql,
+    "q31_sessionize" -> q31Sql,
+    "q32_media_meta" -> q32Sql,
   )
 
   /** Headline queries for the per-round benchmark. */

