@@ -5,10 +5,20 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line. Results are forced
   * through the `noop` sink (full computation of every output column —
   * unlike `count()`, which would let Catalyst prune the aggregates
-  * away). */
+  * away).
+  *
+  * Protocol: one untimed warmup pass on the smallest scale factor pays
+  * the per-plan one-time costs (whole-stage codegen compilation, JIT of
+  * the generated classes, parquet footer caches) that would otherwise
+  * be charged entirely to whichever query runs first; then two timed
+  * passes on the target scale factor, reporting the per-query minimum —
+  * the standard steady-state measurement for a long-lived engine, which
+  * is what a warehouse process is.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,15 +28,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = Queries.benchNames.map { name =>
-      val fn = SparkEntry.queries(name)
+
+    def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench] $name failed on $dir: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      Queries.benchNames.foreach(run(_, warmDir)) // untimed
+    val pass1 = Queries.benchNames.map(n => n -> run(n, sfDir))
+    val pass2 = Queries.benchNames.map(n => n -> run(n, sfDir)).toMap
+    val results = pass1.map { case (n, t1) => n -> math.min(t1, pass2(n)) }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

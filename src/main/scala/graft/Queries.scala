@@ -28,8 +28,24 @@ import graft.text.TextOps
   */
 object Queries {
 
+  /** Adaptive input fan-out: the documents/embeddings tables are small
+    * in bytes but CPU-heavy per row (minhash/simhash/cosine are O(tokens)
+    * or O(dim) per row), and the test corpus ships as single-row-group
+    * parquet — an unsplittable scan that would pin all that compute on
+    * one core. If (and only if) the scan yields fewer partitions than
+    * the cluster has slots, redistribute first; on a real 100 TB layout
+    * the scan already has thousands of splits and this is a no-op.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
+    if (name == "documents" || name == "embeddings")
+      fanOut(spark.read.parquet(s"$dir/$name.parquet"))
+    else if (name == "events") {
       // The events table carries TIMESTAMP(NANOS) parquet timestamps,
       // which Spark's vectorized reader rejects; read the raw int64
       // nanos and convert to TIMESTAMP_NTZ (micros) — NTZ to match the
@@ -555,6 +571,152 @@ object Queries {
       .select(col("doc_id"), graft.functions.simhash64(col("text")).as("sig"))
       .orderBy("doc_id")
 
+  /** C9/D4: fuzzy Levenshtein closest-match of every distinct p_type
+    * against a canonical vocabulary (the configured FuzzyMatch step the
+    * reference declares but never wired up — here the real thing). */
+  private val fuzzyCanon = Seq(
+    "ECONOMY ANODIZED STEEL", "LARGE BURNISHED COPPER",
+    "MEDIUM PLATED BRASS", "PROMO POLISHED NICKEL", "STANDARD BRUSHED TIN")
+
+  def q33Fuzzy(s: SparkSession, dir: String): DataFrame =
+    Similarity.closestMatch(
+      t(s, dir, "part").select("p_type").distinct(), "p_type", fuzzyCanon)
+      .orderBy("p_type")
+
+  val q33Sql: String = {
+    val lst = fuzzyCanon.sorted.map(c => s"'$c'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT DISTINCT p_type FROM part),
+       |c AS (SELECT unnest($lst) AS cand),
+       |d AS (SELECT p_type, cand, levenshtein(p_type, cand) AS dist FROM t, c),
+       |r AS (SELECT p_type, cand, dist,
+       |  row_number() OVER (PARTITION BY p_type ORDER BY dist, cand) rn FROM d)
+       |SELECT p_type, cand AS matched, CAST(dist AS BIGINT) AS dist
+       |FROM r WHERE rn = 1 ORDER BY p_type""".stripMargin
+  }
+
+  /** E9/H6: mean imputation with a sentinel-derived missing pattern
+    * (negative balance treated as unknown). The mean is computed as an
+    * exact decimal sum / count so both engines agree bit-for-bit. */
+  def q34Impute(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").withColumn("bal",
+      when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+    val stats = broadcast(c.agg(
+      (sum(col("bal").cast(dec2)) / count(col("bal"))).cast("double").as("m")))
+    c.crossJoin(stats)
+      .select(col("c_custkey"), round(coalesce(col("bal"), col("m")), 6).as("bal_imp"))
+      .orderBy("c_custkey")
+  }
+
+  val q34Sql: String =
+    """SELECT c_custkey, round(coalesce(bal, m), 6) AS bal_imp
+      |FROM (SELECT c_custkey,
+      |        CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      |      FROM customer),
+      |     (SELECT CAST(sum(CAST(CASE WHEN c_acctbal < 0 THEN NULL
+      |               ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE) /
+      |             count(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) AS m
+      |      FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** H3: one-hot encoding over the declared category domain (unknown →
+    * all zeros) — map-side projections only. */
+  private val mktSegments = Seq(
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  def q35OneHot(s: SparkSession, dir: String): DataFrame =
+    Features.oneHot(t(s, dir, "customer"), "c_mktsegment", mktSegments)
+      .select((Seq(col("c_custkey")) ++
+        mktSegments.map(v => col(s"c_mktsegment_$v"))): _*)
+      .orderBy("c_custkey")
+
+  val q35Sql: String = {
+    val flags = mktSegments.map(v =>
+      s"CASE WHEN c_mktsegment = '$v' THEN 1 ELSE 0 END AS c_mktsegment_$v")
+      .mkString(",\n ")
+    s"""SELECT c_custkey,
+       | $flags
+       |FROM customer ORDER BY c_custkey""".stripMargin
+  }
+
+  /** The flagship ETL end-to-end (SURVEY §3.2): an ESI-shaped stream is
+    * derived deterministically from orders, then runs the REAL pipeline —
+    * cleaning chain (sentinel null, trim/lower, Spanish-month map, date
+    * concat), five surrogate-key dimension builds, broadcast FK
+    * resolution, null-safe entrada/salida router — and the facts are
+    * star-joined back to dims for the final cube cell. The oracle
+    * replays the same semantics directly on natural keys: surrogate
+    * machinery must cancel out exactly (SURVEY §7.4.1's parity rule). */
+  def q36EsiEtl(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.{Cleaning, EsiEtl}
+    val o = t(s, dir, "orders")
+    val raw = o.select(
+      when(col("o_orderstatus") === "O", lit(" Entrada "))
+        .otherwise(lit("salida")).as("tip_movi"),
+      year(col("o_orderdate")).as("anio_movi"),
+      Cleaning.valueMap(month(col("o_orderdate")).cast("string"),
+        Cleaning.monthNamesEs).as("mes_movi"),
+      dayofmonth(col("o_orderdate")).as("dia_movi"),
+      when(col("o_orderkey") % 2 === 0, "M").otherwise("F").as("sex_migr"),
+      col("o_orderpriority").as("nac_migr"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "aerea")
+        .when(col("o_orderpriority") === "3-MEDIUM", "terrestre")
+        .otherwise("maritima").as("via_tran"),
+      concat(lit(" jef-"), (col("o_custkey") % 5).cast("string")).as("jef_migr"),
+      concat(lit("pro-"), (col("o_custkey") % 3).cast("string")).as("pro_jefm"),
+      concat(lit("can-"), (col("o_custkey") % 4).cast("string")).as("can_jefm"),
+      when(col("o_orderkey") % 11 === 0, "Estudiante")
+        .when(col("o_orderkey") % 11 === 1, "INGENIERO")
+        .otherwise("viajero frecuente").as("ocu_migr"),
+      when(col("o_orderkey") % 7 === 0, lit("sin especificar"))
+        .otherwise((col("o_custkey") % 80 + 1).cast("string")).as("edad"))
+    val wh = EsiEtl.buildWarehouse(EsiEtl.clean(raw))
+    val facts = wh.factInmigrante.withColumn("fact", lit("inmigrante"))
+      .unionByName(wh.factEmigrante.withColumn("fact", lit("emigrante")))
+    facts
+      .join(broadcast(wh.dims("dim_transporte")), Seq("id_transporte"))
+      .join(broadcast(wh.dims("dim_persona")), Seq("id_persona"))
+      .join(broadcast(wh.dims("dim_fecha")), Seq("id_fecha"))
+      .groupBy(col("fact"), col("mes_movi"), col("via_tran"), col("sex_migr"))
+      .agg(count(lit(1)).as("cnt"),
+        round((sum(col("edad").cast(dec2)) / count(col("edad"))).cast("double"), 6)
+          .as("avg_edad"))
+      .orderBy("fact", "mes_movi", "via_tran", "sex_migr")
+  }
+
+  val q36Sql: String =
+    """WITH raw AS (SELECT
+      |  CASE WHEN o_orderstatus = 'O' THEN ' Entrada ' ELSE 'salida' END AS tip_movi,
+      |  CAST(month(o_orderdate) AS INT) AS mes_movi,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE 'F' END AS sex_migr,
+      |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'aerea'
+      |       WHEN o_orderpriority = '3-MEDIUM' THEN 'terrestre'
+      |       ELSE 'maritima' END AS via_tran,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE CAST(o_custkey % 80 + 1 AS INT) END AS edad
+      | FROM orders)
+      |SELECT CASE WHEN lower(trim(tip_movi)) = 'entrada'
+      |            THEN 'inmigrante' ELSE 'emigrante' END AS fact,
+      | mes_movi, via_tran, sex_migr, count(*) AS cnt,
+      | round(CAST(sum(CAST(edad AS DECIMAL(18,2))) AS DOUBLE) / count(edad), 6)
+      |   AS avg_edad
+      |FROM raw GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** C4 side channel: values the classification dictionary does not
+    * cover, normalized and distinct (`preprocessing.py:325-327`). */
+  def q37Unmapped(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Cleaning.unmappedValues(t(s, dir, "customer"), "c_mktsegment",
+      Map("automobile" -> "x", "building" -> "x"))
+      .orderBy("unmapped")
+
+  val q37Sql: String =
+    """SELECT DISTINCT
+      | trim(regexp_replace(strip_accents(lower(c_mktsegment)), '\s+', ' ', 'g')) AS unmapped
+      |FROM customer
+      |WHERE c_mktsegment IS NOT NULL
+      |  AND trim(regexp_replace(strip_accents(lower(c_mktsegment)), '\s+', ' ', 'g'))
+      |      NOT IN ('automobile', 'building')
+      |ORDER BY 1""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -592,6 +754,11 @@ object Queries {
     "q27_ann_topk" -> (q27AnnTopK _),
     "q28_minhash_sig" -> (q28MinhashSig _),
     "q29_simhash_sig" -> (q29SimhashSig _),
+    "q33_fuzzy" -> (q33Fuzzy _),
+    "q34_impute" -> (q34Impute _),
+    "q35_onehot" -> (q35OneHot _),
+    "q36_esi_etl" -> (q36EsiEtl _),
+    "q37_unmapped" -> (q37Unmapped _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -623,11 +790,16 @@ object Queries {
     "q30_cube_drill" -> q30Sql,
     "q31_sessionize" -> q31Sql,
     "q32_media_meta" -> q32Sql,
+    "q33_fuzzy" -> q33Sql,
+    "q34_impute" -> q34Sql,
+    "q35_onehot" -> q35Sql,
+    "q36_esi_etl" -> q36Sql,
+    "q37_unmapped" -> q37Sql,
   )
 
   /** Headline queries for the per-round benchmark. */
   val benchNames: Seq[String] = Seq(
     "q01_pricing", "q03_star", "q04_rollup", "q11_window_topk",
     "q13_events_window", "q17_exact_dedup", "q21_rolling_hash",
-    "q22_cosine_topk", "q23_minhash_dup")
+    "q22_cosine_topk", "q23_minhash_dup", "q36_esi_etl")
 }

@@ -93,6 +93,16 @@ object Features {
         (row_number().over(Window.orderBy(col("n").desc, col(c))) - 1).cast("long"))
       .drop("n")
 
+  /** One-hot encoding over an explicit category list — unknown values
+    * get all-zero flags (`OneHotEncoder(handle_unknown="ignore")`,
+    * `machineLearning.py:294`). Pure codegen'd projections, no shuffle;
+    * the category list is driver-known (from [[labelEncoding]] or a
+    * declared domain). */
+  def oneHot(df: DataFrame, c: String, categories: Seq[String]): DataFrame =
+    categories.foldLeft(df) { (acc, v) =>
+      acc.withColumn(s"${c}_$v", when(col(c) === v, 1).otherwise(0))
+    }
+
   /** Deterministic hash sampling: portable across engines (md5 of the
     * key string), unlike seeded `rand()`. `fraction` maps to a hex
     * prefix threshold on the md5 of the key. */

@@ -42,6 +42,25 @@ object Similarity {
     bruteForceAll(vectors, idCol, vecCol, probe)
       .orderBy(col("cosine").desc, col(idCol)).limit(k)
 
+  /** Fuzzy (Levenshtein) closest-match against a driver-known candidate
+    * list — the full capability behind the reference's vestigial
+    * FuzzyMatch step (`etl_final.ktr:3609-3645`, algorithm=levenshtein,
+    * closer-value). Entirely map-side: the candidates become a literal
+    * array and the per-row minimum is an `array_min` over
+    * `struct(distance, candidate)` (struct ordering = distance first,
+    * then candidate — deterministic ties). No join, no shuffle, scales
+    * as O(rows × candidates) with zero data movement. */
+  def closestMatch(keys: DataFrame, c: String, candidates: Seq[String],
+      matchCol: String = "matched", distCol: String = "dist"): DataFrame = {
+    val cands = array(candidates.distinct.sorted.map(lit): _*)
+    keys
+      .withColumn("__best", array_min(transform(cands,
+        x => struct(levenshtein(col(c), x).as("d"), x.as("s")))))
+      .withColumn(matchCol, col("__best.s"))
+      .withColumn(distCol, col("__best.d").cast("long"))
+      .drop("__best")
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (i,j) derives
     * from a splitmix64 of the index — no RNG state, reproducible across
     * runs/cluster layouts. */
