@@ -717,6 +717,103 @@ object Queries {
       |      NOT IN ('automobile', 'building')
       |ORDER BY 1""".stripMargin
 
+  /** E5-extension: distinct-count aggregation (plans as a two-phase
+    * partial/final expand aggregate — no row collection). */
+  def q38Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count_distinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  val q38Sql: String =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+      | count(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** E4-extension: full CUBE over two dimensions with grouping_id — all
+    * 2^n subtotal combinations (the cross-hierarchy "All" members the
+    * Mondrian schema exposes across cubes). */
+  def q39Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .cube(col("y"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"),
+        grouping_id().cast("long").as("lvl"))
+      .orderBy(col("lvl"), col("y").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  val q39Sql: String =
+    """SELECT y, o_orderstatus, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | CAST(2*GROUPING(y) + GROUPING(o_orderstatus) AS BIGINT) AS lvl
+      |FROM (SELECT CAST(year(o_orderdate) AS INT) y, o_orderstatus,
+      |             o_totalprice FROM orders)
+      |GROUP BY CUBE(y, o_orderstatus)
+      |ORDER BY lvl, y NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  /** F/E-extension: per-key running total (cumulative window frame) —
+    * decimal-exact so the prefix sums match DuckDB bit-for-bit. */
+  def q40Running(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(dec2)).over(w).cast("double").as("run_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q40Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** As-of join (graft.operators.AsOfJoin): each click gets the latest
+    * error at-or-before it for the same user — point-in-time feature
+    * attachment. Oracle is DuckDB's native ASOF LEFT JOIN. */
+  def q41AsOf(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("err_id"),
+        col("value").as("err_value"))
+    graft.operators.AsOfJoin
+      .asOf(clicks, errors, "user_id", "ts", Seq("err_id", "err_value"), "err_id")
+      .select("event_id", "user_id", "err_id", "err_value")
+      .orderBy("event_id")
+  }
+
+  val q41Sql: String =
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |e AS (SELECT user_id, ts, event_id AS err_id, value AS err_value
+      |      FROM events WHERE event_type = 'error')
+      |SELECT c.event_id, c.user_id, e.err_id, e.err_value
+      |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * props column and aggregate — `get_json_object` is codegen'd, no
+    * UDF, and the projection prunes every other column at the scan. */
+  def q42Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
+      .orderBy("event_type")
+
+  val q42Sql: String =
+    """SELECT event_type,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -759,6 +856,11 @@ object Queries {
     "q35_onehot" -> (q35OneHot _),
     "q36_esi_etl" -> (q36EsiEtl _),
     "q37_unmapped" -> (q37Unmapped _),
+    "q38_distinct" -> (q38Distinct _),
+    "q39_cube" -> (q39Cube _),
+    "q40_running" -> (q40Running _),
+    "q41_asof" -> (q41AsOf _),
+    "q42_json" -> (q42Json _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -795,6 +897,11 @@ object Queries {
     "q35_onehot" -> q35Sql,
     "q36_esi_etl" -> q36Sql,
     "q37_unmapped" -> q37Sql,
+    "q38_distinct" -> q38Sql,
+    "q39_cube" -> q39Sql,
+    "q40_running" -> q40Sql,
+    "q41_asof" -> q41Sql,
+    "q42_json" -> q42Sql,
   )
 
   /** Headline queries for the per-round benchmark. */

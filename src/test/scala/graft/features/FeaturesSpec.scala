@@ -91,4 +91,14 @@ class FeaturesSpec extends AnyFunSuite {
     assert(num.toSet === Set("c_custkey", "c_nationkey", "c_acctbal"))
     assert(cat.toSet === Set("c_name", "c_mktsegment"))
   }
+
+  test("oneHot: exactly one flag set for known values, none for unknown") {
+    import spark.implicits._
+    val df = Seq("a", "b", "zzz", null).toDF("c")
+    val out = Features.oneHot(df, "c", Seq("a", "b"))
+      .collect().map(r => (Option(r.getString(0)),
+        r.getAs[Int]("c_a"), r.getAs[Int]("c_b")))
+    assert(out.toSet === Set(
+      (Some("a"), 1, 0), (Some("b"), 0, 1), (Some("zzz"), 0, 0), (None, 0, 0)))
+  }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 10L, "l1"), (1L, 20L, "l2"), (1L, 30L, "l3"),
+    (2L, 15L, "l4"), (3L, 5L, "l5")
+  ).toDF("k", "t", "tag")
+
+  private def right = Seq(
+    (1L, 10L, 100L, 1.0), (1L, 25L, 101L, 2.0),
+    (2L, 10L, 102L, 3.0), (2L, 16L, 103L, 4.0)
+  ).toDF("k", "t", "rid", "v")
+
+  test("picks latest right row at-or-before each left timestamp, per key") {
+    val out = AsOfJoin.asOf(left, right, "k", "t", Seq("rid", "v"), "rid")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getAs[String]("tag"), Option(r.getAs[Any]("rid"))))
+    assert(out.toSeq === Seq(
+      ("l1", Some(100L)), // equal timestamp is inclusive
+      ("l2", Some(100L)), // 25 is after 20 → still 100
+      ("l3", Some(101L)),
+      ("l4", Some(102L)), // 16 is after 15 → 102, not 103
+      ("l5", None)))      // no right row before → null (left join)
+  }
+
+  test("simultaneous right rows: the one ranking last under the tiebreak wins") {
+    val dupRight = Seq((1L, 10L, 7L, 7.0), (1L, 10L, 9L, 9.0), (1L, 10L, 8L, 8.0))
+      .toDF("k", "t", "rid", "v")
+    val out = AsOfJoin.asOf(Seq((1L, 11L, "x")).toDF("k", "t", "tag"),
+      dupRight, "k", "t", Seq("rid"), "rid").collect()
+    assert(out.head.getAs[Long]("rid") === 9L)
+  }
+
+  test("left columns pass through unchanged") {
+    val out = AsOfJoin.asOf(left, right, "k", "t", Seq("v"), "rid")
+    assert(out.columns.toSeq === Seq("k", "t", "tag", "v"))
+    assert(out.count() === 5)
+  }
+
+  test("matches DuckDB-style semantics on the events table shape") {
+    // self-contained mini replay of q41: clicks get last error per user
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = TestSpark.table("events")
+      .withColumn("ts", (col("ts") / 1000).cast("long")) // unix micros
+    val clicks = ev.filter($"event_type" === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id".as("err_id"))
+    val joined = AsOfJoin.asOf(clicks, errors, "user_id", "ts", Seq("err_id"), "err_id")
+    assert(joined.count() === clicks.count()) // left join: row-preserving
+    // spot-check one user against a window-free reference computation
+    val u = clicks.select($"user_id").limit(1).collect().head.getLong(0)
+    val uClicks = clicks.filter($"user_id" === u).collect()
+    val uErrors = errors.filter($"user_id" === u)
+      .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Long]("err_id")))
+    val got = joined.filter($"user_id" === u).collect()
+      .map(r => r.getAs[Long]("ts") -> Option(r.getAs[Any]("err_id"))).toMap
+    uClicks.foreach { c =>
+      val ct = c.getAs[Long]("ts")
+      val expect = uErrors.filter(_._1 <= ct).sortBy(identity).lastOption.map(_._2)
+      assert(got(ct) === expect, s"user $u click at $ct")
+    }
+  }
+}

@@ -41,6 +41,14 @@ class SimilaritySpec extends AnyFunSuite {
     // the contract is candidate-set pruning + exact re-rank, not exact top-k
   }
 
+  test("closestMatch: minimum Levenshtein candidate, ties to lexicographic first") {
+    val df = Seq("kitten", "abcd").toDF("w")
+    val out = Similarity.closestMatch(df, "w", Seq("sitting", "mitten", "abce", "abcf"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out("kitten") === (("mitten", 1L)))
+    assert(out("abcd") === (("abce", 1L))) // tie abce/abcf at dist 1 → lexicographic
+  }
+
   test("lshBucket is deterministic and bounded") {
     val b = emb.select(Similarity.lshBucket($"embedding", 12, 64).as("b"))
     val vals = b.collect().map(_.getLong(0))
