@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -93,10 +93,60 @@ object EsiEtl {
   /** Build the full star schema from a cleaned frame: five dimension
     * builds, broadcast FK resolution in one pass over the stream, then
     * the null-safe entrada/salida router (PDI FilterRows semantics,
-    * SURVEY §7.4.2: false branch receives non-'entrada' AND null). */
+    * SURVEY §7.4.2: false branch receives non-'entrada' AND null).
+    *
+    * The five distinct natural-key sets are computed in ONE shuffle via
+    * `GROUPING SETS` (the Expand replicates each row once per dim
+    * map-side, but partial aggregation collapses to ~dim cardinality
+    * before the exchange — shuffle bytes stay tiny). The alternative —
+    * five independent `distinct()` builds — re-scans and re-cleans the
+    * full stream five times; at 100 TB that's five full passes instead
+    * of one. The per-set result is dim-sized (small by definition) and
+    * each dim is carved out of it by `grouping_id`.
+    */
   def buildWarehouse(cleaned: DataFrame): Warehouse = {
+    val keyCols = dimSpecs.flatMap(_._2).distinct
+    val distincts = cleaned
+      .groupingSets(dimSpecs.map(_._2.map(col)), keyCols.map(col): _*)
+      .agg(grouping_id().cast("long").as("__gid"))
+    def gidOf(keys: Seq[String]): Long =
+      keyCols.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+        if (keys.contains(c)) acc else acc | (1L << (keyCols.size - 1 - i))
+      }
+    // Dims are driver-small by the star-schema contract (distinct
+    // attribute tuples, not facts) — ONE unsorted collect materializes
+    // all five key sets, split by grouping_id and sorted in the driver
+    // (a distributed orderBy+collect would execute the aggregation
+    // twice: once for the range-partitioner sample, once for real).
+    // Ids are 1..N in the canonical driver sort order (nulls first,
+    // Java natural ordering per column) — deterministic across runs
+    // and cluster layouts. For a genuinely jumbo dimension use
+    // SurrogateKeys.dim (distributed zipWithIndex) instead.
+    val spark = cleaned.sparkSession
+    val all = distincts.collect()
+    val byGid = all.groupBy(_.getLong(keyCols.size)) // __gid is the last column
+    val keyIdx = keyCols.zipWithIndex.toMap
+    def cmp(a: Row, b: Row, idxs: Seq[Int]): Boolean = {
+      for (i <- idxs) {
+        val (x, y) = (a.get(i), b.get(i))
+        if (x == null && y != null) return true
+        if (x != null && y == null) return false
+        if (x != null) {
+          val c = x.asInstanceOf[Comparable[Any]].compareTo(y)
+          if (c != 0) return c < 0
+        }
+      }
+      false
+    }
     val dims = dimSpecs.map { case (name, keys, id) =>
-      name -> SurrogateKeys.dim(cleaned, keys, id)
+      val idxs = keys.map(keyIdx)
+      val rows = byGid.getOrElse(gidOf(keys), Array.empty[Row])
+        .sortWith(cmp(_, _, idxs)).zipWithIndex
+        .map { case (r, i) => Row.fromSeq(idxs.map(r.get) :+ (i + 1L)) }
+      val schema = StructType(
+        keys.map(k => distincts.schema(keyIdx(k))) :+
+          StructField(id, LongType, nullable = false))
+      name -> spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }.toMap
     val resolved = dimSpecs.foldLeft(cleaned) { case (acc, (name, keys, id)) =>
       SurrogateKeys.resolve(acc, dims(name), keys, id)

@@ -24,10 +24,16 @@ object SurrogateKeys {
     * one tiny driver round-trip for partition offsets), so dimension
     * build scales linearly with cluster size.
     */
-  def dim(df: DataFrame, naturalKeys: Seq[String], idCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.select(naturalKeys.map(col): _*).distinct()
-      .orderBy(naturalKeys.map(col): _*)
+  def dim(df: DataFrame, naturalKeys: Seq[String], idCol: String): DataFrame =
+    assignIds(df.select(naturalKeys.map(col): _*).distinct(), naturalKeys, idCol)
+
+  /** Assign ids 1..N in canonical sort order to an already-distinct
+    * key set (the second half of [[dim]]; exposed so one-shuffle
+    * multi-dimension builds can skip the per-dim distinct). */
+  def assignIds(distinctKeys: DataFrame, naturalKeys: Seq[String],
+      idCol: String): DataFrame = {
+    val spark = distinctKeys.sparkSession
+    val sorted = distinctKeys.orderBy(naturalKeys.map(col): _*)
     val schema = sorted.schema.add(idCol, LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
@@ -60,8 +66,18 @@ object SurrogateKeys {
 
   /** Replace natural keys in a fact stream with the dim's surrogate key —
     * dims are broadcast (they are small relative to facts by
-    * construction), so no fact-side shuffle happens. */
+    * construction), so no fact-side shuffle happens. Keys compare
+    * null-safely (`<=>`): PDI's CombinationLookup treats null as a
+    * value — a null natural key gets (and later matches) its own dim
+    * row — and BroadcastHashJoin supports EqualNullSafe keys, so this
+    * costs nothing. */
   def resolve(facts: DataFrame, dimension: DataFrame,
-      naturalKeys: Seq[String], idCol: String): DataFrame =
-    facts.join(broadcast(dimension), naturalKeys, "left")
+      naturalKeys: Seq[String], idCol: String): DataFrame = {
+    val d = dimension.select((naturalKeys :+ idCol)
+      .map(c => col(c).as(s"__d_$c")): _*)
+    val cond = naturalKeys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
+    facts.join(broadcast(d), cond, "left")
+      .withColumn(idCol, col(s"__d_$idCol"))
+      .drop((naturalKeys :+ idCol).map(c => s"__d_$c"): _*)
+  }
 }
