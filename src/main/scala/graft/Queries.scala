@@ -816,6 +816,20 @@ object Queries {
       | count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** F4/I2-extension: deterministic hash sampling — engine-portable
+    * (md5 of the key), unlike seeded rand(); the same rows are sampled
+    * by any engine, any partitioning, any run. */
+  def q43Sample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(Features.hashSample(col("o_orderkey"), "15"))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val q43Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '15'
+      |ORDER BY o_orderkey""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -863,6 +877,7 @@ object Queries {
     "q40_running" -> (q40Running _),
     "q41_asof" -> (q41AsOf _),
     "q42_json" -> (q42Json _),
+    "q43_sample" -> (q43Sample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -904,6 +919,7 @@ object Queries {
     "q40_running" -> q40Sql,
     "q41_asof" -> q41Sql,
     "q42_json" -> q42Sql,
+    "q43_sample" -> q43Sql,
   )
 
   /** Headline queries for the per-round benchmark. */

@@ -106,7 +106,7 @@ object Features {
   /** Deterministic hash sampling: portable across engines (md5 of the
     * key string), unlike seeded `rand()`. `fraction` maps to a hex
     * prefix threshold on the md5 of the key. */
-  def hashSample(df: DataFrame, keyCol: Column, hexThreshold: String): Column =
+  def hashSample(keyCol: Column, hexThreshold: String): Column =
     substring(md5(keyCol.cast("string").cast("binary")), 1, hexThreshold.length) < hexThreshold
 
   /** k sample rows per group, seeded — `groupby.apply(sample)`

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Warehouse table layout: bucketed, sorted, optionally partitioned
+  * parquet tables registered in the session catalog.
+  *
+  * This is the scale answer to "co-locate the big joins": two tables
+  * bucketed by the same key into the same bucket count join with NO
+  * exchange on either side (SortMergeJoin reads bucket i against bucket
+  * i directly). At 100 TB, bucketing the fact tables by their join key
+  * once at write time removes the dominant shuffle from every
+  * subsequent query. The reference's warehouse (plain PostgreSQL heap
+  * tables, `docker-compose.yaml:3-18`) has no analog — this is free
+  * Spark capability surfaced as a first-class layout policy.
+  */
+object Warehouse {
+
+  /** Write `df` as a bucketed (and optionally date/id-partitioned)
+    * parquet table. `sortBy` the bucket key so bucket files are
+    * merge-join-ready without a per-query sort. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketKey: String, buckets: Int,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, bucketKey)
+      .sortBy(bucketKey)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Join two same-bucketed catalog tables on the bucket key — with
+    * matching bucket specs Spark plans a SortMergeJoin with no
+    * Exchange. Callers can assert that with [[hasShuffle]]. */
+  def colocatedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable),
+      spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+
+  /** True if the executed plan contains a shuffle exchange (bucketed
+    * co-located joins must not). */
+  def hasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.nonEmpty
+}
