@@ -39,6 +39,21 @@ object Warehouse {
     spark.table(leftTable).join(spark.table(rightTable),
       spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
 
+  /** Keyed dataset cache — the reference's parquet cache probe
+    * (`machineLearning.py:132-150`: skip the DB if the cache file for
+    * this table-set key exists; `force_reload` bypasses). `build` runs
+    * only on a miss; the result is always served from parquet so the
+    * caller gets identical plans on hit and miss. */
+  def cached(spark: SparkSession, path: String, forceReload: Boolean = false)
+      (build: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (forceReload || !fs.exists(p))
+      build.write.mode("overwrite")
+        .option("compression", "snappy").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** True if the executed plan contains a shuffle exchange (bucketed
     * co-located joins must not). */
   def hasShuffle(df: DataFrame): Boolean =

@@ -7,6 +7,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class WarehouseSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("cached: builds on miss, serves parquet on hit, rebuilds on force") {
+    val tmp = java.nio.file.Files.createTempDirectory("cache").toString + "/wide"
+    var builds = 0
+    def build = { builds += 1; TestSpark.table("nation") }
+    val first = Warehouse.cached(spark, tmp)(build)
+    assert(builds === 1 && first.count() === 25)
+    val second = Warehouse.cached(spark, tmp)(build)
+    assert(builds === 1, "hit must not rebuild")
+    assert(second.count() === 25)
+    Warehouse.cached(spark, tmp, forceReload = true)(build)
+    assert(builds === 2, "forceReload must rebuild")
+  }
+
   test("same-bucketed tables join with no shuffle exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("wh").toString
     Warehouse.writeBucketed(TestSpark.table("orders"),
