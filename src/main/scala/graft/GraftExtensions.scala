@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions injector: registers graft's native
+  * expressions as SQL functions so `spark.sql("SELECT
+  * normalize_string(text) ...")` works anywhere the DataFrame API
+  * does — plug in via
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name, usage, "")
+
+  private def one(name: String, usage: String)(f: Expression => Expression) =
+    (FunctionIdentifier(name), info(name, usage),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name expects 1 argument")
+        f(args.head)
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(one("normalize_string",
+      "lower + NFD accent strip + whitespace collapse + trim")(NormalizeString))
+    ext.injectFunction(one("simhash64",
+      "64-bit SimHash over word tokens")(SimHashExpr))
+    ext.injectFunction(one("rolling_hash",
+      "polynomial rolling hash over word tokens")(RollingHashExpr))
+    ext.injectFunction(
+      (FunctionIdentifier("vec_dot"),
+        info("vec_dot", "fused dot product over array<float|double>"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "vec_dot expects 2 arguments")
+          DotProduct(args(0), args(1))
+        }))
+    ext.injectFunction(
+      (FunctionIdentifier("minhash_sig"),
+        info("minhash_sig", "minhash_sig(text, shingleWidth, k)"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "minhash_sig expects 3 arguments")
+          MinHashSigExpr(args(0),
+            args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])
+        }))
+  }
+}

@@ -31,4 +31,9 @@ package object functions {
   /** Oracle-portable polynomial rolling hash over word tokens. */
   def rolling_hash(c: Column): Column =
     Bridge.column(RollingHashExpr(Bridge.expression(c)))
+
+  /** Fused dot product over `array<float|double>` — one codegen'd
+    * loop per row (see [[DotProduct]] for why not zip_with/aggregate). */
+  def vec_dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -13,16 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cast to double before arithmetic: both engines (and the oracle)
-    * then fold in double precision, keeping results bit-comparable. */
-  private def asDouble(v: Column): Column = v.cast("array<double>")
+  /** Fused native loop (graft.functions.DotProduct): reads float
+    * elements directly, accumulates in double left-to-right — the same
+    * fold order as the interpreted zip_with/aggregate formulation and
+    * DuckDB's list_dot_product over DOUBLE[], so results stay
+    * bit-comparable, at ~20× the throughput. */
+  def dot(a: Column, b: Column): Column = graft.functions.vec_dot(a, b)
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(graft.functions.vec_dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

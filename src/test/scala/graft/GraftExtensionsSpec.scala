@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  /** A sibling session over the shared SparkContext, built with the
+    * extensions installed. getOrCreate would return the existing
+    * session (and skip extension application), so the default/active
+    * handles are cleared for the builder call and restored after. */
+  private lazy val spark: SparkSession = {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
+
+  test("normalize_string is callable from SQL") {
+    val n = spark.sql("SELECT normalize_string('  Ángel   CRUZ  ') AS n")
+      .head.getString(0)
+    assert(n === "angel cruz")
+  }
+
+  test("vec_dot and simhash64 from SQL match the Column API") {
+    val d = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head.getDouble(0)
+    assert(d === 11.0)
+    val viaSql = spark.sql("SELECT simhash64('hello world graft') AS s")
+      .head.getLong(0)
+    val viaApi = {
+      import spark.implicits._
+      Seq("hello world graft").toDF("t")
+        .select(graft.functions.simhash64(org.apache.spark.sql.functions.col("t")))
+        .head.getLong(0)
+    }
+    assert(viaSql === viaApi)
+  }
+
+  test("minhash_sig(text, w, k) from SQL returns a k-length signature") {
+    val sig = spark.sql("SELECT minhash_sig('a b c d e f', 3, 16) AS s")
+      .head.getSeq[Long](0)
+    assert(sig.length === 16)
+  }
+}
