@@ -234,10 +234,13 @@ object Queries {
       | substr(trim(regexp_replace(strip_accents(lower(text)), '\s+', ' ', 'g')), 1, 40) AS norm
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** E7/F-window: top-k rows per group via ranked window. */
+  /** E7/F-window: top-k rows per group — the hash-agg formulation
+    * (groups here are order lines, bounded ≤7 by construction; see
+    * Features.topKPerGroupAgg vs topKPerGroup for the trade-off). */
   def q11WindowTopK(s: SparkSession, dir: String): DataFrame =
-    Features.topKPerGroup(t(s, dir, "lineitem"), "l_orderkey",
-        Seq(col("l_extendedprice").desc, col("l_linenumber").asc), 2)
+    Features.topKPerGroupAgg(t(s, dir, "lineitem"), "l_orderkey",
+        struct(negate(col("l_extendedprice")).as("np"),
+          col("l_linenumber").as("l_linenumber")), 2)
       .select("l_orderkey", "l_linenumber", "rn")
       .orderBy("l_orderkey", "rn")
 

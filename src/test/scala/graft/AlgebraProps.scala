@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+
+/** Property-based algebraic invariants (SURVEY §5): facts that must
+  * hold for ALL inputs, not just the fixtures — union count
+  * additivity, dimension-key bijectivity, rollup subtotal consistency,
+  * router exhaustiveness, as-of row preservation.
+  */
+object AlgebraProps extends Properties("EngineAlgebra") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8) // each eval runs Spark jobs; keep bounded
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(String, Int)]] =
+    Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b", "c", "d", "é"), Gen.chooseNum(-5, 5)))
+
+  property("union count additivity") = Prop.forAll(rowsGen, rowsGen) { (a, b) =>
+    a.isEmpty || b.isEmpty || {
+      val (da, db) = (a.toDF("k", "v"), b.toDF("k", "v"))
+      da.unionByName(db).count() == a.size.toLong + b.size.toLong
+    }
+  }
+
+  property("surrogate dim is bijective over distinct keys; resolve preserves rows") =
+    Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "v")
+        val dim = graft.etl.SurrogateKeys.dim(df, Seq("k", "v"), "id").collect()
+        val ids = dim.map(_.getAs[Long]("id"))
+        val nDistinct = rows.distinct.size
+        val resolved = graft.etl.SurrogateKeys
+          .resolve(rows.toDF("k", "v"), graft.etl.SurrogateKeys.dim(df, Seq("k", "v"), "id"),
+            Seq("k", "v"), "id")
+        ids.toSet == (1L to nDistinct.toLong).toSet &&
+          resolved.count() == rows.size.toLong &&
+          resolved.filter(col("id").isNull).count() == 0L
+      }
+    }
+
+  property("rollup grand total equals sum of detail rows") =
+    Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val cube = rows.toDF("k", "v").rollup(col("k"))
+          .agg(sum(col("v")).as("s"), grouping_id().as("g")).collect()
+        val details = cube.filter(_.getAs[Long]("g") == 0L).map(_.getAs[Long]("s")).sum
+        val total = cube.filter(_.getAs[Long]("g") == 1L).map(_.getAs[Long]("s")).sum
+        details == total
+      }
+    }
+
+  property("router branches are disjoint and exhaustive (nulls to false branch)") =
+    Prop.forAll(Gen.listOfN(30, Gen.option(Gen.oneOf("entrada", "salida", "x")))) { vs =>
+      vs.isEmpty || {
+        val df = vs.map(Tuple1(_)).toDF("t")
+        val (tBr, fBr) = graft.etl.Router.split(df, col("t") === "entrada")
+        tBr.count() + fBr.count() == vs.size.toLong &&
+          tBr.filter(col("t").isNull || col("t") =!= "entrada").count() == 0L
+      }
+    }
+
+  property("as-of join preserves every left row exactly once") =
+    Prop.forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L))),
+      Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))) { (l, r) =>
+      l.isEmpty || {
+        val left = l.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("k", "t", "lid")
+        val right = r.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("k", "t", "rid")
+        val out = graft.operators.AsOfJoin.asOf(left, right, "k", "t", Seq("rid"), "rid")
+        out.count() == l.size.toLong &&
+          out.select("lid").distinct().count() == l.size.toLong
+      }
+    }
+}
