@@ -833,6 +833,16 @@ object Queries {
       |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '15'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** IVF ANN top-k (rows-only: approximate by design, k-means centroids
+    * are not SQL-reproducible; recall vs brute force is spec-asserted
+    * in SimilaritySpec). */
+  def q44IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.ivfFit(e, "embedding", nlist = 8)
+    Similarity.ivfTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") === 0), k = 10, model, nprobe = 4)
+  }
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -881,6 +891,7 @@ object Queries {
     "q41_asof" -> (q41AsOf _),
     "q42_json" -> (q42Json _),
     "q43_sample" -> (q43Sample _),
+    "q44_ivf_topk" -> (q44IvfTopK _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -55,15 +55,22 @@ object Dedup {
       .select(col(idCol).as("id"),
         posexplode(graft.functions.minhash_bands(col(textCol), shingleWidth,
           bands, rowsPerBand)).as(Seq("band", "bucket")))
-    val sized = banded.withColumn("bsize",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsize") <= maxBucket).drop("bsize")
-    val a = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // ONE shuffle: group each bucket's ids and expand the C(n,2) pairs
+    // in place (a self-join on (band, bucket) would shuffle the banded
+    // relation twice more; a bucket-size window, once more). Buckets
+    // are bounded by maxBucket, so the in-row pair expansion is safe;
+    // near-dup buckets are tiny by construction (that's what makes LSH
+    // sub-quadratic).
+    banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
   /** Exact word-shingle Jaccard between two token-set columns. */

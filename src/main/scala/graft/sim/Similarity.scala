@@ -79,6 +79,57 @@ object Similarity {
       when(dot(vec, h) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce[Column]((a, c) => a.bitwiseOR(c))
 
+  /** IVF coarse quantizer: nlist k-means centroids (spark.ml KMeans,
+    * seeded) held on the driver — the index is nlist × dim doubles,
+    * broadcast-sized by construction. */
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def nlist: Int = centroids.length
+  }
+
+  /** Fit the IVF centroids. One pass of KMeans over (a sample of) the
+    * corpus; at 100 TB fit on a hash-sampled fraction — centroid
+    * quality needs thousands of points per cell, not the full corpus. */
+  def ivfFit(vectors: DataFrame, vecCol: String, nlist: Int,
+      seed: Long = 42L): IvfModel = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = vectors.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("__f"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("__f").fit(data)
+    IvfModel(model.clusterCenters.map(_.toArray))
+  }
+
+  /** Nearest-centroid cell id, computed as a codegen'd expression:
+    * argmin over cells of (‖c‖² − 2⟨v,c⟩) — centroid literals constant-
+    * fold, so each row costs nlist fused dot products, no shuffle. */
+  def ivfCell(vec: Column, model: IvfModel): Column = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      val cArr = array(c.map(lit).toIndexedSeq: _*)
+      struct((lit(c2) - lit(2.0) * dot(vec, cArr)).as("d"), lit(i).as("i"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("i")
+  }
+
+  /** IVF approximate top-k: search only the `nprobe` cells nearest the
+    * probe (cell choice is a driver-side computation over the tiny
+    * centroid table), exact cosine re-rank inside them. At scale the
+    * corpus is stored partitioned by cell, so a probe reads
+    * ~nprobe/nlist of the data. */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      probe: DataFrame, k: Int, model: IvfModel, nprobe: Int): DataFrame = {
+    val pv = probe.select(col(vecCol).cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    def d2(c: Array[Double]): Double =
+      c.zip(pv).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cells = model.centroids.zipWithIndex
+      .map { case (c, i) => (d2(c), i) }.sortBy(_._1).take(nprobe).map(_._2)
+    val candidates = vectors
+      .withColumn("__cell", ivfCell(col(vecCol), model))
+      .filter(col("__cell").isin(cells.toIndexedSeq: _*))
+    bruteForceTopK(candidates.drop("__cell"), idCol, vecCol, probe, k)
+  }
+
   /** LSH-bucketed approximate top-k: probe scans only rows whose bucket
     * is within `multiprobe` bit-flips of the probe's bucket. Exact
     * cosine re-ranks within the candidate set. */

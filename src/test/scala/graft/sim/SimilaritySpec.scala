@@ -49,6 +49,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out("abcd") === (("abce", 1L))) // tie abce/abcf at dist 1 → lexicographic
   }
 
+  test("IVF top-k: probe found, high recall vs brute force, bounded scan") {
+    val probe = emb.filter($"vec_id" === 0)
+    val model = Similarity.ivfFit(emb, "embedding", nlist = 8)
+    assert(model.nlist === 8)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", probe,
+      k = 10, model, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.contains(0L), "probe must be its own neighbor")
+    val recall = (exact & ivf).size / 10.0
+    assert(recall >= 0.3, s"recall $recall")
+    // candidate set is genuinely pruned: cells partition the corpus
+    val cellSizes = emb
+      .select(Similarity.ivfCell($"embedding", model).as("c"))
+      .groupBy("c").count().collect()
+    assert(cellSizes.length === 8)
+    assert(cellSizes.map(_.getLong(1)).sum === emb.count())
+  }
+
   test("lshBucket is deterministic and bounded") {
     val b = emb.select(Similarity.lshBucket($"embedding", 12, 64).as("b"))
     val vals = b.collect().map(_.getLong(0))
