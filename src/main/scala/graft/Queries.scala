@@ -843,6 +843,35 @@ object Queries {
       e.filter(col("vec_id") === 0), k = 10, model, nprobe = 4)
   }
 
+  /** Range (point-in-interval) join via graft.operators.RangeJoin:
+    * clicks counted inside each error's 10-minute window per user —
+    * bucketized equi-join, never a nested loop. Oracle is the naive
+    * BETWEEN join in DuckDB. */
+  def q45Range(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        unix_timestamp(col("ts")).as("s"),
+        (unix_timestamp(col("ts")) + 600).as("e"))
+    graft.operators.RangeJoin
+      .pointInInterval(clicks, "t", errors, "s", "e", Seq("user_id"), 600L)
+      .groupBy(col("err_id")).agg(count(lit(1)).as("n_clicks"))
+      .orderBy("err_id")
+  }
+
+  val q45Sql: String =
+    """WITH c AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      |           FROM events WHERE event_type = 'click'),
+      |e AS (SELECT user_id, event_id AS err_id,
+      |        CAST(floor(epoch(ts)) AS BIGINT) AS s
+      |      FROM events WHERE event_type = 'error')
+      |SELECT e.err_id, count(*) AS n_clicks
+      |FROM e JOIN c ON c.user_id = e.user_id
+      |              AND c.t >= e.s AND c.t <= e.s + 600
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -892,6 +921,7 @@ object Queries {
     "q42_json" -> (q42Json _),
     "q43_sample" -> (q43Sample _),
     "q44_ivf_topk" -> (q44IvfTopK _),
+    "q45_range" -> (q45Range _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -934,6 +964,7 @@ object Queries {
     "q41_asof" -> q41Sql,
     "q42_json" -> q42Sql,
     "q43_sample" -> q43Sql,
+    "q45_range" -> q45Sql,
   )
 
   /** Headline queries for the per-round benchmark. */

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join: left rows with a point column join
+  * right rows with [start, end] interval columns where
+  * start ≤ point ≤ end (optionally also equi-keyed).
+  *
+  * Catalyst plans a raw `l.t BETWEEN r.s AND r.e` predicate as a
+  * BroadcastNestedLoop (or worse, a cartesian) — O(|L|·|R|) row
+  * comparisons, a non-starter at scale. This operator bucketizes time:
+  * each left point maps to exactly one bucket of `bucketWidth`; each
+  * right interval explodes to the buckets it overlaps (expansion
+  * factor = interval/bucketWidth + 1, caller-tuned); the join becomes
+  * a plain shuffled equi-join on (keys…, bucket) followed by the exact
+  * interval predicate. Each (left, right) pair meets in at most one
+  * bucket — the left point's — so no dedup pass is needed.
+  *
+  * Pick `bucketWidth` near the typical interval length: much smaller
+  * multiplies the right side; much larger degrades bucket selectivity
+  * toward the nested loop.
+  */
+object RangeJoin {
+
+  /** @param leftPoint   numeric/timestamp-as-numeric point column on `left`
+    * @param rightStart/rightEnd inclusive interval bounds on `right`
+    * @param equiKeys    additional equality keys present on BOTH sides
+    * @param bucketWidth bucket size in the point column's units
+    */
+  def pointInInterval(left: DataFrame, leftPoint: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      equiKeys: Seq[String], bucketWidth: Long,
+      joinType: String = "inner"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val l = left.withColumn("__bucket",
+      floor(col(leftPoint) / bucketWidth).cast("long"))
+    val r = right.withColumn("__bucket",
+      explode(sequence(
+        floor(col(rightStart) / bucketWidth).cast("long"),
+        floor(col(rightEnd) / bucketWidth).cast("long"))))
+    l.join(r, equiKeys :+ "__bucket", joinType)
+      .filter(col(leftPoint) >= col(rightStart) &&
+        col(leftPoint) <= col(rightEnd))
+      .drop("__bucket")
+  }
+
+  /** Convenience for timestamp columns: seconds-resolution epoch
+    * bucketing (casts both sides to epoch seconds internally, keeps
+    * the original columns). */
+  def pointInIntervalTs(left: DataFrame, leftTs: String,
+      right: DataFrame, rightStartTs: String, rightEndTs: String,
+      equiKeys: Seq[String], bucketSeconds: Long): DataFrame = {
+    val l = left.withColumn("__pt", unix_timestamp(col(leftTs)))
+    val r = right
+      .withColumn("__s", unix_timestamp(col(rightStartTs)))
+      .withColumn("__e", unix_timestamp(col(rightEndTs)))
+    pointInInterval(l, "__pt", r, "__s", "__e", equiKeys, bucketSeconds)
+      .drop("__pt", "__s", "__e")
+  }
+}

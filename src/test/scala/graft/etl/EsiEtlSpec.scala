@@ -137,4 +137,20 @@ class EsiEtlSpec extends AnyFunSuite {
     assert(loaded.factInmigrante.count() === wh.factInmigrante.count())
     assert(loaded.dims("dim_fecha").count() === wh.dims("dim_fecha").count())
   }
+
+  test("the same cleaning plan runs unchanged under Structured Streaming") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("esi_stream").toString
+    raw.write.mode("overwrite").parquet(dir)
+    val q = EsiEtl.clean(spark.readStream.schema(raw.schema).parquet(dir))
+      .writeStream.format("memory").queryName("esi_clean_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("esi_clean_stream")
+    assert(got.count() === 8)
+    assert(got.filter($"tip_movi" === "salida").count() === 2)
+    assert(got.filter($"edad".isNull).count() ===
+      cleaned.filter($"edad".isNull).count())
+    assert(got.filter($"fecha_completa" === "2018/1/5").count() === 2)
+  }
 }

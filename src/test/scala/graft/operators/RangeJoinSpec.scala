@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def naive(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame) =
+    l.join(r, l("k") === r("k") && l("t") >= r("s") && l("t") <= r("e"))
+      .select(l("lid"), r("rid")).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+
+  test("matches the naive BETWEEN join, including bucket-boundary cases") {
+    val left = Seq((1L, 0L, 10L), (1L, 10L, 11L), (1L, 99L, 12L), (1L, 100L, 13L),
+      (2L, 55L, 14L), (3L, 7L, 15L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 0L, 10L, 20L), (1L, 10L, 99L, 21L), (1L, 100L, 100L, 22L),
+      (2L, 0L, 300L, 23L), (3L, 8L, 9L, 24L))
+      .toDF("k", "s", "e", "rid")
+    for (width <- Seq(1L, 7L, 10L, 64L, 1000L)) {
+      val got = RangeJoin.pointInInterval(left, "t", right, "s", "e",
+        Seq("k"), width)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got === naive(left, right), s"bucketWidth=$width")
+    }
+  }
+
+  test("no duplicate pairs when an interval spans many buckets") {
+    val left = Seq((1L, 500L, 1L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 0L, 1000L, 9L)).toDF("k", "s", "e", "rid")
+    val rows = RangeJoin.pointInInterval(left, "t", right, "s", "e", Seq("k"), 10L)
+    assert(rows.count() === 1L)
+  }
+
+  test("plans as a shuffled equi-join, not a nested loop") {
+    val left = Seq((1L, 5L, 1L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 0L, 9L, 2L)).toDF("k", "s", "e", "rid")
+    val plan = RangeJoin.pointInInterval(left, "t", right, "s", "e", Seq("k"), 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"unexpected join strategy:\n$plan")
+  }
+}
