@@ -3,8 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.functions._
+
+/** Optimizer rule: `normalize_string` is idempotent — collapse nested
+  * applications (they arise naturally when a pre-normalized column is
+  * fed through a cleaning chain that normalizes defensively, e.g.
+  * `Cleaning.classify` over an already-normalized column). Each
+  * collapsed node saves a full NFD decomposition + regex pass per row. */
+object CollapseNormalize extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case NormalizeString(inner @ NormalizeString(_)) => inner
+    }
+}
 
 /** SparkSessionExtensions injector: registers graft's native
   * expressions as SQL functions so `spark.sql("SELECT
@@ -26,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => CollapseNormalize)
     ext.injectFunction(one("normalize_string",
       "lower + NFD accent strip + whitespace collapse + trim")(NormalizeString))
     ext.injectFunction(one("simhash64",

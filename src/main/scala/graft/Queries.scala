@@ -372,6 +372,7 @@ object Queries {
     t(s, dir, "documents")
       .select(col("doc_id"),
         TextOps.nTokens(col("text")).as("n_tokens"),
+        size(TextOps.regexTokens(col("text"))).cast("long").as("n_rtokens"),
         round(TextOps.meanTokenLen(col("text")), 6).as("mean_tok_len"),
         round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"),
         round(TextOps.qualityScore(col("text")), 6).as("quality"))
@@ -386,6 +387,7 @@ object Queries {
        |  FROM documents)
        |SELECT doc_id,
        | CAST(len(toks) AS BIGINT) AS n_tokens,
+       | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_rtokens,
        | round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
        |   / greatest(len(toks), 1), 6) AS mean_tok_len,
        | round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)

@@ -51,4 +51,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head.getSeq[Long](0)
     assert(sig.length === 16)
   }
+
+  test("CollapseNormalize folds nested normalize_string applications") {
+    // non-literal input so constant folding can't remove the expression
+    val df = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+      .selectExpr("normalize_string(normalize_string(normalize_string(n_name))) AS n")
+    val optimized = df.queryExecution.optimizedPlan
+    var count = 0
+    optimized.transformAllExpressions {
+      case e: graft.functions.NormalizeString => count += 1; e
+    }
+    assert(count === 1, s"expected a single NormalizeString:\n$optimized")
+    assert(df.head.getString(0).nonEmpty)
+  }
 }
