@@ -41,9 +41,11 @@ object Bench {
 
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       Queries.benchNames.foreach(run(_, warmDir)) // untimed
-    val pass1 = Queries.benchNames.map(n => n -> run(n, sfDir))
-    val pass2 = Queries.benchNames.map(n => n -> run(n, sfDir)).toMap
-    val results = pass1.map { case (n, t1) => n -> math.min(t1, pass2(n)) }
+    // three timed passes, per-query minimum: the host shows bursty
+    // co-tenant noise (identical binaries vary 2-3×), and min-of-N is
+    // the standard steady-state estimator under asymmetric noise
+    val passes = (1 to 3).map(_ => Queries.benchNames.map(n => n -> run(n, sfDir)).toMap)
+    val results = Queries.benchNames.map(n => n -> passes.map(_(n)).min)
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
