@@ -874,6 +874,36 @@ object Queries {
       |              AND c.t >= e.s AND c.t <= e.s + 600
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** H10/C7/C8/E1: the reference's regression forecast as one plan —
+    * daily event counts → closed-form OLS on the proleptic ordinal →
+    * 30-day future frame with predictions. Closed-form fit
+    * (covar_pop/var_pop) is exactly what DuckDB's regr_slope computes,
+    * so the whole forecast is oracle-checkable; an iterative solver
+    * would not be. */
+  def q46Forecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+    graft.ml.Drivers.forecastDaily(daily, "d", "c", horizon = 30)
+      .select(col("d"), round(col("predicted"), 6).as("predicted"))
+      .orderBy("d")
+  }
+
+  val q46Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS c
+      |               FROM events GROUP BY 1),
+      |fit AS (SELECT regr_slope(y, x) AS s, regr_intercept(y, x) AS i
+      |        FROM (SELECT CAST(d - DATE '0001-01-01' + 1 AS DOUBLE) AS x,
+      |                     CAST(c AS DOUBLE) AS y FROM daily)),
+      |last AS (SELECT max(d) AS d0 FROM daily)
+      |SELECT CAST(f.d AS DATE) AS d,
+      |       round(i + s * CAST(CAST(f.d AS DATE) - DATE '0001-01-01' + 1
+      |             AS DOUBLE), 6) AS predicted
+      |FROM last, fit,
+      |     (SELECT unnest(generate_series(
+      |        (SELECT d0 FROM last) + 1,
+      |        (SELECT d0 FROM last) + 30, INTERVAL 1 DAY)) AS d) f
+      |ORDER BY d""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -924,6 +954,7 @@ object Queries {
     "q43_sample" -> (q43Sample _),
     "q44_ivf_topk" -> (q44IvfTopK _),
     "q45_range" -> (q45Range _),
+    "q46_forecast" -> (q46Forecast _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -967,6 +998,7 @@ object Queries {
     "q42_json" -> q42Sql,
     "q43_sample" -> q43Sql,
     "q45_range" -> q45Sql,
+    "q46_forecast" -> q46Sql,
   )
 
   /** Headline queries for the per-round benchmark. */
