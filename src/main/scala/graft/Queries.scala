@@ -904,6 +904,36 @@ object Queries {
       |        (SELECT d0 FROM last) + 30, INTERVAL 1 DAY)) AS d) f
       |ORDER BY d""".stripMargin
 
+  /** D3-incremental: the CombinationLookup append semantic — an initial
+    * dimension load keeps its ids; a second load's NEW natural keys get
+    * ids above the previous max, in canonical order (SURVEY §7.4.1,
+    * the one inherently sequential ETL semantic). Both loads and the
+    * final id assignment are deterministic, so the full table is
+    * oracle-checkable including the id values. */
+  def q47DimAppend(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val first = part.filter(col("p_size") < 25)
+    val second = part.filter(col("p_size") >= 25)
+    val d1 = SurrogateKeys.dim(first, Seq("p_brand", "p_type"), "id")
+    SurrogateKeys.dimAppend(d1, second, Seq("p_brand", "p_type"), "id")
+      .orderBy("id")
+  }
+
+  val q47Sql: String =
+    """WITH p1 AS (SELECT DISTINCT p_brand, p_type FROM part WHERE p_size < 25),
+      |d1 AS (SELECT p_brand, p_type,
+      |         row_number() OVER (ORDER BY p_brand, p_type) AS id FROM p1),
+      |p2 AS (SELECT DISTINCT p_brand, p_type FROM part WHERE p_size >= 25),
+      |fresh AS (SELECT a.p_brand, a.p_type FROM p2 a
+      |          LEFT JOIN p1 b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+      |          WHERE b.p_brand IS NULL),
+      |d2 AS (SELECT p_brand, p_type,
+      |         (SELECT max(id) FROM d1) +
+      |         row_number() OVER (ORDER BY p_brand, p_type) AS id FROM fresh)
+      |SELECT p_brand, p_type, id FROM d1
+      |UNION ALL SELECT p_brand, p_type, id FROM d2
+      |ORDER BY id""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -955,6 +985,7 @@ object Queries {
     "q44_ivf_topk" -> (q44IvfTopK _),
     "q45_range" -> (q45Range _),
     "q46_forecast" -> (q46Forecast _),
+    "q47_dim_append" -> (q47DimAppend _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -999,6 +1030,7 @@ object Queries {
     "q43_sample" -> q43Sql,
     "q45_range" -> q45Sql,
     "q46_forecast" -> q46Sql,
+    "q47_dim_append" -> q47Sql,
   )
 
   /** Headline queries for the per-round benchmark. */
