@@ -465,12 +465,14 @@ object Queries {
       .orderBy("id_a", "id_b")
 
   /** Embedding-cosine near-dup on a doubled corpus: identity pairs at
-    * cosine ~1. */
+    * cosine ~1, via the LSH-bucketed scale path (shuffles O(n·tables)
+    * ids, not O(n²) vectors; spec asserts equality with the exact
+    * all-pairs variant). */
   def q25EmbedDup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     val doubled = e.unionByName(
       e.withColumn("vec_id", col("vec_id") + lit(100000L)))
-    Dedup.cosineDupPairs(doubled, "vec_id", "embedding", threshold = 0.999)
+    Dedup.cosineDupPairsLsh(doubled, "vec_id", "embedding", threshold = 0.999)
       .orderBy("id_a", "id_b")
   }
 

@@ -138,9 +138,8 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs: all-pairs exact cosine above a
-    * threshold. Exact and O(n²) — the correctness baseline; at scale the
-    * LSH-bucketed [[graft.sim.Similarity.annTopK]] path bounds the pair
-    * space first. */
+    * threshold. Exact and O(n²) — the correctness baseline; use
+    * [[cosineDupPairsLsh]] at scale. */
   def cosineDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import graft.sim.Similarity
@@ -148,6 +147,44 @@ object Dedup {
     val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Scale path for embedding near-dup: random-hyperplane LSH buckets
+    * bound the candidate space — vectors at cosine ≥ threshold agree on
+    * each hyperplane sign with probability 1 − θ/π, so near-identical
+    * vectors land in the same bucket under every one of the `tables`
+    * independent bucketings with overwhelming probability. Pairs are
+    * expanded per bucket (the one-shuffle pattern of [[lshCandidates]])
+    * and verified with exact cosine, so precision is exact; `tables`
+    * trades recall for cost. Shuffle volume is O(n · tables) ids, never
+    * O(n²) vectors. */
+  def cosineDupPairsLsh(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 16, tables: Int = 4, dim: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
+    import graft.sim.Similarity
+    val bucketed = vectors.select(col(idCol).as("id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("table"),
+          Similarity.lshBucket(col(vecCol), bits, dim, seedOffset = t * bits)
+            .as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("tb.table"), col("tb.bucket"))
+    val cands = bucketed
+      .groupBy(col("table"), col("bucket"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+    val vs = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cands
+      .join(vs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

@@ -72,10 +72,12 @@ object Similarity {
       (z.toDouble / Long.MaxValue.toDouble)
     }
 
-  /** Sign-of-dot-product bucket id with `bits` hyperplanes. */
-  def lshBucket(vec: Column, bits: Int, dim: Int): Column =
+  /** Sign-of-dot-product bucket id with `bits` hyperplanes;
+    * `seedOffset` selects an independent hyperplane family (for
+    * multi-table LSH). */
+  def lshBucket(vec: Column, bits: Int, dim: Int, seedOffset: Int = 0): Column =
     (0 until bits).map { b =>
-      val h = array(hyperplane(b, dim).map(lit): _*)
+      val h = array(hyperplane(seedOffset + b, dim).map(lit): _*)
       when(dot(vec, h) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce[Column]((a, c) => a.bitwiseOR(c))
 

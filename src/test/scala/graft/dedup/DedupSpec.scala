@@ -60,6 +60,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.filter($"id_b" === $"id_a" + 100000).count() === 50)
   }
 
+  test("cosineDupPairsLsh matches the exact O(n²) pairs on planted dups") {
+    val e = TestSpark.table("embeddings").select("vec_id", "embedding").limit(50)
+    val doubled = e.unionByName(
+      e.select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val exact = Dedup.cosineDupPairs(doubled, "vec_id", "embedding", 0.999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.cosineDupPairsLsh(doubled, "vec_id", "embedding", 0.999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact) // identical vectors collide in every table
+    assert(lsh.size === 50)
+  }
+
   test("jaccardToProbe bounds and exact value") {
     val out = Dedup.jaccardToProbe(docs, "doc_id", "text", Seq("data", "table"))
     val vals = out.select("jaccard").collect().map(_.getDouble(0))
