@@ -30,7 +30,8 @@ object CollapseNormalize extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions", null, name, usage, "")
+    new ExpressionInfo("graft.functions", "", name, usage, "", "", "",
+      "", "", "", "built-in")
 
   private def one(name: String, usage: String)(f: Expression => Expression) =
     (FunctionIdentifier(name), info(name, usage),
@@ -42,7 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseNormalize)
     ext.injectFunction(one("normalize_string",
-      "lower + NFD accent strip + whitespace collapse + trim")(NormalizeString))
+      "lower + NFD accent strip + whitespace collapse + trim")(NormalizeString.apply))
     ext.injectFunction(one("simhash64",
       "64-bit SimHash over word tokens")(SimHashExpr))
     ext.injectFunction(one("rolling_hash",

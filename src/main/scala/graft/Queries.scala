@@ -936,6 +936,24 @@ object Queries {
       |UNION ALL SELECT p_brand, p_type, id FROM d2
       |ORDER BY id""".stripMargin
 
+  /** E7: grouped sampling, deterministic variant — k rows per market
+    * segment drawn by md5 rank, so the sample is identical on any
+    * engine/partitioning (the portable face of seeded
+    * `groupby.apply(sample)`). */
+  def q48GroupSample(s: SparkSession, dir: String): DataFrame =
+    Features.groupedSampleHash(
+      t(s, dir, "customer").select("c_mktsegment", "c_custkey"),
+      "c_mktsegment", "c_custkey", k = 5)
+      .orderBy("c_mktsegment", "c_custkey")
+
+  val q48Sql: String =
+    """SELECT c_mktsegment, c_custkey FROM (
+      |  SELECT c_mktsegment, c_custkey,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+      |  FROM customer)
+      |WHERE rn <= 5 ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -988,6 +1006,7 @@ object Queries {
     "q45_range" -> (q45Range _),
     "q46_forecast" -> (q46Forecast _),
     "q47_dim_append" -> (q47DimAppend _),
+    "q48_group_sample" -> (q48GroupSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1033,6 +1052,7 @@ object Queries {
     "q45_range" -> q45Sql,
     "q46_forecast" -> q46Sql,
     "q47_dim_append" -> q47Sql,
+    "q48_group_sample" -> q48Sql,
   )
 
   /** Headline queries for the per-round benchmark. */

@@ -35,7 +35,7 @@ object SurrogateKeys {
     val spark = distinctKeys.sparkSession
     val sorted = distinctKeys.orderBy(naturalKeys.map(col): _*)
     val schema = sorted.schema.add(idCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(rdd, schema)
@@ -56,7 +56,7 @@ object SurrogateKeys {
     */
   def dimAppend(existing: DataFrame, incoming: DataFrame,
       naturalKeys: Seq[String], idCol: String): DataFrame = {
-    val maxId = existing.agg(max(col(idCol))).head.getLong(0)
+    val maxId = existing.agg(max(col(idCol))).head().getLong(0)
     val newKeys = incoming.select(naturalKeys.map(col): _*).distinct()
       .join(existing, naturalKeys, "left_anti")
     val fresh = dim(newKeys, naturalKeys, idCol)

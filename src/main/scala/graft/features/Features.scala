@@ -60,7 +60,7 @@ object Features {
     * (`machineLearning.py:288`). One scalar agg, then a codegen'd
     * coalesce; no shuffle of the main table. */
   def imputeMean(df: DataFrame, c: String): DataFrame = {
-    val mean = df.agg(avg(col(c))).head.getDouble(0)
+    val mean = df.agg(avg(col(c))).head().getDouble(0)
     df.withColumn(c, coalesce(col(c), lit(mean)))
   }
 
@@ -68,7 +68,7 @@ object Features {
     * over the categorical domain). */
   def imputeMode(df: DataFrame, c: String): DataFrame = {
     val mode = df.filter(col(c).isNotNull).groupBy(col(c)).count()
-      .agg(max_by(col(c), struct(col("count"), col(c)))).head.get(0)
+      .agg(max_by(col(c), struct(col("count"), col(c)))).head().get(0)
     df.withColumn(c, coalesce(col(c), lit(mode)))
   }
 
@@ -77,7 +77,7 @@ object Features {
   def standardize(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c => Seq(avg(col(c)).as(s"${c}_mean"),
       stddev_samp(col(c)).as(s"${c}_std")))
-    val stats = df.agg(aggs.head, aggs.tail: _*).head
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
       acc.withColumn(s"${c}_z",
         (col(c) - lit(stats.getDouble(2 * i))) / lit(stats.getDouble(2 * i + 1)))
@@ -114,6 +114,17 @@ object Features {
   def groupedSample(df: DataFrame, groupCol: String, k: Int, seed: Long): DataFrame =
     df.withColumn("__rn",
         row_number().over(Window.partitionBy(col(groupCol)).orderBy(rand(seed))))
+      .filter(col("__rn") <= k).drop("__rn")
+
+  /** Engine-portable variant: rank inside each group by md5 of a unique
+    * key instead of `rand` — the "random" order is a pure function of
+    * the data, so any engine (and any rerun, any partitioning) draws
+    * the same k rows per group. */
+  def groupedSampleHash(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(col(groupCol))
+          .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))))
       .filter(col("__rn") <= k).drop("__rn")
 
   /** Top-k rows per group by an explicit deterministic order.

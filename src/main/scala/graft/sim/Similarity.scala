@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over `array<float>` columns.
   *
-  * Baseline: brute-force cosine (one scan, map-side arithmetic via
-  * `zip_with`/`aggregate` — codegen'd, no UDF, no shuffle except the
-  * final top-k). Scale path: random-hyperplane LSH bucketing so a probe
-  * only scans its bucket neighborhood — at 100 TB the bucketed variant
-  * reads ~1/2^bits of the data per probe (multiprobe widens recall).
+  * Baseline: brute-force cosine (one scan, map-side arithmetic via the
+  * fused native DotProduct expression — codegen'd, no UDF, no shuffle
+  * except the final top-k). Scale paths: random-hyperplane LSH
+  * bucketing (a probe scans ~1/2^bits of the data; multiprobe widens
+  * recall) and an IVF index (nprobe/nlist of the data per probe).
   */
 object Similarity {
 
@@ -77,7 +77,7 @@ object Similarity {
     * multi-table LSH). */
   def lshBucket(vec: Column, bits: Int, dim: Int, seedOffset: Int = 0): Column =
     (0 until bits).map { b =>
-      val h = array(hyperplane(seedOffset + b, dim).map(lit): _*)
+      val h = array(hyperplane(seedOffset + b, dim).toIndexedSeq.map(lit): _*)
       when(dot(vec, h) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce[Column]((a, c) => a.bitwiseOR(c))
 
@@ -121,7 +121,7 @@ object Similarity {
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
       probe: DataFrame, k: Int, model: IvfModel, nprobe: Int): DataFrame = {
     val pv = probe.select(col(vecCol).cast("array<double>"))
-      .head.getSeq[Double](0).toArray
+      .head().getSeq[Double](0).toArray
     def d2(c: Array[Double]): Double =
       c.zip(pv).map { case (x, y) => (x - y) * (x - y) }.sum
     val cells = model.centroids.zipWithIndex
