@@ -29,14 +29,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // a failed query must NOT fold its (short) elapsed time into the
+    // metric — a regression would read as a speedup; report a large
+    // sentinel so breakage inflates the tracked number instead
+    val FailedSentinel = 1e6
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed on $dir: ${e.getMessage}")
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED on $dir: ${e.getMessage}")
+        FailedSentinel
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)

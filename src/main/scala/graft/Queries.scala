@@ -89,18 +89,24 @@ object Queries {
       | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** B5/B7 + pushdown: filtered row-level extract (filters reach the
-    * parquet scan — verify with explain: PushedFilters). */
+  /** B5/B7 + pushdown: filtered row-level extract. The year filter is
+    * written as a RANGE predicate, not `year(col) = 1995` — a function
+    * over the column defeats parquet pushdown; the range form appears
+    * in PushedFilters and prunes row groups via min/max stats. */
   def q02Filter(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .filter(year(col("l_shipdate")) === 1995 && col("l_returnflag") === "R")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"))
       .orderBy("l_orderkey", "l_linenumber")
 
   val q02Sql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-      |FROM lineitem WHERE year(l_shipdate) = 1995 AND l_returnflag = 'R'
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_returnflag = 'R'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** D1/D2: star join — orders ⋈ customer ⋈ nation ⋈ region, dims
@@ -523,12 +529,12 @@ object Queries {
   val q31Sql: String =
     """WITH x AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) es,
       |  ts FROM events),
-      |y AS (SELECT user_id, es, event_id,
+      |y AS (SELECT user_id, es, event_id, ts,
       |  CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 3600
       |       THEN 1 ELSE 0 END new_s
       |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |z AS (SELECT user_id, es,
-      |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+      |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) session_seq FROM y)
       |SELECT user_id, session_seq, count(*) AS n_events,
       | min(es) AS start_s, max(es) AS end_s

@@ -55,14 +55,21 @@ object Dedup {
       .select(col(idCol).as("id"),
         posexplode(graft.functions.minhash_bands(col(textCol), shingleWidth,
           bands, rowsPerBand)).as(Seq("band", "bucket")))
-    // ONE shuffle: group each bucket's ids and expand the C(n,2) pairs
-    // in place (a self-join on (band, bucket) would shuffle the banded
-    // relation twice more; a bucket-size window, once more). Buckets
-    // are bounded by maxBucket, so the in-row pair expansion is safe;
-    // near-dup buckets are tiny by construction (that's what makes LSH
-    // sub-quadratic).
-    banded
-      .groupBy(col("band"), col("bucket"))
+    pairsFromBuckets(banded, Seq("band", "bucket"), maxBucket)
+  }
+
+  /** Candidate pairs from a bucketed (bucketCols…, id) relation in ONE
+    * shuffle: group each bucket's ids and expand the C(n,2) pairs in
+    * place (a self-join on the bucket columns would shuffle the
+    * relation twice more; a bucket-size window, once more). Buckets are
+    * bounded by `maxBucket`, so the in-row pair expansion is safe;
+    * near-dup buckets are tiny by construction — that is what makes
+    * LSH sub-quadratic. Oversized buckets (degenerate content, e.g.
+    * empty-text clusters) are dropped, not exploded. */
+  def pairsFromBuckets(bucketed: DataFrame, bucketCols: Seq[String],
+      maxBucket: Int): DataFrame =
+    bucketed
+      .groupBy(bucketCols.map(col): _*)
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
       .select(explode(expr(
@@ -71,7 +78,6 @@ object Dedup {
           |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin))
         .as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
-  }
 
   /** Exact word-shingle Jaccard between two token-set columns. */
   def jaccard(aSet: Column, bSet: Column): Column = {
@@ -93,28 +99,6 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
-
-  /** 64-bit SimHash from regex tokens: per-token xxhash64; each of the
-    * 64 bit positions votes +1/-1; the signature bit is the majority.
-    * Computed with higher-order functions — one pass, map-side only.
-    */
-  /** Literal array of the 64 single-bit masks (1L<<63 = Long.MinValue is
-    * still a valid mask under bitwise ops). */
-  private val bitMasks: Column =
-    array(Array.tabulate(64)(j => lit(1L << j)).toIndexedSeq: _*)
-
-  def simhash64(text: Column): Column = {
-    val hashes = transform(TextOps.regexTokens(text), t => xxhash64(t))
-    // counts[j] = sum over tokens of (bit j set ? +1 : -1)
-    val counts = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, bitMasks,
-        (c, m) => c + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
-    aggregate(
-      zip_with(counts, bitMasks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -171,16 +155,7 @@ object Dedup {
           Similarity.lshBucket(col(vecCol), bits, dim, seedOffset = t * bits)
             .as("bucket"))): _*)).as("tb"))
       .select(col("id"), col("tb.table"), col("tb.bucket"))
-    val cands = bucketed
-      .groupBy(col("table"), col("bucket"))
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+    val cands = pairsFromBuckets(bucketed, Seq("table", "bucket"), maxBucket)
     val vs = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     cands
       .join(vs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))

@@ -56,9 +56,18 @@ object SurrogateKeys {
     */
   def dimAppend(existing: DataFrame, incoming: DataFrame,
       naturalKeys: Seq[String], idCol: String): DataFrame = {
-    val maxId = existing.agg(max(col(idCol))).head().getLong(0)
+    // coalesce: an empty existing dim has max(id) = NULL (first load)
+    val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L)))
+      .head().getLong(0)
+    // null-safe anti-join (<=>): null is a valid key value here (it has
+    // its own dim row, and resolve matches it null-safely) — a plain
+    // column anti-join would re-append every null-bearing tuple on
+    // every load, and resolve would then duplicate facts against the
+    // twin dim rows
+    val ex = existing.select(naturalKeys.map(c => col(c).as(s"__e_$c")): _*)
+    val cond = naturalKeys.map(k => col(k) <=> col(s"__e_$k")).reduce(_ && _)
     val newKeys = incoming.select(naturalKeys.map(col): _*).distinct()
-      .join(existing, naturalKeys, "left_anti")
+      .join(ex, cond, "left_anti")
     val fresh = dim(newKeys, naturalKeys, idCol)
       .withColumn(idCol, col(idCol) + lit(maxId))
     existing.unionByName(fresh)

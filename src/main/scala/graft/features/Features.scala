@@ -19,14 +19,18 @@ object Features {
   }
 
   /** Stratified split: per-class sampling via `sampleBy`, preserving
-    * class proportions (the `stratify=y` semantics). */
+    * class proportions (the `stratify=y` semantics). The subtraction
+    * runs on a synthetic row id, not the data columns — an anti-join on
+    * values would leak every null-bearing row into BOTH splits (EqualTo
+    * never matches null) and over-subtract duplicates. */
   def stratifiedSplit(df: DataFrame, labelCol: String, testFraction: Double,
       seed: Long): (DataFrame, DataFrame) = {
-    val classes = df.select(labelCol).distinct().collect().map(_.get(0))
+    val withId = df.withColumn("__rid", monotonically_increasing_id())
+    val classes = withId.select(labelCol).distinct().collect().map(_.get(0))
     val fractions = classes.map(c => c -> (1 - testFraction)).toMap
-    val train = df.stat.sampleBy(labelCol, fractions, seed)
-    val test = df.join(train, df.columns.toSeq, "left_anti")
-    (train, test)
+    val train = withId.stat.sampleBy(labelCol, fractions, seed)
+    val test = withId.join(train.select("__rid"), Seq("__rid"), "left_anti")
+    (train.drop("__rid"), test.drop("__rid"))
   }
 
   /** Time-ordered split: first `trainFraction` of rows by event order —

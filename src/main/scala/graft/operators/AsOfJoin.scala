@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of (temporal) join: for each left row, attach the most recent
   * right row whose timestamp is at-or-before the left row's, per key.
@@ -35,26 +36,33 @@ object AsOfJoin {
       carry: Seq[String], rightTieBreak: String): DataFrame = {
     val rSchema = right.schema
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    // the carried payload is ONE struct of all carry columns, taken
+    // atomically from the matched right row — carrying each column
+    // independently with last(ignoreNulls) would resurrect an older
+    // row's value wherever the matched row holds a legitimate NULL,
+    // emitting a mixed row that never existed (and conflating "no
+    // match" with "matched row with a NULL attribute")
+    val carryStruct = struct(carry.map(col).toIndexedSeq: _*)
 
     val l2 = left.select(
-      (Seq(col(key).as("__k"), col(ts).as("__ts"), lit(1).as("__side"),
-        lit(null).cast(rSchema(rightTieBreak).dataType).as("__tb"),
-        leftStruct.as("__l")) ++
-        carry.map(c => lit(null).cast(rSchema(c).dataType).as(s"__c_$c"))): _*)
+      col(key).as("__k"), col(ts).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(rSchema(rightTieBreak).dataType).as("__tb"),
+      leftStruct.as("__l"),
+      lit(null).cast(StructType(carry.map(c => rSchema(c)))).as("__c"))
     val r2 = right.select(
-      (Seq(col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
-        col(rightTieBreak).as("__tb"),
-        lit(null).cast(l2.schema("__l").dataType).as("__l")) ++
-        carry.map(c => col(c).as(s"__c_$c"))): _*)
+      col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
+      col(rightTieBreak).as("__tb"),
+      lit(null).cast(l2.schema("__l").dataType).as("__l"),
+      carryStruct.as("__c"))
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"), col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l2.unionByName(r2)
-      .select((Seq(col("__side"), col("__l")) ++
-        carry.map(c => last(col(s"__c_$c"), ignoreNulls = true).over(w).as(c))): _*)
+      .select(col("__side"), col("__l"),
+        last(col("__c"), ignoreNulls = true).over(w).as("__m"))
       .filter(col("__side") === 1)
-      .select((col("__l.*") +: carry.map(col)): _*)
+      .select((col("__l.*") +: carry.map(c => col(s"__m.$c").as(c))): _*)
   }
 }

@@ -27,9 +27,17 @@ object SaltedJoin {
     * @param buckets salt fan-out; hot-key rows spread over this many
     *                reducers
     */
+  private val supportedTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+
   def join(big: DataFrame, other: DataFrame, keys: Seq[String],
       buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // right/full outer are NOT salt-compatible: an unmatched row of the
+    // replicated side would be emitted once per salt replica
+    require(supportedTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"joinType '$joinType' not supported by salted join " +
+        "(right/full outer would duplicate unmatched replicated-side rows)")
     val saltedBig = big.withColumn("__salt",
       (rand(42) * buckets).cast("int"))
     val saltedOther = other.withColumn("__salt",

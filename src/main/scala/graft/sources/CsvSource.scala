@@ -56,13 +56,18 @@ object CsvSource {
     // re-parse: strip surrounding quotes per field after a raw split —
     // the reference re-reads the first cell with csv.reader; the escaped
     // common case (no embedded separators inside quotes) is identical.
+    // try_element_at/try_cast (not element_at/cast): under ANSI mode
+    // (Spark 4 default) the plain forms THROW on a still-short row or a
+    // misaligned non-castable field — the arity filter below does not
+    // protect the projection above it — and the contract here is that
+    // unrepairable rows are dropped, not that they kill the scan.
     val parts = split(col(corruptCol), java.util.regex.Pattern.quote(sep))
     val rebuilt = df.filter(col(corruptCol).isNotNull)
-      .select((0 until n).map { i =>
-        regexp_replace(element_at(parts, i + 1), "^\"|\"$", "")
-          .cast(schema.fields(i).dataType).as(schema.fields(i).name)
-      }: _*)
       .where(size(parts) >= n)
+      .select((0 until n).map { i =>
+        regexp_replace(get(parts, lit(i)), "^\"|\"$", "")
+          .try_cast(schema.fields(i).dataType).as(schema.fields(i).name)
+      }: _*)
     good.unionByName(rebuilt)
   }
 

@@ -109,9 +109,12 @@ object TextOps {
   /** Engine-portable polynomial rolling hash over tokens:
     * h = fold(h*31 + (17*len(w) + ascii(w))) mod 1e9+7. Weaker than
     * xxhash64 but expressible identically in SQL oracles (DuckDB
-    * `list_reduce`). */
+    * `list_reduce`). Tokenizes with [[regexTokens]] (lowercase ascii
+    * runs) so the result agrees with the native
+    * `graft.functions.rolling_hash` expression and the q21 oracle —
+    * whitespace tokens would fold different `ascii()`/length values. */
   def rollingHash(text: Column): Column =
-    rollingHashTokens(tokens(text))
+    rollingHashTokens(regexTokens(text))
 
   /** Rolling hash over an explicit token-array column (use
     * [[regexTokens]] for an ascii-stable token stream whose `ascii()`

@@ -92,6 +92,16 @@ class FeaturesSpec extends AnyFunSuite {
     assert(cat.toSet === Set("c_name", "c_mktsegment"))
   }
 
+  test("stratifiedSplit: null-bearing and duplicate rows land in exactly one split") {
+    import spark.implicits._
+    val df = (Seq.fill(6)(("a", Option.empty[Int])) ++
+      (1 to 94).map(i => ("b", Some(i % 3))))
+      .toDF("label", "feature")
+    val (train, test) = Features.stratifiedSplit(df, "label", 0.2, seed = 7)
+    assert(train.count() + test.count() === df.count(),
+      "every row in exactly one split (no leakage, no loss)")
+  }
+
   test("oneHot: exactly one flag set for known values, none for unknown") {
     import spark.implicits._
     val df = Seq("a", "b", "zzz", null).toDF("c")

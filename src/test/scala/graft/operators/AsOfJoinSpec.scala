@@ -38,6 +38,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("rid") === 9L)
   }
 
+  test("matched row with a NULL carry value is NOT patched from older rows") {
+    // right at t=10 has v=2.0; right at t=20 has v=NULL; left at t=30
+    // must see (rid=9, v=NULL) — the matched row atomically — not a
+    // frankenrow (rid=9, v=2.0)
+    val l = Seq((1L, 30L, "x")).toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 7L, Some(2.0)), (1L, 20L, 9L, Option.empty[Double]))
+      .toDF("k", "t", "rid", "v")
+    val out = AsOfJoin.asOf(l, r, "k", "t", Seq("rid", "v"), "rid").collect().head
+    assert(out.getAs[Long]("rid") === 9L)
+    assert(out.isNullAt(out.fieldIndex("v")),
+      "NULL attribute of the matched row must survive")
+  }
+
   test("left columns pass through unchanged") {
     val out = AsOfJoin.asOf(left, right, "k", "t", Seq("v"), "rid")
     assert(out.columns.toSeq === Seq("k", "t", "tag", "v"))
