@@ -960,6 +960,58 @@ object Queries {
       |  FROM customer)
       |WHERE rn <= 5 ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  /** E-extension: exact percentiles (median / p90) per group —
+    * percentile_cont linear interpolation, identical formula in both
+    * engines; inputs are exact 2-decimal values so the interpolation
+    * is deterministic. */
+  def q49Percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 6)
+          .as("p50"),
+        round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)"), 6)
+          .as("p90"))
+      .orderBy("o_orderstatus")
+
+  val q49Sql: String =
+    """SELECT o_orderstatus,
+      | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p50,
+      | round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p90
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** G/E-extension: ordered string aggregation (the LISTAGG shape) —
+    * sorted distinct values joined with a separator, deterministic by
+    * construction. */
+  def q50StringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"))
+      .orderBy("n_regionkey")
+
+  val q50Sql: String =
+    """SELECT n_regionkey, string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** B/E-extension: pivot — status categories become columns (the
+    * crosstab face of the cube; Spark plans it as a single aggregate
+    * with one output column per pivot value, no per-value scans). */
+  def q51Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"), col("o_orderstatus"))
+      .groupBy(col("y"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("y")
+
+  val q51Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y,
+      | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -1013,6 +1065,9 @@ object Queries {
     "q46_forecast" -> (q46Forecast _),
     "q47_dim_append" -> (q47DimAppend _),
     "q48_group_sample" -> (q48GroupSample _),
+    "q49_percentile" -> (q49Percentile _),
+    "q50_string_agg" -> (q50StringAgg _),
+    "q51_pivot" -> (q51Pivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1059,6 +1114,9 @@ object Queries {
     "q46_forecast" -> q46Sql,
     "q47_dim_append" -> q47Sql,
     "q48_group_sample" -> q48Sql,
+    "q49_percentile" -> q49Sql,
+    "q50_string_agg" -> q50Sql,
+    "q51_pivot" -> q51Sql,
   )
 
   /** Headline queries for the per-round benchmark. */
