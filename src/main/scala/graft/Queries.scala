@@ -50,10 +50,21 @@ object Queries {
       // which Spark's vectorized reader rejects; read the raw int64
       // nanos and convert to TIMESTAMP_NTZ (micros) — NTZ to match the
       // naive-timestamp semantics DuckDB and pandas see.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      // `ts DIV 1000`, NOT `ts / 1000`: `/` coerces the BIGINT nanos
+      // (~1.7e18, beyond double's 2^53 exact range) to DOUBLE, which
+      // rounds ~1.6% of micro-aligned values down by 1µs before the
+      // truncating cast. The legacy-read flag is scoped: set for the
+      // (eager) footer/schema resolution, then restored.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts",
-          expr("CAST(timestamp_micros(CAST(ts / 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"))
+          expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   private val dec2 = DecimalType(18, 2)
@@ -63,6 +74,11 @@ object Queries {
     * cast, decimal sum, final cast back to double. */
   private def dsum(c: Column, dt: DecimalType = dec2): Column =
     sum(c.cast(dt)).cast("double")
+
+  /** Exact cross-engine mean: decimal sum over non-null count — the
+    * division happens once, in double, on bit-identical operands. */
+  private def dmean(c: Column, dt: DecimalType = dec2): Column =
+    (sum(c.cast(dt)) / count(c)).cast("double")
 
   // ===================================================================
   // Core warehouse queries (SURVEY §2 A/B/E/F)
@@ -309,9 +325,10 @@ object Queries {
 
   val q15Sql: String =
     """SELECT label, count(*) AS n,
-      | (SELECT CAST(count(*) AS DOUBLE) FROM embeddings) /
+      | (SELECT CAST(count(label) AS DOUBLE) FROM embeddings) /
       |   ((SELECT count(DISTINCT label) FROM embeddings) * count(*)) AS weight
-      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+      |FROM embeddings WHERE label IS NOT NULL
+      |GROUP BY label ORDER BY label""".stripMargin
 
   /** H4: frequency-ordered label encoding (StringIndexer semantics). */
   def q16LabelEncode(s: SparkSession, dir: String): DataFrame =
@@ -613,8 +630,7 @@ object Queries {
   def q34Impute(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer").withColumn("bal",
       when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
-    val stats = broadcast(c.agg(
-      (sum(col("bal").cast(dec2)) / count(col("bal"))).cast("double").as("m")))
+    val stats = broadcast(c.agg(dmean(col("bal")).as("m")))
     c.crossJoin(stats)
       .select(col("c_custkey"), round(coalesce(col("bal"), col("m")), 6).as("bal_imp"))
       .orderBy("c_custkey")
@@ -693,8 +709,7 @@ object Queries {
       .join(broadcast(wh.dims("dim_fecha")), Seq("id_fecha"))
       .groupBy(col("fact"), col("mes_movi"), col("via_tran"), col("sex_migr"))
       .agg(count(lit(1)).as("cnt"),
-        round((sum(col("edad").cast(dec2)) / count(col("edad"))).cast("double"), 6)
-          .as("avg_edad"))
+        round(dmean(col("edad")), 6).as("avg_edad"))
       .orderBy("fact", "mes_movi", "via_tran", "sex_migr")
   }
 
@@ -795,9 +810,14 @@ object Queries {
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts")
+    // pre-dedup simultaneous errors per (user, ts) keeping the max
+    // event_id: AsOfJoin's tie-break is deterministic but DuckDB ASOF's
+    // choice among equal timestamps is not specified — after the dedup
+    // both engines see a unique row per timestamp
     val errors = ev.filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts"), col("event_id").as("err_id"),
-        col("value").as("err_value"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("err_id"),
+        max_by(col("value"), col("event_id")).as("err_value"))
     graft.operators.AsOfJoin
       .asOf(clicks, errors, "user_id", "ts", Seq("err_id", "err_value"), "err_id")
       .select("event_id", "user_id", "err_id", "err_value")
@@ -806,8 +826,9 @@ object Queries {
 
   val q41Sql: String =
     """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-      |e AS (SELECT user_id, ts, event_id AS err_id, value AS err_value
-      |      FROM events WHERE event_type = 'error')
+      |e AS (SELECT user_id, ts, max(event_id) AS err_id,
+      |        arg_max(value, event_id) AS err_value
+      |      FROM events WHERE event_type = 'error' GROUP BY 1, 2)
       |SELECT c.event_id, c.user_id, e.err_id, e.err_value
       |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
       |ORDER BY c.event_id""".stripMargin
@@ -936,7 +957,7 @@ object Queries {
       |          LEFT JOIN p1 b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
       |          WHERE b.p_brand IS NULL),
       |d2 AS (SELECT p_brand, p_type,
-      |         (SELECT max(id) FROM d1) +
+      |         coalesce((SELECT max(id) FROM d1), 0) +
       |         row_number() OVER (ORDER BY p_brand, p_type) AS id FROM fresh)
       |SELECT p_brand, p_type, id FROM d1
       |UNION ALL SELECT p_brand, p_type, id FROM d2

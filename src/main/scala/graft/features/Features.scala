@@ -52,11 +52,17 @@ object Features {
     (df.filter(col(timeCol) <= cutoff), df.filter(col(timeCol) > cutoff))
   }
 
-  /** Balanced class weights n/(k·count) — `machineLearning.py:80-98`. */
+  /** Balanced class weights n/(k·count) — `machineLearning.py:80-98`.
+    * Null labels are excluded everywhere (total, k, and output), the
+    * semantics of the reference's `value_counts()` (dropna) — counting
+    * the null group in k but not consistently elsewhere would skew
+    * every weight. One aggregation pass; total/k derive from the
+    * (k-row) counts frame. */
   def classWeights(df: DataFrame, labelCol: String): DataFrame = {
-    val total = df.count().toDouble
-    val counts = df.groupBy(labelCol).agg(count(lit(1)).as("n"))
-    val k = counts.count().toDouble
+    val counts = df.filter(col(labelCol).isNotNull)
+      .groupBy(labelCol).agg(count(lit(1)).as("n"))
+    val Array(total, k) = counts.agg(sum(col("n")), count(lit(1))).head()
+      .toSeq.map(_.asInstanceOf[Long].toDouble).toArray
     counts.withColumn("weight", lit(total) / (lit(k) * col("n")))
   }
 
