@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression net: the scale properties argued in the
+  * module docs (pushdown reaching the scan, dims broadcast, no
+  * accidental nested loops) are asserted here so a future edit that
+  * silently degrades a plan fails loudly. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def planOf(name: String): String =
+    Queries.all(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: both the range predicate and the equality reach the parquet scan") {
+    val plan = planOf("q02_filter")
+    assert(plan.contains("PushedFilters:"), plan)
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    assert(pushed.contains("l_returnflag"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") ||
+      pushed.contains("l_shipdate"), pushed)
+  }
+
+  test("q03: all three dimension joins broadcast; no sort-merge join") {
+    val plan = planOf("q03_star")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 3, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q36: ETL end-to-end plans no cartesian product or nested loop") {
+    val plan = planOf("q36_esi_etl")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q45: range join is an equi-join, never a nested loop") {
+    val plan = planOf("q45_range")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q01: aggregation is two-phase (partial before the exchange)") {
+    val plan = planOf("q01_pricing")
+    // partial_ aggregate functions appear below the exchange
+    assert(plan.contains("partial_"), plan)
+  }
+}
