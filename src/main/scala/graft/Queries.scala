@@ -363,7 +363,7 @@ object Queries {
 
   val q18Sql: String =
     """WITH t AS (SELECT doc_id,
-      |  list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS ts
+      |  list_sort(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS ts
       |  FROM documents)
       |SELECT doc_id, round(
       |  CAST(len(list_intersect(ts, ['data','fast','query','spark','table'])) AS DOUBLE) /
@@ -405,8 +405,8 @@ object Queries {
     val sw = TextOps.stopwords.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString("[", ",", "]")
     s"""WITH t AS (SELECT doc_id, text,
-       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks,
-       |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS ltoks
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
+       |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ltoks
        |  FROM documents)
        |SELECT doc_id,
        | CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -468,7 +468,7 @@ object Queries {
       .orderBy("id_a", "id_b")
 
   val q23Sql: String =
-    """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') toks FROM documents),
+    """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x->x<>'') toks FROM documents),
       |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
       |  THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
       |       i -> array_to_string(list_slice(toks, i, i+2), ' ')))

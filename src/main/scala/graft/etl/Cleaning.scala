@@ -18,10 +18,15 @@ object Cleaning {
     * (O(1) lookup, codegen'd) instead of a chained `when`, which would
     * be O(n) comparisons per row.
     */
-  def valueMap(c: Column, mapping: Map[String, String]): Column = {
-    val kvs = mapping.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
-    coalesce(element_at(map(kvs: _*), c), c)
-  }
+  /** Sorted map literal shared by [[valueMap]] and [[unmappedValues]] —
+    * one construction so the mapping and its unmapped side-channel can
+    * never drift apart. */
+  private def mapLit(mapping: Map[String, String]): Column =
+    map(mapping.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  def valueMap(c: Column, mapping: Map[String, String]): Column =
+    coalesce(element_at(mapLit(mapping), c), c)
 
   /** Map a sentinel value (e.g. `"sin especificar"`) to null — PDI
     * ValueMapper with empty target (`etl_final.ktr:3540-3548`). */
@@ -40,11 +45,16 @@ object Cleaning {
     * by the OLAP month labels). */
   val monthNamesEs: Map[String, String] = spanishMonths.map(_.swap)
 
-  /** `fecha_completa = concat_ws("/", anio, mes, dia)`, originals kept —
-    * PDI ConcatFields with `removeSelectedFields=N`
-    * (`etl_final.ktr:2502-2599`). */
+  /** `fecha_completa = anio/mes/dia`, originals kept — PDI ConcatFields
+    * with `removeSelectedFields=N` (`etl_final.ktr:2502-2599`). Null
+    * parts render as EMPTY slots ("2020//7"), PDI's behavior — a bare
+    * concat_ws would silently drop the slot and make a missing month
+    * ("2020/7") indistinguishable from a missing day. */
   def concatDate(anio: Column, mes: Column, dia: Column): Column =
-    concat_ws("/", anio, mes, dia)
+    concat(
+      coalesce(anio.cast("string"), lit("")), lit("/"),
+      coalesce(mes.cast("string"), lit("")), lit("/"),
+      coalesce(dia.cast("string"), lit("")))
 
   /** Trim + lowercase — PDI StringOperations (`etl_final.ktr:3158-3170`). */
   def trimLower(c: Column): Column = lower(trim(c))
@@ -65,8 +75,7 @@ object Cleaning {
   def unmappedValues(df: DataFrame, colName: String,
       dictionary: Map[String, String]): DataFrame = {
     val norm = graft.functions.normalize_string(col(colName))
-    val kvs = dictionary.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
-    df.filter(element_at(map(kvs: _*), norm).isNull && norm.isNotNull)
+    df.filter(element_at(mapLit(dictionary), norm).isNull && norm.isNotNull)
       .select(norm.as("unmapped")).distinct()
   }
 }

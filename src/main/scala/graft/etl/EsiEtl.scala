@@ -66,13 +66,18 @@ object EsiEtl {
     * values 2 (`etl_final.ktr:2502-3607`), all codegen'd expressions. */
   def clean(raw: DataFrame): DataFrame =
     raw
+      // try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+      // cast THROWS on non-numeric remnants — but this chain's contract
+      // is PDI's: unmatched ValueMapper values pass through as strings
+      // and the numeric cast then nulls (not kills) them
+      // (SURVEY §7.4.3); same for an edad that isn't the exact sentinel
       .withColumn("edad",
-        Cleaning.sentinelToNull(col("edad"), "sin especificar").cast("int"))
+        Cleaning.sentinelToNull(col("edad"), "sin especificar").try_cast("int"))
       .withColumn("tip_movi", Cleaning.trimLower(col("tip_movi")))
       .withColumn("jef_migr", trim(col("jef_migr")))
       .withColumn("mes_movi",
         Cleaning.valueMap(Cleaning.trimLower(col("mes_movi")),
-          Cleaning.spanishMonths).cast("int"))
+          Cleaning.spanishMonths).try_cast("int"))
       .withColumn("ocu_class",
         Cleaning.classify(col("ocu_migr"), ocuDictionary))
       .withColumn("fecha_completa",
@@ -152,7 +157,12 @@ object EsiEtl {
       SurrogateKeys.resolve(acc, dims(name), keys, id)
     }
     val factCols = Seq("tip_movi", "edad") ++ dimSpecs.map(_._3)
+    // persist before the router: both branches (and their union in the
+    // wide extract) would otherwise re-run the scan + cleaning chain +
+    // five FK joins once EACH — Router.split's documented caller duty.
+    // The persisted projection is just the FK ids + measure, narrow.
     val facts = resolved.select(factCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (in, out) = Router.split(facts, col("tip_movi") === "entrada")
     Warehouse(dims, in.drop("tip_movi"), out.drop("tip_movi"))
   }

@@ -68,7 +68,9 @@ object SurrogateKeys {
     val cond = naturalKeys.map(k => col(k) <=> col(s"__e_$k")).reduce(_ && _)
     val newKeys = incoming.select(naturalKeys.map(col): _*).distinct()
       .join(ex, cond, "left_anti")
-    val fresh = dim(newKeys, naturalKeys, idCol)
+    // assignIds, not dim(): newKeys is already distinct — dim() would
+    // re-shuffle for a redundant distinct
+    val fresh = assignIds(newKeys, naturalKeys, idCol)
       .withColumn(idCol, col(idCol) + lit(maxId))
     existing.unionByName(fresh)
   }

@@ -28,11 +28,18 @@ object EventStream {
         col("cnt"), col("sum_value"))
 
   /** Streaming variant: file source → watermark → windowed agg.
-    * Watermark bounds state: windows older than it are finalized and
-    * evicted, so state size is O(active windows), not O(stream). */
+    *
+    * Output mode matters for the state-size claim: in Append (the
+    * default here, the scale path) the watermark finalizes and EVICTS
+    * windows, so state is O(active windows). Complete mode re-emits
+    * every window each trigger and never evicts — only acceptable for
+    * bounded replays (tests pass it explicitly to see all windows of
+    * an AvailableNow run, where Append would hold back windows not yet
+    * past the watermark). */
   def windowedCountsStream(spark: SparkSession, srcDir: String,
       schemaFrom: DataFrame, windowLen: String, watermark: String,
-      queryName: String): StreamingQuery =
+      queryName: String,
+      outputMode: OutputMode = OutputMode.Append()): StreamingQuery =
     spark.readStream
       .schema(schemaFrom.schema)
       .parquet(srcDir)
@@ -41,7 +48,7 @@ object EventStream {
       .writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode(OutputMode.Complete())
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
 
@@ -72,37 +79,53 @@ object EventStream {
       session_end: java.sql.Timestamp, n_events: Long)
 
   /** Streaming sessionization with custom state: per-user open-session
-    * state, closed and emitted on processing-time timeout or when an
-    * event arrives past the gap. The streaming face of
-    * [[sessionizeBatch]]. */
+    * state, closed and emitted when a later event arrives past the gap
+    * OR when the processing-time timeout fires (so the final session of
+    * an idle user IS eventually emitted on a live stream; on a bounded
+    * AvailableNow replay the stream terminates before any timeout, so
+    * still-open sessions stay unemitted there — asserted in the spec).
+    * The streaming face of [[sessionizeBatch]]. */
   def sessionizeStream(events: Dataset[Event], gapSeconds: Long)
       : Dataset[Session] = {
     import events.sparkSession.implicits._
+    def emit(userId: Long, s: SessionState): Session =
+      Session(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.last), s.n.toLong)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          // bounded per-trigger batch: sort this trigger's events, fold
-          // into (possibly continued) sessions
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var open = state.getOption.flatMap(_.headOption)
-          val closed = scala.collection.mutable.ListBuffer[Session]()
-          sorted.foreach { e =>
-            val t = e.ts.getTime // millis; gap compares truncated seconds
-            open match {         // to match sessionizeBatch's unix_timestamp
-              case Some(s) if t / 1000 - s.last / 1000 <= gapSeconds =>
-                open = Some(s.copy(last = t, n = s.n + 1))
-              case Some(s) =>
-                closed += Session(userId, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.last), s.n.toLong)
-                open = Some(SessionState(t, t, 1))
-              case None =>
-                open = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            // gap elapsed with no new events: close the open session
+            val out = state.getOption.flatMap(_.headOption)
+              .map(emit(userId, _)).iterator
+            state.remove()
+            out
+          } else {
+            // bounded per-trigger batch: sort this trigger's events,
+            // fold into (possibly continued) sessions
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption.flatMap(_.headOption)
+            val closed = scala.collection.mutable.ListBuffer[Session]()
+            sorted.foreach { e =>
+              val t = e.ts.getTime // millis; gap compares truncated seconds
+              open match {         // to match sessionizeBatch's unix_timestamp
+                case Some(s) if t / 1000 - s.last / 1000 <= gapSeconds =>
+                  // max(): a late event from a previous trigger must not
+                  // move the session end backwards
+                  open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += emit(userId, s)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
             }
+            state.update(open.toList)
+            state.setTimeoutDuration(gapSeconds * 1000)
+            closed.iterator
           }
-          state.update(open.toList)
-          closed.iterator
       }
   }
 }

@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens, empties removed. */
+  /** Whitespace tokens, empties removed. Splits on runs of ANY
+    * whitespace (`\s+`) — a literal-space split would fuse words across
+    * tabs/newlines, undercounting tokens and skewing every quality
+    * ratio on multi-line documents. Matches the native
+    * `TextHash.tokenize` (Character.isWhitespace) and the DuckDB
+    * oracles' `regexp_split_to_array(text, '\s+')`. */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    filter(split(text, "\\s+"), t => t =!= "")
 
   /** Distinct token set (order-normalized for set operations). */
   def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))

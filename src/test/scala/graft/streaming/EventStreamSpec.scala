@@ -22,8 +22,12 @@ class EventStreamSpec extends AnyFunSuite {
   test("streaming windowed agg over AvailableNow equals the batch plan") {
     val dir = Files.createTempDirectory("events_stream").toString
     events.write.mode("overwrite").parquet(dir)
+    // Complete mode: the bounded replay must surface ALL windows for
+    // the batch-parity check (Append would hold back windows not yet
+    // past the watermark); production streams use the Append default
     val q = EventStream.windowedCountsStream(spark, dir, events,
-      "1 hour", "10 minutes", "win_test")
+      "1 hour", "10 minutes", "win_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
     q.awaitTermination(120000)
     val streamed = spark.table("win_test")
       .select("w_start", "event_type", "cnt")
