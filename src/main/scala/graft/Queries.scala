@@ -345,9 +345,12 @@ object Queries {
   // Training-data pipeline extensions (dedup / text / similarity)
   // ===================================================================
 
-  /** Exact dedup: hash-groupBy on a content fingerprint. */
+  /** Exact dedup: hash-groupBy on a content fingerprint (md5 here so
+    * DuckDB can reproduce the key; the library default is xxhash64 for
+    * an 8-byte shuffle key). */
   def q17ExactDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text",
+        c => md5(c.cast("binary")))
       .orderBy("fp")
 
   val q17Sql: String =

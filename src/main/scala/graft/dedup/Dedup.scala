@@ -20,9 +20,13 @@ object Dedup {
 
   /** Exact dedup: group on content fingerprint, keep the lowest id.
     * At 100 TB this is one shuffle of (fingerprint, id) pairs — project
-    * the two columns before grouping so the shuffle carries no payload. */
-  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(md5(col(textCol).cast("binary")).as("fp"), col(idCol))
+    * the two columns before grouping so the shuffle carries no payload.
+    * The default fingerprint is xxhash64 (an 8-byte shuffle key); pass
+    * e.g. `md5(col(text).cast("binary"))` when the fingerprint must be
+    * reproducible in another engine (the DuckDB-oracled q17 does). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String,
+      fingerprint: Column => Column = c => xxhash64(c)): DataFrame =
+    docs.select(fingerprint(col(textCol)).as("fp"), col(idCol))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
@@ -102,20 +106,34 @@ object Dedup {
   }
 
   /** Hamming distance between two 64-bit signatures. */
-  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  def hamming64(a: Column, b: Column): Column =
+    graft.sim.Similarity.hamming64(a, b)
 
-  /** SimHash near-dup pairs: bucket by the top `prefixBits` bits (near
-    * duplicates almost always agree on a prefix after one permutation in
-    * this compact variant), verify full Hamming distance within buckets. */
+  /** SimHash near-dup pairs with a FULL-RECALL bucketing: the 64-bit
+    * signature splits into `maxHamming + 1` equal-width blocks and each
+    * block is a bucket key in its own table. Pigeonhole: a pair within
+    * `maxHamming` differing bits can touch at most `maxHamming` blocks,
+    * so at least one block agrees — every true pair collides in some
+    * table (the classic multi-block SimHash scheme; a single top-bits
+    * prefix would silently miss pairs whose differing bits land in the
+    * prefix, ~45% of them at maxHamming=3). Candidates expand per
+    * bucket in one shuffle; exact Hamming verifies, so precision stays
+    * exact. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, prefixBits: Int = 16): DataFrame = {
+      maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
+    val nBlocks = math.min(maxHamming + 1, 8)
+    val width = 64 / nBlocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = docs.select(col(idCol).as("id"),
       graft.functions.simhash64(col(textCol)).as("sig"))
-      .withColumn("bucket", shiftrightunsigned(col("sig"), 64 - prefixBits))
-    val a = sigs.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val bucketed = sigs.select(col("id"),
+      posexplode(array((0 until nBlocks).map(t =>
+        shiftrightunsigned(col("sig"), t * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("table", "bucket")))
+    val s = sigs
+    pairsFromBuckets(bucketed, Seq("table", "bucket"), maxBucket)
+      .join(s.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(s.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -137,14 +155,15 @@ object Dedup {
   }
 
   /** Scale path for embedding near-dup: random-hyperplane LSH buckets
-    * bound the candidate space — vectors at cosine ≥ threshold agree on
-    * each hyperplane sign with probability 1 − θ/π, so near-identical
-    * vectors land in the same bucket under every one of the `tables`
-    * independent bucketings with overwhelming probability. Pairs are
-    * expanded per bucket (the one-shuffle pattern of [[lshCandidates]])
-    * and verified with exact cosine, so precision is exact; `tables`
-    * trades recall for cost. Shuffle volume is O(n · tables) ids, never
-    * O(n²) vectors. */
+    * bound the candidate space; exact cosine verifies, so precision is
+    * exact. Recall math: a pair at cosine c agrees on one hyperplane
+    * sign with p = 1 − arccos(c)/π, collides in one table with p^bits,
+    * and is found with 1 − (1 − p^bits)^tables. The defaults
+    * (bits=16, tables=4) target NEAR-IDENTITY dedup (c ≥ 0.999 →
+    * recall ≈ 1); at looser thresholds they under-recall badly
+    * (c = 0.9 → recall ≈ 0.29) — drop `bits` and/or raise `tables`
+    * accordingly (c = 0.9 recall ≥ 0.95 needs e.g. bits=8, tables=10).
+    * Shuffle volume is O(n · tables) ids, never O(n²) vectors. */
   def cosineDupPairsLsh(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 16, tables: Int = 4, dim: Int = 64,
       maxBucket: Int = 1000): DataFrame = {

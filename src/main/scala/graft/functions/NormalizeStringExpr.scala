@@ -35,7 +35,10 @@ case class NormalizeString(child: Expression) extends UnaryExpression {
 }
 
 object NormalizeString {
-  private val ws = "\\s+".r
+  // (?U): Unicode-aware \s, matching the reference's Python `re` (which
+  // treats NBSP/U+2028/etc. as whitespace); Java's default \s is
+  // ASCII-only and would leave non-ASCII whitespace in join/group keys
+  private val ws = java.util.regex.Pattern.compile("(?U)\\s+")
 
   /** Static entry point shared by interpreted eval and generated code. */
   def normalize(s: UTF8String): UTF8String = {
@@ -49,6 +52,7 @@ object NormalizeString {
       if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
       i += 1
     }
-    UTF8String.fromString(ws.replaceAllIn(sb.toString, " ").trim)
+    // strip(): Unicode-aware trim (String.trim is ASCII <= U+0020 only)
+    UTF8String.fromString(ws.matcher(sb).replaceAll(" ").strip())
   }
 }

@@ -4,7 +4,6 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the text-sketching hot path.
@@ -190,12 +189,20 @@ object TextHash {
     h
   }
 
-  // referenced from generated code
-  def _unused(m: Murmur3_x86_32): Unit = ()
 }
 
-/** Base for one-string-in native expressions. */
+/** Base for one-string-in native expressions. Declares its input type
+  * so a mistyped SQL call (`simhash64(42)`) fails at analysis with an
+  * AnalysisException instead of a mid-execution ClassCastException. */
 abstract class TextHashExpr extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got " +
+          child.dataType.simpleString)
   override def nullIntolerant: Boolean = true
   protected def staticCall(c: String): String
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -26,11 +26,25 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  /** Analysis-time validation: a mistyped call fails with an
+    * AnalysisException at plan time, not a runtime cast error. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires array<float|double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case t => throw new IllegalArgumentException(
-      s"vec_dot requires array<float|double>, got $t")
+    case _ => false
   }
   private lazy val lFloat = elemIsFloat(left)
   private lazy val rFloat = elemIsFloat(right)

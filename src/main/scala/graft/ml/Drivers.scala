@@ -83,10 +83,15 @@ object Drivers {
     * regr_intercept), unlike an iterative solver. Returns (slope,
     * intercept) as a 1-row frame so it stays in the plan (no driver
     * round-trip) for [[forecast]]. */
-  def olsFit(df: DataFrame, x: Column, y: Column): DataFrame =
-    df.agg(
-      (covar_pop(x, y) / var_pop(x)).as("slope"),
-      (avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x)).as("intercept"))
+  def olsFit(df: DataFrame, x: Column, y: Column): DataFrame = {
+    // try_divide: var_pop(x)=0 (constant or single-point x) yields null
+    // slope/intercept — both the ANSI-safe behavior (plain `/` throws
+    // DIVIDE_BY_ZERO under Spark 4 defaults) and DuckDB's regr_slope
+    // semantics, keeping the oracle parity on degenerate inputs
+    val slope = try_divide(covar_pop(x, y), var_pop(x))
+    df.agg(slope.as("slope"),
+      (avg(y) - slope * avg(x)).as("intercept"))
+  }
 
   /** Linear forecast of a daily-count series `horizon` days past its
     * last date: fit OLS on (proleptic ordinal day, count), emit one
@@ -94,6 +99,9 @@ object Drivers {
     * frame + E1 series in one plan). */
   def forecastDaily(daily: DataFrame, dateCol: String, countCol: String,
       horizon: Int): DataFrame = {
+    // sequence(start, stop) steps BACKWARDS when start > stop: a
+    // non-positive horizon would emit past-dated "forecast" rows
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
     // proleptic ordinal: days since 0001-01-01 + 1 (pandas toordinal)
     val ord = datediff(col(dateCol), to_date(lit("0001-01-01"))) + 1
     val fit = olsFit(daily.withColumn("__x", ord.cast("double")),

@@ -22,7 +22,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(graft.functions.vec_dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** try_divide, not `/`: under ANSI mode (Spark 4 default) a zero-norm
+    * vector (e.g. an all-zero feature array from an empty payload)
+    * would crash the whole job with DIVIDE_BY_ZERO; null cosine instead
+    * lets threshold filters drop the degenerate pair gracefully. */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), norm(a) * norm(b))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Brute-force cosine of every vector against one probe vector taken
     * from the table itself (crossJoin of a 1-row broadcast side). */
@@ -143,7 +151,7 @@ object Similarity {
       .select(col(vecCol).as("__probe"))
       .withColumn("__pbucket", lshBucket(col("__probe"), bits, dim)))
     val joined = bucketed.crossJoin(probeB)
-      .filter(bit_count(col("__bucket").bitwiseXOR(col("__pbucket"))) <= multiprobe)
+      .filter(hamming64(col("__bucket"), col("__pbucket")) <= multiprobe)
     joined
       .select(col(idCol), round(cosine(col(vecCol), col("__probe")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol)).limit(k)
