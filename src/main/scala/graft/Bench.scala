@@ -10,10 +10,10 @@ import org.apache.spark.sql.SparkSession
   * Protocol: one untimed warmup pass on the smallest scale factor pays
   * the per-plan one-time costs (whole-stage codegen compilation, JIT of
   * the generated classes, parquet footer caches) that would otherwise
-  * be charged entirely to whichever query runs first; then two timed
+  * be charged entirely to whichever query runs first; then three timed
   * passes on the target scale factor, reporting the per-query minimum —
-  * the standard steady-state measurement for a long-lived engine, which
-  * is what a warehouse process is.
+  * the standard steady-state measurement for a long-lived engine under
+  * bursty host noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -60,8 +60,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info("minhash_sig", "minhash_sig(text, shingleWidth, k)"),
         (args: Seq[Expression]) => {
           require(args.length == 3, "minhash_sig expects 3 arguments")
-          MinHashSigExpr(args(0),
-            args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])
+          def intArg(e: Expression, name: String): Int = {
+            require(e.foldable, s"minhash_sig: $name must be a constant")
+            e.eval() match {
+              case i: Int => i
+              case l: Long => l.toInt
+              case s: Short => s.toInt
+              case other => throw new IllegalArgumentException(
+                s"minhash_sig: $name must be an integer, got $other")
+            }
+          }
+          MinHashSigExpr(args(0), intArg(args(1), "shingleWidth"),
+            intArg(args(2), "k"))
         }))
   }
 }

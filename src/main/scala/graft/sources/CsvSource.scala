@@ -39,35 +39,33 @@ object CsvSource {
       .csv(spec.path)
   }
 
-  /** The reference's `rowFixer`: a malformed row's first cell contains
-    * the real CSV line (the outer parse saw the wrong arity); re-split
-    * it and rebuild the typed columns. Good rows pass through; corrupt
-    * rows that still don't fit after re-parse are dropped (counted by
-    * the caller via [[scanRepaired]]'s `repaired`/`dropped` columns). */
+  /** The reference's `rowFixer`: a malformed row's raw line holds the
+    * real CSV content (the outer parse saw the wrong arity, usually
+    * because the whole line arrived quoted as one cell); strip the
+    * outer quotes and re-parse with `from_csv` — a REAL csv parse, so
+    * quoted fields containing the separator stay intact (a raw
+    * `split(sep)` would shift every subsequent column). Good rows pass
+    * through; rows that still don't fit are dropped, never letting a
+    * malformed line kill the scan (the reference's csv.reader repair,
+    * `preprocessing.py:152-187`). */
   def repair(df0: DataFrame, schema: StructType, sep: String): DataFrame = {
-    // Spark refuses plans that reference only the corrupt-record column
-    // of a raw scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
-    // COLUMN); the documented contract is to cache the parsed frame
-    // first. The repair inherently needs a second pass over the data,
-    // so the materialization is the cost of the operator, not overhead.
+    // Spark refuses plans that reference ONLY the corrupt-record column
+    // of a raw scan; caching the parsed frame (the documented
+    // workaround) is fine here — the repair is a second pass anyway.
     val df = df0.cache()
     val good = df.filter(col(corruptCol).isNull).drop(corruptCol)
     val n = schema.fields.length
-    // re-parse: strip surrounding quotes per field after a raw split —
-    // the reference re-reads the first cell with csv.reader; the escaped
-    // common case (no embedded separators inside quotes) is identical.
-    // try_element_at/try_cast (not element_at/cast): under ANSI mode
-    // (Spark 4 default) the plain forms THROW on a still-short row or a
-    // misaligned non-castable field — the arity filter below does not
-    // protect the projection above it — and the contract here is that
-    // unrepairable rows are dropped, not that they kill the scan.
-    val parts = split(col(corruptCol), java.util.regex.Pattern.quote(sep))
+    val stripped = regexp_replace(col(corruptCol), "^\"|\"$", "")
+    val parsed = from_csv(stripped, schema,
+      Map("sep" -> sep, "mode" -> "PERMISSIVE"))
     val rebuilt = df.filter(col(corruptCol).isNotNull)
-      .where(size(parts) >= n)
-      .select((0 until n).map { i =>
-        regexp_replace(get(parts, lit(i)), "^\"|\"$", "")
-          .try_cast(schema.fields(i).dataType).as(schema.fields(i).name)
-      }: _*)
+      // arity guard: a quote-aware count would need the parse itself,
+      // so over-approximate with the raw split, then require the parse
+      // to produce the key field — still-broken rows drop out
+      .where(size(split(stripped, java.util.regex.Pattern.quote(sep))) >= n)
+      .select(parsed.as("__r"))
+      .where(col("__r").isNotNull)
+      .select(col("__r.*"))
     good.unionByName(rebuilt)
   }
 

@@ -35,9 +35,14 @@ object Warehouse {
     * matching bucket specs Spark plans a SortMergeJoin with no
     * Exchange. Callers can assert that with [[hasShuffle]]. */
   def colocatedJoin(spark: SparkSession, leftTable: String,
-      rightTable: String, leftKey: String, rightKey: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable),
-      spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+      rightTable: String, leftKey: String, rightKey: String): DataFrame = {
+    // bind each table once: the join condition must reference the SAME
+    // Dataset instances being joined (fresh spark.table() calls only
+    // resolve via the catalog's relation cache, which can invalidate)
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 
   /** Keyed dataset cache — the reference's parquet cache probe
     * (`machineLearning.py:132-150`: skip the DB if the cache file for
@@ -48,7 +53,11 @@ object Warehouse {
       (build: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (forceReload || !fs.exists(p))
+    // probe the _SUCCESS commit marker, not the bare directory: a build
+    // that died mid-write leaves a partial dir that a bare exists()
+    // would serve as a valid cache forever
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (forceReload || !committed)
       build.write.mode("overwrite")
         .option("compression", "snappy").parquet(path)
     spark.read.parquet(path)

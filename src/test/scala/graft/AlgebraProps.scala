@@ -30,12 +30,11 @@ object AlgebraProps extends Properties("EngineAlgebra") {
     Prop.forAll(rowsGen) { rows =>
       rows.isEmpty || {
         val df = rows.toDF("k", "v")
-        val dim = graft.etl.SurrogateKeys.dim(df, Seq("k", "v"), "id").collect()
-        val ids = dim.map(_.getAs[Long]("id"))
+        val dim = graft.etl.SurrogateKeys.dim(df, Seq("k", "v"), "id")
+        val ids = dim.collect().map(_.getAs[Long]("id"))
         val nDistinct = rows.distinct.size
         val resolved = graft.etl.SurrogateKeys
-          .resolve(rows.toDF("k", "v"), graft.etl.SurrogateKeys.dim(df, Seq("k", "v"), "id"),
-            Seq("k", "v"), "id")
+          .resolve(df, dim, Seq("k", "v"), "id")
         ids.toSet == (1L to nDistinct.toLong).toSet &&
           resolved.count() == rows.size.toLong &&
           resolved.filter(col("id").isNull).count() == 0L

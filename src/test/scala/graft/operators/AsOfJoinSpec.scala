@@ -59,9 +59,11 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   test("matches DuckDB-style semantics on the events table shape") {
     // self-contained mini replay of q41: clicks get last error per user
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = TestSpark.table("events")
-      .withColumn("ts", (col("ts") / 1000).cast("long")) // unix micros
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.set(key, "true")
+    val ev = try TestSpark.table("events")
+      .withColumn("ts", expr("ts DIV 1000")) // unix micros, exact int div
+    finally spark.conf.unset(key) // schema resolved eagerly; restore
     val clicks = ev.filter($"event_type" === "click")
       .select("event_id", "user_id", "ts")
     val errors = ev.filter($"event_type" === "error")

@@ -10,13 +10,17 @@ class EventStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  /** events with Spark-readable (µs) timestamps. */
+  /** events with Spark-readable (µs) timestamps — integer DIV (double
+    * division loses 1µs on ~1.6% of epoch-nanos), conf restored after
+    * the eager schema resolution. */
   private lazy val events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    TestSpark.table("events")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.set(key, "true")
+    try TestSpark.table("events")
       .withColumn("ts",
-        expr("CAST(timestamp_micros(CAST(ts / 1000 AS BIGINT)) AS TIMESTAMP)"))
+        expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
       .select("event_id", "ts", "user_id", "event_type", "value")
+    finally spark.conf.unset(key)
   }
 
   test("streaming windowed agg over AvailableNow equals the batch plan") {
