@@ -55,7 +55,17 @@ object CsvSource {
     val df = df0.cache()
     val good = df.filter(col(corruptCol).isNull).drop(corruptCol)
     val n = schema.fields.length
-    val stripped = regexp_replace(col(corruptCol), "^\"|\"$", "")
+    // a wrong-arity line usually arrives as ONE quoted cell holding the
+    // true CSV line, with inner quotes doubled per RFC 4180; recover
+    // the embedded line exactly as the reference's csv.reader does —
+    // strip the outer quotes and un-double the inner ones. Lines not
+    // wholly quoted pass through untouched (their quoting is live).
+    val isWrapped =
+      col(corruptCol).startsWith("\"") && col(corruptCol).endsWith("\"")
+    val stripped = when(isWrapped,
+      regexp_replace(regexp_replace(col(corruptCol), "^\"|\"$", ""),
+        "\"\"", "\""))
+      .otherwise(col(corruptCol))
     val parsed = from_csv(stripped, schema,
       Map("sep" -> sep, "mode" -> "PERMISSIVE"))
     val rebuilt = df.filter(col(corruptCol).isNotNull)
