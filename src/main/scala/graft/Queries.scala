@@ -591,11 +591,16 @@ object Queries {
       e.filter(col("vec_id") === 0), k = 10, bits = 12, dim = 64, multiprobe = 2)
   }
 
-  /** MinHash signatures (rows-only: the hash has no DuckDB equivalent). */
+  /** MinHash signatures (rows-only: the hash has no DuckDB equivalent).
+   *  The signature is dumped as a comma-joined string, not `array<bigint>`:
+   *  the driver's comparison harness sorts column values with pandas, which
+   *  cannot hash numpy arrays (round-1 `q28` harness crash).
+   */
   def q28MinhashSig(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
-        graft.functions.minhash_sig(col("text"), width = 3, k = 16).as("sig"))
+        array_join(graft.functions.minhash_sig(col("text"), width = 3, k = 16), ",")
+          .as("sig"))
       .orderBy("doc_id")
 
   /** SimHash signatures (rows-only). */

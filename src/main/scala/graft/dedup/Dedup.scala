@@ -65,23 +65,39 @@ object Dedup {
   /** Candidate pairs from a bucketed (bucketCols…, id) relation in ONE
     * shuffle: group each bucket's ids and expand the C(n,2) pairs in
     * place (a self-join on the bucket columns would shuffle the
-    * relation twice more; a bucket-size window, once more). Buckets are
-    * bounded by `maxBucket`, so the in-row pair expansion is safe;
-    * near-dup buckets are tiny by construction — that is what makes
-    * LSH sub-quadratic. Oversized buckets (degenerate content, e.g.
-    * empty-text clusters) are dropped, not exploded. */
+    * relation twice more). Oversized buckets (degenerate content, e.g.
+    * empty-text clusters) are dropped BEFORE the collect_set — a window
+    * count over the same partition keys rides the same hash shuffle
+    * (no extra exchange) and keeps a degenerate bucket from ever being
+    * buffered in one aggregation row or expanded to C(n,2) structs.
+    * Near-dup buckets are tiny by construction — that is what makes
+    * LSH sub-quadratic.
+    *
+    * Drops are observable, not silent: pass an [[Observation]] and read
+    * `dropped_rows` (rows belonging to over-cap buckets) and
+    * `max_bucket_size` after the action — at corpus scale a nonzero
+    * counter is the signal to widen block bits or raise `maxBucket`. */
   def pairsFromBuckets(bucketed: DataFrame, bucketCols: Seq[String],
-      maxBucket: Int): DataFrame =
-    bucketed
+      maxBucket: Int,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCols.map(col): _*)
+    val counted = bucketed.withColumn("__n", count(lit(1)).over(w))
+    val observed = obs.fold(counted)(o => counted.observe(o,
+      sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
+      max(col("__n")).as("max_bucket_size")))
+    observed
+      .filter(col("__n") >= 2 && col("__n") <= maxBucket)
       .groupBy(bucketCols.map(col): _*)
       .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .filter(size(col("ids")) >= 2)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)),
           |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin))
         .as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
+  }
 
   /** Exact word-shingle Jaccard between two token-set columns. */
   def jaccard(aSet: Column, bSet: Column): Column = {
@@ -118,10 +134,18 @@ object Dedup {
     * prefix would silently miss pairs whose differing bits land in the
     * prefix, ~45% of them at maxHamming=3). Candidates expand per
     * bucket in one shuffle; exact Hamming verifies, so precision stays
-    * exact. */
+    * exact.
+    *
+    * The pigeonhole guarantee needs `maxHamming + 1` blocks, and the
+    * block count is capped at 8 (8-bit buckets already saturate at
+    * ~10⁹ docs — 2⁵⁶ would be useless) — so full recall holds only for
+    * `maxHamming ≤ 7`, enforced here rather than silently degraded. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
-    val nBlocks = math.min(maxHamming + 1, 8)
+      maxHamming: Int, maxBucket: Int = 1000,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"full-recall blocking supports maxHamming in [0, 7], got $maxHamming")
+    val nBlocks = maxHamming + 1
     val width = 64 / nBlocks
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = docs.select(col(idCol).as("id"),
@@ -131,7 +155,7 @@ object Dedup {
         shiftrightunsigned(col("sig"), t * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("table", "bucket")))
     val s = sigs
-    pairsFromBuckets(bucketed, Seq("table", "bucket"), maxBucket)
+    pairsFromBuckets(bucketed, Seq("table", "bucket"), maxBucket, obs)
       .join(s.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(s.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")).cast("long"))

@@ -34,6 +34,11 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       carry: Seq[String], rightTieBreak: String): DataFrame = {
+    val reserved = Set("__k", "__ts", "__side", "__tb", "__l", "__c")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asOf reserves internal column names ${reserved.mkString(", ")}; " +
+        s"rename input columns: ${clash.mkString(", ")}")
     val rSchema = right.schema
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     // the carried payload is ONE struct of all carry columns, taken
@@ -44,12 +49,22 @@ object AsOfJoin {
     // match" with "matched row with a NULL attribute")
     val carryStruct = struct(carry.map(col).toIndexedSeq: _*)
 
-    val l2 = left.select(
+    // Equality-join semantics for NULL keys (matches the DuckDB ASOF
+    // oracle): a NULL-keyed left row matches NOTHING — it passes through
+    // with a null carry rather than pairing with NULL-keyed right rows,
+    // which the window partition (NULLs group together) would otherwise do.
+    val nullKeyedLeft = left.filter(col(key).isNull)
+      .select((left.columns.map(col) ++
+        carry.map(c => lit(null).cast(rSchema(c).dataType).as(c))).toIndexedSeq: _*)
+    val leftK = left.filter(col(key).isNotNull)
+    val rightK = right.filter(col(key).isNotNull)
+
+    val l2 = leftK.select(
       col(key).as("__k"), col(ts).as("__ts"), lit(1).as("__side"),
       lit(null).cast(rSchema(rightTieBreak).dataType).as("__tb"),
       leftStruct.as("__l"),
       lit(null).cast(StructType(carry.map(c => rSchema(c)))).as("__c"))
-    val r2 = right.select(
+    val r2 = rightK.select(
       col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
       col(rightTieBreak).as("__tb"),
       lit(null).cast(l2.schema("__l").dataType).as("__l"),
@@ -64,5 +79,6 @@ object AsOfJoin {
         last(col("__c"), ignoreNulls = true).over(w).as("__m"))
       .filter(col("__side") === 1)
       .select((col("__l.*") +: carry.map(c => col(s"__m.$c").as(c))): _*)
+      .unionByName(nullKeyedLeft)
   }
 }

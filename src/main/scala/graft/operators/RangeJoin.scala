@@ -33,16 +33,33 @@ object RangeJoin {
       equiKeys: Seq[String], bucketWidth: Long,
       joinType: String = "inner"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // The interval predicate lives INSIDE the join condition, not a
+    // post-join filter: a filter after a left-outer join would discard
+    // the null-extended unmatched rows (degrading "left" to "inner"),
+    // and semi/anti joins don't expose right columns to filter on at all.
     val l = left.withColumn("__bucket",
-      floor(col(leftPoint) / bucketWidth).cast("long"))
+      floor(col(leftPoint) / bucketWidth).cast("long")).as("__rjl")
     val r = right.withColumn("__bucket",
       explode(sequence(
         floor(col(rightStart) / bucketWidth).cast("long"),
-        floor(col(rightEnd) / bucketWidth).cast("long"))))
-    l.join(r, equiKeys :+ "__bucket", joinType)
-      .filter(col(leftPoint) >= col(rightStart) &&
-        col(leftPoint) <= col(rightEnd))
-      .drop("__bucket")
+        floor(col(rightEnd) / bucketWidth).cast("long")))).as("__rjr")
+    val cond = (equiKeys.map(k => col(s"__rjl.$k") === col(s"__rjr.$k")) ++ Seq(
+      col("__rjl.__bucket") === col("__rjr.__bucket"),
+      col(s"__rjl.$leftPoint") >= col(s"__rjr.$rightStart"),
+      col(s"__rjl.$leftPoint") <= col(s"__rjr.$rightEnd"))).reduce(_ && _)
+    val joined = l.join(r, cond, joinType)
+    joinType.toLowerCase.replace("_", "") match {
+      case "leftsemi" | "semi" | "leftanti" | "anti" =>
+        // output is left-only; __bucket is the lone synthetic column
+        joined.drop("__bucket")
+      case _ =>
+        // using-join shape: merged equi keys come from the left side,
+        // right side contributes its remaining (non-key) columns
+        val lCols = left.columns.map(c => col(s"__rjl.$c"))
+        val rCols = right.columns.filterNot(equiKeys.contains)
+          .map(c => col(s"__rjr.$c"))
+        joined.select((lCols ++ rCols).toIndexedSeq: _*)
+    }
   }
 
   /** Convenience for timestamp columns: seconds-resolution epoch

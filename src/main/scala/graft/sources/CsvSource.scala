@@ -66,15 +66,30 @@ object CsvSource {
       regexp_replace(regexp_replace(col(corruptCol), "^\"|\"$", ""),
         "\"\"", "\""))
       .otherwise(col(corruptCol))
+    // still-broken detection: from_csv in PERMISSIVE mode never returns
+    // a null struct, so "parse failed" must be read off a corrupt-record
+    // field INSIDE a re-parse. That check runs against an ALL-STRING
+    // schema: with strings no type conversion can fail, so the corrupt
+    // field flags exactly token-count mismatches (over- OR under-arity)
+    // and live-quote damage — while the typed parse below stays free to
+    // null out individual unconvertible fields without losing the row
+    // (arity wrong ⇒ drop the row; value untypeable ⇒ null the field).
+    val innerBad = "__graft_bad"
+    val arityProbe = StructType(
+      schema.fields.map(f => StructField(f.name, StringType)) :+
+        StructField(innerBad, StringType, nullable = true))
+    val arityOk = from_csv(stripped, arityProbe,
+      Map("sep" -> sep, "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> innerBad))(innerBad).isNull
     val parsed = from_csv(stripped, schema,
       Map("sep" -> sep, "mode" -> "PERMISSIVE"))
     val rebuilt = df.filter(col(corruptCol).isNotNull)
-      // arity guard: a quote-aware count would need the parse itself,
-      // so over-approximate with the raw split, then require the parse
-      // to produce the key field — still-broken rows drop out
+      // cheap pre-filter: the raw split over-approximates arity (never
+      // under-counts — quoted separators only inflate it), so < n means
+      // certainly unrecoverable; the exact check is the string re-parse
       .where(size(split(stripped, java.util.regex.Pattern.quote(sep))) >= n)
+      .where(arityOk)
       .select(parsed.as("__r"))
-      .where(col("__r").isNotNull)
       .select(col("__r.*"))
     good.unionByName(rebuilt)
   }

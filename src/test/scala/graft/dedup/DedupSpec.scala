@@ -72,6 +72,27 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.size === 50)
   }
 
+  test("oversized buckets are dropped AND counted via the Observation hook") {
+    // 5 ids in one degenerate bucket (cap 3) + 2 ids in a healthy bucket
+    val bucketed = ((1 to 5).map(i => (0, 0L, i.toLong)) ++
+      Seq((0, 1L, 10L), (0, 1L, 11L)))
+      .toDF("table", "bucket", "id")
+    val obs = new org.apache.spark.sql.Observation("drops")
+    val pairs = Dedup.pairsFromBuckets(bucketed, Seq("table", "bucket"),
+      maxBucket = 3, obs = Some(obs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L))) // degenerate bucket never expanded
+    assert(obs.get("dropped_rows") === 5L)
+    assert(obs.get("max_bucket_size") === 5L)
+  }
+
+  test("simhashPairs rejects maxHamming outside the full-recall range") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+    }
+    assert(e.getMessage.contains("[0, 7]"))
+  }
+
   test("jaccardToProbe bounds and exact value") {
     val out = Dedup.jaccardToProbe(docs, "doc_id", "text", Seq("data", "table"))
     val vals = out.select("jaccard").collect().map(_.getDouble(0))

@@ -57,6 +57,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.count() === 5)
   }
 
+  test("NULL-keyed left rows pass through with a null carry, never matching NULL-keyed right rows") {
+    val l = Seq((Some(1L), 20L, "a"), (Option.empty[Long], 20L, "b"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Some(1L), 10L, 100L), (Option.empty[Long], 10L, 999L))
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.asOf(l, r, "k", "t", Seq("rid"), "rid")
+      .collect().map(x => (x.getAs[String]("tag"), Option(x.getAs[Any]("rid")))).toMap
+    assert(out === Map("a" -> Some(100L), "b" -> None))
+  }
+
+  test("reserved internal column names are rejected, not silently clobbered") {
+    val bad = Seq((1L, 10L, "x")).toDF("k", "__ts", "tag")
+    val r = Seq((1L, 5L, 9L)).toDF("k", "t", "rid")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(bad, r, "k", "__ts", Seq("rid"), "rid")
+    }
+    assert(e.getMessage.contains("__ts"))
+  }
+
   test("matches DuckDB-style semantics on the events table shape") {
     // self-contained mini replay of q41: clicks get last error per user
     val key = "spark.sql.legacy.parquet.nanosAsLong"

@@ -35,6 +35,19 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(rows.count() === 1L)
   }
 
+  test("left outer keeps unmatched left rows null-extended; semi/anti project left only") {
+    val left = Seq((1L, 5L, 1L), (1L, 50L, 2L), (9L, 5L, 3L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 0L, 9L, 7L)).toDF("k", "s", "e", "rid")
+    val outer = RangeJoin.pointInInterval(left, "t", right, "s", "e", Seq("k"), 10L, "left")
+      .select("lid", "rid").collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(outer === Set((1L, Some(7L)), (2L, None), (3L, None)))
+    val semi = RangeJoin.pointInInterval(left, "t", right, "s", "e", Seq("k"), 10L, "leftsemi")
+    assert(semi.columns.toSeq === Seq("k", "t", "lid"))
+    assert(semi.select("lid").collect().map(_.getLong(0)).toSet === Set(1L))
+    val anti = RangeJoin.pointInInterval(left, "t", right, "s", "e", Seq("k"), 10L, "leftanti")
+    assert(anti.select("lid").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+  }
+
   test("plans as a shuffled equi-join, not a nested loop") {
     val left = Seq((1L, 5L, 1L)).toDF("k", "t", "lid")
     val right = Seq((1L, 0L, 9L, 2L)).toDF("k", "s", "e", "rid")

@@ -51,6 +51,17 @@ class CsvSourceSpec extends AnyFunSuite {
     assert(out.head.getString(0) === "ana")
   }
 
+  test("over-arity embedded line is dropped, not silently truncated") {
+    val path = write(Seq(
+      "name,city,n",
+      "ana,quito,1",
+      "\"bob,guayaquil,2,EXTRA\"")) // 4 fields > 3 after re-parse
+    val out = CsvSource.repair(
+      CsvSource.scan(spark, CsvSource.FileSpec(path), schema), schema, ",")
+    assert(out.count() === 1)
+    assert(out.head.getString(0) === "ana")
+  }
+
   test("non-numeric value in a repaired row nulls the field, not the job") {
     val path = write(Seq(
       "name,city,n",
