@@ -142,22 +142,33 @@ object Dedup {
     * `maxHamming ≤ 7`, enforced here rather than silently degraded. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, maxBucket: Int = 1000,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    simhashPairsFromSigs(
+      docs.select(col(idCol).as("id"),
+        graft.functions.simhash64(col(textCol)).as("sig")),
+      maxHamming, sigBits = 64, maxBucket = maxBucket, obs = obs)
+
+  /** [[simhashPairs]] over PRECOMPUTED signatures — a 2-column (id, sig)
+    * frame with `sigBits` meaningful low bits. Lets callers swap the
+    * signature function (e.g. `TextOps.portableSimhash60` when the pair
+    * set must be reproducible by an external SQL oracle) while keeping
+    * the same full-recall blocking and exact-Hamming verification. */
+  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int,
+      sigBits: Int = 64, maxBucket: Int = 1000,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"full-recall blocking supports maxHamming in [0, 7], got $maxHamming")
+    require(sigBits >= 8 && sigBits <= 64, s"sigBits in [8, 64], got $sigBits")
     val nBlocks = maxHamming + 1
-    val width = 64 / nBlocks
+    val width = sigBits / nBlocks
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = docs.select(col(idCol).as("id"),
-      graft.functions.simhash64(col(textCol)).as("sig"))
     val bucketed = sigs.select(col("id"),
       posexplode(array((0 until nBlocks).map(t =>
         shiftrightunsigned(col("sig"), t * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("table", "bucket")))
-    val s = sigs
     pairsFromBuckets(bucketed, Seq("table", "bucket"), maxBucket, obs)
-      .join(s.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(s.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

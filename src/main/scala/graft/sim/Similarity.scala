@@ -69,8 +69,11 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: component (i,j) derives
     * from a splitmix64 of the index — no RNG state, reproducible across
-    * runs/cluster layouts. */
-  private def hyperplane(bit: Int, dim: Int): Array[Double] =
+    * runs/cluster layouts. Public so external oracles can inline the
+    * exact same plane literals (the q27/q52 DuckDB SQL is generated
+    * from these values, making the approximate search itself
+    * oracle-checkable). */
+  def hyperplane(bit: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { j =>
       var z = (bit.toLong * 0x9E3779B97F4A7C15L) + (j.toLong + 1) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -94,6 +97,24 @@ object Similarity {
     * broadcast-sized by construction. */
   final case class IvfModel(centroids: Array[Array[Double]]) {
     def nlist: Int = centroids.length
+  }
+
+  /** Deterministic sample-init coarse quantizer: the centroids are the
+    * corpus vectors with the `nlist` smallest ids — the standard
+    * random-sample initialization, skipping Lloyd refinement. Unlike
+    * the KMeans fit this is reproducible by ANY engine reading the same
+    * table (an external SQL oracle can recompute cell assignment
+    * bit-for-bit), which is what makes the IVF pipeline itself
+    * oracle-checkable; use [[ivfFit]] when centroid quality matters
+    * more than cross-engine reproducibility. */
+  def ivfFitSample(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): IvfModel = {
+    val rows = vectors.filter(col(idCol) < nlist)
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .collect() // nlist rows — driver-small by construction
+      .sortBy(_.getLong(0))
+    require(rows.length == nlist, s"need ids 0..${nlist - 1} present")
+    IvfModel(rows.map(_.getSeq[Double](1).toArray))
   }
 
   /** Fit the IVF centroids. One pass of KMeans over (a sample of) the
@@ -126,23 +147,41 @@ object Similarity {
     * centroid table), exact cosine re-rank inside them. At scale the
     * corpus is stored partitioned by cell, so a probe reads
     * ~nprobe/nlist of the data. */
+  /** The `nprobe` cells nearest the probe vector, ranked by the SAME
+    * expanded-distance formula (‖c‖² − 2⟨p,c⟩, left-to-right folds) as
+    * [[ivfCell]] — not by Σ(x−y)²: the two are equal in exact
+    * arithmetic but can disagree in float rounding near ties, and an
+    * external oracle recomputing cell choice must land on the identical
+    * ranking. Ties break by cell id. */
+  def probeCells(pv: Array[Double], model: IvfModel, nprobe: Int): Seq[Int] = {
+    def d(c: Array[Double]): Double = {
+      val c2 = c.map(x => x * x).sum
+      var dot = 0.0
+      var i = 0
+      while (i < c.length) { dot += pv(i) * c(i); i += 1 }
+      c2 - 2.0 * dot
+    }
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (d(c), i) }.sortBy(identity).take(nprobe).map(_._2)
+      .toIndexedSeq
+  }
+
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
       probe: DataFrame, k: Int, model: IvfModel, nprobe: Int): DataFrame = {
     val pv = probe.select(col(vecCol).cast("array<double>"))
       .head().getSeq[Double](0).toArray
-    def d2(c: Array[Double]): Double =
-      c.zip(pv).map { case (x, y) => (x - y) * (x - y) }.sum
-    val cells = model.centroids.zipWithIndex
-      .map { case (c, i) => (d2(c), i) }.sortBy(_._1).take(nprobe).map(_._2)
+    val cells = probeCells(pv, model, nprobe)
     val candidates = vectors
       .withColumn("__cell", ivfCell(col(vecCol), model))
-      .filter(col("__cell").isin(cells.toIndexedSeq: _*))
+      .filter(col("__cell").isin(cells: _*))
     bruteForceTopK(candidates.drop("__cell"), idCol, vecCol, probe, k)
   }
 
-  /** LSH-bucketed approximate top-k: probe scans only rows whose bucket
-    * is within `multiprobe` bit-flips of the probe's bucket. Exact
-    * cosine re-ranks within the candidate set. */
+  /** LSH-bucketed approximate top-k over an UNINDEXED corpus: one scan
+    * computes every row's bucket, the probe keeps rows within
+    * `multiprobe` bit-flips. Candidate math is sub-linear but the scan
+    * is not — use [[annTopKIndexed]] when the corpus is probed more
+    * than once. */
   def annTopK(vectors: DataFrame, idCol: String, vecCol: String,
       probe: DataFrame, k: Int, bits: Int = 12, dim: Int = 64,
       multiprobe: Int = 1): DataFrame = {
@@ -153,6 +192,86 @@ object Similarity {
     val joined = bucketed.crossJoin(probeB)
       .filter(hamming64(col("__bucket"), col("__pbucket")) <= multiprobe)
     joined
+      .select(col(idCol), round(cosine(col(vecCol), col("__probe")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol)).limit(k)
+  }
+
+  /** All bucket ids within `radius` bit flips of `bucket` — the
+    * multiprobe neighborhood, Σ C(bits, r) values, enumerated on the
+    * driver (it depends only on the probe, never on the corpus). */
+  def bucketsWithin(bucket: Long, bits: Int, radius: Int): Seq[Long] = {
+    def flips(start: Int, remaining: Int, cur: Long): Seq[Long] =
+      if (remaining == 0) Seq(cur)
+      else (start until bits).flatMap(i => flips(i + 1, remaining - 1, cur ^ (1L << i)))
+    (0 to radius).flatMap(r => flips(0, r, bucket)).distinct
+  }
+
+  /** Materialize the LSH index: the corpus rewritten once with its
+    * bucket as a PARTITION column (`bucket=<v>/` directories), built on
+    * cache miss and reused thereafter. This is what turns a probe from
+    * "full scan + per-row re-hash" into "planning-time partition
+    * pruning": a probe's bucket list becomes `PartitionFilters` on the
+    * scan, so it reads ~(multiprobe neighborhood)/2^bits of the data —
+    * the difference between O(corpus) and O(candidates) per query at
+    * 100 TB. The pre-write `repartition(bucket)` gives one writer task
+    * per bucket (no small-file explosion from every task touching every
+    * partition). */
+  def buildAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, bits: Int, dim: Int,
+      forceReload: Boolean = false): DataFrame =
+    graft.sources.Warehouse.cachedPartitioned(spark, path, Seq("bucket"),
+      forceReload) {
+      vectors
+        .withColumn("bucket", lshBucket(col(vecCol), bits, dim))
+        .repartition(col("bucket"))
+    }
+
+  /** Probe a materialized LSH index: enumerate the multiprobe bucket
+    * neighborhood driver-side, prune to those partitions, exact-cosine
+    * re-rank. Results are identical to [[annTopK]] on the same corpus
+    * and parameters. */
+  def annTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      probe: DataFrame, k: Int, bits: Int, dim: Int, multiprobe: Int,
+      indexPath: String): DataFrame = {
+    val idx = buildAnnIndex(spark, vectors, idCol, vecCol, indexPath, bits, dim)
+    val pbucket = probe.select(lshBucket(col(vecCol), bits, dim)).head().getLong(0)
+    val buckets = bucketsWithin(pbucket, bits, multiprobe)
+    val probeB = broadcast(probe.select(col(vecCol).as("__probe")))
+    idx.filter(col("bucket").isin(buckets: _*))
+      .crossJoin(probeB)
+      .select(col(idCol), round(cosine(col(vecCol), col("__probe")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol)).limit(k)
+  }
+
+  /** Materialize the IVF index: corpus partitioned by its coarse cell.
+    * A probe reads only `nprobe` of `nlist` partitions. */
+  def buildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, model: IvfModel,
+      forceReload: Boolean = false): DataFrame =
+    graft.sources.Warehouse.cachedPartitioned(spark, path, Seq("cell"),
+      forceReload) {
+      vectors
+        .withColumn("cell", ivfCell(col(vecCol), model))
+        .repartition(col("cell"))
+    }
+
+  /** Probe a materialized IVF index: nearest `nprobe` cells chosen
+    * driver-side over the tiny centroid set, partition-pruned read,
+    * exact cosine re-rank. Identical results to [[ivfTopK]]. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      probe: DataFrame, k: Int, model: IvfModel, nprobe: Int,
+      indexPath: String): DataFrame = {
+    val idx = buildIvfIndex(spark, vectors, idCol, vecCol, indexPath, model)
+    val pv = probe.select(col(vecCol).cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val cells = probeCells(pv, model, nprobe)
+    val probeB = broadcast(probe.select(col(vecCol).as("__probe")))
+    idx.filter(col("cell").isin(cells: _*))
+      .crossJoin(probeB)
       .select(col(idCol), round(cosine(col(vecCol), col("__probe")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol)).limit(k)
   }

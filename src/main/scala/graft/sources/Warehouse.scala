@@ -63,6 +63,24 @@ object Warehouse {
     spark.read.parquet(path)
   }
 
+  /** [[cached]] with a partitioned layout: the build result is written
+    * `partitionBy(partitionCols)` so readers filtering on those columns
+    * prune directories at planning time (PartitionFilters on the scan).
+    * This is the persistence layer of the ANN indexes
+    * (`Similarity.buildAnnIndex`/`buildIvfIndex`). */
+  def cachedPartitioned(spark: SparkSession, path: String,
+      partitionCols: Seq[String], forceReload: Boolean = false)
+      (build: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (forceReload || !committed)
+      build.write.mode("overwrite")
+        .partitionBy(partitionCols: _*)
+        .option("compression", "snappy").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** True if the executed plan contains a shuffle exchange (bucketed
     * co-located joins must not). */
   def hasShuffle(df: DataFrame): Boolean =

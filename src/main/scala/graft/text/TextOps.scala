@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -120,6 +120,38 @@ object TextOps {
     * whitespace tokens would fold different `ascii()`/length values. */
   def rollingHash(text: Column): Column =
     rollingHashTokens(regexTokens(text))
+
+  /** Engine-portable 60-bit SimHash, computed relationally: explode
+    * whitespace tokens → md5-derived token hash (first 15 hex chars =
+    * 60 bits, so the value is positive in any engine's signed 64-bit
+    * integer) → ONE groupBy carrying 60 map-side-combinable ±1 bit
+    * sums → sign bits reassembled into the signature. Docs with no
+    * tokens get signature 0.
+    *
+    * The native `graft.functions.simhash64` expression (zero shuffle,
+    * xxhash-based) is the throughput path; this variant trades one
+    * shuffle of (id, 60 ints) for bit-for-bit reproducibility in any
+    * engine with `md5` — it is what lets near-dup pair sets be verified
+    * against an external SQL oracle rather than only against ScalaTest
+    * brute force. */
+  def portableSimhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val hv = toks.withColumn("hv",
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftrightunsigned(col("hv"), b).bitwiseAND(lit(1L)) === lit(1L),
+        lit(1)).otherwise(lit(-1))).as(s"__b$b"))
+    val sums = hv.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    // after the left join a token-less doc has null bit sums: each
+    // when() falls to otherwise(0), so its signature is 0 by the same
+    // expression — no special-casing
+    val sig = (0 until 60).map(b =>
+      when(col(s"__b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce[Column](_ + _)
+    docs.select(col(idCol).as("id")).join(sums, Seq("id"), "left")
+      .select(col("id"), sig.as("sig"))
+  }
 
   /** Rolling hash over an explicit token-array column (use
     * [[regexTokens]] for an ascii-stable token stream whose `ascii()`

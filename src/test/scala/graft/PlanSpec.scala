@@ -40,6 +40,20 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q52: indexed ANN probe prunes bucket partitions at planning time") {
+    val plan = planOf("q52_ann_indexed")
+    // the INDEX scan must carry a non-empty bucket partition filter
+    // (the 1-row probe scan legitimately has none)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters: [bucket")), s"no bucket pruning:\n$plan")
+  }
+
+  test("q53: indexed IVF probe prunes cell partitions at planning time") {
+    val plan = planOf("q53_ivf_indexed")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters: [cell")), s"no cell pruning:\n$plan")
+  }
+
   test("q01: aggregation is two-phase (partial before the exchange)") {
     val plan = planOf("q01_pricing")
     // partial_ aggregate functions appear below the exchange

@@ -69,6 +69,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cellSizes.map(_.getLong(1)).sum === emb.count())
   }
 
+  test("indexed ANN probe returns exactly the scan-formulation result") {
+    val probe = emb.filter($"vec_id" === 0)
+    val path = java.nio.file.Files.createTempDirectory("ann_idx").toString + "/idx"
+    val scan = Similarity.annTopK(emb, "vec_id", "embedding", probe,
+      k = 10, bits = 8, dim = 64, multiprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = Similarity.annTopKIndexed(spark, emb, "vec_id", "embedding",
+      probe, k = 10, bits = 8, dim = 64, multiprobe = 2, path)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed === scan)
+    // second probe serves the committed index (no rebuild): still equal
+    val again = Similarity.annTopKIndexed(spark, emb, "vec_id", "embedding",
+      probe, k = 10, bits = 8, dim = 64, multiprobe = 2, path)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(again === scan)
+  }
+
+  test("indexed IVF probe returns exactly the unindexed result") {
+    val probe = emb.filter($"vec_id" === 0)
+    val model = Similarity.ivfFitSample(emb, "vec_id", "embedding", nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/idx"
+    val plain = Similarity.ivfTopK(emb, "vec_id", "embedding", probe,
+      k = 10, model, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = Similarity.ivfTopKIndexed(spark, emb, "vec_id", "embedding",
+      probe, k = 10, model, nprobe = 4, path)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed === plain)
+  }
+
+  test("bucketsWithin enumerates the exact hamming ball") {
+    val got = Similarity.bucketsWithin(0L, 4, 1).toSet
+    assert(got === Set(0L, 1L, 2L, 4L, 8L))
+    val r2 = Similarity.bucketsWithin(5L, 3, 2).toSet
+    // ball of radius 2 around 101b within 3 bits: C(3,0)+C(3,1)+C(3,2)=7
+    assert(r2.size === 7 && r2.contains(5L))
+  }
+
   test("lshBucket is deterministic and bounded") {
     val b = emb.select(Similarity.lshBucket($"embedding", 12, 64).as("b"))
     val vals = b.collect().map(_.getLong(0))
