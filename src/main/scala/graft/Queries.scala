@@ -1174,6 +1174,37 @@ object Queries {
 
   val q53Sql: String = q44Sql
 
+  /** Per-class precision/recall/F1/support (`Drivers.perClassReport` —
+    * the classification_report analog) over a DETERMINISTIC rule
+    * predictor, so the metric computation itself is oracle-checked:
+    * model-based predictions aren't SQL-reproducible, but the report
+    * operator is, and the specs cover it on real model output. */
+  def q54ClassReport(s: SparkSession, dir: String): DataFrame = {
+    val pred = t(s, dir, "orders").select(
+      col("o_orderstatus").as("label"),
+      when(col("o_totalprice") > 150000, lit("F")).otherwise(lit("O")).as("pred"))
+    graft.ml.Drivers.perClassReport(pred, "label", "pred").orderBy("label")
+  }
+
+  val q54Sql: String =
+    """WITH p AS (SELECT o_orderstatus AS label,
+      |  CASE WHEN o_totalprice > 150000 THEN 'F' ELSE 'O' END AS pred FROM orders),
+      |bl AS (SELECT label, count(*) AS support,
+      |  sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS tp FROM p GROUP BY label),
+      |bp AS (SELECT pred AS label, count(*) AS predicted FROM p GROUP BY pred),
+      |j AS (SELECT coalesce(bl.label, bp.label) AS label,
+      |  coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+      |  coalesce(predicted, 0) AS predicted
+      |  FROM bl FULL OUTER JOIN bp ON bl.label = bp.label),
+      |m AS (SELECT label, support,
+      |  CAST(tp AS DOUBLE) / nullif(predicted, 0) AS p,
+      |  CAST(tp AS DOUBLE) / nullif(support, 0) AS r FROM j)
+      |SELECT label, round(coalesce(p, 0), 6) AS precision,
+      |  round(coalesce(r, 0), 6) AS recall,
+      |  round(coalesce(2.0 * p * r / nullif(p + r, 0), 0), 6) AS f1,
+      |  CAST(support AS BIGINT) AS support
+      |FROM m ORDER BY label""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -1232,6 +1263,7 @@ object Queries {
     "q51_pivot" -> (q51Pivot _),
     "q52_ann_indexed" -> (q52AnnIndexed _),
     "q53_ivf_indexed" -> (q53IvfIndexed _),
+    "q54_class_report" -> (q54ClassReport _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1287,6 +1319,7 @@ object Queries {
     "q51_pivot" -> q51Sql,
     "q52_ann_indexed" -> q52Sql,
     "q53_ivf_indexed" -> q53Sql,
+    "q54_class_report" -> q54Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
