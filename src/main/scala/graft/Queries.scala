@@ -32,19 +32,26 @@ object Queries {
     * in bytes but CPU-heavy per row (minhash/simhash/cosine are O(tokens)
     * or O(dim) per row), and the test corpus ships as single-row-group
     * parquet — an unsplittable scan that would pin all that compute on
-    * one core. If (and only if) the scan yields fewer partitions than
-    * the cluster has slots, redistribute first; on a real 100 TB layout
-    * the scan already has thousands of splits and this is a no-op.
+    * one core. A byte-size probe (ONE driver FS call — not an
+    * `rdd.getNumPartitions` probe, which forces a whole extra
+    * QueryExecution per query) decides: under the threshold the scan
+    * cannot have enough splits, so redistribute; on a real 100 TB
+    * layout the table blows past it and this is a no-op.
     */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+  private def fanOut(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(p).getLength
+    if (bytes < 256L * 1024 * 1024)
+      df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "documents" || name == "embeddings")
-      fanOut(spark.read.parquet(s"$dir/$name.parquet"))
+    if (name == "documents" || name == "embeddings") {
+      val path = s"$dir/$name.parquet"
+      fanOut(spark, path, spark.read.parquet(path))
+    }
     else if (name == "events") {
       // The events table carries TIMESTAMP(NANOS) parquet timestamps,
       // which Spark's vectorized reader rejects; read the raw int64
@@ -760,7 +767,7 @@ object Queries {
     import graft.etl.{Cleaning, EsiEtl}
     // the cleaning chain is regex-heavy per row: spread the
     // single-row-group scan across the cluster before computing it
-    val o = fanOut(t(s, dir, "orders"))
+    val o = fanOut(s, s"$dir/orders.parquet", t(s, dir, "orders"))
     val raw = o.select(
       when(col("o_orderstatus") === "O", lit(" Entrada "))
         .otherwise(lit("salida")).as("tip_movi"),

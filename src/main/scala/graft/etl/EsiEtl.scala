@@ -109,50 +109,68 @@ object EsiEtl {
     * of one. The per-set result is dim-sized (small by definition) and
     * each dim is carved out of it by `grouping_id`.
     */
-  def buildWarehouse(cleaned: DataFrame): Warehouse = {
+  def buildWarehouse(cleaned: DataFrame,
+      maxDriverDimRows: Long = 2000000L): Warehouse = {
     val keyCols = dimSpecs.flatMap(_._2).distinct
     val distincts = cleaned
       .groupingSets(dimSpecs.map(_._2.map(col)), keyCols.map(col): _*)
       .agg(grouping_id().cast("long").as("__gid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def gidOf(keys: Seq[String]): Long =
       keyCols.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
         if (keys.contains(c)) acc else acc | (1L << (keyCols.size - 1 - i))
       }
     // Dims are driver-small by the star-schema contract (distinct
-    // attribute tuples, not facts) — ONE unsorted collect materializes
-    // all five key sets, split by grouping_id and sorted in the driver
-    // (a distributed orderBy+collect would execute the aggregation
-    // twice: once for the range-partitioner sample, once for real).
-    // Ids are 1..N in the canonical driver sort order (nulls first,
-    // Java natural ordering per column) — deterministic across runs
-    // and cluster layouts. For a genuinely jumbo dimension use
-    // SurrogateKeys.dim (distributed zipWithIndex) instead.
+    // attribute tuples, not facts) — so the normal path is ONE unsorted
+    // collect of all five key sets, split by grouping_id and sorted in
+    // the driver (a distributed orderBy+collect would execute the
+    // aggregation twice: once for the range-partitioner sample, once
+    // for real). Ids are 1..N in the canonical sort order (nulls
+    // first) — deterministic across runs and cluster layouts.
+    //
+    // GUARDRAIL: the contract is checked, not assumed. The count runs
+    // against the persisted aggregate (no recompute), and a jumbo key
+    // set falls back to the distributed SurrogateKeys.assignIds path
+    // (sort + zipWithIndex, same id semantics) instead of silently
+    // OOMing the driver.
     val spark = cleaned.sparkSession
-    val all = distincts.collect()
-    val byGid = all.groupBy(_.getLong(keyCols.size)) // __gid is the last column
-    val keyIdx = keyCols.zipWithIndex.toMap
-    def cmp(a: Row, b: Row, idxs: Seq[Int]): Boolean = {
-      for (i <- idxs) {
-        val (x, y) = (a.get(i), b.get(i))
-        if (x == null && y != null) return true
-        if (x != null && y == null) return false
-        if (x != null) {
-          val c = x.asInstanceOf[Comparable[Any]].compareTo(y)
-          if (c != 0) return c < 0
+    val totalKeyRows = distincts.count()
+    val dims: Map[String, DataFrame] = if (totalKeyRows > maxDriverDimRows) {
+      dimSpecs.map { case (name, keys, id) =>
+        name -> SurrogateKeys.assignIds(
+          distincts.filter(col("__gid") === gidOf(keys))
+            .select(keys.map(col): _*),
+          keys, id)
+      }.toMap
+    } else {
+      val all = distincts.collect()
+      val byGid = all.groupBy(_.getLong(keyCols.size)) // __gid is the last column
+      val keyIdx = keyCols.zipWithIndex.toMap
+      def cmp(a: Row, b: Row, idxs: Seq[Int]): Boolean = {
+        for (i <- idxs) {
+          val (x, y) = (a.get(i), b.get(i))
+          if (x == null && y != null) return true
+          if (x != null && y == null) return false
+          if (x != null) {
+            val c = x.asInstanceOf[Comparable[Any]].compareTo(y)
+            if (c != 0) return c < 0
+          }
         }
+        false
       }
-      false
+      val built = dimSpecs.map { case (name, keys, id) =>
+        val idxs = keys.map(keyIdx)
+        val rows = byGid.getOrElse(gidOf(keys), Array.empty[Row])
+          .sortWith(cmp(_, _, idxs)).zipWithIndex
+          .map { case (r, i) => Row.fromSeq(idxs.map(r.get) :+ (i + 1L)) }
+        val schema = StructType(
+          keys.map(k => distincts.schema(keyIdx(k))) :+
+            StructField(id, LongType, nullable = false))
+        name -> spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      }.toMap
+      distincts.unpersist() // driver path: fully materialized, cache done
+      built
     }
-    val dims = dimSpecs.map { case (name, keys, id) =>
-      val idxs = keys.map(keyIdx)
-      val rows = byGid.getOrElse(gidOf(keys), Array.empty[Row])
-        .sortWith(cmp(_, _, idxs)).zipWithIndex
-        .map { case (r, i) => Row.fromSeq(idxs.map(r.get) :+ (i + 1L)) }
-      val schema = StructType(
-        keys.map(k => distincts.schema(keyIdx(k))) :+
-          StructField(id, LongType, nullable = false))
-      name -> spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-    }.toMap
     val resolved = dimSpecs.foldLeft(cleaned) { case (acc, (name, keys, id)) =>
       SurrogateKeys.resolve(acc, dims(name), keys, id)
     }

@@ -108,6 +108,17 @@ class EsiEtlSpec extends AnyFunSuite {
     }
   }
 
+  test("guardrail: over-cap dim build falls back to the distributed path with identical dims") {
+    // cap of 1 forces EVERY key set over the driver limit
+    val guarded = EsiEtl.buildWarehouse(cleaned, maxDriverDimRows = 1L)
+    EsiEtl.dimSpecs.foreach { case (name, keys, id) =>
+      val a = wh.dims(name).collect().map(_.toSeq).toSet
+      val b = guarded.dims(name).collect().map(_.toSeq).toSet
+      assert(b === a, s"dim $name must be identical under the fallback")
+    }
+    assert(guarded.factInmigrante.count() === wh.factInmigrante.count())
+  }
+
   test("star join round-trips: joining back reproduces natural keys") {
     val persona = wh.dims("dim_persona")
     val joined = wh.factInmigrante.join(persona, "id_persona")
