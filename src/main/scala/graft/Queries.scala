@@ -41,9 +41,18 @@ object Queries {
   private def fanOut(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val bytes = fs.getContentSummary(p).getLength
-    if (bytes < 256L * 1024 * 1024)
-      df.repartition(spark.sparkContext.defaultParallelism)
+    val summary = fs.getContentSummary(p)
+    val target = spark.sparkContext.defaultParallelism
+    // redistribute when the table is small in bytes (a shuffle is
+    // cheap) OR ships as very few mid-sized files (few-row-group
+    // layouts cannot split no matter their byte size — the file count
+    // is the bound the byte probe alone would miss). Beyond 8 GiB a
+    // forced shuffle is no longer obviously cheaper than the skew, so
+    // a genuinely huge-but-few-file layout is left to the reader.
+    if (summary.getLength < 256L * 1024 * 1024 ||
+        (summary.getFileCount < math.max(2, target / 2) &&
+          summary.getLength < 8L * 1024 * 1024 * 1024))
+      df.repartition(target)
     else df
   }
 
@@ -501,7 +510,12 @@ object Queries {
   def q24SimhashDup(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairsFromSigs(
       graft.text.TextOps.portableSimhash60(t(s, dir, "documents"), "doc_id", "text"),
-      maxHamming = 3, sigBits = 60)
+      maxHamming = 3, sigBits = 60,
+      // the exact SQL oracle has no bucket cap, so the cap must sit
+      // above any bucket this corpus can produce (near-dup clusters are
+      // ~5 docs; even a fully degenerate sf0.1 corpus stays under this)
+      // or Spark would silently drop pairs the oracle requires
+      maxBucket = 1000000)
       .orderBy("id_a", "id_b")
 
   /** DuckDB CTE computing the identical portable 60-bit SimHash:
@@ -1146,11 +1160,21 @@ object Queries {
       | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Per-testdata-dir scratch location for materialized ANN indexes
-    * (committed-cache semantics: first run builds, later runs probe). */
-  private def indexDir(dir: String, name: String): String =
+  /** Per-corpus scratch location for materialized ANN indexes
+    * (committed-cache semantics: first run builds, later runs probe).
+    * The key is a CONTENT fingerprint of the source table — total
+    * length + latest mtime of the embeddings parquet — not just the
+    * directory path: regenerated data at the same path must invalidate
+    * the index, or probes would silently serve top-k of a dead corpus. */
+  private def indexDir(s: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val stats = fs.listStatus(p)
+    val fp = (dir.hashCode.toLong * 1000003L) ^
+      stats.map(x => x.getLen * 31L + x.getModificationTime).sum
     s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
-      s"${java.lang.Integer.toHexString(dir.hashCode)}/$name"
+      s"${java.lang.Long.toHexString(fp)}/$name"
+  }
 
   /** ANN probe against the MATERIALIZED LSH index: the corpus is
     * rewritten once partitioned by bucket (`Similarity.buildAnnIndex`,
@@ -1163,7 +1187,7 @@ object Queries {
     val e = t(s, dir, "embeddings")
     Similarity.annTopKIndexed(s, e, "vec_id", "embedding",
       e.filter(col("vec_id") === 0), k = 10, bits = 8, dim = 64,
-      multiprobe = 2, indexDir(dir, "ann_b8"))
+      multiprobe = 2, indexDir(s, dir, "ann_b8"))
   }
 
   val q52Sql: String = annOracleSql(bits = 8, multiprobe = 2)
@@ -1176,7 +1200,7 @@ object Queries {
     val model = Similarity.ivfFitSample(e, "vec_id", "embedding", nlist = 8)
     Similarity.ivfTopKIndexed(s, e, "vec_id", "embedding",
       e.filter(col("vec_id") === 0), k = 10, model, nprobe = 4,
-      indexDir(dir, "ivf_n8"))
+      indexDir(s, dir, "ivf_n8"))
   }
 
   val q53Sql: String = q44Sql

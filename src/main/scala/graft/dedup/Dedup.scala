@@ -73,6 +73,12 @@ object Dedup {
     * Near-dup buckets are tiny by construction — that is what makes
     * LSH sub-quadratic.
     *
+    * Precondition: at most one row per (bucketCols…, id) tuple — every
+    * producer in this module emits exactly that. The over-cap filter
+    * counts ROWS (pre-aggregation, riding the shuffle); duplicate id
+    * rows would inflate the count and could drop a bucket whose
+    * distinct-id size is under the cap.
+    *
     * Drops are observable, not silent: pass an [[Observation]] and read
     * `dropped_rows` (rows belonging to over-cap buckets) and
     * `max_bucket_size` after the action — at corpus scale a nonzero

@@ -136,12 +136,19 @@ object EsiEtl {
     val spark = cleaned.sparkSession
     val totalKeyRows = distincts.count()
     val dims: Map[String, DataFrame] = if (totalKeyRows > maxDriverDimRows) {
-      dimSpecs.map { case (name, keys, id) =>
+      val built = dimSpecs.map { case (name, keys, id) =>
+        // persist each dim so the cached aggregate can be released —
+        // leaving `distincts` pinned for the session would leak the
+        // whole key-set cache on every over-cap build
         name -> SurrogateKeys.assignIds(
           distincts.filter(col("__gid") === gidOf(keys))
             .select(keys.map(col): _*),
           keys, id)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }.toMap
+      built.values.foreach(_.count()) // materialize before unpersist
+      distincts.unpersist()
+      built
     } else {
       val all = distincts.collect()
       val byGid = all.groupBy(_.getLong(keyCols.size)) // __gid is the last column
@@ -152,7 +159,16 @@ object EsiEtl {
           if (x == null && y != null) return true
           if (x != null && y == null) return false
           if (x != null) {
-            val c = x.asInstanceOf[Comparable[Any]].compareTo(y)
+            // strings compare by CODE POINT, not Java's UTF-16 units:
+            // Spark sorts UTF8String binary (= code-point order), and
+            // the distributed fallback must assign the same ids for
+            // supplementary-plane values
+            val c = (x, y) match {
+              case (xs: String, ys: String) =>
+                java.util.Arrays.compare(
+                  xs.codePoints().toArray, ys.codePoints().toArray)
+              case _ => x.asInstanceOf[Comparable[Any]].compareTo(y)
+            }
             if (c != 0) return c < 0
           }
         }

@@ -143,8 +143,11 @@ object Drivers {
         .setLabelCol("__label").setPredictionCol("__pred")
         .setMetricName(metric).evaluate(pred)
     val scores = models.map { name =>
-      val pred = classifier(name).fit(trainF).transform(testF)
-      ModelScore(name, eval("accuracy", pred), eval("f1", pred))
+      // cache the scored frame: both evaluator actions would otherwise
+      // re-run the test read + preprocessing + model transform
+      val pred = classifier(name).fit(trainF).transform(testF).cache()
+      try ModelScore(name, eval("accuracy", pred), eval("f1", pred))
+      finally pred.unpersist()
     }
     trainF.unpersist()
     CompareResult(scores, scores.maxBy(_.accuracy).model)

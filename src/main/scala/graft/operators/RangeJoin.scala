@@ -33,6 +33,14 @@ object RangeJoin {
       equiKeys: Seq[String], bucketWidth: Long,
       joinType: String = "inner"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // Left-preserving types only: the right side is EXPLODED one row
+    // per overlapped bucket, so right/full outer would emit an
+    // unmatched right interval once per bucket (with left-side keys
+    // null) — unfixable without a dedup pass that has no stable key.
+    val supported = Set("inner", "cross", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti")
+    require(supported.contains(joinType.toLowerCase),
+      s"pointInInterval supports left-preserving join types only, got $joinType")
     // The interval predicate lives INSIDE the join condition, not a
     // post-join filter: a filter after a left-outer join would discard
     // the null-extended unmatched rows (degrading "left" to "inner"),
