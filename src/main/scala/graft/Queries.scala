@@ -396,7 +396,9 @@ object Queries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("langid")
 
-  val q19Sql: String = {
+  /** DuckDB scalar expression mirroring `TextOps.langId(text)` —
+    * shared by q19 and the q55 curation chain. */
+  private val langIdSql: String = {
     val pad = "' ' || lower(text) || ' '"
     def score(ws: Seq[String]) = ws.map(w =>
       s"CASE WHEN contains($pad, ' $w ') THEN 1 ELSE 0 END").mkString(" + ")
@@ -404,9 +406,26 @@ object Queries {
     val best = s"greatest(${scores.map(_._2).mkString(", ")})"
     val cases = scores.map { case (l, e) =>
       s"WHEN $best > 0 AND $e = $best THEN '$l'" }.mkString(" ")
-    s"""SELECT CASE $cases ELSE 'und' END AS langid, count(*) AS cnt
-       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+    s"CASE $cases ELSE 'und' END"
   }
+
+  /** DuckDB scalar expression mirroring `TextOps.qualityScore(text)` —
+    * shared by q20 and q55. */
+  private val qualityExprSql: String = {
+    val sw = TextOps.stopwords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    """least(1.0,
+      |   0.4 * least(CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) / 20.0, 1.0) +
+      |   0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |     / greatest(length(text), 1)) +
+      |   0.3 * least((CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), x -> list_contains(SW, x))) AS DOUBLE)
+      |     / greatest(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')), 1)) * 4.0, 1.0))"""
+      .stripMargin.replace("SW", sw)
+  }
+
+  val q19Sql: String =
+    s"""SELECT $langIdSql AS langid, count(*) AS cnt
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Text quality scoring: token count, mean token length, alpha ratio,
     * stopword ratio, composite score. */
@@ -1236,6 +1255,75 @@ object Queries {
       |  CAST(support AS BIGINT) AS support
       |FROM m ORDER BY label""".stripMargin
 
+  /** End-to-end corpus curation — the filter chain every LLM training
+    * pipeline runs before tokenization: exact-dedup (keep the lowest id
+    * per identical text), language gate, quality floor. One scan + one
+    * dedup shuffle of (fingerprint, id); langid/quality are pure
+    * map-side expressions evaluated only on survivors. */
+  def q55Curation(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.dropExactDups(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.langId(col("text")).as("langid"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"))
+      .filter(col("langid") === "en" && col("quality") >= 0.3)
+      .orderBy("doc_id")
+  }
+
+  val q55Sql: String =
+    s"""WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |scored AS (SELECT d.doc_id, $langIdSql AS langid,
+       |  round($qualityExprSql, 6) AS quality
+       |  FROM documents d JOIN kept USING (doc_id))
+       |SELECT doc_id, langid, quality FROM scored
+       |WHERE langid = 'en' AND quality >= 0.3
+       |ORDER BY doc_id""".stripMargin
+
+  /** Corpus vocabulary statistics: top-20 terms by frequency — the
+    * classic distributed word count (explode → hash agg with map-side
+    * partial aggregation; one shuffle of (term, partial count)). */
+  def q56Vocab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextOps.regexTokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(20)
+
+  val q56Sql: String =
+    """SELECT term, count(*) AS cnt
+      |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |      FROM documents)
+      |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin
+
+  /** Symmetric int8 max-abs quantization of an embedding column — the
+    * storage-scale path for vector corpora (4× smaller than float32;
+    * dot products stay proportional within a per-vector scale). All
+    * map-side expression work; the dump projects engine-checkable
+    * aggregates of the quantized codes rather than the array itself
+    * (array cells break the comparison harness — q28's lesson). */
+  def q57Quantize(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding")
+    val maxabs = array_max(transform(v, x => abs(x.cast("double"))))
+    val q = transform(v,
+      x => round(coalesce(try_divide(x.cast("double") * 127.0, maxabs), lit(0.0)))
+        .cast("long"))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), round(maxabs, 6).as("scale_abs"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(q).as("q_min"), array_max(q).as("q_max"))
+      .orderBy("vec_id")
+  }
+
+  val q57Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM v),
+      |q AS (SELECT vec_id, maxabs,
+      |  list_transform(e, x -> CAST(round(coalesce(x * 127.0 / nullif(maxabs, 0), 0)) AS BIGINT)) AS qs
+      |  FROM m)
+      |SELECT vec_id, round(maxabs, 6) AS scale_abs,
+      |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+      |  list_min(qs) AS q_min, list_max(qs) AS q_max
+      |FROM q ORDER BY vec_id""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -1295,6 +1383,9 @@ object Queries {
     "q52_ann_indexed" -> (q52AnnIndexed _),
     "q53_ivf_indexed" -> (q53IvfIndexed _),
     "q54_class_report" -> (q54ClassReport _),
+    "q55_curation" -> (q55Curation _),
+    "q56_vocab" -> (q56Vocab _),
+    "q57_quantize" -> (q57Quantize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1351,6 +1442,9 @@ object Queries {
     "q52_ann_indexed" -> q52Sql,
     "q53_ivf_indexed" -> q53Sql,
     "q54_class_report" -> q54Sql,
+    "q55_curation" -> q55Sql,
+    "q56_vocab" -> q56Sql,
+    "q57_quantize" -> q57Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

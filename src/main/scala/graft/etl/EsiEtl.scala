@@ -115,7 +115,6 @@ object EsiEtl {
     val distincts = cleaned
       .groupingSets(dimSpecs.map(_._2.map(col)), keyCols.map(col): _*)
       .agg(grouping_id().cast("long").as("__gid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def gidOf(keys: Seq[String]): Long =
       keyCols.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
         if (keys.contains(c)) acc else acc | (1L << (keyCols.size - 1 - i))
@@ -128,29 +127,36 @@ object EsiEtl {
     // for real). Ids are 1..N in the canonical sort order (nulls
     // first) — deterministic across runs and cluster layouts.
     //
-    // GUARDRAIL: the contract is checked, not assumed. The count runs
-    // against the persisted aggregate (no recompute), and a jumbo key
-    // set falls back to the distributed SurrogateKeys.assignIds path
-    // (sort + zipWithIndex, same id semantics) instead of silently
-    // OOMing the driver.
+    // GUARDRAIL: the contract is checked, not assumed — and for free.
+    // The collect is capped at maxDriverDimRows + 1: a result UNDER the
+    // cap IS the complete key set (the limit never truncated), so the
+    // normal path pays exactly one action and no cache; a result AT the
+    // cap proves a jumbo key set, and the build falls back to the
+    // distributed SurrogateKeys.assignIds path (sort + zipWithIndex,
+    // same id semantics) instead of silently OOMing the driver — the
+    // one aggregate recompute there is the price of the rare case, not
+    // the common one.
     val spark = cleaned.sparkSession
-    val totalKeyRows = distincts.count()
-    val dims: Map[String, DataFrame] = if (totalKeyRows > maxDriverDimRows) {
+    val probeCap = math.min(maxDriverDimRows + 1, Int.MaxValue.toLong).toInt
+    val probe = distincts.limit(probeCap).collect()
+    val dims: Map[String, DataFrame] = if (probe.length >= probeCap) {
+      val cachedKeys = distincts
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val built = dimSpecs.map { case (name, keys, id) =>
         // persist each dim so the cached aggregate can be released —
-        // leaving `distincts` pinned for the session would leak the
-        // whole key-set cache on every over-cap build
+        // leaving it pinned for the session would leak the whole
+        // key-set cache on every over-cap build
         name -> SurrogateKeys.assignIds(
-          distincts.filter(col("__gid") === gidOf(keys))
+          cachedKeys.filter(col("__gid") === gidOf(keys))
             .select(keys.map(col): _*),
           keys, id)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }.toMap
       built.values.foreach(_.count()) // materialize before unpersist
-      distincts.unpersist()
+      cachedKeys.unpersist()
       built
     } else {
-      val all = distincts.collect()
+      val all = probe
       val byGid = all.groupBy(_.getLong(keyCols.size)) // __gid is the last column
       val keyIdx = keyCols.zipWithIndex.toMap
       def cmp(a: Row, b: Row, idxs: Seq[Int]): Boolean = {
@@ -184,7 +190,6 @@ object EsiEtl {
             StructField(id, LongType, nullable = false))
         name -> spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       }.toMap
-      distincts.unpersist() // driver path: fully materialized, cache done
       built
     }
     val resolved = dimSpecs.foldLeft(cleaned) { case (acc, (name, keys, id)) =>

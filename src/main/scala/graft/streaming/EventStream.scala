@@ -52,6 +52,37 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup with BOUNDED state — the ingestion face of
+    * `Dedup.exactGroups` for continuously arriving corpora (an at-least-
+    * once upstream source replays records; training pipelines must not
+    * double-count them). `dropDuplicatesWithinWatermark` keeps a key's
+    * state only until the event-time watermark passes it, so state size
+    * is O(keys per watermark horizon), not O(all keys ever seen) — the
+    * difference between a stream that runs for years and one that OOMs.
+    * Duplicates arriving farther apart than the watermark are the
+    * batch dedup's job (run `Dedup.dropExactDups` over the sink). */
+  def dedupStream(events: DataFrame, idCols: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** File-source wrapper for [[dedupStream]] mirroring
+    * [[windowedCountsStream]]'s replay harness. */
+  def dedupStreamQuery(spark: SparkSession, srcDir: String,
+      schemaFrom: DataFrame, idCols: Seq[String], tsCol: String,
+      watermark: String, queryName: String): StreamingQuery =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(srcDir)
+      .transform(df => dedupStream(df, idCols, tsCol, watermark))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Batch sessionization (gaps-and-islands): a new session starts when
     * the gap to the previous event of the same user exceeds
     * `gapSeconds`. Window functions only — one shuffle on user_id,

@@ -43,6 +43,20 @@ class EventStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming dedup drops watermark-window replays, keeps one row per key") {
+    val dir = Files.createTempDirectory("events_dup").toString
+    // every event written twice — an at-least-once source replay
+    val doubled = events.limit(500).unionByName(events.limit(500))
+    doubled.write.mode("overwrite").parquet(dir)
+    val q = EventStream.dedupStreamQuery(spark, dir, events,
+      idCols = Seq("event_id"), tsCol = "ts", watermark = "1 hour",
+      queryName = "dedup_test")
+    q.awaitTermination(120000)
+    val out = spark.table("dedup_test")
+    assert(out.count() === 500, "each replayed event must survive exactly once")
+    assert(out.select("event_id").distinct().count() === 500)
+  }
+
   test("batch sessionization: sessions partition each user's events") {
     val sessions = EventStream.sessionizeBatch(events, gapSeconds = 3600)
     val totalEvents = sessions.agg(sum($"n_events")).head.getLong(0)
