@@ -409,19 +409,23 @@ object Queries {
     s"CASE $cases ELSE 'und' END"
   }
 
+  /** DuckDB literal for the cross-language stopword list — the single
+    * source both quality oracles splice in. */
+  private val stopwordArraySql: String = TextOps.stopwords.flatMap(_._2).distinct
+    .map(w => s"'$w'").mkString("[", ",", "]")
+
   /** DuckDB scalar expression mirroring `TextOps.qualityScore(text)` —
-    * shared by q20 and q55. */
-  private val qualityExprSql: String = {
-    val sw = TextOps.stopwords.flatMap(_._2).distinct
-      .map(w => s"'$w'").mkString("[", ",", "]")
-    """least(1.0,
-      |   0.4 * least(CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) / 20.0, 1.0) +
-      |   0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-      |     / greatest(length(text), 1)) +
-      |   0.3 * least((CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), x -> list_contains(SW, x))) AS DOUBLE)
-      |     / greatest(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')), 1)) * 4.0, 1.0))"""
-      .stripMargin.replace("SW", sw)
-  }
+    * the ONE copy of the quality formula, spliced into both q20 and the
+    * q55 curation chain so the two can never drift apart. (`raw`
+    * interpolation: the regexes contain backslashes.) */
+  private val qualityExprSql: String =
+    raw"""least(1.0,
+         |   0.4 * least(CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) / 20.0, 1.0) +
+         |   0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |     / greatest(length(text), 1)) +
+         |   0.3 * least((CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), x -> list_contains($stopwordArraySql, x))) AS DOUBLE)
+         |     / greatest(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')), 1)) * 4.0, 1.0))"""
+      .stripMargin
 
   val q19Sql: String =
     s"""SELECT $langIdSql AS langid, count(*) AS cnt
@@ -439,28 +443,19 @@ object Queries {
         round(TextOps.qualityScore(col("text")), 6).as("quality"))
       .orderBy("doc_id")
 
-  val q20Sql: String = {
-    val sw = TextOps.stopwords.flatMap(_._2).distinct
-      .map(w => s"'$w'").mkString("[", ",", "]")
-    s"""WITH t AS (SELECT doc_id, text,
-       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
-       |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ltoks
-       |  FROM documents)
-       |SELECT doc_id,
-       | CAST(len(toks) AS BIGINT) AS n_tokens,
-       | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_rtokens,
-       | round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
-       |   / greatest(len(toks), 1), 6) AS mean_tok_len,
-       | round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-       |   / greatest(length(text), 1), 6) AS alpha_ratio,
-       | round(least(1.0,
-       |   0.4 * least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) +
-       |   0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-       |     / greatest(length(text), 1)) +
-       |   0.3 * least((CAST(len(list_filter(ltoks, x -> list_contains($sw, x))) AS DOUBLE)
-       |     / greatest(len(ltoks), 1)) * 4.0, 1.0)), 6) AS quality
-       |FROM t ORDER BY doc_id""".stripMargin
-  }
+  val q20Sql: String =
+    raw"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         | CAST(len(toks) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_rtokens,
+         | round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+         |   / greatest(len(toks), 1), 6) AS mean_tok_len,
+         | round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |   / greatest(length(text), 1), 6) AS alpha_ratio,
+         | round($qualityExprSql, 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin
 
   /** Document fingerprinting: engine-portable polynomial rolling hash
     * over ascii word tokens. */
@@ -1257,9 +1252,11 @@ object Queries {
 
   /** End-to-end corpus curation — the filter chain every LLM training
     * pipeline runs before tokenization: exact-dedup (keep the lowest id
-    * per identical text), language gate, quality floor. One scan + one
-    * dedup shuffle of (fingerprint, id); langid/quality are pure
-    * map-side expressions evaluated only on survivors. */
+    * per identical text), language gate, quality floor. Cost shape: two
+    * scans of documents (one builds the keep-set from projected
+    * (fingerprint, id) pairs in one dedup shuffle, one feeds the
+    * broadcast semi-join of survivors); langid/quality are map-side
+    * expressions Catalyst pushes below the join. */
   def q55Curation(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     Dedup.dropExactDups(docs, "doc_id", "text")
@@ -1320,7 +1317,7 @@ object Queries {
       |  list_transform(e, x -> CAST(round(coalesce(x * 127.0 / nullif(maxabs, 0), 0)) AS BIGINT)) AS qs
       |  FROM m)
       |SELECT vec_id, round(maxabs, 6) AS scale_abs,
-      |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+      |  CAST(coalesce(list_sum(qs), 0) AS BIGINT) AS q_sum,
       |  list_min(qs) AS q_min, list_max(qs) AS q_max
       |FROM q ORDER BY vec_id""".stripMargin
 

@@ -12,7 +12,9 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val name = if (args.length > 1) args(1) else "q01_pricing"
-    Queries.all(name)(spark, dir).show(10, truncate = false)
+    val df = Queries.all(name)(spark, dir)
+    if (args.length > 2 && args(2) == "explain") df.explain("formatted")
+    else df.show(10, truncate = false)
     spark.stop()
   }
 }

@@ -137,7 +137,11 @@ object EsiEtl {
     // one aggregate recompute there is the price of the rare case, not
     // the common one.
     val spark = cleaned.sparkSession
-    val probeCap = math.min(maxDriverDimRows + 1, Int.MaxValue.toLong).toInt
+    // overflow-safe: clamp BEFORE the +1 (maxDriverDimRows near
+    // Long.MaxValue must mean "driver path whenever collectable", not
+    // wrap to a zero cap); an Array cannot exceed ~Int.MaxValue rows
+    // anyway, so the clamp loses nothing
+    val probeCap = (math.min(maxDriverDimRows, Int.MaxValue - 2L) + 1).toInt
     val probe = distincts.limit(probeCap).collect()
     val dims: Map[String, DataFrame] = if (probe.length >= probeCap) {
       val cachedKeys = distincts

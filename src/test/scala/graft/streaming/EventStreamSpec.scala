@@ -45,13 +45,16 @@ class EventStreamSpec extends AnyFunSuite {
 
   test("streaming dedup drops watermark-window replays, keeps one row per key") {
     val dir = Files.createTempDirectory("events_dup").toString
-    // every event written twice — an at-least-once source replay
-    val doubled = events.limit(500).unionByName(events.limit(500))
-    doubled.write.mode("overwrite").parquet(dir)
+    // every event written twice — an at-least-once source replay.
+    // filter, not limit: two bare limit(500) subtrees may pick
+    // DIFFERENT rows (no ordering guarantee), breaking the doubling
+    val half = events.filter($"event_id" < 500)
+    assert(half.count() === 500)
+    half.unionByName(half).write.mode("overwrite").parquet(dir)
     val q = EventStream.dedupStreamQuery(spark, dir, events,
       idCols = Seq("event_id"), tsCol = "ts", watermark = "1 hour",
       queryName = "dedup_test")
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
     val out = spark.table("dedup_test")
     assert(out.count() === 500, "each replayed event must survive exactly once")
     assert(out.select("event_id").distinct().count() === 500)
