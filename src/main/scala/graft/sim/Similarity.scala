@@ -230,18 +230,22 @@ object Similarity {
   /** Probe a materialized LSH index: enumerate the multiprobe bucket
     * neighborhood driver-side, prune to those partitions, exact-cosine
     * re-rank. Results are identical to [[annTopK]] on the same corpus
-    * and parameters. */
+    * and parameters.
+    *
+    * The probe row is collected ONCE (bucket + vector together) and the
+    * vector becomes a literal in the plan — one pruned-scan job per
+    * probe, no broadcast-exchange job for a 1-row side. */
   def annTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       vectors: DataFrame, idCol: String, vecCol: String,
       probe: DataFrame, k: Int, bits: Int, dim: Int, multiprobe: Int,
       indexPath: String): DataFrame = {
     val idx = buildAnnIndex(spark, vectors, idCol, vecCol, indexPath, bits, dim)
-    val pbucket = probe.select(lshBucket(col(vecCol), bits, dim)).head().getLong(0)
-    val buckets = bucketsWithin(pbucket, bits, multiprobe)
-    val probeB = broadcast(probe.select(col(vecCol).as("__probe")))
+    val pRow = probe
+      .select(lshBucket(col(vecCol), bits, dim), col(vecCol)).head()
+    val buckets = bucketsWithin(pRow.getLong(0), bits, multiprobe)
+    val pVec = array(pRow.getSeq[Float](1).map(v => lit(v)): _*).cast("array<float>")
     idx.filter(col("bucket").isin(buckets: _*))
-      .crossJoin(probeB)
-      .select(col(idCol), round(cosine(col(vecCol), col("__probe")), 6).as("cosine"))
+      .select(col(idCol), round(cosine(col(vecCol), pVec), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol)).limit(k)
   }
 
@@ -260,19 +264,20 @@ object Similarity {
 
   /** Probe a materialized IVF index: nearest `nprobe` cells chosen
     * driver-side over the tiny centroid set, partition-pruned read,
-    * exact cosine re-rank. Identical results to [[ivfTopK]]. */
+    * exact cosine re-rank with the probe vector as a plan literal (one
+    * collect serves both cell choice and re-rank). Identical results
+    * to [[ivfTopK]]. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       vectors: DataFrame, idCol: String, vecCol: String,
       probe: DataFrame, k: Int, model: IvfModel, nprobe: Int,
       indexPath: String): DataFrame = {
     val idx = buildIvfIndex(spark, vectors, idCol, vecCol, indexPath, model)
-    val pv = probe.select(col(vecCol).cast("array<double>"))
-      .head().getSeq[Double](0).toArray
-    val cells = probeCells(pv, model, nprobe)
-    val probeB = broadcast(probe.select(col(vecCol).as("__probe")))
+    val pRow = probe
+      .select(col(vecCol).cast("array<double>"), col(vecCol)).head()
+    val cells = probeCells(pRow.getSeq[Double](0).toArray, model, nprobe)
+    val pVec = array(pRow.getSeq[Float](1).map(v => lit(v)): _*).cast("array<float>")
     idx.filter(col("cell").isin(cells: _*))
-      .crossJoin(probeB)
-      .select(col(idCol), round(cosine(col(vecCol), col("__probe")), 6).as("cosine"))
+      .select(col(idCol), round(cosine(col(vecCol), pVec), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol)).limit(k)
   }
 }
