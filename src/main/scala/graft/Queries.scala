@@ -1321,6 +1321,37 @@ object Queries {
       |  list_min(qs) AS q_min, list_max(qs) AS q_max
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** Tensor preparation (`TensorPrep`): alphabetical label codes for
+    * target and categorical, standardized float32 numeric — the whole
+    * deep-learning encoder pipeline oracle-checked value-for-value
+    * (the float32 narrowing is replicated in SQL via CAST(.. AS FLOAT),
+    * so even the precision loss must agree). */
+  def q58TensorPrep(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val enc = graft.ml.TensorPrep.fit(o, "o_orderstatus",
+      catCols = Seq("o_orderpriority"), numCols = Seq("o_totalprice"))
+    graft.ml.TensorPrep.transform(o, enc)
+      .select(col("o_orderkey"), col("y"),
+        col("x_cat").getItem(0).as("cat0"),
+        round(col("x_num").getItem(0).cast("double"), 6).as("num0"))
+      .orderBy("o_orderkey")
+  }
+
+  val q58Sql: String =
+    """WITH d AS (SELECT * FROM orders WHERE o_orderstatus IS NOT NULL),
+      |tc AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS code
+      |       FROM (SELECT DISTINCT o_orderstatus AS v FROM d)),
+      |cc AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS code
+      |       FROM (SELECT DISTINCT o_orderpriority AS v FROM d)),
+      |st AS (SELECT avg(CAST(o_totalprice AS DOUBLE)) AS m,
+      |              stddev_samp(CAST(o_totalprice AS DOUBLE)) AS sd FROM d)
+      |SELECT o_orderkey, tc.code AS y, cc.code AS cat0,
+      |  round(CAST(CAST((CAST(o_totalprice AS DOUBLE) - m) / sd AS FLOAT) AS DOUBLE), 6) AS num0
+      |FROM d JOIN tc ON d.o_orderstatus = tc.v
+      |       JOIN cc ON d.o_orderpriority = cc.v
+      |       CROSS JOIN st
+      |ORDER BY o_orderkey""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -1383,6 +1414,7 @@ object Queries {
     "q55_curation" -> (q55Curation _),
     "q56_vocab" -> (q56Vocab _),
     "q57_quantize" -> (q57Quantize _),
+    "q58_tensor_prep" -> (q58TensorPrep _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1442,6 +1474,7 @@ object Queries {
     "q55_curation" -> q55Sql,
     "q56_vocab" -> q56Sql,
     "q57_quantize" -> q57Sql,
+    "q58_tensor_prep" -> q58Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
