@@ -1352,6 +1352,30 @@ object Queries {
       |       CROSS JOIN st
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Cross-document boilerplate detection — the CCNet/RefinedWeb-style
+    * curation pass: a sentence appearing in many distinct documents is
+    * template noise (headers, footers, licenses), not content. One
+    * explode + one (sentence → distinct-doc count) aggregation; at
+    * 100 TB the sentence relation shuffles hashes, not text, if the
+    * projection swaps in a fingerprint — here the sentence itself is
+    * kept because the output IS the boilerplate list. */
+  def q59Boilerplate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sentence"))
+      .filter(length(trim(col("sentence"))) > 0)
+      .groupBy("sentence")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 3)
+      .orderBy(col("n_docs").desc, col("sentence"))
+
+  val q59Sql: String =
+    """SELECT sentence, count(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS sentence
+      |      FROM documents)
+      |WHERE length(trim(sentence)) > 0
+      |GROUP BY sentence HAVING count(DISTINCT doc_id) >= 3
+      |ORDER BY n_docs DESC, sentence""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -1415,6 +1439,7 @@ object Queries {
     "q56_vocab" -> (q56Vocab _),
     "q57_quantize" -> (q57Quantize _),
     "q58_tensor_prep" -> (q58TensorPrep _),
+    "q59_boilerplate" -> (q59Boilerplate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1475,6 +1500,7 @@ object Queries {
     "q56_vocab" -> q56Sql,
     "q57_quantize" -> q57Sql,
     "q58_tensor_prep" -> q58Sql,
+    "q59_boilerplate" -> q59Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -227,6 +227,21 @@ object Similarity {
         .repartition(col("bucket"))
     }
 
+  /** Incrementally append new vectors to a committed LSH index — the
+    * index lifecycle's second half (a training corpus grows; rebuilding
+    * 100 TB for each delivery is not a plan). Same bucket function,
+    * append-mode partitioned write: new files land inside the existing
+    * `bucket=` directories and the very next probe sees old + new rows
+    * with no rebuild. Compact small appended files periodically with a
+    * `forceReload` rebuild. */
+  def appendToAnnIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, bits: Int, dim: Int): Unit =
+    vectors
+      .withColumn("bucket", lshBucket(col(vecCol), bits, dim))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .option("compression", "snappy").parquet(path)
+
   /** Probe a materialized LSH index: enumerate the multiprobe bucket
     * neighborhood driver-side, prune to those partitions, exact-cosine
     * re-rank. Results are identical to [[annTopK]] on the same corpus

@@ -99,6 +99,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed === plain)
   }
 
+  test("appended vectors are visible to the next indexed probe without a rebuild") {
+    val probe = emb.filter($"vec_id" === 0)
+    val first = emb.filter($"vec_id" < 100)
+    val rest = emb.filter($"vec_id" >= 100)
+    val path = java.nio.file.Files.createTempDirectory("ann_app").toString + "/idx"
+    // build on the first half only
+    Similarity.annTopKIndexed(spark, first, "vec_id", "embedding",
+      probe, k = 10, bits = 8, dim = 64, multiprobe = 2, path).collect()
+    // append the rest; probe must now equal the full-corpus scan result
+    Similarity.appendToAnnIndex(rest, "vec_id", "embedding", path, bits = 8, dim = 64)
+    val indexed = Similarity.annTopKIndexed(spark, first, "vec_id", "embedding",
+      probe, k = 10, bits = 8, dim = 64, multiprobe = 2, path)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val scan = Similarity.annTopK(emb, "vec_id", "embedding", probe,
+      k = 10, bits = 8, dim = 64, multiprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed === scan)
+  }
+
   test("bucketsWithin enumerates the exact hamming ball") {
     val got = Similarity.bucketsWithin(0L, 4, 1).toSet
     assert(got === Set(0L, 1L, 2L, 4L, 8L))
