@@ -33,28 +33,38 @@ object TensorPrep {
       targetCodes: Map[String, Long],
       numStats: Map[String, (Double, Double)])
 
-  /** Fit encoders on `df`: alphabetical label codes per categorical
-    * (and the target), mean/sample-std per numeric (the q14/`Features
-    * .standardize` convention). */
+  /** Fit encoders on `df` in ONE scan: `collect_set` gathers every
+    * encoder domain (dim-small by contract — the same contract the
+    * star-schema dims live under) alongside the numeric moments in a
+    * single aggregation, instead of one scan per column. Codes are
+    * alphabetical per sklearn-LabelEncoder; stats are mean/sample-std
+    * (the q14/`Features.standardize` convention).
+    *
+    * Degenerate inputs stay usable: a null aggregate (single-row fit,
+    * all-null column, empty frame) yields mean 0 / std 0, and std 0
+    * means "scale by 1" at transform time — sklearn's zero-variance
+    * behavior — rather than an ANSI DIVIDE_BY_ZERO crash. */
   def fit(df: DataFrame, targetCol: String, catCols: Seq[String],
       numCols: Seq[String]): Encoders = {
     val data = df.filter(col(targetCol).isNotNull)
-    def codesOf(c: String): Map[String, Long] =
-      data.select(col(c).cast("string")).filter(col(c).isNotNull)
-        .distinct().collect().map(_.getString(0))
-        .sorted.zipWithIndex.map { case (v, i) => v -> i.toLong }.toMap
-    val stats: Map[String, (Double, Double)] = if (numCols.isEmpty) Map.empty
-    else {
-      val aggs = numCols.flatMap(c => Seq(
-        avg(col(c).cast("double")).as(s"${c}_m"),
-        stddev_samp(col(c).cast("double")).as(s"${c}_sd")))
-      val row = data.agg(aggs.head, aggs.tail: _*).head()
-      numCols.zipWithIndex.map { case (c, i) =>
-        c -> ((row.getDouble(2 * i), row.getDouble(2 * i + 1)))
-      }.toMap
-    }
+    val domainCols = catCols :+ targetCol
+    val aggs = domainCols.map(c => collect_set(col(c).cast("string")).as(s"__s_$c")) ++
+      numCols.flatMap(c => Seq(
+        avg(col(c).cast("double")).as(s"__m_$c"),
+        stddev_samp(col(c).cast("double")).as(s"__sd_$c")))
+    val row = data.agg(aggs.head, aggs.tail: _*).head()
+    def codesAt(i: Int): Map[String, Long] =
+      row.getSeq[String](i).sorted.zipWithIndex
+        .map { case (v, j) => v -> j.toLong }.toMap
+    def numAt(i: Int): Double =
+      if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+    val base = domainCols.size
     Encoders(targetCol, catCols, numCols,
-      catCols.map(c => c -> codesOf(c)).toMap, codesOf(targetCol), stats)
+      catCols.zipWithIndex.map { case (c, i) => c -> codesAt(i) }.toMap,
+      codesAt(catCols.size),
+      numCols.zipWithIndex.map { case (c, i) =>
+        c -> ((numAt(base + 2 * i), numAt(base + 2 * i + 1)))
+      }.toMap)
   }
 
   /** Apply fitted encoders: drops null-target rows, appends
@@ -67,9 +77,13 @@ object TensorPrep {
       else coalesce(element_at(typedLit(codes), col(c).cast("string")), lit(0L))
     val xNum = array(enc.numCols.map { c =>
       val (m, sd) = enc.numStats(c)
-      ((col(c).cast("double") - lit(m)) / lit(sd)).cast("float")
-    }: _*)
+      // zero-variance column: scale by 1 (sklearn StandardScaler
+      // convention) — a plain /0.0 would throw under ANSI mode
+      val scale = if (sd == 0.0) 1.0 else sd
+      ((col(c).cast("double") - lit(m)) / lit(scale)).cast("float")
+    }: _*).cast("array<float>") // empty array() is array<void> otherwise
     val xCat = array(enc.catCols.map(c => codeExpr(c, enc.catCodes(c))): _*)
+      .cast("array<bigint>")
     df.filter(col(enc.targetCol).isNotNull)
       .withColumn("x_num", xNum)
       .withColumn("x_cat", xCat)
@@ -89,17 +103,23 @@ object TensorPrep {
     enc.numCols.map(c => (c, enc.numStats(c)._1, enc.numStats(c)._2))
       .toDF("col", "mean", "std")
       .write.mode("overwrite").parquet(s"$path/num_stats")
-    Seq((enc.targetCol, enc.catCols.mkString(","), enc.numCols.mkString(",")))
-      .toDF("target", "cats", "nums")
+    // column lists as ROWS (kind, name, pos) — a delimited string would
+    // corrupt on any column name containing the delimiter
+    (Seq(("target", enc.targetCol, 0)) ++
+      enc.catCols.zipWithIndex.map { case (c, i) => ("cat", c, i) } ++
+      enc.numCols.zipWithIndex.map { case (c, i) => ("num", c, i) })
+      .toDF("kind", "name", "pos")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def load(spark: SparkSession, path: String): Encoders = {
-    val meta = spark.read.parquet(s"$path/meta").head()
-    def split(s: String): Seq[String] =
-      if (s.isEmpty) Seq.empty else s.split(",").toSeq
-    val catCols = split(meta.getString(1))
-    val numCols = split(meta.getString(2))
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    def colsOf(kind: String): Seq[String] =
+      metaRows.filter(_._1 == kind).sortBy(_._3).map(_._2).toSeq
+    val catCols = colsOf("cat")
+    val numCols = colsOf("num")
+    val targetCol = colsOf("target").head
     val cats = spark.read.parquet(s"$path/cat_codes").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .groupBy(_._1).map { case (c, rows) =>
@@ -109,7 +129,7 @@ object TensorPrep {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val stats = spark.read.parquet(s"$path/num_stats").collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    Encoders(meta.getString(0), catCols, numCols,
+    Encoders(targetCol, catCols, numCols,
       catCols.map(c => c -> cats.getOrElse(c, Map.empty[String, Long])).toMap,
       target, stats)
   }
