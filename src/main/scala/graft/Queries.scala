@@ -41,7 +41,19 @@ object Queries {
   private def fanOut(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val summary = fs.getContentSummary(p)
+    // count DATA files only: getContentSummary would include _SUCCESS
+    // and other commit markers, inflating the file count right at the
+    // repartition threshold. One listStatus is still one driver FS call.
+    val (dataBytes, dataFiles) = {
+      val stats =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(st => st.isFile && {
+            val n = st.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+        else Array(fs.getFileStatus(p))
+      (stats.map(_.getLen).sum, stats.length.toLong)
+    }
     val target = spark.sparkContext.defaultParallelism
     // redistribute when the table is small in bytes (a shuffle is
     // cheap) OR ships as very few mid-sized files (few-row-group
@@ -49,9 +61,9 @@ object Queries {
     // is the bound the byte probe alone would miss). Beyond 8 GiB a
     // forced shuffle is no longer obviously cheaper than the skew, so
     // a genuinely huge-but-few-file layout is left to the reader.
-    if (summary.getLength < 256L * 1024 * 1024 ||
-        (summary.getFileCount < math.max(2, target / 2) &&
-          summary.getLength < 8L * 1024 * 1024 * 1024))
+    if (dataBytes < 256L * 1024 * 1024 ||
+        (dataFiles < math.max(2, target / 2) &&
+          dataBytes < 8L * 1024 * 1024 * 1024))
       df.repartition(target)
     else df
   }
@@ -1186,8 +1198,16 @@ object Queries {
     val stats = fs.listStatus(p)
     val fp = (dir.hashCode.toLong * 1000003L) ^
       stats.map(x => x.getLen * 31L + x.getModificationTime).sum
-    s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
-      s"${java.lang.Long.toHexString(fp)}/$name"
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_index"
+    val fpHex = java.lang.Long.toHexString(fp)
+    // prune dead fingerprints: a regenerated corpus changes fp, and the
+    // old fp's index dirs would otherwise accumulate in tmp forever
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (fs.exists(rootP))
+      fs.listStatus(rootP)
+        .filter(st => st.isDirectory && st.getPath.getName != fpHex)
+        .foreach(st => fs.delete(st.getPath, true))
+    s"$root/$fpHex/$name"
   }
 
   /** ANN probe against the MATERIALIZED LSH index: the corpus is
@@ -1345,10 +1365,10 @@ object Queries {
       |       FROM (SELECT DISTINCT o_orderpriority AS v FROM d)),
       |st AS (SELECT avg(CAST(o_totalprice AS DOUBLE)) AS m,
       |              stddev_samp(CAST(o_totalprice AS DOUBLE)) AS sd FROM d)
-      |SELECT o_orderkey, tc.code AS y, cc.code AS cat0,
+      |SELECT o_orderkey, tc.code AS y, coalesce(cc.code, 0) AS cat0,
       |  round(CAST(CAST((CAST(o_totalprice AS DOUBLE) - m) / sd AS FLOAT) AS DOUBLE), 6) AS num0
       |FROM d JOIN tc ON d.o_orderstatus = tc.v
-      |       JOIN cc ON d.o_orderpriority = cc.v
+      |       LEFT JOIN cc ON d.o_orderpriority = cc.v
       |       CROSS JOIN st
       |ORDER BY o_orderkey""".stripMargin
 

@@ -53,8 +53,14 @@ object TensorPrep {
         avg(col(c).cast("double")).as(s"__m_$c"),
         stddev_samp(col(c).cast("double")).as(s"__sd_$c")))
     val row = data.agg(aggs.head, aggs.tail: _*).head()
+    // sort by CODE POINT, not Scala's default UTF-16 code-unit order:
+    // sklearn LabelEncoder (np.unique) and the DuckDB oracle's ORDER BY
+    // both sort binary/code-point — supplementary-plane values diverge
+    // under the default String ordering (same hazard as EsiEtl's cmp)
+    val codePointOrd: Ordering[String] = (xs: String, ys: String) =>
+      java.util.Arrays.compare(xs.codePoints().toArray, ys.codePoints().toArray)
     def codesAt(i: Int): Map[String, Long] =
-      row.getSeq[String](i).sorted.zipWithIndex
+      row.getSeq[String](i).sorted(codePointOrd).zipWithIndex
         .map { case (v, j) => v -> j.toLong }.toMap
     def numAt(i: Int): Double =
       if (row.isNullAt(i)) 0.0 else row.getDouble(i)

@@ -255,10 +255,15 @@ object Similarity {
       probe: DataFrame, k: Int, bits: Int, dim: Int, multiprobe: Int,
       indexPath: String): DataFrame = {
     val idx = buildAnnIndex(spark, vectors, idCol, vecCol, indexPath, bits, dim)
+    // collect the probe as array<double> (lossless widening) and rebuild
+    // the literal at the INDEX column's own element type — the public
+    // signature accepts array<float> or array<double> probes alike
     val pRow = probe
-      .select(lshBucket(col(vecCol), bits, dim), col(vecCol)).head()
+      .select(lshBucket(col(vecCol), bits, dim),
+        col(vecCol).cast("array<double>")).head()
     val buckets = bucketsWithin(pRow.getLong(0), bits, multiprobe)
-    val pVec = array(pRow.getSeq[Float](1).map(v => lit(v)): _*).cast("array<float>")
+    val pVec = array(pRow.getSeq[Double](1).map(v => lit(v)): _*)
+      .cast(idx.schema(vecCol).dataType.simpleString)
     idx.filter(col("bucket").isin(buckets: _*))
       .select(col(idCol), round(cosine(col(vecCol), pVec), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol)).limit(k)
@@ -287,10 +292,14 @@ object Similarity {
       probe: DataFrame, k: Int, model: IvfModel, nprobe: Int,
       indexPath: String): DataFrame = {
     val idx = buildIvfIndex(spark, vectors, idCol, vecCol, indexPath, model)
+    // one collect serves cell choice and the re-rank literal; the probe
+    // may be array<float> OR array<double> — widen to double, rebuild at
+    // the index column's native element type
     val pRow = probe
-      .select(col(vecCol).cast("array<double>"), col(vecCol)).head()
+      .select(col(vecCol).cast("array<double>")).head()
     val cells = probeCells(pRow.getSeq[Double](0).toArray, model, nprobe)
-    val pVec = array(pRow.getSeq[Float](1).map(v => lit(v)): _*).cast("array<float>")
+    val pVec = array(pRow.getSeq[Double](0).map(v => lit(v)): _*)
+      .cast(idx.schema(vecCol).dataType.simpleString)
     idx.filter(col("cell").isin(cells: _*))
       .select(col(idCol), round(cosine(col(vecCol), pVec), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol)).limit(k)

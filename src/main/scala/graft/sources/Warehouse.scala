@@ -44,6 +44,29 @@ object Warehouse {
     l.join(r, l(leftKey) === r(rightKey))
   }
 
+  /** Build into a hidden temp sibling, then PUBLISH by rename — rename
+    * is atomic on a real filesystem, so a concurrent reader either sees
+    * the old committed dir (its already-open files survive the unlink,
+    * POSIX semantics) or the complete new one, never a half-written
+    * rebuild deleting files out from under a running scan (the hazard
+    * of in-place `mode("overwrite")`). Stale temp dirs from crashed
+    * builds are swept before each build. */
+  private def commitVia(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path)(writeTo: String => Unit): Unit = {
+    val parent = p.getParent
+    fs.mkdirs(parent)
+    val tmpPrefix = s".${p.getName}.tmp-"
+    fs.listStatus(parent)
+      .filter(_.getPath.getName.startsWith(tmpPrefix))
+      .foreach(st => fs.delete(st.getPath, true))
+    val tmp = new org.apache.hadoop.fs.Path(parent,
+      tmpPrefix + java.util.UUID.randomUUID().toString)
+    writeTo(tmp.toString)
+    if (fs.exists(p)) fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"failed to publish $tmp -> $p")
+  }
+
   /** Keyed dataset cache — the reference's parquet cache probe
     * (`machineLearning.py:132-150`: skip the DB if the cache file for
     * this table-set key exists; `force_reload` bypasses). `build` runs
@@ -58,8 +81,10 @@ object Warehouse {
     // would serve as a valid cache forever
     val committed = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
     if (forceReload || !committed)
-      build.write.mode("overwrite")
-        .option("compression", "snappy").parquet(path)
+      commitVia(fs, p) { tmp =>
+        build.write.mode("overwrite")
+          .option("compression", "snappy").parquet(tmp)
+      }
     spark.read.parquet(path)
   }
 
@@ -75,9 +100,11 @@ object Warehouse {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val committed = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
     if (forceReload || !committed)
-      build.write.mode("overwrite")
-        .partitionBy(partitionCols: _*)
-        .option("compression", "snappy").parquet(path)
+      commitVia(fs, p) { tmp =>
+        build.write.mode("overwrite")
+          .partitionBy(partitionCols: _*)
+          .option("compression", "snappy").parquet(tmp)
+      }
     spark.read.parquet(path)
   }
 

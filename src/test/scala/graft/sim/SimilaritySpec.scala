@@ -86,6 +86,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again === scan)
   }
 
+  test("indexed probes accept an array<double> corpus (not just float)") {
+    val dEmb = emb.withColumn("embedding", $"embedding".cast("array<double>"))
+    val probe = dEmb.filter($"vec_id" === 0)
+    val path = java.nio.file.Files.createTempDirectory("ann_idx_d").toString + "/idx"
+    // must not ClassCastException collecting the probe row; results must
+    // rank the probe first like the float path
+    val top = Similarity.annTopKIndexed(spark, dEmb, "vec_id", "embedding",
+      probe, k = 10, bits = 8, dim = 64, multiprobe = 2, path)
+      .collect()
+    assert(top.length === 10)
+    assert(top.head.getLong(0) === 0L)
+    assert(top.head.getDouble(1) === 1.0)
+  }
+
   test("indexed IVF probe returns exactly the unindexed result") {
     val probe = emb.filter($"vec_id" === 0)
     val model = Similarity.ivfFitSample(emb, "vec_id", "embedding", nlist = 8)
