@@ -703,17 +703,51 @@ object Queries {
 
   val q27Sql: String = annOracleSql(bits = 12, multiprobe = 2)
 
-  /** MinHash signatures (rows-only: the hash has no DuckDB equivalent).
-   *  The signature is dumped as a comma-joined string, not `array<bigint>`:
-   *  the driver's comparison harness sorts column values with pandas, which
-   *  cannot hash numpy arrays (round-1 `q28` harness crash).
-   */
-  def q28MinhashSig(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        array_join(graft.functions.minhash_sig(col("text"), width = 3, k = 16), ",")
-          .as("sig"))
+  /** MinHash signatures via the engine-portable md5-based variant
+    * ([[TextOps.portableMinhash]]) — every signature VALUE is
+    * oracle-recomputed in DuckDB from the same shingle/hash/permutation
+    * constants (the q29 strategy applied to MinHash; the native xxhash
+    * `minhash_sig` expression is the throughput path, covered by
+    * TextHashSpec and the q23 pipeline). The signature dumps as a
+    * comma-joined string, not `array<bigint>`: the driver's comparison
+    * harness sorts column values with pandas, which cannot hash numpy
+    * arrays (round-1 `q28` harness crash). */
+  def q28MinhashSig(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val sig = graft.text.TextOps.portableMinhash(
+      t(s, dir, "documents"), "doc_id", "text", width = 3, k = k)
+    sig.select(col("id").as("doc_id"),
+        concat_ws(",", (0 until k).map(j => col(s"m$j")): _*).as("sig"))
       .orderBy("doc_id")
+  }
+
+  val q28Sql: String = {
+    val p = graft.text.TextOps.minhashP
+    val minExprs = graft.text.TextOps.minhashParams(16).zipWithIndex
+      .map { case ((a, b), j) => s"min(($a * h + $b) % $p) AS m$j" }
+      .mkString(",\n      |    ")
+    val sigConcat = (0 until 16).map(j => s"CAST(m$j AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                             x -> x <> '') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+       |    THEN list_transform(range(1, len(ws) - 1),
+       |           i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+       |    ELSE [array_to_string(ws, ' ')] END) AS shingle
+       |  FROM toks),
+       |h AS (
+       |  SELECT doc_id, list_reduce(list_transform(generate_series(1, 15),
+       |    i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT)),
+       |    (a, b) -> a * 16 + b) % $p AS h
+       |  FROM sh),
+       |m AS (
+       |  SELECT doc_id, $minExprs
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, $sigConcat AS sig FROM m ORDER BY doc_id""".stripMargin
+  }
 
   /** SimHash signatures via the engine-portable md5-based 60-bit
     * variant — the signature VALUES are oracle-checked bit-for-bit
@@ -1373,28 +1407,39 @@ object Queries {
       |ORDER BY o_orderkey""".stripMargin
 
   /** Cross-document boilerplate detection — the CCNet/RefinedWeb-style
-    * curation pass: a sentence appearing in many distinct documents is
-    * template noise (headers, footers, licenses), not content. One
-    * explode + one (sentence → distinct-doc count) aggregation; at
-    * 100 TB the sentence relation shuffles hashes, not text, if the
-    * projection swaps in a fingerprint — here the sentence itself is
-    * kept because the output IS the boilerplate list. */
-  def q59Boilerplate(s: SparkSession, dir: String): DataFrame =
+    * curation pass: a fragment appearing in many distinct documents is
+    * template noise (headers, footers, licenses), not content. The
+    * repetition unit is the word 3-gram (the n-gram template filter;
+    * line/sentence units degenerate on single-sentence corpora like
+    * this one). One explode + one (gram → distinct-doc count)
+    * aggregation; at 100 TB the gram relation shuffles hashes, not
+    * text, if the projection swaps in a fingerprint — here the gram
+    * itself is kept because the output IS the boilerplate list.
+    * `element_at` is 1-based and the sequence bounds keep every index
+    * in range, so the expression is ANSI-safe. */
+  def q59Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sentence"))
-      .filter(length(trim(col("sentence"))) > 0)
-      .groupBy("sentence")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(ws) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i),
+          element_at(ws, i + 1), element_at(ws, i + 2)))).as("gram"))
+      .groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= 3)
-      .orderBy(col("n_docs").desc, col("sentence"))
+      .filter(col("n_docs") >= 4)
+      .orderBy(col("n_docs").desc, col("gram"))
+  }
 
   val q59Sql: String =
-    """SELECT sentence, count(DISTINCT doc_id) AS n_docs
-      |FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS sentence
-      |      FROM documents)
-      |WHERE length(trim(sentence)) > 0
-      |GROUP BY sentence HAVING count(DISTINCT doc_id) >= 3
-      |ORDER BY n_docs DESC, sentence""".stripMargin
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS gram
+      |      FROM w WHERE len(ws) >= 3)
+      |SELECT gram, count(DISTINCT doc_id) AS n_docs
+      |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 4
+      |ORDER BY n_docs DESC, gram""".stripMargin
 
   // ===================================================================
   // Wiring
@@ -1490,6 +1535,7 @@ object Queries {
     "q25_embed_dup" -> q25Sql,
     "q26_dateseq" -> q26Sql,
     "q27_ann_topk" -> q27Sql,
+    "q28_minhash_sig" -> q28Sql,
     "q29_simhash_sig" -> q29Sql,
     "q30_cube_drill" -> q30Sql,
     "q31_sessionize" -> q31Sql,

@@ -153,6 +153,49 @@ object TextOps {
       .select(col("id"), sig.as("sig"))
   }
 
+  /** Modulus and affine-permutation constants for [[portableMinhash]].
+    * Derived by splitmix64 of the permutation index — no RNG state, and
+    * the same literals inline into an external SQL oracle. The modulus
+    * is a 31-bit prime so `a * h + b` stays far inside int64 in any
+    * engine. */
+  val minhashP: Long = 1000000007L
+
+  def minhashParams(k: Int): Seq[(Long, Long)] = {
+    def sm(x: Long): Long = {
+      var z = x * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until k).map { j =>
+      (Math.floorMod(sm(2L * j + 1), minhashP - 1) + 1, // a in [1, P-1]
+        Math.floorMod(sm(2L * j + 2), minhashP)) //          b in [0, P-1]
+    }
+  }
+
+  /** Engine-portable MinHash signature: `width`-word shingles
+    * ([[wordShingles]] over the lowercased text), each hashed to the
+    * 60-bit md5 prefix (the [[portableSimhash60]] recipe) and reduced
+    * mod [[minhashP]]; signature slot j is the minimum of the j-th
+    * affine permutation `(a_j * h + b_j) mod P` over the doc's
+    * shingles. The native xxhash `minhash_sig` expression is the
+    * throughput path; this variant trades md5 cost for bit-for-bit
+    * reproducibility in any engine — the q28 oracle recomputes every
+    * signature value in SQL. Output: (id, m0..m{k-1}); a shingle-less
+    * doc (empty text) hashes its single empty shingle like any other,
+    * so no null-handling asymmetry exists between engines. */
+  def portableMinhash(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, k: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(wordShingles(lower(col(textCol)), width)).as("shingle"))
+    val h = sh.withColumn("h",
+      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % minhashP)
+    val mins = minhashParams(k).zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % minhashP).as(s"m$j")
+    }
+    h.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
   /** Rolling hash over an explicit token-array column (use
     * [[regexTokens]] for an ascii-stable token stream whose `ascii()`
     * agrees across engines). */
