@@ -1441,6 +1441,112 @@ object Queries {
       |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 4
       |ORDER BY n_docs DESC, gram""".stripMargin
 
+  /** Shared DuckDB CTE: whitespace tokens of the lowercased text (the
+    * [[TextOps.tokens]]∘lower recipe) plus n-gram expansion with the
+    * [[TextOps.wordShingles]] short-doc fallback (whole text as one
+    * gram). */
+  private def gramCte(n: Int): String = {
+    val window = (0 until n).map(o => s"ws[i + $o]").mkString(" || ' ' || ")
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                             x -> x <> '') AS ws
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= $n
+       |    THEN list_transform(range(1, len(ws) - ${n - 2}), i -> $window)
+       |    ELSE [array_to_string(ws, ' ')] END) AS gram
+       |  FROM toks)""".stripMargin
+  }
+
+  /** Benchmark decontamination (`Decontaminate`): training documents
+    * sharing any word 4-gram with the held-out eval set (doc_id < 10
+    * plays the benchmark) are contaminated — the GPT-3 13-gram hygiene
+    * rule at a width matched to this corpus's vocabulary. The corpus
+    * side streams through a broadcast-hash SEMI join of the benchmark's
+    * gram set; nothing O(corpus) shuffles. */
+  def q60Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.text.Decontaminate.contaminatedIds(
+      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+      "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+  }
+
+  val q60Sql: String =
+    s"""WITH ${gramCte(4)},
+       |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10)
+       |SELECT DISTINCT doc_id FROM grams
+       |WHERE doc_id >= 10 AND gram IN (SELECT gram FROM bench)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style repetition metrics (`TextOps.repetitionMetrics`):
+    * duplicate-bigram fraction and top-bigram share per document — the
+    * within-doc quality rules that catch keyword stuffing and template
+    * spam that cross-doc dedup misses. */
+  def q61Repetition(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.repetitionMetrics(
+      t(s, dir, "documents"), "doc_id", "text", n = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val q61Sql: String =
+    s"""WITH ${gramCte(2)},
+       |c AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+       |  round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_frac,
+       |  round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top_frac
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** PII redaction (`Redact.scrub`): customer names scrubbed of long
+    * digit runs (+ the email/IPv4 families of the default scrub chain),
+    * with per-row redaction counts — entirely map-side regex work, and
+    * the RE2-safe patterns let the oracle re-run the identical scrub. */
+  def q62Redact(s: SparkSession, dir: String): DataFrame =
+    graft.text.Redact.scrub(
+      t(s, dir, "customer").select("c_custkey", "c_name"), "c_name")
+      .select(col("c_custkey"), col("redacted"),
+        graft.text.Redact.totalRedactions().as("n_redacted"))
+      .orderBy("c_custkey")
+
+  val q62Sql: String = {
+    val pats = graft.text.Redact.defaultPatterns
+    val scrub = pats.foldLeft("c_name") { case (e, (_, p, r)) =>
+      s"regexp_replace($e, '$p', '$r', 'g')"
+    }
+    val counts = pats.map { case (_, p, _) =>
+      s"len(regexp_extract_all(c_name, '$p'))"
+    }.mkString(" + ")
+    s"""SELECT c_custkey, $scrub AS redacted,
+       |  CAST($counts AS BIGINT) AS n_redacted
+       |FROM customer ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Token-budget sequence packing (`PrefixSum.packBudget`): documents
+    * fill fixed 2048-token training packs in id order via the
+    * DISTRIBUTED two-phase prefix sum — never the single-partition
+    * global window (the bucketWidth keeps several buckets live even at
+    * sf0.01 so the multi-bucket offset path is what's verified). */
+  def q63Pack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum
+      .packBudget(docs, "doc_id", "n_tokens", budget = 2048L, bucketWidth = 100L)
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+      .orderBy("pack_id")
+  }
+
+  val q63Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM d),
+      |p AS (SELECT doc_id, n_tokens,
+      |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id FROM c)
+      |SELECT pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+      |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -1505,6 +1611,10 @@ object Queries {
     "q57_quantize" -> (q57Quantize _),
     "q58_tensor_prep" -> (q58TensorPrep _),
     "q59_boilerplate" -> (q59Boilerplate _),
+    "q60_decontaminate" -> (q60Decontaminate _),
+    "q61_repetition" -> (q61Repetition _),
+    "q62_redact" -> (q62Redact _),
+    "q63_pack" -> (q63Pack _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1567,6 +1677,10 @@ object Queries {
     "q57_quantize" -> q57Sql,
     "q58_tensor_prep" -> q58Sql,
     "q59_boilerplate" -> q59Sql,
+    "q60_decontaminate" -> q60Sql,
+    "q61_repetition" -> q61Sql,
+    "q62_redact" -> q62Sql,
+    "q63_pack" -> q63Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -1576,5 +1690,6 @@ object Queries {
     "q01_pricing", "q03_star", "q04_rollup", "q11_window_topk",
     "q13_events_window", "q17_exact_dedup", "q21_rolling_hash",
     "q22_cosine_topk", "q23_minhash_dup", "q27_ann_topk",
-    "q36_esi_etl", "q52_ann_indexed", "q53_ivf_indexed")
+    "q36_esi_etl", "q52_ann_indexed", "q53_ivf_indexed",
+    "q60_decontaminate", "q63_pack")
 }

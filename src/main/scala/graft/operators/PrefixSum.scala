@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global prefix sum — the scan primitive behind
+  * sequence packing, global row numbering, and budgeted chunking.
+  *
+  * The naive formulation (`sum(x) OVER (ORDER BY k)`) is a
+  * single-partition window: Spark moves the ENTIRE relation to one
+  * task (WindowExec warns about exactly this), which is the canonical
+  * 100 TB scale-killer. This operator is the two-phase scan instead:
+  *
+  *  1. bucket rows by `orderCol / bucketWidth` (a VALUE-derived bucket,
+  *     deterministic under any partitioning — no dependence on
+  *     `spark_partition_id`);
+  *  2. window-cumsum WITHIN each bucket (one hash shuffle, buckets run
+  *     in parallel);
+  *  3. the per-bucket totals — one row per bucket, driver-small by
+  *     construction (`corpus / bucketWidth` rows) — become exclusive
+  *     running offsets on the driver and broadcast-join back.
+  *
+  * Total cost: one shuffle of the data + one tiny collect, vs the
+  * single-task sort of the naive window. Requires a unique numeric
+  * order key (ties across rows would make "prefix" ill-defined).
+  */
+object PrefixSum {
+
+  /** Append `outCol` = Σ valueCol over all rows with a smaller-or-equal
+    * `orderCol` (inclusive prefix sum in `orderCol` order). */
+  def cumsum(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, bucketWidth: Long = 100000L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val bucket = floor(col(orderCol) / lit(bucketWidth)).cast("long")
+    val in = df.withColumn("__bucket", bucket)
+    val within = in.withColumn("__c",
+      sum(col(valueCol)).over(
+        Window.partitionBy(col("__bucket")).orderBy(col(orderCol))))
+    // one row per bucket: driver-small by construction, documented
+    val totals = in.groupBy(col("__bucket"))
+      .agg(sum(col(valueCol)).as("__t"))
+      .collect()
+      .map(r => (r.getLong(0), r.get(1) match {
+        case null => 0.0
+        case n: java.lang.Number => n.doubleValue()
+      }))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((Long.MinValue, 0.0)) {
+      case ((_, acc), (b, t)) => (b, acc + t)
+    }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__bucket", "__off"))
+    within.join(offDf, Seq("__bucket"))
+      .withColumn(outCol, col("__c") + col("__off"))
+      .drop("__bucket", "__c", "__off")
+  }
+
+  /** Greedy stream packing: rows in `orderCol` order fill fixed
+    * token-budget packs; a row belongs to pack
+    * `floor(exclusive_prefix / budget)` — the deterministic,
+    * engine-reproducible formulation of "concatenate documents into
+    * fixed-size training sequences" (packs may overflow by at most one
+    * document, the standard greedy-packing contract). */
+  def packBudget(df: DataFrame, orderCol: String, tokenCol: String,
+      budget: Long, packCol: String = "pack_id",
+      bucketWidth: Long = 100000L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    cumsum(df, orderCol, tokenCol, "__cum", bucketWidth)
+      .withColumn(packCol,
+        floor((col("__cum") - col(tokenCol)) / lit(budget)).cast("long"))
+      .drop("__cum")
+  }
+}

@@ -153,6 +153,31 @@ object TextOps {
       .select(col("id"), sig.as("sig"))
   }
 
+  /** Gopher-style within-document repetition metrics — the quality
+    * rules that catch pathological pages exact/near dedup misses
+    * (keyword stuffing, template spam): the fraction of REPEATED
+    * n-gram occurrences and the share claimed by the single most
+    * frequent n-gram. One explode + a two-level aggregation
+    * ((id, gram) counts, then per-id moments) — both stages combine
+    * map-side, one shuffle each, no window.
+    *
+    * Output: (id, n_grams, dup_frac = 1 − distinct/total,
+    * top_frac = max_count/total), doubles rounded to 6. */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      explode(wordShingles(lower(col(textCol)), n)).as("gram"))
+    grams.groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id")).agg(
+        sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("__distinct"),
+        max(col("cnt")).as("__max"))
+      .select(col("id"), col("n_grams"),
+        round(lit(1.0) - try_divide(col("__distinct"), col("n_grams")), 6)
+          .as("dup_frac"),
+        round(try_divide(col("__max"), col("n_grams")), 6).as("top_frac"))
+  }
+
   /** Modulus and affine-permutation constants for [[portableMinhash]].
     * Derived by splitmix64 of the permutation index — no RNG state, and
     * the same literals inline into an external SQL oracle. The modulus

@@ -1,0 +1,100 @@
+package graft.text
+
+import graft.TestSpark
+import graft.operators.PrefixSum
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-3 curation additions: decontamination, repetition
+  * metrics, PII redaction, distributed prefix-sum packing. */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decontamination flags exactly the docs sharing an n-gram") {
+    val bench = Seq((0L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a quick brown fox jumps today"), // shares "quick brown fox jumps"
+      (11L, "the quick brown dog sits"), //      longest shared run is 3 words
+      (12L, "completely unrelated words here")
+    ).toDF("doc_id", "text")
+    val flagged = Decontaminate
+      .contaminatedIds(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(10L))
+    val clean = Decontaminate
+      .decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean === Set(11L, 12L))
+  }
+
+  test("decontamination catches short eval docs via the whole-text gram") {
+    val bench = Seq((0L, "two words")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "two words"), //   exact short copy
+      (11L, "two words more") // a 3-token doc: grams are whole-text only at n=4
+    ).toDF("doc_id", "text")
+    val flagged = Decontaminate
+      .contaminatedIds(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(10L))
+  }
+
+  test("repetition metrics match hand-computed fractions") {
+    // bigrams of "a b a b a": [a b, b a, a b, b a] -> 4 total, 2 distinct,
+    // max count 2 -> dup_frac 0.5, top_frac 0.5
+    val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("doc_id", "text")
+    val m = TextOps.repetitionMetrics(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m(1L) === ((4L, 0.5, 0.5)))
+    assert(m(2L) === ((2L, 0.0, 0.5))) // [x y, y z]: all distinct, max 1/2
+  }
+
+  test("redaction scrubs all three families and counts before replacing") {
+    val df = Seq(
+      (1L, "mail bob@example.com ip 10.0.0.1 acct 12345678"),
+      (2L, "nothing to hide")
+    ).toDF("id", "text")
+    val out = Redact.scrub(df, "text")
+      .select($"id", $"redacted", Redact.totalRedactions().as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("mail <EMAIL> ip <IP> acct <NUM>", 3L)))
+    assert(out(2L) === (("nothing to hide", 0L)))
+  }
+
+  test("cumsum equals the driver-computed prefix sum across buckets") {
+    val df = (1L to 250L).map(i => (i, i % 7 + 1)).toDF("k", "v")
+    val got = PrefixSum.cumsum(df, "k", "v", "cum", bucketWidth = 50L)
+      .select($"k", $"cum").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    var acc = 0.0
+    (1L to 250L).foreach { i =>
+      acc += i % 7 + 1
+      assert(got(i) === acc, s"at k=$i")
+    }
+  }
+
+  test("cumsum plan has no single-partition global window") {
+    val df = (1L to 100L).map(i => (i, 1L)).toDF("k", "v")
+    val plan = PrefixSum.cumsum(df, "k", "v", "cum", bucketWidth = 10L)
+      .queryExecution.executedPlan.toString
+    // every window must be partitioned (by the bucket): a global-order
+    // window would show an empty partition spec
+    assert(!plan.contains("windowspecdefinition(k#"), plan.take(500))
+  }
+
+  test("packBudget: packs fill to the budget, overflow at most one doc") {
+    val df = (0L until 100L).map(i => (i, 100L)).toDF("doc_id", "n_tokens")
+    val packs = PrefixSum
+      .packBudget(df, "doc_id", "n_tokens", budget = 250L, bucketWidth = 30L)
+      .groupBy("pack_id").agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // 100 docs x 100 tokens into 250-budget packs: each pack takes the
+    // doc that crosses its boundary -> 3 docs (300 tokens) per pack
+    assert(packs.forall { case (_, tok, _) => tok <= 250L + 100L })
+    assert(packs.map(_._3).sum === 100L)
+    assert(packs.map(_._1).toSeq === packs.map(_._1).toSeq.sorted)
+  }
+}
