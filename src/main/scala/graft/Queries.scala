@@ -68,8 +68,17 @@ object Queries {
     else df
   }
 
+  /** Fact-sized tables get the adaptive fan-out ([[fanOut]]): the test
+    * corpus ships them as single-row-group files, so without it every
+    * scan-side stage (partial aggregation, per-row text/vector work)
+    * runs in ONE task no matter the core count. Dimension tables stay
+    * plain — they ride broadcast sides where a repartition is pure
+    * waste. */
+  private val fanOutTables =
+    Set("lineitem", "orders", "documents", "embeddings")
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "documents" || name == "embeddings") {
+    if (fanOutTables(name)) {
       val path = s"$dir/$name.parquet"
       fanOut(spark, path, spark.read.parquet(path))
     }
@@ -86,6 +95,9 @@ object Queries {
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
+      // no fanOut here: every events consumer immediately shuffles on
+      // its own key (window start, user_id) — a pre-repartition is a
+      // pure extra stage, measured ~2× slower on q13
       try spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts",
           expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))

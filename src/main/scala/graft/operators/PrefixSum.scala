@@ -28,12 +28,24 @@ import org.apache.spark.sql.functions._
 object PrefixSum {
 
   /** Append `outCol` = Σ valueCol over all rows with a smaller-or-equal
-    * `orderCol` (inclusive prefix sum in `orderCol` order). */
+    * `orderCol` (inclusive prefix sum in `orderCol` order).
+    *
+    * The scan needs TWO jobs over the input (the offsets collect, then
+    * the windowed result), so by default the bucketed input is
+    * persisted MEMORY_AND_DISK — otherwise everything upstream (e.g.
+    * per-row tokenization) runs twice. Pass a NARROW projection
+    * (order + value + carry columns you need) so the cached footprint
+    * is a few columns, not the corpus; `persist = false` opts out and
+    * accepts the recompute. */
   def cumsum(df: DataFrame, orderCol: String, valueCol: String,
-      outCol: String, bucketWidth: Long = 100000L): DataFrame = {
+      outCol: String, bucketWidth: Long = 100000L,
+      persist: Boolean = true): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val bucket = floor(col(orderCol) / lit(bucketWidth)).cast("long")
-    val in = df.withColumn("__bucket", bucket)
+    val in0 = df.withColumn("__bucket", bucket)
+    val in = if (persist)
+      in0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else in0
     val within = in.withColumn("__c",
       sum(col(valueCol)).over(
         Window.partitionBy(col("__bucket")).orderBy(col(orderCol))))
@@ -67,7 +79,7 @@ object PrefixSum {
       budget: Long, packCol: String = "pack_id",
       bucketWidth: Long = 100000L): DataFrame = {
     require(budget > 0, "budget must be positive")
-    cumsum(df, orderCol, tokenCol, "__cum", bucketWidth)
+    cumsum(df, orderCol, tokenCol, "__cum", bucketWidth, persist = true)
       .withColumn(packCol,
         floor((col("__cum") - col(tokenCol)) / lit(budget)).cast("long"))
       .drop("__cum")
