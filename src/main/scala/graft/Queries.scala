@@ -851,9 +851,9 @@ object Queries {
     * machinery must cancel out exactly (SURVEY §7.4.1's parity rule). */
   def q36EsiEtl(s: SparkSession, dir: String): DataFrame = {
     import graft.etl.{Cleaning, EsiEtl}
-    // the cleaning chain is regex-heavy per row: spread the
-    // single-row-group scan across the cluster before computing it
-    val o = fanOut(s, s"$dir/orders.parquet", t(s, dir, "orders"))
+    // t() already fans out the single-row-group orders scan, so the
+    // regex-heavy cleaning chain runs spread across the cluster
+    val o = t(s, dir, "orders")
     val raw = o.select(
       when(col("o_orderstatus") === "O", lit(" Entrada "))
         .otherwise(lit("salida")).as("tip_movi"),
