@@ -1559,6 +1559,81 @@ object Queries {
       |SELECT pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
       |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin
 
+  /** Near-dup CLUSTERS (`Dedup.dupClusters`): connected components over
+    * the q23 pair relation — pairwise matches become transitive dedup
+    * groups (cluster = component min id). The oracle recomputes the
+    * exact pair set AND the components with a recursive CTE, so the
+    * iterative min-label propagation is value-checked end-to-end. */
+  def q64DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairs(
+      t(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
+    Dedup.dupClusters(pairs)
+      .select(col("id").as("doc_id"), col("cluster"))
+      .orderBy("doc_id")
+  }
+
+  val q64Sql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x->x<>'') toks FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+      |  THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |       i -> array_to_string(list_slice(toks, i, i+2), ' ')))
+      |  ELSE [array_to_string(toks, ' ')] END sh FROM t),
+      |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+      |  CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+      |    (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) jaccard
+      |  FROM s a, s b WHERE a.doc_id < b.doc_id),
+      |e AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.9),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM e
+      |          UNION SELECT id_b, id_a FROM e),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, label) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.id
+      |  WHERE r.label < e2.dst)
+      |SELECT id AS doc_id, min(label) AS cluster
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Approximate distinct counting with an ORACLE-CHECKED error bound:
+    * HyperLogLog++ (`approx_count_distinct`, rsd 2%) per event type,
+    * verified in-plan against the exact count — the output carries the
+    * exact value and the bound verdict, so the oracle (which computes
+    * the exact side and expects `true`) fails the round if the sketch
+    * ever drifts outside ±5%. The sketch itself is the 100 TB path:
+    * fixed-size state, no shuffle of distinct values. */
+  def q65ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_n"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("__approx"))
+      .select(col("event_type"), col("exact_n"),
+        (abs(col("__approx") - col("exact_n")) <=
+          col("exact_n") * lit(0.05)).as("within_5pct"))
+      .orderBy("event_type")
+
+  val q65Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_n, true AS within_5pct
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** BPE pair counting (`TextOps.bpePairCounts`): the top-20 adjacent
+    * character pairs over the frequency-weighted vocabulary — tokenizer
+    * training's merge-candidate scan, corpus-collapsed before any
+    * character work. */
+  def q66BpePairs(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.bpePairCounts(t(s, dir, "documents"), "text")
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
+  val q66Sql: String =
+    """WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                                     x -> x <> '')) AS w FROM documents),
+      |wc AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+      |p AS (SELECT unnest(list_transform(range(1, length(w)),
+      |              i -> substr(w, i, 2))) AS pair, cnt
+      |      FROM wc WHERE length(w) >= 2)
+      |SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
+      |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -1627,6 +1702,9 @@ object Queries {
     "q61_repetition" -> (q61Repetition _),
     "q62_redact" -> (q62Redact _),
     "q63_pack" -> (q63Pack _),
+    "q64_dup_clusters" -> (q64DupClusters _),
+    "q65_approx_distinct" -> (q65ApproxDistinct _),
+    "q66_bpe_pairs" -> (q66BpePairs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1693,6 +1771,9 @@ object Queries {
     "q61_repetition" -> q61Sql,
     "q62_redact" -> q62Sql,
     "q63_pack" -> q63Sql,
+    "q64_dup_clusters" -> q64Sql,
+    "q65_approx_distinct" -> q65Sql,
+    "q66_bpe_pairs" -> q66Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -233,4 +233,64 @@ object Dedup {
     docs.select(col(idCol),
       round(jaccard(TextOps.tokenSet(col(textCol)), probe), 6).as("jaccard"))
   }
+
+  /** Connected components over the near-dup pair relation — the step
+    * that turns pairwise matches into dedup GROUPS. Pairs alone cannot
+    * drive "keep one per cluster": near-duplication is not transitive
+    * (a~b, b~c, a≁c), but the keep decision must be — so the industry
+    * contract is "drop all but one per CONNECTED COMPONENT".
+    *
+    * Algorithm: iterative minimum-label propagation. Every node starts
+    * labeled with its own id; each round adopts the minimum label among
+    * itself and its neighbors; fixpoint = component min everywhere.
+    * Each round is ONE shuffle (a (dst, label) groupBy-min) over the
+    * edge relation, and near-dup graphs from bucket collisions have
+    * tiny diameters, so rounds stay low. Lineage is truncated per round
+    * with an eager localCheckpoint — without it the plan tree doubles
+    * every iteration. The convergence check rides the same materialized
+    * round (no extra pass over un-cached data).
+    *
+    * At 100 TB: rounds = O(component diameter); for adversarial chain
+    * graphs swap in the alternating large-star/small-star contraction —
+    * the per-round plan here is the shared building block.
+    *
+    * Returns (id, cluster) for every node appearing in `pairs`;
+    * `cluster` is the component's minimum id — deterministic under any
+    * partitioning. */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 25): DataFrame = {
+    val e0 = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neigh = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("__nmin"))
+      val next = labels.join(neigh, col("id") === col("dst"), "left")
+        .select(col("id"), col("label").as("__old"),
+          least(col("label"), coalesce(col("__nmin"), col("label")))
+            .as("label"))
+        .localCheckpoint() // eager: materializes the round once
+      changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
+
+  /** [[dupClusters]] composed with a keep rule: every node whose id is
+    * not its component minimum is a drop candidate. */
+  def dropNearDups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drops = dupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
 }

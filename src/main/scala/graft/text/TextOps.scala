@@ -153,6 +153,25 @@ object TextOps {
       .select(col("id"), sig.as("sig"))
   }
 
+  /** BPE-style adjacent-pair counting — the inner loop of tokenizer
+    * training at corpus scale: weight each word by its corpus
+    * frequency, then count adjacent symbol pairs across the weighted
+    * vocabulary. The heavy stage (token explode → word counts)
+    * collapses the corpus down to vocabulary size with map-side
+    * combine BEFORE any character work — subsequent BPE merge rounds
+    * replay against the vocabulary-sized word-count table, never the
+    * corpus. Returns (pair, cnt); the caller picks the argmax (the
+    * merge candidate) or top-k. */
+  def bpePairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val wordCounts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("w")) >= 2) // a 1-char word has no pair
+    wordCounts
+      .select(explode(charNgrams(col("w"), 2)).as("pair"), col("cnt"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Gopher-style within-document repetition metrics — the quality
     * rules that catch pathological pages exact/near dedup misses
     * (keyword stuffing, template spam): the fraction of REPEATED

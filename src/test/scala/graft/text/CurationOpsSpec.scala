@@ -84,6 +84,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!plan.contains("windowspecdefinition(k#"), plan.take(500))
   }
 
+  test("dupClusters: components found across chains, cluster = min id") {
+    // components: {1,2,3,7} (chain + branch), {10,11}, {20..29} (long
+    // chain - forces several propagation rounds), singleton edge {40,41}
+    val edges = (Seq((1L, 2L), (2L, 3L), (2L, 7L), (10L, 11L), (40L, 41L)) ++
+      (20L until 29L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup.dupClusters(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L && got(7L) === 1L)
+    assert(got(10L) === 10L && got(11L) === 10L)
+    (20L to 29L).foreach(i => assert(got(i) === 20L, s"node $i"))
+    assert(got(40L) === 40L && got(41L) === 40L)
+    assert(got.size === 18)
+  }
+
+  test("dropNearDups keeps exactly one doc per component") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = graft.dedup.Dedup.dropNearDups(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 9L)) // component min survives; untouched doc survives
+  }
+
+  test("bpePairCounts: weighted by word frequency, 1-char words excluded") {
+    // "ab ab a cd" -> vocab: ab(x2), a(x1, dropped), cd(x1)
+    val df = Seq((1L, "ab ab a"), (2L, "cd")).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(df, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("ab" -> 2L, "cd" -> 1L))
+  }
+
   test("packBudget: packs fill to the budget, overflow at most one doc") {
     val df = (0L until 100L).map(i => (i, 100L)).toDF("doc_id", "n_tokens")
     val packs = PrefixSum
