@@ -1634,6 +1634,113 @@ object Queries {
       |SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
       |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** Bigram language-model quality scoring — the CCNet-style
+    * perplexity filter: score every document by the mean log
+    * conditional probability of its bigrams under corpus-level bigram
+    * statistics (here self-trained on the same corpus — production
+    * trains on a held-out reference corpus; the machinery is
+    * identical). Two vocabulary-sized count tables join back against
+    * the exploded doc bigrams — the corpus collapses before the join,
+    * and the per-doc average is one more shuffle on doc_id. */
+  def q67LmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bi = docs.select(col("doc_id"),
+      explode(TextOps.wordShingles(lower(col("text")), 2)).as("bg"))
+      .filter(size(split(col("bg"), " ")) === 2)
+    val bgCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val w1Counts = bi
+      .select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bi.join(bgCounts, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(w1Counts, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(try_divide(col("c2"), col("c1")))), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  val q67Sql: String =
+    s"""WITH ${gramCte(2)},
+       |bg AS (SELECT doc_id, gram AS bg FROM grams
+       |       WHERE len(string_split(gram, ' ')) = 2),
+       |c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+       |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+       |       FROM bg GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(avg(ln(CAST(c2.c2 AS DOUBLE) / c1.c1)), 6) AS avg_logp
+       |FROM bg JOIN c2 USING (bg)
+       |        JOIN c1 ON string_split(bg.bg, ' ')[1] = c1.w1
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Column profiling (`Profile.profile`): null counts and exact
+    * distinct cardinalities for every customer column in ONE
+    * aggregation pass, long-format output (the new-delivery QA gate;
+    * the HLL variant is the 100 TB path, exact here so the oracle
+    * matches numbers, not estimates). */
+  def q68Profile(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Profile.profile(
+      t(s, dir, "customer"),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      .orderBy("column")
+
+  val q68Sql: String = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    cols.map(c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct FROM customer""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
+  /** Forward-fill imputation (`Features.forwardFill`): sparse event
+    * attribute (value only on 'click' rows) carried forward per user in
+    * event order — LOCF over a per-key running frame, never a global
+    * sort. */
+  def q69Ffill(s: SparkSession, dir: String): DataFrame =
+    Features.forwardFill(
+      t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_type") === "click", col("value")).as("v")),
+      "user_id", Seq("event_id"), "v", "v_filled")
+      .select(col("user_id"), col("event_id"),
+        round(col("v_filled"), 6).as("v_filled"))
+      .orderBy("user_id", "event_id")
+
+  val q69Sql: String =
+    """SELECT user_id, event_id,
+      |  round(last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+      |FROM events WHERE user_id < 50
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Token-window chunking (`TextOps.chunkTokens`): 32-token windows
+    * with 4-token overlap — the context-length splitter for training
+    * and retrieval, one row per chunk, all map-side. */
+  def q70Chunk(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+      size = 32, overlap = 4)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("n_chunk_tokens"), col("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val q70Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |st AS (SELECT doc_id, ws,
+      |  range(1, greatest(1, len(ws) - 4) + 1, 28) AS starts FROM t),
+      |c AS (SELECT doc_id,
+      |  unnest(list_transform(starts, s -> array_to_string(list_slice(ws, s, s + 31), ' '))) AS chunk,
+      |  generate_subscripts(starts, 1) - 1 AS chunk_idx
+      |  FROM st)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(len(list_filter(string_split(chunk, ' '), x -> x <> '')) AS BIGINT) AS n_chunk_tokens,
+      |  chunk
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -1705,6 +1812,10 @@ object Queries {
     "q64_dup_clusters" -> (q64DupClusters _),
     "q65_approx_distinct" -> (q65ApproxDistinct _),
     "q66_bpe_pairs" -> (q66BpePairs _),
+    "q67_lm_score" -> (q67LmScore _),
+    "q68_profile" -> (q68Profile _),
+    "q69_ffill" -> (q69Ffill _),
+    "q70_chunk" -> (q70Chunk _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1774,6 +1885,10 @@ object Queries {
     "q64_dup_clusters" -> q64Sql,
     "q65_approx_distinct" -> q65Sql,
     "q66_bpe_pairs" -> q66Sql,
+    "q67_lm_score" -> q67Sql,
+    "q68_profile" -> q68Sql,
+    "q69_ffill" -> q69Sql,
+    "q70_chunk" -> q70Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -168,6 +168,23 @@ object Features {
       .select(col(groupCol), col("col.*"),
         (col("pos") + 1).cast("long").as(rankCol))
 
+  /** Forward-fill (LOCF imputation): each null adopts the latest
+    * non-null value at-or-before it within its partition — the
+    * time-series face of imputation (sensor gaps, sparse event
+    * attributes). `last(_, ignoreNulls)` over a running frame; the
+    * window partitions by `partCol`, so state never crosses keys and
+    * the shuffle is the ordinary per-key exchange — no global sort.
+    * Leading nulls (no prior observation) stay null by definition. */
+  def forwardFill(df: DataFrame, partCol: String, orderCols: Seq[String],
+      valueCol: String, outCol: String): DataFrame = {
+    // orderCols must be a UNIQUE key within the partition: a ROWS frame
+    // under a tied sort is partitioning-dependent — pass a tiebreaker
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
   /** Partition schema fields into (numeric, categorical) — the dtype
     * driven feature classification (`machineLearning.py:281-282`). */
   def classifyColumns(df: DataFrame): (Seq[String], Seq[String]) = {

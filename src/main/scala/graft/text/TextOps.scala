@@ -153,6 +153,33 @@ object TextOps {
       .select(col("id"), sig.as("sig"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the context-length
+    * splitter feeding training and retrieval pipelines: a document
+    * becomes ⌈(n − overlap)/(size − overlap)⌉ windows of `size` tokens,
+    * consecutive windows sharing `overlap` tokens so no boundary
+    * context is lost. Pure map-side expression work (token split →
+    * start-index sequence → slice), one output row per chunk via
+    * posexplode; a short document yields itself as chunk 0. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need 0 <= overlap < size")
+    val step = size - overlap
+    val ts = tokens(col(textCol))
+    val n = size_(ts)
+    val starts = sequence(lit(1), greatest(lit(1), n - lit(overlap)), lit(step))
+    docs.select(col(idCol),
+      posexplode(transform(starts,
+        s => concat_ws(" ", slice(ts, s, lit(size))))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("n_chunk_tokens", size_(tokens(col("chunk"))).cast("long"))
+  }
+
+  // functions.size under its own name clashes with scala Predef in some
+  // import orders; alias once
+  private def size_(c: Column) = org.apache.spark.sql.functions.size(c)
+
   /** BPE-style adjacent-pair counting — the inner loop of tokenizer
     * training at corpus scale: weight each word by its corpus
     * frequency, then count adjacent symbol pairs across the weighted

@@ -114,6 +114,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Map("ab" -> 2L, "cd" -> 1L))
   }
 
+  test("chunkTokens: overlapping windows cover the doc, short doc = one chunk") {
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(df, "doc_id", "text", size = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === Set(
+      (1L, 0, "t1 t2 t3 t4"), (1L, 1, "t4 t5 t6 t7"), (1L, 2, "t7 t8 t9 t10"),
+      (2L, 0, "a b")))
+  }
+
+  test("forwardFill carries last observation per key, leading nulls stay null") {
+    val df = Seq(
+      (1L, 1L, Some(10.0)), (1L, 2L, None), (1L, 3L, Some(30.0)), (1L, 4L, None),
+      (2L, 1L, None), (2L, 2L, Some(5.0))
+    ).toDF("k", "o", "v")
+    val got = graft.features.Features.forwardFill(df, "k", Seq("o"), "v", "f")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got((1L, 1L)) === Some(10.0))
+    assert(got((1L, 2L)) === Some(10.0))
+    assert(got((1L, 3L)) === Some(30.0))
+    assert(got((1L, 4L)) === Some(30.0))
+    assert(got((2L, 1L)) === None) // nothing observed yet
+    assert(got((2L, 2L)) === Some(5.0))
+  }
+
+  test("profile: one pass, correct null and distinct counts") {
+    val df = Seq((Some(1), Some("x")), (Some(1), None), (None, Some("y")))
+      .toDF("a", "b")
+    val got = graft.etl.Profile.profile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") === ((3L, 1L, 1L)))
+    assert(got("b") === ((3L, 1L, 2L)))
+  }
+
   test("packBudget: packs fill to the budget, overflow at most one doc") {
     val df = (0L until 100L).map(i => (i, 100L)).toDF("doc_id", "n_tokens")
     val packs = PrefixSum
