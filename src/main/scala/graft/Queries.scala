@@ -1741,6 +1741,38 @@ object Queries {
       |  chunk
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** SCD Type-2 dimension build (`Scd.scd2FromChangeLog`): each
+    * customer's order-priority history collapses into validity-interval
+    * episodes (consecutive unchanged states merge; `valid_to` = next
+    * episode's start, open while current) — the temporal face of the
+    * D3 surrogate-key dimensions, one shuffle, windows share one sort. */
+  def q71Scd2(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Scd.scd2FromChangeLog(
+      t(s, dir, "orders").filter(col("o_custkey") < 100)
+        .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+      keyCols = Seq("o_custkey"), attrCols = Seq("o_orderpriority"),
+      orderCols = Seq("o_orderdate", "o_orderkey"))
+      .select(col("o_custkey"), col("o_orderpriority"),
+        col("valid_from"), col("valid_to"), col("version"), col("is_current"))
+      .orderBy("o_custkey", "version")
+
+  val q71Sql: String =
+    """WITH src AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      |             FROM orders WHERE o_custkey < 100),
+      |m AS (SELECT *, (row_number() OVER w = 1 OR
+      |        o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w) AS keep
+      |      FROM src
+      |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |e AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      |      FROM m WHERE keep)
+      |SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER w2 AS valid_to,
+      |  CAST(row_number() OVER w2 AS BIGINT) AS version,
+      |  (lead(o_orderdate) OVER w2 IS NULL) AS is_current
+      |FROM e
+      |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -1816,6 +1848,7 @@ object Queries {
     "q68_profile" -> (q68Profile _),
     "q69_ffill" -> (q69Ffill _),
     "q70_chunk" -> (q70Chunk _),
+    "q71_scd2" -> (q71Scd2 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1889,6 +1922,7 @@ object Queries {
     "q68_profile" -> q68Sql,
     "q69_ffill" -> q69Sql,
     "q70_chunk" -> q70Sql,
+    "q71_scd2" -> q71Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -83,6 +83,29 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-static enrichment: the arriving event stream joined to a
+    * STATIC dimension (the classic "lookup the user's segment as events
+    * flow" shape). Structured Streaming plans the static side as an
+    * ordinary broadcast per micro-batch — no state, no watermark
+    * needed for an inner equi-join, and the dim can be swapped by
+    * restarting the query (or use a Delta/refreshable source at real
+    * deployments). The batch face is exactly `events.join(dim)` — q03's
+    * broadcast star shape — so correctness parity is spec-checked, not
+    * oracled. */
+  def enrichStream(spark: SparkSession, srcDir: String,
+      schemaFrom: DataFrame, dim: DataFrame, joinKey: String,
+      queryName: String): StreamingQuery =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(srcDir)
+      .join(broadcast(dim), Seq(joinKey))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Batch sessionization (gaps-and-islands): a new session starts when
     * the gap to the previous event of the same user exceeds
     * `gapSeconds`. Window functions only — one shuffle on user_id,

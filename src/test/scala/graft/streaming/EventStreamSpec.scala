@@ -60,6 +60,25 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() === 500)
   }
 
+  test("stream-static enrichment equals the batch broadcast join") {
+    val dir = Files.createTempDirectory("events_enrich").toString
+    events.write.mode("overwrite").parquet(dir)
+    val dim = spark.range(0, 1000)
+      .select($"id".as("user_id"),
+        concat(lit("seg-"), ($"id" % 7).cast("string")).as("segment"))
+    val q = EventStream.enrichStream(spark, dir, events, dim,
+      "user_id", "enrich_test")
+    q.awaitTermination(120000)
+    val streamed = spark.table("enrich_test")
+      .select("event_id", "segment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = events.join(dim, Seq("user_id"))
+      .select("event_id", "segment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("batch sessionization: sessions partition each user's events") {
     val sessions = EventStream.sessionizeBatch(events, gapSeconds = 3600)
     val totalEvents = sessions.agg(sum($"n_events")).head.getLong(0)

@@ -149,6 +149,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got("b") === ((3L, 1L, 2L)))
   }
 
+  test("scd2FromChangeLog: runs collapse, intervals abut, one open episode per key") {
+    val log = Seq(
+      (1L, "A", 1L), (1L, "A", 2L), (1L, "B", 3L), (1L, "B", 4L), (1L, "A", 5L),
+      (2L, "X", 1L),
+      (3L, "P", 2L), (3L, null.asInstanceOf[String], 3L), (3L, "P", 4L)
+    ).toDF("k", "attr", "ts")
+    val h = graft.etl.Scd.scd2FromChangeLog(log, Seq("k"), Seq("attr"), Seq("ts", "ts"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)).getOrElse("<null>"), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .sortBy(t => (t._1, t._5))
+    // key 1: A[1,3) v1, B[3,5) v2, A[5,∞) v3 — A reappearing is a NEW episode
+    assert(h.filter(_._1 == 1L) === Seq(
+      (1L, "A", 1L, 3L, 1L, false), (1L, "B", 3L, 5L, 2L, false),
+      (1L, "A", 5L, -1L, 3L, true)))
+    // key 2: single open episode
+    assert(h.filter(_._1 == 2L) === Seq((2L, "X", 1L, -1L, 1L, true)))
+    // key 3: null attr is a real state (null-safe change detection)
+    assert(h.filter(_._1 == 3L) === Seq(
+      (3L, "P", 2L, 3L, 1L, false), (3L, "<null>", 3L, 4L, 2L, false),
+      (3L, "P", 4L, -1L, 3L, true)))
+    // exactly one current row per key
+    assert(h.count(_._6) === 3)
+  }
+
   test("packBudget: packs fill to the budget, overflow at most one doc") {
     val df = (0L until 100L).map(i => (i, 100L)).toDF("doc_id", "n_tokens")
     val packs = PrefixSum
