@@ -1773,6 +1773,88 @@ object Queries {
       |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, version""".stripMargin
 
+  /** Set operations (§2.G beyond unions): customers active in 1995 but
+    * not 1996 (EXCEPT) and active in both (INTERSECT) — Spark plans
+    * both as aggregates/joins, no row-at-a-time set state. */
+  def q72SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def activeIn(y: Int) = o
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("date") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("date"))
+      .select(col("o_custkey"))
+    val churned = activeIn(1995).except(activeIn(1996))
+      .withColumn("status", lit("churned"))
+    val retained = activeIn(1995).intersect(activeIn(1996))
+      .withColumn("status", lit("retained"))
+    churned.unionByName(retained).orderBy("status", "o_custkey")
+  }
+
+  val q72Sql: String =
+    """WITH y95 AS (SELECT o_custkey FROM orders
+      |            WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'),
+      |y96 AS (SELECT o_custkey FROM orders
+      |        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01')
+      |SELECT o_custkey, 'churned' AS status FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+      |UNION ALL
+      |SELECT o_custkey, 'retained' AS status FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+      |ORDER BY status, o_custkey""".stripMargin
+
+  /** Lag-based deltas — the OLAP serving staple (day-over-day change
+    * per series): `lag` over a per-key ordered window, one shuffle. */
+  def q73Delta(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("d"))
+    t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(dsum(col("value"), dec6).as("daily"))
+      .withColumn("prev", lag(col("daily"), 1).over(w))
+      .select(col("event_type"), col("d"),
+        round(col("daily"), 6).as("daily"),
+        round(col("daily") - col("prev"), 6).as("delta"))
+      .orderBy("event_type", "d")
+  }
+
+  val q73Sql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS daily
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, d, round(daily, 6) AS daily,
+      |  round(daily - lag(daily) OVER (PARTITION BY event_type ORDER BY d), 6) AS delta
+      |FROM d ORDER BY event_type, d""".stripMargin
+
+  /** Robust outlier detection — median/MAD z-scores (resistant to the
+    * very outliers being hunted, unlike mean/stddev): two exact
+    * percentile aggregations (median, then median of absolute
+    * deviations) and a map-side flag. The exact percentiles are the
+    * oracle-parity path; at 100 TB swap `approx_percentile` in. */
+  def q74Outliers(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    // med/mad are ROUNDED to the 6-decimal grid before the boundary
+    // comparison: the two engines' percentile interpolations could
+    // differ by an ulp, and an unrounded threshold would flip the flag
+    // for a value sitting exactly on it (q49 establishes round-6
+    // percentile parity)
+    val med = c.agg(round(
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal)"), 6).as("m"))
+      .head().getDouble(0)
+    val mad = c.agg(round(
+      expr(s"percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(c_acctbal - $med))"), 6)
+      .as("mad"))
+      .head().getDouble(0)
+    c.select(col("c_custkey"), round(col("c_acctbal"), 6).as("c_acctbal"),
+      (abs(col("c_acctbal") - lit(med)) > lit(3.0) * lit(mad))
+        .as("is_outlier"))
+      .orderBy("c_custkey")
+  }
+
+  val q74Sql: String =
+    """WITH m AS (SELECT round(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 6) AS med FROM customer),
+      |md AS (SELECT round(percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(c_acctbal - med)), 6) AS mad
+      |       FROM customer, m)
+      |SELECT c_custkey, round(c_acctbal, 6) AS c_acctbal,
+      |  (abs(c_acctbal - med) > 3.0 * mad) AS is_outlier
+      |FROM customer, m, md ORDER BY c_custkey""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -1849,6 +1931,9 @@ object Queries {
     "q69_ffill" -> (q69Ffill _),
     "q70_chunk" -> (q70Chunk _),
     "q71_scd2" -> (q71Scd2 _),
+    "q72_setops" -> (q72SetOps _),
+    "q73_delta" -> (q73Delta _),
+    "q74_outliers" -> (q74Outliers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1923,6 +2008,9 @@ object Queries {
     "q69_ffill" -> q69Sql,
     "q70_chunk" -> q70Sql,
     "q71_scd2" -> q71Sql,
+    "q72_setops" -> q72Sql,
+    "q73_delta" -> q73Sql,
+    "q74_outliers" -> q74Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
