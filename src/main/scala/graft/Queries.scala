@@ -43,16 +43,26 @@ object Queries {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     // count DATA files only: getContentSummary would include _SUCCESS
     // and other commit markers, inflating the file count right at the
-    // repartition threshold. One listStatus is still one driver FS call.
+    // repartition threshold. One listStatus is still one driver FS
+    // call; a partitioned (subdirectory) layout falls back to the
+    // recursive summary — a flat listing would see 0 data bytes there
+    // and force-shuffle an arbitrarily large table.
     val (dataBytes, dataFiles) = {
-      val stats =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).filter(st => st.isFile && {
+      val top = fs.getFileStatus(p)
+      if (!top.isDirectory) (top.getLen, 1L)
+      else {
+        val entries = fs.listStatus(p)
+        if (entries.exists(_.isDirectory)) {
+          val s = fs.getContentSummary(p)
+          (s.getLength, s.getFileCount)
+        } else {
+          val stats = entries.filter(st => st.isFile && {
             val n = st.getPath.getName
             !n.startsWith("_") && !n.startsWith(".")
           })
-        else Array(fs.getFileStatus(p))
-      (stats.map(_.getLen).sum, stats.length.toLong)
+          (stats.map(_.getLen).sum, stats.length.toLong)
+        }
+      }
     }
     val target = spark.sparkContext.defaultParallelism
     // redistribute when the table is small in bytes (a shuffle is
@@ -1244,10 +1254,13 @@ object Queries {
     val stats = fs.listStatus(p)
     val fp = (dir.hashCode.toLong * 1000003L) ^
       stats.map(x => x.getLen * 31L + x.getModificationTime).sum
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_index"
+    // two-level layout: <dirHash>/<contentHex> — pruning stays SCOPED
+    // to stale versions of THIS corpus path. A flat prune of every
+    // other fingerprint would delete the live index of a concurrent
+    // run over a different corpus dir mid-probe.
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
+      java.lang.Integer.toHexString(dir.hashCode)
     val fpHex = java.lang.Long.toHexString(fp)
-    // prune dead fingerprints: a regenerated corpus changes fp, and the
-    // old fp's index dirs would otherwise accumulate in tmp forever
     val rootP = new org.apache.hadoop.fs.Path(root)
     if (fs.exists(rootP))
       fs.listStatus(rootP)

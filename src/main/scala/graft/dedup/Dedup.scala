@@ -258,7 +258,7 @@ object Dedup {
     * `cluster` is the component's minimum id — deterministic under any
     * partitioning. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIters: Int = 25): DataFrame = {
+      idB: String = "id_b", maxIters: Int = 100): DataFrame = {
     val e0 = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val edges = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -282,6 +282,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // LOUD beats wrong: partially-propagated labels would split one
+    // real component into several clusters and dropNearDups would keep
+    // extra docs — refuse rather than return silently-wrong groups
+    require(changed == 0,
+      s"dupClusters did not converge within $maxIters rounds " +
+        s"($changed labels still changing) — component diameter exceeds " +
+        "maxIters; raise it or contract the graph first")
     labels.withColumnRenamed("label", "cluster")
   }
 

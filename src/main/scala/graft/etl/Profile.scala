@@ -20,16 +20,16 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String],
       approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
+    // ONE shared row count — not one per column — plus nulls/distincts
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       Seq(
-        count(lit(1)).as(s"__n_$c"),
         F.sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
         (if (approxDistinct) approx_count_distinct(col(c))
         else countDistinct(col(c))).as(s"__nd_$c"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>
-      s"'$c', `__n_$c`, `__nn_$c`, `__nd_$c`").mkString(", ")
+      s"'$c', `__n`, `__nn_$c`, `__nd_$c`").mkString(", ")
     wide.select(expr(
       s"stack(${cols.size}, $stackArgs) AS (column, n_rows, n_nulls, n_distinct)"))
   }

@@ -46,12 +46,12 @@ object Scd {
     val episodes = log
       .withColumn("__keep", changedVsPrev(attrCols, w))
       .filter(col("__keep"))
-    val we = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
+    // same window spec as `w`: the post-filter lead/version ranking must
+    // use the identical (key, order) sort the run-collapse used
     episodes
       .withColumn("valid_from", col(tsCol))
-      .withColumn("valid_to", lead(col(tsCol), 1).over(we))
-      .withColumn("version", row_number().over(we).cast("long"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("is_current", col("valid_to").isNull)
       .select((keyCols ++ attrCols).map(col) ++
         Seq(col("valid_from"), col("valid_to"), col("version"),

@@ -49,24 +49,54 @@ object PrefixSum {
     val within = in.withColumn("__c",
       sum(col(valueCol)).over(
         Window.partitionBy(col("__bucket")).orderBy(col(orderCol))))
-    // one row per bucket: driver-small by construction, documented
-    val totals = in.groupBy(col("__bucket"))
+    // one row per bucket: driver-small by construction, documented.
+    // Offsets accumulate in the SUM's own type family: an integral
+    // input keeps exact Long arithmetic all the way out (a double
+    // detour would corrupt prefix sums past 2^53 — byte totals at the
+    // design scale live there); fractional input accumulates in double.
+    val totalsRows = in.groupBy(col("__bucket"))
       .agg(sum(col(valueCol)).as("__t"))
       .collect()
-      .map(r => (r.getLong(0), r.get(1) match {
-        case null => 0.0
-        case n: java.lang.Number => n.doubleValue()
-      }))
-      .sortBy(_._1)
-    val offsets = totals.scanLeft((Long.MinValue, 0.0)) {
-      case ((_, acc), (b, t)) => (b, acc + t)
-    }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+      .sortBy(_.getLong(0))
+    val integral = within.schema("__c").dataType match {
+      case org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val spark = df.sparkSession
     import spark.implicits._
-    val offDf = broadcast(offsets.toDF("__bucket", "__off"))
-    within.join(offDf, Seq("__bucket"))
+    val offDf = broadcast(
+      if (integral) {
+        val totals = totalsRows.map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+        totals.scanLeft((Long.MinValue, 0L)) {
+          case ((_, acc), (b, t)) => (b, Math.addExact(acc, t))
+        }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }
+          .toSeq.toDF("__bucket", "__off")
+      } else {
+        val totals = totalsRows.map(r => (r.getLong(0), r.get(1) match {
+          case null => 0.0
+          case n: java.lang.Number => n.doubleValue()
+        }))
+        totals.scanLeft((Long.MinValue, 0.0)) {
+          case ((_, acc), (b, t)) => (b, acc + t)
+        }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }
+          .toSeq.toDF("__bucket", "__off")
+      })
+    val joined = within.join(offDf, Seq("__bucket"))
       .withColumn(outCol, col("__c") + col("__off"))
       .drop("__bucket", "__c", "__off")
+    if (!persist) joined
+    else {
+      // materialize the result eagerly (it reads the cache once more),
+      // then RELEASE the cached input — without this every cumsum call
+      // pins its projection in executor storage for the session's
+      // lifetime. localCheckpoint blocks are reference-managed by the
+      // ContextCleaner, so the returned frame carries no manual-release
+      // duty for the caller.
+      val out = joined.localCheckpoint()
+      in.unpersist()
+      out
+    }
   }
 
   /** Greedy stream packing: rows in `orderCol` order fill fixed
@@ -79,9 +109,16 @@ object PrefixSum {
       budget: Long, packCol: String = "pack_id",
       bucketWidth: Long = 100000L): DataFrame = {
     require(budget > 0, "budget must be positive")
-    cumsum(df, orderCol, tokenCol, "__cum", bucketWidth, persist = true)
-      .withColumn(packCol,
-        floor((col("__cum") - col(tokenCol)) / lit(budget)).cast("long"))
-      .drop("__cum")
+    val c = cumsum(df, orderCol, tokenCol, "__cum", bucketWidth, persist = true)
+    // integral token counts: exact integer division (the double floor
+    // path loses unit precision past 2^53); token counts are
+    // nonnegative by contract so DIV == floor-div here
+    val pack = c.schema("__cum").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"(__cum - `$tokenCol`) DIV $budget")
+      case _ =>
+        floor((col("__cum") - col(tokenCol)) / lit(budget)).cast("long")
+    }
+    c.withColumn(packCol, pack).drop("__cum")
   }
 }

@@ -56,15 +56,33 @@ object Warehouse {
     val parent = p.getParent
     fs.mkdirs(parent)
     val tmpPrefix = s".${p.getName}.tmp-"
+    val oldPrefix = s".${p.getName}.old-"
+    // sweep only scratch dirs OLDER than an hour: a fresh .tmp- may be
+    // a concurrent builder mid-write — deleting it under them fails
+    // their commit with an opaque error; crashed builds (.tmp-) and
+    // interrupted publishes (.old-) age past the horizon
+    val staleBefore = System.currentTimeMillis() - 60L * 60 * 1000
     fs.listStatus(parent)
-      .filter(_.getPath.getName.startsWith(tmpPrefix))
+      .filter { st =>
+        val n = st.getPath.getName
+        (n.startsWith(tmpPrefix) || n.startsWith(oldPrefix)) &&
+          st.getModificationTime < staleBefore
+      }
       .foreach(st => fs.delete(st.getPath, true))
     val tmp = new org.apache.hadoop.fs.Path(parent,
       tmpPrefix + java.util.UUID.randomUUID().toString)
     writeTo(tmp.toString)
-    if (fs.exists(p)) fs.delete(p, true)
+    // publish by RENAME-SWAP, not delete-then-rename: the old dir moves
+    // aside in one atomic rename and the new one moves in with the
+    // next, so the no-directory window is two metadata ops, not a
+    // recursive delete; the displaced dir is removed last (open readers
+    // of its files survive the unlink, POSIX semantics)
+    val old = new org.apache.hadoop.fs.Path(parent,
+      s".${p.getName}.old-" + java.util.UUID.randomUUID().toString)
+    val hadOld = fs.exists(p) && fs.rename(p, old)
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"failed to publish $tmp -> $p")
+    if (hadOld) fs.delete(old, true)
   }
 
   /** Keyed dataset cache — the reference's parquet cache probe

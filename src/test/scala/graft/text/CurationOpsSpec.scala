@@ -64,24 +64,37 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   test("cumsum equals the driver-computed prefix sum across buckets") {
+    // integral input: the prefix sum must come back as exact longs
     val df = (1L to 250L).map(i => (i, i % 7 + 1)).toDF("k", "v")
     val got = PrefixSum.cumsum(df, "k", "v", "cum", bucketWidth = 50L)
       .select($"k", $"cum").collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toMap
-    var acc = 0.0
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    var acc = 0L
     (1L to 250L).foreach { i =>
       acc += i % 7 + 1
       assert(got(i) === acc, s"at k=$i")
     }
   }
 
+  test("cumsum on a fractional column returns a double prefix sum") {
+    val df = Seq((1L, 0.5), (2L, 0.25), (3L, 1.0)).toDF("k", "v")
+    val got = PrefixSum.cumsum(df, "k", "v", "cum", bucketWidth = 2L)
+      .select($"k", $"cum").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got === Map(1L -> 0.5, 2L -> 0.75, 3L -> 1.75))
+  }
+
   test("cumsum plan has no single-partition global window") {
+    // persist=false keeps the full lineage visible (the persisted path
+    // returns a localCheckpoint whose plan is an opaque cached scan)
     val df = (1L to 100L).map(i => (i, 1L)).toDF("k", "v")
-    val plan = PrefixSum.cumsum(df, "k", "v", "cum", bucketWidth = 10L)
+    val plan = PrefixSum.cumsum(df, "k", "v", "cum", bucketWidth = 10L,
+      persist = false)
       .queryExecution.executedPlan.toString
     // every window must be partitioned (by the bucket): a global-order
     // window would show an empty partition spec
     assert(!plan.contains("windowspecdefinition(k#"), plan.take(500))
+    assert(plan.contains("windowspecdefinition(__bucket"), plan.take(500))
   }
 
   test("dupClusters: components found across chains, cluster = min id") {
