@@ -1868,6 +1868,72 @@ object Queries {
       |  (abs(c_acctbal - med) > 3.0 * mad) AS is_outlier
       |FROM customer, m, md ORDER BY c_custkey""".stripMargin
 
+  /** Shared DuckDB fragment: the 60-bit (15 hex) md5 prefix of an
+    * expression as BIGINT — the numeric face of the engine-portable
+    * hash family (hashSample/kFolds/portable sigs). */
+  private def md5BitsSql(e: String, hexDigits: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, $hexDigits),
+       |    i -> CAST(strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 AS BIGINT)),
+       |    (a, b) -> a * 16 + b)""".stripMargin
+
+  /** Deterministic k-fold assignment (`Features.kFolds`): fold = md5
+    * prefix mod k — the reproducible-forever CV split (no seed state,
+    * stable under any partitioning; the engine-portable complement of
+    * `randomSplit`). */
+  def q75Folds(s: SparkSession, dir: String): DataFrame =
+    Features.kFolds(
+      t(s, dir, "orders").select("o_orderkey"), "o_orderkey", k = 5)
+      .orderBy("o_orderkey")
+
+  val q75Sql: String =
+    s"""SELECT o_orderkey,
+       |  ${md5BitsSql("CAST(o_orderkey AS VARCHAR)", 15)} % 5 AS fold
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Deterministic weighted sampling without replacement
+    * (`Features.weightedSamplePerGroup`): Efraimidis–Spirakis
+    * exponential race per market segment, weight = account balance —
+    * high-value customers win proportionally more often, yet the draw
+    * replays bit-for-bit in any engine. */
+  def q76WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .withColumn("w", greatest(col("c_acctbal"), lit(1.0)))
+    Features.weightedSamplePerGroup(c, "c_mktsegment", "c_custkey", "w", k = 5)
+      .select("c_mktsegment", "c_custkey")
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val q76Sql: String =
+    s"""WITH c AS (SELECT c_mktsegment, c_custkey,
+       |  greatest(c_acctbal, 1.0) AS w FROM customer),
+       |r AS (SELECT c_mktsegment, c_custkey,
+       |  round(-ln((${md5BitsSql("CAST(c_custkey AS VARCHAR)", 13)} + 1.0)
+       |            / 4503599627370497.0) / w, 9) AS race
+       |  FROM c),
+       |rk AS (SELECT c_mktsegment, c_custkey,
+       |  row_number() OVER (PARTITION BY c_mktsegment
+       |    ORDER BY race, c_custkey) AS rn FROM r)
+       |SELECT c_mktsegment, c_custkey FROM rk WHERE rn <= 5
+       |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  /** Character-entropy quality scoring (`TextOps.charEntropy`): the
+    * low-information-blob detector (base64 runs, filler, binary spill)
+    * — distributional, where q20's ratios are token-structural. */
+  def q77Entropy(s: SparkSession, dir: String): DataFrame =
+    TextOps.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_chars"), col("entropy"))
+      .orderBy("doc_id")
+
+  val q77Sql: String =
+    """WITH ch AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, length(text) + 1),
+      |                        i -> substr(text, i, 1))) AS ch
+      |  FROM documents),
+      |c AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+      |  round(-sum(cnt * log2(cnt)) / sum(cnt) + log2(sum(cnt)), 6) AS entropy
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -1947,6 +2013,9 @@ object Queries {
     "q72_setops" -> (q72SetOps _),
     "q73_delta" -> (q73Delta _),
     "q74_outliers" -> (q74Outliers _),
+    "q75_folds" -> (q75Folds _),
+    "q76_weighted_sample" -> (q76WeightedSample _),
+    "q77_entropy" -> (q77Entropy _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2024,6 +2093,9 @@ object Queries {
     "q72_setops" -> q72Sql,
     "q73_delta" -> q73Sql,
     "q74_outliers" -> q74Sql,
+    "q75_folds" -> q75Sql,
+    "q76_weighted_sample" -> q76Sql,
+    "q77_entropy" -> q77Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -168,6 +168,39 @@ object Features {
       .select(col(groupCol), col("col.*"),
         (col("pos") + 1).cast("long").as(rankCol))
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * 60-bit md5 prefix of the key, mod k — engine-portable (the
+    * [[hashSample]] recipe), stable under any partitioning or cluster
+    * layout, uniform in expectation, and reproducible years later from
+    * the key alone (no seed state to lose). */
+  def kFolds(df: DataFrame, keyCol: String, k: Int,
+      foldCol: String = "fold"): DataFrame = {
+    require(k > 1, "need at least 2 folds")
+    df.withColumn(foldCol,
+      pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(k.toLong)))
+  }
+
+  /** Deterministic weighted sampling without replacement (per group):
+    * the Efraimidis–Spirakis exponential race — each row draws a
+    * deterministic uniform u from its key's md5 and races with key
+    * `-ln(u)/w`; the k SMALLEST keys per group win, so selection
+    * probability is proportional to weight. Engine-portable end to end
+    * (md5 grid for u, round-9 race keys with an id tiebreak so an ulp
+    * of `ln` divergence between engines cannot flip the pick). Weights
+    * must be strictly positive — clamp before calling. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String,
+      keyCol: String, weightCol: String, k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4503599627370497.0) // (2^52)+1: u in (0, 1)
+    val race = round(-log(u) / col(weightCol), 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(race.asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Forward-fill (LOCF imputation): each null adopts the latest
     * non-null value at-or-before it within its partition — the
     * time-series face of imputation (sensor gaps, sparse event

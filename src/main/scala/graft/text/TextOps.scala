@@ -180,6 +180,24 @@ object TextOps {
   // import orders; alias once
   private def size_(c: Column) = org.apache.spark.sql.functions.size(c)
 
+  /** Per-document character-distribution entropy (bits/char) — the
+    * Gopher-family quality signal that catches low-information blobs
+    * (base64 runs, repeated filler, binary spill) which token-level
+    * filters miss: natural text sits in a characteristic band, extreme
+    * entropy either way is suspect. One char explode + two-level
+    * aggregation, map-side combining; entropy folds from (char count,
+    * total) pairs, never materializing per-doc histograms on the
+    * driver. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    chars.groupBy(col("id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id")).agg(sum(col("cnt")).as("n_chars"),
+        round((-sum(col("cnt") * log2(col("cnt")))
+          / sum(col("cnt")) + log2(sum(col("cnt")))), 6).as("entropy"))
+  }
+
   /** BPE-style adjacent-pair counting — the inner loop of tokenizer
     * training at corpus scale: weight each word by its corpus
     * frequency, then count adjacent symbol pairs across the weighted

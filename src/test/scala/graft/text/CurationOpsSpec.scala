@@ -187,6 +187,46 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(h.count(_._6) === 3)
   }
 
+  test("kFolds: deterministic, in-range, roughly uniform") {
+    val df = spark.range(0, 5000).toDF("id")
+    val folds = graft.features.Features.kFolds(df, "id", 5)
+    val again = graft.features.Features.kFolds(df.repartition(7), "id", 5)
+    val counts = folds.groupBy("fold").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    counts.values.foreach(n => assert(n > 800 && n < 1200, s"skewed fold: $n"))
+    // identical assignment regardless of partitioning
+    val a = folds.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = again.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
+  test("weightedSamplePerGroup: k rows per group, heavy weights dominate") {
+    val df = (1L to 400L).map { i =>
+      // ids 1..20 carry 100x the weight of the rest
+      ("g" + (i % 2), i, if (i <= 20) 1000.0 else 10.0)
+    }.toDF("g", "id", "w")
+    val got = graft.features.Features
+      .weightedSamplePerGroup(df, "g", "id", "w", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.groupBy(_._1).forall(_._2.length == 5))
+    // with a 100:1 weight ratio most winners come from the heavy block
+    assert(got.count(_._2 <= 20) >= 6, got.mkString(","))
+    // deterministic replay
+    val again = graft.features.Features
+      .weightedSamplePerGroup(df.repartition(5), "g", "id", "w", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSet === again.toSet)
+  }
+
+  test("charEntropy: zero for uniform runs, one bit for a 50/50 mix") {
+    val df = Seq((1L, "aaaaaaaa"), (2L, "abababab")).toDF("doc_id", "text")
+    val got = TextOps.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) === ((8L, 0.0)))
+    assert(got(2L) === ((8L, 1.0)))
+  }
+
   test("packBudget: packs fill to the budget, overflow at most one doc") {
     val df = (0L until 100L).map(i => (i, 100L)).toDF("doc_id", "n_tokens")
     val packs = PrefixSum
