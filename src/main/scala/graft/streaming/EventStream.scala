@@ -106,6 +106,40 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-stream interval join — attribution's native shape ("which
+    * click within the last hour led to this purchase"): both sides are
+    * unbounded streams, so the join must hold STATE, and the pair of
+    * watermarks plus the time-bound join condition is what lets Spark
+    * EVICT it — a click older than (purchase watermark − window) can
+    * never match again and is dropped. Without the time bound the state
+    * grows forever; with it, state is O(events per window horizon).
+    * The batch face is the same equi-join + BETWEEN predicate, which is
+    * what the spec checks parity against. */
+  def intervalJoinStreams(spark: SparkSession, leftDir: String,
+      rightDir: String, schemaFrom: DataFrame, joinKey: String,
+      windowSeconds: Long, watermark: String,
+      queryName: String): StreamingQuery = {
+    val l = spark.readStream.schema(schemaFrom.schema).parquet(leftDir)
+      .withWatermark("ts", watermark)
+      .select(col(joinKey), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+    val r = spark.readStream.schema(schemaFrom.schema).parquet(rightDir)
+      .withWatermark("ts", watermark)
+      .select(col(joinKey).as("__rk"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r,
+      col(joinKey) === col("__rk") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .drop("__rk")
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts when
     * the gap to the previous event of the same user exceeds
     * `gapSeconds`. Window functions only — one shuffle on user_id,

@@ -79,6 +79,30 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val clicks = events.filter($"event_type" === "click")
+    val purchases = events.filter($"event_type" === "purchase")
+    val lDir = Files.createTempDirectory("ss_clicks").toString
+    val rDir = Files.createTempDirectory("ss_purch").toString
+    clicks.write.mode("overwrite").parquet(lDir)
+    purchases.write.mode("overwrite").parquet(rDir)
+    val q = EventStream.intervalJoinStreams(spark, lDir, rDir, events,
+      "user_id", windowSeconds = 3600L, watermark = "10 minutes",
+      "ssjoin_test")
+    q.awaitTermination(180000)
+    val streamed = spark.table("ssjoin_test")
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = clicks.select($"user_id", $"ts".as("l_ts"), $"event_id".as("l_id"))
+      .join(purchases.select($"user_id", $"ts".as("r_ts"), $"event_id".as("r_id")),
+        Seq("user_id"))
+      .filter($"r_ts" >= $"l_ts" && $"r_ts" <= $"l_ts" + expr("INTERVAL 3600 SECONDS"))
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture should produce at least one attribution pair")
+    assert(streamed === batch)
+  }
+
   test("batch sessionization: sessions partition each user's events") {
     val sessions = EventStream.sessionizeBatch(events, gapSeconds = 3600)
     val totalEvents = sessions.agg(sum($"n_events")).head.getLong(0)
