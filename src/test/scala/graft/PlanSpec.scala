@@ -54,6 +54,21 @@ class PlanSpec extends AnyFunSuite {
       l.contains("PartitionFilters: [cell")), s"no cell pruning:\n$plan")
   }
 
+  test("q60: decontamination is a broadcast semi join — the corpus side never shuffles for the match") {
+    val plan = planOf("q60_decontaminate")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q67: vocabulary-sized count tables broadcast to the doc-bigram stream") {
+    val plan = planOf("q67_lm_score")
+    // both the bigram-count and unigram-count joins must be broadcast
+    // (the corpus-side relation is the big one); AQE or static sizing
+    // may pick either, so assert no SMJ rather than an exact count
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q01: aggregation is two-phase (partial before the exchange)") {
     val plan = planOf("q01_pricing")
     // partial_ aggregate functions appear below the exchange
