@@ -1934,6 +1934,147 @@ object Queries {
       |  round(-sum(cnt * log2(cnt)) / sum(cnt) + log2(sum(cnt)), 6) AS entropy
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top terms per document (`TextOps.tfidfTopTerms`): the
+    * retrieval/keyword staple — sklearn-smooth IDF, vocab-sized IDF
+    * table broadcast onto the (doc, term, tf) relation, hash-agg top-k
+    * (no global window). */
+  def q78Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextOps.tfidfTopTerms(docs, "doc_id", "text", docs.count(), k = 3)
+      .select(col("id").as("doc_id"), col("term"), col("tfidf"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
+  val q78Sql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                     x -> x <> '')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |idf AS (SELECT term,
+      |  ln(((SELECT count(*) FROM documents) + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+      |  FROM tf GROUP BY term),
+      |sc AS (SELECT doc_id, tf.term, round(tf * idf, 6) AS tfidf
+      |       FROM tf JOIN idf USING (term)),
+      |rk AS (SELECT doc_id, term, tfidf,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      |  FROM sc)
+      |SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn
+      |FROM rk WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
+  /** Quantile binning (`Features.quantileBins`): quartile buckets of
+    * order totals with per-bin stats — equal-frequency discretization,
+    * boundaries grid-rounded for cross-engine assignment parity. */
+  def q79Binning(s: SparkSession, dir: String): DataFrame =
+    Features.quantileBins(t(s, dir, "orders"), "o_totalprice", b = 4)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 6).as("lo"),
+        round(max(col("o_totalprice")), 6).as("hi"))
+      .orderBy("bin")
+
+  val q79Sql: String =
+    """WITH q AS (SELECT
+      |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 6) AS q0,
+      |  round(percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice), 6) AS q1,
+      |  round(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice), 6) AS q2
+      |  FROM orders),
+      |b AS (SELECT o_totalprice,
+      |  (CASE WHEN o_totalprice > q0 THEN 1 ELSE 0 END +
+      |   CASE WHEN o_totalprice > q1 THEN 1 ELSE 0 END +
+      |   CASE WHEN o_totalprice > q2 THEN 1 ELSE 0 END) AS bin
+      |  FROM orders, q)
+      |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+      |  round(min(o_totalprice), 6) AS lo, round(max(o_totalprice), 6) AS hi
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** Chi-square contingency statistic — the categorical
+    * feature-selection test (segment × nation-group association).
+    * The contingency table is small BY DEFINITION (category product),
+    * so its marginals come from windows over the dim-sized relation;
+    * terms are grid-rounded and decimal-summed so the statistic is
+    * bit-stable across engines and summation orders. */
+  def q80Chi2(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "customer")
+      .groupBy(col("c_mktsegment").as("seg"),
+        (col("c_nationkey") % 5).as("ng"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val wSeg = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+    val wNg = org.apache.spark.sql.expressions.Window.partitionBy(col("ng"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // contingency-table-sized relation: one task is CORRECT here
+    val terms = obs
+      .withColumn("r", sum(col("n")).over(wSeg))
+      .withColumn("c", sum(col("n")).over(wNg))
+      .withColumn("t", sum(col("n")).over(wAll))
+      .withColumn("e", col("r") * col("c") / col("t"))
+      .withColumn("term",
+        round((col("n") - col("e")) * (col("n") - col("e")) / col("e"), 9))
+    terms.agg(
+      round(sum(col("term").cast(DecimalType(28, 9))).cast("double"), 6)
+        .as("chi2"),
+      ((countDistinct(col("seg")) - 1) * (countDistinct(col("ng")) - 1))
+        .as("dof"),
+      sum(col("n")).cast("long").as("n_obs"))
+  }
+
+  val q80Sql: String =
+    """WITH obs AS (SELECT c_mktsegment AS seg, c_nationkey % 5 AS ng,
+      |  CAST(count(*) AS DOUBLE) AS n FROM customer GROUP BY 1, 2),
+      |m AS (SELECT seg, ng, n,
+      |  sum(n) OVER (PARTITION BY seg) AS r,
+      |  sum(n) OVER (PARTITION BY ng) AS c,
+      |  sum(n) OVER () AS t FROM obs),
+      |tm AS (SELECT seg, ng, n,
+      |  round((n - r * c / t) * (n - r * c / t) / (r * c / t), 9) AS term
+      |  FROM m)
+      |SELECT round(CAST(sum(CAST(term AS DECIMAL(28, 9))) AS DOUBLE), 6) AS chi2,
+      |  CAST((count(DISTINCT seg) - 1) * (count(DISTINCT ng) - 1) AS BIGINT) AS dof,
+      |  CAST(sum(n) AS BIGINT) AS n_obs
+      |FROM tm""".stripMargin
+
+  /** Pearson correlation per group, EXACT-SUM formulation: the five
+    * moment sums go through per-row decimal casts (products of
+    * 2-decimal inputs are 4-decimal exact), so the assembled statistic
+    * is independent of summation order — the builtin streaming `corr`
+    * is merge-order-dependent in its last ulps and would flap the
+    * hash compare. */
+  def q81Corr(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val d4 = DecimalType(30, 4)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x.cast(dec2)).cast("double").as("sx"),
+        sum(y.cast(dec2)).cast("double").as("sy"),
+        sum((x * x).cast(d4)).cast("double").as("sxx"),
+        sum((y * y).cast(d4)).cast("double").as("syy"),
+        sum((x * y).cast(d4)).cast("double").as("sxy"))
+      .select(col("l_returnflag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr"),
+        col("n").cast("long").as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val q81Sql: String =
+    """WITH m AS (SELECT l_returnflag,
+      |  CAST(count(*) AS DOUBLE) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+      |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+      |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |  round((n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr,
+      |  CAST(n AS BIGINT) AS n
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2016,6 +2157,10 @@ object Queries {
     "q75_folds" -> (q75Folds _),
     "q76_weighted_sample" -> (q76WeightedSample _),
     "q77_entropy" -> (q77Entropy _),
+    "q78_tfidf" -> (q78Tfidf _),
+    "q79_binning" -> (q79Binning _),
+    "q80_chi2" -> (q80Chi2 _),
+    "q81_corr" -> (q81Corr _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2096,6 +2241,10 @@ object Queries {
     "q75_folds" -> q75Sql,
     "q76_weighted_sample" -> q76Sql,
     "q77_entropy" -> q77Sql,
+    "q78_tfidf" -> q78Sql,
+    "q79_binning" -> q79Sql,
+    "q80_chi2" -> q80Sql,
+    "q81_corr" -> q81Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

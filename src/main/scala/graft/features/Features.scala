@@ -168,6 +168,30 @@ object Features {
       .select(col(groupCol), col("col.*"),
         (col("pos") + 1).cast("long").as(rankCol))
 
+  /** Quantile binning (equal-frequency discretization): `b` buckets
+    * whose boundaries are the exact 1/b..(b-1)/b percentiles — the
+    * feature-prep discretizer (and the histogram the reference's
+    * EDA plots imply). Boundaries are b−1 driver scalars (one
+    * aggregation), GRID-ROUNDED to 6 decimals so an external engine
+    * recomputing them lands on identical doubles; assignment is then
+    * one map-side expression: bin = Σ (x > boundary). At 100 TB swap
+    * the exact percentile for `approx_percentile` — the assignment
+    * expression is unchanged. */
+  def quantileBins(df: DataFrame, valueCol: String, b: Int,
+      binCol: String = "bin"): DataFrame = {
+    require(b >= 2, "need at least 2 bins")
+    val fracs = (1 until b).map(i => i.toDouble / b)
+    val aggs = fracs.zipWithIndex.map { case (f, i) =>
+      round(expr(s"percentile_cont($f) WITHIN GROUP (ORDER BY `$valueCol`)"), 6)
+        .as(s"__q$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = fracs.indices.map(row.getDouble)
+    val bin = bounds.map(q => when(col(valueCol) > lit(q), 1L).otherwise(0L))
+      .reduce[Column](_ + _)
+    df.withColumn(binCol, bin)
+  }
+
   /** Deterministic k-fold assignment for cross-validation: fold =
     * 60-bit md5 prefix of the key, mod k — engine-portable (the
     * [[hashSample]] recipe), stable under any partitioning or cluster

@@ -180,6 +180,32 @@ object TextOps {
   // import orders; alias once
   private def size_(c: Column) = org.apache.spark.sql.functions.size(c)
 
+  /** TF-IDF top terms per document — the retrieval/keyword-extraction
+    * staple. IDF uses the sklearn smooth formula
+    * `ln((N+1)/(df+1)) + 1` (never divides by zero, never negative).
+    * Scale shape: the (doc, term, tf) relation aggregates with map-side
+    * combine; the IDF table is vocabulary-sized and BROADCASTS back
+    * onto it; top-k per doc reuses the hash-agg top-k (no global
+    * window). `nDocs` is passed in (one `count()` the caller usually
+    * already has) so the operator itself stays one-pass. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      nDocs: Long, k: Int): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // one row per (doc, term) → df = doc count
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) + 1.0) / (col("df") + lit(1.0))) + lit(1.0))
+    val scored = tf.join(broadcast(idf.select(col("term"), col("idf"))), Seq("term"))
+      .withColumn("tfidf", round(col("tf") * col("idf"), 6))
+    graft.features.Features.topKPerGroupAgg(
+      scored.select(col("id"), col("term"), col("tfidf")), "id",
+      struct((-col("tfidf")).as("neg"), col("term").as("term")), k)
+      .select(col("id"), col("term"),
+        (-col("neg")).as("tfidf"), col("rn"))
+  }
+
   /** Per-document character-distribution entropy (bits/char) — the
     * Gopher-family quality signal that catches low-information blobs
     * (base64 runs, repeated filler, binary spill) which token-level

@@ -227,6 +227,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(2L) === ((8L, 1.0)))
   }
 
+  test("quantileBins: equal-frequency buckets, monotone boundaries") {
+    val df = (1L to 1000L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val bins = graft.features.Features.quantileBins(df, "v", 4)
+      .groupBy("bin").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bins.keySet === Set(0L, 1L, 2L, 3L))
+    bins.values.foreach(n => assert(n >= 240 && n <= 260, bins.toString))
+  }
+
+  test("tfidf: corpus-wide terms score below rare discriminative terms") {
+    val df = Seq(
+      (1L, "common rare1"),
+      (2L, "common rare2"),
+      (3L, "common common common")).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopTerms(df, "doc_id", "text", nDocs = 3L, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // equal tf within docs 1/2: the everywhere-term loses on idf
+    assert(top(1L) === "rare1")
+    assert(top(2L) === "rare2")
+    assert(top(3L) === "common") // only term present
+  }
+
   test("packBudget: packs fill to the budget, overflow at most one doc") {
     val df = (0L until 100L).map(i => (i, 100L)).toDF("doc_id", "n_tokens")
     val packs = PrefixSum
