@@ -2075,6 +2075,68 @@ object Queries {
       |  CAST(n AS BIGINT) AS n
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** Incremental aggregate maintenance — the materialized-view pattern:
+    * a BASE aggregate (historical partitions, computed once) merges
+    * with a DELTA aggregate (today's partition) by re-aggregating the
+    * mergeable stats (counts and decimal sums add; avg re-derives from
+    * them), instead of rescanning history. At 100 TB this is the
+    * difference between touching one date partition and touching the
+    * corpus; the oracle computes the full aggregate directly, so the
+    * merge's correctness — not just its shape — is what's checked. */
+  def q82IncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val cut = lit("1997-01-01").cast("date")
+    def part(df: DataFrame) = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice").cast(dec2)).as("s"))
+    val base = part(o.filter(col("o_orderdate") < cut))
+    val delta = part(o.filter(col("o_orderdate") >= cut))
+    base.unionByName(delta)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("s")).as("s"))
+      .select(col("o_orderstatus"), col("cnt"),
+        col("s").cast("double").as("total"),
+        // divide the exact sum AFTER the double cast: decimal division
+        // truncates at the result scale and diverges from the oracle's
+        // double quotient
+        (col("s").cast("double") / col("cnt")).as("avg_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q82Sql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Approximate quantiles with an oracle-checked error bound (the q65
+    * pattern applied to `approx_percentile`): the sketch's median per
+    * group must land within the exact p40–p60 band — the output carries
+    * the exact median and the verdict, so oracle failure means sketch
+    * drift, while the sketch itself (fixed-size state, one pass, no
+    * sort) is the 100 TB path. */
+  def q83ApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 6)
+          .as("exact_p50"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("__approx"),
+        round(expr("percentile_cont(0.4) WITHIN GROUP (ORDER BY o_totalprice)"), 6)
+          .as("__lo"),
+        round(expr("percentile_cont(0.6) WITHIN GROUP (ORDER BY o_totalprice)"), 6)
+          .as("__hi"))
+      .select(col("o_orderpriority"), col("exact_p50"),
+        (col("__approx") >= col("__lo") && col("__approx") <= col("__hi"))
+          .as("in_band"))
+      .orderBy("o_orderpriority")
+
+  val q83Sql: String =
+    """SELECT o_orderpriority,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS exact_p50,
+      |  true AS in_band
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2161,6 +2223,8 @@ object Queries {
     "q79_binning" -> (q79Binning _),
     "q80_chi2" -> (q80Chi2 _),
     "q81_corr" -> (q81Corr _),
+    "q82_incr_agg" -> (q82IncrAgg _),
+    "q83_approx_quantile" -> (q83ApproxQuantile _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2245,6 +2309,8 @@ object Queries {
     "q79_binning" -> q79Sql,
     "q80_chi2" -> q80Sql,
     "q81_corr" -> q81Sql,
+    "q82_incr_agg" -> q82Sql,
+    "q83_approx_quantile" -> q83Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
