@@ -1258,9 +1258,20 @@ object Queries {
     // to stale versions of THIS corpus path. A flat prune of every
     // other fingerprint would delete the live index of a concurrent
     // run over a different corpus dir mid-probe.
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_index"
+    val dirHex = java.lang.Integer.toHexString(dir.hashCode)
+    val root = s"$base/$dirHex"
     val fpHex = java.lang.Long.toHexString(fp)
+    // legacy flat-layout dirs (bare fingerprints directly under the
+    // base, from before the two-level scheme) match no corpus subtree
+    // and would otherwise leak in tmp forever; they are distinguishable
+    // by holding index names (non-hex children) — just sweep any
+    // top-level dir that is not an 8-hex-max dirHash
+    val baseP = new org.apache.hadoop.fs.Path(base)
+    if (fs.exists(baseP))
+      fs.listStatus(baseP)
+        .filter(st => st.isDirectory && st.getPath.getName.length > 8)
+        .foreach(st => fs.delete(st.getPath, true))
     val rootP = new org.apache.hadoop.fs.Path(root)
     if (fs.exists(rootP))
       fs.listStatus(rootP)

@@ -186,6 +186,8 @@ object Features {
         .as(s"__q$i")
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!row.isNullAt(0),
+      s"quantileBins: no non-null values in '$valueCol' (empty input?)")
     val bounds = fracs.indices.map(row.getDouble)
     val bin = bounds.map(q => when(col(valueCol) > lit(q), 1L).otherwise(0L))
       .reduce[Column](_ + _)

@@ -57,11 +57,13 @@ object Warehouse {
     fs.mkdirs(parent)
     val tmpPrefix = s".${p.getName}.tmp-"
     val oldPrefix = s".${p.getName}.old-"
-    // sweep only scratch dirs OLDER than an hour: a fresh .tmp- may be
-    // a concurrent builder mid-write — deleting it under them fails
-    // their commit with an opaque error; crashed builds (.tmp-) and
-    // interrupted publishes (.old-) age past the horizon
-    val staleBefore = System.currentTimeMillis() - 60L * 60 * 1000
+    // sweep only scratch dirs OLDER than a day: a fresh .tmp- may be a
+    // concurrent builder mid-write — deleting it under them fails their
+    // commit with an opaque error. The horizon must exceed any
+    // plausible build duration (a dir's mtime is ~its creation time for
+    // most of a long write), so it is generous; crashed builds (.tmp-)
+    // and interrupted publishes (.old-) age past it eventually.
+    val staleBefore = System.currentTimeMillis() - 24L * 60 * 60 * 1000
     fs.listStatus(parent)
       .filter { st =>
         val n = st.getPath.getName
@@ -78,10 +80,28 @@ object Warehouse {
     // recursive delete; the displaced dir is removed last (open readers
     // of its files survive the unlink, POSIX semantics)
     val old = new org.apache.hadoop.fs.Path(parent,
-      s".${p.getName}.old-" + java.util.UUID.randomUUID().toString)
-    val hadOld = fs.exists(p) && fs.rename(p, old)
+      oldPrefix + java.util.UUID.randomUUID().toString)
+    val existed = fs.exists(p)
+    val hadOld = existed && fs.rename(p, old)
+    // a failed move-aside means another publisher won the race. FAIL
+    // LOUDLY: proceeding would hit Hadoop's rename-into-existing-dir
+    // semantics — tmp would nest INSIDE the winner's published dir,
+    // "succeed", and silently discard this build
+    if (existed && !hadOld && fs.exists(p))
+      throw new java.io.IOException(
+        s"concurrent publish detected at $p — this build is abandoned")
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"failed to publish $tmp -> $p")
+    // post-check for the narrower race (p re-created between our
+    // move-aside and publish): rename-into-existing-dir "succeeds" by
+    // NESTING tmp under p — detect and fail rather than serve a dir
+    // that isn't this build
+    val nested = new org.apache.hadoop.fs.Path(p, tmp.getName)
+    if (fs.exists(nested)) {
+      fs.delete(nested, true)
+      throw new java.io.IOException(
+        s"concurrent publish detected at $p — this build was nested and removed")
+    }
     if (hadOld) fs.delete(old, true)
   }
 

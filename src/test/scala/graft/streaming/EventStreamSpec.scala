@@ -89,7 +89,7 @@ class EventStreamSpec extends AnyFunSuite {
     val q = EventStream.intervalJoinStreams(spark, lDir, rDir, events,
       "user_id", windowSeconds = 3600L, watermark = "10 minutes",
       "ssjoin_test")
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "streaming query timed out")
     val streamed = spark.table("ssjoin_test")
       .select("l_id", "r_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
