@@ -2148,6 +2148,79 @@ object Queries {
       |  true AS in_band
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Ordered funnel analysis — view → click → purchase with strict
+    * event-order chaining (a later stage only counts if it happens
+    * AFTER the user's entry to the previous stage). Three min-ts
+    * aggregations, each joined to the previous stage's entry time —
+    * every join keyed on user_id, so the whole funnel is ordinary
+    * hash-shuffle work, no window over the global event stream. */
+  def q84Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    def stage(etype: String, prev: Option[DataFrame]): DataFrame = {
+      val base = prev match {
+        case None => e.filter(col("event_type") === etype)
+        case Some(pr) => e.filter(col("event_type") === etype)
+          .join(pr, Seq("user_id"))
+          .filter(col("ts") > col("t_prev"))
+      }
+      base.groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        .select(col("user_id"), col("t").as("t_prev"))
+    }
+    val v = stage("view", None)
+    val c = stage("click", Some(v))
+    val p = stage("purchase", Some(c))
+    def cnt(df: DataFrame, label: String) =
+      df.agg(lit(label).as("stage"), count(lit(1)).as("users"))
+    cnt(v, "1_view").unionByName(cnt(c, "2_click"))
+      .unionByName(cnt(p, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  val q84Sql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1)
+      |SELECT '1_view' AS stage, count(*) AS users FROM v
+      |UNION ALL SELECT '2_click', count(*) FROM c
+      |UNION ALL SELECT '3_purchase', count(*) FROM p
+      |ORDER BY stage""".stripMargin
+
+  /** Retention cohort matrix — users grouped by first-activity week,
+    * tracked by distinct activity in each later week offset. Two
+    * aggregations (first-activity, then (cohort, offset) distincts);
+    * the first-activity table joins back keyed on user_id. */
+  def q85Cohort(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = e.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"))
+      .select(col("user_id"),
+        date_trunc("week", col("d0")).cast("date").as("cohort_week"),
+        col("d0"))
+    e.join(first, Seq("user_id"))
+      .select(col("cohort_week"),
+        floor(datediff(col("d"), col("d0")) / 7).cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q85Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |f AS (SELECT user_id, min(d) AS d0 FROM e GROUP BY 1),
+      |j AS (SELECT CAST(date_trunc('week', f.d0) AS DATE) AS cohort_week,
+      |  CAST(floor(date_diff('day', f.d0, e.d) / 7.0) AS BIGINT) AS week_offset,
+      |  e.user_id
+      |  FROM e JOIN f ON e.user_id = f.user_id)
+      |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS users
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2236,6 +2309,8 @@ object Queries {
     "q81_corr" -> (q81Corr _),
     "q82_incr_agg" -> (q82IncrAgg _),
     "q83_approx_quantile" -> (q83ApproxQuantile _),
+    "q84_funnel" -> (q84Funnel _),
+    "q85_cohort" -> (q85Cohort _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2322,6 +2397,8 @@ object Queries {
     "q81_corr" -> q81Sql,
     "q82_incr_agg" -> q82Sql,
     "q83_approx_quantile" -> q83Sql,
+    "q84_funnel" -> q84Sql,
+    "q85_cohort" -> q85Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
