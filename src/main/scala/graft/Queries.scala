@@ -2221,6 +2221,44 @@ object Queries {
       |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS users
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Rolling-window anomaly detection — each day scored against its
+    * series' trailing 7-day mean/std (the monitoring staple). The
+    * window is a per-series ROWS frame over the DAILY aggregate (365
+    * rows per series, not the event stream), so the heavy lifting is
+    * the one groupBy; thresholds grid-round before the comparison (the
+    * q74 boundary rule). The current day is EXCLUDED from its own
+    * baseline (1..7 preceding) — a spike must not inflate the very
+    * statistics that judge it. */
+  def q86RollingAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-7, -1)
+    t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(dsum(col("value"), dec6).as("daily"))
+      .withColumn("base_mean", round(avg(col("daily")).over(w), 6))
+      .withColumn("base_std", round(stddev_samp(col("daily")).over(w), 6))
+      .select(col("event_type"), col("d"), round(col("daily"), 6).as("daily"),
+        (col("base_std").isNotNull && col("base_std") > 0 &&
+          col("daily") > col("base_mean") + lit(3.0) * col("base_std"))
+          .as("is_anomaly"))
+      .orderBy("event_type", "d")
+  }
+
+  val q86Sql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS daily
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, d, daily,
+      |  round(avg(daily) OVER w, 6) AS bm,
+      |  round(stddev_samp(daily) OVER w, 6) AS bs
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, d, round(daily, 6) AS daily,
+      |  (bs IS NOT NULL AND bs > 0 AND daily > bm + 3.0 * bs) AS is_anomaly
+      |FROM m ORDER BY event_type, d""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2311,6 +2349,7 @@ object Queries {
     "q83_approx_quantile" -> (q83ApproxQuantile _),
     "q84_funnel" -> (q84Funnel _),
     "q85_cohort" -> (q85Cohort _),
+    "q86_rolling_anomaly" -> (q86RollingAnomaly _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2399,6 +2438,7 @@ object Queries {
     "q83_approx_quantile" -> q83Sql,
     "q84_funnel" -> q84Sql,
     "q85_cohort" -> q85Sql,
+    "q86_rolling_anomaly" -> q86Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
