@@ -2259,6 +2259,20 @@ object Queries {
       |  (bs IS NOT NULL AND bs > 0 AND daily > bm + 3.0 * bs) AS is_anomaly
       |FROM m ORDER BY event_type, d""".stripMargin
 
+  /** q11's shape on the NATIVE bounded-heap aggregate
+    * (`functions.BoundedTopKAgg`): identical results and oracle, but
+    * the aggregation buffer holds at most k rows per group at every
+    * stage — `collect_list` materializes each group in full before the
+    * sort+slice, which is the OOM under group skew at scale. */
+  def q87TopKNative(s: SparkSession, dir: String): DataFrame =
+    Features.topKPerGroupBounded(t(s, dir, "lineitem"), "l_orderkey",
+        struct(negate(col("l_extendedprice")).as("np"),
+          col("l_linenumber").as("l_linenumber")), 2)
+      .select("l_orderkey", "l_linenumber", "rn")
+      .orderBy("l_orderkey", "rn")
+
+  val q87Sql: String = q11Sql
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2350,6 +2364,7 @@ object Queries {
     "q84_funnel" -> (q84Funnel _),
     "q85_cohort" -> (q85Cohort _),
     "q86_rolling_anomaly" -> (q86RollingAnomaly _),
+    "q87_topk_native" -> (q87TopKNative _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2439,15 +2454,17 @@ object Queries {
     "q84_funnel" -> q84Sql,
     "q85_cohort" -> q85Sql,
     "q86_rolling_anomaly" -> q86Sql,
+    "q87_topk_native" -> q87Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
     * the scan-vs-indexed ANN gap (q52's first pass builds the index;
-    * min-of-3 reports the steady-state pruned probe). */
+    * min-of-3 reports the steady-state pruned probe); q11 vs q87 the
+    * collect_list-vs-bounded-heap top-k gap. */
   val benchNames: Seq[String] = Seq(
     "q01_pricing", "q03_star", "q04_rollup", "q11_window_topk",
     "q13_events_window", "q17_exact_dedup", "q21_rolling_hash",
     "q22_cosine_topk", "q23_minhash_dup", "q27_ann_topk",
     "q36_esi_etl", "q52_ann_indexed", "q53_ivf_indexed",
-    "q60_decontaminate", "q63_pack")
+    "q60_decontaminate", "q63_pack", "q87_topk_native")
 }

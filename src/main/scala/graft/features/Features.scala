@@ -244,6 +244,19 @@ object Features {
     df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** [[topKPerGroupAgg]] on the native bounded-heap aggregate
+    * ([[graft.functions.BoundedTopKAgg]]): identical results, but the
+    * aggregation buffer holds AT MOST k rows per group at every stage —
+    * `collect_list` materializes the whole group before the
+    * sort+slice, which is the OOM at 100 TB group skew. */
+  def topKPerGroupBounded(df: DataFrame, groupCol: String, sortKey: Column,
+      k: Int, rankCol: String = "rn"): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.bounded_topk(sortKey, k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")))
+      .select(col(groupCol), col("col.*"),
+        (col("pos") + 1).cast("long").as(rankCol))
+
   /** Partition schema fields into (numeric, categorical) — the dtype
     * driven feature classification (`machineLearning.py:281-282`). */
   def classifyColumns(df: DataFrame): (Seq[String], Seq[String]) = {

@@ -36,4 +36,11 @@ package object functions {
     * loop per row (see [[DotProduct]] for why not zip_with/aggregate). */
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Bounded per-group top-k AGGREGATE (smallest k of `c`'s natural
+    * ordering, ascending `array`): k-element heap per group at every
+    * stage — never materializes a group's full row set the way
+    * `collect_list` does (see [[BoundedTopKAgg]]). */
+  def bounded_topk(c: Column, k: Int): Column =
+    Bridge.column(BoundedTopKAgg(Bridge.expression(c), k).toAggregateExpression())
 }

@@ -111,4 +111,39 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out.toSet === Set(
       (Some("a"), 1, 0), (Some("b"), 0, 1), (Some("zzz"), 0, 0), (None, 0, 0)))
   }
+
+  test("bounded_topk aggregate equals the collect_list formulation on lineitem") {
+    val li = TestSpark.table("lineitem").limit(20000)
+    val key = struct(negate($"l_extendedprice").as("np"),
+      $"l_linenumber".as("l_linenumber"))
+    val viaList = Features.topKPerGroupAgg(li, "l_orderkey", key, 2)
+      .select("l_orderkey", "l_linenumber", "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaHeap = Features.topKPerGroupBounded(li, "l_orderkey", key, 2)
+      .select("l_orderkey", "l_linenumber", "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaHeap === viaList)
+    assert(viaHeap.nonEmpty)
+  }
+
+  test("bounded_topk on a primitive column keeps the k smallest, sorted") {
+    val df = Seq(("a", 5L), ("a", 1L), ("a", 3L), ("a", 2L), ("b", 9L))
+      .toDF("g", "v")
+    val got = df.groupBy($"g")
+      .agg(graft.functions.bounded_topk($"v", 2).as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("a") === Seq(1L, 2L))
+    assert(got("b") === Seq(9L))
+  }
+
+  test("bounded_topk survives partial-aggregate serialization across many partitions") {
+    val df = spark.range(0, 10000).repartition(32)
+      .select(($"id" % 7).as("g"), $"id".as("v"))
+    val got = df.groupBy($"g")
+      .agg(graft.functions.bounded_topk($"v", 3).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    (0L until 7L).foreach { g =>
+      assert(got(g) === Seq(g, g + 7, g + 14), s"group $g")
+    }
+  }
 }
