@@ -56,6 +56,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           DotProduct(args(0), args(1))
         }))
     ext.injectFunction(
+      (FunctionIdentifier("bounded_topk"),
+        info("bounded_topk", "bounded_topk(expr, k): k smallest values " +
+          "ascending — a k-element heap per group at every aggregation stage"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "bounded_topk expects 2 arguments")
+          require(args(1).foldable, "bounded_topk: k must be a constant")
+          val k = args(1).eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"bounded_topk: k must be an integer, got $other")
+          }
+          BoundedTopKAgg(args(0), k)
+        }))
+    ext.injectFunction(
       (FunctionIdentifier("minhash_sig"),
         info("minhash_sig", "minhash_sig(text, shingleWidth, k)"),
         (args: Seq[Expression]) => {

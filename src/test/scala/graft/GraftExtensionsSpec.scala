@@ -52,6 +52,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sig.length === 16)
   }
 
+  test("bounded_topk is callable from SQL as a grouped aggregate") {
+    val got = spark.sql(
+      """SELECT g, bounded_topk(v, 2) AS top FROM VALUES
+        | ('a', 5), ('a', 1), ('a', 3), ('b', 9) AS t(g, v)
+        |GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(got("a") === Seq(1, 3))
+    assert(got("b") === Seq(9))
+  }
+
   test("CollapseNormalize folds nested normalize_string applications") {
     // non-literal input so constant folding can't remove the expression
     val df = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
