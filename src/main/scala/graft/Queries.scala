@@ -2273,6 +2273,57 @@ object Queries {
 
   val q87Sql: String = q11Sql
 
+  /** Mergeable-sketch distinct maintenance — the q82 pattern for
+    * distinct counts, where plain counts don't merge: per-(type, month)
+    * HLL sketches union up to per-type estimates WITHOUT rescanning
+    * rows (Apache DataSketches `hll_sketch_agg`/`hll_union_agg`). At
+    * 100 TB the per-partition sketches persist beside the data and a
+    * rollup touches kilobytes. Estimates are oracle-checked against
+    * the exact distinct via the in-plan ±5% verdict (q65 pattern). */
+  def q88HllMerge(s: SparkSession, dir: String): DataFrame = {
+    val perMonth = t(s, dir, "events")
+      .groupBy(col("event_type"), month(col("ts")).as("m"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    perMonth
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("__est"))
+      .join(
+        t(s, dir, "events").groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_n")),
+        Seq("event_type"))
+      .select(col("event_type"), col("exact_n"),
+        (abs(col("__est") - col("exact_n")) <= col("exact_n") * lit(0.05))
+          .as("within_5pct"))
+      .orderBy("event_type")
+  }
+
+  val q88Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_n, true AS within_5pct
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Event transition counts — the Markov/path-analysis staple ("what
+    * follows what"): per-user event stream in (ts, event_id) order,
+    * `lag` pairs, global pair counts. One shuffle on user_id for the
+    * window, one map-side-combining count. */
+  def q89Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("prev", "next")
+  }
+
+  val q89Sql: String =
+    """WITH t AS (SELECT user_id, event_type,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events)
+      |SELECT prev, event_type AS next, count(*) AS cnt
+      |FROM t WHERE prev IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2365,6 +2416,8 @@ object Queries {
     "q85_cohort" -> (q85Cohort _),
     "q86_rolling_anomaly" -> (q86RollingAnomaly _),
     "q87_topk_native" -> (q87TopKNative _),
+    "q88_hll_merge" -> (q88HllMerge _),
+    "q89_transitions" -> (q89Transitions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2455,6 +2508,8 @@ object Queries {
     "q85_cohort" -> q85Sql,
     "q86_rolling_anomaly" -> q86Sql,
     "q87_topk_native" -> q87Sql,
+    "q88_hll_merge" -> q88Sql,
+    "q89_transitions" -> q89Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
