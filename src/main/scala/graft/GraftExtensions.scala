@@ -40,6 +40,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         f(args.head)
       })
 
+  /** Constant integer argument, range-checked — a silent
+    * `Long.toInt` truncation would run the query with a huge wrong
+    * parameter instead of erroring. */
+  private def intArg(fn: String, e: Expression, name: String): Int = {
+    require(e.foldable, s"$fn: $name must be a constant")
+    e.eval() match {
+      case i: Int => i
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case l: Long =>
+        require(l >= Int.MinValue && l <= Int.MaxValue,
+          s"$fn: $name out of Int range: $l")
+        l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be an integer, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseNormalize)
     ext.injectFunction(one("normalize_string",
@@ -61,32 +79,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "ascending — a k-element heap per group at every aggregation stage"),
         (args: Seq[Expression]) => {
           require(args.length == 2, "bounded_topk expects 2 arguments")
-          require(args(1).foldable, "bounded_topk: k must be a constant")
-          val k = args(1).eval() match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"bounded_topk: k must be an integer, got $other")
-          }
-          BoundedTopKAgg(args(0), k)
+          BoundedTopKAgg(args(0), intArg("bounded_topk", args(1), "k"))
         }))
     ext.injectFunction(
       (FunctionIdentifier("minhash_sig"),
         info("minhash_sig", "minhash_sig(text, shingleWidth, k)"),
         (args: Seq[Expression]) => {
           require(args.length == 3, "minhash_sig expects 3 arguments")
-          def intArg(e: Expression, name: String): Int = {
-            require(e.foldable, s"minhash_sig: $name must be a constant")
-            e.eval() match {
-              case i: Int => i
-              case l: Long => l.toInt
-              case s: Short => s.toInt
-              case other => throw new IllegalArgumentException(
-                s"minhash_sig: $name must be an integer, got $other")
-            }
-          }
-          MinHashSigExpr(args(0), intArg(args(1), "shingleWidth"),
-            intArg(args(2), "k"))
+          MinHashSigExpr(args(0),
+            intArg("minhash_sig", args(1), "shingleWidth"),
+            intArg("minhash_sig", args(2), "k"))
         }))
   }
 }

@@ -2222,13 +2222,16 @@ object Queries {
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Rolling-window anomaly detection — each day scored against its
-    * series' trailing 7-day mean/std (the monitoring staple). The
-    * window is a per-series ROWS frame over the DAILY aggregate (365
-    * rows per series, not the event stream), so the heavy lifting is
-    * the one groupBy; thresholds grid-round before the comparison (the
-    * q74 boundary rule). The current day is EXCLUDED from its own
-    * baseline (1..7 preceding) — a spike must not inflate the very
-    * statistics that judge it. */
+    * series' trailing-window mean/std (the monitoring staple). The
+    * baseline is the 7 most recent OBSERVED days (a ROWS frame — on a
+    * sparse series it reaches further back in calendar time; a strict
+    * calendar-7-day baseline would be a RANGE-on-date frame instead,
+    * same shape). The window runs over the DAILY aggregate (365 rows
+    * per series, not the event stream), so the heavy lifting is the
+    * one groupBy; thresholds grid-round before the comparison (the q74
+    * boundary rule). The current day is EXCLUDED from its own baseline
+    * (1..7 preceding) — a spike must not inflate the very statistics
+    * that judge it. */
   def q86RollingAnomaly(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("d"))

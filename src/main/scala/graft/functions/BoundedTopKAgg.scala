@@ -32,6 +32,13 @@ import org.apache.spark.sql.types._
   * Buffers serialize as [count, [len, UnsafeRow bytes]*] via an
   * UnsafeProjection — the standard TypedImperativeAggregate contract
   * for shuffle-safe partial states.
+  *
+  * Spark ships a private equivalent (`CollectTopK`, backing
+  * `ListAgg`-style internals) with the same bounded-buffer idea; this
+  * class is graft's own so the ordering contract (natural ascending,
+  * struct = lexicographic — matching `array_sort` and the external
+  * oracles' `ORDER BY`) and the wire format stay under the engine's
+  * control rather than a private API's.
   */
 case class BoundedTopKAgg(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -43,6 +50,14 @@ case class BoundedTopKAgg(child: Expression, k: Int,
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def prettyName: String = "bounded_topk"
+
+  /** Analysis-time orderability check: a MAP (or other unordered)
+    * child must fail with a clean AnalysisException at plan time, not
+    * a MatchError from inside an executor task when the lazy ordering
+    * first forces. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
 
   @transient private lazy val isStruct = child.dataType.isInstanceOf[StructType]
 
@@ -59,17 +74,14 @@ case class BoundedTopKAgg(child: Expression, k: Int,
 
   @transient private lazy val proj =
     UnsafeProjection.create(Array(child.dataType))
-  @transient private lazy val numStructFields = child.dataType match {
-    case s: StructType => s.size
-    case _ => 1
-  }
 
   // PriorityQueue dequeues the LARGEST under `ordering` — exactly the
   // element to evict when a smaller candidate arrives
   override def createAggregationBuffer(): mutable.PriorityQueue[InternalRow] =
     mutable.PriorityQueue.empty[InternalRow](ordering)
 
-  private def insert(buf: mutable.PriorityQueue[InternalRow],
+  /** Insert an ALREADY-OWNED (deep-copied or buffer-owned) row. */
+  private def insertOwned(buf: mutable.PriorityQueue[InternalRow],
       value: InternalRow): Unit = {
     if (buf.size < k) buf.enqueue(value)
     else if (ordering.compare(value, buf.head) < 0) {
@@ -82,21 +94,31 @@ case class BoundedTopKAgg(child: Expression, k: Int,
       input: InternalRow): mutable.PriorityQueue[InternalRow] = {
     val v = child.eval(input)
     if (v != null) {
-      // copy: the evaluated value is backed by the (reused) input
-      // buffer — deep-copy rows AND buffer-backed scalars (UTF8String,
-      // arrays) before retaining them across rows
-      val row = v match {
-        case r: InternalRow => r.copy()
-        case other => InternalRow(InternalRow.copyValue(other))
+      // wrap WITHOUT copying first: the evaluated value is valid for
+      // the duration of this call, so test admission on the raw value
+      // and deep-copy only on actual enqueue — for a skewed group far
+      // past k, almost every row is rejected and pays zero allocation
+      val candidate = v match {
+        case r: InternalRow => r
+        case other => InternalRow(other)
       }
-      insert(buf, row)
+      val admit = buf.size < k || ordering.compare(candidate, buf.head) < 0
+      if (admit) {
+        // deep-copy rows AND buffer-backed scalars (UTF8String, arrays)
+        // before retaining across rows
+        val owned = v match {
+          case r: InternalRow => r.copy()
+          case other => InternalRow(InternalRow.copyValue(other))
+        }
+        insertOwned(buf, owned)
+      }
     }
     buf
   }
 
   override def merge(buf: mutable.PriorityQueue[InternalRow],
       other: mutable.PriorityQueue[InternalRow]): mutable.PriorityQueue[InternalRow] = {
-    other.foreach(insert(buf, _))
+    other.foreach(insertOwned(buf, _)) // deserialized rows are owned
     buf
   }
 

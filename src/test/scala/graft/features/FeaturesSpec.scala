@@ -136,6 +136,16 @@ class FeaturesSpec extends AnyFunSuite {
     assert(got("b") === Seq(9L))
   }
 
+  test("bounded_topk rejects unorderable child types at analysis time") {
+    val df = Seq(("a", 1L)).toDF("g", "v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy($"g")
+        .agg(graft.functions.bounded_topk(map($"g", $"v"), 2))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("order"), e.getMessage)
+  }
+
   test("bounded_topk survives partial-aggregate serialization across many partitions") {
     val df = spark.range(0, 10000).repartition(32)
       .select(($"id" % 7).as("g"), $"id".as("v"))
