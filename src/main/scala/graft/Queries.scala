@@ -2327,6 +2327,52 @@ object Queries {
       |FROM t WHERE prev IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Point-in-time SCD2 lookup — the retrieval half of q71's versioned
+    * dimension: each order resolves the priority-state episode IN
+    * EFFECT at its order date (`AsOfJoin` on valid_from per customer —
+    * the merge formulation, one shuffle, no interval blow-up). The
+    * composition is the warehouse contract: build the history once,
+    * join facts against the version their event time saw. */
+  def q90ScdLookup(s: SparkSession, dir: String): DataFrame = {
+    val scd = graft.etl.Scd.scd2FromChangeLog(
+      t(s, dir, "orders").filter(col("o_custkey") < 100)
+        .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+      keyCols = Seq("o_custkey"), attrCols = Seq("o_orderpriority"),
+      orderCols = Seq("o_orderdate", "o_orderkey"))
+      .select(col("o_custkey").as("k"), col("o_orderpriority").as("state"),
+        col("valid_from"), col("version"))
+    val facts = t(s, dir, "orders").filter(col("o_custkey") < 100)
+      .select(col("o_orderkey"), col("o_custkey").as("k"),
+        col("o_orderdate").as("ts"))
+    graft.operators.AsOfJoin.asOf(
+      facts, scd.select(col("k"), col("valid_from").as("ts"),
+        col("state"), col("version")),
+      key = "k", ts = "ts", carry = Seq("state", "version"),
+      rightTieBreak = "version")
+      .select(col("o_orderkey"), col("k").as("o_custkey"),
+        col("state"), col("version"))
+      .orderBy("o_orderkey")
+  }
+
+  val q90Sql: String =
+    """WITH src AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      |             FROM orders WHERE o_custkey < 100),
+      |m AS (SELECT *, (row_number() OVER w = 1 OR
+      |        o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w) AS keep
+      |      FROM src
+      |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |e AS (SELECT o_custkey, o_orderpriority AS state, o_orderdate AS valid_from,
+      |        CAST(row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
+      |      FROM m WHERE keep),
+      |j AS (SELECT f.o_orderkey, f.o_custkey, v.state, v.version,
+      |        row_number() OVER (PARTITION BY f.o_orderkey
+      |          ORDER BY v.valid_from DESC, v.version DESC) AS rn
+      |      FROM src f LEFT JOIN e v
+      |        ON f.o_custkey = v.o_custkey AND v.valid_from <= f.o_orderdate)
+      |SELECT o_orderkey, o_custkey, state, version
+      |FROM j WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2421,6 +2467,7 @@ object Queries {
     "q87_topk_native" -> (q87TopKNative _),
     "q88_hll_merge" -> (q88HllMerge _),
     "q89_transitions" -> (q89Transitions _),
+    "q90_scd_lookup" -> (q90ScdLookup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2513,6 +2560,7 @@ object Queries {
     "q87_topk_native" -> q87Sql,
     "q88_hll_merge" -> q88Sql,
     "q89_transitions" -> q89Sql,
+    "q90_scd_lookup" -> q90Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
