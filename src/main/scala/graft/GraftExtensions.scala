@@ -82,6 +82,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           BoundedTopKAgg(args(0), intArg("bounded_topk", args(1), "k"))
         }))
     ext.injectFunction(
+      (FunctionIdentifier("freq_sketch"),
+        info("freq_sketch", "freq_sketch(expr, capacity): Misra-Gries " +
+          "frequent-items sketch — bounded mergeable counters; items with " +
+          "frequency > N/(capacity+1) are guaranteed present"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "freq_sketch expects 2 arguments")
+          FreqSketchAgg(args(0), intArg("freq_sketch", args(1), "capacity"))
+        }))
+    ext.injectFunction(
       (FunctionIdentifier("minhash_sig"),
         info("minhash_sig", "minhash_sig(text, shingleWidth, k)"),
         (args: Seq[Expression]) => {

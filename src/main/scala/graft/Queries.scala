@@ -2373,6 +2373,135 @@ object Queries {
       |SELECT o_orderkey, o_custkey, state, version
       |FROM j WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
 
+  /** CDC MERGE — apply a keyed change set (upserts + deletes) to a
+    * snapshot ([[graft.operators.Merge]]). Pre-1995 orders are the
+    * snapshot; 1995+ orders replay as a change log where every 10th
+    * key is a delete. The plan's point at scale: the snapshot is
+    * scanned ONCE and never shuffled — the change keys anti-probe it
+    * (AQE broadcasts a small change set), and only the change set
+    * itself pays an aggregate (per-key latest winner). */
+  def q91CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), year(col("o_orderdate")).as("__y"))
+    val snapshot = base.filter(col("__y") < 1995).drop("__y")
+    val changes = base.filter(col("__y") >= 1995).drop("__y")
+      .withColumn("op",
+        when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")))
+      .withColumn("seq", col("o_orderkey")) // unique keys: any seq works
+    graft.operators.Merge.applyChanges(snapshot, changes,
+        keyCols = Seq("o_orderkey"), opCol = "op", seqCol = "seq")
+      .orderBy("o_orderkey")
+  }
+
+  val q91Sql: String =
+    """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |              FROM orders WHERE year(o_orderdate) < 1995),
+      |chg AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |          CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+      |        FROM orders WHERE year(o_orderdate) >= 1995)
+      |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice
+      |FROM snap s ANTI JOIN chg c ON s.o_orderkey = c.o_orderkey
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM chg WHERE op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Unpivot/melt — wide measure columns to long (measure, val) rows,
+    * the reshape feeding per-measure profiling (q76) and histograms
+    * (q95) without one query per column. Spark's native `unpivot`
+    * (Expand underneath: map-side row replication, zero shuffle). */
+  def q92Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure", valueColumnName = "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  val q92Sql: String =
+    """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 1000)
+      |SELECT l_orderkey, l_linenumber, measure, val FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+      |         l_quantity AS val FROM src
+      |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+      |         l_extendedprice FROM src
+      |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+      |         l_discount FROM src
+      |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src)
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
+  /** Exact heavy hitters at sketch cost ([[graft.operators
+    * .HeavyHitters]]): Misra–Gries candidates (recall 1.0 above
+    * N/(capacity+1) by pigeonhole) + an exact recount of the ≤
+    * capacity candidates. The oracle runs the full GROUP BY/HAVING —
+    * the two plans must agree EXACTLY, which is the sketch's whole
+    * guarantee. The naive plan shuffles every distinct user; this one
+    * ships capacity-bounded buffers per task. */
+  def q93HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters(t(s, dir, "events"), col("user_id"),
+      capacity = 200)
+
+  val q93Sql: String =
+    """SELECT user_id AS item, count(*) AS cnt
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1
+      |HAVING count(*) * 201 > (SELECT count(*) FROM events
+      |                         WHERE user_id IS NOT NULL)
+      |ORDER BY cnt DESC, item""".stripMargin
+
+  /** Temperature-flattened pretraining mixture
+    * ([[Features.temperatureMixSample]], τ = 0.5): small sources are
+    * upweighted relative to proportional sampling, quotas are
+    * integer-floored from grid-rounded weights, and the draw itself
+    * is the md5-rank determinism recipe (q43/q48) — the same rows
+    * come out on any engine or partitioning, which is what makes a
+    * SAMPLING operator oracle-checkable at all. */
+  def q94DomainMix(s: SparkSession, dir: String): DataFrame =
+    Features.temperatureMixSample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        domainCol = "lang", keyCol = "doc_id", tau = 0.5, target = 200)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val q94Sql: String =
+    """WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+      |q AS (SELECT lang,
+      |        greatest(1, CAST(floor(round(200.0 * pow(cnt, 0.5) /
+      |          (SELECT sum(pow(cnt, 0.5)) FROM n), 6)) AS BIGINT)) AS quota
+      |      FROM n),
+      |r AS (SELECT doc_id, d.lang, quota,
+      |        row_number() OVER (PARTITION BY d.lang
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |      FROM documents d JOIN q ON d.lang = q.lang)
+      |SELECT doc_id, lang FROM r WHERE rn <= quota
+      |ORDER BY doc_id""".stripMargin
+
+  /** Equi-width histogram with in-plan bounds
+    * ([[Features.equiWidthHistogram]]): one exact min/max aggregate,
+    * one map-side bucket projection, one bins-sized count — the only
+    * histogram shape that survives 100 TB (no sort, no window, no
+    * per-value shuffle). The bucket arithmetic is a fixed IEEE op
+    * chain, so DuckDB reproduces it bit-for-bit. */
+  def q95Histogram(s: SparkSession, dir: String): DataFrame =
+    Features.equiWidthHistogram(t(s, dir, "lineitem"),
+        "l_extendedprice", bins = 10)
+      .orderBy("bin")
+
+  val q95Sql: String =
+    """WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |            FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |b AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+      |        least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 10.0))
+      |                AS BIGINT), 9) END AS bin,
+      |        lo, hi
+      |      FROM lineitem CROSS JOIN mm WHERE l_extendedprice IS NOT NULL)
+      |SELECT bin, round(lo + bin * ((hi - lo) / 10.0), 6) AS lo_edge,
+      |       count(*) AS cnt
+      |FROM b GROUP BY 1, 2 ORDER BY bin""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2468,6 +2597,11 @@ object Queries {
     "q88_hll_merge" -> (q88HllMerge _),
     "q89_transitions" -> (q89Transitions _),
     "q90_scd_lookup" -> (q90ScdLookup _),
+    "q91_cdc_merge" -> (q91CdcMerge _),
+    "q92_unpivot" -> (q92Unpivot _),
+    "q93_heavy_hitters" -> (q93HeavyHitters _),
+    "q94_domain_mix" -> (q94DomainMix _),
+    "q95_histogram" -> (q95Histogram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2561,6 +2695,11 @@ object Queries {
     "q88_hll_merge" -> q88Sql,
     "q89_transitions" -> q89Sql,
     "q90_scd_lookup" -> q90Sql,
+    "q91_cdc_merge" -> q91Sql,
+    "q92_unpivot" -> q92Sql,
+    "q93_heavy_hitters" -> q93Sql,
+    "q94_domain_mix" -> q94Sql,
+    "q95_histogram" -> q95Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

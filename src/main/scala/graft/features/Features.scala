@@ -257,6 +257,72 @@ object Features {
       .select(col(groupCol), col("col.*"),
         (col("pos") + 1).cast("long").as(rankCol))
 
+  /** Equi-width histogram with data-driven bounds — the profiling
+    * companion to [[quantileBins]] (equi-POPULATION bins): one
+    * min/max aggregate (exact, two doubles to the driver-free
+    * broadcast), then a map-side bucket projection and a bins-sized
+    * count aggregate. Two scans total, no windows, no sort — the
+    * only formulation that holds at 100 TB (a single-pass streaming
+    * histogram needs pre-known bounds; see the fixed-bound overload
+    * a caller with domain knowledge should prefer).
+    *
+    * The top edge closes: `x = max` lands in the last bin
+    * (`least(bin, bins-1)`), matching NumPy/`width_bucket`
+    * conventions. A constant column (hi == lo) degenerates to one
+    * bin 0. The bucket expression is a single IEEE subtract/divide/
+    * floor chain — bit-identical across engines for the same inputs,
+    * which is what makes the histogram oracle-checkable exactly. */
+  def equiWidthHistogram(df: DataFrame, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1, "need at least 1 bin")
+    val v = col(valueCol).cast("double")
+    val mm = df.filter(v.isNotNull)
+      .agg(min(v).as("__lo"), max(v).as("__hi"))
+    val w = (col("__hi") - col("__lo")) / lit(bins.toDouble)
+    val bin = when(col("__hi") === col("__lo"), lit(0L))
+      .otherwise(least(floor((v - col("__lo")) / w), lit(bins - 1L))
+        .cast("long"))
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(mm))
+      .groupBy(bin.as("bin"), round(col("__lo") + bin * w, 6).as("lo_edge"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Temperature-flattened domain mixture sampling — the multi-source
+    * pretraining-mix staple (GPT-3 §2.2 / XLM-R style): domain d with
+    * n_d documents gets sampling weight w_d ∝ n_d^τ (τ < 1 UPWEIGHTS
+    * small domains relative to proportional sampling; τ = 1 is
+    * proportional, τ = 0 uniform across domains), quota_d =
+    * max(1, floor(target · w_d / Σw)), and the quota is drawn
+    * deterministically — rank by md5 of the unique key inside each
+    * domain ([[groupedSampleHash]]'s recipe), so any engine, rerun,
+    * or partitioning draws the same rows.
+    *
+    * Shape at scale: the quota table is domain-sized (tiny — one
+    * hash aggregate over the domain column, broadcast back), and the
+    * per-domain rank is one shuffle on the domain key. The floor's
+    * input is grid-rounded to 6 decimals first so a 1e-15
+    * summation-order difference between engines cannot flip a quota
+    * across an integer boundary. */
+  def temperatureMixSample(df: DataFrame, domainCol: String,
+      keyCol: String, tau: Double, target: Int): DataFrame = {
+    require(target > 0, "target must be positive")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__wr", pow(col("__n").cast("double"), lit(tau)))
+    val quotas = counts
+      .crossJoin(broadcast(counts.agg(sum(col("__wr")).as("__wsum"))))
+      .select(col(domainCol),
+        greatest(lit(1L),
+          floor(round(lit(target.toDouble) * col("__wr") / col("__wsum"), 6))
+            .cast("long")).as("__quota"))
+    val rank = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    df.join(broadcast(quotas), Seq(domainCol))
+      .withColumn("__rn", row_number().over(rank))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** Partition schema fields into (numeric, categorical) — the dtype
     * driven feature classification (`machineLearning.py:281-282`). */
   def classifyColumns(df: DataFrame): (Seq[String], Seq[String]) = {

@@ -43,4 +43,12 @@ package object functions {
     * `collect_list` does (see [[BoundedTopKAgg]]). */
   def bounded_topk(c: Column, k: Int): Column =
     Bridge.column(BoundedTopKAgg(Bridge.expression(c), k).toAggregateExpression())
+
+  /** Misra–Gries frequent-items sketch AGGREGATE: ≤ `capacity`
+    * counters per partial buffer, mergeable, recall 1.0 for items
+    * with frequency > N/(capacity+1). Returns
+    * `array<struct<item,est>>` — candidates + lower bounds; see
+    * [[graft.operators.HeavyHitters]] for the exact two-phase plan. */
+  def freq_sketch(c: Column, capacity: Int): Column =
+    Bridge.column(FreqSketchAgg(Bridge.expression(c), capacity).toAggregateExpression())
 }

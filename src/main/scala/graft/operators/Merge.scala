@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC change-set application — the MERGE/upsert half of the warehouse
+  * maintenance story ([[graft.etl.Scd]] is the history-keeping half).
+  * A snapshot plus a stream of keyed change rows (upserts and deletes)
+  * produces the next snapshot version.
+  *
+  * Scale shape: the naive formulation is a FULL OUTER join of snapshot
+  * and changes — a shuffle of the ENTIRE snapshot against a change set
+  * that is typically orders of magnitude smaller. This one is
+  * change-set-sized instead:
+  *
+  *   1. collapse the change log to one winner per key (`max_by` over
+  *      the sequence column — single hash aggregate over the change
+  *      set only, bounded buffers, no windows);
+  *   2. LEFT ANTI join the snapshot against the change keys — with a
+  *      small change set Catalyst broadcasts it, so the 100 TB snapshot
+  *      is scanned once with a map-side hash probe and NEVER shuffled;
+  *   3. union the surviving upserts.
+  *
+  * Delete semantics: a `D` row removes the key; upserts (`U`/`I` — any
+  * non-delete op) replace the target row wholesale, and an upsert for
+  * an absent key inserts (MERGE's WHEN NOT MATCHED arm). Later
+  * sequence wins per key; among equal sequences the delete loses (an
+  * upsert at the same version re-creates the row — the convention
+  * Debezium-style compacted topics use, and deterministic either way).
+  *
+  * NULL keys: a NULL-keyed change row can never match a target row
+  * under equality MERGE semantics and is dropped from the change set;
+  * NULL-keyed snapshot rows pass through untouched (anti join keeps
+  * non-matching rows, and NULL never equals a change key).
+  */
+object Merge {
+
+  /** @param target   current snapshot; its column set defines the output
+    * @param changes  change log: `target`'s columns + `opCol` + `seqCol`
+    * @param keyCols  equality key (must be non-empty)
+    * @param opCol    change kind column; value `"D"` = delete, anything
+    *                 else = upsert
+    * @param seqCol   per-key change ordering (commit timestamp / LSN);
+    *                 highest wins
+    */
+  def applyChanges(target: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], opCol: String, seqCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "MERGE needs at least one key column")
+    val cols = target.columns.toSeq
+    require(!cols.contains(opCol) && !cols.contains(seqCol),
+      s"target must not already carry $opCol/$seqCol")
+
+    // one winner per key: max_by over a struct keeps the whole change
+    // row atomically (field-by-field max would stitch together values
+    // from different change rows). Tie-break: upsert beats delete at
+    // the same sequence, encoded as a secondary sort field so the
+    // argmax stays a single bounded-buffer aggregate.
+    val payload = struct((cols :+ opCol).map(col): _*)
+    val winner = changes
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload,
+        struct(col(seqCol), (col(opCol) =!= lit("D")).cast("int"))).as("__w"))
+      .select(keyCols.map(col) :+ col("__w"): _*)
+
+    // AQE turns this anti join into a broadcast probe when the change
+    // set is runtime-small — the snapshot side then never shuffles
+    val survivors = target.join(
+      winner.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val upserts = winner
+      .filter(col("__w").getField(opCol) =!= lit("D"))
+      .select(cols.map(c => col("__w").getField(c).as(c)): _*)
+    survivors.unionByName(upserts)
+  }
+}

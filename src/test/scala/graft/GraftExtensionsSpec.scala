@@ -62,6 +62,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got("b") === Seq(9))
   }
 
+  test("freq_sketch is callable from SQL as an aggregate") {
+    val got = spark.sql(
+      """SELECT freq_sketch(v, 4) AS sk FROM VALUES
+        | ('x'), ('x'), ('y') AS t(v)""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("CollapseNormalize folds nested normalize_string applications") {
     // non-literal input so constant folding can't remove the expression
     val df = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")

@@ -74,4 +74,27 @@ class PlanSpec extends AnyFunSuite {
     // partial_ aggregate functions appear below the exchange
     assert(plan.contains("partial_"), plan)
   }
+
+  test("q91: CDC merge anti-probes the snapshot — AQE broadcasts the change keys") {
+    val df = Queries.all("q91_cdc_merge")(spark, sf)
+    df.collect() // materialize so AQE's FINAL plan is inspectable
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    // the runtime-small change-key side must end up broadcast: the
+    // snapshot is probed map-side, never shuffled for the anti join
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"anti join did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q93: heavy-hitter verify pass pushes the candidate In-filter to the scan") {
+    val df = Queries.all("q93_heavy_hitters")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // phase 2 reads only candidate rows: the isin probe must reach the
+    // parquet scan as a pushed In filter on user_id
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters:")).mkString
+    assert(pushed.contains("In(user_id"), s"no pushed In filter:\n$plan")
+  }
 }

@@ -156,4 +156,56 @@ class FeaturesSpec extends AnyFunSuite {
       assert(got(g) === Seq(g, g + 7, g + 14), s"group $g")
     }
   }
+
+  test("equiWidthHistogram: bins partition [min,max], counts sum to n, top edge closes") {
+    // values 0..99: bins of width 9.9; 99 (the max) must land in bin 9
+    val df = (0 until 100).map(_.toDouble).toDF("x")
+    val bins = Features.equiWidthHistogram(df, "x", bins = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+      .sortBy(_._1)
+    assert(bins.map(_._3).sum === 100L)
+    assert(bins.map(_._1) === (0L to 9L).toList)
+    assert(bins.head._2 === 0.0)
+    // 99/9.9 = 10 exactly → clamped into the last bin
+    assert(bins.last._3 === 10L)
+  }
+
+  test("equiWidthHistogram: constant column degenerates to one bin") {
+    val df = Seq.fill(5)(3.25).toDF("x")
+    val bins = Features.equiWidthHistogram(df, "x", 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(bins.toSeq === Seq((0L, 3.25, 5L)))
+  }
+
+  test("equiWidthHistogram ignores nulls") {
+    val df = Seq(Some(1.0), None, Some(2.0), None).toDF("x")
+    assert(Features.equiWidthHistogram(df, "x", 2)
+      .agg(sum($"cnt")).head.getLong(0) === 2L)
+  }
+
+  test("temperatureMixSample: quotas follow n^tau, draw is deterministic") {
+    // domains: a=900, b=100, c=4 rows; tau=0.5, target=100
+    // weights sqrt: 30, 10, 2 (sum 42) → quotas floor(100*w/42): 71, 23, 4
+    val df = (
+      (1 to 900).map(i => (s"k$i", "a")) ++
+      (1001 to 1100).map(i => (s"k$i", "b")) ++
+      (2001 to 2004).map(i => (s"k$i", "c"))).toDF("k", "d")
+    val out = Features.temperatureMixSample(df, "d", "k", tau = 0.5, target = 100)
+    val byDomain = out.groupBy($"d").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain === Map("a" -> 71L, "b" -> 23L, "c" -> 4L))
+    // tau < 1 upweights the small domain vs proportional (c would get 0)
+    val rerun = Features.temperatureMixSample(
+      df.repartition(17), "d", "k", tau = 0.5, target = 100)
+    assert(rerun.select("k").collect().map(_.getString(0)).sorted.toSeq ===
+      out.select("k").collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("temperatureMixSample: tau=0 is uniform-by-domain, quota never exceeds domain size") {
+    val df = ((1 to 50).map(i => (s"a$i", "a")) ++ Seq(("b1", "b"))).toDF("k", "d")
+    val out = Features.temperatureMixSample(df, "d", "k", tau = 0.0, target = 10)
+      .groupBy($"d").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weights 1,1 → quota 5 each; domain b has only 1 row
+    assert(out === Map("a" -> 5L, "b" -> 1L))
+  }
 }

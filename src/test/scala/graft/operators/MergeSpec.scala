@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def snap(rows: (Long, String)*) = rows.toDF("k", "v")
+
+  private def chg(rows: (Long, String, String, Long)*) =
+    rows.toDF("k", "v", "op", "seq")
+
+  private def result(target: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    Merge.applyChanges(target, changes, Seq("k"), "op", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("upsert updates existing, inserts absent; delete removes") {
+    val out = result(
+      snap(1L -> "a", 2L -> "b", 3L -> "c"),
+      chg((2L, "B", "U", 1L), (3L, "", "D", 1L), (4L, "d", "I", 1L)))
+    assert(out === Set(1L -> "a", 2L -> "B", 4L -> "d"))
+  }
+
+  test("latest sequence wins per key") {
+    val out = result(
+      snap(1L -> "a"),
+      chg((1L, "x", "U", 1L), (1L, "y", "U", 3L), (1L, "z", "U", 2L)))
+    assert(out === Set(1L -> "y"))
+  }
+
+  test("delete then re-insert at a later sequence keeps the row") {
+    val out = result(
+      snap(1L -> "a"),
+      chg((1L, "", "D", 1L), (1L, "back", "U", 2L)))
+    assert(out === Set(1L -> "back"))
+  }
+
+  test("upsert beats delete at the SAME sequence") {
+    val out = result(
+      snap(1L -> "a"),
+      chg((1L, "", "D", 5L), (1L, "kept", "U", 5L)))
+    assert(out === Set(1L -> "kept"))
+  }
+
+  test("delete of an absent key is a no-op") {
+    val out = result(snap(1L -> "a"), chg((9L, "", "D", 1L)))
+    assert(out === Set(1L -> "a"))
+  }
+
+  test("null-keyed change rows are dropped; null-keyed target rows survive") {
+    val target = Seq((Some(1L), "a"), (None, "ghost")).toDF("k", "v")
+    val changes = Seq((Option.empty[Long], "x", "U", 1L)).toDF("k", "v", "op", "seq")
+    val out = Merge.applyChanges(target, changes, Seq("k"), "op", "seq")
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(out === Set((Some(1L), "a"), (None, "ghost")))
+  }
+
+  test("empty change set is identity") {
+    val out = result(snap(1L -> "a", 2L -> "b"), chg())
+    assert(out === Set(1L -> "a", 2L -> "b"))
+  }
+
+  test("composite keys") {
+    val target = Seq((1L, "x", "old"), (1L, "y", "keep")).toDF("k1", "k2", "v")
+    val changes = Seq((1L, "x", "new", "U", 1L), (2L, "z", "ins", "U", 1L))
+      .toDF("k1", "k2", "v", "op", "seq")
+    val out = Merge.applyChanges(target, changes, Seq("k1", "k2"), "op", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out === Set((1L, "x", "new"), (1L, "y", "keep"), (2L, "z", "ins")))
+  }
+
+  test("rejects a target that already carries the op/seq columns") {
+    val bad = Seq((1L, "a", "U")).toDF("k", "v", "op")
+    val err = intercept[IllegalArgumentException] {
+      Merge.applyChanges(bad, chg(), Seq("k"), "op", "seq")
+    }
+    assert(err.getMessage.contains("op"))
+  }
+}
