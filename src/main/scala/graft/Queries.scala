@@ -2502,6 +2502,127 @@ object Queries {
       |       count(*) AS cnt
       |FROM b GROUP BY 1, 2 ORDER BY bin""".stripMargin
 
+  /** Vocabulary heavy hitters — q56's top-k vocabulary, reformulated
+    * at sketch cost for the case that matters at 100 TB: token
+    * cardinality in the billions, where q56's full (term → count)
+    * shuffle IS the bottleneck. The Misra–Gries pass ships ≤ capacity
+    * counters per task over the exploded token stream; the exact
+    * recount touches only candidate tokens (pushed In-filter after
+    * explode is a map-side `array_contains`-style probe). Output is
+    * exactly `GROUP BY term HAVING cnt > N/101` — same tokenizer as
+    * q56 (`TextOps.regexTokens` ≡ `regexp_extract_all('[a-z0-9]+')`). */
+  def q96VocabHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters(
+      t(s, dir, "documents")
+        .select(explode(TextOps.regexTokens(col("text"))).as("term")),
+      col("term"), capacity = 100)
+
+  val q96Sql: String =
+    """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |             FROM documents)
+      |SELECT term AS item, count(*) AS cnt
+      |FROM tok GROUP BY 1
+      |HAVING count(*) * 101 > (SELECT count(*) FROM tok)
+      |ORDER BY cnt DESC, item""".stripMargin
+
+  /** Rolling 7-day distinct users (weekly-active per day) — the
+    * engagement staple whose naive form (`count(DISTINCT) OVER (RANGE
+    * 6 PRECEDING)`) Spark rejects and a global window couldn't
+    * distribute anyway. The scale shape: dedup to (user, day) grain
+    * (one shuffle, map-side combine), then each (user, day) VOTES for
+    * the 7 window-end days it belongs to (`sequence` + `explode` —
+    * map-side ×7 replication of the already-deduped grain, the same
+    * Expand trade q92 makes), then one distinct-agg per target day.
+    * No window ever sees more than a day's slice. Trailing days past
+    * the last observed day are clipped (broadcast 1-row max). */
+  def q97RollingDau(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val mx = ud.agg(max(col("day")).as("mday"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .join(broadcast(mx), col("wday") <= col("mday"))
+      .groupBy(col("wday").as("day"))
+      .agg(countDistinct(col("user_id")).as("dau7"))
+      .orderBy("day")
+  }
+
+  val q97Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |            FROM events WHERE user_id IS NOT NULL),
+      |mx AS (SELECT max(day) AS mday FROM ud),
+      |x AS (SELECT user_id,
+      |        CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+      |          CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+      |          INTERVAL 1 DAY)) AS DATE) AS wday
+      |      FROM ud)
+      |SELECT wday AS day, count(DISTINCT user_id) AS dau7
+      |FROM x CROSS JOIN mx WHERE wday <= mday
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Weighted PageRank over the event-transition graph — q89's edges
+    * promoted to a centrality measure ([[graft.operators.PageRank]],
+    * 3 unrolled power iterations, damping 0.85). The oracle replays
+    * the identical iteration algebra as chained CTEs; doubles round
+    * to 6 decimals at the end only (the per-node in-edge sums differ
+    * across engines by ~1e-16 — far below the grid). */
+  def q98PageRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PageRank.run(q89Transitions(s, dir),
+        "prev", "next", "cnt", damping = 0.85, iterations = 3)
+      .orderBy("node")
+
+  val q98Sql: String =
+    """WITH t AS (SELECT user_id, event_type,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |e AS (SELECT prev AS src, event_type AS dst, count(*) AS cnt
+      |      FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT count(*) AS c FROM nodes),
+      |ow AS (SELECT src, sum(CAST(cnt AS DOUBLE)) AS tot FROM e GROUP BY 1),
+      |p AS (SELECT e.src, e.dst, CAST(e.cnt AS DOUBLE) / ow.tot AS p
+      |      FROM e JOIN ow ON e.src = ow.src),
+      |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / c AS r FROM nodes CROSS JOIN nn),
+      |r1 AS (SELECT v, (CAST(1.0 AS DOUBLE) - 0.85) / c +
+      |         0.85 * coalesce(s, CAST(0.0 AS DOUBLE)) AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN
+      |         (SELECT dst, sum(r * p) AS s FROM p JOIN r0 ON p.src = r0.v
+      |          GROUP BY 1) c1 ON nodes.v = c1.dst),
+      |r2 AS (SELECT v, (CAST(1.0 AS DOUBLE) - 0.85) / c +
+      |         0.85 * coalesce(s, CAST(0.0 AS DOUBLE)) AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN
+      |         (SELECT dst, sum(r * p) AS s FROM p JOIN r1 ON p.src = r1.v
+      |          GROUP BY 1) c2 ON nodes.v = c2.dst),
+      |r3 AS (SELECT v, (CAST(1.0 AS DOUBLE) - 0.85) / c +
+      |         0.85 * coalesce(s, CAST(0.0 AS DOUBLE)) AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN
+      |         (SELECT dst, sum(r * p) AS s FROM p JOIN r2 ON p.src = r2.v
+      |          GROUP BY 1) c3 ON nodes.v = c3.dst)
+      |SELECT v AS node, round(r, 6) AS rank FROM r3 ORDER BY node""".stripMargin
+
+  /** Fixed-size deterministic global sample — the "eval subset of
+    * exactly M rows" draw ([[Features.hashSample]] is its
+    * FRACTION-valued sibling): rank the whole relation by md5 of the
+    * unique key, keep the first M. `ORDER BY hash LIMIT M` plans as
+    * TakeOrderedAndProject — each partition keeps its local top-M and
+    * only M rows per partition ever reach the driver-side merge, the
+    * global analog of q87's bounded per-group heap. Engine-portable
+    * for the same reason as q43: the "random" order is a pure
+    * function of the data. */
+  def q99FixedSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      .limit(150)
+      .orderBy("doc_id")
+
+  val q99Sql: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang FROM documents
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 150)
+      |ORDER BY doc_id""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2602,6 +2723,10 @@ object Queries {
     "q93_heavy_hitters" -> (q93HeavyHitters _),
     "q94_domain_mix" -> (q94DomainMix _),
     "q95_histogram" -> (q95Histogram _),
+    "q96_vocab_hh" -> (q96VocabHeavyHitters _),
+    "q97_rolling_dau" -> (q97RollingDau _),
+    "q98_pagerank" -> (q98PageRank _),
+    "q99_fixed_sample" -> (q99FixedSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2700,6 +2825,10 @@ object Queries {
     "q93_heavy_hitters" -> q93Sql,
     "q94_domain_mix" -> q94Sql,
     "q95_histogram" -> q95Sql,
+    "q96_vocab_hh" -> q96Sql,
+    "q97_rolling_dau" -> q97Sql,
+    "q98_pagerank" -> q98Sql,
+    "q99_fixed_sample" -> q99Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -50,4 +50,120 @@ class WarehouseSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  /** Rows the FINAL executed plan's parquet scan actually produced —
+    * file/row-group skipping happens inside the reader, so plan text
+    * can't show it; the scan's numOutputRows metric can. */
+  private def rowsScanned(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val top = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    top.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numOutputRows").value
+    }.sum
+  }
+
+  test("writeClustered: a range predicate reads a fraction of the rows via min/max skipping") {
+    val tmp = java.nio.file.Files.createTempDirectory("clu").toString
+    // cluster on a DATE derivation of the NTZ event time — raw
+    // TIMESTAMP_NTZ predicates don't stat-skip (see writeClustered doc)
+    val li = TestSpark.table("lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_day"),
+        col("l_extendedprice"))
+    val total = li.count()
+
+    Warehouse.writeClustered(li, s"$tmp/clustered",
+      clusterCols = Seq("ship_day"), files = 16)
+    // one month out of the ~7-year shipdate span
+    val pred = (col("ship_day") >= lit("1995-03-01").cast("date")) &&
+      (col("ship_day") < lit("1995-04-01").cast("date"))
+
+    val clustered = rowsScanned(
+      spark.read.parquet(s"$tmp/clustered").filter(pred))
+    val matching = li.filter(pred).count()
+    assert(matching > 0, "predicate must select something for the test to mean anything")
+    // disjoint ranges per file: the reader must skip the files whose
+    // min/max can't match — strictly fewer rows than the full table,
+    // with comfortable margin (16 files, 1-month window over ~84)
+    assert(clustered < total / 4,
+      s"skipping ineffective: scanned $clustered of $total")
+    assert(clustered >= matching)
+
+    // and the layout is value-complete: same answer as the source
+    val got = spark.read.parquet(s"$tmp/clustered").filter(pred).count()
+    assert(got === matching)
+  }
+
+  test("interleave_bits matches a reference Morton implementation") {
+    import spark.implicits._
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i)))
+        .reduce(_ | _)
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L), (255L, 255L),
+      (65535L, 1L), (12345L, 54321L))
+    val got = pairs.toDF("a", "b")
+      .select(graft.functions.interleave_bits(col("a"), col("b"), 16))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === pairs.map { case (a, b) => morton(a, b, 16) })
+    // order preservation along each axis inside the same other-value:
+    // z(a1,b) < z(a2,b) iff a1 < a2 (masked to 16 bits)
+    assert(morton(3, 7, 16) < morton(4, 7, 16))
+  }
+
+  test("writeZOrdered: range predicates on EITHER column skip files; 1-D clustering only helps its own key") {
+    val tmp = java.nio.file.Files.createTempDirectory("zo").toString
+    val li = TestSpark.table("lineitem")
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+    val total = li.count()
+    Warehouse.writeZOrdered(li, s"$tmp/z", "l_orderkey", "l_partkey", files = 16)
+    Warehouse.writeClustered(li, s"$tmp/c", Seq("l_orderkey"), files = 16)
+
+    // ~1/16 of each key's span, inside one top-2-bit grid quadrant —
+    // a range straddling a grid-column boundary would honestly touch
+    // two columns (~half the tiles) and blur the assertion
+    val predA = col("l_orderkey").between(250L, 340L)
+    val predB = col("l_partkey").between(30L, 42L)
+    def scanned(path: String, pred: org.apache.spark.sql.Column): Long =
+      rowsScanned(spark.read.parquet(path).filter(pred))
+
+    val (zA, zB) = (scanned(s"$tmp/z", predA), scanned(s"$tmp/z", predB))
+    val (cA, cB) = (scanned(s"$tmp/c", predA), scanned(s"$tmp/c", predB))
+    // the z-layout skips for BOTH dimensions (16 files ≈ 4×4 grid —
+    // a 1/8 range on one axis touches about a quarter of the tiles)
+    assert(zA < total / 2, s"z-layout no skip on $predA: $zA of $total")
+    assert(zB < total / 2, s"z-layout no skip on $predB: $zB of $total")
+    // 1-D clustering: excellent on its own key, useless on the other
+    assert(cA < total / 4, s"1-D layout should excel on its key: $cA")
+    assert(cB > total / 2, s"1-D layout should NOT skip on the other key: $cB")
+    // values intact
+    assert(spark.read.parquet(s"$tmp/z").count() === total)
+  }
+
+  test("compact: small files rewrite into ceil(bytes/target) files with data intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("cpt").toString + "/t"
+    val li = TestSpark.table("lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    li.repartition(64).write.parquet(tmp)
+    def dataFiles = new java.io.File(tmp).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = dataFiles.length
+    assert(before === 64)
+    val bytes = dataFiles.map(_.length).sum
+    // exact (long) checksum: a double sum is order-dependent and the
+    // rewrite legitimately reorders rows
+    val checksum = spark.read.parquet(tmp)
+      .agg(sum(col("l_orderkey")), count(lit(1))).head()
+
+    val n = Warehouse.compact(spark, tmp, targetFileBytes = bytes / 4 + 1)
+    assert(n <= 4 && dataFiles.length === n,
+      s"expected $n data files, found ${dataFiles.length}")
+    val after = spark.read.parquet(tmp)
+      .agg(sum(col("l_orderkey")), count(lit(1))).head()
+    assert(after === checksum)
+  }
 }
