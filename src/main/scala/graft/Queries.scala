@@ -2623,6 +2623,27 @@ object Queries {
       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 150)
       |ORDER BY doc_id""".stripMargin
 
+  /** Skyline / Pareto frontier — parts not beaten on BOTH size and
+    * price ([[graft.operators.Skyline]]: partition-local
+    * block-nested-loop skylines merged in one frontier-sized task;
+    * the SQL face below is the O(n²) `NOT EXISTS` this operator
+    * replaces at scale). */
+  def q100Skyline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline.skyline(
+        t(s, dir, "part").select("p_partkey", "p_size", "p_retailprice"),
+        Seq("p_size", "p_retailprice"))
+      .orderBy("p_partkey")
+
+  val q100Sql: String =
+    """SELECT p_partkey, p_size, p_retailprice FROM part a
+      |WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM part b
+      |    WHERE b.p_size IS NOT NULL AND b.p_retailprice IS NOT NULL
+      |      AND b.p_size <= a.p_size AND b.p_retailprice <= a.p_retailprice
+      |      AND (b.p_size < a.p_size OR b.p_retailprice < a.p_retailprice))
+      |ORDER BY p_partkey""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2727,6 +2748,7 @@ object Queries {
     "q97_rolling_dau" -> (q97RollingDau _),
     "q98_pagerank" -> (q98PageRank _),
     "q99_fixed_sample" -> (q99FixedSample _),
+    "q100_skyline" -> (q100Skyline _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2829,6 +2851,7 @@ object Queries {
     "q97_rolling_dau" -> q97Sql,
     "q98_pagerank" -> q98Sql,
     "q99_fixed_sample" -> q99Sql,
+    "q100_skyline" -> q100Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -19,7 +19,16 @@ object Verify {
       if (f.isDirectory) f.listFiles().foreach(rmTree)
       f.delete(): Unit
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q100_skyline,q42_json
+    // restricts the dump to named queries. Unset (the driver's case)
+    // → all queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // delete any previous run's dump FIRST: if this query now fails,
       // the driver's compare must see MISSING output, not silently
       // validate the stale parquet of an older passing build
@@ -43,7 +52,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracleSel = only match {
+      case Some(names) => SparkEntry.oracleSql.view.filterKeys(names).toMap
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracleSel
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
