@@ -2644,6 +2644,35 @@ object Queries {
       |      AND (b.p_size < a.p_size OR b.p_retailprice < a.p_retailprice))
       |ORDER BY p_partkey""".stripMargin
 
+  /** Interval-overlap join — view exposure windows × click windows
+    * per user ([[graft.operators.RangeJoin.intervalOverlap]]: both
+    * intervals bucketized, pairs meet once in the overlap-start
+    * bucket — one shuffle, never a nested loop; the SQL face is the
+    * raw inequality join Catalyst would refuse to hash). Windows are
+    * [ts, ts+10min] on both sides. */
+  def q101Overlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def side(kind: String, idAs: String) = ev
+      .filter(col("event_type") === kind)
+      .select(col("user_id"), col("event_id").as(idAs),
+        unix_timestamp(col("ts")).as(s"${idAs}_s"),
+        (unix_timestamp(col("ts")) + 600L).as(s"${idAs}_e"))
+    graft.operators.RangeJoin.intervalOverlap(
+        side("view", "view_id"), "view_id_s", "view_id_e",
+        side("click", "click_id"), "click_id_s", "click_id_e",
+        Seq("user_id"), bucketWidth = 600L)
+      .select("user_id", "view_id", "click_id")
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
+  val q101Sql: String =
+    """SELECT a.user_id, a.event_id AS view_id, b.event_id AS click_id
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |WHERE a.event_type = 'view' AND b.event_type = 'click'
+      |  AND floor(epoch(a.ts)) <= floor(epoch(b.ts)) + 600
+      |  AND floor(epoch(b.ts)) <= floor(epoch(a.ts)) + 600
+      |ORDER BY 1, 2, 3""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2749,6 +2778,7 @@ object Queries {
     "q98_pagerank" -> (q98PageRank _),
     "q99_fixed_sample" -> (q99FixedSample _),
     "q100_skyline" -> (q100Skyline _),
+    "q101_overlap" -> (q101Overlap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2852,6 +2882,7 @@ object Queries {
     "q98_pagerank" -> q98Sql,
     "q99_fixed_sample" -> q99Sql,
     "q100_skyline" -> q100Sql,
+    "q101_overlap" -> q101Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -70,6 +70,49 @@ object RangeJoin {
     }
   }
 
+  /** Interval–interval OVERLAP join: rows whose [start, end] intervals
+    * intersect (inclusive bounds: `lStart ≤ rEnd AND rStart ≤ lEnd`),
+    * optionally under extra equality keys. The genomics / ad-exposure
+    * / session-concurrency shape; Catalyst alone would plan the pure
+    * inequality condition as a nested loop.
+    *
+    * Both sides explode to the `bucketWidth` buckets their interval
+    * spans, meeting as a plain shuffled equi-join on (keys…, bucket).
+    * An overlapping pair co-occurs in EVERY bucket both spans, so the
+    * join keeps a pair only in its canonical bucket — the one
+    * containing `greatest(lStart, rStart)`, i.e. the overlap's first
+    * instant, which both sides provably span. No dedup pass, no
+    * double counting, and the dedup-free trick is what lets this stay
+    * a single shuffle at scale.
+    *
+    * Inner join only (either side is exploded, so outer/semi
+    * variants would need a dedup with no stable key). Non-key columns
+    * sharing a name across sides should be renamed by the caller
+    * (same contract as [[pointInInterval]]).
+    */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      equiKeys: Seq[String], bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def spanned(s: String, e: String): Column =
+      explode(sequence(
+        floor(col(s) / bucketWidth).cast("long"),
+        floor(col(e) / bucketWidth).cast("long")))
+    val l = left.withColumn("__bucket", spanned(lStart, lEnd)).as("__ojl")
+    val r = right.withColumn("__bucket", spanned(rStart, rEnd)).as("__ojr")
+    val cond = (equiKeys.map(k => col(s"__ojl.$k") === col(s"__ojr.$k")) ++ Seq(
+      col("__ojl.__bucket") === col("__ojr.__bucket"),
+      col(s"__ojl.$lStart") <= col(s"__ojr.$rEnd"),
+      col(s"__ojr.$rStart") <= col(s"__ojl.$lEnd"),
+      col("__ojl.__bucket") ===
+        floor(greatest(col(s"__ojl.$lStart"), col(s"__ojr.$rStart"))
+          / bucketWidth).cast("long"))).reduce(_ && _)
+    val lCols = left.columns.map(c => col(s"__ojl.$c"))
+    val rCols = right.columns.filterNot(equiKeys.contains)
+      .map(c => col(s"__ojr.$c"))
+    l.join(r, cond, "inner").select((lCols ++ rCols).toIndexedSeq: _*)
+  }
+
   /** Convenience for timestamp columns: seconds-resolution epoch
     * bucketing (casts both sides to epoch seconds internally, keeps
     * the original columns). */

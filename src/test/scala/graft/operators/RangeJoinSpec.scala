@@ -48,6 +48,33 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(anti.select("lid").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
   }
 
+  private def naiveOverlap(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame) =
+    l.join(r, l("k") === r("k") && l("ls") <= r("re") && r("rs") <= l("le"))
+      .select(l("lid"), r("rid")).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+
+  test("interval overlap matches the naive inequality join at several widths") {
+    val left = Seq((1L, 0L, 10L, 1L), (1L, 10L, 10L, 2L), (1L, 11L, 250L, 3L),
+      (1L, 300L, 310L, 4L), (2L, 5L, 6L, 5L), (3L, 0L, 1L, 6L))
+      .toDF("k", "ls", "le", "lid")
+    val right = Seq((1L, 10L, 12L, 20L), (1L, 0L, 0L, 21L), (1L, 249L, 301L, 22L),
+      (2L, 7L, 8L, 23L), (3L, 1L, 1L, 24L))
+      .toDF("k", "rs", "re", "rid")
+    for (width <- Seq(1L, 7L, 10L, 64L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(left, "ls", "le", right, "rs", "re",
+          Seq("k"), width)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got === naiveOverlap(left, right), s"bucketWidth=$width")
+    }
+  }
+
+  test("overlapping pair spanning many shared buckets is emitted exactly once") {
+    val left = Seq((1L, 0L, 1000L, 1L)).toDF("k", "ls", "le", "lid")
+    val right = Seq((1L, 500L, 900L, 9L)).toDF("k", "rs", "re", "rid")
+    assert(RangeJoin.intervalOverlap(left, "ls", "le", right, "rs", "re",
+      Seq("k"), 10L).count() === 1L)
+  }
+
   test("plans as a shuffled equi-join, not a nested loop") {
     val left = Seq((1L, 5L, 1L)).toDF("k", "t", "lid")
     val right = Seq((1L, 0L, 9L, 2L)).toDF("k", "s", "e", "rid")
