@@ -2673,6 +2673,51 @@ object Queries {
       |  AND floor(epoch(b.ts)) <= floor(epoch(a.ts)) + 600
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Snapshot diff — derive the I/U/D change log between two order
+    * snapshot versions ([[graft.operators.Merge.snapshotDiff]]: one
+    * co-partitioned full-outer join, null-safe struct compare; the
+    * CDC bootstrap / table-compare primitive, inverse of q91's MERGE).
+    * Old version: multiples of 5 absent, multiples of 7 priced ×1.1;
+    * new version: keys ≡3 (mod 11) absent — so the diff plants all
+    * three op kinds deterministically. */
+  def q102SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val oldSnap = orders.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") *
+          when(col("o_orderkey") % 7 === 0, lit(1.1d)).otherwise(lit(1.0d)))
+          .as("price"),
+        col("o_orderstatus").as("status"))
+    val newSnap = orders.filter(col("o_orderkey") % 11 =!= 3)
+      .select(col("o_orderkey"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+    graft.operators.Merge.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+      .withColumn("price", round(col("price"), 6))
+      .orderBy("o_orderkey")
+  }
+
+  val q102Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    o_totalprice * CASE WHEN o_orderkey % 7 = 0
+      |      THEN CAST(1.1 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS price,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 5 <> 0),
+      |n AS (
+      |  SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 11 <> 3)
+      |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |  round(CASE WHEN n.o_orderkey IS NULL THEN o.price ELSE n.price END, 6)
+      |    AS price,
+      |  CASE WHEN n.o_orderkey IS NULL THEN o.status ELSE n.status END AS status,
+      |  CASE WHEN o.o_orderkey IS NULL THEN 'I'
+      |       WHEN n.o_orderkey IS NULL THEN 'D' ELSE 'U' END AS op
+      |FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey
+      |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+      |   OR o.price IS DISTINCT FROM n.price
+      |   OR o.status IS DISTINCT FROM n.status
+      |ORDER BY 1""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2779,6 +2824,7 @@ object Queries {
     "q99_fixed_sample" -> (q99FixedSample _),
     "q100_skyline" -> (q100Skyline _),
     "q101_overlap" -> (q101Overlap _),
+    "q102_snapshot_diff" -> (q102SnapshotDiff _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2883,6 +2929,7 @@ object Queries {
     "q99_fixed_sample" -> q99Sql,
     "q100_skyline" -> q100Sql,
     "q101_overlap" -> q101Sql,
+    "q102_snapshot_diff" -> q102Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

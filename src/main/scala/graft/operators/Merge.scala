@@ -72,4 +72,52 @@ object Merge {
       .select(cols.map(c => col("__w").getField(c).as(c)): _*)
     survivors.unionByName(upserts)
   }
+
+  /** Snapshot diff — the inverse of [[applyChanges]]: derive the keyed
+    * change log (`I`nsert / `U`pdate / `D`elete) that turns `oldSnap`
+    * into `newSnap`. The table-compare / backfill-audit primitive, and
+    * the CDC bootstrap when no change stream exists.
+    *
+    * One co-partitioned FULL OUTER join on the key — the minimum
+    * possible data movement for a diff (both sides must meet; with
+    * both snapshots written bucketed on the key via
+    * `Warehouse.writeBucketed` even that exchange disappears). Payload
+    * comparison is a single null-safe struct equality, not N per-column
+    * joins.
+    *
+    * Output: key columns + payload columns + `opCol`. `U`/`I` rows
+    * carry the new values; `D` rows carry the deleted row's old values
+    * (the CDC before-image convention). Unchanged rows are absent.
+    * NULL-keyed rows are excluded on both sides (equality MERGE
+    * semantics, as in [[applyChanges]]).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCols: Seq[String], opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(oldSnap.columns.sorted.sameElements(newSnap.columns.sorted),
+      "snapshots must share a column set")
+    val cols = oldSnap.columns.toSeq
+    val payloadCols = cols.filterNot(keyCols.contains)
+    // key-only tables still need a comparable struct; a constant field
+    // makes the payloads always equal, so key presence alone drives ops
+    def packed(df: DataFrame) =
+      if (payloadCols.isEmpty) struct(lit(0).as("__none"))
+      else struct(payloadCols.map(col): _*)
+    val o = oldSnap
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(keyCols.map(col) :+ packed(oldSnap).as("__old"): _*)
+    val n = newSnap
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(keyCols.map(col) :+ packed(newSnap).as("__new"): _*)
+    val joined = o.join(n, keyCols, "full_outer")
+    val op = when(col("__old").isNull, lit("I"))
+      .when(col("__new").isNull, lit("D"))
+      .when(!(col("__old") <=> col("__new")), lit("U"))
+    val image = coalesce(col("__new"), col("__old"))
+    joined
+      .withColumn(opCol, op)
+      .filter(col(opCol).isNotNull)
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => image.getField(c).as(c)) :+ col(opCol): _*)
+  }
 }

@@ -18,6 +18,40 @@ class MergeSpec extends AnyFunSuite {
     Merge.applyChanges(target, changes, Seq("k"), "op", "seq")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
 
+  test("snapshotDiff plants I/U/D exactly; unchanged rows absent") {
+    val out = Merge.snapshotDiff(
+        snap(1L -> "a", 2L -> "b", 3L -> "c"),
+        snap(1L -> "a", 2L -> "B", 4L -> "d"), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out === Set((2L, "B", "U"), (3L, "c", "D"), (4L, "d", "I")))
+  }
+
+  test("snapshotDiff: null payloads compare null-safely; null keys excluded") {
+    val old = Seq[(java.lang.Long, String)]((1L, null), (null, "x")).toDF("k", "v")
+    val neu = Seq[(java.lang.Long, String)]((1L, null), (2L, null)).toDF("k", "v")
+    val out = Merge.snapshotDiff(old, neu, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(out === Set((2L, "I"))) // (1, null)->(1, null) unchanged
+  }
+
+  test("applyChanges(old, snapshotDiff(old, new)) reproduces new") {
+    val old = snap(1L -> "a", 2L -> "b", 3L -> "c", 5L -> "e")
+    val neu = snap(1L -> "a", 2L -> "B", 4L -> "d")
+    val changes = Merge.snapshotDiff(old, neu, Seq("k"))
+      .withColumn("seq", lit(1L))
+    val applied = Merge.applyChanges(old, changes, Seq("k"), "op", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(applied === neu.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
+  test("snapshotDiff on a key-only table: presence drives I/D, never U") {
+    val old = Seq(1L, 2L).toDF("k")
+    val neu = Seq(2L, 3L).toDF("k")
+    val out = Merge.snapshotDiff(old, neu, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "D"), (3L, "I")))
+  }
+
   test("upsert updates existing, inserts absent; delete removes") {
     val out = result(
       snap(1L -> "a", 2L -> "b", 3L -> "c"),
