@@ -2718,6 +2718,27 @@ object Queries {
       |   OR o.status IS DISTINCT FROM n.status
       |ORDER BY 1""".stripMargin
 
+  /** Bloom-prefiltered semi join — lineitems of high-value orders
+    * ([[graft.operators.BloomJoin.semiJoin]]: the order-key bloom is
+    * built distributed and probed MAP-SIDE on the lineitem scan, so
+    * only might-match rows ever reach the exchange; the trailing
+    * exact semi join removes false positives, making the result
+    * bit-identical to the plain `IN` subquery the oracle runs). */
+  def q103BloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val hot = t(s, dir, "orders").filter(col("o_totalprice") > 400000d)
+    graft.operators.BloomJoin.semiJoin(
+        t(s, dir, "lineitem"), "l_orderkey", hot, "o_orderkey",
+        expectedItems = 4000L)
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q103Sql: String =
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+      |ORDER BY 1, 2""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2825,6 +2846,7 @@ object Queries {
     "q100_skyline" -> (q100Skyline _),
     "q101_overlap" -> (q101Overlap _),
     "q102_snapshot_diff" -> (q102SnapshotDiff _),
+    "q103_bloom_semi" -> (q103BloomSemi _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2930,6 +2952,7 @@ object Queries {
     "q100_skyline" -> q100Sql,
     "q101_overlap" -> q101Sql,
     "q102_snapshot_diff" -> q102Sql,
+    "q103_bloom_semi" -> q103Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

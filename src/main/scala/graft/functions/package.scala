@@ -52,6 +52,16 @@ package object functions {
   def freq_sketch(c: Column, capacity: Int): Column =
     Bridge.column(FreqSketchAgg(Bridge.expression(c), capacity).toAggregateExpression())
 
+  /** Bloom-filter membership probe (codegen'd; see
+    * [[BloomMightContain]] for put/probe symmetry and
+    * [[graft.operators.BloomJoin]] for the join patterns). */
+  def might_contain_bloom(c: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bytes = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bytes)
+    Bridge.column(BloomMightContain(Bridge.expression(c), bytes.toByteArray))
+  }
+
   /** Morton/Z-order key: interleave the low `bits` bits of two
     * non-negative longs (a's bit i lands at 2i+1, b's at 2i), so
     * 1-D-range-partitioning the key tiles the (a, b) plane into
