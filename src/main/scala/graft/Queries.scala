@@ -2739,6 +2739,52 @@ object Queries {
       |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
       |ORDER BY 1, 2""".stripMargin
 
+  /** Sketch-based audience overlap — |A∩B| by inclusion–exclusion
+    * over mergeable HLL sketches (|A|+|B|−|A∪B|), for every pair of
+    * event types. The segment-overlap query marketing/attribution
+    * runs constantly; exact pairwise intersections need a
+    * distinct-pair shuffle per combination, while the sketch answer
+    * reuses ONE per-type sketch table (kilobytes) for all C(n,2)
+    * pairs. Error compounds through subtraction, so the in-plan
+    * verdict checks a ±5%-of-union band (the natural error scale of
+    * the three estimates), oracle-expected `true`. */
+  def q104HllIntersect(s: SparkSession, dir: String): DataFrame = {
+    val sk = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        countDistinct(col("user_id")).as("n"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+      col("n").as("na"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+      col("n").as("nb"))
+    val pairs = a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b, false))").as("u_est"))
+      .withColumn("inter_est", col("na") + col("nb") - col("u_est"))
+    val exact = t(s, dir, "events").alias("x")
+      .select(col("event_type").as("type_a"), col("user_id"))
+      .distinct()
+      .join(t(s, dir, "events")
+        .select(col("event_type").as("type_b"), col("user_id"))
+        .distinct(), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(countDistinct(col("user_id")).as("exact_inter"))
+    pairs.join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("exact_inter"),
+        (abs(col("inter_est") - col("exact_inter")) <=
+          col("u_est") * lit(0.05)).as("within_tol"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val q104Sql: String =
+    """WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  count(DISTINCT a.user_id) AS exact_inter, true AS within_tol
+      |FROM d a JOIN d b ON a.user_id = b.user_id
+      |  AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2847,6 +2893,7 @@ object Queries {
     "q101_overlap" -> (q101Overlap _),
     "q102_snapshot_diff" -> (q102SnapshotDiff _),
     "q103_bloom_semi" -> (q103BloomSemi _),
+    "q104_hll_intersect" -> (q104HllIntersect _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2953,6 +3000,7 @@ object Queries {
     "q101_overlap" -> q101Sql,
     "q102_snapshot_diff" -> q102Sql,
     "q103_bloom_semi" -> q103Sql,
+    "q104_hll_intersect" -> q104Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
