@@ -2785,6 +2785,39 @@ object Queries {
       |  AND a.event_type < b.event_type
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Top event trigrams — q89's transition matrix generalized to
+    * length-3 paths ("view→click→purchase"): two stacked `lag`s over
+    * the SAME per-user window (one shuffle on user_id — Catalyst
+    * collapses same-spec window functions into a single WindowExec),
+    * then a map-side-combining count and bounded top-20 via
+    * TakeOrderedAndProject. The path-mining face of funnel analysis:
+    * q84 checks ONE prescribed order, this discovers the orders that
+    * actually happen. */
+  def q105EventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e3"))
+      .withColumn("e2", lag(col("e3"), 1).over(w))
+      .withColumn("e1", lag(col("e3"), 2).over(w))
+      .filter(col("e1").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  val q105Sql: String =
+    """WITH t AS (SELECT
+      |  lag(event_type, 2) OVER w AS e1,
+      |  lag(event_type, 1) OVER w AS e2,
+      |  event_type AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e1, e2, e3, count(*) AS cnt FROM t WHERE e1 IS NOT NULL
+      |GROUP BY 1, 2, 3 ORDER BY cnt DESC, e1, e2, e3 LIMIT 20""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2894,6 +2927,7 @@ object Queries {
     "q102_snapshot_diff" -> (q102SnapshotDiff _),
     "q103_bloom_semi" -> (q103BloomSemi _),
     "q104_hll_intersect" -> (q104HllIntersect _),
+    "q105_event_paths" -> (q105EventPaths _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3001,6 +3035,7 @@ object Queries {
     "q102_snapshot_diff" -> q102Sql,
     "q103_bloom_semi" -> q103Sql,
     "q104_hll_intersect" -> q104Sql,
+    "q105_event_paths" -> q105Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
