@@ -2818,6 +2818,60 @@ object Queries {
       |SELECT e1, e2, e3, count(*) AS cnt FROM t WHERE e1 IS NOT NULL
       |GROUP BY 1, 2, 3 ORDER BY cnt DESC, e1, e2, e3 LIMIT 20""".stripMargin
 
+  /** Data-quality expectation suite ([[graft.etl.Quality]]): five
+    * dbt-style checks over a deliberately dirtied orders table —
+    * row-level rules fuse into ONE aggregate pass, uniqueness adds a
+    * distinct-count, referential integrity a broadcast anti-join
+    * count. The dirt (dup keys + null FK + bad status + negative
+    * price via %997 rows; dangling FK via %991 rows) is planted
+    * identically in both engines so every check has a non-zero,
+    * computed violation count. */
+  def q106Quality(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.Quality
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val dirtyA = orders.filter(col("o_orderkey") % 997 === 0)
+      .select(col("o_orderkey"), lit(null).cast("long").as("o_custkey"),
+        lit("X").as("o_orderstatus"), lit(-5.0d).as("o_totalprice"))
+    val dirtyB = orders.filter(col("o_orderkey") % 991 === 0)
+      .select(col("o_orderkey"), lit(-1L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val dirtied = orders.unionByName(dirtyA).unionByName(dirtyB)
+    Quality.check(dirtied, Seq(
+        Quality.NotNull("o_custkey"),
+        Quality.Unique(Seq("o_orderkey")),
+        Quality.Accepted("o_orderstatus", Seq("O", "F", "P")),
+        Quality.InRange("o_totalprice", 0d, 1000000d),
+        Quality.RefersTo("o_custkey", t(s, dir, "customer"), "c_custkey")))
+      .orderBy("check")
+  }
+
+  val q106Sql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, NULL, 'X', -5.0 FROM orders WHERE o_orderkey % 997 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, -1, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 991 = 0),
+      |checks("check", violations) AS (
+      |  SELECT 'not_null(o_custkey)',
+      |    (SELECT count(*) FROM t WHERE o_custkey IS NULL)
+      |  UNION ALL SELECT 'unique(o_orderkey)',
+      |    (SELECT count(*) FILTER (o_orderkey IS NOT NULL)
+      |       - count(DISTINCT o_orderkey) FROM t)
+      |  UNION ALL SELECT 'accepted_values(o_orderstatus)',
+      |    (SELECT count(*) FROM t WHERE o_orderstatus IS NOT NULL
+      |       AND o_orderstatus NOT IN ('O', 'F', 'P'))
+      |  UNION ALL SELECT 'in_range(o_totalprice)',
+      |    (SELECT count(*) FROM t WHERE o_totalprice IS NOT NULL
+      |       AND (o_totalprice < 0 OR o_totalprice > 1000000))
+      |  UNION ALL SELECT 'refers_to(o_custkey)',
+      |    (SELECT count(*) FROM t WHERE o_custkey IS NOT NULL AND NOT EXISTS
+      |       (SELECT 1 FROM customer c WHERE c.c_custkey = t.o_custkey)))
+      |SELECT "check", violations, violations = 0 AS pass
+      |FROM checks ORDER BY "check"""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2928,6 +2982,7 @@ object Queries {
     "q103_bloom_semi" -> (q103BloomSemi _),
     "q104_hll_intersect" -> (q104HllIntersect _),
     "q105_event_paths" -> (q105EventPaths _),
+    "q106_quality" -> (q106Quality _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3036,6 +3091,7 @@ object Queries {
     "q103_bloom_semi" -> q103Sql,
     "q104_hll_intersect" -> q104Sql,
     "q105_event_paths" -> q105Sql,
+    "q106_quality" -> q106Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
