@@ -160,6 +160,69 @@ object EventStream {
         min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
   }
 
+  /** Sessionization on the NATIVE `session_window` aggregate — the
+    * one-line face of [[sessionizeBatch]]/[[sessionizeStream]] for
+    * when built-in semantics suffice: Spark merges overlapping
+    * per-event windows `[ts, ts+gap)` into sessions inside a
+    * dedicated session-aggregation operator (batch AND streaming, no
+    * custom state code). Two deliberate semantic differences from
+    * [[sessionizeBatch]], both inherent to the builtin: the gap
+    * comparison is strict (an event exactly `gapSeconds` after the
+    * last starts a NEW session, where the hand-rolled batch plan
+    * merges it), and `session_end` is `last_ts + gap` (window end),
+    * not the last event's timestamp. */
+  def sessionizeNative(events: DataFrame, gapSeconds: Long): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  /** Streaming face of [[sessionizeNative]]: same aggregate under
+    * `readStream` + watermark. In Append mode the watermark finalizes
+    * and EVICTS closed sessions (state = open sessions only — the
+    * production configuration); tests pass Complete to surface every
+    * session of a bounded replay. */
+  def sessionizeNativeStream(spark: SparkSession, srcDir: String,
+      schemaFrom: DataFrame, gapSeconds: Long, watermark: String,
+      queryName: String,
+      outputMode: OutputMode = OutputMode.Append()): StreamingQuery =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(srcDir)
+      .withWatermark("ts", watermark)
+      .transform(df => sessionizeNative(df, gapSeconds))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming heavy hitters: the mergeable Misra–Gries sketch
+    * aggregate ([[graft.functions.FreqSketchAgg]]) under a streaming
+    * groupBy — per-key candidate sets maintained incrementally in the
+    * state store, never a full-cardinality count table. Complete mode:
+    * a global top-items table is a bounded, dashboard-sized result
+    * re-emitted per trigger; recall ≥ the batch sketch's guarantee
+    * (freq > N/(capacity+1)) because the streaming merge sequence is
+    * just another merge order of the same mergeable sketch. */
+  def heavyHittersStream(spark: SparkSession, srcDir: String,
+      schemaFrom: DataFrame, groupCol: String, itemCol: String,
+      capacity: Int, queryName: String): StreamingQuery =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(srcDir)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.freq_sketch(col(itemCol), capacity).as("sketch"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

@@ -118,6 +118,60 @@ class EventStreamSpec extends AnyFunSuite {
     assert(viol.count() === 0)
   }
 
+  test("native session_window: streaming face equals batch face") {
+    val dir = Files.createTempDirectory("events_sw").toString
+    events.write.mode("overwrite").parquet(dir)
+    // Complete mode surfaces sessions not yet past the watermark on a
+    // bounded replay (same rationale as the windowed-agg test)
+    val q = EventStream.sessionizeNativeStream(spark, dir, events,
+      gapSeconds = 3600, watermark = "10 minutes", "sw_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    assert(q.awaitTermination(180000), "streaming query timed out")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val streamed = canon(spark.table("sw_test"))
+    val batch = canon(EventStream.sessionizeNative(events, 3600))
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("native session_window face: event count conserved, gap property holds") {
+    val sessions = EventStream.sessionizeNative(events, gapSeconds = 3600)
+    assert(sessions.agg(sum($"n_events")).head.getLong(0) === events.count())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"session_start")
+    // strict-gap semantics: next session starts >= prev end (= last_ts + gap)
+    val viol = sessions.withColumn("prev_end", lag($"session_end", 1).over(w))
+      .filter($"prev_end".isNotNull && $"session_start" < $"prev_end")
+    assert(viol.count() === 0)
+  }
+
+  test("streaming heavy hitters: sketch recall guarantee holds per group") {
+    val dir = Files.createTempDirectory("events_hh").toString
+    events.write.mode("overwrite").parquet(dir)
+    val capacity = 15
+    val q = EventStream.heavyHittersStream(spark, dir, events,
+      "event_type", "user_id", capacity, "hh_test")
+    assert(q.awaitTermination(180000), "streaming query timed out")
+    val sketched = spark.table("hh_test")
+      .select($"event_type", explode($"sketch").as("s"))
+      .select($"event_type", $"s.item".cast("long").as("item"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // every item with true frequency > N/(capacity+1) must be a candidate
+    val guaranteed = events.groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .join(events.groupBy($"event_type").agg(count(lit(1)).as("total")),
+        Seq("event_type"))
+      .filter($"n" > $"total" / (capacity + 1))
+      .select($"event_type", $"user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(guaranteed.subsetOf(sketched),
+      s"missing guaranteed heavy hitters: ${guaranteed -- sketched}")
+  }
+
   test("streaming sessionization with custom state emits closed sessions") {
     val ds = events.as[EventStream.Event]
     // batch Dataset works through the same flatMapGroupsWithState code
