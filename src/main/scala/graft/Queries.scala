@@ -2872,6 +2872,40 @@ object Queries {
       |SELECT "check", violations, violations = 0 AS pass
       |FROM checks ORDER BY "check"""".stripMargin
 
+  /** Jaro–Winkler fuzzy entity match — misspelled country probes
+    * resolved against the nation dimension with the native
+    * [[graft.functions.JaroWinkler]] expression (codegen'd,
+    * byte-level, DuckDB-parity semantics). Same broadcast map-side
+    * shape as q33's Levenshtein matcher: probes × dim scored without
+    * any shuffle of the corpus side, best match per probe via the
+    * bounded hash-agg top-1. */
+  def q107JaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = Seq("BRASIL", "GERMANIA", "EJIPT", "ARGENTINIA", "CANADIA")
+      .toDF("probe")
+    val scored = probes
+      .join(broadcast(t(s, dir, "nation").select(col("n_name"))))
+      .withColumn("sim",
+        graft.functions.jaro_winkler(lower(col("probe")), lower(col("n_name"))))
+    Features.topKPerGroupAgg(scored, "probe",
+        struct(negate(col("sim")).as("ns"), col("n_name").as("n_name")), 1)
+      .select(col("probe"), col("n_name").as("best_match"),
+        round(-col("ns"), 6).as("sim"))
+      .orderBy("probe")
+  }
+
+  val q107Sql: String =
+    """WITH probes(probe) AS (VALUES ('BRASIL'), ('GERMANIA'), ('EJIPT'),
+      |  ('ARGENTINIA'), ('CANADIA')),
+      |scored AS (
+      |  SELECT probe, n_name,
+      |    jaro_winkler_similarity(lower(probe), lower(n_name)) AS sim
+      |  FROM probes CROSS JOIN nation)
+      |SELECT probe, n_name AS best_match, round(sim, 6) AS sim
+      |FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY probe ORDER BY sim DESC, n_name) = 1
+      |ORDER BY probe""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -2983,6 +3017,7 @@ object Queries {
     "q104_hll_intersect" -> (q104HllIntersect _),
     "q105_event_paths" -> (q105EventPaths _),
     "q106_quality" -> (q106Quality _),
+    "q107_jaro_winkler" -> (q107JaroWinkler _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3092,6 +3127,7 @@ object Queries {
     "q104_hll_intersect" -> q104Sql,
     "q105_event_paths" -> q105Sql,
     "q106_quality" -> q106Sql,
+    "q107_jaro_winkler" -> q107Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -52,6 +52,11 @@ package object functions {
   def freq_sketch(c: Column, capacity: Int): Column =
     Bridge.column(FreqSketchAgg(Bridge.expression(c), capacity).toAggregateExpression())
 
+  /** Jaro–Winkler similarity in [0, 1] (codegen'd; DuckDB-parity
+    * semantics — see [[JaroWinkler]]). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+
   /** Bloom-filter membership probe (codegen'd; see
     * [[BloomMightContain]] for put/probe symmetry and
     * [[graft.operators.BloomJoin]] for the join patterns). */
