@@ -2906,6 +2906,37 @@ object Queries {
       |QUALIFY row_number() OVER (PARTITION BY probe ORDER BY sim DESC, n_name) = 1
       |ORDER BY probe""".stripMargin
 
+  /** Inverted-index keyword search — conjunctive query over posting
+    * lists ([[graft.text.TextOps.invertedIndex]]/`searchAnd`): the
+    * index is one explode + one term shuffle; the query touches only
+    * its own terms' postings and intersects them with a
+    * count-equality. Output: documents containing ALL of
+    * {batch, scan, join}, plus each query term's document frequency
+    * from the index (both faces oracle-checked). */
+  def q108InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.text.TextOps.invertedIndex(
+      t(s, dir, "documents"), "doc_id", "text").cache()
+    val hits = graft.text.TextOps.searchAnd(idx, Seq("batch", "scan", "join"))
+    val dfs = idx.filter(col("term").isin("batch", "scan", "join"))
+      .select(col("term"), col("df"))
+    hits.select(col("doc_id").cast("string").as("k"), lit(-1L).as("v"))
+      .unionByName(dfs.select(col("term").as("k"), col("df").as("v")))
+      .orderBy("k", "v")
+  }
+
+  val q108Sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |q AS (SELECT doc_id, term FROM toks
+      |      WHERE term IN ('batch', 'scan', 'join'))
+      |SELECT CAST(doc_id AS VARCHAR) AS k, CAST(-1 AS BIGINT) AS v FROM q
+      |GROUP BY doc_id HAVING count(*) = 3
+      |UNION ALL
+      |SELECT term AS k, count(*) AS v FROM q GROUP BY term
+      |ORDER BY k, v""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3018,6 +3049,7 @@ object Queries {
     "q105_event_paths" -> (q105EventPaths _),
     "q106_quality" -> (q106Quality _),
     "q107_jaro_winkler" -> (q107JaroWinkler _),
+    "q108_inverted_index" -> (q108InvertedIndex _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3128,6 +3160,7 @@ object Queries {
     "q105_event_paths" -> q105Sql,
     "q106_quality" -> q106Sql,
     "q107_jaro_winkler" -> q107Sql,
+    "q108_inverted_index" -> q108Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -319,4 +319,49 @@ object TextOps {
       transform(toks, w => (length(w) * 17 + ascii(w)).cast("long")),
       lit(0L),
       (h, x) => (h * 31L + x) % 1000000007L)
+
+  /** Inverted index: one row per distinct term with its SORTED posting
+    * list and document frequency — the keyword-search / corpus-audit
+    * primitive. One (doc, term) explode (distinct terms per doc, so a
+    * term counts once per document) and one term-keyed shuffle.
+    *
+    * Posting-list skew is the classic hazard: a stop-word's postings
+    * are corpus-sized, and `collect_list` buffers a whole term's list.
+    * `maxDf` prunes those terms BEFORE any list is built (df counts
+    * first — cheap long pairs — then a semi join keeps only sub-cap
+    * terms; AQE handles the skewed build side). Real engines also
+    * block-split and delta-encode giant lists; at 100 TB pair that cap
+    * with `Warehouse.writeBucketed("term")` for a probe-local layout.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Option[Long] = None): DataFrame = {
+    val pairs = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(regexTokens(col(textCol)))).as("term"))
+    val kept = maxDf match {
+      case Some(cap) =>
+        val ok = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("term")
+        pairs.join(ok, Seq("term"), "left_semi")
+      case None => pairs
+    }
+    kept.groupBy("term")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df"))
+  }
+
+  /** Conjunctive (AND) keyword search by posting intersection: pull
+    * ONLY the query terms' postings (term-pruned index scan — with a
+    * term-partitioned index layout this touches k files), explode,
+    * and keep doc_ids hit by ALL terms via a count-equality — the
+    * k-way sorted-list intersection expressed relationally, no
+    * corpus scan anywhere. */
+  def searchAnd(index: DataFrame, terms: Seq[String]): DataFrame = {
+    val qs = terms.distinct
+    require(qs.nonEmpty, "empty query")
+    index.filter(col("term").isin(qs: _*))
+      .select(explode(col("postings")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === qs.length)
+      .select("doc_id")
+  }
 }

@@ -249,6 +249,39 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(top(3L) === "common") // only term present
   }
 
+  test("invertedIndex: sorted postings, per-doc-distinct df, maxDf pruning") {
+    val docs = Seq(
+      (3L, "alpha beta beta gamma"),
+      (1L, "alpha gamma"),
+      (2L, "beta delta")).toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    assert(idx("alpha") === ((Seq(1L, 3L), 2L)))
+    assert(idx("beta") === ((Seq(2L, 3L), 2L))) // doubled in doc 3 → once
+    assert(idx("gamma") === ((Seq(1L, 3L), 2L)))
+    assert(idx("delta") === ((Seq(2L), 1L)))
+    val pruned = TextOps.invertedIndex(docs, "doc_id", "text", maxDf = Some(1L))
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(pruned === Set("delta"))
+  }
+
+  test("searchAnd: conjunctive intersection; absent term empties the result") {
+    val docs = Seq(
+      (1L, "spark shuffle join"),
+      (2L, "spark join broadcast"),
+      (3L, "spark shuffle")).toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(docs, "doc_id", "text")
+    def search(ts: String*) = TextOps.searchAnd(idx, ts)
+      .collect().map(_.getLong(0)).toSet
+    assert(search("spark", "join") === Set(1L, 2L))
+    assert(search("spark") === Set(1L, 2L, 3L))
+    assert(search("spark", "join", "shuffle") === Set(1L))
+    assert(search("spark", "nosuchterm") === Set.empty)
+    // duplicate query terms must not double-count hits
+    assert(search("spark", "spark", "join") === Set(1L, 2L))
+  }
+
   test("packBudget: packs fill to the budget, overflow at most one doc") {
     val df = (0L until 100L).map(i => (i, 100L)).toDF("doc_id", "n_tokens")
     val packs = PrefixSum
