@@ -2937,6 +2937,27 @@ object Queries {
       |SELECT term AS k, count(*) AS v FROM q GROUP BY term
       |ORDER BY k, v""".stripMargin
 
+  /** Bounded-heap deterministic per-group sample — q48's draw
+    * (md5-ranked k per group) through the native bounded top-k
+    * aggregate ([[Features.groupedSampleBounded]]): the q87
+    * bounded-memory story applied to sampling, so a skewed group
+    * never materializes or sorts in full. 5 documents per language,
+    * reproducible in any engine. */
+  def q109SampleBounded(s: SparkSession, dir: String): DataFrame =
+    Features.groupedSampleBounded(
+        t(s, dir, "documents").select(col("lang"), col("doc_id")),
+        "lang", "doc_id", k = 5)
+      .select("lang", "doc_id", "rn")
+      .orderBy("lang", "rn")
+
+  val q109Sql: String =
+    """SELECT lang, doc_id, rn FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3050,6 +3071,7 @@ object Queries {
     "q106_quality" -> (q106Quality _),
     "q107_jaro_winkler" -> (q107JaroWinkler _),
     "q108_inverted_index" -> (q108InvertedIndex _),
+    "q109_sample_bounded" -> (q109SampleBounded _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3161,6 +3183,7 @@ object Queries {
     "q106_quality" -> q106Sql,
     "q107_jaro_winkler" -> q107Sql,
     "q108_inverted_index" -> q108Sql,
+    "q109_sample_bounded" -> q109Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

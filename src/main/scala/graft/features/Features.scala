@@ -257,6 +257,22 @@ object Features {
       .select(col(groupCol), col("col.*"),
         (col("pos") + 1).cast("long").as(rankCol))
 
+  /** [[groupedSampleHash]] on the bounded heap: the same
+    * engine-portable deterministic k-per-group draw (md5-of-key rank
+    * — "random" as a pure function of the data), but via
+    * [[graft.functions.BoundedTopKAgg]] instead of a window sort, so
+    * every aggregation buffer holds ≤ k rows and a skewed group
+    * costs O(group·log k) comparisons instead of a full group sort.
+    * The per-group face of the reservoir-sampling story: a
+    * hash-ranked bounded heap IS a deterministic reservoir. Returns
+    * the group, key, and the 1-based draw rank. */
+  def groupedSampleBounded(df: DataFrame, groupCol: String,
+      keyCol: String, k: Int, rankCol: String = "rn"): DataFrame =
+    topKPerGroupBounded(df, groupCol,
+      struct(md5(col(keyCol).cast("string").cast("binary")).as("__h"),
+        col(keyCol).as(keyCol)), k, rankCol)
+      .drop("__h")
+
   /** Equi-width histogram with data-driven bounds — the profiling
     * companion to [[quantileBins]] (equi-POPULATION bins): one
     * min/max aggregate (exact, two doubles to the driver-free

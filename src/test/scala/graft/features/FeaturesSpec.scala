@@ -126,6 +126,23 @@ class FeaturesSpec extends AnyFunSuite {
     assert(viaHeap.nonEmpty)
   }
 
+  test("groupedSampleBounded equals the window-sort hash sample") {
+    val docs = TestSpark.table("documents").select($"lang", $"doc_id")
+    val viaHeap = Features.groupedSampleBounded(docs, "lang", "doc_id", 5)
+      .select("lang", "doc_id", "rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaWindow = Features.groupedSampleHash(docs, "lang", "doc_id", 5)
+    // groupedSampleHash drops the rank; recompute it for comparison
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id")
+    val viaWindowRanked = viaWindow
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaHeap === viaWindowRanked)
+    assert(viaHeap.nonEmpty)
+  }
+
   test("bounded_topk on a primitive column keeps the k smallest, sorted") {
     val df = Seq(("a", 5L), ("a", 1L), ("a", 3L), ("a", 2L), ("b", 9L))
       .toDF("g", "v")
