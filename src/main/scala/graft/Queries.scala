@@ -2958,6 +2958,31 @@ object Queries {
       |  FROM documents)
       |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
 
+  /** Hierarchy flattening by pointer doubling
+    * ([[graft.operators.Hierarchy.rootAndDepth]]): a synthetic
+    * decimal-trie forest over part keys (parent = key DIV 10, keys
+    * < 10 are roots) resolved to (node, root, depth) in ⌈log₂ h⌉
+    * node-sized self-joins. The oracle is the recursive CTE this
+    * operator replaces — which walks one level per round and at
+    * 100 TB would serialize tree height into shuffle rounds. */
+  def q110Hierarchy(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "part").select(
+      col("p_partkey").as("id"),
+      when(col("p_partkey") >= 10, expr("p_partkey DIV 10")).as("parent"))
+    graft.operators.Hierarchy.rootAndDepth(nodes, "id", "parent")
+      .orderBy("node")
+  }
+
+  val q110Sql: String =
+    """WITH RECURSIVE h(node, root, depth) AS (
+      |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part
+      |  WHERE p_partkey < 10
+      |  UNION ALL
+      |  SELECT p.p_partkey, h.root, h.depth + 1
+      |  FROM part p JOIN h ON p.p_partkey // 10 = h.node
+      |  WHERE p.p_partkey >= 10)
+      |SELECT node, root, depth FROM h ORDER BY node""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3072,6 +3097,7 @@ object Queries {
     "q107_jaro_winkler" -> (q107JaroWinkler _),
     "q108_inverted_index" -> (q108InvertedIndex _),
     "q109_sample_bounded" -> (q109SampleBounded _),
+    "q110_hierarchy" -> (q110Hierarchy _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3184,6 +3210,7 @@ object Queries {
     "q107_jaro_winkler" -> q107Sql,
     "q108_inverted_index" -> q108Sql,
     "q109_sample_bounded" -> q109Sql,
+    "q110_hierarchy" -> q110Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class HierarchySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def flatten(rows: Seq[(Long, java.lang.Long)], maxRounds: Int = 20) =
+    Hierarchy.rootAndDepth(rows.toDF("id", "parent"), "id", "parent", maxRounds)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))))
+      .toMap
+
+  test("forest with two trees: correct roots and depths") {
+    //  1 ← 2 ← 4      10 ← 11
+    //      2 ← 5 ← 6
+    val got = flatten(Seq(
+      (1L, null), (2L, 1L), (4L, 2L), (5L, 2L), (6L, 5L),
+      (10L, null), (11L, 10L)))
+    assert(got(1L) === ((Some(1L), Some(0L))))
+    assert(got(4L) === ((Some(1L), Some(2L))))
+    assert(got(6L) === ((Some(1L), Some(3L))))
+    assert(got(10L) === ((Some(10L), Some(0L))))
+    assert(got(11L) === ((Some(10L), Some(1L))))
+  }
+
+  test("deep chain resolves in logarithmic rounds") {
+    // chain of 1000: height 999; 10 doubling rounds must suffice
+    val chain = (1L to 1000L).map(i =>
+      (i, if (i == 1) null else java.lang.Long.valueOf(i - 1)))
+    val got = flatten(chain, maxRounds = 10)
+    assert(got(1000L) === ((Some(1L), Some(999L))))
+    assert(got(500L) === ((Some(1L), Some(499L))))
+    assert(got.values.forall(_._1 === Some(1L)))
+  }
+
+  test("self-parent counts as root; cycle surfaces as NULL, not a hang") {
+    val got = flatten(Seq(
+      (1L, 1L),          // self-parent root
+      (2L, 1L),
+      (7L, 8L), (8L, 7L) // 2-cycle
+    ), maxRounds = 5)
+    assert(got(1L) === ((Some(1L), Some(0L))))
+    assert(got(2L) === ((Some(1L), Some(1L))))
+    assert(got(7L) === ((None, None)))
+    assert(got(8L) === ((None, None)))
+  }
+
+  test("dangling parent pointer surfaces as NULL") {
+    val got = flatten(Seq((1L, null), (2L, 99L)), maxRounds = 3)
+    assert(got(1L) === ((Some(1L), Some(0L))))
+    assert(got(2L) === ((None, None)))
+  }
+}
