@@ -2983,6 +2983,50 @@ object Queries {
       |  WHERE p.p_partkey >= 10)
       |SELECT node, root, depth FROM h ORDER BY node""".stripMargin
 
+  /** Time-series resampling — daily per-type maxima aligned to a
+    * 6-hour grid with linear interpolation
+    * ([[Features.resampleLinear]]): pair-owned grid emission, one
+    * lead window + map-side explode. Observations are daily MAX of
+    * `value` (order-independent double, so both engines feed the
+    * interpolation bit-identical inputs — an avg's summation order
+    * would not be). */
+  def q111Resample(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        (expr("floor(unix_timestamp(ts)) DIV 86400") * 86400L).as("t"))
+      .agg(max(col("value")).as("v"))
+    Features.resampleLinear(obs, "event_type", "t", "v", step = 21600L)
+      .select(col("event_type"), col("grid_ts"),
+        round(col("value"), 6).as("val"))
+      .orderBy("event_type", "grid_ts")
+  }
+
+  val q111Sql: String =
+    """WITH obs AS (
+      |  SELECT event_type,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS t,
+      |    max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT event_type, t, v,
+      |        lead(t) OVER w AS t1, lead(v) OVER w AS v1
+      |      FROM obs WINDOW w AS (PARTITION BY event_type ORDER BY t)),
+      |expanded AS (
+      |  SELECT event_type, t, t1, v, v1,
+      |    unnest(generate_series(((t + 21599) // 21600) * 21600, t1 - 1, 21600))
+      |      AS grid_ts
+      |  FROM p WHERE t1 IS NOT NULL),
+      |interior AS (
+      |  SELECT event_type, grid_ts,
+      |    v + (v1 - v) * (CAST(grid_ts - t AS DOUBLE) / CAST(t1 - t AS DOUBLE))
+      |      AS val
+      |  FROM expanded),
+      |last_pt AS (
+      |  SELECT event_type, t AS grid_ts, v AS val FROM p
+      |  WHERE t1 IS NULL AND t % 21600 = 0)
+      |SELECT event_type, grid_ts, round(val, 6) AS val FROM (
+      |  SELECT * FROM interior UNION ALL SELECT * FROM last_pt)
+      |ORDER BY event_type, grid_ts""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3098,6 +3142,7 @@ object Queries {
     "q108_inverted_index" -> (q108InvertedIndex _),
     "q109_sample_bounded" -> (q109SampleBounded _),
     "q110_hierarchy" -> (q110Hierarchy _),
+    "q111_resample" -> (q111Resample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3211,6 +3256,7 @@ object Queries {
     "q108_inverted_index" -> q108Sql,
     "q109_sample_bounded" -> q109Sql,
     "q110_hierarchy" -> q110Sql,
+    "q111_resample" -> q111Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -273,6 +273,48 @@ object Features {
         col(keyCol).as(keyCol)), k, rankCol)
       .drop("__h")
 
+  /** Time-series resampling to a regular grid with LINEAR
+    * interpolation — the align-before-join step for sensor/metric
+    * series (forwardFill is the step-function sibling). Each
+    * consecutive observation pair (one `lead` window — a single
+    * shuffle on the series key) OWNS the grid points in
+    * `[⌈t₀/step⌉·step, t₁)` and emits them map-side
+    * (`sequence`+`explode`) with
+    * `v = v₀ + (v₁−v₀)·(g−t₀)/(t₁−t₀)`; the final observation emits
+    * itself when it lands on-grid. No per-grid-point lookups, no
+    * cross-pair joins, and every grid point is produced exactly once.
+    * Grid points outside [first, last] don't exist by construction
+    * (no edge extrapolation). Timestamps must be non-negative (DIV
+    * truncation = floor only for t ≥ 0 — the cross-engine grid
+    * contract).
+    *
+    * Output: (seriesCol, grid_ts, value) — value is the raw IEEE
+    * interpolation; round at the query edge for cross-engine dumps. */
+  def resampleLinear(df: DataFrame, seriesCol: String, tsCol: String,
+      valueCol: String, step: Long): DataFrame = {
+    require(step > 0, "step must be positive")
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("__t"))
+    val p = df.select(col(seriesCol),
+        col(tsCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__t1", lead(col("__t"), 1).over(w))
+      .withColumn("__v1", lead(col("__v"), 1).over(w))
+    val gs = expr(s"((__t + ${step - 1}) DIV $step) * $step")
+    val interior = p.filter(col("__t1").isNotNull)
+      .withColumn("__gs", gs)
+      .withColumn("g", explode(
+        when(col("__gs") <= col("__t1") - 1,
+          sequence(col("__gs"), col("__t1") - 1, lit(step)))
+          .otherwise(lit(Array.empty[Long]))))
+      .select(col(seriesCol), col("g").as("grid_ts"),
+        (col("__v") + (col("__v1") - col("__v")) *
+          ((col("g") - col("__t")).cast("double") /
+            (col("__t1") - col("__t")).cast("double"))).as("value"))
+    val lastOnGrid = p.filter(col("__t1").isNull && col("__t") % step === 0)
+      .select(col(seriesCol), col("__t").as("grid_ts"), col("__v").as("value"))
+    interior.unionByName(lastOnGrid)
+  }
+
   /** Equi-width histogram with data-driven bounds — the profiling
     * companion to [[quantileBins]] (equi-POPULATION bins): one
     * min/max aggregate (exact, two doubles to the driver-free

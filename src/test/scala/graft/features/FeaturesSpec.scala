@@ -143,6 +143,33 @@ class FeaturesSpec extends AnyFunSuite {
     assert(viaHeap.nonEmpty)
   }
 
+  test("resampleLinear: planted series interpolates exactly, one row per grid point") {
+    // series a: obs at t=0 (v=0) and t=100 (v=10): grid step 25
+    // series b: single obs ON grid; series c: single obs off grid
+    val df = Seq(("a", 0L, 0.0), ("a", 100L, 10.0),
+      ("b", 50L, 7.0), ("c", 33L, 1.0)).toDF("s", "t", "v")
+    val got = Features.resampleLinear(df, "s", "t", "v", step = 25L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set(("a", 0L), ("a", 25L), ("a", 50L), ("a", 75L),
+      ("a", 100L), ("b", 50L)))
+    assert(got(("a", 0L)) === 0.0)
+    assert(got(("a", 25L)) === 2.5)
+    assert(got(("a", 75L)) === 7.5)
+    assert(got(("a", 100L)) === 10.0) // last obs, on grid
+    assert(got(("b", 50L)) === 7.0)
+  }
+
+  test("resampleLinear: observations between grid points interpolate through") {
+    // obs at 10 and 40, step 20: grid point 20 interpolated from the pair
+    val df = Seq(("s", 10L, 1.0), ("s", 40L, 4.0)).toDF("s", "t", "v")
+    val got = Features.resampleLinear(df, "s", "t", "v", step = 20L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // 20 from the pair interior; 40 is the on-grid last observation
+    assert(got.keySet === Set(20L, 40L))
+    assert(math.abs(got(20L) - 2.0) < 1e-12)
+    assert(got(40L) === 4.0)
+  }
+
   test("bounded_topk on a primitive column keeps the k smallest, sorted") {
     val df = Seq(("a", 5L), ("a", 1L), ("a", 3L), ("a", 2L), ("b", 9L))
       .toDF("g", "v")
