@@ -3027,6 +3027,34 @@ object Queries {
       |  SELECT * FROM interior UNION ALL SELECT * FROM last_pt)
       |ORDER BY event_type, grid_ts""".stripMargin
 
+  /** Cross-corpus near-dup join — document-level decontamination of
+    * an "eval" split against a "train" split (parity of doc_id), via
+    * [[Dedup.crossNearDupPairs]]: both corpora band with shared
+    * MinHash constants, meet in one (band, bucket) equi-join, exact
+    * Jaccard verifies. The oracle is the exact |A|·|B| Jaccard join
+    * this stays sub-quadratic against. */
+  def q112CrossDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.crossNearDupPairs(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q112Sql: String =
+    """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x->x<>'') toks FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+      |  THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |       i -> array_to_string(list_slice(toks, i, i+2), ' ')))
+      |  ELSE [array_to_string(toks, ' ')] END sh FROM t),
+      |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+      |  CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+      |    (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) jaccard
+      |  FROM s a, s b WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+      |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3143,6 +3171,7 @@ object Queries {
     "q109_sample_bounded" -> (q109SampleBounded _),
     "q110_hierarchy" -> (q110Hierarchy _),
     "q111_resample" -> (q111Resample _),
+    "q112_cross_dup" -> (q112CrossDup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3257,6 +3286,7 @@ object Queries {
     "q109_sample_bounded" -> q109Sql,
     "q110_hierarchy" -> q110Sql,
     "q111_resample" -> q111Sql,
+    "q112_cross_dup" -> q112Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -127,6 +127,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-corpus near-dup join — [[nearDupPairs]] BETWEEN two
+    * corpora (train × eval: document-level decontamination, the
+    * set-overlap complement of `Decontaminate`'s n-gram containment;
+    * or incremental dedup of a new batch against the lake). Both
+    * sides band with the SAME MinHash constants and meet in a plain
+    * (band, bucket) equi-join — O(docs × bands) shuffled rows, never
+    * |A|·|B| — then exact Jaccard verifies candidates, so precision
+    * is exact and recall is the standard LSH s-curve. Per-side bucket
+    * caps (window counts riding the shuffle partitioning) drop
+    * degenerate buckets before the join can explode; pass `obs` to
+    * count the dropped rows ([[pairsFromBuckets]]' observability
+    * contract).
+    */
+  def crossNearDupPairs(left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      threshold: Double, shingleWidth: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4, maxBucket: Int = 1000,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    def banded(df: DataFrame, id: String, text: String, as: String) = df
+      .select(col(id).as(as),
+        posexplode(graft.functions.minhash_bands(col(text), shingleWidth,
+          bands, rowsPerBand)).as(Seq("band", "bucket")))
+    def capped(df: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket"))
+      df.withColumn("__n", count(lit(1)).over(w))
+    }
+    val lb = capped(banded(left, leftId, leftText, "id_a"))
+    val rb = capped(banded(right, rightId, rightText, "id_b"))
+    val observed = obs.fold(lb)(o => lb.observe(o,
+      sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
+      max(col("__n")).as("max_bucket_size")))
+    val cands = observed.filter(col("__n") <= maxBucket)
+      .join(rb.filter(col("__n") <= maxBucket).withColumnRenamed("__n", "__m"),
+        Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val shL = left.select(col(leftId).as("id_a"),
+      graft.functions.shingle_set(col(leftText), shingleWidth).as("sh_a"))
+    val shR = right.select(col(rightId).as("id_b"),
+      graft.functions.shingle_set(col(rightText), shingleWidth).as("sh_b"))
+    cands.join(shL, Seq("id_a")).join(shR, Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     graft.sim.Similarity.hamming64(a, b)

@@ -42,6 +42,41 @@ class DedupSpec extends AnyFunSuite {
     assert(got === truth)
   }
 
+  test("cross-corpus near-dup join equals the parity-filtered brute force") {
+    val truth = bruteforcePairs(0.9)
+      .filter($"id_a" % 2 === 0 && $"id_b" % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force uses id_a < id_b; the cross join is (even) × (odd)
+    // in both orders — mirror the reversed-parity pairs
+    val truthRev = bruteforcePairs(0.9)
+      .filter($"id_a" % 2 === 1 && $"id_b" % 2 === 0)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    val want = truth ++ truthRev
+    assert(want.nonEmpty, "parity split should straddle a planted cluster")
+    val got = Dedup.crossNearDupPairs(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("cross-corpus join: per-side bucket cap drops degenerate buckets observably") {
+    // left: a 30-doc degenerate cluster (over cap) + one normal doc
+    // that still finds its twin — the surviving pair keeps the plan
+    // from collapsing to an empty relation (which would elide the
+    // observe node entirely)
+    val left = ((1L to 30L).map(i => (i, "identical text content here")) :+
+      (99L, "unique alpha beta gamma delta")).toDF("doc_id", "text")
+    val right = ((31L to 60L).map(i => (i, "identical text content here")) :+
+      (199L, "unique alpha beta gamma delta")).toDF("doc_id", "text")
+    val obs = new org.apache.spark.sql.Observation("xdrops")
+    val got = Dedup.crossNearDupPairs(left, "doc_id", "text",
+      right, "doc_id", "text", 0.9, maxBucket = 10, obs = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((99L, 199L))) // degenerate cluster never expands
+    assert(obs.get("dropped_rows").asInstanceOf[Long] > 0L)
+  }
+
   test("simhash pairs are a subset of true low-hamming pairs and catch exact dups") {
     val doubled = docs.select("doc_id", "text").unionByName(
       docs.select(($"doc_id" + 100000).as("doc_id"), $"text"))
