@@ -3055,6 +3055,49 @@ object Queries {
       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Per-series trend lines — daily event volume regressed on the
+    * epoch-day index, one OLS fit per event type in a single
+    * aggregation pass ([[Features.trendPerGroup]]: exact decimal
+    * moment sums, closed-form solve — the distributed "is this metric
+    * drifting" query; q46 is the same algebra as a global forecast).
+    * Inputs are integral (day index, daily count), so both engines
+    * feed identical exact moments into the identical IEEE solve. */
+  def q114Trend(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("floor(unix_timestamp(ts)) DIV 86400").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    Features.trendPerGroup(daily, "event_type", "day", "cnt")
+      .select(col("event_type"), col("n"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  val q114Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type,
+      |  -- integral inputs: plain integer sums are exact (and < 2^53,
+      |  -- so the DOUBLE casts are too) — same values as the engine's
+      |  -- exact decimal moments
+      |  CAST(count(*) AS DOUBLE) AS n,
+      |  CAST(sum(day) AS DOUBLE) AS sx,
+      |  CAST(sum(cnt) AS DOUBLE) AS sy,
+      |  CAST(sum(day * day) AS DOUBLE) AS sxx,
+      |  CAST(sum(day * cnt) AS DOUBLE) AS sxy
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  round(CASE WHEN n * sxx - sx * sx <> 0
+      |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+      |  round(CASE WHEN n * sxx - sx * sx <> 0
+      |    THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+      |    END, 6) AS intercept
+      |FROM m ORDER BY event_type""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3172,6 +3215,7 @@ object Queries {
     "q110_hierarchy" -> (q110Hierarchy _),
     "q111_resample" -> (q111Resample _),
     "q112_cross_dup" -> (q112CrossDup _),
+    "q114_trend" -> (q114Trend _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3287,6 +3331,7 @@ object Queries {
     "q110_hierarchy" -> q110Sql,
     "q111_resample" -> q111Sql,
     "q112_cross_dup" -> q112Sql,
+    "q114_trend" -> q114Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -315,6 +315,40 @@ object Features {
     interior.unionByName(lastOnGrid)
   }
 
+  /** Per-group OLS trend lines — a least-squares slope/intercept for
+    * EVERY series in one aggregation pass (the per-entity trend
+    * detector: per-metric drift, per-customer growth), where fitting
+    * series one-by-one at the driver would be the collect() anti-
+    * pattern. Five moment sums accumulated in DECIMAL (exact,
+    * order-independent — the q81 correlation recipe; a double sum's
+    * partition-order nondeterminism would make slopes flap across
+    * runs and engines), closed-form solve in doubles at the end.
+    * Groups with < 2 points or zero x-variance yield NULL slope.
+    *
+    * Output: (group, n, slope, intercept) — raw doubles; round at
+    * the query edge. */
+  def trendPerGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val x = col(xCol).cast(d6)
+    val y = col(yCol).cast(d6)
+    val m = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum((x * x).cast(d12)).cast("double").as("sxx"),
+        sum((x * y).cast(d12)).cast("double").as("sxy"))
+    val denom = m("n") * m("sxx") - m("sx") * m("sx")
+    val slope = when(denom =!= 0.0,
+      (m("n") * m("sxy") - m("sx") * m("sy")) / denom)
+    m.select(col(groupCol), col("n").cast("long").as("n"),
+      slope.as("slope"),
+      when(slope.isNotNull, (m("sy") - slope * m("sx")) / m("n"))
+        .as("intercept"))
+  }
+
   /** Equi-width histogram with data-driven bounds — the profiling
     * companion to [[quantileBins]] (equi-POPULATION bins): one
     * min/max aggregate (exact, two doubles to the driver-free

@@ -170,6 +170,23 @@ class FeaturesSpec extends AnyFunSuite {
     assert(got(40L) === 4.0)
   }
 
+  test("trendPerGroup: planted slopes recovered; degenerate groups null") {
+    val rows =
+      (0L to 10L).map(x => ("up", x, 2.0 * x + 5.0)) ++     // slope 2, icpt 5
+      (0L to 10L).map(x => ("flat", x, 7.0)) ++             // slope 0, icpt 7
+      Seq(("single", 3L, 9.0),                              // n=1 → null
+        ("novar", 4L, 1.0), ("novar", 4L, 3.0))             // zero x-variance
+    val got = Features.trendPerGroup(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got("up")._1 === 11L)
+    assert(math.abs(got("up")._2.get.asInstanceOf[Double] - 2.0) < 1e-9)
+    assert(math.abs(got("up")._3.get.asInstanceOf[Double] - 5.0) < 1e-9)
+    assert(math.abs(got("flat")._2.get.asInstanceOf[Double]) < 1e-9)
+    assert(got("single")._2 === None)
+    assert(got("novar")._2 === None)
+  }
+
   test("bounded_topk on a primitive column keeps the k smallest, sorted") {
     val df = Seq(("a", 5L), ("a", 1L), ("a", 3L), ("a", 2L), ("b", 9L))
       .toDF("g", "v")
