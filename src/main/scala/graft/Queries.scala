@@ -3098,6 +3098,65 @@ object Queries {
       |    END, 6) AS intercept
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** Winsorization audit — clip fences at exact p05/p95 and the
+    * count of rows each fence compresses
+    * ([[Features.winsorize]]: one percentile aggregate broadcast
+    * into a codegen'd clip projection). Counts, not clipped sums, are
+    * the oracle surface: both engines compute bit-identical fence
+    * doubles (same interpolation formula), and comparisons against
+    * them are exact. */
+  def q113Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val w = Features.winsorize(li, "l_extendedprice", 0.05, 0.95, "clipped")
+    w.agg(
+        round(min(col("clipped")), 6).as("lo_fence"),
+        round(max(col("clipped")), 6).as("hi_fence"),
+        sum(when(col("l_extendedprice") < col("clipped"), 1L).otherwise(0L))
+          .as("n_raised"),
+        sum(when(col("l_extendedprice") > col("clipped"), 1L).otherwise(0L))
+          .as("n_lowered"),
+        count(lit(1)).as("n"))
+  }
+
+  val q113Sql: String =
+    """WITH b AS (SELECT
+      |  percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS lo,
+      |  percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS hi
+      |  FROM lineitem)
+      |SELECT round(b.lo, 6) AS lo_fence, round(b.hi, 6) AS hi_fence,
+      |  CAST(sum(CASE WHEN l_extendedprice < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_raised,
+      |  CAST(sum(CASE WHEN l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_lowered,
+      |  count(*) AS n
+      |FROM lineitem CROSS JOIN b GROUP BY b.lo, b.hi""".stripMargin
+
+  /** Sequence-gap detection (missing-id islands) — the ingestion
+    * audit "which chunks never arrived", via
+    * [[graft.operators.Gaps.missingRanges]]: bucket-partitioned lag
+    * windows for intra-bucket holes + a bounded bucket-summary pass
+    * for the holes that straddle buckets — no global data-sized
+    * window anywhere. The oracle is the single global lag this
+    * decomposition must exactly reproduce. */
+  def q115Gaps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Gaps.missingRanges(
+        // this generator's orderkeys are contiguous — drop two
+        // residue classes so the detector has real holes to find
+        // (adjacent 3,4 mod 10 → two-wide gaps), identically planted
+        // in the oracle
+        t(s, dir, "orders").filter(!(col("o_orderkey") % 10).isin(3, 4)),
+        "o_orderkey", bucketWidth = 1000L)
+      .orderBy("gap_start")
+
+  val q115Sql: String =
+    """SELECT prev + 1 AS gap_start, o_orderkey - 1 AS gap_end,
+      |  o_orderkey - prev - 1 AS missing
+      |FROM (SELECT o_orderkey,
+      |        lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+      |      FROM orders WHERE o_orderkey % 10 NOT IN (3, 4))
+      |WHERE prev IS NOT NULL AND o_orderkey - prev > 1
+      |ORDER BY gap_start""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3216,6 +3275,8 @@ object Queries {
     "q111_resample" -> (q111Resample _),
     "q112_cross_dup" -> (q112CrossDup _),
     "q114_trend" -> (q114Trend _),
+    "q113_winsorize" -> (q113Winsorize _),
+    "q115_gaps" -> (q115Gaps _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3332,6 +3393,8 @@ object Queries {
     "q111_resample" -> q111Sql,
     "q112_cross_dup" -> q112Sql,
     "q114_trend" -> q114Sql,
+    "q113_winsorize" -> q113Sql,
+    "q115_gaps" -> q115Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -349,6 +349,26 @@ object Features {
         .as("intercept"))
   }
 
+  /** Winsorization: clip a numeric column at its exact [loQ, hiQ]
+    * percentiles — the robust-stats companion to [[standardize]]
+    * (outliers compress to the fence instead of dominating moments).
+    * One exact percentile aggregate (two scalars, broadcast back via
+    * cross join — never a per-row sort), then a codegen'd
+    * least/greatest projection. At extreme scale swap the exact
+    * percentile for `approx_percentile` — the clip projection is
+    * unchanged. NULLs pass through untouched. */
+  def winsorize(df: DataFrame, valueCol: String, loQ: Double, hiQ: Double,
+      outCol: String): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
+    val bounds = df.agg(
+      expr(s"percentile_cont($loQ) WITHIN GROUP (ORDER BY $valueCol)").as("__lo"),
+      expr(s"percentile_cont($hiQ) WITHIN GROUP (ORDER BY $valueCol)").as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(outCol,
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Equi-width histogram with data-driven bounds — the profiling
     * companion to [[quantileBins]] (equi-POPULATION bins): one
     * min/max aggregate (exact, two doubles to the driver-free
