@@ -3157,6 +3157,102 @@ object Queries {
       |WHERE prev IS NOT NULL AND o_orderkey - prev > 1
       |ORDER BY gap_start""".stripMargin
 
+  /** Mutual information between two categoricals (status ×
+    * priority) — the dependence measure feature selection runs beside
+    * q80's chi-square, same scale shape: one contingency aggregate,
+    * window marginals over the dim-sized table, per-term round(…,9)
+    * then an order-independent DECIMAL sum (the q80 determinism
+    * recipe — ln() is the only non-IEEE-exact step and it feeds a
+    * 9-decimal grid). MI in nats; 0-count cells contribute nothing
+    * (they never appear in the grouped relation). */
+  def q116MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("a"), col("o_orderpriority").as("b"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val terms = obs
+      .withColumn("r", sum(col("n")).over(wA))
+      .withColumn("c", sum(col("n")).over(wB))
+      .withColumn("t", sum(col("n")).over(wAll))
+      .withColumn("term", round((col("n") / col("t")) *
+        log(col("n") * col("t") / (col("r") * col("c"))), 9))
+    terms.agg(
+      round(sum(col("term").cast(DecimalType(28, 9))).cast("double"), 6)
+        .as("mi_nats"),
+      sum(col("n")).cast("long").as("n_obs"))
+  }
+
+  val q116Sql: String =
+    """WITH obs AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+      |  CAST(count(*) AS DOUBLE) AS n FROM orders GROUP BY 1, 2),
+      |m AS (SELECT a, b, n,
+      |  sum(n) OVER (PARTITION BY a) AS r,
+      |  sum(n) OVER (PARTITION BY b) AS c,
+      |  sum(n) OVER () AS t FROM obs),
+      |tm AS (SELECT n, round((n / t) * ln(n * t / (r * c)), 9) AS term FROM m)
+      |SELECT round(CAST(sum(CAST(term AS DECIMAL(28, 9))) AS DOUBLE), 6)
+      |  AS mi_nats,
+      |  CAST(sum(n) AS BIGINT) AS n_obs
+      |FROM tm""".stripMargin
+
+  /** Per-class embedding centroids — the IVF-training / class-
+    * prototype step as a relational plan: posexplode to
+    * (label, dim, value) and average per cell. One shuffle of
+    * (label, dim) scalar cells — never whole vectors — with map-side
+    * partial aggregation; 10 labels × 64 dims out. The q86 precedent
+    * applies to determinism: a ~50-element double avg rounded to 6
+    * decimals sits far above summation-order noise. */
+  def q117Centroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("e").cast("double")), 6).as("c"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+
+  val q117Sql: String =
+    """WITH x AS (SELECT label, unnest(embedding) AS e,
+      |  unnest(range(len(embedding))) AS pos FROM embeddings)
+      |SELECT label, pos, round(avg(CAST(e AS DOUBLE)), 6) AS c,
+      |  count(*) AS n
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Market-basket co-occurrence — brand pairs bought together in one
+    * order, with support counts: the association-mining candidate
+    * scan. Baskets collapse map-side to sorted distinct brand sets
+    * (orders are ≤7 lines, so the per-group buffer is bounded), pairs
+    * expand in place (C(b,2) per basket — the q23 candidate-expansion
+    * idiom), one count shuffle. The oracle is the (order, brand)
+    * self-join this avoids running against the raw lineitem relation.
+    */
+  def q118BrandPairs(s: SparkSession, dir: String): DataFrame = {
+    val ob = t(s, dir, "lineitem").alias("l")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+    ob.groupBy(col("o"))
+      .agg(sort_array(collect_set(col("b"))).as("bs"))
+      .filter(size(col("bs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs)),
+          |            y -> struct(x AS brand_a, y AS brand_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.brand_a"), col("p.brand_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy("brand_a", "brand_b")
+  }
+
+  val q118Sql: String =
+    """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |SELECT a.b AS brand_a, c.b AS brand_b, count(*) AS support
+      |FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3277,6 +3373,9 @@ object Queries {
     "q114_trend" -> (q114Trend _),
     "q113_winsorize" -> (q113Winsorize _),
     "q115_gaps" -> (q115Gaps _),
+    "q116_mutual_info" -> (q116MutualInfo _),
+    "q117_centroids" -> (q117Centroids _),
+    "q118_brand_pairs" -> (q118BrandPairs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3395,6 +3494,9 @@ object Queries {
     "q114_trend" -> q114Sql,
     "q113_winsorize" -> q113Sql,
     "q115_gaps" -> q115Sql,
+    "q116_mutual_info" -> q116Sql,
+    "q117_centroids" -> q117Sql,
+    "q118_brand_pairs" -> q118Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
