@@ -91,6 +91,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           FreqSketchAgg(args(0), intArg("freq_sketch", args(1), "capacity"))
         }))
     ext.injectFunction(
+      (FunctionIdentifier("jaro_winkler"),
+        info("jaro_winkler", "jaro_winkler(a, b): Jaro-Winkler similarity " +
+          "in [0,1] — byte-level, DuckDB-parity semantics"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "jaro_winkler expects 2 arguments")
+          JaroWinkler(args(0), args(1))
+        }))
+    ext.injectFunction(
       (FunctionIdentifier("minhash_sig"),
         info("minhash_sig", "minhash_sig(text, shingleWidth, k)"),
         (args: Seq[Expression]) => {

@@ -3253,6 +3253,47 @@ object Queries {
       |FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Sketch-merged rolling distinct users — q97's 7-day DAU through
+    * mergeable HLL: ONE per-day sketch table (days × 12 KB), then
+    * each window unions its 7 member sketches — per-user rows shuffle
+    * once total, where the exact plan re-shuffles every user×7 window
+    * copies. THE sliding-distinct scale pattern (per-grain sketches
+    * persist beside the data; any window, any length, re-aggregates
+    * sketches only). Oracle-checked against the exact q97 counts via
+    * the ±5% in-plan verdict (q65/q88 pattern). */
+  def q119HllRollingDau(s: SparkSession, dir: String): DataFrame = {
+    val perDay = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val mx = perDay.agg(max(col("day")).as("mday"))
+    val est = perDay
+      .select(col("sk"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .join(broadcast(mx), col("wday") <= col("mday"))
+      .groupBy(col("wday").as("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+    val exact = q97RollingDau(s, dir)
+    est.join(exact, Seq("day"))
+      .select(col("day"), col("dau7"),
+        (abs(col("est") - col("dau7")) <= col("dau7") * lit(0.05))
+          .as("within_5pct"))
+      .orderBy("day")
+  }
+
+  val q119Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |            FROM events WHERE user_id IS NOT NULL),
+      |mx AS (SELECT max(day) AS mday FROM ud),
+      |x AS (SELECT user_id,
+      |        CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+      |          CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+      |          INTERVAL 1 DAY)) AS DATE) AS wday
+      |      FROM ud)
+      |SELECT wday AS day, count(DISTINCT user_id) AS dau7, true AS within_5pct
+      |FROM x CROSS JOIN mx WHERE wday <= mday
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3376,6 +3417,7 @@ object Queries {
     "q116_mutual_info" -> (q116MutualInfo _),
     "q117_centroids" -> (q117Centroids _),
     "q118_brand_pairs" -> (q118BrandPairs _),
+    "q119_hll_rolling_dau" -> (q119HllRollingDau _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3497,6 +3539,7 @@ object Queries {
     "q116_mutual_info" -> q116Sql,
     "q117_centroids" -> q117Sql,
     "q118_brand_pairs" -> q118Sql,
+    "q119_hll_rolling_dau" -> q119Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -71,6 +71,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got === Map("x" -> 2L, "y" -> 1L))
   }
 
+  test("jaro_winkler is callable from SQL and matches the Column API") {
+    val got = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS s")
+      .head.getDouble(0)
+    assert(math.abs(got - 0.9611111111111111) < 1e-12)
+  }
+
   test("CollapseNormalize folds nested normalize_string applications") {
     // non-literal input so constant folding can't remove the expression
     val df = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
