@@ -60,6 +60,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseNormalize)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     ext.injectFunction(one("normalize_string",
       "lower + NFD accent strip + whitespace collapse + trim")(NormalizeString.apply))
     ext.injectFunction(one("simhash64",
