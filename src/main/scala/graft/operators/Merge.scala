@@ -73,6 +73,69 @@ object Merge {
     survivors.unionByName(upserts)
   }
 
+  /** Streaming MERGE: [[applyChanges]] under Structured Streaming —
+    * a change-log stream continuously maintains a parquet snapshot,
+    * the "CDC into the lake" deployment shape. Each micro-batch
+    * applies its changes to the CURRENT snapshot and republishes via
+    * [[graft.sources.Warehouse.publish]]'s atomic rename-swap, so a
+    * concurrent reader always sees a complete committed version —
+    * `foreachBatch` is exactly Spark's sanctioned hook for
+    * merge-style sinks the built-in file sink can't express (it only
+    * appends). Batch boundaries preserve the seqCol winner-per-key
+    * contract PROVIDED batches arrive in sequence order (the standard
+    * CDC topic/file-landing contract): within a batch the seqCol
+    * argmax picks the winner, and a later batch's changes are by
+    * assumption never older than an applied one — so replaying in
+    * waves equals one big apply ([[MergeSpec]] asserts replay ≡
+    * one-shot). An out-of-order landing would need a seqCol guard
+    * column persisted in the snapshot; keep the stream ordered
+    * instead.
+    *
+    * First batch against a missing snapshot starts from empty. The
+    * snapshot is read fresh per batch (self-referencing streams must
+    * not cache the target). Exactly-once: foreachBatch can re-run a
+    * batch on failure recovery — applying the same change set twice
+    * is idempotent here (same winners win), which is what makes this
+    * safe without transactional storage. */
+  def applyChangesStream(spark: org.apache.spark.sql.SparkSession,
+      changesDir: String, changesSchemaFrom: DataFrame,
+      snapshotPath: String, keyCols: Seq[String], opCol: String,
+      seqCol: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val targetSchema = org.apache.spark.sql.types.StructType(
+      changesSchemaFrom.schema.filterNot(f =>
+        f.name == opCol || f.name == seqCol))
+    val reader = spark.readStream
+      .schema(changesSchemaFrom.schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val writer = reader.parquet(changesDir)
+      .writeStream
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fs = new org.apache.hadoop.fs.Path(snapshotPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val target =
+          if (fs.exists(new org.apache.hadoop.fs.Path(snapshotPath)))
+            spark.read.schema(targetSchema).parquet(snapshotPath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            targetSchema)
+        val next = applyChanges(target, batch, keyCols, opCol, seqCol)
+        // the new version reads the CURRENT snapshot while writing the
+        // temp dir; the swap happens only after the write completes
+        graft.sources.Warehouse.publish(spark, snapshotPath) { tmp =>
+          next.write.mode("overwrite").parquet(tmp)
+        }
+      }
+      .start()
+  }
+
   /** Snapshot diff — the inverse of [[applyChanges]]: derive the keyed
     * change log (`I`nsert / `U`pdate / `D`elete) that turns `oldSnap`
     * into `newSnap`. The table-compare / backfill-audit primitive, and

@@ -149,6 +149,17 @@ object Warehouse {
     l.join(r, l(leftKey) === r(rightKey))
   }
 
+  /** Public face of [[commitVia]]: build a new version of `path` in a
+    * hidden temp sibling via `writeTo`, publish by atomic rename-swap.
+    * The snapshot-maintenance primitive for anything that rewrites a
+    * directory a reader may be scanning (streaming MERGE, compaction,
+    * index rebuilds). */
+  def publish(spark: SparkSession, path: String)(writeTo: String => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    commitVia(fs, p)(writeTo)
+  }
+
   /** Build into a hidden temp sibling, then PUBLISH by rename — rename
     * is atomic on a real filesystem, so a concurrent reader either sees
     * the old committed dir (its already-open files survive the unlink,

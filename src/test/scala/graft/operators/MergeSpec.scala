@@ -18,6 +18,53 @@ class MergeSpec extends AnyFunSuite {
     Merge.applyChanges(target, changes, Seq("k"), "op", "seq")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
 
+  test("streaming MERGE: per-file replay converges to the one-shot apply") {
+    val changesDir = java.nio.file.Files.createTempDirectory("cdc_in").toString
+    val snapPath = java.nio.file.Files.createTempDirectory("cdc_snap")
+      .toString + "/snapshot"
+    val schemaFrom = chg((0L, "", "", 0L)).limit(0)
+    // land each wave as a PLAIN parquet FILE in the watched dir (a
+    // df.write creates a directory, which the file stream source
+    // would not descend into)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val st = java.nio.file.Files.createTempDirectory("cdc_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(st)
+      val part = new java.io.File(st).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(changesDir, name))
+    }
+    // wave 1: initial inserts; wave 2: update + delete + new key —
+    // replayed one file per micro-batch
+    land(chg((1L, "a", "I", 1L), (2L, "b", "I", 1L), (3L, "c", "I", 1L)),
+      "w1.parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ck").toString
+    val q = Merge.applyChangesStream(spark, changesDir, schemaFrom,
+      snapPath, Seq("k"), "op", "seq", "cdc_test_1",
+      maxFilesPerTrigger = Some(1), checkpoint = Some(ckpt))
+    assert(q.awaitTermination(120000), "streaming query timed out")
+    land(chg((2L, "B", "U", 2L), (3L, "", "D", 2L), (4L, "d", "I", 2L)),
+      "w2.parquet")
+    // same checkpoint: the restarted query RESUMES past wave 1
+    val q2 = Merge.applyChangesStream(spark, changesDir, schemaFrom,
+      snapPath, Seq("k"), "op", "seq", "cdc_test_2",
+      maxFilesPerTrigger = Some(1), checkpoint = Some(ckpt))
+    assert(q2.awaitTermination(120000), "streaming query timed out")
+
+    val got = spark.read.parquet(snapPath)
+      .collect().map(r => (r.getLong(r.fieldIndex("k")),
+        r.getString(r.fieldIndex("v")))).toSet
+    // one-shot ground truth over the full change log
+    val oneShot = Merge.applyChanges(
+      snap().limit(0),
+      chg((1L, "a", "I", 1L), (2L, "b", "I", 1L), (3L, "c", "I", 1L),
+        (2L, "B", "U", 2L), (3L, "", "D", 2L), (4L, "d", "I", 2L)),
+      Seq("k"), "op", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === oneShot)
+    assert(got === Set(1L -> "a", 2L -> "B", 4L -> "d"))
+  }
+
   test("snapshotDiff plants I/U/D exactly; unchanged rows absent") {
     val out = Merge.snapshotDiff(
         snap(1L -> "a", 2L -> "b", 3L -> "c"),
