@@ -3551,5 +3551,7 @@ object Queries {
     "q13_events_window", "q17_exact_dedup", "q21_rolling_hash",
     "q22_cosine_topk", "q23_minhash_dup", "q27_ann_topk",
     "q36_esi_etl", "q52_ann_indexed", "q53_ivf_indexed",
-    "q60_decontaminate", "q63_pack", "q87_topk_native")
+    "q60_decontaminate", "q63_pack", "q87_topk_native",
+    "q100_skyline", "q103_bloom_semi", "q108_inverted_index",
+    "q110_hierarchy", "q112_cross_dup", "q119_hll_rolling_dau")
 }
