@@ -62,6 +62,46 @@ object AlgebraProps extends Properties("EngineAlgebra") {
       }
     }
 
+  property("skyline is mergeable: sky(A ∪ B) == sky(sky(A) ∪ sky(B)), and idempotent") =
+    Prop.forAll(
+      Gen.listOfN(25, Gen.zip(Gen.chooseNum(0, 12), Gen.chooseNum(0, 12))),
+      Gen.listOfN(25, Gen.zip(Gen.chooseNum(0, 12), Gen.chooseNum(0, 12)))) { (a, b) =>
+      (a.isEmpty || b.isEmpty) || {
+        def df(rows: List[(Int, Int)]) = rows.zipWithIndex
+          .map { case ((x, y), i) => (x, y, i.toLong) }.toDF("x", "y", "i")
+        def skySet(d: org.apache.spark.sql.DataFrame) =
+          graft.operators.Skyline.skyline(d, Seq("x", "y"))
+            .select("x", "y").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+        val union = df(a).select("x", "y").unionByName(df(b).select("x", "y"))
+        val direct = skySet(union)
+        val merged = skySet(
+          graft.operators.Skyline.skyline(df(a), Seq("x", "y")).select("x", "y")
+            .unionByName(
+              graft.operators.Skyline.skyline(df(b), Seq("x", "y")).select("x", "y")))
+        val idem = skySet(graft.operators.Skyline.skyline(union, Seq("x", "y")))
+        direct == merged && idem == direct
+      }
+    }
+
+  property("snapshotDiff then applyChanges reconstructs the new snapshot") =
+    Prop.forAll(
+      Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 8L), Gen.oneOf("p", "q", "r"))),
+      Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 8L), Gen.oneOf("p", "q", "r")))) { (o, n) =>
+      {
+        // one row per key (snapshots are keyed relations)
+        val oldRows = o.toMap.toSeq
+        val newRows = n.toMap.toSeq
+        val oldDf = oldRows.toDF("k", "v")
+        val newDf = newRows.toDF("k", "v")
+        val changes = graft.operators.Merge.snapshotDiff(oldDf, newDf, Seq("k"))
+          .withColumn("seq", lit(1L))
+        val rebuilt = graft.operators.Merge
+          .applyChanges(oldDf, changes, Seq("k"), "op", "seq")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        rebuilt == newRows.toSet
+      }
+    }
+
   property("as-of join preserves every left row exactly once") =
     Prop.forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L))),
       Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))) { (l, r) =>
