@@ -511,7 +511,7 @@ object Queries {
   def q22CosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(e, "vec_id", "embedding",
-      e.filter(col("vec_id") === 0), 10)
+      e.filter(col("vec_id") === 0).limit(1), 10)
   }
 
   val q22Sql: String =
@@ -699,7 +699,7 @@ object Queries {
   def q27AnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.annTopK(e, "vec_id", "embedding",
-      e.filter(col("vec_id") === 0), k = 10, bits = 12, dim = 64, multiprobe = 2)
+      e.filter(col("vec_id") === 0).limit(1), k = 10, bits = 12, dim = 64, multiprobe = 2)
   }
 
   /** DuckDB oracle for the LSH ANN queries, GENERATED from the same
@@ -1058,7 +1058,7 @@ object Queries {
     val e = t(s, dir, "embeddings")
     val model = Similarity.ivfFitSample(e, "vec_id", "embedding", nlist = 8)
     Similarity.ivfTopK(e, "vec_id", "embedding",
-      e.filter(col("vec_id") === 0), k = 10, model, nprobe = 4)
+      e.filter(col("vec_id") === 0).limit(1), k = 10, model, nprobe = 4)
   }
 
   /** DuckDB mirror of the whole IVF pipeline. Distances use the SAME
@@ -1290,7 +1290,7 @@ object Queries {
   def q52AnnIndexed(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.annTopKIndexed(s, e, "vec_id", "embedding",
-      e.filter(col("vec_id") === 0), k = 10, bits = 8, dim = 64,
+      e.filter(col("vec_id") === 0).limit(1), k = 10, bits = 8, dim = 64,
       multiprobe = 2, indexDir(s, dir, "ann_b8"))
   }
 
@@ -1303,7 +1303,7 @@ object Queries {
     val e = t(s, dir, "embeddings")
     val model = Similarity.ivfFitSample(e, "vec_id", "embedding", nlist = 8)
     Similarity.ivfTopKIndexed(s, e, "vec_id", "embedding",
-      e.filter(col("vec_id") === 0), k = 10, model, nprobe = 4,
+      e.filter(col("vec_id") === 0).limit(1), k = 10, model, nprobe = 4,
       indexDir(s, dir, "ivf_n8"))
   }
 
