@@ -3294,6 +3294,30 @@ object Queries {
       |FROM x CROSS JOIN mx WHERE wday <= mday
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Triangle count over the brand co-purchase graph — q118's pair
+    * edges promoted to a clustering-density measure
+    * ([[graft.operators.Triangles]]: degree-ordered orientation, so
+    * wedge volume is O(m^1.5)-bounded and each triangle counts once;
+    * the closing check is a pure equi-join by rank transitivity). The
+    * oracle replays the same count with the naive id-orientation
+    * 3-way join — orientation choice cannot change the count. */
+  def q120Triangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = q118BrandPairs(s, dir).select("brand_a", "brand_b")
+    graft.operators.Triangles.triangleCount(edges, "brand_a", "brand_b")
+      // wedge count is orientation-dependent (a per-plan diagnostic);
+      // only the triangle count is orientation-invariant and oracled
+      .select("triangles")
+  }
+
+  val q120Sql: String =
+    """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |e AS (SELECT DISTINCT a.b AS x, c.b AS y
+      |      FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b)
+      |SELECT count(*) AS triangles
+      |FROM e e1 JOIN e e2 ON e1.y = e2.x
+      |  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3418,6 +3442,7 @@ object Queries {
     "q117_centroids" -> (q117Centroids _),
     "q118_brand_pairs" -> (q118BrandPairs _),
     "q119_hll_rolling_dau" -> (q119HllRollingDau _),
+    "q120_triangles" -> (q120Triangles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3540,6 +3565,7 @@ object Queries {
     "q117_centroids" -> q117Sql,
     "q118_brand_pairs" -> q118Sql,
     "q119_hll_rolling_dau" -> q119Sql,
+    "q120_triangles" -> q120Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
