@@ -3318,6 +3318,88 @@ object Queries {
       |FROM e e1 JOIN e e2 ON e1.y = e2.x
       |  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y""".stripMargin
 
+  /** ABC / Pareto analysis — parts classed by cumulative revenue
+    * share (A: first 70%, B: to 90%, C: tail), the inventory-
+    * prioritization staple. Detail rows aggregate per brand first
+    * (map-side combine), so the running-share window runs over the
+    * BRAND-sized relation — the bounded-global-window pattern (q80's
+    * contingency rule), never a window over lineitem. Revenue sums in
+    * decimal (exact, order-independent); the share division happens
+    * once per brand on exact inputs. */
+  def q121AbcAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val byBrand = t(s, dir, "lineitem").alias("l")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_extendedprice").cast(dec2)).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rev").desc, col("p_brand"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    byBrand
+      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("total", sum(col("rev")).over(wAll))
+      // exact decimal sums → double BEFORE the division: both engines
+      // then perform the identical IEEE divide (decimal-division
+      // result scales differ between engines)
+      .withColumn("share",
+        col("cum").cast("double") / col("total").cast("double"))
+      .select(col("p_brand"), col("rev").cast("double").as("rev"),
+        round(col("share"), 6).as("cum_share"),
+        when(col("share") <= 0.7, "A")
+          .when(col("share") <= 0.9, "B").otherwise("C").as("abc"))
+      .orderBy(col("rev").desc, col("p_brand"))
+  }
+
+  val q121Sql: String =
+    """WITH b AS (SELECT p_brand,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      |m AS (SELECT p_brand, rev,
+      |  sum(rev) OVER (ORDER BY rev DESC, p_brand
+      |    ROWS UNBOUNDED PRECEDING) AS cum,
+      |  sum(rev) OVER () AS total FROM b)
+      |SELECT p_brand, CAST(rev AS DOUBLE) AS rev,
+      |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+      |  CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.7 THEN 'A'
+      |       WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.9 THEN 'B'
+      |       ELSE 'C' END AS abc
+      |FROM m ORDER BY rev DESC, p_brand""".stripMargin
+
+  /** Record linkage — a corrupted nation register (first char
+    * dropped, case mangled) resolved back to the clean dimension via
+    * [[graft.sim.Linkage]]: blocked on region (no cross join),
+    * Jaro–Winkler scored map-side, best match per dirty record
+    * through the bounded top-1 heap. Every corrupted record must
+    * resolve to its true source — asserted by the oracle replaying
+    * the identical block/score/argmax in SQL. */
+  def q122Linkage(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    val dirty = nation.select(
+      col("n_nationkey").as("d_key"),
+      upper(substring(col("n_name"), 2, 100)).as("d_name"),
+      col("n_regionkey").as("d_region"))
+    graft.sim.Linkage.bestMatch(
+        dirty, "d_key", nation, "n_nationkey",
+        blockKeys = Seq(("d_region", "n_regionkey")),
+        fields = Seq(("d_name", "n_name", 1.0)))
+      .select(col("left_id").as("d_key"), col("right_id").as("matched_key"),
+        round(col("score"), 6).as("score"))
+      .orderBy("d_key")
+  }
+
+  val q122Sql: String =
+    """WITH dirty AS (SELECT n_nationkey AS d_key,
+      |  upper(substr(n_name, 2)) AS d_name, n_regionkey AS d_region
+      |  FROM nation),
+      |scored AS (SELECT d_key, n_nationkey AS matched_key,
+      |  jaro_winkler_similarity(lower(d_name), lower(n_name)) AS score
+      |  FROM dirty JOIN nation ON d_region = n_regionkey)
+      |SELECT d_key, matched_key, round(score, 6) AS score FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY d_key
+      |  ORDER BY score DESC, matched_key) = 1
+      |ORDER BY d_key""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3443,6 +3525,8 @@ object Queries {
     "q118_brand_pairs" -> (q118BrandPairs _),
     "q119_hll_rolling_dau" -> (q119HllRollingDau _),
     "q120_triangles" -> (q120Triangles _),
+    "q121_abc" -> (q121AbcAnalysis _),
+    "q122_linkage" -> (q122Linkage _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3566,6 +3650,8 @@ object Queries {
     "q118_brand_pairs" -> q118Sql,
     "q119_hll_rolling_dau" -> q119Sql,
     "q120_triangles" -> q120Sql,
+    "q121_abc" -> q121Sql,
+    "q122_linkage" -> q122Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -1,0 +1,50 @@
+package graft.sim
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class LinkageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val master = Seq(
+    (1L, "acme corporation", "north"),
+    (2L, "globex industries", "north"),
+    (3L, "initech llc", "south"),
+    (4L, "umbrella corp", "south"))
+    .toDF("id", "name", "zone")
+
+  test("bestMatch resolves typos to the right entity within its block") {
+    val dirty = Seq(
+      (101L, "acme corpration", "north"),   // typo of 1
+      (102L, "globex industreis", "north"), // typo of 2
+      (103L, "intech llc", "south"))        // typo of 3
+      .toDF("id", "name", "zone")
+    val got = Linkage.bestMatch(dirty, "id", master, "id",
+        Seq(("zone", "zone")), Seq(("name", "name", 1.0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(101L -> 1L, 102L -> 2L, 103L -> 3L))
+  }
+
+  test("blocking is respected: no candidates outside the block") {
+    val dirty = Seq((201L, "acme corporation", "south")).toDF("id", "name", "zone")
+    val pairs = Linkage.scoredPairs(dirty, "id", master, "id",
+        Seq(("zone", "zone")), Seq(("name", "name", 1.0)))
+      .collect().map(_.getLong(1)).toSet
+    assert(pairs === Set(3L, 4L)) // only the south block, despite the exact name
+  }
+
+  test("multi-field weights shift the winner") {
+    val right = Seq(
+      (1L, "acme", "chicago", "z"),
+      (2L, "acme", "boston", "z")).toDF("id", "name", "city", "zone")
+    val dirty = Seq((9L, "acme", "bostn", "z")).toDF("id", "name", "city", "zone")
+    val byCity = Linkage.bestMatch(dirty, "id", right, "id",
+        Seq(("zone", "zone")),
+        Seq(("name", "name", 0.3), ("city", "city", 0.7)))
+      .head
+    assert(byCity.getLong(1) === 2L)
+    // scores are normalized to [0, 1]
+    assert(byCity.getDouble(2) > 0.9 && byCity.getDouble(2) <= 1.0)
+  }
+}
