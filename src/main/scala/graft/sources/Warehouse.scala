@@ -149,6 +149,26 @@ object Warehouse {
     l.join(r, l(leftKey) === r(rightKey))
   }
 
+  /** Dynamic-partition overwrite: write `df` partitioned by
+    * `partitionCols`, replacing ONLY the partitions present in `df` —
+    * the incremental-backfill staple (re-run one day without touching
+    * the other 3,650). Plain `mode(overwrite)` + `partitionBy` would
+    * TRUNCATE THE WHOLE TABLE first (static mode, Spark's default) —
+    * the classic destroyed-warehouse footgun this wrapper exists to
+    * make impossible: the dynamic mode is set on THIS write only, not
+    * session-wide. Readers of untouched partitions are unaffected;
+    * readers of a replaced partition see the usual file-level swap
+    * (for stronger isolation, write to a new path and [[publish]]). */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Public face of [[commitVia]]: build a new version of `path` in a
     * hidden temp sibling via `writeTo`, publish by atomic rename-swap.
     * The snapshot-maintenance primitive for anything that rewrites a
