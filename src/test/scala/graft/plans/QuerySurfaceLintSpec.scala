@@ -24,7 +24,8 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
     "q80_chi2",         // contingency-table-sized marginals
     "q95_histogram",    // bins-sized cumulative pass
     "q115_gaps",        // bucket-summary window (bounded by id-range/width)
-    "q116_mutual_info") // contingency-table-sized marginals
+    "q116_mutual_info", // contingency-table-sized marginals
+    "q121_abc")         // running share over the BRAND-sized aggregate
 
   /** Intentional non-equi/cross shapes at dim scale (tiny sides). */
   private val boundedCross = Set(
