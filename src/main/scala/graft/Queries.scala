@@ -3400,6 +3400,37 @@ object Queries {
       |  ORDER BY score DESC, matched_key) = 1
       |ORDER BY d_key""".stripMargin
 
+  /** Single-source BFS hop distances — degrees of separation over the
+    * strongly-co-purchased brand graph ([[graft.operators.Bfs]]:
+    * frontier iteration, one frontier-edge join + anti-join per
+    * round, diameter-bounded). Source = lexicographically-first brand
+    * in the thresholded graph (one scalar to the driver). The oracle
+    * is the bounded recursive CTE with UNION dedup — min hops per
+    * reached node. */
+  def q123Bfs(s: SparkSession, dir: String): DataFrame = {
+    val strong = q118BrandPairs(s, dir).filter(col("support") >= 400)
+    val edges = strong.select(col("brand_a").as("x"), col("brand_b").as("y"))
+      .unionByName(strong.select(col("brand_b").as("x"), col("brand_a").as("y")))
+    val source = edges.agg(min(col("x"))).head.getString(0)
+    graft.operators.Bfs.hops(edges, "x", "y", source, maxHops = 6)
+      .orderBy("node")
+  }
+
+  val q123Sql: String =
+    """WITH RECURSIVE ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |p AS (SELECT a.b AS x, c.b AS y, count(*) AS s
+      |      FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b GROUP BY 1, 2),
+      |ed AS (SELECT x, y FROM p WHERE s >= 400
+      |       UNION ALL SELECT y, x FROM p WHERE s >= 400),
+      |b(node, hops) AS (
+      |  SELECT (SELECT min(x) FROM ed), 0
+      |  UNION
+      |  SELECT ed.y, b.hops + 1 FROM b JOIN ed ON b.node = ed.x
+      |  WHERE b.hops < 6)
+      |SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM b
+      |GROUP BY node ORDER BY node""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3527,6 +3558,7 @@ object Queries {
     "q120_triangles" -> (q120Triangles _),
     "q121_abc" -> (q121AbcAnalysis _),
     "q122_linkage" -> (q122Linkage _),
+    "q123_bfs" -> (q123Bfs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3652,6 +3684,7 @@ object Queries {
     "q120_triangles" -> q120Sql,
     "q121_abc" -> q121Sql,
     "q122_linkage" -> q122Sql,
+    "q123_bfs" -> q123Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
