@@ -149,6 +149,50 @@ object Warehouse {
     l.join(r, l(leftKey) === r(rightKey))
   }
 
+  /** Layout-quality report: per-file min/max/count for the given
+    * columns — quantifies how well a layout supports data skipping
+    * (disjoint per-file ranges = every range predicate prunes;
+    * overlapping ranges = the scan touches everything regardless of
+    * row-group stats). Run it after [[writeClustered]] /
+    * [[writeZOrdered]] / [[compact]] to see what the rewrite bought,
+    * or on a suspect table to explain why pruning is not happening.
+    * One scan with map-side aggregation on `input_file_name` (honest
+    * about reading the data; footer-only stats need no engine help —
+    * `parquet-tools meta` — but can't see live session state).
+    *
+    * `overlapFraction`: for each column, the fraction of file pairs
+    * whose [min, max] ranges intersect — 0.0 is a perfectly clustered
+    * layout, ~1.0 is unclustered. Computed on the files-sized report,
+    * driver-local. */
+  def layoutReport(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "need at least one column")
+    val df = spark.read.parquet(path)
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+    } :+ count(lit(1)).as("rows")
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Pairwise range-overlap fraction per column over a
+    * [[layoutReport]] result (files-sized — driver math). */
+  def overlapFraction(report: DataFrame, c: String): Double = {
+    import org.apache.spark.sql.functions._
+    val ranges = report.select(col(s"${c}_min").cast("double"),
+        col(s"${c}_max").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = ranges.length
+    if (n < 2) return 0.0
+    var overlapping = 0
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      if (ranges(i)._1 <= ranges(j)._2 && ranges(j)._1 <= ranges(i)._2)
+        overlapping += 1
+    }
+    overlapping.toDouble / (n.toLong * (n - 1) / 2).toDouble
+  }
+
   /** Dynamic-partition overwrite: write `df` partitioned by
     * `partitionCols`, replacing ONLY the partitions present in `df` —
     * the incremental-backfill staple (re-run one day without touching

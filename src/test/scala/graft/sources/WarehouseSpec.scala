@@ -167,6 +167,23 @@ class WarehouseSpec extends AnyFunSuite {
       ("2024-01-02", 30L), ("2024-01-02", 31L), ("2024-01-03", 4L)))
   }
 
+  test("layoutReport: clustered layout shows disjoint ranges, random layout overlaps") {
+    val li = TestSpark.table("lineitem").select("l_orderkey", "l_extendedprice")
+    val tmp = java.nio.file.Files.createTempDirectory("layout").toString
+    Warehouse.writeClustered(li, s"$tmp/c", Seq("l_orderkey"), files = 8)
+    li.repartition(8).write.parquet(s"$tmp/r")
+    val cRep = Warehouse.layoutReport(spark, s"$tmp/c", Seq("l_orderkey"))
+    val rRep = Warehouse.layoutReport(spark, s"$tmp/r", Seq("l_orderkey"))
+    assert(cRep.count() === 8L)
+    assert(cRep.agg(sum(col("rows"))).head.getLong(0) === li.count())
+    val cOv = Warehouse.overlapFraction(cRep, "l_orderkey")
+    val rOv = Warehouse.overlapFraction(rRep, "l_orderkey")
+    // range-clustered: each key lands in ~one file; duplicate boundary
+    // keys allow a touch of overlap. Round-robin: everything overlaps.
+    assert(cOv < 0.3, s"clustered overlap $cOv")
+    assert(rOv > 0.9, s"random overlap $rOv")
+  }
+
   test("compact: small files rewrite into ceil(bytes/target) files with data intact") {
     val tmp = java.nio.file.Files.createTempDirectory("cpt").toString + "/t"
     val li = TestSpark.table("lineitem")
