@@ -61,6 +61,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseNormalize)
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.SkylineStrategy)
     ext.injectFunction(one("normalize_string",
       "lower + NFD accent strip + whitespace collapse + trim")(NormalizeString.apply))
     ext.injectFunction(one("simhash64",

@@ -81,4 +81,21 @@ object Skyline {
     }
     strict
   }
+
+  /** The same operator as a FIRST-CLASS plan node
+    * ([[graft.plans.SkylinePlan]] → `SkylineStrategy` →
+    * `SkylineExec`): requires the session to carry `GraftExtensions`
+    * (the strategy must be injected or the node cannot be planned).
+    * Identical semantics to [[skyline]]; the partial/final split is
+    * declared as physical distribution requirements instead of a
+    * hand-placed coalesce. */
+  def skylineNative(df: DataFrame, dims: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.DoubleType
+    require(dims.nonEmpty, "skyline needs at least one dimension")
+    val dimExprs = dims.map(c => Cast(UnresolvedAttribute.quoted(c), DoubleType))
+    org.apache.spark.sql.graft.Bridge.ofRows(df.sparkSession,
+      graft.plans.SkylinePlan(dimExprs, df.queryExecution.analyzed))
+  }
 }
