@@ -3431,6 +3431,27 @@ object Queries {
       |SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM b
       |GROUP BY node ORDER BY node""".stripMargin
 
+  /** Sorted-neighborhood blocking — customer candidate pairs within
+    * 2 positions of each other in name order
+    * ([[graft.sim.Linkage.sortedNeighborhoodPairs]]: exact
+    * distributed global rank + bucketized rank-range join; the ER
+    * candidate generator that survives typos in a hash blocking
+    * key). The oracle replays the definition with a single
+    * row_number + rank-distance self-join. */
+  def q124SortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Linkage.sortedNeighborhoodPairs(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", w = 2)
+      .orderBy("id_a", "id_b")
+
+  val q124Sql: String =
+    """WITH r AS (SELECT c_custkey AS id,
+      |  row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+      |  FROM customer WHERE c_name IS NOT NULL)
+      |SELECT a.id AS id_a, b.id AS id_b
+      |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
+      |ORDER BY 1, 2""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3559,6 +3580,7 @@ object Queries {
     "q121_abc" -> (q121AbcAnalysis _),
     "q122_linkage" -> (q122Linkage _),
     "q123_bfs" -> (q123Bfs _),
+    "q124_sorted_neighborhood" -> (q124SortedNeighborhood _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3685,6 +3707,7 @@ object Queries {
     "q121_abc" -> q121Sql,
     "q122_linkage" -> q122Sql,
     "q123_bfs" -> q123Sql,
+    "q124_sorted_neighborhood" -> q124Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

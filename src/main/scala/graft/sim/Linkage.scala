@@ -50,6 +50,50 @@ object Linkage {
         col(s"__lr.$rightId").as("right_id"), score.as("score"))
   }
 
+  /** Sorted-neighborhood blocking — the OTHER classic ER candidate
+    * generator: records adjacent in a global sort order (within `w`
+    * positions) become candidate pairs, catching typos that corrupt a
+    * HASH blocking key itself (hash blocking sends "Smith"/"Smith "
+    * to different blocks; sorted by normalized name they are
+    * neighbors). Use both passes for serious recall.
+    *
+    * Exact and scale-safe: the global rank is the two-phase
+    * [[graft.operators.PrefixSum]] shape — range-partitioned sort,
+    * per-partition row_number (parallel windows), partition offsets
+    * from a P-row count relation (the bounded-global-window pattern)
+    * — and the "within w positions" join is
+    * [[graft.operators.RangeJoin.pointInInterval]] on the rank
+    * (bucketized equi-join, never a rank-inequality nested loop).
+    * Nothing data-sized ever sits in one task. Output:
+    * `(id_a, id_b)` with `id_a` earlier in sort order.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      sortCol: String, w: Int): DataFrame = {
+    require(w >= 1, "window must be >= 1")
+    val sorted = df.select(col(idCol).as("id"), col(sortCol).as("k"))
+      .filter(col("k").isNotNull)
+      .repartitionByRange(col("k"), col("id"))
+      .sortWithinPartitions(col("k"), col("id"))
+      .withColumn("pid", spark_partition_id())
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("k"), col("id"))
+    val local = sorted.withColumn("lrn", row_number().over(pw))
+    val offW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(offW), lit(0L)))
+      .select(col("pid"), col("off"))
+    val ranked = local.join(broadcast(offsets), Seq("pid"))
+      .select(col("id"), (col("lrn") + col("off")).as("rank"))
+    val points = ranked.select(col("rank").as("p"), col("id").as("id_b"))
+    val intervals = ranked.select((col("rank") + 1).as("lo"),
+      (col("rank") + w).as("hi"), col("id").as("id_a"))
+    graft.operators.RangeJoin.pointInInterval(points, "p",
+        intervals, "lo", "hi", equiKeys = Seq.empty, bucketWidth = w.toLong)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Best match per LEFT entity (highest score; ties to the smallest
     * right id) — bounded-heap top-1, never a per-block sort. */
   def bestMatch(left: DataFrame, leftId: String,

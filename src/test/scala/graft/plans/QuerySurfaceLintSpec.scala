@@ -25,7 +25,8 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
     "q95_histogram",    // bins-sized cumulative pass
     "q115_gaps",        // bucket-summary window (bounded by id-range/width)
     "q116_mutual_info", // contingency-table-sized marginals
-    "q121_abc")         // running share over the BRAND-sized aggregate
+    "q121_abc",         // running share over the BRAND-sized aggregate
+    "q124_sorted_neighborhood") // partition-offset window over a P-row count relation
 
   /** Intentional non-equi/cross shapes at dim scale (tiny sides). */
   private val boundedCross = Set(

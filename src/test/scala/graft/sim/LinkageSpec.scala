@@ -34,6 +34,21 @@ class LinkageSpec extends AnyFunSuite {
     assert(pairs === Set(3L, 4L)) // only the south block, despite the exact name
   }
 
+  test("sortedNeighborhoodPairs: exact w-neighborhood across partition boundaries") {
+    // 40 rows over several range partitions; expected pairs from the
+    // definition directly
+    val rows = (1L to 40L).map(i => (i, f"key-$i%03d"))
+    val df = rows.toDF("id", "k").repartition(6) // scrambled input layout
+    for (w <- Seq(1, 3)) {
+      val got = Linkage.sortedNeighborhoodPairs(df, "id", "k", w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        a <- 1L to 40L; b <- (a + 1) to math.min(40L, a + w)
+      } yield (a, b)).toSet
+      assert(got === want, s"w=$w")
+    }
+  }
+
   test("multi-field weights shift the winner") {
     val right = Seq(
       (1L, "acme", "chicago", "z"),
