@@ -3452,6 +3452,45 @@ object Queries {
       |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Period-over-period top movers — per-type volume in the corpus's
+    * first two whole weeks, delta and relative change, biggest
+    * absolute movers first. The "what changed since last week"
+    * dashboard staple: one grouped count (map-side combining), a
+    * two-row-per-key pivot via conditional sums, dim-sized output.
+    * Week anchor = min event day (one scalar), so the window is
+    * deterministic at any scale factor. */
+  def q125TopMovers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("floor(unix_timestamp(ts)) DIV 86400").as("day"))
+    val d0 = ev.agg(min(col("day"))).head.getLong(0)
+    ev.filter(col("day") < d0 + 14)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("day") < d0 + 7, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("day") >= d0 + 7, 1L).otherwise(0L)).as("c1"))
+      .withColumn("delta", col("c1") - col("c0"))
+      .withColumn("pct_change",
+        when(col("c0") =!= 0L, round(
+          col("delta").cast("double") / col("c0").cast("double"), 6)))
+      .orderBy(abs(col("delta")).desc, col("event_type"))
+  }
+
+  val q125Sql: String =
+    """WITH ev AS (SELECT event_type,
+      |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+      |d0 AS (SELECT min(day) AS d FROM ev),
+      |c AS (SELECT event_type,
+      |  sum(CASE WHEN day < d + 7 THEN 1 ELSE 0 END) AS c0,
+      |  sum(CASE WHEN day >= d + 7 THEN 1 ELSE 0 END) AS c1
+      |  FROM ev CROSS JOIN d0 WHERE day < d + 14 GROUP BY 1)
+      |SELECT event_type, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+      |  CAST(c1 - c0 AS BIGINT) AS delta,
+      |  CASE WHEN c0 <> 0 THEN
+      |    round(CAST(c1 - c0 AS DOUBLE) / CAST(c0 AS DOUBLE), 6) END
+      |    AS pct_change
+      |FROM c ORDER BY abs(c1 - c0) DESC, event_type""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3581,6 +3620,7 @@ object Queries {
     "q122_linkage" -> (q122Linkage _),
     "q123_bfs" -> (q123Bfs _),
     "q124_sorted_neighborhood" -> (q124SortedNeighborhood _),
+    "q125_top_movers" -> (q125TopMovers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3708,6 +3748,7 @@ object Queries {
     "q122_linkage" -> q122Sql,
     "q123_bfs" -> q123Sql,
     "q124_sorted_neighborhood" -> q124Sql,
+    "q125_top_movers" -> q125Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
