@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: times the round-3 operators on a 10× union-replicated
+  * corpus (ids offset per replica so key cardinality scales too) and
+  * prints one JSON line of seconds per operator. The point is the
+  * SHAPE of the growth, not absolute numbers: an operator whose cost
+  * is linear-ish in rows at 10× has no hidden quadratic/driver
+  * bottleneck waiting at 1000×.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 10"`
+  */
+object ScaleProbe {
+
+  private def replicate(df: DataFrame, idCols: Seq[String], k: Int): DataFrame =
+    (0 until k).map { i =>
+      idCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val k = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(name: String)(f: => Long): (String, Double, Long) = {
+      val s = System.nanoTime(); val n = f
+      (name, (System.nanoTime() - s) / 1e9, n)
+    }
+    def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+
+    val partK = replicate(tbl("part"), Seq("p_partkey"), k).cache()
+    val liK = replicate(tbl("lineitem"), Seq("l_orderkey"), k).cache()
+    val docsK = replicate(tbl("documents"), Seq("doc_id"), k).cache()
+    Seq(partK, liK, docsK).foreach(_.count()) // materialize outside timings
+
+    val results = Seq(
+      t("skyline") {
+        operators.Skyline.skyline(
+          partK.select("p_partkey", "p_size", "p_retailprice"),
+          Seq("p_size", "p_retailprice")).count()
+      },
+      t("bloom_semi") {
+        val hot = tbl("orders").filter(col("o_totalprice") > 400000d)
+        operators.BloomJoin.semiJoin(liK, "l_orderkey", hot, "o_orderkey",
+          expectedItems = 40000L).count()
+      },
+      t("hierarchy") {
+        operators.Hierarchy.rootAndDepth(
+          partK.select(col("p_partkey").as("id"),
+            when(col("p_partkey") % 100000000L >= 10,
+              expr("p_partkey DIV 10")).as("parent")),
+          "id", "parent").count()
+      },
+      t("inverted_index_search") {
+        text.TextOps.searchAnd(
+          text.TextOps.invertedIndex(docsK, "doc_id", "text"),
+          Seq("batch", "scan", "join")).count()
+      },
+      t("cross_near_dup") {
+        dedup.Dedup.crossNearDupPairs(
+          docsK.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          docsK.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          threshold = 0.9).count()
+      },
+      t("gaps") {
+        operators.Gaps.missingRanges(
+          liK.select(col("l_orderkey")).filter(col("l_orderkey") % 10 =!= 3),
+          "l_orderkey", bucketWidth = 100000L).count()
+      })
+
+    val json = results.map { case (n, sec, rows) =>
+      f""""$n":{"sec":$sec%.2f,"rows":$rows}"""
+    }.mkString("{", ",", s""","replication":$k}""")
+    // [probe] prefix: greppable past sbt log noise
+    println(s"[probe] $json")
+    spark.stop()
+  }
+}
