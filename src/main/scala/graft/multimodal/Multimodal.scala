@@ -100,6 +100,26 @@ object Multimodal {
     }(enc)
   }
 
+  /** Media near-duplicate pairs: [[byteHistogram]] features fed into
+    * the hyperplane-LSH cosine dedup
+    * ([[graft.dedup.Dedup.cosineDupPairsLsh]]) — the perceptual-hash
+    * dedup shape for image/audio corpora (a real deployment swaps the
+    * byte histogram for pHash/CLIP features behind the same
+    * `array<float>` contract; everything downstream — LSH tables,
+    * bucket caps, exact verify — is unchanged). Rows whose media
+    * fails to decode carry NULL features and are excluded. `bins`
+    * doubles as the LSH input dimensionality.
+    */
+  def mediaNearDups(df: DataFrame, idCol: String, mediaCol: String,
+      threshold: Double, bins: Int = 16, tables: Int = 4): DataFrame = {
+    val feats = byteHistogram(df.select(col(idCol), col(mediaCol)),
+        mediaCol, bins)
+      .filter(col("features").isNotNull)
+      .select(col(idCol), col("features"))
+    graft.dedup.Dedup.cosineDupPairsLsh(feats, idCol, "features",
+      threshold, bits = math.min(16, bins), tables = tables, dim = bins)
+  }
+
   /** "Resize" stub: truncate/pad the payload to w×h bytes, rewriting
     * the header — the partition-local transform shape of a real
     * resize. */

@@ -46,6 +46,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats === again)
   }
 
+  test("mediaNearDups: identical payloads pair up; corrupt media excluded") {
+    // two identical blobs, one noise blob, one undecodable null-ish blob
+    val blobA = Multimodal.fakeMedia("img", 4, 4,
+      Array.tabulate(256)(i => i.toByte))
+    val blobB = Multimodal.fakeMedia("img", 4, 4,
+      Array.tabulate(256)(i => (255 - i % 7 * 31).toByte))
+    val df = Seq(
+      (1L, blobA), (2L, blobA),     // exact dup pair
+      (3L, blobB),                  // different histogram
+      (4L, Array[Byte](1, 2)))      // too short → decode fails → excluded
+      .toDF("id", "media")
+    val pairs = Multimodal.mediaNearDups(df, "id", "media", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("resizeStub rewrites header and payload size") {
     val out = Multimodal.resizeStub(media, "media", 4, 2)
     val meta = Multimodal.withMeta(out, "media")
