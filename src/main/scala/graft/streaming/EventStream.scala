@@ -223,6 +223,29 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming bounded top-k per group: the [[graft.functions
+    * .BoundedTopKAgg]] heap under a streaming groupBy — per-key state
+    * is the ≤k-element heap (mergeable, so incremental micro-batch
+    * updates are just more merges), never a growing value list. The
+    * "current k best per key" live table (top sessions per user,
+    * worst latencies per endpoint), Complete mode like
+    * [[heavyHittersStream]]: the result is a bounded dashboard-sized
+    * relation re-emitted per trigger. */
+  def topKStream(spark: SparkSession, srcDir: String,
+      schemaFrom: DataFrame, groupCol: String, valueCol: String,
+      k: Int, queryName: String): StreamingQuery =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(srcDir)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.bounded_topk(col(valueCol), k).as("topk"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

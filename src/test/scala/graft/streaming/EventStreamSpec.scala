@@ -172,6 +172,21 @@ class EventStreamSpec extends AnyFunSuite {
       s"missing guaranteed heavy hitters: ${guaranteed -- sketched}")
   }
 
+  test("streaming bounded top-k equals the batch aggregate") {
+    val dir = Files.createTempDirectory("events_topk").toString
+    events.write.mode("overwrite").parquet(dir)
+    val q = EventStream.topKStream(spark, dir, events,
+      "event_type", "value", k = 3, "topk_test")
+    assert(q.awaitTermination(120000), "streaming query timed out")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val streamed = canon(spark.table("topk_test"))
+    val batch = canon(events.groupBy($"event_type")
+      .agg(graft.functions.bounded_topk($"value", 3).as("topk")))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed.values.forall(_.length === 3))
+  }
+
   test("streaming sessionization with custom state emits closed sessions") {
     val ds = events.as[EventStream.Event]
     // batch Dataset works through the same flatMapGroupsWithState code
