@@ -102,6 +102,54 @@ object AlgebraProps extends Properties("EngineAlgebra") {
       }
     }
 
+  property("range join equals the naive BETWEEN join at arbitrary widths") =
+    Prop.forAll(
+      Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 80L))),
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(1L, 3L),
+        Gen.zip(Gen.chooseNum(0L, 80L), Gen.chooseNum(0L, 20L)))),
+      Gen.chooseNum(1L, 50L)) { (l, r, width) =>
+      l.isEmpty || r.isEmpty || {
+        val left = l.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("k", "t", "lid")
+        val right = r.zipWithIndex.map { case ((k, (s, len)), i) =>
+          (k, s, s + len, i.toLong) }.toDF("k", "s", "e", "rid")
+        val got = graft.operators.RangeJoin
+          .pointInInterval(left, "t", right, "s", "e", Seq("k"), width)
+          .select("lid", "rid").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+        val want = left.join(right,
+            left("k") === right("k") &&
+              left("t") >= right("s") && left("t") <= right("e"))
+          .select("lid", "rid").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+        got == want
+      }
+    }
+
+  property("interval-overlap join equals the naive inequality join, no duplicates") =
+    Prop.forAll(
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 60L), Gen.chooseNum(0L, 25L))),
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 60L), Gen.chooseNum(0L, 25L))),
+      Gen.chooseNum(1L, 40L)) { (l, r, width) =>
+      l.isEmpty || r.isEmpty || {
+        val left = l.zipWithIndex.map { case ((s, len), i) =>
+          (1L, s, s + len, i.toLong) }.toDF("k", "ls", "le", "lid")
+        val right = r.zipWithIndex.map { case ((s, len), i) =>
+          (1L, s, s + len, i.toLong) }.toDF("k", "rs", "re", "rid")
+        val rows = graft.operators.RangeJoin
+          .intervalOverlap(left, "ls", "le", right, "rs", "re", Seq("k"), width)
+          .select("lid", "rid").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSeq
+        val want = l.zipWithIndex.flatMap { case ((ls, ll), i) =>
+          r.zipWithIndex.collect {
+            case ((rs, rl), j) if ls <= rs + rl && rs <= ls + ll =>
+              (i.toLong, j.toLong)
+          }
+        }.toSet
+        rows.toSet == want && rows.length == rows.distinct.length
+      }
+    }
+
   property("as-of join preserves every left row exactly once") =
     Prop.forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L))),
       Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))) { (l, r) =>
