@@ -3491,6 +3491,40 @@ object Queries {
       |    AS pct_change
       |FROM c ORDER BY abs(c1 - c0) DESC, event_type""".stripMargin
 
+  /** Per-group winsorization audit — q113's clip with PER-SEGMENT
+    * fences ([[Features.winsorizeByGroup]]): p05/p95 within each
+    * return flag, counts of rows each group's fences compress. Same
+    * determinism surface as q113 (counts + rounded fences). */
+  def q126WinsorizeGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Features.winsorizeByGroup(t(s, dir, "lineitem"),
+      "l_returnflag", "l_extendedprice", 0.05, 0.95, "clipped")
+    w.groupBy(col("l_returnflag"))
+      .agg(
+        round(min(col("clipped")), 6).as("lo_fence"),
+        round(max(col("clipped")), 6).as("hi_fence"),
+        sum(when(col("l_extendedprice") < col("clipped"), 1L).otherwise(0L))
+          .as("n_raised"),
+        sum(when(col("l_extendedprice") > col("clipped"), 1L).otherwise(0L))
+          .as("n_lowered"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val q126Sql: String =
+    """WITH b AS (SELECT l_returnflag,
+      |  percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS lo,
+      |  percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS hi
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag,
+      |  round(b.lo, 6) AS lo_fence, round(b.hi, 6) AS hi_fence,
+      |  CAST(sum(CASE WHEN l_extendedprice < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_raised,
+      |  CAST(sum(CASE WHEN l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_lowered,
+      |  count(*) AS n
+      |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3621,6 +3655,7 @@ object Queries {
     "q123_bfs" -> (q123Bfs _),
     "q124_sorted_neighborhood" -> (q124SortedNeighborhood _),
     "q125_top_movers" -> (q125TopMovers _),
+    "q126_winsorize_group" -> (q126WinsorizeGroup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3749,6 +3784,7 @@ object Queries {
     "q123_bfs" -> q123Sql,
     "q124_sorted_neighborhood" -> q124Sql,
     "q125_top_movers" -> q125Sql,
+    "q126_winsorize_group" -> q126Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -369,6 +369,23 @@ object Features {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group winsorization: fences computed WITHIN each group (one
+    * grouped exact-percentile aggregate — group-count-sized — joined
+    * back; the clip stays a codegen'd projection). The per-segment
+    * robustifier: a global fence ([[winsorize]]) mangles segments
+    * whose scales differ by orders of magnitude. */
+  def winsorizeByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      loQ: Double, hiQ: Double, outCol: String): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile_cont($loQ) WITHIN GROUP (ORDER BY $valueCol)").as("__lo"),
+      expr(s"percentile_cont($hiQ) WITHIN GROUP (ORDER BY $valueCol)").as("__hi"))
+    df.join(bounds, Seq(groupCol))
+      .withColumn(outCol,
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Equi-width histogram with data-driven bounds — the profiling
     * companion to [[quantileBins]] (equi-POPULATION bins): one
     * min/max aggregate (exact, two doubles to the driver-free
