@@ -3525,6 +3525,41 @@ object Queries {
       |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  /** Per-document novelty — the fraction of a doc's distinct word
+    * trigrams that appear NOWHERE else in the corpus (df = 1): the
+    * inverse of q59's boilerplate signal (q59 finds the shared
+    * templates; this scores how much of each document is its own).
+    * One (doc, shingle) explode, one shingle-keyed df count, one
+    * join back + per-doc aggregate — the TF-IDF plan shape with a
+    * df==1 indicator instead of idf. */
+  def q127Novelty(s: SparkSession, dir: String): DataFrame = {
+    val ds = t(s, dir, "documents").select(col("doc_id"),
+      explode(graft.functions.shingle_set(col("text"), 3)).as("sh"))
+    val df = ds.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    ds.join(df, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        round(sum(when(col("df") === 1, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("novel_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q127Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x->x<>'') toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+      |  THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |       i -> array_to_string(list_slice(toks, i, i+2), ' ')))
+      |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+      |d AS (SELECT sh, count(*) AS df FROM s GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS novel_frac
+      |FROM s JOIN d USING (sh)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3656,6 +3691,7 @@ object Queries {
     "q124_sorted_neighborhood" -> (q124SortedNeighborhood _),
     "q125_top_movers" -> (q125TopMovers _),
     "q126_winsorize_group" -> (q126WinsorizeGroup _),
+    "q127_novelty" -> (q127Novelty _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3785,6 +3821,7 @@ object Queries {
     "q124_sorted_neighborhood" -> q124Sql,
     "q125_top_movers" -> q125Sql,
     "q126_winsorize_group" -> q126Sql,
+    "q127_novelty" -> q127Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
