@@ -3560,6 +3560,40 @@ object Queries {
       |FROM s JOIN d USING (sh)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Users-to-date growth curve — cumulative distinct users per day.
+    * The naive formulation re-deduplicates an ever-growing prefix per
+    * day (O(days × users)); the scale-correct identity is
+    * "distinct-to-date = first-appearances so far": one groupBy for
+    * each user's FIRST day, one day-sized count, one running sum over
+    * the bounded day relation (q121's bounded-global-window pattern).
+    * Days with no first-timers still appear via the observed-day
+    * spine (left join + running sum over coalesced zeros). */
+  def q128GrowthCurve(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val spine = ev.select(col("day")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(firstSeen, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("users_to_date", sum(col("new_users")).over(w))
+      .orderBy("day")
+  }
+
+  val q128Sql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+      |            WHERE user_id IS NOT NULL),
+      |fs AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+      |nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1),
+      |spine AS (SELECT DISTINCT day FROM ev)
+      |SELECT spine.day, CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY spine.day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS users_to_date
+      |FROM spine LEFT JOIN nu ON spine.day = nu.day
+      |ORDER BY spine.day""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3692,6 +3726,7 @@ object Queries {
     "q125_top_movers" -> (q125TopMovers _),
     "q126_winsorize_group" -> (q126WinsorizeGroup _),
     "q127_novelty" -> (q127Novelty _),
+    "q128_growth_curve" -> (q128GrowthCurve _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3822,6 +3857,7 @@ object Queries {
     "q125_top_movers" -> q125Sql,
     "q126_winsorize_group" -> q126Sql,
     "q127_novelty" -> q127Sql,
+    "q128_growth_curve" -> q128Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -26,7 +26,8 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
     "q115_gaps",        // bucket-summary window (bounded by id-range/width)
     "q116_mutual_info", // contingency-table-sized marginals
     "q121_abc",         // running share over the BRAND-sized aggregate
-    "q124_sorted_neighborhood") // partition-offset window over a P-row count relation
+    "q124_sorted_neighborhood", // partition-offset window over a P-row count relation
+    "q128_growth_curve") // running sum over the observed-DAY spine (bounded)
 
   /** Intentional non-equi/cross shapes at dim scale (tiny sides). */
   private val boundedCross = Set(
