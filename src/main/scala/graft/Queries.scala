@@ -3594,6 +3594,40 @@ object Queries {
       |FROM spine LEFT JOIN nu ON spine.day = nu.day
       |ORDER BY spine.day""".stripMargin
 
+  /** Share-of-parent drill metric — each nation's customer-account
+    * share within its region (the "% of parent" column every OLAP
+    * drill-down shows). Fact rows aggregate to the nation grain
+    * first (decimal-exact sums), so the share window runs over the
+    * dim-sized relation partitioned by region — bounded windows, and
+    * the division happens once per nation on exact inputs cast to
+    * double (the q121 recipe). */
+  def q129ShareOfParent(s: SparkSession, dir: String): DataFrame = {
+    val byNation = t(s, dir, "customer").alias("c")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region"), col("n_name").as("nation"))
+      .agg(sum(col("c_acctbal").cast(dec2)).as("bal"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("region"))
+    byNation
+      .withColumn("region_bal", sum(col("bal")).over(w))
+      .select(col("region"), col("nation"),
+        col("bal").cast("double").as("bal"),
+        round(col("bal").cast("double") / col("region_bal").cast("double"), 6)
+          .as("share_of_region"))
+      .orderBy("region", "nation")
+  }
+
+  val q129Sql: String =
+    """WITH b AS (SELECT n_regionkey AS region, n_name AS nation,
+      |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |m AS (SELECT region, nation, bal,
+      |  sum(bal) OVER (PARTITION BY region) AS region_bal FROM b)
+      |SELECT region, nation, CAST(bal AS DOUBLE) AS bal,
+      |  round(CAST(bal AS DOUBLE) / CAST(region_bal AS DOUBLE), 6)
+      |    AS share_of_region
+      |FROM m ORDER BY region, nation""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3727,6 +3761,7 @@ object Queries {
     "q126_winsorize_group" -> (q126WinsorizeGroup _),
     "q127_novelty" -> (q127Novelty _),
     "q128_growth_curve" -> (q128GrowthCurve _),
+    "q129_share_of_parent" -> (q129ShareOfParent _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3858,6 +3893,7 @@ object Queries {
     "q126_winsorize_group" -> q126Sql,
     "q127_novelty" -> q127Sql,
     "q128_growth_curve" -> q128Sql,
+    "q129_share_of_parent" -> q129Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
