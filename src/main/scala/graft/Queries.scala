@@ -3628,6 +3628,49 @@ object Queries {
       |    AS share_of_region
       |FROM m ORDER BY region, nation""".stripMargin
 
+  /** Decile-style lift table — the model-evaluation staple: orders
+    * binned into price quintiles ([[Features.quantileBins]] — exact
+    * grid-rounded boundaries, q79's cross-engine contract), each
+    * bin's fulfilled-rate over the global rate = lift. All counts are
+    * exact integers; the two divisions happen per bin on exact
+    * inputs (q121 recipe). */
+  def q130Lift(s: SparkSession, dir: String): DataFrame = {
+    val binned = Features.quantileBins(t(s, dir, "orders"),
+        "o_totalprice", b = 5)
+      .withColumn("hit", when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("hits"))
+      .withColumn("tot_n", sum(col("n")).over(wAll))
+      .withColumn("tot_hits", sum(col("hits")).over(wAll))
+      .select(col("bin"), col("n"), col("hits"),
+        round((col("hits").cast("double") / col("n").cast("double")) /
+          (col("tot_hits").cast("double") / col("tot_n").cast("double")), 6)
+          .as("lift"))
+      .orderBy("bin")
+  }
+
+  val q130Sql: String =
+    """WITH q AS (SELECT
+      |  round(percentile_cont(0.2) WITHIN GROUP (ORDER BY o_totalprice), 6) AS q0,
+      |  round(percentile_cont(0.4) WITHIN GROUP (ORDER BY o_totalprice), 6) AS q1,
+      |  round(percentile_cont(0.6) WITHIN GROUP (ORDER BY o_totalprice), 6) AS q2,
+      |  round(percentile_cont(0.8) WITHIN GROUP (ORDER BY o_totalprice), 6) AS q3
+      |  FROM orders),
+      |b AS (SELECT
+      |  (CASE WHEN o_totalprice > q0 THEN 1 ELSE 0 END +
+      |   CASE WHEN o_totalprice > q1 THEN 1 ELSE 0 END +
+      |   CASE WHEN o_totalprice > q2 THEN 1 ELSE 0 END +
+      |   CASE WHEN o_totalprice > q3 THEN 1 ELSE 0 END) AS bin,
+      |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS hit
+      |  FROM orders, q),
+      |m AS (SELECT bin, count(*) AS n, sum(hit) AS hits FROM b GROUP BY 1),
+      |t AS (SELECT sum(n) AS tn, sum(hits) AS th FROM m)
+      |SELECT CAST(bin AS BIGINT) AS bin, n, CAST(hits AS BIGINT) AS hits,
+      |  round((CAST(hits AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |        (CAST(th AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS lift
+      |FROM m CROSS JOIN t ORDER BY bin""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3762,6 +3805,7 @@ object Queries {
     "q127_novelty" -> (q127Novelty _),
     "q128_growth_curve" -> (q128GrowthCurve _),
     "q129_share_of_parent" -> (q129ShareOfParent _),
+    "q130_lift" -> (q130Lift _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3894,6 +3938,7 @@ object Queries {
     "q127_novelty" -> q127Sql,
     "q128_growth_curve" -> q128Sql,
     "q129_share_of_parent" -> q129Sql,
+    "q130_lift" -> q130Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

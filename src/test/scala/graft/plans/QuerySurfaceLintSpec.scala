@@ -27,7 +27,8 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
     "q116_mutual_info", // contingency-table-sized marginals
     "q121_abc",         // running share over the BRAND-sized aggregate
     "q124_sorted_neighborhood", // partition-offset window over a P-row count relation
-    "q128_growth_curve") // running sum over the observed-DAY spine (bounded)
+    "q128_growth_curve", // running sum over the observed-DAY spine (bounded)
+    "q130_lift")        // totals window over the BIN-sized aggregate
 
   /** Intentional non-equi/cross shapes at dim scale (tiny sides). */
   private val boundedCross = Set(
