@@ -54,7 +54,11 @@ object Quality {
     require(rules.nonEmpty, "no rules given")
     val spark = df.sparkSession
 
-    // every sum-shaped rule fuses into one aggregate pass
+    // every sum-shaped rule fuses into one aggregate pass; results are
+    // keyed by RULE INDEX, not check string — two same-kind rules on
+    // one column with different params (two InRange fences, say) share
+    // a check label but must not collide
+    val indexed = rules.zipWithIndex
     val fusedAggs = rules.flatMap {
       case NotNull(c) => Some(
         sum(when(col(c).isNull, 1L).otherwise(0L)))
@@ -69,34 +73,34 @@ object Quality {
           count_distinct(col(ks.head), ks.tail.map(col): _*))
       case _: RefersTo => None
     }
-    val fusedChecks = rules.collect {
-      case r @ (_: NotNull | _: Accepted | _: InRange | _: Unique) => r.check
+    val fusedIdx = indexed.collect {
+      case (_: NotNull | _: Accepted | _: InRange | _: Unique, i) => i
     }
-    val fusedRows: Seq[(String, Long)] =
+    val fusedRows: Seq[(Int, Long)] =
       if (fusedAggs.isEmpty) Seq.empty
       else {
         val named = fusedAggs.zipWithIndex.map { case (a, i) =>
           a.cast("long").as(s"v$i")
         }
         val row = df.agg(named.head, named.tail: _*).collect()(0)
-        fusedChecks.zipWithIndex.map { case (c, i) =>
+        fusedIdx.zipWithIndex.map { case (ruleIdx, i) =>
           // empty input: sums are NULL → zero violations
-          (c, if (row.isNullAt(i)) 0L else row.getLong(i))
+          (ruleIdx, if (row.isNullAt(i)) 0L else row.getLong(i))
         }
       }
 
-    val refRows: Seq[(String, Long)] = rules.collect {
-      case r @ RefersTo(c, dim, dc) =>
+    val refRows: Seq[(Int, Long)] = indexed.collect {
+      case (RefersTo(c, dim, dc), i) =>
         val dangling = df.filter(col(c).isNotNull)
           .join(broadcast(dim.select(col(dc).as(c)).distinct()),
             Seq(c), "left_anti")
           .count()
-        (r.check, dangling)
+        (i, dangling)
     }
 
-    val byCheck = (fusedRows ++ refRows).toMap
+    val byIdx = (fusedRows ++ refRows).toMap
     import spark.implicits._
-    rules.map { r => (r.check, byCheck(r.check), byCheck(r.check) == 0L) }
+    indexed.map { case (r, i) => (r.check, byIdx(i), byIdx(i) == 0L) }
       .toDF("check", "violations", "pass")
   }
 }

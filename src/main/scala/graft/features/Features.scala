@@ -22,15 +22,46 @@ object Features {
     * class proportions (the `stratify=y` semantics). The subtraction
     * runs on a synthetic row id, not the data columns — an anti-join on
     * values would leak every null-bearing row into BOTH splits (EqualTo
-    * never matches null) and over-subtract duplicates. */
+    * never matches null) and over-subtract duplicates.
+    *
+    * The id-bearing frame is MATERIALIZED (localCheckpoint) before
+    * either split derives from it: `monotonically_increasing_id` and
+    * `sampleBy`'s per-row rand are both functions of the runtime
+    * partition layout, so on unpersisted lineage (a shuffled, sampled,
+    * or AQE-coalesced upstream) the two derivations could each
+    * re-execute it with DIFFERENT layouts — rows landing in both
+    * splits or neither. Checkpointing pins one layout; both splits
+    * read the same materialized rows. (For an engine-portable,
+    * recompute-free split keyed on the DATA, see
+    * [[stratifiedSplitByKey]].) */
   def stratifiedSplit(df: DataFrame, labelCol: String, testFraction: Double,
       seed: Long): (DataFrame, DataFrame) = {
     val withId = df.withColumn("__rid", monotonically_increasing_id())
+      .localCheckpoint()
     val classes = withId.select(labelCol).distinct().collect().map(_.get(0))
     val fractions = classes.map(c => c -> (1 - testFraction)).toMap
     val train = withId.stat.sampleBy(labelCol, fractions, seed)
     val test = withId.join(train.select("__rid"), Seq("__rid"), "left_anti")
     (train.drop("__rid"), test.drop("__rid"))
+  }
+
+  /** Deterministic stratified split keyed on a UNIQUE data column: a
+    * row is test iff its md5-derived uniform (the [[hashSample]] /
+    * [[kFolds]] grid — pure function of the key, stable under any
+    * partitioning, engine, or rerun) falls below `testFraction`,
+    * salted with the seed. Per-class proportions hold in expectation
+    * exactly as `sampleBy`'s Bernoulli draw does, with none of its
+    * recompute hazard and no materialization — the scale path. The
+    * label column never enters the draw, so the split is also
+    * immune to label-distribution drift between runs. */
+  def stratifiedSplitByKey(df: DataFrame, keyCol: String,
+      testFraction: Double, seed: Long): (DataFrame, DataFrame) = {
+    require(testFraction > 0 && testFraction < 1, "testFraction in (0,1)")
+    val u = conv(substring(md5(concat_ws("",
+        lit(seed.toString), col(keyCol).cast("string"))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52: u in [0, 1)
+    val isTest = u < lit(testFraction)
+    (df.filter(!isTest), df.filter(isTest))
   }
 
   /** Time-ordered split: first `trainFraction` of rows by event order —

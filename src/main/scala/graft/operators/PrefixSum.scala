@@ -27,6 +27,35 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
+  /** Exclusive running offsets from (bucket, total) rows, computed at
+    * the driver. Accumulates in the sum's own type family: integral
+    * input keeps exact (overflow-checked) Long arithmetic; fractional
+    * accumulates in double. Null totals (all-null bucket) count as
+    * zero. Returns a tiny (__bucket, __off) frame. */
+  private def exclusiveOffsets(spark: org.apache.spark.sql.SparkSession,
+      totalsRows: Array[org.apache.spark.sql.Row],
+      integral: Boolean): DataFrame = {
+    import spark.implicits._
+    val sorted = totalsRows.sortBy(_.getLong(0))
+    if (integral) {
+      val totals = sorted.map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      totals.scanLeft((Long.MinValue, 0L)) {
+        case ((_, acc), (b, t)) => (b, Math.addExact(acc, t))
+      }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }
+        .toSeq.toDF("__bucket", "__off")
+    } else {
+      val totals = sorted.map(r => (r.getLong(0), r.get(1) match {
+        case null => 0.0
+        case n: java.lang.Number => n.doubleValue()
+      }))
+      totals.scanLeft((Long.MinValue, 0.0)) {
+        case ((_, acc), (b, t)) => (b, acc + t)
+      }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }
+        .toSeq.toDF("__bucket", "__off")
+    }
+  }
+
   /** Append `outCol` = Σ valueCol over all rows with a smaller-or-equal
     * `orderCol` (inclusive prefix sum in `orderCol` order).
     *
@@ -36,11 +65,25 @@ object PrefixSum {
     * per-row tokenization) runs twice. Pass a NARROW projection
     * (order + value + carry columns you need) so the cached footprint
     * is a few columns, not the corpus; `persist = false` opts out and
-    * accepts the recompute. */
+    * accepts the recompute.
+    *
+    * GUARDRAIL (checked, not assumed): the per-bucket totals are
+    * "driver-small by construction" only while `rows / bucketWidth`
+    * stays modest — a 10¹²-row corpus at the default width is 10⁷
+    * offset rows. The collect is capped at `maxDriverBuckets + 1`
+    * (a result under the cap IS the complete set, so the normal path
+    * pays nothing extra); at the cap the offsets are instead computed
+    * DISTRIBUTED in two levels: buckets fold into ≤ maxDriverBuckets
+    * value-derived superbuckets, the within-superbucket exclusive
+    * prefix is a (superbucket-partitioned) window over the tiny totals
+    * relation, only superbucket totals are collected, and the bucket
+    * offsets stay a distributed relation joined back on `__bucket` —
+    * never materialized at the driver. */
   def cumsum(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String, bucketWidth: Long = 100000L,
-      persist: Boolean = true): DataFrame = {
+      persist: Boolean = true, maxDriverBuckets: Long = 1000000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxDriverBuckets > 0, "maxDriverBuckets must be positive")
     val bucket = floor(col(orderCol) / lit(bucketWidth)).cast("long")
     val in0 = df.withColumn("__bucket", bucket)
     val in = if (persist)
@@ -49,39 +92,51 @@ object PrefixSum {
     val within = in.withColumn("__c",
       sum(col(valueCol)).over(
         Window.partitionBy(col("__bucket")).orderBy(col(orderCol))))
-    // one row per bucket: driver-small by construction, documented.
-    // Offsets accumulate in the SUM's own type family: an integral
-    // input keeps exact Long arithmetic all the way out (a double
-    // detour would corrupt prefix sums past 2^53 — byte totals at the
-    // design scale live there); fractional input accumulates in double.
-    val totalsRows = in.groupBy(col("__bucket"))
-      .agg(sum(col(valueCol)).as("__t"))
-      .collect()
-      .sortBy(_.getLong(0))
     val integral = within.schema("__c").dataType match {
       case org.apache.spark.sql.types.LongType => true
       case _ => false
     }
     val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = broadcast(
-      if (integral) {
-        val totals = totalsRows.map(r =>
-          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
-        totals.scanLeft((Long.MinValue, 0L)) {
-          case ((_, acc), (b, t)) => (b, Math.addExact(acc, t))
-        }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }
-          .toSeq.toDF("__bucket", "__off")
-      } else {
-        val totals = totalsRows.map(r => (r.getLong(0), r.get(1) match {
-          case null => 0.0
-          case n: java.lang.Number => n.doubleValue()
-        }))
-        totals.scanLeft((Long.MinValue, 0.0)) {
-          case ((_, acc), (b, t)) => (b, acc + t)
-        }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }
-          .toSeq.toDF("__bucket", "__off")
-      })
+    val totalsDf = in.groupBy(col("__bucket"))
+      .agg(sum(col(valueCol)).as("__t"))
+    val probeCap = (math.min(maxDriverBuckets, Int.MaxValue - 2L) + 1).toInt
+    val probe = totalsDf.limit(probeCap).collect()
+    val offDf =
+      if (probe.length < probeCap) broadcast(exclusiveOffsets(spark, probe, integral))
+      else {
+        // Two-level distributed offsets. Superbucket = value-derived
+        // fold of the bucket id into ≤ maxDriverBuckets groups (dense
+        // relative to [minB, maxB], deterministic under any layout).
+        val totals = totalsDf
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val mm = totals.agg(min(col("__bucket")), max(col("__bucket"))).head()
+        val (minB, maxB) = (mm.getLong(0), mm.getLong(1))
+        // ceil((span)/cap) without overflow; span ≥ cap here by the probe
+        val fold = {
+          val span = Math.subtractExact(maxB, minB) + 1L
+          (span + maxDriverBuckets - 1L) / maxDriverBuckets
+        }
+        val sup = totals.withColumn("__sb",
+          floor((col("__bucket") - lit(minB)) / lit(fold)).cast("long"))
+        val zero = if (integral) lit(0L) else lit(0.0)
+        val wExcl = Window.partitionBy(col("__sb")).orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withinSup = sup.withColumn("__woff",
+          coalesce(sum(col("__t")).over(wExcl), zero))
+        val supTotals = sup.groupBy(col("__sb")).agg(sum(col("__t")).as("__t"))
+          .collect() // ≤ maxDriverBuckets rows by construction
+        val supOff = exclusiveOffsets(spark, supTotals, integral)
+          .withColumnRenamed("__bucket", "__sb")
+          .withColumnRenamed("__off", "__soff")
+        // materialize the (bucket-count-sized, two-long-column) offset
+        // relation eagerly so the totals cache can be released NOW —
+        // it stays distributed, never driver-collected
+        val off = withinSup.join(broadcast(supOff), Seq("__sb"))
+          .select(col("__bucket"), (col("__woff") + col("__soff")).as("__off"))
+          .localCheckpoint()
+        totals.unpersist()
+        off
+      }
     val joined = within.join(offDf, Seq("__bucket"))
       .withColumn(outCol, col("__c") + col("__off"))
       .drop("__bucket", "__c", "__off")

@@ -47,10 +47,15 @@ object RangeJoin {
     // and semi/anti joins don't expose right columns to filter on at all.
     val l = left.withColumn("__bucket",
       floor(col(leftPoint) / bucketWidth).cast("long")).as("__rjl")
-    val r = right.withColumn("__bucket",
-      explode(sequence(
-        floor(col(rightStart) / bucketWidth).cast("long"),
-        floor(col(rightEnd) / bucketWidth).cast("long")))).as("__rjr")
+    // An inverted right interval (end < start) is empty — no point can
+    // fall inside it — but sequence() over it would emit a descending
+    // bucket list instead of zero buckets. Dropping those rows is
+    // safe for every supported (left-preserving) join type.
+    val r = right.filter(col(rightStart) <= col(rightEnd))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(col(rightStart) / bucketWidth).cast("long"),
+          floor(col(rightEnd) / bucketWidth).cast("long")))).as("__rjr")
     val cond = (equiKeys.map(k => col(s"__rjl.$k") === col(s"__rjr.$k")) ++ Seq(
       col("__rjl.__bucket") === col("__rjr.__bucket"),
       col(s"__rjl.$leftPoint") >= col(s"__rjr.$rightStart"),
@@ -98,8 +103,14 @@ object RangeJoin {
       explode(sequence(
         floor(col(s) / bucketWidth).cast("long"),
         floor(col(e) / bucketWidth).cast("long")))
-    val l = left.withColumn("__bucket", spanned(lStart, lEnd)).as("__ojl")
-    val r = right.withColumn("__bucket", spanned(rStart, rEnd)).as("__ojr")
+    // Inverted intervals (end < start) are mathematically empty: they
+    // can never satisfy the overlap predicate, but an unguarded
+    // sequence() would emit a DESCENDING bucket list for them and the
+    // canonical-bucket trick could still leak pairs. Drop them first.
+    val l = left.filter(col(lStart) <= col(lEnd))
+      .withColumn("__bucket", spanned(lStart, lEnd)).as("__ojl")
+    val r = right.filter(col(rStart) <= col(rEnd))
+      .withColumn("__bucket", spanned(rStart, rEnd)).as("__ojr")
     val cond = (equiKeys.map(k => col(s"__ojl.$k") === col(s"__ojr.$k")) ++ Seq(
       col("__ojl.__bucket") === col("__ojr.__bucket"),
       col(s"__ojl.$lStart") <= col(s"__ojr.$rEnd"),

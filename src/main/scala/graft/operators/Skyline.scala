@@ -64,10 +64,13 @@ object Skyline {
     }
 
     val local = packed.mapPartitions(pass)(enc)
-    // One merge task over the local skylines (frontier-sized input);
-    // coalesce(1) chains the surviving candidates through a single
-    // executor task — no driver collect, no shuffle.
-    local.coalesce(1).mapPartitions(pass)(enc).drop("__sky")
+    // One merge task over the local skylines. repartition(1), NOT
+    // coalesce(1): coalesce is a narrow dependency, so the single merge
+    // task would also run the upstream scan and every "partition-local"
+    // pass serially — the exchange here shuffles only the
+    // frontier-sized local skylines while the map-side passes keep
+    // their parallelism.
+    local.repartition(1).mapPartitions(pass)(enc).drop("__sky")
   }
 
   /** a dominates b: a ≤ b everywhere, a < b somewhere. */

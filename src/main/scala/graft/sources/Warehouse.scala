@@ -180,9 +180,13 @@ object Warehouse {
     * [[layoutReport]] result (files-sized — driver math). */
   def overlapFraction(report: DataFrame, c: String): Double = {
     import org.apache.spark.sql.functions._
+    // A file whose column is all-NULL has null min/max stats — it can
+    // never overlap anything, so it drops out of the pair count too.
     val ranges = report.select(col(s"${c}_min").cast("double"),
         col(s"${c}_max").cast("double"))
-      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      .collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getDouble(0), r.getDouble(1)))
     val n = ranges.length
     if (n < 2) return 0.0
     var overlapping = 0

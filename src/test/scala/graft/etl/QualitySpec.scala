@@ -42,6 +42,18 @@ class QualitySpec extends AnyFunSuite {
     assert(out("refers_to(fk)") === ((2L, false)))
   }
 
+  test("two same-kind rules on one column keep independent counts") {
+    // same check label ("in_range(x)" twice) — results must be keyed
+    // by rule position, not label, or one fence overwrites the other
+    val df = Seq(1.0, 5.0, 50.0, 500.0).toDF("x")
+    val out = Quality.check(df, Seq(
+        Quality.InRange("x", 0, 100),    // 500 violates → 1
+        Quality.InRange("x", 0, 10),     // 50, 500 violate → 2
+        Quality.InRange("x", 2, 1000))   // 1 violates → 1
+      ).collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq((1L, false), (2L, false), (1L, false)))
+  }
+
   test("clean table passes everything; empty table passes too") {
     val clean = Seq((1L, "O"), (2L, "F")).toDF("k", "st")
     val rules = Seq(Quality.NotNull("k"), Quality.Unique(Seq("k")),

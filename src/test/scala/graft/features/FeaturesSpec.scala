@@ -24,6 +24,38 @@ class FeaturesSpec extends AnyFunSuite {
     assert(tr.select("c_mktsegment").distinct().count() === classes)
   }
 
+  test("stratifiedSplit partitions cleanly even on nondeterministic lineage") {
+    // repartition by rand(): every recompute of this lineage shuffles
+    // rows differently — the exact hazard that made unpinned
+    // monotonically_increasing_id rows land in both splits or neither
+    val destabilized = customer.repartition(8, rand())
+    val total = customer.count()
+    for (round <- 1 to 2) {
+      val (tr, te) = Features.stratifiedSplit(destabilized, "c_mktsegment", 0.3, 7)
+      val trK = tr.select("c_custkey")
+      val teK = te.select("c_custkey")
+      assert(trK.intersect(teK).count() === 0L, s"round $round: overlap")
+      assert(trK.count() + teK.count() === total, s"round $round: lost rows")
+      assert(trK.union(teK).distinct().count() === total,
+        s"round $round: duplicate/missing keys")
+    }
+  }
+
+  test("stratifiedSplitByKey: deterministic, disjoint, complete, near-fraction") {
+    val (tr1, te1) = Features.stratifiedSplitByKey(customer, "c_custkey", 0.25, 42)
+    val (tr2, te2) = Features.stratifiedSplitByKey(customer, "c_custkey", 0.25, 42)
+    // pure function of the data: reruns draw the identical split
+    assert(te1.select("c_custkey").exceptAll(te2.select("c_custkey")).count() === 0L)
+    assert(tr1.count() === tr2.count())
+    assert(tr1.count() + te1.count() === customer.count())
+    assert(tr1.select("c_custkey").intersect(te1.select("c_custkey")).count() === 0L)
+    val frac = te1.count().toDouble / customer.count()
+    assert(frac > 0.15 && frac < 0.35, s"test frac $frac")
+    // a different seed draws a different split
+    val (_, te3) = Features.stratifiedSplitByKey(customer, "c_custkey", 0.25, 43)
+    assert(te3.select("c_custkey").exceptAll(te1.select("c_custkey")).count() > 0L)
+  }
+
   test("timeSplitByQuantile splits near the requested fraction") {
     val orders = TestSpark.table("orders")
       .withColumn("ep", unix_timestamp($"o_orderdate").cast("double"))

@@ -68,6 +68,23 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted (empty) intervals match nothing instead of exploding") {
+    // end < start is mathematically empty; unguarded sequence() would
+    // emit a descending bucket list for it
+    val left = Seq((1L, 10L, 0L, 1L), (1L, 0L, 10L, 2L)).toDF("k", "ls", "le", "lid")
+    val right = Seq((1L, 20L, 2L, 20L), (1L, 5L, 6L, 21L)).toDF("k", "rs", "re", "rid")
+    val got = RangeJoin.intervalOverlap(left, "ls", "le", right, "rs", "re",
+        Seq("k"), 4L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((2L, 21L)))
+    // point-in-interval: an inverted right interval contains no point
+    val pts = Seq((1L, 5L, 1L)).toDF("k", "t", "lid")
+    val ivs = Seq((1L, 9L, 1L, 30L), (1L, 4L, 6L, 31L)).toDF("k", "s", "e", "rid")
+    val pig = RangeJoin.pointInInterval(pts, "t", ivs, "s", "e", Seq("k"), 4L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pig === Set((1L, 31L)))
+  }
+
   test("overlapping pair spanning many shared buckets is emitted exactly once") {
     val left = Seq((1L, 0L, 1000L, 1L)).toDF("k", "ls", "le", "lid")
     val right = Seq((1L, 500L, 900L, 9L)).toDF("k", "rs", "re", "rid")

@@ -184,6 +184,19 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rOv > 0.9, s"random overlap $rOv")
   }
 
+  test("overlapFraction skips files with all-NULL column stats") {
+    // a file whose column is entirely NULL reports null min/max —
+    // it must drop out of the pair count, not NPE
+    import spark.implicits._
+    val rep = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("f1", 0.0, 10.0), ("f2", null, null), ("f3", 5.0, 15.0))
+      .toDF("file", "x_min", "x_max")
+    assert(Warehouse.overlapFraction(rep, "x") === 1.0) // 1 of 1 live pair
+    val allNull = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("f1", null, null), ("f2", null, null)).toDF("file", "x_min", "x_max")
+    assert(Warehouse.overlapFraction(allNull, "x") === 0.0)
+  }
+
   test("compact: small files rewrite into ceil(bytes/target) files with data intact") {
     val tmp = java.nio.file.Files.createTempDirectory("cpt").toString + "/t"
     val li = TestSpark.table("lineitem")
