@@ -3671,6 +3671,99 @@ object Queries {
       |        (CAST(th AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS lift
       |FROM m CROSS JOIN t ORDER BY bin""".stripMargin
 
+  /** Adjusted Rand Index ([[graft.ml.Metrics.adjustedRandIndex]] —
+    * sklearn's adjusted_rand_score, the reference's clustering-vs-
+    * labels score) over a DETERMINISTIC pseudo-clustering (nation-key
+    * fold vs market segment), so the metric computation itself is
+    * oracle-checked; the specs cover it on real KMeans output. All
+    * pair counts are exact BIGINTs; the three closing float ops are
+    * written as the identical IEEE sequence in both engines. */
+  def q131Ari(s: SparkSession, dir: String): DataFrame = {
+    val assigned = t(s, dir, "customer").select(
+      (col("c_nationkey") % 4).as("cluster"),
+      col("c_mktsegment").as("label"))
+    graft.ml.Metrics.adjustedRandIndex(assigned, "cluster", "label")
+  }
+
+  val q131Sql: String =
+    """WITH cells AS (SELECT c_nationkey % 4 AS c, c_mktsegment AS l,
+      |  count(*) AS n FROM customer GROUP BY 1, 2),
+      |i AS (SELECT sum(n * (n - 1) // 2) AS sij, sum(n) AS nn FROM cells),
+      |a AS (SELECT sum(t * (t - 1) // 2) AS sa FROM
+      |  (SELECT sum(n) AS t FROM cells GROUP BY c)),
+      |b AS (SELECT sum(t * (t - 1) // 2) AS sb FROM
+      |  (SELECT sum(n) AS t FROM cells GROUP BY l))
+      |SELECT round(CASE
+      |    WHEN CAST(sa + sb AS DOUBLE) / 2.0 -
+      |         CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+      |           / CAST(nn * (nn - 1) // 2 AS DOUBLE) = 0 THEN 1.0
+      |    ELSE (CAST(sij AS DOUBLE) -
+      |          CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+      |            / CAST(nn * (nn - 1) // 2 AS DOUBLE))
+      |         / (CAST(sa + sb AS DOUBLE) / 2.0 -
+      |            CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+      |              / CAST(nn * (nn - 1) // 2 AS DOUBLE))
+      |  END, 6) AS ari,
+      |  CAST(nn AS BIGINT) AS n_obs
+      |FROM i, a, b""".stripMargin
+
+  /** ROC operating points at fixed price thresholds
+    * ([[graft.ml.Metrics.rocPoints]] — the reference's per-class
+    * roc_curve, `deeplearning/evaluate.py:49-79`) for the
+    * deterministic "fulfilled iff priced high" predictor: exact TP/FP
+    * counts per threshold, TPR/FPR as the only float ops. */
+  def q132Roc(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "orders").select(
+      when(col("o_orderstatus") === "F", 1).otherwise(0).as("label"),
+      col("o_totalprice").cast("double").as("score"))
+    graft.ml.Metrics
+      .rocPoints(scored, "label", "score",
+        Seq(50000.0, 100000.0, 150000.0, 200000.0, 250000.0))
+      .orderBy("threshold")
+  }
+
+  val q132Sql: String =
+    """WITH p AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+      |  CAST(o_totalprice AS DOUBLE) AS score FROM orders),
+      |th AS (SELECT unnest([5e4, 1e5, 15e4, 2e5, 25e4]) AS threshold),
+      |m AS (SELECT threshold,
+      |  sum(CASE WHEN label = 1 AND score >= threshold THEN 1 ELSE 0 END) AS tp,
+      |  sum(CASE WHEN label = 0 AND score >= threshold THEN 1 ELSE 0 END) AS fp,
+      |  sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS p,
+      |  sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n
+      |  FROM p CROSS JOIN th GROUP BY threshold)
+      |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6) AS tpr,
+      |  round(CAST(fp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS fpr
+      |FROM m ORDER BY threshold""".stripMargin
+
+  /** Exact binary AUC ([[graft.ml.Metrics.aucBinary]] — the
+    * Mann–Whitney rank statistic, sklearn's roc_auc_score with
+    * average-rank tie handling) for the same deterministic predictor:
+    * the doubled rank sum keeps the numerator in exact integer
+    * arithmetic, so the statistic is bit-stable across engines. */
+  def q133Auc(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "orders").select(
+      when(col("o_orderstatus") === "F", 1).otherwise(0).as("label"),
+      col("o_totalprice").cast("double").as("score"))
+    graft.ml.Metrics.aucBinary(scored, "label", "score")
+  }
+
+  val q133Sql: String =
+    """WITH p AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+      |  CAST(o_totalprice AS DOUBLE) AS score FROM orders),
+      |g AS (SELECT score AS s, count(*) AS ns,
+      |  sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS ps
+      |  FROM p GROUP BY score),
+      |c AS (SELECT s, ns, ps, coalesce(sum(ns) OVER (ORDER BY s
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM g),
+      |a AS (SELECT sum(ps * (cb * 2 + ns + 1)) AS num2,
+      |  sum(ps) AS p, sum(ns - ps) AS n FROM c)
+      |SELECT round(CAST(num2 - p * (p + 1) AS DOUBLE) /
+      |    (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS auc,
+      |  CAST(p AS BIGINT) AS positives, CAST(n AS BIGINT) AS negatives
+      |FROM a""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3806,6 +3899,9 @@ object Queries {
     "q128_growth_curve" -> (q128GrowthCurve _),
     "q129_share_of_parent" -> (q129ShareOfParent _),
     "q130_lift" -> (q130Lift _),
+    "q131_ari" -> (q131Ari _),
+    "q132_roc" -> (q132Roc _),
+    "q133_auc" -> (q133Auc _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3939,6 +4035,9 @@ object Queries {
     "q128_growth_curve" -> q128Sql,
     "q129_share_of_parent" -> q129Sql,
     "q130_lift" -> q130Sql,
+    "q131_ari" -> q131Sql,
+    "q132_roc" -> q132Sql,
+    "q133_auc" -> q133Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

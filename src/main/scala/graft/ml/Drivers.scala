@@ -45,6 +45,19 @@ object Drivers {
     ClusterResult(assigned.drop("__raw", "__features"), silhouette, sizes)
   }
 
+  /** [[cluster]] scored against ground-truth labels with the Adjusted
+    * Rand Index ([[Metrics.adjustedRandIndex]]) — the reference's
+    * `adjusted_rand_score(labels, clusters)` (`machineLearning.py:367`).
+    * The contingency reduction is one tiny aggregate over the assigned
+    * frame; no predictions ever leave the cluster. */
+  def clusterWithAri(df: DataFrame, featureCols: Seq[String], k: Int,
+      labelCol: String, seed: Long = 42L): (ClusterResult, Double) = {
+    val res = cluster(df, featureCols, k, seed)
+    val ari = Metrics.adjustedRandIndex(res.assigned, "cluster", labelCol)
+      .head().getDouble(0)
+    (res, ari)
+  }
+
   final case class ClassifyResult(predictions: DataFrame, accuracy: Double,
       model: PipelineModel)
 

@@ -1,0 +1,131 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational model-evaluation metrics — the scoring surface the
+  * reference computes driver-side with sklearn
+  * (`machineLearning.py:367` adjusted_rand_score,
+  * `deeplearning/evaluate.py:49-79` per-class ROC), re-expressed as
+  * pure aggregation plans: no collect of predictions, every statistic
+  * assembled from exact integer counts with the float division at the
+  * very edge — which is also what makes each one oracle-checkable
+  * bit-for-bit in an external SQL engine.
+  */
+object Metrics {
+
+  /** Adjusted Rand Index between a clustering and ground-truth labels
+    * — `sklearn.adjusted_rand_score` (`machineLearning.py:367`):
+    *
+    *   ARI = (Σᵢⱼ C(nᵢⱼ,2) − E) / (½(Σᵢ C(aᵢ,2) + Σⱼ C(bⱼ,2)) − E),
+    *   E = Σᵢ C(aᵢ,2)·Σⱼ C(bⱼ,2) / C(n,2)
+    *
+    * Scale shape: ONE shuffle builds the (clusters × labels)
+    * contingency table — small by definition — and the three marginal
+    * reductions run over that tiny relation. All pair counts are exact
+    * BIGINTs; the only floating-point ops are the final three (the
+    * products are cast to double first — at 10⁹ rows the C(n,2)
+    * products overflow even Long), written as the identical IEEE
+    * sequence in the SQL oracle. Denominator zero (both partitions
+    * trivial) returns 1.0, sklearn's convention. Null cluster/label
+    * rows are excluded (sklearn has no null class).
+    *
+    * Returns one row: (ari, n_obs). */
+  def adjustedRandIndex(df: DataFrame, clusterCol: String,
+      labelCol: String): DataFrame = {
+    val cells = df
+      .filter(col(clusterCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(clusterCol).as("__c"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("n"))
+    def c2(c: String): Column = expr(s"$c * ($c - 1) DIV 2")
+    val idx = cells.agg(sum(c2("n")).as("sij"), sum(col("n")).as("nn"))
+    val sa = cells.groupBy(col("__c")).agg(sum(col("n")).as("t"))
+      .agg(sum(c2("t")).as("sa"))
+    val sb = cells.groupBy(col("__l")).agg(sum(col("n")).as("t"))
+      .agg(sum(c2("t")).as("sb"))
+    val expected = col("sa").cast("double") * col("sb").cast("double") /
+      c2("nn").cast("double")
+    val maxIdx = (col("sa") + col("sb")).cast("double") / lit(2.0)
+    val denom = maxIdx - expected
+    idx.crossJoin(sa).crossJoin(sb)
+      .select(
+        round(when(denom === 0.0, lit(1.0))
+          .otherwise((col("sij").cast("double") - expected) / denom), 6)
+          .as("ari"),
+        col("nn").cast("long").as("n_obs"))
+  }
+
+  /** ROC operating points at FIXED thresholds for a binary problem:
+    * one row per threshold with exact TP/FP counts and
+    * TPR = TP/P, FPR = FP/N (predict positive iff score ≥ threshold).
+    * The relational face of `deeplearning/evaluate.py:49-79`'s
+    * roc_curve — fixed thresholds instead of every distinct score, so
+    * the output is thresholds-sized regardless of corpus size.
+    *
+    * Scale shape: the (tiny, broadcast) threshold list cross-joins the
+    * scored relation map-side; partial aggregation collapses each
+    * partition to |thresholds| rows before the one |thresholds|-group
+    * shuffle. Counts are exact longs; the two divisions are the only
+    * float ops. `labelCol` must be 0/1; rows with null score or label
+    * are excluded. */
+  def rocPoints(df: DataFrame, labelCol: String, scoreCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val th = thresholds.toDF("threshold")
+    val pos = col(labelCol) === 1
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .crossJoin(broadcast(th))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(pos && col(scoreCol) >= col("threshold"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(!pos && col(scoreCol) >= col("threshold"), 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(pos, 1L).otherwise(0L)).as("p"),
+        sum(when(!pos, 1L).otherwise(0L)).as("n"))
+      .select(col("threshold"),
+        col("tp"), col("fp"),
+        round(col("tp").cast("double") / col("p").cast("double"), 6).as("tpr"),
+        round(col("fp").cast("double") / col("n").cast("double"), 6).as("fpr"))
+  }
+
+  /** Exact binary AUC as the Mann–Whitney rank statistic — identical
+    * to integrating the full ROC curve over every distinct score, with
+    * average ranks for ties (sklearn's roc_auc_score semantics):
+    *
+    *   AUC = (Σ_s p_s·(2·cum_s + n_s + 1) − P(P+1)) / (2·P·N)
+    *
+    * where the sum runs over distinct scores s (n_s rows, p_s
+    * positives, cum_s rows strictly below). The numerator is EXACT
+    * integer arithmetic end to end — doubling the rank sum clears the
+    * half-rank ties — so the statistic is bit-stable across engines.
+    *
+    * Scale shape: one groupBy collapses the corpus to its distinct
+    * scores; the global window runs over that bounded relation (the
+    * q80 contingency pattern). Scores should be grid-quantized first
+    * when their domain is unbounded — at 100 TB a raw-float score
+    * column would make the "distinct scores" relation corpus-sized.
+    * Returns one row: (auc, positives, negatives). */
+  def aucBinary(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val g = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("ns"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("ps"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cb", coalesce(sum(col("ns")).over(w), lit(0L)))
+      .agg(
+        sum(col("ps") * (col("cb") * 2 + col("ns") + 1)).as("num2"),
+        sum(col("ps")).as("p"),
+        sum(col("ns") - col("ps")).as("n"))
+      .select(
+        round((col("num2") - col("p") * (col("p") + 1)).cast("double") /
+          (lit(2.0) * col("p").cast("double") * col("n").cast("double")), 6)
+          .as("auc"),
+        col("p").cast("long").as("positives"),
+        col("n").cast("long").as("negatives"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ml
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MetricsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ari(pairs: Seq[(Int, Int)]): Double =
+    Metrics.adjustedRandIndex(pairs.toDF("cluster", "label"), "cluster", "label")
+      .head().getDouble(0)
+
+  test("ARI: perfect agreement is 1.0, under any label permutation") {
+    assert(ari(Seq((0, 0), (0, 0), (1, 1), (1, 1))) === 1.0)
+    // ARI is permutation-invariant: relabeled clusters score identically
+    assert(ari(Seq((1, 0), (1, 0), (0, 1), (0, 1))) === 1.0)
+  }
+
+  test("ARI: known sklearn values") {
+    // adjusted_rand_score([0,0,1,1], [0,1,0,1]) == -0.5
+    assert(ari(Seq((0, 0), (1, 0), (0, 1), (1, 1))) === -0.5)
+    // adjusted_rand_score([0,0,1,2], [0,0,1,1]) == 0.571429 (4 dp: 0.5714)
+    val v = ari(Seq((0, 0), (0, 0), (1, 1), (1, 2)))
+    assert(math.abs(v - 0.571429) < 1e-6, s"got $v")
+  }
+
+  test("ARI: trivial partitions (denominator 0) return 1.0, null rows drop") {
+    // everything in one cluster AND one label: sklearn convention 1.0
+    assert(ari(Seq((0, 0), (0, 0), (0, 0))) === 1.0)
+    val withNulls = Seq[(java.lang.Integer, java.lang.Integer)](
+      (0, 0), (0, 0), (1, 1), (1, 1), (null, 0), (1, null))
+      .toDF("cluster", "label")
+    assert(Metrics.adjustedRandIndex(withNulls, "cluster", "label")
+      .head().getDouble(0) === 1.0)
+  }
+
+  test("clusterWithAri recovers planted labels with ARI near 1") {
+    // three well-separated blobs labeled by blob id
+    val pts = for (b <- 0 until 3; i <- 0 until 40) yield
+      (b, b * 100.0 + (i % 7) * 0.5, b * -50.0 + (i % 5) * 0.3)
+    val df = pts.toDF("truth", "x", "y")
+    val (res, a) = Drivers.clusterWithAri(df, Seq("x", "y"), k = 3, "truth")
+    assert(res.sizes.values.sum === 120L)
+    assert(a > 0.99, s"ARI $a")
+  }
+
+  test("rocPoints: exact counts and rates on a hand-checked fixture") {
+    // scores: positives at 0.9, 0.8, 0.4; negatives at 0.7, 0.3, 0.1
+    val df = Seq((1, 0.9), (1, 0.8), (1, 0.4), (0, 0.7), (0, 0.3), (0, 0.1))
+      .toDF("label", "score")
+    val pts = Metrics.rocPoints(df, "label", "score", Seq(0.5, 0.35, 0.05))
+      .orderBy(desc("threshold")).collect()
+    // t=0.5: tp=2 fp=1 → tpr .666667 fpr .333333
+    assert(pts(0).getAs[Long]("tp") === 2L && pts(0).getAs[Long]("fp") === 1L)
+    assert(pts(0).getAs[Double]("tpr") === 0.666667)
+    // t=0.35: tp=3 fp=1 → tpr 1.0
+    assert(pts(1).getAs[Long]("tp") === 3L && pts(1).getAs[Double]("tpr") === 1.0)
+    // t=0.05: everything predicted positive
+    assert(pts(2).getAs[Double]("tpr") === 1.0 && pts(2).getAs[Double]("fpr") === 1.0)
+  }
+
+  test("aucBinary: separable = 1.0, random-ish fixture matches hand AUC, ties averaged") {
+    val sep = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)).toDF("label", "score")
+    assert(Metrics.aucBinary(sep, "label", "score").head().getDouble(0) === 1.0)
+    // one inversion among 2x2 pairs: AUC = 3/4
+    val inv = Seq((1, 0.9), (1, 0.3), (0, 0.5), (0, 0.1)).toDF("label", "score")
+    assert(Metrics.aucBinary(inv, "label", "score").head().getDouble(0) === 0.75)
+    // tie between a positive and a negative counts half:
+    // pairs = win, win, tie(0.5), win → AUC = 3.5/4 = 0.875
+    val tie = Seq((1, 0.9), (1, 0.5), (0, 0.5), (0, 0.1)).toDF("label", "score")
+    val r = Metrics.aucBinary(tie, "label", "score").head()
+    assert(r.getDouble(0) === 0.875 && r.getLong(1) === 2L && r.getLong(2) === 2L)
+  }
+}
