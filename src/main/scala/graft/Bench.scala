@@ -26,6 +26,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // strategy for SkylinePlan (q100) + native SQL fns
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

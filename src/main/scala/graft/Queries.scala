@@ -2624,12 +2624,15 @@ object Queries {
       |ORDER BY doc_id""".stripMargin
 
   /** Skyline / Pareto frontier — parts not beaten on BOTH size and
-    * price ([[graft.operators.Skyline]]: partition-local
-    * block-nested-loop skylines merged in one frontier-sized task;
-    * the SQL face below is the O(n²) `NOT EXISTS` this operator
-    * replaces at scale). */
+    * price, routed through the FIRST-CLASS plan node
+    * ([[graft.plans.SkylinePlan]] → `SkylineStrategy` → `SkylineExec`,
+    * injected by [[graft.GraftExtensions]]): partition-local
+    * block-nested-loop skylines, then a merge pass whose single-task
+    * placement is declared as an `AllTuples` distribution requirement
+    * instead of a hand-placed exchange. The SQL face below is the
+    * O(n²) `NOT EXISTS` this operator replaces at scale. */
   def q100Skyline(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Skyline.skyline(
+    graft.operators.Skyline.skylineNative(
         t(s, dir, "part").select("p_partkey", "p_size", "p_retailprice"),
         Seq("p_size", "p_retailprice"))
       .orderBy("p_partkey")
@@ -4049,7 +4052,9 @@ object Queries {
     "q13_events_window", "q17_exact_dedup", "q21_rolling_hash",
     "q22_cosine_topk", "q23_minhash_dup", "q27_ann_topk",
     "q36_esi_etl", "q52_ann_indexed", "q53_ivf_indexed",
-    "q60_decontaminate", "q63_pack", "q87_topk_native",
-    "q100_skyline", "q103_bloom_semi", "q108_inverted_index",
-    "q110_hierarchy", "q112_cross_dup", "q119_hll_rolling_dau")
+    "q58_tensor_prep", "q60_decontaminate", "q63_pack",
+    "q64_dup_clusters", "q71_scd2", "q87_topk_native",
+    "q91_cdc_merge", "q100_skyline", "q103_bloom_semi",
+    "q108_inverted_index", "q110_hierarchy", "q112_cross_dup",
+    "q119_hll_rolling_dau", "q122_linkage", "q124_sorted_neighborhood")
 }

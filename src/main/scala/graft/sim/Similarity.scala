@@ -242,6 +242,53 @@ object Similarity {
       .write.mode("append").partitionBy("bucket")
       .option("compression", "snappy").parquet(path)
 
+  /** Streaming face of [[appendToAnnIndex]]: a vector stream (file
+    * source) continuously feeds the materialized LSH index — the
+    * "corpus grows while it's being probed" deployment shape. Each
+    * micro-batch runs the SAME bucket+append as the batch face via
+    * `foreachBatch` (the sanctioned hook for a partitioned-append
+    * sink), so the very next probe sees old + new rows with no
+    * rebuild, and stream-ingest ≡ batch-append row for row.
+    *
+    * Idempotence: a recovered `foreachBatch` can REPLAY a batch, and a
+    * blind append would double its vectors — so each applied batch id
+    * leaves a marker file under `_applied/<queryName>/` and replays of
+    * marked batches are skipped (the standard idempotent-foreachBatch
+    * recipe for non-transactional storage; the append-then-crash-
+    * before-mark window is the accepted residue, same as any
+    * non-atomic sink). `queryName` identifies the ingest LINEAGE —
+    * batch ids restart at 0 per checkpoint, so reuse the name exactly
+    * when (and only when) resuming the same checkpoint's numbering.
+    * Pass a checkpoint for restartable ingest; `Trigger.AvailableNow`
+    * drains what has landed and stops — re-run on a schedule, or swap
+    * the trigger for continuous tailing. */
+  def appendToAnnIndexStream(spark: org.apache.spark.sql.SparkSession,
+      vectorsDir: String, schemaFrom: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, bits: Int, dim: Int,
+      queryName: String, checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(vectorsDir)
+      .writeStream
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$indexPath/_applied/$queryName/$batchId")
+        if (!fs.exists(marker)) {
+          appendToAnnIndex(batch, idCol, vecCol, indexPath, bits, dim)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
+  }
+
   /** Probe a materialized LSH index: enumerate the multiprobe bucket
     * neighborhood driver-side, prune to those partitions, exact-cosine
     * re-rank. Results are identical to [[annTopK]] on the same corpus

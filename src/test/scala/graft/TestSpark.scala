@@ -10,6 +10,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // mirror the Verify/Bench sessions: the SkylinePlan strategy must
+      // be present for q100's native path, and lint must see the plans
+      // the driver's sessions will actually run
+      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -132,6 +132,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed === scan)
   }
 
+  test("streaming ANN ingest: probe sees old+new, stream ≡ batch, replay is idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann_stream").toString
+    val src = s"$tmp/src"
+    val path = s"$tmp/idx"
+    val probe = emb.filter($"vec_id" === 0)
+    val first = emb.filter($"vec_id" < 100)
+    val rest = emb.filter($"vec_id" >= 100)
+    def probeIdx() = Similarity.annTopKIndexed(spark, first, "vec_id",
+        "embedding", probe, k = 10, bits = 8, dim = 64, multiprobe = 2, path)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // seed the index with the first half (batch face)
+    probeIdx()
+    // land the remainder as a stream delivery, drain, re-probe
+    rest.write.parquet(src)
+    Similarity.appendToAnnIndexStream(spark, src, emb, "vec_id", "embedding",
+      path, bits = 8, dim = 64, "ann_ingest", Some(s"$tmp/ck1"))
+      .awaitTermination()
+    val indexed = probeIdx()
+    val scan = Similarity.annTopK(emb, "vec_id", "embedding", probe,
+        k = 10, bits = 8, dim = 64, multiprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed === scan) // stream-ingested ≡ batch full-corpus
+    val rows = spark.read.parquet(path).count()
+    assert(rows === emb.count())
+    // REPLAY: fresh checkpoint, same lineage name → batch 0 re-fires
+    // with already-applied data; the marker must skip it (no dupes)
+    Similarity.appendToAnnIndexStream(spark, src, emb, "vec_id", "embedding",
+      path, bits = 8, dim = 64, "ann_ingest", Some(s"$tmp/ck2"))
+      .awaitTermination()
+    assert(spark.read.parquet(path).count() === rows)
+    assert(probeIdx() === indexed)
+  }
+
   test("bucketsWithin enumerates the exact hamming ball") {
     val got = Similarity.bucketsWithin(0L, 4, 1).toSet
     assert(got === Set(0L, 1L, 2L, 4L, 8L))
