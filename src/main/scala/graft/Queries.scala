@@ -3767,6 +3767,50 @@ object Queries {
       |  CAST(p AS BIGINT) AS positives, CAST(n AS BIGINT) AS negatives
       |FROM a""".stripMargin
 
+  /** Per-class one-vs-rest ROC points
+    * ([[graft.ml.Metrics.rocPointsPerClass]] — the reference's
+    * per-class curves, `deeplearning/evaluate.py:49-79`) over three
+    * deterministic per-class scores derived from order columns (cast
+    * to double BEFORE the divisions so both engines run the identical
+    * IEEE sequence). One melted shuffle of |classes|·|thresholds|
+    * groups regardless of corpus size. */
+  def q134RocPerClass(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val price = col("o_totalprice").cast("double")
+    val scored = o.select(col("o_orderstatus").as("label"),
+      (price / lit(600000.0)).as("s_o"),
+      ((lit(600000.0) - price) / lit(600000.0)).as("s_f"),
+      ((col("o_custkey") % 100).cast("double") / lit(100.0)).as("s_p"))
+    graft.ml.Metrics.rocPointsPerClass(scored, "label",
+        Seq("O" -> "s_o", "F" -> "s_f", "P" -> "s_p"),
+        Seq(0.25, 0.5, 0.75))
+      .orderBy("class", "threshold")
+  }
+
+  val q134Sql: String =
+    """WITH base AS (SELECT o_orderstatus AS label,
+      |  CAST(o_totalprice AS DOUBLE) / 600000.0 AS s_o,
+      |  (600000.0 - CAST(o_totalprice AS DOUBLE)) / 600000.0 AS s_f,
+      |  CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS s_p FROM orders),
+      |melted AS (
+      |  SELECT 'O' AS class, CASE WHEN label = 'O' THEN 1 ELSE 0 END AS y,
+      |    s_o AS s FROM base
+      |  UNION ALL
+      |  SELECT 'F', CASE WHEN label = 'F' THEN 1 ELSE 0 END, s_f FROM base
+      |  UNION ALL
+      |  SELECT 'P', CASE WHEN label = 'P' THEN 1 ELSE 0 END, s_p FROM base),
+      |th AS (SELECT unnest([0.25, 0.5, 0.75]) AS threshold),
+      |m AS (SELECT class, threshold,
+      |  sum(CASE WHEN y = 1 AND s >= threshold THEN 1 ELSE 0 END) AS tp,
+      |  sum(CASE WHEN y = 0 AND s >= threshold THEN 1 ELSE 0 END) AS fp,
+      |  sum(y) AS p, sum(1 - y) AS n
+      |  FROM melted CROSS JOIN th GROUP BY class, threshold)
+      |SELECT class, threshold, CAST(tp AS BIGINT) AS tp,
+      |  CAST(fp AS BIGINT) AS fp,
+      |  round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6) AS tpr,
+      |  round(CAST(fp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS fpr
+      |FROM m ORDER BY class, threshold""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3905,6 +3949,7 @@ object Queries {
     "q131_ari" -> (q131Ari _),
     "q132_roc" -> (q132Roc _),
     "q133_auc" -> (q133Auc _),
+    "q134_roc_per_class" -> (q134RocPerClass _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4041,6 +4086,7 @@ object Queries {
     "q131_ari" -> q131Sql,
     "q132_roc" -> q132Sql,
     "q133_auc" -> q133Sql,
+    "q134_roc_per_class" -> q134Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -92,6 +92,50 @@ object Metrics {
         round(col("fp").cast("double") / col("n").cast("double"), 6).as("fpr"))
   }
 
+  /** Per-class ROC operating points, one-vs-rest — the multiclass
+    * face of [[rocPoints]] and the exact shape of the reference's
+    * per-class curves (`deeplearning/evaluate.py:49-79`): each class k
+    * contributes its own curve with label `1{label = k}` scored by
+    * that class's probability column. The per-class score columns are
+    * MELTED map-side (one stack expression, rows × classes — the
+    * standard long-form pivot, no joins), then the same
+    * threshold-grouped count aggregation runs once over the melted
+    * relation: one shuffle of |classes|·|thresholds| groups total,
+    * regardless of corpus size.
+    *
+    * `classScores`: class value → its score column name. Output:
+    * (class, threshold, tp, fp, tpr, fpr). */
+  def rocPointsPerClass(df: DataFrame, labelCol: String,
+      classScores: Seq[(String, String)],
+      thresholds: Seq[Double]): DataFrame = {
+    require(classScores.nonEmpty, "need at least one class")
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val th = thresholds.toDF("threshold")
+    val melted = df.select(classScores.map { case (cls, scoreCol) =>
+        struct(lit(cls).as("class"),
+          when(col(labelCol) === cls, 1).otherwise(0).as("y"),
+          col(scoreCol).cast("double").as("s")).as(s"__m_$cls")
+      }: _*)
+      .select(explode(array(classScores.map(c => col(s"__m_${c._1}")): _*))
+        .as("m"))
+      .select(col("m.class").as("class"), col("m.y").as("y"), col("m.s").as("s"))
+    melted.filter(col("s").isNotNull)
+      .crossJoin(broadcast(th))
+      .groupBy(col("class"), col("threshold"))
+      .agg(
+        sum(when(col("y") === 1 && col("s") >= col("threshold"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0 && col("s") >= col("threshold"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("p"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("n"))
+      .select(col("class"), col("threshold"), col("tp"), col("fp"),
+        round(col("tp").cast("double") / col("p").cast("double"), 6).as("tpr"),
+        round(col("fp").cast("double") / col("n").cast("double"), 6).as("fpr"))
+  }
+
   /** Exact binary AUC as the Mann–Whitney rank statistic — identical
     * to integrating the full ROC curve over every distinct score, with
     * average ranks for ties (sklearn's roc_auc_score semantics):

@@ -329,6 +329,19 @@ object Similarity {
         .repartition(col("cell"))
     }
 
+  /** Incrementally append new vectors to a committed IVF index — the
+    * [[appendToAnnIndex]] sibling: the SAME fitted centroids assign
+    * cells (append must never refit — moving centroids would strand
+    * existing rows in stale cells), new files land inside the existing
+    * `cell=` directories, and the next pruned probe sees old + new. */
+  def appendToIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, model: IvfModel): Unit =
+    vectors
+      .withColumn("cell", ivfCell(col(vecCol), model))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .option("compression", "snappy").parquet(path)
+
   /** Probe a materialized IVF index: nearest `nprobe` cells chosen
     * driver-side over the tiny centroid set, partition-pruned read,
     * exact cosine re-rank with the probe vector as a plan literal (one

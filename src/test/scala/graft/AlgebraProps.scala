@@ -150,6 +150,47 @@ object AlgebraProps extends Properties("EngineAlgebra") {
       }
     }
 
+  property("ARI is symmetric, permutation-invariant, and 1.0 on self") =
+    Prop.forAll(Gen.listOfN(24, Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0, 2)))) { ps =>
+      ps.isEmpty || {
+        val df = ps.toDF("c", "l")
+        def ari(d: org.apache.spark.sql.DataFrame, a: String, b: String) =
+          graft.ml.Metrics.adjustedRandIndex(d, a, b).head().getDouble(0)
+        // relabeling clusters by any injection leaves ARI unchanged
+        val relabeled = df.withColumn("c", col("c") * 7 + 1)
+        ari(df, "c", "l") == ari(df, "l", "c") && // symmetric
+          ari(relabeled, "c", "l") == ari(df, "c", "l") &&
+          ari(df, "l", "l") == 1.0 // every partition agrees with itself
+      }
+    }
+
+  property("AUC flips to 1−AUC under label complement; rocPoints counts partition") =
+    Prop.forAll(Gen.listOfN(20,
+      Gen.zip(Gen.oneOf(0, 1), Gen.chooseNum(0, 9)))) { ps =>
+      val pos = ps.count(_._1 == 1)
+      pos == 0 || pos == ps.size || {
+        val df = ps.map { case (l, s) => (l, s / 10.0) }.toDF("label", "score")
+        val auc = graft.ml.Metrics.aucBinary(df, "label", "score")
+          .head().getDouble(0)
+        val flipped = df.withColumn("label", lit(1) - col("label"))
+        val aucF = graft.ml.Metrics.aucBinary(flipped, "label", "score")
+          .head().getDouble(0)
+        // round(,6) in each direction: allow the last-digit half-ulp
+        val complementary = math.abs((auc + aucF) - 1.0) < 2e-6
+        val pts = graft.ml.Metrics.rocPoints(df, "label", "score",
+          Seq(0.0, 0.35, 0.75)).collect()
+        // at t=0.0 every row is predicted positive: tp=P, fp=N
+        val t0 = pts.find(_.getAs[Double]("threshold") == 0.0).get
+        complementary &&
+          t0.getAs[Long]("tp") == pos.toLong &&
+          t0.getAs[Long]("fp") == (ps.size - pos).toLong &&
+          pts.forall { r =>
+            r.getAs[Double]("tpr") >= 0 && r.getAs[Double]("tpr") <= 1 &&
+              r.getAs[Double]("fpr") >= 0 && r.getAs[Double]("fpr") <= 1
+          }
+      }
+    }
+
   property("as-of join preserves every left row exactly once") =
     Prop.forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L))),
       Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))) { (l, r) =>

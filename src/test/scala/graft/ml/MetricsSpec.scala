@@ -61,6 +61,30 @@ class MetricsSpec extends AnyFunSuite {
     assert(pts(2).getAs[Double]("tpr") === 1.0 && pts(2).getAs[Double]("fpr") === 1.0)
   }
 
+  test("rocPointsPerClass: each class's curve equals the binarized rocPoints") {
+    val df = Seq(
+      ("a", 0.9, 0.1), ("a", 0.6, 0.5), ("b", 0.3, 0.8),
+      ("b", 0.2, 0.7), ("a", 0.5, 0.4), ("b", 0.1, 0.9))
+      .toDF("label", "s_a", "s_b")
+    val ths = Seq(0.25, 0.55, 0.85)
+    val multi = Metrics.rocPointsPerClass(df, "label",
+        Seq("a" -> "s_a", "b" -> "s_b"), ths)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    for (cls <- Seq("a", "b")) {
+      val bin = df.select(
+        when(col("label") === cls, 1).otherwise(0).as("label"),
+        col(s"s_$cls").as("score"))
+      Metrics.rocPoints(bin, "label", "score", ths).collect().foreach { r =>
+        val got = multi((cls, r.getDouble(0)))
+        assert(got === ((r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))), s"class $cls t=${r.getDouble(0)}")
+      }
+    }
+  }
+
   test("aucBinary: separable = 1.0, random-ish fixture matches hand AUC, ties averaged") {
     val sep = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)).toDF("label", "score")
     assert(Metrics.aucBinary(sep, "label", "score").head().getDouble(0) === 1.0)

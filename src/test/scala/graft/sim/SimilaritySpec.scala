@@ -132,6 +132,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed === scan)
   }
 
+  test("IVF append: new vectors visible to the next pruned probe, same centroids") {
+    val probe = emb.filter($"vec_id" === 0)
+    val model = Similarity.ivfFitSample(emb, "vec_id", "embedding", nlist = 8)
+    val first = emb.filter($"vec_id" < 100)
+    val rest = emb.filter($"vec_id" >= 100)
+    val path = java.nio.file.Files.createTempDirectory("ivf_app").toString + "/idx"
+    Similarity.ivfTopKIndexed(spark, first, "vec_id", "embedding",
+      probe, k = 10, model, nprobe = 4, path).collect() // build on first half
+    Similarity.appendToIvfIndex(rest, "vec_id", "embedding", path, model)
+    val indexed = Similarity.ivfTopKIndexed(spark, first, "vec_id", "embedding",
+        probe, k = 10, model, nprobe = 4, path)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plain = Similarity.ivfTopK(emb, "vec_id", "embedding", probe,
+        k = 10, model, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed === plain)
+  }
+
   test("streaming ANN ingest: probe sees old+new, stream ≡ batch, replay is idempotent") {
     val tmp = java.nio.file.Files.createTempDirectory("ann_stream").toString
     val src = s"$tmp/src"
