@@ -3811,6 +3811,41 @@ object Queries {
       |  round(CAST(fp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS fpr
       |FROM m ORDER BY class, threshold""".stripMargin
 
+  /** Regression evaluation report ([[graft.ml.Metrics.regressionReport]]
+    * — the reference's MSE/R² scoring, `machineLearning.py:624-626`)
+    * for a DETERMINISTIC linear predictor over order prices, so the
+    * metric computation itself is oracle-checked (model predictions
+    * aren't SQL-reproducible; the report operator is). Residual terms
+    * grid-rounded and decimal-summed — order-independent. */
+  def q135Regression(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val scored = o.select(col("o_totalprice").cast("double").as("y"),
+      (lit(50000.0) + lit(2.0) * (col("o_custkey") % 1000).cast("double"))
+        .as("pred"))
+    graft.ml.Metrics.regressionReport(scored, "y", "pred")
+  }
+
+  val q135Sql: String =
+    """WITH p AS (SELECT CAST(o_totalprice AS DOUBLE) AS y,
+      |  50000.0 + 2.0 * CAST(o_custkey % 1000 AS DOUBLE) AS pred FROM orders),
+      |s AS (SELECT count(*) AS n,
+      |  CAST(sum(CAST(round(y, 6) AS DECIMAL(30,6))) AS DOUBLE) AS sy FROM p),
+      |m AS (SELECT n, sy / CAST(n AS DOUBLE) AS ybar FROM s),
+      |a AS (SELECT n,
+      |  CAST(sum(CAST(round((y - pred) * (y - pred), 9) AS DECIMAL(38,9)))
+      |    AS DOUBLE) AS ssres,
+      |  CAST(sum(CAST(round(abs(y - pred), 9) AS DECIMAL(38,9)))
+      |    AS DOUBLE) AS sae,
+      |  CAST(sum(CAST(round((y - ybar) * (y - ybar), 9) AS DECIMAL(38,9)))
+      |    AS DOUBLE) AS sstot
+      |  FROM p CROSS JOIN m GROUP BY n)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  round(ssres / CAST(n AS DOUBLE), 6) AS mse,
+      |  round(sqrt(ssres / CAST(n AS DOUBLE)), 6) AS rmse,
+      |  round(sae / CAST(n AS DOUBLE), 6) AS mae,
+      |  round(1.0 - ssres / sstot, 6) AS r2
+      |FROM a""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3950,6 +3985,7 @@ object Queries {
     "q132_roc" -> (q132Roc _),
     "q133_auc" -> (q133Auc _),
     "q134_roc_per_class" -> (q134RocPerClass _),
+    "q135_regression_report" -> (q135Regression _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4087,6 +4123,7 @@ object Queries {
     "q132_roc" -> q132Sql,
     "q133_auc" -> q133Sql,
     "q134_roc_per_class" -> q134Sql,
+    "q135_regression_report" -> q135Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

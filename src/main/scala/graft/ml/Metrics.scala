@@ -136,6 +136,46 @@ object Metrics {
         round(col("fp").cast("double") / col("n").cast("double"), 6).as("fpr"))
   }
 
+  /** Regression evaluation report — MSE, RMSE, MAE, R²
+    * (`machineLearning.py:624-626`'s mean_squared_error / r2_score) as
+    * one aggregation pass each side of the mean: per-row residual
+    * terms are grid-rounded to 9 decimals and summed in DECIMAL (the
+    * order-independent summation recipe — a raw double sum would make
+    * the report flap across partitionings and engines), with the
+    * float divisions at the edge. ȳ itself derives from an exact
+    * decimal sum of the targets. Two scans total (mean, then moments)
+    * — the unavoidable minimum for R² without a streaming-variance
+    * formulation whose merges are order-dependent. Null target or
+    * prediction rows are excluded.
+    *
+    * Returns one row: (n, mse, rmse, mae, r2). Constant targets
+    * (zero total variance) yield null R², the try_divide convention. */
+  def regressionReport(df: DataFrame, yCol: String,
+      predCol: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(30, 6)
+    val d9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val y = col(yCol).cast("double")
+    val p = col(predCol).cast("double")
+    val base = df.filter(y.isNotNull && p.isNotNull)
+    val stats = base.agg(count(lit(1)).as("__n"),
+      sum(round(y, 6).cast(d6)).as("__sy"))
+    val mean = col("__sy").cast("double") / col("__n").cast("double")
+    val res = y - p
+    val dev = y - mean
+    val agg = base.crossJoin(broadcast(stats))
+      .agg(
+        first(col("__n")).as("n"),
+        sum(round(res * res, 9).cast(d9)).cast("double").as("ssres"),
+        sum(round(abs(res), 9).cast(d9)).cast("double").as("sae"),
+        sum(round(dev * dev, 9).cast(d9)).cast("double").as("sstot"))
+    val mse = col("ssres") / col("n").cast("double")
+    agg.select(col("n"),
+      round(mse, 6).as("mse"),
+      round(sqrt(mse), 6).as("rmse"),
+      round(col("sae") / col("n").cast("double"), 6).as("mae"),
+      round(lit(1.0) - try_divide(col("ssres"), col("sstot")), 6).as("r2"))
+  }
+
   /** Exact binary AUC as the Mann–Whitney rank statistic — identical
     * to integrating the full ROC curve over every distinct score, with
     * average ranks for ties (sklearn's roc_auc_score semantics):

@@ -85,6 +85,26 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("regressionReport: hand-checked values; perfect fit; constant target") {
+    // y = (2,4,6), pred = (1,4,8): res = (1,0,-2) → mse = 5/3, mae = 1
+    // ȳ = 4, sstot = 8 → r2 = 1 − 5/8 = 0.375
+    val df = Seq((2.0, 1.0), (4.0, 4.0), (6.0, 8.0)).toDF("y", "pred")
+    val r = Metrics.regressionReport(df, "y", "pred").head()
+    assert(r.getLong(0) === 3L)
+    assert(math.abs(r.getDouble(1) - 5.0 / 3) < 1e-6)      // mse
+    assert(math.abs(r.getDouble(2) - math.sqrt(5.0 / 3)) < 1e-6) // rmse
+    assert(r.getDouble(3) === 1.0)                          // mae
+    assert(math.abs(r.getDouble(4) - 0.375) < 1e-6) // r2
+    // perfect predictions: zero error, r2 = 1
+    val perfect = Seq((2.0, 2.0), (4.0, 4.0), (6.0, 6.0)).toDF("y", "pred")
+    val pr = Metrics.regressionReport(perfect, "y", "pred").head()
+    assert(pr.getDouble(1) === 0.0 && pr.getDouble(4) === 1.0)
+    // constant target: sstot = 0 → null r2, mse still defined
+    val const = Seq((5.0, 4.0), (5.0, 6.0)).toDF("y", "pred")
+    val cr = Metrics.regressionReport(const, "y", "pred").head()
+    assert(cr.getDouble(1) === 1.0 && cr.isNullAt(4))
+  }
+
   test("aucBinary: separable = 1.0, random-ish fixture matches hand AUC, ties averaged") {
     val sep = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)).toDF("label", "score")
     assert(Metrics.aucBinary(sep, "label", "score").head().getDouble(0) === 1.0)
