@@ -3846,6 +3846,27 @@ object Queries {
       |  round(1.0 - ssres / sstot, 6) AS r2
       |FROM a""".stripMargin
 
+  /** Dense confusion matrix ([[graft.ml.Metrics.confusionMatrix]] —
+    * `evaluate.py:43-44`) for q54's deterministic rule predictor:
+    * square over the class union (P never predicted → zero column),
+    * exact long cells. */
+  def q136Confusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = t(s, dir, "orders").select(
+      col("o_orderstatus").as("label"),
+      when(col("o_totalprice") > 150000, lit("F")).otherwise(lit("O")).as("pred"))
+    graft.ml.Metrics.confusionMatrix(pred, "label", "pred")
+  }
+
+  val q136Sql: String =
+    """WITH p AS (SELECT o_orderstatus AS label,
+      |  CASE WHEN o_totalprice > 150000 THEN 'F' ELSE 'O' END AS pred
+      |  FROM orders)
+      |SELECT label,
+      |  CAST(sum(CASE WHEN pred = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+      |  CAST(sum(CASE WHEN pred = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+      |  CAST(sum(CASE WHEN pred = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+      |FROM p GROUP BY label ORDER BY label""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -3986,6 +4007,7 @@ object Queries {
     "q133_auc" -> (q133Auc _),
     "q134_roc_per_class" -> (q134RocPerClass _),
     "q135_regression_report" -> (q135Regression _),
+    "q136_confusion" -> (q136Confusion _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4124,6 +4146,7 @@ object Queries {
     "q133_auc" -> q133Sql,
     "q134_roc_per_class" -> q134Sql,
     "q135_regression_report" -> q135Sql,
+    "q136_confusion" -> q136Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -136,6 +136,37 @@ object Metrics {
         round(col("fp").cast("double") / col("n").cast("double"), 6).as("fpr"))
   }
 
+  /** Dense confusion matrix — rows = true label, one column per
+    * predicted class, zero-filled (`confusion_matrix`,
+    * `deeplearning/evaluate.py:43-44`): SQUARE over the UNION of
+    * observed label and prediction classes, sklearn's convention (a
+    * class the model never predicts still gets its zero column; a
+    * class it hallucinates gets a zero row).
+    *
+    * Scale shape: one count aggregation over (label, pred) — the
+    * contingency reduction — then a pivot over the driver-known class
+    * list (k classes, collected once; class domains are tiny by the
+    * same contract as every encoder here). Cells are exact longs. */
+  def confusionMatrix(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .select(col(labelCol).cast("string").as("label"),
+        col(predCol).cast("string").as("pred"))
+    val classes = base.select(col("label"))
+      .union(base.select(col("pred")))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    val pivoted = base.groupBy(col("label"))
+      .pivot("pred", classes)
+      .agg(count(lit(1)))
+    classes.toDF("label")
+      .join(pivoted, Seq("label"), "left")
+      .na.fill(0L, classes)
+      .orderBy("label")
+  }
+
   /** Regression evaluation report — MSE, RMSE, MAE, R²
     * (`machineLearning.py:624-626`'s mean_squared_error / r2_score) as
     * one aggregation pass each side of the mean: per-row residual

@@ -85,6 +85,21 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("confusionMatrix is square over the class union, zero-filled") {
+    // "c" appears only as a prediction, "a" never predicted
+    val df = Seq(("a", "b"), ("a", "c"), ("b", "b"), ("b", "b"))
+      .toDF("label", "pred")
+    val m = Metrics.confusionMatrix(df, "label", "pred")
+    assert(m.columns.toSeq === Seq("label", "a", "b", "c"))
+    val rows = m.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows("a") === ((0L, 1L, 1L)))
+    assert(rows("b") === ((0L, 2L, 0L)))
+    assert(rows("c") === ((0L, 0L, 0L))) // hallucinated class: zero row
+    assert(rows.size === 3)
+  }
+
   test("regressionReport: hand-checked values; perfect fit; constant target") {
     // y = (2,4,6), pred = (1,4,8): res = (1,0,-2) → mse = 5/3, mae = 1
     // ȳ = 4, sstot = 8 → r2 = 1 − 5/8 = 0.375
