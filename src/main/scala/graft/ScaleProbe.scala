@@ -74,6 +74,24 @@ object ScaleProbe {
         operators.Gaps.missingRanges(
           liK.select(col("l_orderkey")).filter(col("l_orderkey") % 10 =!= 3),
           "l_orderkey", bucketWidth = 100000L).count()
+      },
+      // round-4 ops
+      t("cumsum_two_level") {
+        // bucketWidth 4 over ~6M distinct keys → ~1.5M buckets, far
+        // past the 100k cap: exercises the distributed offset fallback
+        val seq = liK.select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("ord"),
+          col("l_quantity").cast("long").as("v"))
+        operators.PrefixSum.cumsum(seq, "ord", "v", "cs",
+          bucketWidth = 4, maxDriverBuckets = 100000L).count()
+      },
+      t("auc_rank_window") {
+        // ~100k distinct grid-quantized scores through the bounded
+        // global rank window — the q133 shape at 10×
+        val scored = liK.select(
+          when(col("l_returnflag") === "R", 1).otherwise(0).as("label"),
+          round(col("l_extendedprice").cast("double") / 1000.0, 2).as("score"))
+        ml.Metrics.aucBinary(scored, "label", "score").count()
       })
 
     val json = results.map { case (n, sec, rows) =>
