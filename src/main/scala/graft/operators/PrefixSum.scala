@@ -162,9 +162,11 @@ object PrefixSum {
     * document, the standard greedy-packing contract). */
   def packBudget(df: DataFrame, orderCol: String, tokenCol: String,
       budget: Long, packCol: String = "pack_id",
-      bucketWidth: Long = 100000L): DataFrame = {
+      bucketWidth: Long = 100000L,
+      maxDriverBuckets: Long = 1000000L): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val c = cumsum(df, orderCol, tokenCol, "__cum", bucketWidth, persist = true)
+    val c = cumsum(df, orderCol, tokenCol, "__cum", bucketWidth,
+      persist = true, maxDriverBuckets = maxDriverBuckets)
     // integral token counts: exact integer division (the double floor
     // path loses unit precision past 2^53); token counts are
     // nonnegative by contract so DIV == floor-div here
