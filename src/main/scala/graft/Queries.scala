@@ -3867,6 +3867,38 @@ object Queries {
       |  CAST(sum(CASE WHEN pred = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
       |FROM p GROUP BY label ORDER BY label""".stripMargin
 
+  /** Conversion funnel view → click → purchase over the event log
+    * ([[graft.operators.Funnel]]): strictly-ordered first-touch stage
+    * progression per user, summarized to per-stage reach counts +
+    * conversion rates. Each stage is one entity-keyed join + min-agg
+    * of that stage's event slice — the log never shuffles whole. */
+  def q137Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.counts(t(s, dir, "events"), "user_id",
+      "event_type", "ts", Seq("view", "click", "purchase"))
+
+  val q137Sql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+      |u AS (SELECT (SELECT count(*) FROM s1) AS u1,
+      |  (SELECT count(*) FROM s2) AS u2,
+      |  (SELECT count(*) FROM s3) AS u3)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+      |    CAST(u1 AS BIGINT) AS users, CAST(1.0 AS DOUBLE) AS conversion FROM u
+      |  UNION ALL
+      |  SELECT 2, 'click', CAST(u2 AS BIGINT),
+      |    round(CAST(u2 AS DOUBLE) / CAST(u1 AS DOUBLE), 6) FROM u
+      |  UNION ALL
+      |  SELECT 3, 'purchase', CAST(u3 AS BIGINT),
+      |    round(CAST(u3 AS DOUBLE) / CAST(u2 AS DOUBLE), 6) FROM u)
+      |ORDER BY stage""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4008,6 +4040,7 @@ object Queries {
     "q134_roc_per_class" -> (q134RocPerClass _),
     "q135_regression_report" -> (q135Regression _),
     "q136_confusion" -> (q136Confusion _),
+    "q137_funnel" -> (q137Funnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4147,6 +4180,7 @@ object Queries {
     "q134_roc_per_class" -> q134Sql,
     "q135_regression_report" -> q135Sql,
     "q136_confusion" -> q136Sql,
+    "q137_funnel" -> q137Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
