@@ -3899,6 +3899,32 @@ object Queries {
       |    round(CAST(u3 AS DOUBLE) / CAST(u2 AS DOUBLE), 6) FROM u)
       |ORDER BY stage""".stripMargin
 
+  /** Weekly cohort retention matrix over the event log
+    * ([[graft.olap.Retention.cohortMatrix]]): users cohorted by
+    * first-activity week, per-(cohort, offset) distinct-active counts
+    * over a (cohorts × weeks)-sized result. Exact-count division at
+    * the edge. */
+  def q138Retention(s: SparkSession, dir: String): DataFrame =
+    graft.olap.Retention.cohortMatrix(t(s, dir, "events"), "user_id",
+      "ts", periodDays = 7)
+
+  val q138Sql: String =
+    """WITH a AS (SELECT DISTINCT user_id,
+      |  CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7.0)
+      |    AS BIGINT) AS p
+      |  FROM events),
+      |c AS (SELECT user_id, min(p) AS c FROM a GROUP BY 1),
+      |s AS (SELECT c, count(*) AS cohort_size FROM c GROUP BY 1),
+      |m AS (SELECT a.p - c.c AS period_offset, c.c, count(*) AS active
+      |  FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+      |SELECT CAST(DATE '1970-01-01' + INTERVAL (m.c * 7) DAY AS DATE)
+      |    AS cohort_start,
+      |  period_offset, active, cohort_size,
+      |  round(CAST(active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)
+      |    AS retention
+      |FROM m JOIN s USING (c)
+      |ORDER BY cohort_start, period_offset""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4041,6 +4067,7 @@ object Queries {
     "q135_regression_report" -> (q135Regression _),
     "q136_confusion" -> (q136Confusion _),
     "q137_funnel" -> (q137Funnel _),
+    "q138_retention" -> (q138Retention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4181,6 +4208,7 @@ object Queries {
     "q135_regression_report" -> q135Sql,
     "q136_confusion" -> q136Sql,
     "q137_funnel" -> q137Sql,
+    "q138_retention" -> q138Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
