@@ -3925,6 +3925,29 @@ object Queries {
       |FROM m JOIN s USING (c)
       |ORDER BY cohort_start, period_offset""".stripMargin
 
+  /** First-order event transition matrix
+    * ([[graft.operators.Paths.transitionMatrix]]): per-user event
+    * sequences (ts + event_id tiebreak — unique order, engine-stable)
+    * reduced to row-normalized (from → to) probabilities over the
+    * event-types² cell space. */
+  def q139Transitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Paths.transitionMatrix(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")
+      .orderBy("from", "to")
+
+  val q139Sql: String =
+    """WITH p AS (SELECT event_type AS f,
+      |  lead(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS t
+      |  FROM events),
+      |m AS (SELECT f, t, count(*) AS cnt FROM p
+      |  WHERE t IS NOT NULL GROUP BY 1, 2),
+      |s AS (SELECT f, sum(cnt) AS tot FROM m GROUP BY 1)
+      |SELECT m.f AS "from", m.t AS "to", cnt,
+      |  round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS prob
+      |FROM m JOIN s USING (f)
+      |ORDER BY "from", "to"""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4068,6 +4091,7 @@ object Queries {
     "q136_confusion" -> (q136Confusion _),
     "q137_funnel" -> (q137Funnel _),
     "q138_retention" -> (q138Retention _),
+    "q139_transitions" -> (q139Transitions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4209,6 +4233,7 @@ object Queries {
     "q136_confusion" -> q136Sql,
     "q137_funnel" -> q137Sql,
     "q138_retention" -> q138Sql,
+    "q139_transitions" -> q139Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
