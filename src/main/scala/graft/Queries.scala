@@ -3948,6 +3948,64 @@ object Queries {
       |FROM m JOIN s USING (f)
       |ORDER BY "from", "to"""".stripMargin
 
+  /** Robust outlier screen ([[Features.madOutliers]]): per-returnflag
+    * MAD scores over extended price, summarized to counts + max score
+    * per group (group-sized result; flag computed on the grid-rounded
+    * score so both engines compare identical doubles). */
+  def q140MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double")
+        .as("price"))
+    Features.madOutliers(li, "l_returnflag", "price", k = 4.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("outliers"),
+        max(col("mad_score")).as("max_score"))
+      .orderBy("l_returnflag")
+  }
+
+  val q140Sql: String =
+    """WITH li AS (SELECT l_returnflag AS f,
+      |  CAST(l_extendedprice AS DOUBLE) AS price FROM lineitem),
+      |med AS (SELECT f, percentile_cont(0.5) WITHIN GROUP (ORDER BY price)
+      |  AS med FROM li GROUP BY 1),
+      |mad AS (SELECT li.f, percentile_cont(0.5) WITHIN GROUP
+      |  (ORDER BY abs(price - med)) AS mad
+      |  FROM li JOIN med USING (f) GROUP BY li.f),
+      |sc AS (SELECT li.f, CASE WHEN mad != 0
+      |    THEN round(abs(price - med) / mad, 6) END AS score
+      |  FROM li JOIN med USING (f) JOIN mad USING (f))
+      |SELECT f AS l_returnflag, count(*) AS n,
+      |  CAST(sum(CASE WHEN score > 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS outliers,
+      |  max(score) AS max_score
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Time-weighted average of event values per type
+    * ([[Features.timeWeightedAvg]]): irregular observations weighted
+    * by holding duration, value×duration in exact DECIMAL, one
+    * division per series at the edge. */
+  def q141Twap(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      unix_timestamp(col("ts")).as("sec"), col("event_id"), col("value"))
+    Features.timeWeightedAvg(e, "event_type", "sec", "event_id", "value")
+      .orderBy("event_type")
+  }
+
+  val q141Sql: String =
+    """WITH e AS (SELECT event_type,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id, value FROM events),
+      |p AS (SELECT event_type, value,
+      |  lead(sec) OVER (PARTITION BY event_type ORDER BY sec, event_id) - sec
+      |    AS dur FROM e),
+      |a AS (SELECT event_type, count(*) AS obs_used,
+      |  sum(CAST(CAST(value AS DECIMAL(18,6)) * dur AS DECIMAL(38,6))) AS vw,
+      |  sum(dur) AS w
+      |  FROM p WHERE dur IS NOT NULL AND value IS NOT NULL GROUP BY 1)
+      |SELECT event_type, CAST(obs_used AS BIGINT) AS obs_used,
+      |  round(CAST(vw AS DOUBLE) / CAST(w AS DOUBLE), 6) AS twap
+      |FROM a ORDER BY event_type""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4092,6 +4150,8 @@ object Queries {
     "q137_funnel" -> (q137Funnel _),
     "q138_retention" -> (q138Retention _),
     "q139_transitions" -> (q139Transitions _),
+    "q140_mad_outliers" -> (q140MadOutliers _),
+    "q141_twap" -> (q141Twap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4234,6 +4294,8 @@ object Queries {
     "q137_funnel" -> q137Sql,
     "q138_retention" -> q138Sql,
     "q139_transitions" -> q139Sql,
+    "q140_mad_outliers" -> q140Sql,
+    "q141_twap" -> q141Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

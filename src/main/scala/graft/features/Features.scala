@@ -417,6 +417,75 @@ object Features {
       .drop("__lo", "__hi")
   }
 
+  /** Robust per-group outlier scores via MAD (median absolute
+    * deviation) — the outlier detector that survives what it's
+    * detecting (a z-score fence moves with the outliers it should
+    * flag; the median pair doesn't). score = |x − median| / MAD,
+    * flagged when score > k (k ≈ 3–5 conventionally, on the raw MAD —
+    * apply the 1.4826 normal-consistency factor to k if calibrating
+    * against σ).
+    *
+    * Scale shape: two grouped EXACT percentile aggregates
+    * (group-count-sized results joined back; the per-row projection is
+    * codegen'd). Exact percentiles buffer each group's values — swap
+    * `approx_percentile` at extreme group sizes, projection unchanged
+    * (the [[quantileBins]] contract). Zero MAD (≥ half the group
+    * identical) yields null score: "distance in MADs" is undefined,
+    * not infinite — filter or treat as its own signal. NULL values
+    * pass through with null score. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double, scoreCol: String = "mad_score",
+      flagCol: String = "is_outlier"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val med = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile_cont(0.5) WITHIN GROUP (ORDER BY `$valueCol`)")
+        .as("__med"))
+    val mad = df.join(med, Seq(groupCol))
+      .groupBy(col(groupCol)).agg(
+        expr(s"percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(`$valueCol` - __med))")
+          .as("__mad"))
+    df.join(med, Seq(groupCol)).join(mad, Seq(groupCol))
+      .withColumn(scoreCol,
+        when(col("__mad") =!= 0.0,
+          round(abs(col(valueCol) - col("__med")) / col("__mad"), 6)))
+      .withColumn(flagCol,
+        when(col(valueCol).isNull, lit(null).cast("boolean"))
+          .otherwise(coalesce(col(scoreCol) > k, lit(false))))
+      .drop("__med", "__mad")
+  }
+
+  /** Time-weighted average per series over IRREGULAR observations —
+    * each value holds until the next one, so it weighs by its holding
+    * duration (the TWAP/sensor-mean answer to "the plain mean
+    * overweights chatty periods"). The final observation of a series
+    * has no duration and drops out, the standard left-closed
+    * convention.
+    *
+    * One lead window per series (the ordinary per-key shuffle; order
+    * made unique by `tieBreak`), then value×duration products in
+    * exact DECIMAL — an IEEE double sum would be partition-order-
+    * dependent — with the single division at the edge. `tsCol` must
+    * be numeric (epoch seconds/micros — caller's resolution choice);
+    * values exact at 6 decimals by the engine's cross-engine sum
+    * contract. Returns (series, obs_used, twap). */
+  def timeWeightedAvg(df: DataFrame, seriesCol: String, tsCol: String,
+      tieBreak: String, valueCol: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val d30 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val w = Window.partitionBy(col(seriesCol))
+      .orderBy(col(tsCol), col(tieBreak))
+    df.withColumn("__dur",
+        (lead(col(tsCol), 1).over(w) - col(tsCol)).cast("long"))
+      .filter(col("__dur").isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("obs_used"),
+        sum((col(valueCol).cast(d6) * col("__dur")).cast(d30)).as("__vw"),
+        sum(col("__dur")).as("__w"))
+      .select(col(seriesCol), col("obs_used"),
+        round(col("__vw").cast("double") / col("__w").cast("double"), 6)
+          .as("twap"))
+  }
+
   /** Equi-width histogram with data-driven bounds — the profiling
     * companion to [[quantileBins]] (equi-POPULATION bins): one
     * min/max aggregate (exact, two doubles to the driver-free

@@ -56,6 +56,33 @@ class FeaturesSpec extends AnyFunSuite {
     assert(te3.select("c_custkey").exceptAll(te1.select("c_custkey")).count() > 0L)
   }
 
+  test("madOutliers: planted outlier flagged, zero-MAD group yields null scores") {
+    // group g: median 10, MAD = median(|x-10|) = 1; the 100 scores 90 MADs
+    val df = Seq(("g", 9.0), ("g", 10.0), ("g", 11.0), ("g", 10.0), ("g", 100.0),
+      ("z", 5.0), ("z", 5.0), ("z", 5.0)) // constant group: MAD 0
+      .toDF("k", "v")
+    val out = Features.madOutliers(df, "k", "v", k = 4.0)
+    val flagged = out.filter(col("is_outlier")).collect()
+    assert(flagged.length === 1 && flagged.head.getDouble(1) === 100.0)
+    val z = out.filter(col("k") === "z").collect()
+    assert(z.forall(r => r.isNullAt(r.fieldIndex("mad_score"))))
+    assert(z.forall(!_.getBoolean(3))) // zero-MAD rows are not flagged
+    assert(out.count() === 8) // row-preserving
+  }
+
+  test("timeWeightedAvg: durations weight values; last observation drops") {
+    // series s: v=10 holds 2s, v=20 holds 8s, final v=99 has no duration
+    // twap = (10*2 + 20*8) / 10 = 18
+    val df = Seq(("s", 0L, 1L, 10.0), ("s", 2L, 2L, 20.0), ("s", 10L, 3L, 99.0),
+      ("t", 0L, 4L, 7.0), ("t", 5L, 5L, 7.0), ("t", 6L, 6L, 1.0))
+      .toDF("k", "sec", "id", "v")
+    val r = Features.timeWeightedAvg(df, "k", "sec", "id", "v")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r("s") === ((2L, 18.0)))
+    // t: 7 for 5s, 7 for 1s → 7.0 regardless of spacing
+    assert(r("t") === ((2L, 7.0)))
+  }
+
   test("timeSplitByQuantile splits near the requested fraction") {
     val orders = TestSpark.table("orders")
       .withColumn("ep", unix_timestamp($"o_orderdate").cast("double"))
