@@ -4006,6 +4006,34 @@ object Queries {
       |  round(CAST(vw AS DOUBLE) / CAST(w AS DOUBLE), 6) AS twap
       |FROM a ORDER BY event_type""".stripMargin
 
+  /** Golden-record survivorship ([[graft.sim.Linkage.goldenRecords]])
+    * over a deterministic pseudo-clustering: latest-by-key name and
+    * balance, most-frequent segment — every winner reproducible via
+    * plain arg-max/window SQL, so the survivorship rules themselves
+    * are oracle-checked. */
+  def q142Golden(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      (col("c_custkey") % 50).as("cl"), col("c_custkey"), col("c_name"),
+      col("c_mktsegment"), col("c_acctbal").cast("double").as("c_acctbal"))
+    graft.sim.Linkage.goldenRecords(c, "cl", Seq(
+        "c_name" -> graft.sim.Linkage.Latest("c_custkey"),
+        "c_acctbal" -> graft.sim.Linkage.Latest("c_custkey"),
+        "c_mktsegment" -> graft.sim.Linkage.MostFrequent))
+      .orderBy("cl")
+  }
+
+  val q142Sql: String =
+    """WITH b AS (SELECT c_custkey % 50 AS cl, c_custkey, c_name,
+      |  c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer),
+      |lat AS (SELECT cl, arg_max(c_name, c_custkey) AS c_name,
+      |  arg_max(c_acctbal, c_custkey) AS c_acctbal FROM b GROUP BY 1),
+      |mf AS (SELECT cl, c_mktsegment, count(*) AS n FROM b GROUP BY 1, 2),
+      |w AS (SELECT cl, c_mktsegment FROM (SELECT cl, c_mktsegment,
+      |  row_number() OVER (PARTITION BY cl
+      |    ORDER BY n DESC, c_mktsegment DESC) AS rn FROM mf) WHERE rn = 1)
+      |SELECT lat.cl, lat.c_name, lat.c_acctbal, w.c_mktsegment
+      |FROM lat JOIN w USING (cl) ORDER BY cl""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4152,6 +4180,7 @@ object Queries {
     "q139_transitions" -> (q139Transitions _),
     "q140_mad_outliers" -> (q140MadOutliers _),
     "q141_twap" -> (q141Twap _),
+    "q142_golden_record" -> (q142Golden _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4296,6 +4325,7 @@ object Queries {
     "q139_transitions" -> q139Sql,
     "q140_mad_outliers" -> q140Sql,
     "q141_twap" -> q141Sql,
+    "q142_golden_record" -> q142Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

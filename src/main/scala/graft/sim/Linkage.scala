@@ -105,4 +105,52 @@ object Linkage {
         struct(negate(col("score")).as("ns"), col("right_id").as("right_id")), 1)
       .select(col("left_id"), col("right_id"), (-col("ns")).as("score"))
   }
+
+  /** Survivorship rules for golden-record construction. */
+  sealed trait Survive
+  /** Highest `orderCol` wins ("most recent non-null" when orderCol is
+    * a timestamp); order ties break to the largest value. */
+  final case class Latest(orderCol: String) extends Survive
+  /** Most frequent non-null value wins; count ties break to the
+    * largest value. */
+  case object MostFrequent extends Survive
+
+  /** Golden record per cluster — the survivorship step that turns a
+    * duplicate CLUSTER (from [[bestMatch]] pairs fed through
+    * [[graft.dedup.Dedup.dupClusters]]-style transitive closure) into
+    * ONE canonical row. Each attribute picks its winner independently
+    * under its declared rule, nulls never win over values, and every
+    * tie breaks deterministically — the same records give the same
+    * golden record on any engine, partitioning, or rerun.
+    *
+    * Scale shape: `Latest` rules fuse into a single max_by aggregation
+    * pass (null values sink via a two-level struct ordering);
+    * each `MostFrequent` rule adds one (cluster, value)-grain count
+    * aggregate joined back — all keyed on the cluster id, so the
+    * exchanges line up. Output is clusters-sized. */
+  def goldenRecords(records: DataFrame, clusterCol: String,
+      rules: Seq[(String, Survive)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one attribute rule")
+    val maxByAggs = rules.collect { case (c, Latest(ord)) =>
+      // rank struct: non-null beats null, then orderCol, then the
+      // value itself as the deterministic tiebreak (largest wins) —
+      // plain lexicographic struct ordering an external engine's
+      // arg-max reproduces verbatim
+      max_by(col(c), struct(col(c).isNotNull.as("nn"), col(ord).as("o"),
+        col(c).as("tb"))).as(c)
+    }
+    val base =
+      if (maxByAggs.isEmpty)
+        records.select(col(clusterCol)).distinct()
+      else
+        records.groupBy(col(clusterCol)).agg(maxByAggs.head, maxByAggs.tail: _*)
+    rules.collect { case (c, MostFrequent) => c }.foldLeft(base) { (acc, c) =>
+      val winner = records.filter(col(c).isNotNull)
+        .groupBy(col(clusterCol), col(c))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col(clusterCol))
+        .agg(max_by(col(c), struct(col("__n").as("n"), col(c).as("tb"))).as(c))
+      acc.join(winner, Seq(clusterCol), "left")
+    }
+  }
 }

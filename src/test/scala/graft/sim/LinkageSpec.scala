@@ -62,4 +62,30 @@ class LinkageSpec extends AnyFunSuite {
     // scores are normalized to [0, 1]
     assert(byCity.getDouble(2) > 0.9 && byCity.getDouble(2) <= 1.0)
   }
+
+  test("goldenRecords: latest non-null wins, most-frequent wins, ties deterministic") {
+    // cluster 1: name latest at seq 3 is null → seq 2's value survives;
+    // segment counts tie a=1, b=1 → largest value "b" wins
+    val recs = Seq[(Long, Long, String, String)](
+      (1L, 1L, "old name", "a"),
+      (1L, 2L, "new name", "b"),
+      (1L, 3L, null, null),
+      (2L, 5L, "solo", "x"), (2L, 6L, "solo2", "x"), (2L, 7L, "solo3", "y"))
+      .toDF("cl", "seq", "name", "seg")
+    val g = graft.sim.Linkage.goldenRecords(recs, "cl", Seq(
+        "name" -> graft.sim.Linkage.Latest("seq"),
+        "seg" -> graft.sim.Linkage.MostFrequent))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(g(1L) === (("new name", "b"))) // null at seq 3 never wins
+    assert(g(2L) === (("solo3", "x")))    // latest name; x outnumbers y
+    assert(g.size === 2)
+  }
+
+  test("goldenRecords: all-null attribute yields a null, cluster row kept") {
+    val recs = Seq[(Long, Long, String)]((9L, 1L, null), (9L, 2L, null))
+      .toDF("cl", "seq", "name")
+    val g = graft.sim.Linkage.goldenRecords(recs, "cl",
+      Seq("name" -> graft.sim.Linkage.Latest("seq"))).collect()
+    assert(g.length === 1 && g.head.getLong(0) === 9L && g.head.isNullAt(1))
+  }
 }
