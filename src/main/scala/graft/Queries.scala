@@ -4034,6 +4034,50 @@ object Queries {
       |SELECT lat.cl, lat.c_name, lat.c_acctbal, w.c_mktsegment
       |FROM lat JOIN w USING (cl) ORDER BY cl""".stripMargin
 
+  /** Calibration bins ([[graft.ml.Metrics.calibrationBins]]) for the
+    * deterministic price-derived score: mean predicted vs observed
+    * rate per decile bin — decimal-summed scores, exact counts. */
+  def q143Calibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "orders").select(
+      when(col("o_orderstatus") === "F", 1).otherwise(0).as("label"),
+      ((lit(600000.0) - col("o_totalprice").cast("double")) / lit(600000.0))
+        .as("score"))
+    graft.ml.Metrics.calibrationBins(scored, "label", "score", bins = 10)
+      .orderBy("bin")
+  }
+
+  val q143Sql: String =
+    """WITH p AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+      |  (600000.0 - CAST(o_totalprice AS DOUBLE)) / 600000.0 AS s FROM orders)
+      |SELECT CAST(least(greatest(floor(s * 10), 0), 9) AS BIGINT) AS bin,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS positives,
+      |  round(CAST(sum(CAST(round(s, 6) AS DECIMAL(30,6))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+      |  round(CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+      |FROM p GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** Gini concentration of order revenue ([[graft.ml.Metrics.gini]]):
+    * tie-aware exact rank formulation over the distinct-value
+    * relation — the q133 bounded-window pattern. */
+  def q144Gini(s: SparkSession, dir: String): DataFrame =
+    graft.ml.Metrics.gini(t(s, dir, "orders"), "o_totalprice")
+
+  val q144Sql: String =
+    """WITH g AS (SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS v,
+      |  count(*) AS nv FROM orders GROUP BY 1),
+      |c AS (SELECT v, nv, coalesce(sum(nv) OVER (ORDER BY v
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM g),
+      |a AS (SELECT
+      |  sum(CAST(v * (nv * cum + nv * (nv + 1) // 2) AS DECIMAL(38,6))) AS s,
+      |  sum(CAST(v * nv AS DECIMAL(38,6))) AS t, sum(nv) AS n FROM c)
+      |SELECT round((2.0 * CAST(s AS DOUBLE)
+      |    - CAST(n + 1 AS DOUBLE) * CAST(t AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS gini,
+      |  CAST(n AS BIGINT) AS n
+      |FROM a""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4181,6 +4225,8 @@ object Queries {
     "q140_mad_outliers" -> (q140MadOutliers _),
     "q141_twap" -> (q141Twap _),
     "q142_golden_record" -> (q142Golden _),
+    "q143_calibration" -> (q143Calibration _),
+    "q144_gini" -> (q144Gini _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4326,6 +4372,8 @@ object Queries {
     "q140_mad_outliers" -> q140Sql,
     "q141_twap" -> q141Sql,
     "q142_golden_record" -> q142Sql,
+    "q143_calibration" -> q143Sql,
+    "q144_gini" -> q144Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -136,6 +136,84 @@ object Metrics {
         round(col("fp").cast("double") / col("n").cast("double"), 6).as("fpr"))
   }
 
+  /** Calibration (reliability) bins — "when the model says 0.8, does
+    * it happen 80% of the time": scores in [0, 1] bucket into `bins`
+    * equal-width bins, each reporting its exact count, mean predicted
+    * score, and observed positive rate. The gap between the last two
+    * columns IS the calibration error the ECE summarizes.
+    *
+    * One bins-group aggregation; the mean score sums grid-rounded
+    * scores in DECIMAL (order-independent — a raw double sum would
+    * flap the mean's last ulps across partitionings) with the two
+    * divisions at the edge. Scores outside [0, 1] clamp into the edge
+    * bins. */
+  def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val d6 = org.apache.spark.sql.types.DecimalType(30, 6)
+    val s = col(scoreCol).cast("double")
+    val bin = least(greatest(floor(s * bins), lit(0.0)), lit(bins - 1.0))
+      .cast("long")
+    df.filter(s.isNotNull && col(labelCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(s, 6).cast(d6)).as("__ss"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("positives"))
+      .select(col("bin"), col("n"), col("positives"),
+        round(col("__ss").cast("double") / col("n").cast("double"), 6)
+          .as("mean_score"),
+        round(col("positives").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"))
+  }
+
+  /** Gini coefficient of a non-negative measure — the concentration
+    * summary behind "top 1% of orders carry X% of revenue" (Lorenz
+    * curve area, 0 = perfectly equal, →1 = one entity holds all).
+    * Tie-aware exact rank formulation:
+    *
+    *   G = (2·Σᵥ v·(nᵥ·cumᵥ + nᵥ(nᵥ+1)/2) − (n+1)·Σv) / (n·Σv)
+    *
+    * where the sum runs over DISTINCT values (nᵥ rows, cumᵥ rows
+    * strictly below) — tied ranks contribute identically under any
+    * permutation, so the statistic is exact, not an average-rank
+    * approximation. All sums accumulate in DECIMAL from grid-exact
+    * inputs; the one division happens at the edge.
+    *
+    * Scale shape: one groupBy collapses the corpus to its distinct
+    * values; the window runs over that bounded relation (the q133/q80
+    * pattern — grid-quantize genuinely continuous measures first).
+    * Negative values violate the Lorenz definition and are rejected
+    * at runtime by a guard aggregate. Returns (gini, n). */
+  def gini(df: DataFrame, valueCol: String): DataFrame = {
+    // (18,6), not wider: decimal×BIGINT widens by 19 digits and must
+    // stay ≤ 38 in BOTH engines (DuckDB errors past it, it doesn't
+    // round) — 12 integer digits is plenty for a measure column
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val v = col(valueCol).cast(d6)
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(v.as("__v"))
+      .agg(count(lit(1)).as("__nv"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("__cum", coalesce(sum(col("__nv")).over(w), lit(0L)))
+      .agg(
+        min(col("__v")).as("__min"),
+        sum((col("__v") * (col("__nv") * col("__cum") +
+          expr("__nv * (__nv + 1) DIV 2"))).cast(d38)).as("__s"),
+        sum((col("__v") * col("__nv")).cast(d38)).as("__t"),
+        sum(col("__nv")).as("n"))
+      .select(
+        when(col("__min") < 0,
+          raise_error(lit("gini: negative values violate the Lorenz definition")))
+          .otherwise(
+            round((lit(2.0) * col("__s").cast("double") -
+              (col("n") + 1).cast("double") * col("__t").cast("double")) /
+              (col("n").cast("double") * col("__t").cast("double")), 6))
+          .as("gini"),
+        col("n").cast("long").as("n"))
+  }
+
   /** Dense confusion matrix — rows = true label, one column per
     * predicted class, zero-filled (`confusion_matrix`,
     * `deeplearning/evaluate.py:43-44`): SQUARE over the UNION of

@@ -100,6 +100,37 @@ class MetricsSpec extends AnyFunSuite {
     assert(rows.size === 3)
   }
 
+  test("calibrationBins: a perfectly calibrated score has pos_rate ≈ mean_score") {
+    // 10 rows at score 0.25 with 25% positive; 8 at 0.75 with 75%
+    val rows = (1 to 10).map(i => (if (i <= 25 * 10 / 100) 1 else 0, 0.25)) ++
+      (1 to 8).map(i => (if (i <= 6) 1 else 0, 0.75))
+    val out = Metrics.calibrationBins(rows.toDF("label", "score"), "label",
+        "score", bins = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((10L, 2L, 0.25, 0.2)))  // floor(25/100·4)=1
+    assert(out(3L) === ((8L, 6L, 0.75, 0.75)))
+    // out-of-range scores clamp into the edge bins
+    val edge = Seq((1, -0.5), (0, 1.5)).toDF("label", "score")
+    val bins = Metrics.calibrationBins(edge, "label", "score", 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(bins === Set(0L, 3L))
+  }
+
+  test("gini: equality → 0, near-total concentration, hand value, negatives rejected") {
+    val equal = Seq(5.0, 5.0, 5.0, 5.0).toDF("v")
+    assert(Metrics.gini(equal, "v").head().getDouble(0) === 0.0)
+    // one holder of everything among n=4: G = (n-1)/n = 0.75
+    val conc = Seq(0.0, 0.0, 0.0, 100.0).toDF("v")
+    assert(Metrics.gini(conc, "v").head().getDouble(0) === 0.75)
+    // hand: values 1,2,3,4 → G = 2·(1·1+2·2+3·3+4·4)/(4·10) − 5/4
+    //     = 2·30/40 − 1.25 = 0.25
+    val hand = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    assert(Metrics.gini(hand, "v").head().getDouble(0) === 0.25)
+    val neg = Seq(-1.0, 2.0).toDF("v")
+    intercept[Exception] { Metrics.gini(neg, "v").collect() }
+  }
+
   test("regressionReport: hand-checked values; perfect fit; constant target") {
     // y = (2,4,6), pred = (1,4,8): res = (1,0,-2) → mse = 5/3, mae = 1
     // ȳ = 4, sstot = 8 → r2 = 1 − 5/8 = 0.375

@@ -29,8 +29,9 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
     "q124_sorted_neighborhood", // partition-offset window over a P-row count relation
     "q128_growth_curve", // running sum over the observed-DAY spine (bounded)
     "q130_lift",        // totals window over the BIN-sized aggregate
-    "q133_auc")         // rank window over the DISTINCT-SCORE relation
+    "q133_auc",         // rank window over the DISTINCT-SCORE relation
                         // (grid-quantize scores first when unbounded)
+    "q144_gini")        // same pattern: cumulative over DISTINCT VALUES
 
   /** Intentional non-equi/cross shapes at dim scale (tiny sides). */
   private val boundedCross = Set(
