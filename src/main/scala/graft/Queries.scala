@@ -4078,6 +4078,43 @@ object Queries {
       |  CAST(n AS BIGINT) AS n
       |FROM a""".stripMargin
 
+  /** Market-basket pair rules ([[graft.operators.Basket.pairRules]])
+    * over order line items folded to a 100-item catalog: support /
+    * confidence / lift from exact counts, pair space bounded by
+    * basket size via the `a < b` self-join. */
+  def q145Basket(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Basket.pairRules(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          (col("l_partkey") % 100).as("item")),
+        "l_orderkey", "item", minPairCount = 30L)
+      .orderBy("antecedent", "consequent")
+
+  val q145Sql: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS t, l_partkey % 100 AS i
+      |  FROM lineitem),
+      |n AS (SELECT count(DISTINCT t) AS n FROM it),
+      |s AS (SELECT i, count(*) AS ni FROM it GROUP BY 1),
+      |p AS (SELECT x.i AS a, y.i AS b, count(*) AS nab
+      |  FROM it x JOIN it y ON x.t = y.t AND x.i < y.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 30),
+      |m AS (SELECT a, b, nab, sa.ni AS na, sb.ni AS nb, n.n
+      |  FROM p JOIN s sa ON p.a = sa.i JOIN s sb ON p.b = sb.i CROSS JOIN n)
+      |SELECT * FROM (
+      |  SELECT a AS antecedent, b AS consequent, nab AS pair_count,
+      |    round(CAST(nab AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+      |    round(CAST(nab AS DOUBLE) / CAST(na AS DOUBLE), 6) AS confidence,
+      |    round(CAST(nab AS DOUBLE) * CAST(n AS DOUBLE)
+      |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS lift
+      |  FROM m
+      |  UNION ALL
+      |  SELECT b, a, nab,
+      |    round(CAST(nab AS DOUBLE) / CAST(n AS DOUBLE), 6),
+      |    round(CAST(nab AS DOUBLE) / CAST(nb AS DOUBLE), 6),
+      |    round(CAST(nab AS DOUBLE) * CAST(n AS DOUBLE)
+      |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+      |  FROM m)
+      |ORDER BY antecedent, consequent""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4227,6 +4264,7 @@ object Queries {
     "q142_golden_record" -> (q142Golden _),
     "q143_calibration" -> (q143Calibration _),
     "q144_gini" -> (q144Gini _),
+    "q145_basket" -> (q145Basket _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4374,6 +4412,7 @@ object Queries {
     "q142_golden_record" -> q142Sql,
     "q143_calibration" -> q143Sql,
     "q144_gini" -> q144Sql,
+    "q145_basket" -> q145Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
