@@ -4115,6 +4115,40 @@ object Queries {
       |  FROM m)
       |ORDER BY antecedent, consequent""".stripMargin
 
+  /** CUSUM drift summary per event type
+    * ([[Features.cusumDeviation]]): max |running deviation| and
+    * threshold-crossing counts from decimal-exact score sequences. */
+  def q146Cusum(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      unix_timestamp(col("ts")).as("sec"), col("event_id"), col("value"))
+    Features.cusumDeviation(e, "event_type", "sec", "event_id", "value")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(abs(col("cusum"))).cast("double"), 6).as("max_abs_cusum"),
+        sum(when(abs(col("cusum")) > 1000, 1L).otherwise(0L))
+          .as("crossings"))
+      .orderBy("event_type")
+  }
+
+  val q146Sql: String =
+    """WITH e AS (SELECT event_type,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id,
+      |  CAST(value AS DECIMAL(18,6)) AS v FROM events),
+      |mu AS (SELECT event_type,
+      |  CAST(round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |    AS DECIMAL(18,6)) AS mu
+      |  FROM e WHERE v IS NOT NULL GROUP BY 1),
+      |c AS (SELECT e.event_type,
+      |  sum(v - mu) OVER (PARTITION BY e.event_type
+      |    ORDER BY sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |  FROM e JOIN mu USING (event_type))
+      |SELECT event_type, count(*) AS n,
+      |  round(CAST(max(abs(cusum)) AS DOUBLE), 6) AS max_abs_cusum,
+      |  CAST(sum(CASE WHEN abs(cusum) > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS crossings
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4265,6 +4299,7 @@ object Queries {
     "q143_calibration" -> (q143Calibration _),
     "q144_gini" -> (q144Gini _),
     "q145_basket" -> (q145Basket _),
+    "q146_cusum" -> (q146Cusum _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4413,6 +4448,7 @@ object Queries {
     "q143_calibration" -> q143Sql,
     "q144_gini" -> q144Sql,
     "q145_basket" -> q145Sql,
+    "q146_cusum" -> q146Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -417,6 +417,39 @@ object Features {
       .drop("__lo", "__hi")
   }
 
+  /** CUSUM drift scores per series — the classic changepoint signal:
+    * the running sum of deviations from the series mean hovers near 0
+    * while the level holds and ramps once it shifts; |cusum| crossing
+    * a threshold flags the drift (threshold choice is the caller's
+    * false-positive dial, conventionally k·σ·√n-ish).
+    *
+    * Determinism is the design constraint here: a DOUBLE running sum
+    * is evaluation-strategy-dependent (different engines group the
+    * additions differently), so deviations accumulate in exact
+    * DECIMAL from a grid-rounded mean — every engine, partitioning,
+    * and rerun produces the identical score sequence. One shuffle
+    * (the per-series window, order made unique by `tieBreak`) plus a
+    * series-grain mean aggregate joined back.
+    *
+    * Returns the input plus `cusumCol` (decimal) — aggregate or
+    * threshold-filter downstream. */
+  def cusumDeviation(df: DataFrame, seriesCol: String, tsCol: String,
+      tieBreak: String, valueCol: String,
+      cusumCol: String = "cusum"): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val means = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(seriesCol))
+      .agg(round(sum(col(valueCol).cast(d6)).cast("double") /
+        count(lit(1)).cast("double"), 6).cast(d6).as("__mu"))
+    val w = Window.partitionBy(col(seriesCol))
+      .orderBy(col(tsCol), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.join(means, Seq(seriesCol))
+      .withColumn(cusumCol,
+        sum(col(valueCol).cast(d6) - col("__mu")).over(w))
+      .drop("__mu")
+  }
+
   /** Robust per-group outlier scores via MAD (median absolute
     * deviation) — the outlier detector that survives what it's
     * detecting (a z-score fence moves with the outliers it should

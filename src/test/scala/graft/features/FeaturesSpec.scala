@@ -70,6 +70,21 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out.count() === 8) // row-preserving
   }
 
+  test("cusumDeviation: flat series stays near zero, level shift ramps") {
+    // flat 10,10,10,10 → cusum 0 everywhere; shift 0,0,10,10 (μ=5)
+    // → cusum −5, −10, −5, 0: the ramp peaks AT the changepoint
+    val df = Seq(("f", 1L, 10.0), ("f", 2L, 10.0), ("f", 3L, 10.0), ("f", 4L, 10.0),
+      ("s", 1L, 0.0), ("s", 2L, 0.0), ("s", 3L, 10.0), ("s", 4L, 10.0))
+      .toDF("k", "sec", "v")
+    val out = Features.cusumDeviation(df, "k", "sec", "sec", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        r.getDecimal(r.fieldIndex("cusum")).doubleValue()).toMap
+    Seq(1L, 2L, 3L, 4L).foreach(i => assert(out(("f", i)) === 0.0))
+    assert(out(("s", 1L)) === -5.0 && out(("s", 2L)) === -10.0)
+    assert(out(("s", 3L)) === -5.0 && out(("s", 4L)) === 0.0)
+  }
+
   test("timeWeightedAvg: durations weight values; last observation drops") {
     // series s: v=10 holds 2s, v=20 holds 8s, final v=99 has no duration
     // twap = (10*2 + 20*8) / 10 = 18
