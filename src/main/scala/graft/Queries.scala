@@ -4149,6 +4149,36 @@ object Queries {
       |    AS crossings
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Approximate quantiles with a CHECKED error bound (the q65
+    * in-plan-verdict pattern for sketches): `approx_percentile`
+    * (Greenwald–Khanna mergeable sketch — the 100 TB quantile path
+    * `quantileBins`/`winsorize` document swapping to) against the
+    * exact percentile, asserting the value lands within the ±1%
+    * RANK tolerance the accuracy parameter promises — realized here
+    * as the exact 49th–51st percentile bracket. */
+  def q147ApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 6)
+          .as("exact_p50"),
+        expr("percentile_cont(0.49) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("__lo"),
+        expr("percentile_cont(0.51) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("__hi"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__a"))
+      .select(col("l_returnflag"), col("exact_p50"),
+        (col("__a") >= col("__lo") && col("__a") <= col("__hi"))
+          .as("within_rank_tol"))
+      .orderBy("l_returnflag")
+
+  val q147Sql: String =
+    """SELECT l_returnflag,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 6)
+      |    AS exact_p50,
+      |  true AS within_rank_tol
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4300,6 +4330,7 @@ object Queries {
     "q144_gini" -> (q144Gini _),
     "q145_basket" -> (q145Basket _),
     "q146_cusum" -> (q146Cusum _),
+    "q147_approx_quantile" -> (q147ApproxQuantile _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4449,6 +4480,7 @@ object Queries {
     "q144_gini" -> q144Sql,
     "q145_basket" -> q145Sql,
     "q146_cusum" -> q146Sql,
+    "q147_approx_quantile" -> q147Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
