@@ -191,6 +191,47 @@ object AlgebraProps extends Properties("EngineAlgebra") {
       }
     }
 
+  property("funnel reach counts are monotone nonincreasing across stages") =
+    Prop.forAll(Gen.listOfN(30, Gen.zip(Gen.chooseNum(1L, 5L),
+      Gen.oneOf("A", "B", "C"), Gen.chooseNum(0L, 20L)))) { evs =>
+      evs.isEmpty || {
+        val df = evs.zipWithIndex
+          .map { case ((u, t, ts), i) => (u, t, ts, i.toLong) }
+          .toDF("u", "t", "ts", "id")
+        val counts = graft.operators.Funnel
+          .counts(df, "u", "t", "ts", Seq("A", "B", "C"))
+          .orderBy("stage").collect().map(_.getLong(2))
+        counts.sliding(2).forall(p => p.length < 2 || p(0) >= p(1))
+      }
+    }
+
+  property("basket lift is direction-symmetric; confidence and support bounded") =
+    Prop.forAll(Gen.listOfN(25, Gen.zip(Gen.chooseNum(1L, 6L),
+      Gen.oneOf("x", "y", "z", "w")))) { txs =>
+      txs.isEmpty || {
+        val rules = graft.operators.Basket
+          .pairRules(txs.toDF("t", "i"), "t", "i", minPairCount = 1L)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+        rules.forall { case ((a, b), (sup, conf, lift)) =>
+          val (supR, _, liftR) = rules((b, a))
+          sup == supR && lift == liftR && // direction-symmetric
+            sup > 0 && sup <= 1 && conf >= sup - 1e-9 && conf <= 1 && lift > 0
+        }
+      }
+    }
+
+  property("gini lies in [0, (n-1)/n] for non-negative data with a positive total") =
+    Prop.forAll(Gen.listOfN(12, Gen.chooseNum(0, 50))) { vs =>
+      vs.sum == 0 || {
+        val r = graft.ml.Metrics
+          .gini(vs.map(_.toDouble).toDF("v"), "v").head()
+        val (g, n) = (r.getDouble(0), r.getLong(1))
+        g >= -1e-9 && g <= (n - 1).toDouble / n + 1e-9
+      }
+    }
+
   property("as-of join preserves every left row exactly once") =
     Prop.forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L))),
       Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))) { (l, r) =>
