@@ -252,6 +252,75 @@ object EventStream {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 
+  final case class DriftState(s: Double, seen: Long)
+  final case class DriftAlert(event_type: String, ts: java.sql.Timestamp,
+      event_id: Long, stat: Double, n_since_reset: Long)
+
+  /** Online drift detection — Page's one-sided CUSUM test per series:
+    * the statistic S ← max(0, S + (x − μ₀ − slack)) ratchets up while
+    * values run above the reference level μ₀ and an alert fires (and
+    * S resets — the sequential-test restart) when S > threshold. The
+    * STREAMING changepoint face of
+    * [[graft.features.Features.cusumDeviation]]'s batch diagnostic:
+    * per-series running state is two numbers, so state size is
+    * O(series), not O(events), and each trigger folds its (sorted)
+    * batch into the carried statistic. Within-trigger order is pinned
+    * by (ts, event_id) — the same deterministic-replay contract as
+    * [[sessionizeStream]]; alerts are identical for any batching of
+    * the same ordered events ([[cusumAlertsBatch]] is the one-batch
+    * special case the spec compares against). */
+  def cusumAlertsStream(events: Dataset[Event], mu0: Double,
+      slack: Double, threshold: Double): Dataset[DriftAlert] = {
+    import events.sparkSession.implicits._
+    require(threshold > 0, "threshold must be positive")
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[DriftState, DriftAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, it: Iterator[Event], state: GroupState[DriftState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(DriftState(0.0, 0L))
+          val alerts = scala.collection.mutable.ListBuffer[DriftAlert]()
+          sorted.foreach { e =>
+            val s = math.max(0.0, st.s + (e.value - mu0 - slack))
+            val seen = st.seen + 1
+            if (s > threshold) {
+              alerts += DriftAlert(tpe, e.ts, e.event_id,
+                math.round(s * 1e6) / 1e6, seen)
+              st = DriftState(0.0, 0L) // sequential restart
+            } else st = DriftState(s, seen)
+          }
+          state.update(st)
+          alerts.iterator
+      }
+  }
+
+  /** Batch face of [[cusumAlertsStream]]: the identical fold over the
+    * fully-ordered series (stream ≡ batch is the spec's assertion, so
+    * this is deliberately the same code path run as one trigger). */
+  def cusumAlertsBatch(events: Dataset[Event], mu0: Double,
+      slack: Double, threshold: Double): Dataset[DriftAlert] = {
+    import events.sparkSession.implicits._
+    require(threshold > 0, "threshold must be positive")
+    events.groupByKey(_.event_type).flatMapGroups {
+      (tpe: String, it: Iterator[Event]) =>
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var s = 0.0
+        var seen = 0L
+        val alerts = scala.collection.mutable.ListBuffer[DriftAlert]()
+        sorted.foreach { e =>
+          s = math.max(0.0, s + (e.value - mu0 - slack))
+          seen += 1
+          if (s > threshold) {
+            alerts += DriftAlert(tpe, e.ts, e.event_id,
+              math.round(s * 1e6) / 1e6, seen)
+            s = 0.0; seen = 0L
+          }
+        }
+        alerts.iterator
+    }
+  }
+
   /** Streaming sessionization with custom state: per-user open-session
     * state, closed and emitted when a later event arrives past the gap
     * OR when the processing-time timeout fires (so the final session of

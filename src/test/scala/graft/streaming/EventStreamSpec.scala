@@ -187,6 +187,51 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.values.forall(_.length === 3))
   }
 
+  test("streaming CUSUM drift: two-wave replay carries state and equals the batch fold") {
+    import EventStream.{Event, DriftAlert}
+    def ev(id: Long, sec: Long, tpe: String, v: Double) =
+      Event(id, new java.sql.Timestamp(sec * 1000), 1L, tpe, v)
+    // μ0=5, slack=0, h=6.
+    // type m: alert inside wave 1 (ts4, S=8, n=4) and inside wave 2 (ts7, S=8, n=3)
+    // type c: S reaches exactly 6 in wave 1 (no alert: 6 !> 6); wave 2's
+    //   single event pushes the CARRIED state to 9 → alert with
+    //   n_since_reset=3 — impossible if the restart lost state
+    val wave1 = Seq(
+      ev(1, 1, "m", 5), ev(2, 2, "m", 5), ev(3, 3, "m", 9), ev(4, 4, "m", 9),
+      ev(101, 1, "c", 8), ev(102, 2, "c", 8))
+    val wave2 = Seq(
+      ev(5, 5, "m", 9), ev(6, 6, "m", 5), ev(7, 7, "m", 9), ev(8, 8, "m", 9),
+      ev(103, 3, "c", 8))
+    val tmp = Files.createTempDirectory("cusum_stream").toString
+    val src = s"$tmp/src"; val sink = s"$tmp/alerts"; val ck = s"$tmp/ck"
+    def runWave(ws: Seq[Event]): Unit = {
+      ws.toDS().write.mode("append").parquet(src)
+      val q = EventStream.cusumAlertsStream(
+          spark.readStream.schema(wave1.toDS().schema).parquet(src)
+            .as[Event], mu0 = 5.0, slack = 0.0, threshold = 6.0)
+        .writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "streaming query timed out")
+    }
+    runWave(wave1)
+    runWave(wave2)
+    def canon(alerts: Seq[DriftAlert]) = alerts
+      .map(a => (a.event_type, a.ts.getTime / 1000, a.event_id, a.stat,
+        a.n_since_reset)).toSet
+    val streamed = canon(spark.read.parquet(sink).as[DriftAlert].collect().toSeq)
+    val batch = canon(EventStream.cusumAlertsBatch(
+      (wave1 ++ wave2).toDS(), 5.0, 0.0, 6.0).collect().toSeq)
+    assert(streamed === batch)
+    assert(streamed === Set(
+      ("m", 4L, 4L, 8.0, 4L), ("m", 7L, 7L, 8.0, 3L),
+      ("c", 3L, 103L, 9.0, 3L)))
+  }
+
   test("streaming sessionization with custom state emits closed sessions") {
     val ds = events.as[EventStream.Event]
     // batch Dataset works through the same flatMapGroupsWithState code
