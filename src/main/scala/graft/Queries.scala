@@ -4179,6 +4179,32 @@ object Queries {
       |  true AS within_rank_tol
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-priority revenue concentration
+    * ([[graft.ml.Metrics.giniByGroup]]): the partitioned (scale-
+    * native) Gini — one shuffle, no global window. */
+  def q148GiniByGroup(s: SparkSession, dir: String): DataFrame =
+    graft.ml.Metrics.giniByGroup(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderpriority")
+
+  val q148Sql: String =
+    """WITH g AS (SELECT o_orderpriority AS gp,
+      |  CAST(o_totalprice AS DECIMAL(18,6)) AS v, count(*) AS nv
+      |  FROM orders GROUP BY 1, 2),
+      |c AS (SELECT gp, v, nv, coalesce(sum(nv) OVER (PARTITION BY gp
+      |  ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS cum FROM g),
+      |a AS (SELECT gp,
+      |  sum(CAST(v * (nv * cum + nv * (nv + 1) // 2) AS DECIMAL(38,6))) AS s,
+      |  sum(CAST(v * nv AS DECIMAL(38,6))) AS t, sum(nv) AS n
+      |  FROM c GROUP BY 1)
+      |SELECT gp AS o_orderpriority,
+      |  round((2.0 * CAST(s AS DOUBLE)
+      |    - CAST(n + 1 AS DOUBLE) * CAST(t AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS gini,
+      |  CAST(n AS BIGINT) AS n
+      |FROM a ORDER BY o_orderpriority""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4331,6 +4357,7 @@ object Queries {
     "q145_basket" -> (q145Basket _),
     "q146_cusum" -> (q146Cusum _),
     "q147_approx_quantile" -> (q147ApproxQuantile _),
+    "q148_gini_by_group" -> (q148GiniByGroup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4481,6 +4508,7 @@ object Queries {
     "q145_basket" -> q145Sql,
     "q146_cusum" -> q146Sql,
     "q147_approx_quantile" -> q147Sql,
+    "q148_gini_by_group" -> q148Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -214,6 +214,44 @@ object Metrics {
         col("n").cast("long").as("n"))
   }
 
+  /** Per-group [[gini]] — concentration WITHIN each segment ("is
+    * revenue as top-heavy in Europe as in Asia"). Same tie-aware
+    * exact formulation, but every window is PARTITIONED by the group:
+    * one shuffle on (group, value), no global single-task window —
+    * the scale-native form (the global [[gini]] documents its
+    * bounded-distinct-domain requirement; this one only needs each
+    * group's distinct values to fit a task, which grouping already
+    * implies). Negative values are rejected by the same guard.
+    * Returns (group, gini, n). */
+  def giniByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val v = col(valueCol).cast(d6)
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), v.as("__v"))
+      .agg(count(lit(1)).as("__nv"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("__cum", coalesce(sum(col("__nv")).over(w), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(
+        min(col("__v")).as("__min"),
+        sum((col("__v") * (col("__nv") * col("__cum") +
+          expr("__nv * (__nv + 1) DIV 2"))).cast(d38)).as("__s"),
+        sum((col("__v") * col("__nv")).cast(d38)).as("__t"),
+        sum(col("__nv")).as("n"))
+      .select(col(groupCol),
+        when(col("__min") < 0,
+          raise_error(lit("gini: negative values violate the Lorenz definition")))
+          .otherwise(
+            round((lit(2.0) * col("__s").cast("double") -
+              (col("n") + 1).cast("double") * col("__t").cast("double")) /
+              (col("n").cast("double") * col("__t").cast("double")), 6))
+          .as("gini"),
+        col("n").cast("long").as("n"))
+  }
+
   /** Dense confusion matrix — rows = true label, one column per
     * predicted class, zero-filled (`confusion_matrix`,
     * `deeplearning/evaluate.py:43-44`): SQUARE over the UNION of

@@ -131,6 +131,19 @@ class MetricsSpec extends AnyFunSuite {
     intercept[Exception] { Metrics.gini(neg, "v").collect() }
   }
 
+  test("giniByGroup matches the global gini computed per slice") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("k", "v")
+    val grouped = Metrics.giniByGroup(df, "k", "v")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    for (k <- Seq("a", "b")) {
+      val solo = Metrics.gini(df.filter(col("k") === k), "v").head()
+      assert(grouped(k) === ((solo.getDouble(0), solo.getLong(1))), s"group $k")
+    }
+    assert(grouped("a") === ((0.25, 4L)) && grouped("b") === ((0.0, 3L)))
+  }
+
   test("regressionReport: hand-checked values; perfect fit; constant target") {
     // y = (2,4,6), pred = (1,4,8): res = (1,0,-2) → mse = 5/3, mae = 1
     // ȳ = 4, sstot = 8 → r2 = 1 − 5/8 = 0.375
