@@ -244,6 +244,24 @@ object Drivers {
         col("support"))
   }
 
+  /** Exact AUC over a fitted classifier's probability output — the
+    * bridge from spark.ml vectors to [[Metrics.aucBinary]]: extracts
+    * P(class = positiveIndex) from the `probability` vector column and
+    * GRID-QUANTIZES it to 6 decimals first, so the distinct-score
+    * relation the rank statistic runs over stays bounded no matter how
+    * many raw float probabilities the model emits (the documented
+    * contract of the AUC's global window). `labelCol` is the indexed
+    * 0/1 label. */
+  def binaryAuc(predictions: DataFrame, labelCol: String,
+      positiveIndex: Int = 1,
+      probabilityCol: String = "probability"): Double =
+    Metrics.aucBinary(
+      predictions.select(col(labelCol).cast("int").as("label"),
+        round(vector_to_array(col(probabilityCol))
+          .getItem(positiveIndex), 6).as("score")),
+      "label", "score")
+      .head().getDouble(0)
+
   final case class BestKResult(bestK: Int, scores: Seq[(Int, Double)])
 
   /** Silhouette K-scan — the reference's elbow/silhouette analysis

@@ -36,6 +36,22 @@ class DriversSpec extends AnyFunSuite {
       s"accuracy ${r.accuracy} should approach the majority prior $majority")
   }
 
+  test("binaryAuc on a real fitted model beats chance on a learnable target") {
+    // binary target derived from shipdate year (learnable); classify
+    // fits a weighted LogisticRegression whose probability vector
+    // feeds the exact rank-statistic AUC through the quantized bridge
+    val li = TestSpark.table("lineitem")
+      .select(col("l_quantity"), col("l_discount"), col("l_shipdate"))
+      .withColumn("ship_year", year(col("l_shipdate")).cast("double"))
+      .withColumn("is_late", (col("ship_year") >= 1996).cast("string"))
+    val r = Drivers.classify(li, "is_late",
+      categoricalCols = Nil,
+      numericCols = Seq("l_quantity", "l_discount", "ship_year"))
+    val auc = Drivers.binaryAuc(r.predictions, "__label")
+    assert(auc > 0.9, s"AUC $auc should be near-perfect on a separable target")
+    assert(auc <= 1.0)
+  }
+
   test("classify: stratified split preserves per-class proportions in train and test") {
     val li = TestSpark.table("lineitem")
       .select(col("l_returnflag"), col("l_quantity"), col("l_discount"))
