@@ -92,6 +92,24 @@ object ScaleProbe {
           when(col("l_returnflag") === "R", 1).otherwise(0).as("label"),
           round(col("l_extendedprice").cast("double") / 1000.0, 2).as("score"))
         ml.Metrics.aucBinary(scored, "label", "score").count()
+      },
+      t("basket_rules") {
+        // pair blowup bounded by basket size (≤7 lines/order): the
+        // a<b self-join at 6M item rows
+        operators.Basket.pairRules(
+          liK.select(col("l_orderkey"), (col("l_partkey") % 100).as("i")),
+          "l_orderkey", "i", minPairCount = 50L).count()
+      },
+      t("mad_outliers") {
+        graft.features.Features.madOutliers(
+          liK.select(col("l_returnflag"), col("l_extendedprice")
+            .cast("double").as("p")),
+          "l_returnflag", "p", k = 4.0).count()
+      },
+      t("gini_by_group") {
+        ml.Metrics.giniByGroup(
+          liK.select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", "l_extendedprice").count()
       })
 
     val json = results.map { case (n, sec, rows) =>
