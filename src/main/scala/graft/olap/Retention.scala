@@ -33,8 +33,12 @@ object Retention {
     val day = datediff(to_date(col(tsCol)), to_date(lit("1970-01-01")))
     // floor(day / width): day counts are tiny (≤ ~10⁵), so the double
     // division is exact and the floor matches integer division — the
-    // same expression an external engine runs verbatim
+    // same expression an external engine runs verbatim. Null entities
+    // or timestamps carry no cohort information and are dropped (an
+    // unfiltered null period would otherwise surface as a null-offset
+    // cell).
     val activity = events
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull)
       .select(col(entityCol).as("__e"),
         floor(day / lit(periodDays)).cast("long").as("__p"))
       .distinct()

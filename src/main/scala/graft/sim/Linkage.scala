@@ -109,7 +109,9 @@ object Linkage {
   /** Survivorship rules for golden-record construction. */
   sealed trait Survive
   /** Highest `orderCol` wins ("most recent non-null" when orderCol is
-    * a timestamp); order ties break to the largest value. */
+    * a timestamp); order ties break to the largest value. `orderCol`
+    * must be non-null — a null order field makes the rank struct's
+    * comparison engine-defined, so coalesce a sentinel first. */
   final case class Latest(orderCol: String) extends Survive
   /** Most frequent non-null value wins; count ties break to the
     * largest value. */

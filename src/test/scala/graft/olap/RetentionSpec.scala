@@ -35,6 +35,16 @@ class RetentionSpec extends AnyFunSuite {
     assert(m.size === 4)
   }
 
+  test("null entities and timestamps drop instead of forming phantom cells") {
+    val withNulls = Seq[(java.lang.Long, String)](
+      (1L, "2024-01-01"), (1L, null), (null, "2024-01-01"))
+      .toDF("u", "d")
+      .selectExpr("u", "CAST(d AS TIMESTAMP) AS ts")
+    val m = Retention.cohortMatrix(withNulls, "u", "ts", 7).collect()
+    assert(m.length === 1 && m.head.getLong(1) === 0L &&
+      m.head.getLong(3) === 1L)
+  }
+
   test("offset-0 retention is always 1.0 and counts are monotone per cohort") {
     val rows = graft.SparkEntry.queries("q138_retention")(spark, TestSpark.sf)
       .collect()
