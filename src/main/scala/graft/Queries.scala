@@ -4205,6 +4205,39 @@ object Queries {
       |  CAST(n AS BIGINT) AS n
       |FROM a ORDER BY o_orderpriority""".stripMargin
 
+  /** Time-to-convert distribution over the q137 funnel
+    * ([[graft.operators.Funnel.reachTimes]]): among completers,
+    * seconds from first view to purchase — exact count/min/max and
+    * the exact interpolated median. Puts the reach TIMESTAMPS (not
+    * just counts) under the oracle. */
+  def q149TimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val reach = graft.operators.Funnel.reachTimes(t(s, dir, "events"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    reach.filter(col("ts_3").isNotNull)
+      .select((unix_timestamp(col("ts_3")) - unix_timestamp(col("ts_1")))
+        .as("sec"))
+      .agg(count(lit(1)).as("converters"),
+        min(col("sec")).as("min_s"), max(col("sec")).as("max_s"),
+        round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY sec)"), 6)
+          .as("median_s"))
+  }
+
+  val q149Sql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+      |d AS (SELECT CAST(floor(epoch(t3)) AS BIGINT)
+      |    - CAST(floor(epoch(t1)) AS BIGINT) AS sec
+      |  FROM s3 JOIN s1 USING (user_id))
+      |SELECT count(*) AS converters, min(sec) AS min_s, max(sec) AS max_s,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY sec), 6) AS median_s
+      |FROM d""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4358,6 +4391,7 @@ object Queries {
     "q146_cusum" -> (q146Cusum _),
     "q147_approx_quantile" -> (q147ApproxQuantile _),
     "q148_gini_by_group" -> (q148GiniByGroup _),
+    "q149_time_to_convert" -> (q149TimeToConvert _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4509,6 +4543,7 @@ object Queries {
     "q146_cusum" -> q146Sql,
     "q147_approx_quantile" -> q147Sql,
     "q148_gini_by_group" -> q148Sql,
+    "q149_time_to_convert" -> q149Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
