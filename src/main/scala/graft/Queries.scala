@@ -4238,6 +4238,51 @@ object Queries {
       |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY sec), 6) AS median_s
       |FROM d""".stripMargin
 
+  /** RFM segmentation — the classic customer-scoring matrix: each
+    * customer quintile-scored on Recency (latest order day),
+    * Frequency (order count), and Monetary (decimal-exact spend),
+    * reduced to the ≤125-cell segment distribution. Three
+    * [[Features.quantileBins]] passes over the customer-grain
+    * aggregate (grid-rounded boundaries — the q130 cross-engine
+    * contract); everything else is exact counting. */
+  def q150Rfm(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(max(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("double").as("rec"),
+        count(lit(1)).cast("double").as("freq"),
+        sum(col("o_totalprice").cast(dec2)).cast("double").as("mon"))
+    val scored = Seq(("rec", "r"), ("freq", "f"), ("mon", "m"))
+      .foldLeft(cust) { case (acc, (v, b)) =>
+        Features.quantileBins(acc, v, b = 5, binCol = b)
+      }
+    scored.groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("customers"))
+      .orderBy("r", "f", "m")
+  }
+
+  val q150Sql: String = {
+    def grid(v: String) = (0 to 3).map(i =>
+      s"round(percentile_cont(0.${2 * (i + 1)}) WITHIN GROUP (ORDER BY $v), 6) AS ${v}_q$i")
+      .mkString(", ")
+    def score(v: String) = (0 to 3).map(i =>
+      s"CASE WHEN $v > ${v}_q$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH cust AS (SELECT o_custkey,
+      |  CAST(date_diff('day', DATE '1970-01-01', max(o_orderdate)) AS DOUBLE)
+      |    AS rec,
+      |  CAST(count(*) AS DOUBLE) AS freq,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mon
+      |  FROM orders GROUP BY 1),
+      |q AS (SELECT ${grid("rec")}, ${grid("freq")}, ${grid("mon")} FROM cust),
+      |sc AS (SELECT CAST(${score("rec")} AS BIGINT) AS r,
+      |  CAST(${score("freq")} AS BIGINT) AS f,
+      |  CAST(${score("mon")} AS BIGINT) AS m
+      |  FROM cust CROSS JOIN q)
+      |SELECT r, f, m, count(*) AS customers
+      |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4392,6 +4437,7 @@ object Queries {
     "q147_approx_quantile" -> (q147ApproxQuantile _),
     "q148_gini_by_group" -> (q148GiniByGroup _),
     "q149_time_to_convert" -> (q149TimeToConvert _),
+    "q150_rfm" -> (q150Rfm _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4544,6 +4590,7 @@ object Queries {
     "q147_approx_quantile" -> q147Sql,
     "q148_gini_by_group" -> q148Sql,
     "q149_time_to_convert" -> q149Sql,
+    "q150_rfm" -> q150Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
