@@ -2011,8 +2011,10 @@ object Queries {
       .agg(count(lit(1)).cast("double").as("n"))
     val wSeg = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
     val wNg = org.apache.spark.sql.expressions.Window.partitionBy(col("ng"))
+    // contingency-table-sized relation: one task is CORRECT here —
+    // pinned key (lit(1) would be stripped by EliminateWindowPartitions)
     val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)) // contingency-table-sized relation: one task is CORRECT here
+      .partitionBy(graft.plans.PinnedWindow.key(col("seg")))
     val terms = obs
       .withColumn("r", sum(col("n")).over(wSeg))
       .withColumn("c", sum(col("n")).over(wNg))
@@ -3174,7 +3176,9 @@ object Queries {
       .agg(count(lit(1)).cast("double").as("n"))
     val wA = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
     val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // contingency-table-sized relation — pinned intentional single task
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.plans.PinnedWindow.key(col("a")))
     val terms = obs
       .withColumn("r", sum(col("n")).over(wA))
       .withColumn("c", sum(col("n")).over(wB))
@@ -3335,10 +3339,13 @@ object Queries {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(sum(col("l_extendedprice").cast(dec2)).as("rev"))
+    // brand-count-sized relation — pinned intentional single task
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.plans.PinnedWindow.key(col("p_brand")))
       .orderBy(col("rev").desc, col("p_brand"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.plans.PinnedWindow.key(col("p_brand")))
     byBrand
       .withColumn("cum", sum(col("rev")).over(w))
       .withColumn("total", sum(col("rev")).over(wAll))
@@ -3577,7 +3584,8 @@ object Queries {
     val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
     val spine = ev.select(col("day")).distinct()
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.plans.PinnedWindow.key(col("day"))).orderBy(col("day"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     spine.join(firstSeen, Seq("day"), "left")
       .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
@@ -3641,7 +3649,9 @@ object Queries {
     val binned = Features.quantileBins(t(s, dir, "orders"),
         "o_totalprice", b = 5)
       .withColumn("hit", when(col("o_orderstatus") === "F", 1L).otherwise(0L))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // quintile-count-sized relation — pinned intentional single task
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.plans.PinnedWindow.key(col("bin")))
     binned.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("hit")).as("hits"))
       .withColumn("tot_n", sum(col("n")).over(wAll))
@@ -3893,10 +3903,12 @@ object Queries {
       |    CAST(u1 AS BIGINT) AS users, CAST(1.0 AS DOUBLE) AS conversion FROM u
       |  UNION ALL
       |  SELECT 2, 'click', CAST(u2 AS BIGINT),
-      |    round(CAST(u2 AS DOUBLE) / CAST(u1 AS DOUBLE), 6) FROM u
+      |    CASE WHEN u1 = 0 THEN NULL
+      |      ELSE round(CAST(u2 AS DOUBLE) / CAST(u1 AS DOUBLE), 6) END FROM u
       |  UNION ALL
       |  SELECT 3, 'purchase', CAST(u3 AS BIGINT),
-      |    round(CAST(u3 AS DOUBLE) / CAST(u2 AS DOUBLE), 6) FROM u)
+      |    CASE WHEN u2 = 0 THEN NULL
+      |      ELSE round(CAST(u3 AS DOUBLE) / CAST(u2 AS DOUBLE), 6) END FROM u)
       |ORDER BY stage""".stripMargin
 
   /** Weekly cohort retention matrix over the event log

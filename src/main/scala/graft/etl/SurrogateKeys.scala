@@ -47,7 +47,11 @@ object SurrogateKeys {
   def dimSmall(df: DataFrame, naturalKeys: Seq[String], idCol: String): DataFrame =
     df.select(naturalKeys.map(col): _*).distinct()
       .withColumn(idCol,
-        row_number().over(Window.orderBy(naturalKeys.map(col): _*)).cast(LongType))
+        // driver-tiny by contract — pinned partition keeps the
+        // intentional single-task window out of the WindowExec warning
+        row_number().over(
+          Window.partitionBy(graft.plans.PinnedWindow.key(col(naturalKeys.head)))
+            .orderBy(naturalKeys.map(col): _*)).cast(LongType))
 
   /** Incremental append — the one inherently sequential CombinationLookup
     * semantic: new natural keys get ids above the current max. Anti-join

@@ -39,8 +39,11 @@ object Gaps {
 
     val summary = ids.groupBy(col("bucket"))
       .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
-    // bounded relation: one row per NON-EMPTY bucket
-    val crossW = Window.orderBy(col("bucket"))
+    // bounded relation: one row per NON-EMPTY bucket — the pinned
+    // partition marks the single-task window intentional (identical
+    // semantics, no spurious WindowExec scale warning)
+    val crossW = Window.partitionBy(graft.plans.PinnedWindow.key(col("bucket")))
+      .orderBy(col("bucket"))
     val cross = summary
       .withColumn("prev_hi", lag(col("hi"), 1).over(crossW))
       .filter(col("prev_hi").isNotNull && col("lo") - col("prev_hi") > 1)

@@ -78,8 +78,10 @@ object Linkage {
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pid")).orderBy(col("k"), col("id"))
     val local = sorted.withColumn("lrn", row_number().over(pw))
+    // P-row count relation — pinned partition marks the single-task
+    // window intentional (no spurious WindowExec scale warning)
     val offW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("pid"))
+      .partitionBy(graft.plans.PinnedWindow.key(col("pid"))).orderBy(col("pid"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(sum(col("n")).over(offW), lit(0L)))
