@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Metrics {
 
+  /** Decimal-grid cast for the Gini family with a loud overflow
+    * contract: a value whose integral part exceeds DECIMAL(18,6)'s 12
+    * digits would either throw an opaque cast error (ANSI mode) or
+    * cast to NULL (non-ANSI — silently forming a null __v group that
+    * skews n while dropping from Σv) where DuckDB errors. try_cast
+    * nulls the overflow in BOTH modes, so the guard fires one clear,
+    * mode-independent error — the oracle engine's behavior. */
+  private def giniValue(valueCol: String,
+      d6: org.apache.spark.sql.types.DecimalType): Column = {
+    val in = col(valueCol)
+    val tc = expr(s"try_cast(`$valueCol` AS DECIMAL(18,6))")
+    when(in.isNotNull && tc.isNull,
+      raise_error(lit(
+        "gini: value overflows DECIMAL(18,6) (>= 1e12) — rescale the measure"))
+        .cast(d6))
+      .otherwise(tc)
+  }
+
   /** Adjusted Rand Index between a clustering and ground-truth labels
     * — `sklearn.adjusted_rand_score` (`machineLearning.py:367`):
     *
@@ -113,7 +131,11 @@ object Metrics {
     val spark = df.sparkSession
     import spark.implicits._
     val th = thresholds.toDF("threshold")
-    val melted = df.select(classScores.map { case (cls, scoreCol) =>
+    // null labels are excluded BEFORE melting — same contract as the
+    // binary [[rocPoints]] face (a null label is "unknown", not a
+    // rest-class negative for every curve)
+    val melted = df.filter(col(labelCol).isNotNull)
+      .select(classScores.map { case (cls, scoreCol) =>
         struct(lit(cls).as("class"),
           when(col(labelCol) === cls, 1).otherwise(0).as("y"),
           col(scoreCol).cast("double").as("s")).as(s"__m_$cls")
@@ -190,11 +212,15 @@ object Metrics {
     // round) — 12 integer digits is plenty for a measure column
     val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
-    val v = col(valueCol).cast(d6)
+    val v = giniValue(valueCol, d6)
     val g = df.filter(col(valueCol).isNotNull)
       .groupBy(v.as("__v"))
       .agg(count(lit(1)).as("__nv"))
-    val w = Window.orderBy(col("__v"))
+    // the distinct-value relation is bounded by contract — the
+    // pinned partition makes the single-task window intentional
+    // (identical semantics, no spurious WindowExec scale warning)
+    val w = Window.partitionBy(graft.plans.PinnedWindow.key(col("__v")))
+      .orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     g.withColumn("__cum", coalesce(sum(col("__nv")).over(w), lit(0L)))
       .agg(
@@ -227,7 +253,7 @@ object Metrics {
       valueCol: String): DataFrame = {
     val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
-    val v = col(valueCol).cast(d6)
+    val v = giniValue(valueCol, d6)
     val g = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), v.as("__v"))
       .agg(count(lit(1)).as("__nv"))
@@ -262,18 +288,33 @@ object Metrics {
     * Scale shape: one count aggregation over (label, pred) — the
     * contingency reduction — then a pivot over the driver-known class
     * list (k classes, collected once; class domains are tiny by the
-    * same contract as every encoder here). Cells are exact longs. */
+    * same contract as every encoder here — and that contract is
+    * ENFORCED: the collect is probe-capped at `maxClasses`, so a
+    * high-cardinality column passed as a "class" fails fast with a
+    * clear message instead of silently OOMing the driver). Cells are
+    * exact longs. */
   def confusionMatrix(df: DataFrame, labelCol: String,
-      predCol: String): DataFrame = {
+      predCol: String, maxClasses: Int = 10000): DataFrame = {
+    require(maxClasses >= 1, "maxClasses must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val base = df
       .filter(col(labelCol).isNotNull && col(predCol).isNotNull)
       .select(col(labelCol).cast("string").as("label"),
         col(predCol).cast("string").as("pred"))
-    val classes = base.select(col("label"))
+    // probe-cap idiom (EsiEtl.scala dim probe): fetch cap+1, and if the
+    // domain exceeds the cap, refuse — a confusion matrix over an
+    // ID-like column is a caller bug, not a bigger matrix
+    val probe = base.select(col("label"))
       .union(base.select(col("pred")))
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
+      .distinct().limit(maxClasses + 1).collect()
+    if (probe.length > maxClasses)
+      throw new IllegalArgumentException(
+        s"confusionMatrix: more than $maxClasses distinct classes in " +
+          s"'$labelCol' union '$predCol' — this operator is for bounded " +
+          "class domains; raise maxClasses only if the domain is truly a " +
+          "class set, not an identifier")
+    val classes = probe.map(_.getString(0)).sorted.toSeq
     val pivoted = base.groupBy(col("label"))
       .pivot("pred", classes)
       .agg(count(lit(1)))
@@ -345,7 +386,10 @@ object Metrics {
       .groupBy(col(scoreCol).as("__s"))
       .agg(count(lit(1)).as("ns"),
         sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("ps"))
-    val w = Window.orderBy(col("__s"))
+    // bounded distinct-score relation by contract (see above) — the
+    // pinned partition marks the single-task window intentional
+    val w = Window.partitionBy(graft.plans.PinnedWindow.key(col("__s")))
+      .orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     g.withColumn("cb", coalesce(sum(col("ns")).over(w), lit(0L)))
       .agg(

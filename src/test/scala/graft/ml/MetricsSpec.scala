@@ -100,6 +100,35 @@ class MetricsSpec extends AnyFunSuite {
     assert(rows.size === 3)
   }
 
+  test("confusionMatrix refuses a high-cardinality class domain (probe cap)") {
+    // an ID-like column passed as a "class" must fail fast with a clear
+    // message, not OOM the driver collecting its domain
+    val idLike = spark.range(500)
+      .selectExpr("CAST(id AS STRING) AS label", "CAST(id + 1 AS STRING) AS pred")
+    val e = intercept[IllegalArgumentException] {
+      Metrics.confusionMatrix(idLike, "label", "pred", maxClasses = 100)
+    }
+    assert(e.getMessage.contains("distinct classes"), e.getMessage)
+    // tiny-class path unchanged under the default cap
+    val tiny = Seq(("a", "b"), ("b", "b")).toDF("label", "pred")
+    assert(Metrics.confusionMatrix(tiny, "label", "pred").count() === 2L)
+  }
+
+  test("rocPointsPerClass drops null-label rows, same contract as binary rocPoints") {
+    // a null label must not count as a rest-class negative for every curve
+    val df = Seq[(String, Double, Double)](
+      ("a", 0.9, 0.1), ("b", 0.2, 0.8), (null, 0.99, 0.99))
+      .toDF("label", "sa", "sb")
+    // output schema: (class, threshold, tp, fp, tpr, fpr)
+    val pts = Metrics.rocPointsPerClass(df, "label",
+      Seq("a" -> "sa", "b" -> "sb"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // class a at t=0.5: tp=1 (the a row), fp=0 — the null row's 0.99
+    // score must NOT appear as a false positive
+    assert(pts("a") === ((1L, 0L)))
+    assert(pts("b") === ((1L, 0L)))
+  }
+
   test("calibrationBins: a perfectly calibrated score has pos_rate ≈ mean_score") {
     // 10 rows at score 0.25 with 25% positive; 8 at 0.75 with 75%
     val rows = (1 to 10).map(i => (if (i <= 25 * 10 / 100) 1 else 0, 0.25)) ++
@@ -129,6 +158,17 @@ class MetricsSpec extends AnyFunSuite {
     assert(Metrics.gini(hand, "v").head().getDouble(0) === 0.25)
     val neg = Seq(-1.0, 2.0).toDF("v")
     intercept[Exception] { Metrics.gini(neg, "v").collect() }
+  }
+
+  test("gini: a value overflowing DECIMAL(18,6) fails loudly, like the oracle engine") {
+    val big = Seq(1.0, 2.0, 1.0e13).toDF("v")
+    val e = intercept[Exception] { Metrics.gini(big, "v").collect() }
+    assert(e.getMessage.contains("overflows DECIMAL(18,6)"), e.getMessage)
+    val eg = intercept[Exception] {
+      Metrics.giniByGroup(Seq(("a", 1.0), ("a", 1.0e13)).toDF("g", "v"),
+        "g", "v").collect()
+    }
+    assert(eg.getMessage.contains("overflows DECIMAL(18,6)"), eg.getMessage)
   }
 
   test("giniByGroup matches the global gini computed per slice") {
