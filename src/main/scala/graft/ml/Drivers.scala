@@ -254,20 +254,33 @@ object Drivers {
     * 0/1 label. */
   def binaryAuc(predictions: DataFrame, labelCol: String,
       positiveIndex: Int = 1,
-      probabilityCol: String = "probability"): Double =
-    Metrics.aucBinary(
+      probabilityCol: String = "probability"): Double = {
+    val row = Metrics.aucBinary(
       predictions.select(col(labelCol).cast("int").as("label"),
         round(vector_to_array(col(probabilityCol))
           .getItem(positiveIndex), 6).as("score")),
       "label", "score")
-      .head().getDouble(0)
+      .head()
+    // AUC is undefined with only one class present (P or N = 0 makes
+    // the rank statistic NULL) — say so instead of an opaque NPE
+    if (row.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"binaryAuc: AUC is undefined — '$labelCol' must contain both " +
+          s"classes (positives=${row.getLong(1)}, negatives=${row.getLong(2)})")
+    row.getDouble(0)
+  }
 
-  final case class BestKResult(bestK: Int, scores: Seq[(Int, Double)])
+  final case class BestKResult(bestK: Int, scores: Seq[(Int, Double)],
+      inertias: Seq[(Int, Double)])
 
-  /** Silhouette K-scan — the reference's elbow/silhouette analysis
-    * (`machineLearning.py:322-359`): preprocess once, fit seeded KMeans
-    * per k in `kRange`, silhouette each, argmax wins (first max on
-    * ties, np.argmax semantics). The standardized feature frame is
+  /** Silhouette + inertia K-scan — the reference's elbow/silhouette
+    * analysis (`machineLearning.py:322-359`): preprocess once, fit
+    * seeded KMeans per k in `kRange`, silhouette each, argmax wins
+    * (first max on ties, np.argmax semantics). Each fit also records
+    * the model's inertia (`kmeans.inertia_`, `machineLearning.py:325-344`
+    * — Spark's `summary.trainingCost` is the same within-cluster
+    * sum-of-squares statistic), the elbow-curve input the reference
+    * plots alongside the silhouette. The standardized feature frame is
     * cached across the scan — one preprocessing pass, |kRange| fits. */
   def bestK(df: DataFrame, featureCols: Seq[String], kRange: Seq[Int],
       seed: Long = 42L): BestKResult = {
@@ -278,16 +291,19 @@ object Drivers {
       new StandardScaler().setInputCol("__raw").setOutputCol("__features")
         .setWithMean(true).setWithStd(true))).fit(df)
     val feats = prep.transform(df).select("__features").cache()
-    val scores = kRange.map { k =>
-      val assigned = new KMeans().setK(k).setSeed(seed)
+    val scored = kRange.map { k =>
+      val model = new KMeans().setK(k).setSeed(seed)
         .setFeaturesCol("__features").setPredictionCol("cluster")
-        .fit(feats).transform(feats)
-      k -> new ClusteringEvaluator()
+        .fit(feats)
+      val silhouette = new ClusteringEvaluator()
         .setFeaturesCol("__features").setPredictionCol("cluster")
-        .evaluate(assigned)
+        .evaluate(model.transform(feats))
+      (k, silhouette, model.summary.trainingCost)
     }
     feats.unpersist()
-    BestKResult(scores.maxBy(_._2)._1, scores)
+    val scores = scored.map { case (k, s, _) => (k, s) }
+    BestKResult(scores.maxBy(_._2)._1, scores,
+      scored.map { case (k, _, i) => (k, i) })
   }
 
   final case class PcaResult(projected: DataFrame, explainedVariance: Array[Double])

@@ -128,6 +128,14 @@ class DriversSpec extends AnyFunSuite {
     val r = Drivers.bestK(df, Seq("x", "y"), kRange = 2 to 6)
     assert(r.bestK === 3, s"scores: ${r.scores}")
     assert(r.scores.map(_._1) === (2 to 6))
+    // inertia (within-cluster SSE, the elbow-curve input) is reported
+    // per k and must not increase as k grows on the planted fixture
+    assert(r.inertias.map(_._1) === (2 to 6))
+    r.inertias.map(_._2).sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-6, s"inertias: ${r.inertias}")
+      case _ =>
+    }
+    assert(r.inertias.forall(_._2 >= 0.0))
   }
 
   test("pca2: two components, nonincreasing explained variance, rows preserved") {
