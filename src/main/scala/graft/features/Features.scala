@@ -11,6 +11,41 @@ import org.apache.spark.sql.functions._
   */
 object Features {
 
+  /** How the quantile family ([[quantileBins]], [[winsorize]],
+    * [[winsorizeByGroup]], [[madOutliers]]) computes its percentiles —
+    * the callable scale dial the operators' scaladocs used to describe
+    * only as a comment:
+    *
+    *  - [[PercentileStrategy.Exact]] (default): `percentile_cont` —
+    *    bit-exact, oracle-stable, but the aggregation buffers each
+    *    group's values, so each group must fit an executor (the
+    *    checked-bound contract the q147 pattern verifies).
+    *  - [[PercentileStrategy.Approx]]: `approx_percentile` at the
+    *    given accuracy — a mergeable constant-memory sketch
+    *    (Greenwald–Khanna), rank error ≤ 1/accuracy · n per group, the
+    *    100 TB path. Returns an OBSERVED value (no interpolation), so
+    *    downstream projections (clip fences, bin bounds, MAD) are
+    *    unchanged in shape but may differ from exact within the rank
+    *    tolerance. */
+  sealed trait PercentileStrategy
+  object PercentileStrategy {
+    case object Exact extends PercentileStrategy
+    /** @param accuracy GK sketch accuracy: rank error ≤ n/accuracy. */
+    final case class Approx(accuracy: Int = 10000) extends PercentileStrategy {
+      require(accuracy >= 1, "accuracy must be positive")
+    }
+  }
+
+  /** The percentile aggregate for `strategy` over SQL expression
+    * `valueExpr` at fraction `f`, always as DOUBLE. */
+  private def pctl(valueExpr: String, f: Double,
+      strategy: PercentileStrategy): Column = strategy match {
+    case PercentileStrategy.Exact =>
+      expr(s"percentile_cont($f) WITHIN GROUP (ORDER BY $valueExpr)")
+    case PercentileStrategy.Approx(acc) =>
+      expr(s"CAST(approx_percentile($valueExpr, CAST($f AS DOUBLE), $acc) AS DOUBLE)")
+  }
+
   /** Seeded random split — `train_test_split(random_state=42)`
     * (`machineLearning.py:433`). */
   def randomSplit(df: DataFrame, testFraction: Double, seed: Long): (DataFrame, DataFrame) = {
@@ -127,12 +162,39 @@ object Features {
 
   /** Frequency-ordered label encoding — `StringIndexer` semantics
     * (most frequent label → 0; ties broken by value). Returns the
-    * mapping table; apply with a broadcast join. */
-  def labelEncoding(df: DataFrame, c: String): DataFrame =
-    df.filter(col(c).isNotNull).groupBy(col(c)).agg(count(lit(1)).as("n"))
-      .withColumn("label_idx",
-        (row_number().over(Window.orderBy(col("n").desc, col(c))) - 1).cast("long"))
-      .drop("n")
+    * mapping table; apply with a broadcast join.
+    *
+    * Scale shape: the rank over the distinct-value relation is the
+    * two-phase distributed rank (the
+    * [[graft.sim.Linkage.sortedNeighborhoodPairs]] idiom) — range
+    * partition on (count desc, value), per-partition `row_number`
+    * (parallel windows), plus a P-row offset relation — NOT a global
+    * single-task window, so an ID-like column with a corpus-sized
+    * "vocabulary" still ranks in parallel instead of funneling the
+    * whole domain through one task. */
+  def labelEncoding(df: DataFrame, c: String): DataFrame = {
+    val counts = df.filter(col(c).isNotNull)
+      .groupBy(col(c)).agg(count(lit(1)).as("__n"))
+    val sorted = counts
+      .repartitionByRange(col("__n").desc, col(c))
+      .sortWithinPartitions(col("__n").desc, col(c))
+      .withColumn("__pid", spark_partition_id())
+    val pw = Window.partitionBy(col("__pid"))
+      .orderBy(col("__n").desc, col(c))
+    val local = sorted.withColumn("__lrn", row_number().over(pw))
+    // P-row count relation — pinned partition marks the single-task
+    // window intentional
+    val offW = Window.partitionBy(graft.plans.PinnedWindow.key(col("__pid")))
+      .orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pn"))
+      .withColumn("__off", coalesce(sum(col("__pn")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .select(col(c),
+        (col("__lrn") + col("__off") - 1).cast("long").as("label_idx"))
+  }
 
   /** One-hot encoding over an explicit category list — unknown values
     * get all-zero flags (`OneHotEncoder(handle_unknown="ignore")`,
@@ -205,16 +267,16 @@ object Features {
     * EDA plots imply). Boundaries are b−1 driver scalars (one
     * aggregation), GRID-ROUNDED to 6 decimals so an external engine
     * recomputing them lands on identical doubles; assignment is then
-    * one map-side expression: bin = Σ (x > boundary). At 100 TB swap
-    * the exact percentile for `approx_percentile` — the assignment
-    * expression is unchanged. */
+    * one map-side expression: bin = Σ (x > boundary). At 100 TB pass
+    * `strategy = Approx(...)` — the assignment expression is
+    * unchanged. */
   def quantileBins(df: DataFrame, valueCol: String, b: Int,
-      binCol: String = "bin"): DataFrame = {
+      binCol: String = "bin",
+      strategy: PercentileStrategy = PercentileStrategy.Exact): DataFrame = {
     require(b >= 2, "need at least 2 bins")
     val fracs = (1 until b).map(i => i.toDouble / b)
     val aggs = fracs.zipWithIndex.map { case (f, i) =>
-      round(expr(s"percentile_cont($f) WITHIN GROUP (ORDER BY `$valueCol`)"), 6)
-        .as(s"__q$i")
+      round(pctl(s"`$valueCol`", f, strategy), 6).as(s"__q$i")
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     require(!row.isNullAt(0),
@@ -385,15 +447,16 @@ object Features {
     * (outliers compress to the fence instead of dominating moments).
     * One exact percentile aggregate (two scalars, broadcast back via
     * cross join — never a per-row sort), then a codegen'd
-    * least/greatest projection. At extreme scale swap the exact
-    * percentile for `approx_percentile` — the clip projection is
-    * unchanged. NULLs pass through untouched. */
+    * least/greatest projection. At extreme scale pass
+    * `strategy = Approx(...)` — the clip projection is unchanged.
+    * NULLs pass through untouched. */
   def winsorize(df: DataFrame, valueCol: String, loQ: Double, hiQ: Double,
-      outCol: String): DataFrame = {
+      outCol: String,
+      strategy: PercentileStrategy = PercentileStrategy.Exact): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
     val bounds = df.agg(
-      expr(s"percentile_cont($loQ) WITHIN GROUP (ORDER BY $valueCol)").as("__lo"),
-      expr(s"percentile_cont($hiQ) WITHIN GROUP (ORDER BY $valueCol)").as("__hi"))
+      pctl(valueCol, loQ, strategy).as("__lo"),
+      pctl(valueCol, hiQ, strategy).as("__hi"))
     df.crossJoin(broadcast(bounds))
       .withColumn(outCol,
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
@@ -406,11 +469,12 @@ object Features {
     * robustifier: a global fence ([[winsorize]]) mangles segments
     * whose scales differ by orders of magnitude. */
   def winsorizeByGroup(df: DataFrame, groupCol: String, valueCol: String,
-      loQ: Double, hiQ: Double, outCol: String): DataFrame = {
+      loQ: Double, hiQ: Double, outCol: String,
+      strategy: PercentileStrategy = PercentileStrategy.Exact): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
     val bounds = df.groupBy(col(groupCol)).agg(
-      expr(s"percentile_cont($loQ) WITHIN GROUP (ORDER BY $valueCol)").as("__lo"),
-      expr(s"percentile_cont($hiQ) WITHIN GROUP (ORDER BY $valueCol)").as("__hi"))
+      pctl(valueCol, loQ, strategy).as("__lo"),
+      pctl(valueCol, hiQ, strategy).as("__hi"))
     df.join(bounds, Seq(groupCol))
       .withColumn(outCol,
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
@@ -460,23 +524,22 @@ object Features {
     *
     * Scale shape: two grouped EXACT percentile aggregates
     * (group-count-sized results joined back; the per-row projection is
-    * codegen'd). Exact percentiles buffer each group's values — swap
-    * `approx_percentile` at extreme group sizes, projection unchanged
-    * (the [[quantileBins]] contract). Zero MAD (≥ half the group
+    * codegen'd). Exact percentiles buffer each group's values — pass
+    * `strategy = Approx(...)` at extreme group sizes, projection
+    * unchanged (the [[quantileBins]] contract). Zero MAD (≥ half the group
     * identical) yields null score: "distance in MADs" is undefined,
     * not infinite — filter or treat as its own signal. NULL values
     * pass through with null score. */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double, scoreCol: String = "mad_score",
-      flagCol: String = "is_outlier"): DataFrame = {
+      flagCol: String = "is_outlier",
+      strategy: PercentileStrategy = PercentileStrategy.Exact): DataFrame = {
     require(k > 0, "k must be positive")
     val med = df.groupBy(col(groupCol)).agg(
-      expr(s"percentile_cont(0.5) WITHIN GROUP (ORDER BY `$valueCol`)")
-        .as("__med"))
+      pctl(s"`$valueCol`", 0.5, strategy).as("__med"))
     val mad = df.join(med, Seq(groupCol))
       .groupBy(col(groupCol)).agg(
-        expr(s"percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(`$valueCol` - __med))")
-          .as("__mad"))
+        pctl(s"abs(`$valueCol` - __med)", 0.5, strategy).as("__mad"))
     df.join(med, Seq(groupCol)).join(mad, Seq(groupCol))
       .withColumn(scoreCol,
         when(col("__mad") =!= 0.0,

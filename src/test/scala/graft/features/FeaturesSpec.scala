@@ -144,6 +144,88 @@ class FeaturesSpec extends AnyFunSuite {
     assert(enc === Map("b" -> 0L, "a" -> 1L, "c" -> 2L))
   }
 
+  test("labelEncoding ranks a 10^6-distinct vocabulary without a global window") {
+    val big = spark.range(1000000).selectExpr("CAST(id AS STRING) AS x")
+    val enc = Features.labelEncoding(big, "x")
+    // plan-asserted: the rank is the two-phase distributed form, not a
+    // single-task global window over the corpus-sized vocabulary
+    val lint = graft.plans.PlanLint.check(enc)
+    assert(!lint.exists(_.startsWith("GLOBAL_WINDOW")), lint.mkString("; "))
+    // and the ids are exactly the dense range 0..N-1 (offsets correct,
+    // no rank collides across partitions)
+    val stats = enc.agg(count(lit(1)), min(col("label_idx")),
+      max(col("label_idx")), count_distinct(col("label_idx"))).head()
+    assert(stats.getLong(0) === 1000000L)
+    assert(stats.getLong(1) === 0L && stats.getLong(2) === 999999L)
+    assert(stats.getLong(3) === 1000000L)
+  }
+
+  test("winsorize approx strategy: routed, stable, fences within rank tolerance") {
+    import Features.PercentileStrategy
+    val li = TestSpark.table("lineitem")
+      .select(col("l_extendedprice").cast("double").as("v"))
+    val acc = 10000
+    val run1 = Features.winsorize(li, "v", 0.05, 0.95, "clipped",
+      strategy = PercentileStrategy.Approx(acc))
+    // the strategy actually routes to the sketch, not percentile_cont
+    val plan = run1.queryExecution.optimizedPlan.toString
+    assert(plan.contains("approx_percentile") && !plan.contains("percentile_cont"))
+    // fences = min/max of the clipped column (5%/95% fences bind here)
+    val f1 = run1.agg(min(col("clipped")), max(col("clipped"))).head()
+    val f2 = Features.winsorize(li, "v", 0.05, 0.95, "clipped",
+        strategy = PercentileStrategy.Approx(acc))
+      .agg(min(col("clipped")), max(col("clipped"))).head()
+    assert(f1 === f2, "approx fences must be rerun-stable")
+    // declared contract: the fence is an OBSERVED value whose rank is
+    // within n/accuracy of the target. With duplicate prices the
+    // strictly-below count undershoots the fence's rank by its tie
+    // multiplicity, so bracket the target between < and <= counts.
+    val n = li.count()
+    val tol = n.toDouble / acc + 1
+    val lo = f1.getDouble(0); val hi = f1.getDouble(1)
+    val below = li.filter(col("v") < lo).count()
+    val belowEq = li.filter(col("v") <= lo).count()
+    val above = li.filter(col("v") > hi).count()
+    val aboveEq = li.filter(col("v") >= hi).count()
+    assert(below <= 0.05 * n + tol && belowEq >= 0.05 * n - tol,
+      s"lo fence rank off: <$lo=$below <=$lo=$belowEq of $n")
+    assert(above <= 0.05 * n + tol && aboveEq >= 0.05 * n - tol,
+      s"hi fence rank off: >$hi=$above >=$hi=$aboveEq of $n")
+  }
+
+  test("madOutliers approx strategy: routed, rerun-stable, flags agree with exact") {
+    import Features.PercentileStrategy
+    val li = TestSpark.table("lineitem").select(col("l_returnflag").as("g"),
+      col("l_extendedprice").cast("double").as("v"))
+    val approx = Features.madOutliers(li, "g", "v", k = 4.0,
+      strategy = PercentileStrategy.Approx(10000))
+    val plan = approx.queryExecution.optimizedPlan.toString
+    assert(plan.contains("approx_percentile") && !plan.contains("percentile_cont"))
+    val c1 = approx.filter(col("is_outlier")).count()
+    val c2 = Features.madOutliers(li, "g", "v", k = 4.0,
+        strategy = PercentileStrategy.Approx(10000))
+      .filter(col("is_outlier")).count()
+    assert(c1 === c2, "approx flags must be rerun-stable")
+    // at this accuracy the approx flags track the exact ones closely
+    val exact = Features.madOutliers(li, "g", "v", k = 4.0)
+      .filter(col("is_outlier")).count()
+    assert(math.abs(c1 - exact) <= math.max(2L, exact / 20),
+      s"approx flagged $c1 vs exact $exact")
+  }
+
+  test("quantileBins approx strategy produces near-equal buckets, stable") {
+    import Features.PercentileStrategy
+    val orders = TestSpark.table("orders")
+    val binned = Features.quantileBins(orders, "o_totalprice", b = 4,
+      strategy = PercentileStrategy.Approx(10000))
+    val sizes = binned.groupBy(col("bin")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === Set(0L, 1L, 2L, 3L))
+    val n = orders.count().toDouble
+    sizes.values.foreach(s =>
+      assert(math.abs(s - n / 4) <= n / 100 + 4, s"bucket sizes: $sizes"))
+  }
+
   test("topKPerGroup returns at most k per group in order") {
     val top = Features.topKPerGroup(TestSpark.table("lineitem"), "l_orderkey",
       Seq($"l_extendedprice".desc, $"l_linenumber".asc), 2)
