@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * (transaction, item) relation on the transaction key with `a < b` —
   * each transaction of k items emits C(k,2) pairs, so the blowup is
   * bounded by basket size, not corpus size (retail baskets are tens of
-  * items; guard pathological baskets with a size cap upstream if the
-  * domain allows thousand-item "transactions"). Everything else is
-  * exact counting: one (a,b)-grain aggregate, one item-grain marginal
+  * items; `maxBasketSize` caps pathological thousand-item
+  * "transactions" IN the operator — over-cap baskets drop whole, with
+  * an [[org.apache.spark.sql.Observation]] counter so the drop is
+  * visible, the Dedup bucket-guard idiom). Everything else is exact
+  * counting: one (a,b)-grain aggregate, one item-grain marginal
   * joined twice, and the three ratios at the edge from exact longs.
   * The `a < b` ordering means each unordered pair appears once;
   * confidence is emitted for BOTH directions explicitly.
@@ -23,14 +25,41 @@ object Basket {
   /** @param minPairCount drop pairs below this co-occurrence count
     *        BEFORE the marginal joins (the support floor — also what
     *        keeps the rule table small)
+    * @param maxBasketSize baskets with more distinct items than this
+    *        are dropped ENTIRELY before pairing (a k-item basket emits
+    *        C(k,2) pairs — one million-item "transaction" would emit
+    *        5·10¹¹). Dropped baskets also leave the transaction total
+    *        and item marginals, keeping support/confidence consistent
+    *        with the pair universe actually mined.
+    * @param obs optional Observation reporting `dropped_baskets` and
+    *        `max_basket_size` after the action — nonzero means the cap
+    *        bit; raise it only if the domain truly has jumbo baskets
     * @return (antecedent, consequent, pair_count, support,
     *         confidence, lift) — one row per direction */
   def pairRules(tx: DataFrame, txCol: String, itemCol: String,
-      minPairCount: Long): DataFrame = {
+      minPairCount: Long, maxBasketSize: Int = 10000,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(minPairCount >= 1, "minPairCount must be >= 1")
-    val items = tx.select(col(txCol).as("__t"), col(itemCol).as("__i"))
+    require(maxBasketSize >= 2, "maxBasketSize must be >= 2")
+    val raw = tx.select(col(txCol).as("__t"), col(itemCol).as("__i"))
       .filter(col("__i").isNotNull && col("__t").isNotNull)
       .distinct()
+    val sizeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__t"))
+    val markW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__t")).orderBy(col("__i"))
+    // __bn = basket size; __rn = 1 exactly once per basket, so the
+    // observed basket counter is exact without a distinct aggregate
+    // (CollectMetrics disallows those). Both windows share the one
+    // __t hash exchange.
+    val counted = raw.withColumn("__bn", count(lit(1)).over(sizeW))
+      .withColumn("__rn", row_number().over(markW))
+    val observed = obs.fold(counted)(o => counted.observe(o,
+      sum(when(col("__bn") > maxBasketSize && col("__rn") === 1, 1L)
+        .otherwise(0L)).as("dropped_baskets"),
+      max(col("__bn")).as("max_basket_size")))
+    val items = observed.filter(col("__bn") <= maxBasketSize)
+      .drop("__bn", "__rn")
     val nTx = items.select(col("__t")).distinct()
       .agg(count(lit(1)).as("__n"))
     val singles = items.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))

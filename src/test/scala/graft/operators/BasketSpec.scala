@@ -41,4 +41,23 @@ class BasketSpec extends AnyFunSuite {
       .collect().map(x => (x.getString(0), x.getString(1))).toSet
     assert(r === Set(("a", "b"), ("b", "a")))
   }
+
+  test("maxBasketSize drops a planted 1000-item basket whole, observed") {
+    val spark2 = spark
+    import spark2.implicits._
+    val jumbo = (1 to 1000).map(i => (99L, f"jumbo_$i%04d")).toDF("t", "i")
+    val obs = org.apache.spark.sql.Observation("basket-guard")
+    val rules = Basket.pairRules(tx.unionByName(jumbo), "t", "i",
+      minPairCount = 1L, maxBasketSize = 100, obs = Some(obs))
+      .collect()
+    // the jumbo basket contributes NOTHING — not pairs, not marginals,
+    // not the transaction total — so every rule matches the baseline
+    val baseline = Basket.pairRules(tx, "t", "i", minPairCount = 1L)
+      .collect().map(_.toSeq).toSet
+    assert(rules.map(_.toSeq).toSet === baseline)
+    assert(!rules.exists(_.getString(0).startsWith("jumbo")))
+    val m = obs.get
+    assert(m("dropped_baskets") === 1L, m.toString)
+    assert(m("max_basket_size") === 1000L, m.toString)
+  }
 }
