@@ -56,6 +56,30 @@ object PrefixSum {
     }
   }
 
+  /** [[exclusiveOffsets]] for DECIMAL(38,0) totals (the distributed
+    * integral path): exact BigDecimal accumulation at the driver,
+    * offsets returned as DECIMAL(38,0) so the downstream checked
+    * cast-back to Long is the single overflow gate. */
+  private def exclusiveOffsetsDecimal(
+      spark: org.apache.spark.sql.SparkSession,
+      totalsRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sorted = totalsRows.sortBy(_.getLong(0))
+    val totals = sorted.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)))
+    val rows = new scala.collection.mutable.ArrayBuffer[Row](totals.length)
+    var acc = java.math.BigDecimal.ZERO
+    totals.foreach { case (b, t) =>
+      rows += Row(b, new java.math.BigDecimal(acc.toBigInteger))
+      acc = acc.add(t)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.toArray: _*),
+      StructType(Seq(StructField("__bucket", LongType),
+        StructField("__off", DecimalType(38, 0)))))
+  }
+
   /** Append `outCol` = Σ valueCol over all rows with a smaller-or-equal
     * `orderCol` (inclusive prefix sum in `orderCol` order).
     *
@@ -78,7 +102,10 @@ object PrefixSum {
     * prefix is a (superbucket-partitioned) window over the tiny totals
     * relation, only superbucket totals are collected, and the bucket
     * offsets stay a distributed relation joined back on `__bucket` —
-    * never materialized at the driver. */
+    * never materialized at the driver. Integral offsets on this path
+    * accumulate in exact DECIMAL(38,0) and checked-cast back to Long,
+    * so both paths fail loudly on overflow (driver: Math.addExact;
+    * distributed: raise_error on the cast). */
   def cumsum(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String, bucketWidth: Long = 100000L,
       persist: Boolean = true, maxDriverBuckets: Long = 1000000L): DataFrame = {
@@ -107,7 +134,16 @@ object PrefixSum {
         // Two-level distributed offsets. Superbucket = value-derived
         // fold of the bucket id into ≤ maxDriverBuckets groups (dense
         // relative to [minB, maxB], deterministic under any layout).
-        val totals = totalsDf
+        // Integral input accumulates in DECIMAL(38,0) end to end —
+        // exact for any sum of Longs — and checked-casts the final
+        // offset back to Long, so this path keeps the SAME
+        // error-on-overflow guarantee as the driver path's
+        // Math.addExact (a wrap cannot slip through silently).
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val totals0 = totalsDf
+        val totals = (if (integral)
+          totals0.withColumn("__t", col("__t").cast(d38))
+        else totals0)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val mm = totals.agg(min(col("__bucket")), max(col("__bucket"))).head()
         val (minB, maxB) = (mm.getLong(0), mm.getLong(1))
@@ -118,21 +154,36 @@ object PrefixSum {
         }
         val sup = totals.withColumn("__sb",
           floor((col("__bucket") - lit(minB)) / lit(fold)).cast("long"))
-        val zero = if (integral) lit(0L) else lit(0.0)
+        val zero = if (integral) lit(0L).cast(d38) else lit(0.0)
         val wExcl = Window.partitionBy(col("__sb")).orderBy(col("__bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val withinSup = sup.withColumn("__woff",
           coalesce(sum(col("__t")).over(wExcl), zero))
         val supTotals = sup.groupBy(col("__sb")).agg(sum(col("__t")).as("__t"))
           .collect() // ≤ maxDriverBuckets rows by construction
-        val supOff = exclusiveOffsets(spark, supTotals, integral)
-          .withColumnRenamed("__bucket", "__sb")
-          .withColumnRenamed("__off", "__soff")
-        // materialize the (bucket-count-sized, two-long-column) offset
+        val supOff =
+          if (integral) exclusiveOffsetsDecimal(spark, supTotals)
+            .withColumnRenamed("__bucket", "__sb")
+            .withColumnRenamed("__off", "__soff")
+          else exclusiveOffsets(spark, supTotals, integral = false)
+            .withColumnRenamed("__bucket", "__sb")
+            .withColumnRenamed("__off", "__soff")
+        val offExpr = if (integral) {
+          // exact decimal sum; try_cast nulls a Long overflow in both
+          // ANSI modes, so the guard raises ONE clear error (both
+          // operands are non-null by construction)
+          val asLong = expr("try_cast(__osum AS BIGINT)")
+          when(asLong.isNull,
+            raise_error(lit("PrefixSum: running offset overflows Long"))
+              .cast("long"))
+            .otherwise(asLong)
+        } else col("__osum")
+        // materialize the (bucket-count-sized, two-column) offset
         // relation eagerly so the totals cache can be released NOW —
         // it stays distributed, never driver-collected
         val off = withinSup.join(broadcast(supOff), Seq("__sb"))
-          .select(col("__bucket"), (col("__woff") + col("__soff")).as("__off"))
+          .withColumn("__osum", col("__woff") + col("__soff"))
+          .select(col("__bucket"), offExpr.as("__off"))
           .localCheckpoint()
         totals.unpersist()
         off
