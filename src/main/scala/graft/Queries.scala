@@ -860,11 +860,29 @@ object Queries {
     * replays the same semantics directly on natural keys: surrogate
     * machinery must cancel out exactly (SURVEY §7.4.1's parity rule). */
   def q36EsiEtl(s: SparkSession, dir: String): DataFrame = {
-    import graft.etl.{Cleaning, EsiEtl}
+    import graft.etl.EsiEtl
+    val wh = EsiEtl.buildWarehouse(EsiEtl.clean(q36Raw(s, dir)))
+    val facts = wh.factInmigrante.withColumn("fact", lit("inmigrante"))
+      .unionByName(wh.factEmigrante.withColumn("fact", lit("emigrante")))
+    facts
+      .join(broadcast(wh.dims("dim_transporte")), Seq("id_transporte"))
+      .join(broadcast(wh.dims("dim_persona")), Seq("id_persona"))
+      .join(broadcast(wh.dims("dim_fecha")), Seq("id_fecha"))
+      .groupBy(col("fact"), col("mes_movi"), col("via_tran"), col("sex_migr"))
+      .agg(count(lit(1)).as("cnt"),
+        round(dmean(col("edad")), 6).as("avg_edad"))
+      .orderBy("fact", "mes_movi", "via_tran", "sex_migr")
+  }
+
+  /** The deterministic ESI-shaped stream q36 derives from orders —
+    * shared with [[Q36Profile]] so the profiled phases are built from
+    * the exact frame the benched query uses. */
+  private[graft] def q36Raw(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.Cleaning
     // t() already fans out the single-row-group orders scan, so the
     // regex-heavy cleaning chain runs spread across the cluster
     val o = t(s, dir, "orders")
-    val raw = o.select(
+    o.select(
       when(col("o_orderstatus") === "O", lit(" Entrada "))
         .otherwise(lit("salida")).as("tip_movi"),
       year(col("o_orderdate")).as("anio_movi"),
@@ -884,18 +902,11 @@ object Queries {
         .otherwise("viajero frecuente").as("ocu_migr"),
       when(col("o_orderkey") % 7 === 0, lit("sin especificar"))
         .otherwise((col("o_custkey") % 80 + 1).cast("string")).as("edad"))
-    val wh = EsiEtl.buildWarehouse(EsiEtl.clean(raw))
-    val facts = wh.factInmigrante.withColumn("fact", lit("inmigrante"))
-      .unionByName(wh.factEmigrante.withColumn("fact", lit("emigrante")))
-    facts
-      .join(broadcast(wh.dims("dim_transporte")), Seq("id_transporte"))
-      .join(broadcast(wh.dims("dim_persona")), Seq("id_persona"))
-      .join(broadcast(wh.dims("dim_fecha")), Seq("id_fecha"))
-      .groupBy(col("fact"), col("mes_movi"), col("via_tran"), col("sex_migr"))
-      .agg(count(lit(1)).as("cnt"),
-        round(dmean(col("edad")), 6).as("avg_edad"))
-      .orderBy("fact", "mes_movi", "via_tran", "sex_migr")
   }
+
+  /** Exposes [[dmean]] to the ad-hoc profiler so its reconstructed q36
+    * tail is expression-identical to the benched query. */
+  private[graft] def dmeanForProfiler(c: Column): Column = dmean(c)
 
   val q36Sql: String =
     """WITH raw AS (SELECT
@@ -4618,5 +4629,9 @@ object Queries {
     "q64_dup_clusters", "q71_scd2", "q87_topk_native",
     "q91_cdc_merge", "q100_skyline", "q103_bloom_semi",
     "q108_inverted_index", "q110_hierarchy", "q112_cross_dup",
-    "q119_hll_rolling_dau", "q122_linkage", "q124_sorted_neighborhood")
+    "q119_hll_rolling_dau", "q122_linkage", "q124_sorted_neighborhood",
+    // round-4 analytics surface — benched so funnel/basket/Gini/MAD/RFM
+    // regressions are visible round-over-round
+    "q137_funnel", "q139_transitions", "q140_mad_outliers",
+    "q144_gini", "q145_basket", "q150_rfm")
 }
