@@ -46,13 +46,21 @@ object Bench {
       }
     }
 
+    // SPARK_GRAFT_BENCH_ONLY=q36_esi_etl,... isolates queries under the
+    // same protocol (warmup + min-of-3) — for profiling, not the driver
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(f) =>
+        val only = f.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        Queries.benchNames.filter(only)
+      case None => Queries.benchNames
+    }
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      Queries.benchNames.foreach(run(_, warmDir)) // untimed
+      names.foreach(run(_, warmDir)) // untimed
     // three timed passes, per-query minimum: the host shows bursty
     // co-tenant noise (identical binaries vary 2-3×), and min-of-N is
     // the standard steady-state estimator under asymmetric noise
-    val passes = (1 to 3).map(_ => Queries.benchNames.map(n => n -> run(n, sfDir)).toMap)
-    val results = Queries.benchNames.map(n => n -> passes.map(_(n)).min)
+    val passes = (1 to 3).map(_ => names.map(n => n -> run(n, sfDir)).toMap)
+    val results = names.map(n => n -> passes.map(_(n)).min)
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

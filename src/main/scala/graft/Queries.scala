@@ -877,11 +877,15 @@ object Queries {
   /** The deterministic ESI-shaped stream q36 derives from orders —
     * shared with [[Q36Profile]] so the profiled phases are built from
     * the exact frame the benched query uses. */
-  private[graft] def q36Raw(s: SparkSession, dir: String): DataFrame = {
-    import graft.etl.Cleaning
+  private[graft] def q36Raw(s: SparkSession, dir: String): DataFrame =
     // t() already fans out the single-row-group orders scan, so the
     // regex-heavy cleaning chain runs spread across the cluster
-    val o = t(s, dir, "orders")
+    q36RawFromOrders(t(s, dir, "orders"))
+
+  /** [[q36Raw]] over an explicit orders frame — lets [[ScaleProbe]]
+    * feed a replicated corpus through the identical derivation. */
+  private[graft] def q36RawFromOrders(o: DataFrame): DataFrame = {
+    import graft.etl.Cleaning
     o.select(
       when(col("o_orderstatus") === "O", lit(" Entrada "))
         .otherwise(lit("salida")).as("tip_movi"),

@@ -23,6 +23,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val k = if (args.length > 1) args(1).toInt else 10
+    val set = if (args.length > 2) args(2) else "r3"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -30,6 +31,12 @@ object ScaleProbe {
       .config("spark.driver.memory", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (set == "flagship") flagship(spark, dir, k)
+    else r3Probes(spark, dir, k)
+    spark.stop()
+  }
+
+  private def r3Probes(spark: SparkSession, dir: String, k: Int): Unit = {
     def t(name: String)(f: => Long): (String, Double, Long) = {
       val s = System.nanoTime(); val n = f
       (name, (System.nanoTime() - s) / 1e9, n)
@@ -117,6 +124,88 @@ object ScaleProbe {
     }.mkString("{", ",", s""","replication":$k}""")
     // [probe] prefix: greppable past sbt log noise
     println(s"[probe] $json")
-    spark.stop()
+  }
+
+  /** The flagship five from the round-4 verdict (q36 / q64 / q87 /
+    * q91 / q11-vs-q87), probed at arbitrary replication — run at 10
+    * and 100 and compare per-row cost (a flat ratio means one more
+    * decade holds no constant-factor cliff).
+    *
+    * Documents are SALTED per replica (a replica marker token injected
+    * every 8 words): union-replication alone would make each doc's
+    * k copies mutual near-dups, growing the q64 pair relation
+    * quadratically in k BY CONSTRUCTION — a corpus artifact, not an
+    * operator cost. Salting keeps replicas dissimilar so the probe
+    * measures the operator's scaling, not the synthetic corpus's.
+    *
+    * Usage: `sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 100 flagship"`
+    * (set SPARK_DRIVER_MEM=48g for 100×). */
+  private def flagship(spark: SparkSession, dir: String, k: Int): Unit = {
+    def t(name: String)(f: => Long): (String, Double, Long) = {
+      val s = System.nanoTime(); val n = f
+      (name, (System.nanoTime() - s) / 1e9, n)
+    }
+    def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    val ordersK = replicate(tbl("orders"), Seq("o_orderkey", "o_custkey"), k)
+      .persist(lvl)
+    val liK = replicate(tbl("lineitem"), Seq("l_orderkey"), k).persist(lvl)
+    val docsK = (0 until k).map { i =>
+      tbl("documents")
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+        .withColumn("text",
+          regexp_replace(col("text"), "((\\S+\\s+){8})", s"$$1zzr$i "))
+    }.reduce(_ unionByName _).persist(lvl)
+    Seq(ordersK, liK, docsK).foreach(_.count()) // materialize outside timings
+
+    val results = Seq(
+      t("q36_etl") {
+        // the benched pipeline minus the driver-sort edge: warehouse
+        // build + broadcast FK resolution + router + star join + cube agg
+        val wh = graft.etl.EsiEtl.buildWarehouse(
+          graft.etl.EsiEtl.clean(Queries.q36RawFromOrders(ordersK)))
+        val facts = wh.factInmigrante.withColumn("fact", lit("inmigrante"))
+          .unionByName(wh.factEmigrante.withColumn("fact", lit("emigrante")))
+        facts
+          .join(broadcast(wh.dims("dim_transporte")), Seq("id_transporte"))
+          .join(broadcast(wh.dims("dim_persona")), Seq("id_persona"))
+          .join(broadcast(wh.dims("dim_fecha")), Seq("id_fecha"))
+          .groupBy(col("fact"), col("mes_movi"), col("via_tran"), col("sex_migr"))
+          .agg(count(lit(1)).as("cnt"))
+          .count()
+      },
+      t("q64_dup_clusters") {
+        val pairs = dedup.Dedup.nearDupPairs(docsK, "doc_id", "text",
+          threshold = 0.9)
+        dedup.Dedup.dupClusters(pairs).count()
+      },
+      t("q87_topk_bounded") {
+        features.Features.topKPerGroupBounded(liK, "l_orderkey",
+          struct(negate(col("l_extendedprice")).as("np"),
+            col("l_linenumber").as("l_linenumber")), 2).count()
+      },
+      t("q11_topk_hashagg") {
+        features.Features.topKPerGroupAgg(liK, "l_orderkey",
+          struct(negate(col("l_extendedprice")).as("np"),
+            col("l_linenumber").as("l_linenumber")), 2).count()
+      },
+      t("q91_cdc_merge") {
+        val base = ordersK.select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), year(col("o_orderdate")).as("__y"))
+        val snapshot = base.filter(col("__y") < 1995).drop("__y")
+        val changes = base.filter(col("__y") >= 1995).drop("__y")
+          .withColumn("op",
+            when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")))
+          .withColumn("seq", col("o_orderkey"))
+        operators.Merge.applyChanges(snapshot, changes,
+          keyCols = Seq("o_orderkey"), opCol = "op", seqCol = "seq").count()
+      })
+
+    val json = results.map { case (n, sec, rows) =>
+      f""""$n":{"sec":$sec%.2f,"rows":$rows}"""
+    }.mkString("{", ",", s""","replication":$k}""")
+    println(s"[probe] $json")
   }
 }
