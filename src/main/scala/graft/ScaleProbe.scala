@@ -24,8 +24,12 @@ object ScaleProbe {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val k = if (args.length > 1) args(1).toInt else 10
     val set = if (args.length > 2) args(2) else "r3"
+    // a real cluster sizes shuffle partitions with the data — let the
+    // probe do the same, so partition-starvation spill (fixed 32 lanes
+    // under 100× volume) is distinguishable from algorithmic blowup
+    val parts = if (args.length > 3) args(3) else "32"
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "16g")
@@ -151,11 +155,17 @@ object ScaleProbe {
     val ordersK = replicate(tbl("orders"), Seq("o_orderkey", "o_custkey"), k)
       .persist(lvl)
     val liK = replicate(tbl("lineitem"), Seq("l_orderkey"), k).persist(lvl)
+    // salt density matters: with the 3-token shingles used by MinHash,
+    // a salt token every 2 words puts one in EVERY shingle, so replica
+    // signatures are fully divergent — sparser salt leaves bands whose
+    // minima come from unsalted shingles colliding ACROSS replicas,
+    // and the candidate set grows ~C(k,2)/doc (corpus artifact, was
+    // the q64 "super-linearity" at 100×)
     val docsK = (0 until k).map { i =>
       tbl("documents")
         .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
         .withColumn("text",
-          regexp_replace(col("text"), "((\\S+\\s+){8})", s"$$1zzr$i "))
+          regexp_replace(col("text"), "((\\S+\\s+){2})", s"$$1zzr$i "))
     }.reduce(_ unionByName _).persist(lvl)
     Seq(ordersK, liK, docsK).foreach(_.count()) // materialize outside timings
 
