@@ -4310,6 +4310,32 @@ object Queries {
       |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  /** Exact per-group quartiles via DISTRIBUTED order statistics
+    * ([[Features.groupPercentilesRank]], the `ExactRank` strategy): no
+    * aggregation buffer ever holds a group's values — range-partitioned
+    * two-phase rank, bracketing order stats picked by a bounded join,
+    * percentile_cont's own interpolation. The oracle recomputes the
+    * same quartiles with DuckDB's `percentile_cont` aggregate, so the
+    * rank machinery is proven bit-compatible (round-6 edge grid) with
+    * the buffering aggregate it replaces — the exactness proof behind
+    * recommending ExactRank for few-huge-group corpora at 100 TB. */
+  def q151RankPercentile(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.groupPercentilesRank(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("v")),
+        "l_returnflag", col("v"),
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
+      .select(col("l_returnflag"), round(col("p25"), 6).as("p25"),
+        round(col("p50"), 6).as("p50"), round(col("p75"), 6).as("p75"))
+      .orderBy("l_returnflag")
+
+  val q151Sql: String =
+    """SELECT l_returnflag,
+      | round(percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE)), 6) AS p25,
+      | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE)), 6) AS p50,
+      | round(percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE)), 6) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4465,6 +4491,7 @@ object Queries {
     "q148_gini_by_group" -> (q148GiniByGroup _),
     "q149_time_to_convert" -> (q149TimeToConvert _),
     "q150_rfm" -> (q150Rfm _),
+    "q151_rank_percentile" -> (q151RankPercentile _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4618,6 +4645,7 @@ object Queries {
     "q148_gini_by_group" -> q148Sql,
     "q149_time_to_convert" -> q149Sql,
     "q150_rfm" -> q150Sql,
+    "q151_rank_percentile" -> q151Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -34,16 +34,113 @@ object Features {
     final case class Approx(accuracy: Int = 10000) extends PercentileStrategy {
       require(accuracy >= 1, "accuracy must be positive")
     }
+    /** Bit-exact like [[Exact]], but computed by DISTRIBUTED order
+      * statistics ([[groupPercentilesRank]]) instead of a buffering
+      * aggregate: range-partitioned two-phase rank, then the two
+      * bracketing order stats per target rank are picked and
+      * interpolated with percentile_cont's own formula. No aggregation
+      * buffer ever holds a group — the path for FEW, HUGE groups,
+      * where Exact's per-group buffer is the executor OOM and Approx's
+      * rank error is unwanted. Costs one range exchange + two small
+      * shuffles; the (group × partition) offset relation must stay
+      * driver-manageable, so prefer Exact when groups are numerous and
+      * small (they fit buffers there anyway). */
+    case object ExactRank extends PercentileStrategy
   }
 
   /** The percentile aggregate for `strategy` over SQL expression
-    * `valueExpr` at fraction `f`, always as DOUBLE. */
+    * `valueExpr` at fraction `f`, always as DOUBLE. ExactRank is not an
+    * aggregate — call [[groupPercentilesRank]] instead. */
   private def pctl(valueExpr: String, f: Double,
       strategy: PercentileStrategy): Column = strategy match {
     case PercentileStrategy.Exact =>
       expr(s"percentile_cont($f) WITHIN GROUP (ORDER BY $valueExpr)")
     case PercentileStrategy.Approx(acc) =>
       expr(s"CAST(approx_percentile($valueExpr, CAST($f AS DOUBLE), $acc) AS DOUBLE)")
+    case PercentileStrategy.ExactRank =>
+      throw new IllegalArgumentException(
+        "ExactRank is rank-based, not an aggregate — routed via groupPercentilesRank")
+  }
+
+  /** Exact percentiles by DISTRIBUTED order statistics — bit-identical
+    * to `percentile_cont` without ever buffering a group's values.
+    *
+    * Shape: range-repartition on (group, value) so huge groups SPLIT
+    * across partitions; per-partition `row_number` (parallel windows);
+    * per-(partition, group) counts roll into per-group exclusive
+    * offsets (a group × partition-count relation — parallel window,
+    * partitioned by group); global rank = local rank + offset. Each
+    * requested fraction f maps to percentile_cont's target rank
+    * rk = 1 + f·(n−1); the rows at floor(rk)/ceil(rk) are picked by a
+    * broadcast-sized join and interpolated as lo + (hi−lo)·(rk−⌊rk⌋) —
+    * the same formula Spark's and DuckDB's percentile_cont use, on the
+    * same doubles, so results hash-match the aggregate form (spec- and
+    * oracle-verified).
+    *
+    * Nothing here funnels a group through one task or one buffer; the
+    * only single-point relation is (groups × partitions) counts.
+    *
+    * @param fracs (fraction, output column name) pairs
+    * @return one row per group: (groupCol, fracs..) as DOUBLE */
+  def groupPercentilesRank(df: DataFrame, groupCol: String, value: Column,
+      fracs: Seq[(Double, String)]): DataFrame = {
+    require(fracs.nonEmpty, "need at least one fraction")
+    require(fracs.forall { case (f, _) => f >= 0 && f <= 1 },
+      "fractions must be in [0, 1]")
+    val base = df.select(col(groupCol).as("__g"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val sorted = base.repartitionByRange(col("__g"), col("__v"))
+      .sortWithinPartitions(col("__g"), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val pw = Window.partitionBy(col("__pid"), col("__g")).orderBy(col("__v"))
+    val local = sorted.withColumn("__lrn", row_number().over(pw))
+    val counts = local.groupBy(col("__pid"), col("__g"))
+      .agg(count(lit(1)).as("__pn"))
+    val offW = Window.partitionBy(col("__g")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__pn")).over(offW), lit(0L)))
+    // null-safe on the group: a USING join would silently drop null
+    // groups that the aggregate strategies keep
+    val offs = offsets.select(col("__pid").as("__opid"),
+      col("__g").as("__og"), col("__off"))
+    val ranked = local
+      .join(offs, col("__pid") === col("__opid") && col("__g") <=> col("__og"))
+      .drop("__opid", "__og")
+      .withColumn("__rk", col("__lrn") + col("__off"))
+    val targets = offsets.groupBy(col("__g")).agg(sum(col("__pn")).as("__n"))
+      .select(col("__g").as("__tg"), col("__n"),
+        explode(array(fracs.map { case (f, nm) =>
+          struct(lit(nm).as("fn"), lit(f).as("f")) }: _*)).as("__t"))
+      .withColumn("__trk",
+        lit(1.0) + col("__t.f") * (col("__n") - 1).cast("double"))
+      .select(col("__tg"), col("__t.fn").as("__fn"), col("__trk"),
+        floor(col("__trk")).cast("long").as("__lo"),
+        ceil(col("__trk")).cast("long").as("__hi"))
+    val picked = ranked.join(targets,
+      col("__g") <=> col("__tg") &&
+        (col("__rk") === col("__lo") || col("__rk") === col("__hi")))
+    val perFrac = picked.groupBy(col("__g"), col("__fn"))
+      .agg(
+        min(when(col("__rk") === col("__lo"), col("__v"))).as("__vlo"),
+        min(when(col("__rk") === col("__hi"), col("__v"))).as("__vhi"),
+        min(col("__trk")).as("__prk"),
+        min(col("__lo")).as("__plo"),
+        min(col("__hi")).as("__phi"))
+      // percentile_cont's own interpolation, operand for operand
+      // (Percentile.getPercentile): vlo·(hi−pos) + vhi·(pos−lo) — NOT
+      // the algebraically-equal lo + Δ·frac form, which differs by ulps
+      .withColumn("__val",
+        when(col("__plo") === col("__phi"), col("__vlo"))
+          .otherwise(
+            col("__vlo") * (col("__phi").cast("double") - col("__prk")) +
+              col("__vhi") * (col("__prk") - col("__plo").cast("double"))))
+    perFrac.groupBy(col("__g").as(groupCol))
+      .agg(fracs.map { case (_, nm) =>
+        max(when(col("__fn") === nm, col("__val"))).as(nm)
+      }.head, fracs.tail.map { case (_, nm) =>
+        max(when(col("__fn") === nm, col("__val"))).as(nm)
+      }: _*)
   }
 
   /** Seeded random split — `train_test_split(random_state=42)`
@@ -275,11 +372,21 @@ object Features {
       strategy: PercentileStrategy = PercentileStrategy.Exact): DataFrame = {
     require(b >= 2, "need at least 2 bins")
     val fracs = (1 until b).map(i => i.toDouble / b)
-    val aggs = fracs.zipWithIndex.map { case (f, i) =>
-      round(pctl(s"`$valueCol`", f, strategy), 6).as(s"__q$i")
+    val row = strategy match {
+      case PercentileStrategy.ExactRank =>
+        // all-null/empty input yields ZERO rows here (vs the aggregate
+        // strategies' one null row) — surface the same error below
+        groupPercentilesRank(df.withColumn("__qbg", lit(0)), "__qbg",
+            col(valueCol), fracs.zipWithIndex.map { case (f, i) => f -> s"__q$i" })
+          .select(fracs.indices.map(i => round(col(s"__q$i"), 6).as(s"__q$i")): _*)
+          .collect().headOption.orNull
+      case _ =>
+        val aggs = fracs.zipWithIndex.map { case (f, i) =>
+          round(pctl(s"`$valueCol`", f, strategy), 6).as(s"__q$i")
+        }
+        df.agg(aggs.head, aggs.tail: _*).head()
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    require(!row.isNullAt(0),
+    require(row != null && !row.isNullAt(0),
       s"quantileBins: no non-null values in '$valueCol' (empty input?)")
     val bounds = fracs.indices.map(row.getDouble)
     val bin = bounds.map(q => when(col(valueCol) > lit(q), 1L).otherwise(0L))
@@ -454,10 +561,18 @@ object Features {
       outCol: String,
       strategy: PercentileStrategy = PercentileStrategy.Exact): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
-    val bounds = df.agg(
-      pctl(valueCol, loQ, strategy).as("__lo"),
-      pctl(valueCol, hiQ, strategy).as("__hi"))
-    df.crossJoin(broadcast(bounds))
+    val bounds = strategy match {
+      case PercentileStrategy.ExactRank =>
+        groupPercentilesRank(df.withColumn("__wg", lit(0)), "__wg",
+          col(valueCol), Seq(loQ -> "__lo", hiQ -> "__hi")).drop("__wg")
+      case _ => df.agg(
+        pctl(valueCol, loQ, strategy).as("__lo"),
+        pctl(valueCol, hiQ, strategy).as("__hi"))
+    }
+    // left on true, not crossJoin: ExactRank's bounds relation is EMPTY
+    // (not one null row) when every value is null — rows must survive
+    // with null fences under every strategy
+    df.join(broadcast(bounds), lit(true), "left")
       .withColumn(outCol,
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
@@ -472,10 +587,18 @@ object Features {
       loQ: Double, hiQ: Double, outCol: String,
       strategy: PercentileStrategy = PercentileStrategy.Exact): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
-    val bounds = df.groupBy(col(groupCol)).agg(
-      pctl(valueCol, loQ, strategy).as("__lo"),
-      pctl(valueCol, hiQ, strategy).as("__hi"))
-    df.join(bounds, Seq(groupCol))
+    val bounds = strategy match {
+      case PercentileStrategy.ExactRank =>
+        groupPercentilesRank(df, groupCol, col(valueCol),
+          Seq(loQ -> "__lo", hiQ -> "__hi"))
+      case _ => df.groupBy(col(groupCol)).agg(
+        pctl(valueCol, loQ, strategy).as("__lo"),
+        pctl(valueCol, hiQ, strategy).as("__hi"))
+    }
+    // left join: ExactRank emits no row for an all-null group (the
+    // aggregate strategies emit null fences) — the clip is a no-op on
+    // null fences either way, so the contracts agree
+    df.join(bounds, Seq(groupCol), "left")
       .withColumn(outCol,
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
@@ -535,12 +658,19 @@ object Features {
       flagCol: String = "is_outlier",
       strategy: PercentileStrategy = PercentileStrategy.Exact): DataFrame = {
     require(k > 0, "k must be positive")
-    val med = df.groupBy(col(groupCol)).agg(
-      pctl(s"`$valueCol`", 0.5, strategy).as("__med"))
-    val mad = df.join(med, Seq(groupCol))
-      .groupBy(col(groupCol)).agg(
-        pctl(s"abs(`$valueCol` - __med)", 0.5, strategy).as("__mad"))
-    df.join(med, Seq(groupCol)).join(mad, Seq(groupCol))
+    def grouped(in: DataFrame, valueExpr: String, out: String): DataFrame =
+      strategy match {
+        case PercentileStrategy.ExactRank =>
+          groupPercentilesRank(in, groupCol, expr(valueExpr), Seq(0.5 -> out))
+        case _ => in.groupBy(col(groupCol)).agg(
+          pctl(valueExpr, 0.5, strategy).as(out))
+      }
+    val med = grouped(df, s"`$valueCol`", "__med")
+    val mad = grouped(df.join(med, Seq(groupCol), "left"),
+      s"abs(`$valueCol` - __med)", "__mad")
+    // left joins: see winsorizeByGroup — all-null groups carry null
+    // med/mad (null score) under every strategy
+    df.join(med, Seq(groupCol), "left").join(mad, Seq(groupCol), "left")
       .withColumn(scoreCol,
         when(col("__mad") =!= 0.0,
           round(abs(col(valueCol) - col("__med")) / col("__mad"), 6)))

@@ -213,6 +213,79 @@ class FeaturesSpec extends AnyFunSuite {
       s"approx flagged $c1 vs exact $exact")
   }
 
+  test("ExactRank strategy is bit-identical to Exact across the quantile family") {
+    import Features.PercentileStrategy.{Exact, ExactRank}
+    val li = TestSpark.table("lineitem").select(col("l_returnflag").as("g"),
+      col("l_extendedprice").cast("double").as("v"),
+      col("l_orderkey"), col("l_linenumber"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // per-group winsorize fences and clips
+    assert(rows(Features.winsorizeByGroup(li, "g", "v", 0.1, 0.9, "c",
+        strategy = ExactRank)) ===
+      rows(Features.winsorizeByGroup(li, "g", "v", 0.1, 0.9, "c",
+        strategy = Exact)))
+    // global winsorize
+    assert(rows(Features.winsorize(li, "v", 0.05, 0.95, "c",
+        strategy = ExactRank)) ===
+      rows(Features.winsorize(li, "v", 0.05, 0.95, "c", strategy = Exact)))
+    // MAD scores and flags (two chained medians)
+    assert(rows(Features.madOutliers(li, "g", "v", k = 3.0,
+        strategy = ExactRank)) ===
+      rows(Features.madOutliers(li, "g", "v", k = 3.0, strategy = Exact)))
+    // quantile bin assignment
+    assert(rows(Features.quantileBins(li, "v", b = 5, strategy = ExactRank)) ===
+      rows(Features.quantileBins(li, "v", b = 5, strategy = Exact)))
+  }
+
+  test("ExactRank interpolates exactly like percentile_cont on tiny fixtures") {
+    // even count: p50 of [1,2,3,10] = 2.5; p25 = 1 + 0.75*(2-1) = 1.75
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+      ("b", 5.0), ("b", 7.0), ("b", 9.0)).toDF("g", "v")
+    val r = Features.groupPercentilesRank(df, "g", col("v"),
+        Seq(0.25 -> "p25", 0.5 -> "p50"))
+      .collect().map(x => x.getString(0) -> ((x.getDouble(1), x.getDouble(2))))
+      .toMap
+    assert(r("a") === ((1.75, 2.5)))
+    assert(r("b") === ((6.0, 7.0)))
+    // singleton group: every percentile is the value itself
+    val one = Features.groupPercentilesRank(
+      Seq(("x", 42.0)).toDF("g", "v"), "g", col("v"),
+      Seq(0.0 -> "p0", 0.37 -> "p37", 1.0 -> "p100")).head()
+    assert(one.getDouble(1) === 42.0 && one.getDouble(2) === 42.0 &&
+      one.getDouble(3) === 42.0)
+  }
+
+  test("ExactRank: all-null and null-keyed groups agree with Exact") {
+    import Features.PercentileStrategy.{Exact, ExactRank}
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(9.0)),
+      ("c", None), ("c", None)).toDF("g", "v")
+      .unionByName(Seq((null.asInstanceOf[String], Some(5.0)),
+        (null.asInstanceOf[String], Some(6.0))).toDF("g", "v"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+    // group c (all null values) keeps its rows, null clip/score; the
+    // null GROUP KEY is a real group under both strategies
+    assert(rows(Features.winsorizeByGroup(df, "g", "v", 0.25, 0.75, "c2",
+        strategy = ExactRank)) ===
+      rows(Features.winsorizeByGroup(df, "g", "v", 0.25, 0.75, "c2",
+        strategy = Exact)))
+    assert(rows(Features.madOutliers(df, "g", "v", k = 2.0,
+        strategy = ExactRank)) ===
+      rows(Features.madOutliers(df, "g", "v", k = 2.0, strategy = Exact)))
+  }
+
+  test("ExactRank plans: no percentile_cont buffering, no single-task rank window") {
+    import Features.PercentileStrategy.ExactRank
+    val li = TestSpark.table("lineitem").select(col("l_returnflag").as("g"),
+      col("l_extendedprice").cast("double").as("v"))
+    val out = Features.winsorizeByGroup(li, "g", "v", 0.1, 0.9, "c",
+      strategy = ExactRank)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("percentile_cont") && !plan.contains("percentile("))
+    val lint = graft.plans.PlanLint.check(out)
+    assert(!lint.exists(_.startsWith("GLOBAL_WINDOW")), lint.mkString("; "))
+  }
+
   test("quantileBins approx strategy produces near-equal buckets, stable") {
     import Features.PercentileStrategy
     val orders = TestSpark.table("orders")
