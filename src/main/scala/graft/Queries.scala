@@ -3983,6 +3983,10 @@ object Queries {
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").cast("double")
         .as("price"))
+    // Exact (buffering) beats ExactRank here — 3 bounded groups fit
+    // aggregation buffers, and the rank path's two range exchanges cost
+    // more than they save (3.7 vs 5.2 s at sf0.1); ExactRank is the
+    // few-HUGE-groups contract, q151 proves its exactness
     Features.madOutliers(li, "l_returnflag", "price", k = 4.0)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
