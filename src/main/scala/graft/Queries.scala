@@ -4284,10 +4284,25 @@ object Queries {
           .cast("double").as("rec"),
         count(lit(1)).cast("double").as("freq"),
         sum(col("o_totalprice").cast(dec2)).cast("double").as("mon"))
-    val scored = Seq(("rec", "r"), ("freq", "f"), ("mon", "m"))
-      .foldLeft(cust) { case (acc, (v, b)) =>
-        Features.quantileBins(acc, v, b = 5, binCol = b)
-      }
+    // all 12 quintile boundaries in ONE aggregate pass (folding
+    // quantileBins three times runs the orders scan+groupBy once per
+    // call — four executions total; this is two: boundaries + final).
+    // Same round-6 grid as quantileBins, so the oracle is unchanged.
+    val dims = Seq(("rec", "r"), ("freq", "f"), ("mon", "m"))
+    val fracs = (1 until 5).map(i => i / 5.0)
+    val row = cust.agg(
+      round(expr(s"percentile_cont(${fracs.head}) WITHIN GROUP (ORDER BY rec)"), 6)
+        .as("q_rec_0"),
+      (dims.flatMap { case (v, _) => fracs.map(f =>
+        round(expr(s"percentile_cont($f) WITHIN GROUP (ORDER BY $v)"), 6)
+          .as(s"q_${v}_${fracs.indexOf(f)}"))
+      }.drop(1)): _*).head()
+    val scored = dims.zipWithIndex.foldLeft(cust) { case (acc, ((v, b), d)) =>
+      acc.withColumn(b,
+        fracs.indices.map(i =>
+            when(col(v) > lit(row.getDouble(d * 4 + i)), 1L).otherwise(0L))
+          .reduce[Column](_ + _))
+    }
     scored.groupBy(col("r"), col("f"), col("m"))
       .agg(count(lit(1)).as("customers"))
       .orderBy("r", "f", "m")
