@@ -4355,6 +4355,43 @@ object Queries {
       | round(percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE)), 6) AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Training-data mixture to a cost budget
+    * ([[Features.budgetMixSample]]): language weights fill a global
+    * character budget in deterministic md5 priority, unlisted
+    * languages drop. Output is the per-language doc count and chars
+    * actually taken — what a mixture-planning report shows. The oracle
+    * replays the identical quota constants (driver-computed, inlined
+    * as literals — no float path to diverge) and the identical
+    * md5-ranked cumulative-cost cut in DuckDB. */
+  private val q152Weights =
+    Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
+  private val q152Budget = 40000L
+
+  def q152TokenMixture(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.budgetMixSample(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        domainCol = "lang", keyCol = "doc_id", costCol = "n_chars",
+        weights = q152Weights.toMap, budget = q152Budget)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+
+  val q152Sql: String = {
+    val wsum = q152Weights.map(_._2).sum
+    val quotaRows = q152Weights.map { case (d, w) =>
+      s"('$d', ${math.floor(q152Budget * w / wsum).toLong})"
+    }.mkString(", ")
+    s"""WITH q(lang, quota) AS (VALUES $quotaRows),
+      |r AS (SELECT doc_id, d.lang, n_chars, quota,
+      |        coalesce(sum(n_chars) OVER (PARTITION BY d.lang
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |      FROM documents d JOIN q ON d.lang = q.lang)
+      |SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM r WHERE cum < quota
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4511,6 +4548,7 @@ object Queries {
     "q149_time_to_convert" -> (q149TimeToConvert _),
     "q150_rfm" -> (q150Rfm _),
     "q151_rank_percentile" -> (q151RankPercentile _),
+    "q152_token_mixture" -> (q152TokenMixture _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4665,6 +4703,7 @@ object Queries {
     "q149_time_to_convert" -> q149Sql,
     "q150_rfm" -> q150Sql,
     "q151_rank_percentile" -> q151Sql,
+    "q152_token_mixture" -> q152Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

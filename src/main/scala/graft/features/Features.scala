@@ -778,6 +778,46 @@ object Features {
       .drop("__rn", "__quota")
   }
 
+  /** Deterministic mixture sampling to a COST budget — the
+    * training-data mixture op: given target weights per domain and a
+    * global budget in an additive cost unit (tokens, chars, bytes),
+    * each domain is filled in deterministic md5-priority order until
+    * its share of the budget is spent.
+    *
+    * Per listed domain d the quota is floor(budget · w(d)/Σw),
+    * computed driver-side from the caller's literal weights (no float
+    * plan divergence to chase). A doc is kept while the cumulative
+    * cost of its domain-predecessors is < quota — so the boundary doc
+    * may overshoot its quota (greedy-fill convention; every nonempty
+    * listed domain with a positive quota contributes ≥ 1 doc), and
+    * unlisted domains are dropped entirely.
+    *
+    * Scale shape: one broadcast join against the |weights|-row quota
+    * relation, one per-domain window (md5-ranked cumulative cost —
+    * cost stays a Long sum, exact in every engine), one filter.
+    * Selection is reproducible from keys alone under any partitioning
+    * (the [[hashSample]] determinism recipe). */
+  def budgetMixSample(df: DataFrame, domainCol: String, keyCol: String,
+      costCol: String, weights: Map[String, Double],
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be nonempty and positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wsum = weights.values.sum
+    val quotas = weights.toSeq
+      .map { case (d, w) => (d, math.floor(budget * w / wsum).toLong) }
+      .toDF(domainCol, "__quota")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.join(broadcast(quotas), Seq(domainCol))
+      .withColumn("__cum", coalesce(sum(col(costCol)).over(w), lit(0L)))
+      .filter(col("__cum") < col("__quota"))
+      .drop("__cum", "__quota")
+  }
+
   /** Partition schema fields into (numeric, categorical) — the dtype
     * driven feature classification (`machineLearning.py:281-282`). */
   def classifyColumns(df: DataFrame): (Seq[String], Seq[String]) = {

@@ -299,6 +299,30 @@ class FeaturesSpec extends AnyFunSuite {
       assert(math.abs(s - n / 4) <= n / 100 + 4, s"bucket sizes: $sizes"))
   }
 
+  test("budgetMixSample: quota fill, boundary overshoot, unlisted domains drop") {
+    val docs = Seq(
+      ("a", 1L, 60L), ("a", 2L, 60L), ("a", 3L, 60L),
+      ("b", 10L, 25L), ("b", 11L, 25L),
+      ("x", 99L, 5L) // unlisted domain
+    ).toDF("dom", "id", "cost")
+    val out = Features.budgetMixSample(docs, "dom", "id", "cost",
+      Map("a" -> 0.75, "b" -> 0.25), budget = 200L)
+    val byDom = out.groupBy($"dom")
+      .agg(count(lit(1)).as("n"), sum($"cost").as("c"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // quota(a)=150: two 60-cost docs fill 120 < 150, the third starts
+    // under quota and overshoots — greedy fill keeps it (n=3)
+    assert(byDom("a") === ((3L, 180L)), byDom.toString)
+    // quota(b)=50: both 25-cost docs fit exactly (cum 0, 25 < 50)
+    assert(byDom("b") === ((2L, 50L)))
+    assert(!byDom.contains("x"), "unlisted domain must drop")
+    // deterministic: identical selection on rerun
+    val again = Features.budgetMixSample(docs, "dom", "id", "cost",
+      Map("a" -> 0.75, "b" -> 0.25), budget = 200L)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select($"id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("topKPerGroup returns at most k per group in order") {
     val top = Features.topKPerGroup(TestSpark.table("lineitem"), "l_orderkey",
       Seq($"l_extendedprice".desc, $"l_linenumber".asc), 2)
