@@ -1611,8 +1611,10 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  val q64Sql: String =
-    """WITH RECURSIVE t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x->x<>'') toks FROM documents),
+  /** The q64 connected-components CTE chain (exact pairwise Jaccard →
+    * edges → min-label reachability) — shared with the q153 oracle. */
+  private val dupClusterCteSql: String =
+    """t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x->x<>'') toks FROM documents),
       |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
       |  THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
       |       i -> array_to_string(list_slice(toks, i, i+2), ' ')))
@@ -1629,7 +1631,10 @@ object Queries {
       |  SELECT id, id FROM nodes
       |  UNION
       |  SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.id
-      |  WHERE r.label < e2.dst)
+      |  WHERE r.label < e2.dst)""".stripMargin
+
+  val q64Sql: String =
+    s"""WITH RECURSIVE $dupClusterCteSql
       |SELECT id AS doc_id, min(label) AS cluster
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
@@ -4392,6 +4397,41 @@ object Queries {
       |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Canonical representative per near-dup cluster — the dedup
+    * KEEP-BEST policy (clusters from [[Dedup.dupClusters]], quality
+    * from [[TextOps.qualityScore]]): per cluster, the highest-quality
+    * doc wins, ties to the smallest doc_id. One grouped max over a
+    * (quality, −id) struct on the cluster relation — no window, no
+    * per-cluster sort. The oracle replays the q64 connected-components
+    * CTE + the q20 quality expression and picks via ORDER BY rn. */
+  def q153ClusterRep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val clusters = Dedup.dupClusters(
+      Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.9))
+    clusters
+      .join(docs.select(col("doc_id").as("id"),
+        round(TextOps.qualityScore(col("text")), 6).as("q")), Seq("id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csize"),
+        max(struct(col("q").as("q"), negate(col("id")).as("nid"))).as("__b"))
+      .select(col("cluster"), col("csize"),
+        negate(col("__b.nid")).as("rep_doc_id"), col("__b.q").as("rep_quality"))
+      .orderBy("cluster")
+  }
+
+  val q153Sql: String =
+    s"""WITH RECURSIVE $dupClusterCteSql,
+      |cc AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+      |qual AS (SELECT doc_id, round($qualityExprSql, 6) AS q FROM documents),
+      |ranked AS (SELECT cc.cluster, cc.id, qual.q,
+      |    row_number() OVER (PARTITION BY cc.cluster
+      |      ORDER BY qual.q DESC, cc.id) AS rn,
+      |    count(*) OVER (PARTITION BY cc.cluster) AS csize
+      |  FROM cc JOIN qual ON qual.doc_id = cc.id)
+      |SELECT cluster, CAST(csize AS BIGINT) AS csize, id AS rep_doc_id,
+      |  q AS rep_quality
+      |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4549,6 +4589,7 @@ object Queries {
     "q150_rfm" -> (q150Rfm _),
     "q151_rank_percentile" -> (q151RankPercentile _),
     "q152_token_mixture" -> (q152TokenMixture _),
+    "q153_cluster_rep" -> (q153ClusterRep _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4704,6 +4745,7 @@ object Queries {
     "q150_rfm" -> q150Sql,
     "q151_rank_percentile" -> q151Sql,
     "q152_token_mixture" -> q152Sql,
+    "q153_cluster_rep" -> q153Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
