@@ -44,6 +44,27 @@ class PrefixSumSpec extends AnyFunSuite {
     fb.foreach { case (k, x) => assert(math.abs(x - drv(k)) < 1e-9, s"ord=$k") }
   }
 
+  test("both offset paths fail loudly on Long overflow, never wrap") {
+    // values near Long.MaxValue: the running offset overflows by the
+    // second bucket. Driver path = Math.addExact; distributed path =
+    // DECIMAL(38,0) accumulation + checked cast — both must THROW, not
+    // wrap silently (the pre-round-5 distributed path wrapped)
+    val big = Seq((1L, Long.MaxValue / 2), (100001L, Long.MaxValue / 2),
+      (200001L, Long.MaxValue / 2), (300001L, 1L)).toDF("ord", "v")
+    val eDrv = intercept[Exception] {
+      PrefixSum.cumsum(big, "ord", "v", "cs", bucketWidth = 100000L).collect()
+    }
+    assert((eDrv.getMessage + eDrv.toString).toLowerCase.contains("overflow"),
+      eDrv.toString)
+    val eDist = intercept[Exception] {
+      PrefixSum.cumsum(big, "ord", "v", "cs", bucketWidth = 100000L,
+        maxDriverBuckets = 2).collect()
+    }
+    assert(eDist.getMessage.contains("overflows Long") ||
+      Option(eDist.getCause).exists(_.getMessage.contains("overflows Long")),
+      eDist.toString)
+  }
+
   test("packBudget under the fallback cap still packs greedily") {
     val docs = (1L to 100L).map(i => (i, 10L)).toDF("ord", "tok")
     val packs = PrefixSum.packBudget(docs, "ord", "tok", budget = 35L,
