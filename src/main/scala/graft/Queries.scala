@@ -1611,14 +1611,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** The q64 connected-components CTE chain (exact pairwise Jaccard →
-    * edges → min-label reachability) — shared with the q153 oracle. */
-  private val dupClusterCteSql: String =
+  /** Word-3-shingle set per doc (t, s CTEs) — the exact-shingle base
+    * shared by the q64/q153/q154 oracles. */
+  private val shingleCteSql: String =
     """t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x->x<>'') toks FROM documents),
       |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
       |  THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
       |       i -> array_to_string(list_slice(toks, i, i+2), ' ')))
-      |  ELSE [array_to_string(toks, ' ')] END sh FROM t),
+      |  ELSE [array_to_string(toks, ' ')] END sh FROM t)""".stripMargin
+
+  /** The q64 connected-components CTE chain (exact pairwise Jaccard →
+    * edges → min-label reachability) — shared with the q153 oracle. */
+  private val dupClusterCteSql: String =
+    s"""$shingleCteSql,
       |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
       |  CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
       |    (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) jaccard
@@ -4432,6 +4437,26 @@ object Queries {
       |  q AS rep_quality
       |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  /** Sub-document dedup via directional shingle containment
+    * ([[Dedup.containmentPairs]]): |A∩B|/|A| over an inverted shingle
+    * index — the quote/subset detector symmetric Jaccard (q23/q64)
+    * misses. The oracle recomputes every pair's containment from the
+    * shared exact-shingle CTE with DuckDB list ops (O(n²) oracle
+    * formulation; the engine side stays index-bounded). */
+  def q154Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  val q154Sql: String =
+    s"""WITH $shingleCteSql,
+      |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(a.sh), 6) AS containment
+      |  FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+      |SELECT id_a, id_b, containment FROM c
+      |WHERE containment >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4590,6 +4615,7 @@ object Queries {
     "q151_rank_percentile" -> (q151RankPercentile _),
     "q152_token_mixture" -> (q152TokenMixture _),
     "q153_cluster_rep" -> (q153ClusterRep _),
+    "q154_containment" -> (q154Containment _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4746,6 +4772,7 @@ object Queries {
     "q151_rank_percentile" -> q151Sql,
     "q152_token_mixture" -> q152Sql,
     "q153_cluster_rep" -> q153Sql,
+    "q154_containment" -> q154Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

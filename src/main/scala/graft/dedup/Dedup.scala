@@ -173,6 +173,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Directional shingle CONTAINMENT pairs — the sub-document dedup
+    * face symmetric Jaccard misses: a short doc quoted whole inside a
+    * long one scores |A∩B|/|A| ≈ 1 while its Jaccard is tiny, so the
+    * MinHash-LSH candidate path (tuned to the Jaccard s-curve) would
+    * never propose the pair. Candidates here come from an INVERTED
+    * SHINGLE INDEX instead: explode distinct shingles, self-join on
+    * the shingle, count shared shingles per ordered pair, divide by
+    * the left doc's shingle count. Exact for every pair sharing at
+    * least one surviving shingle; both directions are emitted (the
+    * measure is asymmetric).
+    *
+    * Scale: the pair space is Σ_shingle df² — bounded by dropping
+    * shingles with document frequency above `maxShingleDf` (stopword
+    * n-grams carry no containment signal and are exactly the ones
+    * that explode; drops are observable via `obs`: `dropped_shingles`,
+    * `max_shingle_df`). With drops, shared counts — and therefore
+    * containment — can only UNDERESTIMATE (the denominator stays the
+    * full shingle count), so the threshold filter never admits a
+    * false pair; at test scale the default cap drops nothing and the
+    * result is exact (q154's oracle relies on that). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleWidth: Int = 3, maxShingleDf: Int = 10000,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sets = docs.select(col(idCol).as("id"),
+      graft.functions.shingle_set(col(textCol), shingleWidth).as("sh"))
+    val sized = sets.select(col("id"), size(col("sh")).as("__nsh"))
+    val inv = sets.select(col("id"), explode(col("sh")).as("s"))
+    // df cap rides the shuffle the self-join needs anyway (same key)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val counted = inv.withColumn("__df", count(lit(1)).over(w))
+    val observed = obs.fold(counted)(o => counted.observe(o,
+      sum(when(col("__df") > maxShingleDf, 1L).otherwise(0L))
+        .as("dropped_shingles"),
+      max(col("__df")).as("max_shingle_df")))
+    val kept = observed.filter(col("__df") <= maxShingleDf).drop("__df")
+    val shared = kept.select(col("id").as("id_a"), col("s"))
+      .join(kept.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__shared"))
+    shared
+      .join(sized.select(col("id").as("id_a"), col("__nsh")), Seq("id_a"))
+      .withColumn("containment",
+        round(col("__shared").cast("double") / col("__nsh").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     graft.sim.Similarity.hamming64(a, b)

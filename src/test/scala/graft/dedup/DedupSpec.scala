@@ -133,4 +133,41 @@ class DedupSpec extends AnyFunSuite {
     val vals = out.select("jaccard").collect().map(_.getDouble(0))
     assert(vals.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("containmentPairs: planted quote scores 1.0 one-way, Jaccard-low") {
+    // doc 2 contains doc 1 verbatim inside much longer text: full
+    // containment 1→2, partial 2→1, and a Jaccard far below 0.9
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val host = s"intro words here $quote and then a very long tail " +
+      (1 to 40).map(i => s"tail$i").mkString(" ")
+    val planted = Seq((1L, quote), (2L, host), (3L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(planted, "doc_id", "text",
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) === 1.0, pairs.toString)
+    assert(!pairs.contains((2L, 1L)), "reverse direction must stay below 0.9")
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // and the symmetric-Jaccard pipeline indeed misses the pair
+    val jac = Dedup.nearDupPairs(planted, "doc_id", "text", threshold = 0.9)
+      .collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("containmentPairs: hot-shingle cap drops are observed, never inflate") {
+    val obs = org.apache.spark.sql.Observation("contain-guard")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.8, maxShingleDf = 2, obs = Some(obs))
+    val n = out.count()
+    val m = obs.get
+    assert(m("max_shingle_df").asInstanceOf[Long] >= 2L)
+    // capped run can only UNDERESTIMATE: every surviving pair must also
+    // be in the uncapped result
+    val full = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = out.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(full), s"capped added pairs: ${capped -- full}")
+    assert(n === capped.size.toLong)
+  }
 }
