@@ -36,8 +36,60 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (set == "flagship") flagship(spark, dir, k)
+    else if (set == "r5") r5Probes(spark, dir, k)
     else r3Probes(spark, dir, k)
     spark.stop()
+  }
+
+  /** Round-5 operators at arbitrary replication: ExactRank percentiles
+    * on FEW-HUGE groups (its design point — 3 groups × 6M rows per
+    * replica decade), budget mixture sampling, and inverted-index
+    * containment (docs salted as in [[flagship]]). */
+  private def r5Probes(spark: SparkSession, dir: String, k: Int): Unit = {
+    def t(name: String)(f: => Long): (String, Double, Long) = {
+      val s = System.nanoTime(); val n = f
+      (name, (System.nanoTime() - s) / 1e9, n)
+    }
+    def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val liK = replicate(tbl("lineitem"), Seq("l_orderkey"), k).persist(lvl)
+    val docsK = (0 until k).map { i =>
+      tbl("documents")
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+        .withColumn("text",
+          regexp_replace(col("text"), "((\\S+\\s+){2})", s"$$1zzr$i "))
+    }.reduce(_ unionByName _).persist(lvl)
+    Seq(liK, docsK).foreach(_.count())
+
+    val results = Seq(
+      t("exact_rank_pctl") {
+        features.Features.groupPercentilesRank(
+          liK.select(col("l_returnflag"),
+            col("l_extendedprice").cast("double").as("v")),
+          "l_returnflag", col("v"),
+          Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")).count()
+      },
+      t("budget_mix") {
+        features.Features.budgetMixSample(
+          docsK.select("doc_id", "lang", "n_chars"),
+          "lang", "doc_id", "n_chars",
+          Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1),
+          budget = 40000L * k).count()
+      },
+      t("containment") {
+        // default df cap (1000): this synthetic corpus builds its
+        // containment pairs from shared sentence templates, so the
+        // hot-shingle tail IS the signal here — the cap bounds Σ df²
+        // while keeping the pairs (cap 100 finds 0 rows 50× faster;
+        // real corpora sit between)
+        dedup.Dedup.containmentPairs(docsK, "doc_id", "text",
+          threshold = 0.8).count()
+      })
+
+    val json = results.map { case (n, sec, rows) =>
+      f""""$n":{"sec":$sec%.2f,"rows":$rows}"""
+    }.mkString("{", ",", s""","replication":$k}""")
+    println(s"[probe] $json")
   }
 
   private def r3Probes(spark: SparkSession, dir: String, k: Int): Unit = {

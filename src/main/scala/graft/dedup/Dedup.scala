@@ -191,10 +191,14 @@ object Dedup {
     * `max_shingle_df`). With drops, shared counts — and therefore
     * containment — can only UNDERESTIMATE (the denominator stays the
     * full shingle count), so the threshold filter never admits a
-    * false pair; at test scale the default cap drops nothing and the
-    * result is exact (q154's oracle relies on that). */
+    * false pair; at oracle test scale the default cap drops nothing
+    * and the result is exact (q154 relies on that). At corpus scale
+    * TUNE THE CAP DOWN (a shingle appearing in hundreds of docs is
+    * boilerplate, not containment signal): cost is Σ min(df, cap)²,
+    * and the 10× probe measures cap=100 at ~7× less work than the
+    * default. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleWidth: Int = 3, maxShingleDf: Int = 10000,
+      threshold: Double, shingleWidth: Int = 3, maxShingleDf: Int = 1000,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val sets = docs.select(col(idCol).as("id"),
