@@ -87,6 +87,8 @@ object Features {
     require(fracs.nonEmpty, "need at least one fraction")
     require(fracs.forall { case (f, _) => f >= 0 && f <= 1 },
       "fractions must be in [0, 1]")
+    require(fracs.map(_._2).distinct.size == fracs.size,
+      "output column names must be distinct")
     val base = df.select(col(groupCol).as("__g"), value.cast("double").as("__v"))
       .filter(col("__v").isNotNull)
     val sorted = base.repartitionByRange(col("__g"), col("__v"))
@@ -793,10 +795,16 @@ object Features {
     * unlisted domains are dropped entirely.
     *
     * Scale shape: one broadcast join against the |weights|-row quota
-    * relation, one per-domain window (md5-ranked cumulative cost —
-    * cost stays a Long sum, exact in every engine), one filter.
-    * Selection is reproducible from keys alone under any partitioning
-    * (the [[hashSample]] determinism recipe). */
+    * relation, then a TWO-PHASE cumulative cost within each domain
+    * (the [[graft.operators.PrefixSum]] idiom): docs bucket by their
+    * md5 prefix — the bucket order IS the priority order — so the
+    * running sum is a per-(domain, bucket) window (parallel) plus
+    * per-domain offsets over the (domains × 256)-bucket totals
+    * relation, never one task per domain. Mixture domains are FEW and
+    * HUGE by nature — a plain per-domain window would funnel each
+    * domain's whole corpus through a single task. Cost stays a Long
+    * sum (exact in every engine); selection is reproducible from keys
+    * alone under any partitioning (the [[hashSample]] recipe). */
   def budgetMixSample(df: DataFrame, domainCol: String, keyCol: String,
       costCol: String, weights: Map[String, Double],
       budget: Long): DataFrame = {
@@ -809,13 +817,24 @@ object Features {
     val quotas = weights.toSeq
       .map { case (d, w) => (d, math.floor(budget * w / wsum).toLong) }
       .toDF(domainCol, "__quota")
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    val keyed = df.join(broadcast(quotas), Seq(domainCol))
+      .withColumn("__h", md5(col(keyCol).cast("string").cast("binary")))
+      .withColumn("__bk", substring(col("__h"), 1, 2)) // 256 buckets/domain
+    val bw = Window.partitionBy(col(domainCol), col("__bk"))
+      .orderBy(col("__h"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.join(broadcast(quotas), Seq(domainCol))
-      .withColumn("__cum", coalesce(sum(col(costCol)).over(w), lit(0L)))
-      .filter(col("__cum") < col("__quota"))
-      .drop("__cum", "__quota")
+    val local = keyed
+      .withColumn("__lc", coalesce(sum(col(costCol)).over(bw), lit(0L)))
+    // (domains × 256)-row totals → exclusive per-domain bucket offsets
+    val offW = Window.partitionBy(col(domainCol)).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col(domainCol), col("__bk"))
+      .agg(sum(col(costCol)).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(offW), lit(0L)))
+      .select(col(domainCol), col("__bk"), col("__off"))
+    local.join(broadcast(offsets), Seq(domainCol, "__bk"))
+      .filter(col("__lc") + col("__off") < col("__quota"))
+      .drop("__h", "__bk", "__lc", "__off", "__quota")
   }
 
   /** Partition schema fields into (numeric, categorical) — the dtype
