@@ -4457,6 +4457,27 @@ object Queries {
       |SELECT id_a, id_b, containment FROM c
       |WHERE containment >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
+  /** Per-group rank normalization ([[Features.rankNormalize]]):
+    * percent_rank semantics computed on the distinct-value relation
+    * with the two-phase distributed rank — no per-group single-task
+    * window, no per-row sort. The oracle is DuckDB's own
+    * `percent_rank()` window, so tie handling ((rank−1)/(n−1), ties
+    * share the min rank) is proven identical. */
+  def q155RankNormalize(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.rankNormalize(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice").cast("double").as("v")),
+        "l_returnflag", "v", outCol = "rn")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(col("rn"), 6).as("rn"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q155Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag,
+      |  round(percent_rank() OVER (PARTITION BY l_returnflag
+      |    ORDER BY CAST(l_extendedprice AS DOUBLE)), 6) AS rn
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4616,6 +4637,7 @@ object Queries {
     "q152_token_mixture" -> (q152TokenMixture _),
     "q153_cluster_rep" -> (q153ClusterRep _),
     "q154_containment" -> (q154Containment _),
+    "q155_rank_normalize" -> (q155RankNormalize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4773,6 +4795,7 @@ object Queries {
     "q152_token_mixture" -> q152Sql,
     "q153_cluster_rep" -> q153Sql,
     "q154_containment" -> q154Sql,
+    "q155_rank_normalize" -> q155Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

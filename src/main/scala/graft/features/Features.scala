@@ -145,6 +145,57 @@ object Features {
       }: _*)
   }
 
+  /** Rank-normalize a column to [0, 1] per group — SQL
+    * `percent_rank` semantics ((rank−1)/(n−1), ties share the min
+    * rank, single-row group → 0) without a per-group single-task
+    * window: the quantile-transform feature prep (uniformize a skewed
+    * measure before distance/gradient work).
+    *
+    * Scale shape: ranks are computed on the DISTINCT (group, value)
+    * relation — ties collapse before any window — with the two-phase
+    * rank idiom (range partition on (group, value), per-partition
+    * cumulative counts, per-group offsets over the group × partition
+    * totals), then joined back to rows. A plain
+    * `percent_rank().over(partitionBy(group))` funnels each group
+    * through one task AND carries every ROW through the sort; this
+    * carries only distinct values and never single-tasks anything.
+    * NULL values pass through with a null rank. */
+  def rankNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      outCol: String = "rank_norm"): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__nv"))
+    val sorted = counts.repartitionByRange(col("__g"), col("__v"))
+      .sortWithinPartitions(col("__g"), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val pw = Window.partitionBy(col("__pid"), col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sorted.withColumn("__lc",
+      coalesce(sum(col("__nv")).over(pw), lit(0L)))
+    val perPart = sorted.groupBy(col("__pid"), col("__g"))
+      .agg(sum(col("__nv")).as("__pn"))
+    val offW = Window.partitionBy(col("__g")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perPart
+      .withColumn("__off", coalesce(sum(col("__pn")).over(offW), lit(0L)))
+    val offs = offsets.select(col("__pid").as("__opid"),
+      col("__g").as("__og"), col("__off"))
+    val ns = offsets.groupBy(col("__g").as("__ng")).agg(sum(col("__pn")).as("__n"))
+    val ranked = local
+      .join(offs, col("__pid") === col("__opid") && col("__g") <=> col("__og"))
+      .join(ns, col("__g") <=> col("__ng"))
+      // percent_rank: (min-rank-of-tie − 1) / (n − 1); below-count IS
+      // min-rank − 1. Single-value groups are 0 by convention.
+      .select(col("__g"), col("__v"),
+        when(col("__n") > 1,
+          (col("__lc") + col("__off")).cast("double") /
+            (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0)).as(outCol))
+    df.join(ranked,
+        col(groupCol) <=> col("__g") && col(valueCol) === col("__v"), "left")
+      .drop("__g", "__v")
+  }
+
   /** Seeded random split — `train_test_split(random_state=42)`
     * (`machineLearning.py:433`). */
   def randomSplit(df: DataFrame, testFraction: Double, seed: Long): (DataFrame, DataFrame) = {

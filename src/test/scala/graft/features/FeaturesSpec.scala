@@ -299,6 +299,26 @@ class FeaturesSpec extends AnyFunSuite {
       assert(math.abs(s - n / 4) <= n / 100 + 4, s"bucket sizes: $sizes"))
   }
 
+  test("rankNormalize matches percent_rank semantics incl. ties and null pass-through") {
+    val df = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("a", Some(20.0)),
+      ("a", Some(30.0)), ("b", Some(5.0)), ("b", None)).toDF("g", "v")
+    val out = Features.rankNormalize(df, "g", "v").collect()
+      .map(r => (r.getString(0), Option(r.get(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // a: n=4 → 10→0/3, 20 (tie, min rank 2) → 1/3 both, 30 → 3/3
+    val aRanks = out.filter(_._1 == "a").map(x => x._2.get -> x._3.get).toMap
+    assert(aRanks(10.0) === 0.0)
+    assert(math.abs(aRanks(20.0) - 1.0 / 3) < 1e-15)
+    assert(aRanks(30.0) === 1.0)
+    assert(out.count { case (g, v, _) => g == "a" && v.contains(20.0) } === 2)
+    // singleton group → 0; null value → null rank, row kept
+    assert(out.filter(_._1 == "b").flatMap(_._3).toSeq === Seq(0.0))
+    assert(out.exists { case (g, v, r) => g == "b" && v.isEmpty && r.isEmpty })
+    // plan: no global single-task window
+    val lint = graft.plans.PlanLint.check(Features.rankNormalize(df, "g", "v"))
+    assert(!lint.exists(_.startsWith("GLOBAL_WINDOW")), lint.mkString("; "))
+  }
+
   test("budgetMixSample: quota fill, boundary overshoot, unlisted domains drop") {
     val docs = Seq(
       ("a", 1L, 60L), ("a", 2L, 60L), ("a", 3L, 60L),
