@@ -51,6 +51,9 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(f) =>
         val only = f.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = only -- Queries.benchNames.toSet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in benchNames: ${unknown.mkString(", ")}")
         Queries.benchNames.filter(only)
       case None => Queries.benchNames
     }

@@ -4300,13 +4300,14 @@ object Queries {
     // Same round-6 grid as quantileBins, so the oracle is unchanged.
     val dims = Seq(("rec", "r"), ("freq", "f"), ("mon", "m"))
     val fracs = (1 until 5).map(i => i / 5.0)
-    val row = cust.agg(
-      round(expr(s"percentile_cont(${fracs.head}) WITHIN GROUP (ORDER BY rec)"), 6)
-        .as("q_rec_0"),
-      (dims.flatMap { case (v, _) => fracs.map(f =>
+    val aggs = dims.flatMap { case (v, _) => fracs.zipWithIndex.map {
+      case (f, i) =>
         round(expr(s"percentile_cont($f) WITHIN GROUP (ORDER BY $v)"), 6)
-          .as(s"q_${v}_${fracs.indexOf(f)}"))
-      }.drop(1)): _*).head()
+          .as(s"q_${v}_$i")
+    } }
+    val row = cust.agg(aggs.head, aggs.tail: _*).head()
+    require(!row.isNullAt(0),
+      "q150: no customers in orders (empty input?)")
     val scored = dims.zipWithIndex.foldLeft(cust) { case (acc, ((v, b), d)) =>
       acc.withColumn(b,
         fracs.indices.map(i =>
@@ -4387,8 +4388,11 @@ object Queries {
       .orderBy("lang")
 
   val q152Sql: String = {
-    val wsum = q152Weights.map(_._2).sum
-    val quotaRows = q152Weights.map { case (d, w) =>
+    // key-sorted sum — the exact float-addition order budgetMixSample
+    // uses, so oracle and engine quotas are bit-identical at any map size
+    val ordered = q152Weights.sortBy(_._1)
+    val wsum = ordered.map(_._2).sum
+    val quotaRows = ordered.map { case (d, w) =>
       s"('$d', ${math.floor(q152Budget * w / wsum).toLong})"
     }.mkString(", ")
     s"""WITH q(lang, quota) AS (VALUES $quotaRows),

@@ -188,11 +188,15 @@ object ScaleProbe {
     * decade holds no constant-factor cliff).
     *
     * Documents are SALTED per replica (a replica marker token injected
-    * every 8 words): union-replication alone would make each doc's
+    * every 2 words — dense enough that EVERY 3-token MinHash shingle
+    * carries one): union-replication alone would make each doc's
     * k copies mutual near-dups, growing the q64 pair relation
     * quadratically in k BY CONSTRUCTION — a corpus artifact, not an
-    * operator cost. Salting keeps replicas dissimilar so the probe
-    * measures the operator's scaling, not the synthetic corpus's.
+    * operator cost. Sparser salt is not enough: bands whose minima
+    * come from unsalted shingles still collide ACROSS replicas and
+    * the candidate set grows ~C(k,2)/doc. Dense salting keeps replica
+    * signatures fully divergent so the probe measures the operator's
+    * scaling, not the synthetic corpus's.
     *
     * Usage: `sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 100 flagship"`
     * (set SPARK_DRIVER_MEM=48g for 100×). */

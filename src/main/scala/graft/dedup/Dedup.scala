@@ -205,14 +205,22 @@ object Dedup {
       graft.functions.shingle_set(col(textCol), shingleWidth).as("sh"))
     val sized = sets.select(col("id"), size(col("sh")).as("__nsh"))
     val inv = sets.select(col("id"), explode(col("sh")).as("s"))
-    // df cap rides the shuffle the self-join needs anyway (same key)
+    // df cap rides the shuffle the self-join needs anyway (same key);
+    // __rn = 1 exactly once per shingle, so the drop counter counts
+    // SHINGLES, not posting rows (the Basket dropped-baskets idiom —
+    // summing rows would inflate the metric by each dropped shingle's
+    // document frequency)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val rw = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+      .orderBy(col("id"))
     val counted = inv.withColumn("__df", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(rw))
     val observed = obs.fold(counted)(o => counted.observe(o,
-      sum(when(col("__df") > maxShingleDf, 1L).otherwise(0L))
-        .as("dropped_shingles"),
+      sum(when(col("__df") > maxShingleDf && col("__rn") === 1, 1L)
+        .otherwise(0L)).as("dropped_shingles"),
       max(col("__df")).as("max_shingle_df")))
-    val kept = observed.filter(col("__df") <= maxShingleDf).drop("__df")
+    val kept = observed.filter(col("__df") <= maxShingleDf)
+      .drop("__df", "__rn")
     val shared = kept.select(col("id").as("id_a"), col("s"))
       .join(kept.select(col("id").as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") =!= col("id_b"))

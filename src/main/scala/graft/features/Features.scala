@@ -137,12 +137,10 @@ object Features {
           .otherwise(
             col("__vlo") * (col("__phi").cast("double") - col("__prk")) +
               col("__vhi") * (col("__prk") - col("__plo").cast("double"))))
-    perFrac.groupBy(col("__g").as(groupCol))
-      .agg(fracs.map { case (_, nm) =>
-        max(when(col("__fn") === nm, col("__val"))).as(nm)
-      }.head, fracs.tail.map { case (_, nm) =>
-        max(when(col("__fn") === nm, col("__val"))).as(nm)
-      }: _*)
+    val pivots = fracs.map { case (_, nm) =>
+      max(when(col("__fn") === nm, col("__val"))).as(nm)
+    }
+    perFrac.groupBy(col("__g").as(groupCol)).agg(pivots.head, pivots.tail: _*)
   }
 
   /** Rank-normalize a column to [0, 1] per group — SQL
@@ -648,13 +646,16 @@ object Features {
         pctl(valueCol, loQ, strategy).as("__lo"),
         pctl(valueCol, hiQ, strategy).as("__hi"))
     }
-    // left join: ExactRank emits no row for an all-null group (the
-    // aggregate strategies emit null fences) — the clip is a no-op on
-    // null fences either way, so the contracts agree
-    df.join(bounds, Seq(groupCol), "left")
+    // LEFT + NULL-SAFE join-back: a null group KEY is a real group
+    // (its fences must clip its rows — plain equality would silently
+    // leave them unclipped), and ExactRank emits no row for an
+    // all-null group where the aggregate strategies emit null fences —
+    // the clip is a no-op on null fences either way
+    df.join(bounds.withColumnRenamed(groupCol, "__bg"),
+        col(groupCol) <=> col("__bg"), "left")
       .withColumn(outCol,
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+      .drop("__bg", "__lo", "__hi")
   }
 
   /** CUSUM drift scores per series — the classic changepoint signal:
@@ -718,12 +719,19 @@ object Features {
         case _ => in.groupBy(col(groupCol)).agg(
           pctl(valueExpr, 0.5, strategy).as(out))
       }
+    // LEFT + NULL-SAFE join-backs: a null group key is a real group
+    // whose median/MAD must reach its rows (plain equality would
+    // silently null them); all-null groups carry null med/mad (null
+    // score) under every strategy
+    def joinBack(base: DataFrame, agg: DataFrame): DataFrame = {
+      val tag = agg.columns.last // __med / __mad
+      base.join(agg.withColumnRenamed(groupCol, s"__g$tag"),
+          col(groupCol) <=> col(s"__g$tag"), "left")
+        .drop(s"__g$tag")
+    }
     val med = grouped(df, s"`$valueCol`", "__med")
-    val mad = grouped(df.join(med, Seq(groupCol), "left"),
-      s"abs(`$valueCol` - __med)", "__mad")
-    // left joins: see winsorizeByGroup — all-null groups carry null
-    // med/mad (null score) under every strategy
-    df.join(med, Seq(groupCol), "left").join(mad, Seq(groupCol), "left")
+    val mad = grouped(joinBack(df, med), s"abs(`$valueCol` - __med)", "__mad")
+    joinBack(joinBack(df, med), mad)
       .withColumn(scoreCol,
         when(col("__mad") =!= 0.0,
           round(abs(col(valueCol) - col("__med")) / col("__mad"), 6)))
@@ -864,25 +872,39 @@ object Features {
       "weights must be nonempty and positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val wsum = weights.values.sum
-    val quotas = weights.toSeq
+    // canonical (key-sorted) summation order: float addition is
+    // order-dependent and Map iteration order changes with map size,
+    // so an unordered sum could move wsum by an ulp and shift a quota
+    // by one — breaking reproducibility of the selection (and any
+    // external oracle recomputing the same quotas)
+    val ordered = weights.toSeq.sortBy(_._1)
+    val wsum = ordered.map(_._2).sum
+    val quotas = ordered
       .map { case (d, w) => (d, math.floor(budget * w / wsum).toLong) }
       .toDF(domainCol, "__quota")
     val keyed = df.join(broadcast(quotas), Seq(domainCol))
       .withColumn("__h", md5(col(keyCol).cast("string").cast("binary")))
       .withColumn("__bk", substring(col("__h"), 1, 2)) // 256 buckets/domain
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bw = Window.partitionBy(col(domainCol), col("__bk"))
       .orderBy(col("__h"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = keyed
       .withColumn("__lc", coalesce(sum(col(costCol)).over(bw), lit(0L)))
-    // (domains × 256)-row totals → exclusive per-domain bucket offsets
+    // (domains × 256)-row totals → exclusive per-domain bucket offsets.
+    // Materialized eagerly (tiny) so the scan+join+md5 work is shared
+    // with the window branch through the persist, which is then
+    // released — the final action recomputes `keyed` once instead of
+    // the offsets branch re-running the whole input a second time
+    // (the PrefixSum.cumsum persist rationale).
     val offW = Window.partitionBy(col(domainCol)).orderBy(col("__bk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = keyed.groupBy(col(domainCol), col("__bk"))
       .agg(sum(col(costCol)).as("__bt"))
       .withColumn("__off", coalesce(sum(col("__bt")).over(offW), lit(0L)))
       .select(col(domainCol), col("__bk"), col("__off"))
+      .localCheckpoint()
+    keyed.unpersist()
     local.join(broadcast(offsets), Seq(domainCol, "__bk"))
       .filter(col("__lc") + col("__off") < col("__quota"))
       .drop("__h", "__bk", "__lc", "__off", "__quota")

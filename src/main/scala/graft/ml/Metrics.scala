@@ -397,8 +397,13 @@ object Metrics {
         sum(col("ps")).as("p"),
         sum(col("ns") - col("ps")).as("n"))
       .select(
-        round((col("num2") - col("p") * (col("p") + 1)).cast("double") /
-          (lit(2.0) * col("p").cast("double") * col("n").cast("double")), 6)
+        // try_divide, not `/`: with a single class present the divisor
+        // is 0 and ANSI mode (Spark 4 default) would throw an opaque
+        // DIVIDE_BY_ZERO here — the undefined-AUC contract is a NULL
+        // that callers (Drivers.binaryAuc) turn into a clear error
+        round(try_divide(
+          (col("num2") - col("p") * (col("p") + 1)).cast("double"),
+          lit(2.0) * col("p").cast("double") * col("n").cast("double")), 6)
           .as("auc"),
         col("p").cast("long").as("positives"),
         col("n").cast("long").as("negatives"))

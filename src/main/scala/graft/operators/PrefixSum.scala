@@ -105,7 +105,12 @@ object PrefixSum {
     * never materialized at the driver. Integral offsets on this path
     * accumulate in exact DECIMAL(38,0) and checked-cast back to Long,
     * so both paths fail loudly on overflow (driver: Math.addExact;
-    * distributed: raise_error on the cast). */
+    * distributed: raise_error on the cast). Scope note: that guarantee
+    * covers the CROSS-BUCKET running offsets in both ANSI modes; the
+    * per-bucket Long sums and the final `value-cumsum + offset`
+    * addition rely on ANSI arithmetic (Spark 4's default) to error on
+    * overflow — a non-ANSI session weakens those two spots to silent
+    * IEEE wrapping, as any plain Long sum in it does. */
   def cumsum(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String, bucketWidth: Long = 100000L,
       persist: Boolean = true, maxDriverBuckets: Long = 1000000L): DataFrame = {

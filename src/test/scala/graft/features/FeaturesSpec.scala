@@ -272,6 +272,18 @@ class FeaturesSpec extends AnyFunSuite {
     assert(rows(Features.madOutliers(df, "g", "v", k = 2.0,
         strategy = ExactRank)) ===
       rows(Features.madOutliers(df, "g", "v", k = 2.0, strategy = Exact)))
+    // and not merely equal-but-both-wrong: the null-keyed group's
+    // fences must actually REACH its rows (null-safe join-back) —
+    // null group = {5.0, 6.0}, p25/p75 = (5.25, 5.75), so 5.0 clips up
+    val nullRows = Features.winsorizeByGroup(df, "g", "v", 0.25, 0.75, "c2",
+        strategy = Exact)
+      .filter(col("g").isNull).select("v", "c2").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(nullRows(5.0) === 5.25 && nullRows(6.0) === 5.75, nullRows.toString)
+    val nullScores = Features.madOutliers(df, "g", "v", k = 2.0)
+      .filter(col("g").isNull).select("mad_score").collect()
+    assert(nullScores.nonEmpty && nullScores.forall(!_.isNullAt(0)),
+      "null-keyed rows must receive their group's med/mad")
   }
 
   test("ExactRank plans: no percentile_cont buffering, no single-task rank window") {

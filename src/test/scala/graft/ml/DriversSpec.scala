@@ -52,6 +52,18 @@ class DriversSpec extends AnyFunSuite {
     assert(auc <= 1.0)
   }
 
+  test("binaryAuc on a single-class label fails with a clear message, not an opaque error") {
+    val oneClass = spark.range(10).select(
+      lit(1).as("y"),
+      org.apache.spark.ml.functions.array_to_vector(
+        array((col("id") / 10.0).cast("double"),
+          lit(1.0) - col("id") / 10.0)).as("probability"))
+    val e = intercept[IllegalArgumentException] {
+      Drivers.binaryAuc(oneClass, "y")
+    }
+    assert(e.getMessage.contains("both classes"), e.getMessage)
+  }
+
   test("classify: stratified split preserves per-class proportions in train and test") {
     val li = TestSpark.table("lineitem")
       .select(col("l_returnflag"), col("l_quantity"), col("l_discount"))
