@@ -4482,6 +4482,114 @@ object Queries {
       |    ORDER BY CAST(l_extendedprice AS DOUBLE)), 6) AS rn
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** DSIR-style hashed-unigram importance weights
+    * ([[graft.text.Importance.importanceWeights]], after Xie et al.
+    * 2023): target slice = the English docs, raw = the whole corpus;
+    * each document scores the mean smoothed log-likelihood ratio of
+    * its token stream over 256 md5-hashed feature buckets. One token
+    * explode, one 256-group aggregate, model re-joined as a broadcast
+    * — the constant-size-model trick that makes the method web-scale. */
+  def q156Dsir(s: SparkSession, dir: String): DataFrame =
+    graft.text.Importance.importanceWeights(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id")
+
+  val q156Sql: String =
+    """WITH toks AS (SELECT doc_id, lang = 'en' AS t,
+      |  unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |  FROM documents),
+      |b AS (SELECT doc_id, t, substr(md5(tok), 1, 2) AS b FROM toks),
+      |c AS (SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct, count(*) AS cr
+      |      FROM b GROUP BY b),
+      |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM c),
+      |w AS (SELECT b, ln((ct + 1.0) / (tt + 256.0))
+      |             - ln((cr + 1.0) / (tr + 256.0)) AS lr FROM c, tot)
+      |SELECT doc_id, count(*) AS n_tokens, round(avg(lr), 6) AS dsir
+      |FROM b JOIN w USING (b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Chunk-level duplication profile ([[Dedup.chunkDupStats]], the
+    * MassiveText duplicate-line-fraction rule over fixed 16-token
+    * windows): fraction of each doc's chunks that recur verbatim in
+    * other documents. Chunks shuffle once on their 128-bit md5 key —
+    * the text never travels. */
+  def q157DupChunks(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.chunkDupStats(
+        t(s, dir, "documents"), "doc_id", "text", size = 16)
+      .orderBy("doc_id")
+
+  val q157Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |st AS (SELECT doc_id, ws,
+      |  range(1, greatest(1, len(ws)) + 1, 16) AS starts FROM t),
+      |ch AS (SELECT doc_id, md5(unnest(list_transform(starts,
+      |    s -> array_to_string(list_slice(ws, s, s + 15), ' ')))) AS ck
+      |  FROM st),
+      |df AS (SELECT ck, count(DISTINCT doc_id) AS df FROM ch GROUP BY ck)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_chunks,
+      |  round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
+      |FROM ch JOIN df USING (ck)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Semantic dedup, SemDeDup shape ([[Dedup.semanticDupPairs]]):
+    * embeddings assign to the nearest of 8 deterministic seed
+    * exemplars (lowest md5(id) — the portable pseudo-random draw),
+    * then near-dup pairs are searched ONLY within a cluster. The
+    * corpus is doubled with offset ids (the q25 plant) so true
+    * cross-copy pairs exist; the oracle replays the same seed draw,
+    * assignment argmax, and intra-cluster pair scan in SQL. */
+  def q158SemanticDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val doubled = e.unionByName(
+      e.withColumn("vec_id", col("vec_id") + lit(100000L)))
+    graft.dedup.Dedup.semanticDupPairs(doubled, "vec_id", "embedding",
+        k = 8, threshold = 0.999)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q158Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+      |seeds AS (SELECT vec_id AS sid, ve AS sv FROM v
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |scored AS (SELECT v.vec_id, s.sid,
+      |  list_dot_product(v.ve, s.sv) /
+      |    (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(s.sv, s.sv))) AS c,
+      |  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |    list_dot_product(v.ve, s.sv) /
+      |      (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(s.sv, s.sv))) DESC,
+      |    s.sid) AS rn
+      |  FROM v, seeds s),
+      |asg AS (SELECT vec_id, sid AS cluster FROM scored WHERE rn = 1),
+      |m AS (SELECT a.cluster, a.vec_id, v.ve FROM asg a JOIN v USING (vec_id)),
+      |p AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.ve, b.ve) /
+      |    (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) AS cosine
+      |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      |SELECT cluster, id_a, id_b, cosine FROM p
+      |WHERE cosine >= 0.999 ORDER BY id_a, id_b""".stripMargin
+
+  /** Deterministic export sharding ([[graft.operators.Shards]]): the
+    * shard-balance profile of an 8-shard training export — shard id
+    * and intra-shard order are pure functions of md5(doc_id), so the
+    * written shards are byte-stable across reruns and engines. */
+  def q159Shards(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Shards.profile(t(s, dir, "documents"), "doc_id", 8)
+      .orderBy("shard")
+
+  val q159Sql: String =
+    """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |s AS (SELECT doc_id, h,
+      |  ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |   + instr('0123456789abcdef', substr(h, 2, 1)) - 1) % 8 AS shard FROM h)
+      |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n,
+      |  min(h) AS h_min, max(h) AS h_max
+      |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4642,6 +4750,10 @@ object Queries {
     "q153_cluster_rep" -> (q153ClusterRep _),
     "q154_containment" -> (q154Containment _),
     "q155_rank_normalize" -> (q155RankNormalize _),
+    "q156_dsir" -> (q156Dsir _),
+    "q157_dup_chunks" -> (q157DupChunks _),
+    "q158_semantic_dup" -> (q158SemanticDup _),
+    "q159_shards" -> (q159Shards _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4800,6 +4912,10 @@ object Queries {
     "q153_cluster_rep" -> q153Sql,
     "q154_containment" -> q154Sql,
     "q155_rank_normalize" -> q155Sql,
+    "q156_dsir" -> q156Sql,
+    "q157_dup_chunks" -> q157Sql,
+    "q158_semantic_dup" -> q158Sql,
+    "q159_shards" -> q159Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -399,6 +399,94 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** Chunk-level duplication profile — the cross-document repeated-
+    * passage detector (the corpus-level cousin of MassiveText's
+    * "duplicate line fraction" rule, Rae et al. 2021 §A1.1, adapted to
+    * fixed token windows because chunk boundaries, unlike lines, exist
+    * in every corpus). Each document splits into non-overlapping
+    * `size`-token chunks ([[TextOps.chunkTokens]] semantics); a chunk
+    * is *duplicated* when the same token sequence appears in ≥2
+    * distinct documents; each document reports what fraction of its
+    * chunks are duplicated — the "mostly boilerplate / mirrored
+    * content" signal quality filters threshold on.
+    *
+    * Scale shape: chunks shuffle ONCE on a 128-bit md5 chunk key (the
+    * full chunk text never travels past the map side), the per-chunk
+    * document-frequency relation joins back on the same key — two
+    * hash aggregations and one equi-join, all linear in corpus tokens.
+    * The md5 key is engine-portable (same idiom as [[exactGroups]]'
+    * portable fingerprint), so a SQL oracle reproduces it verbatim.
+    *
+    * @return one row per document: (idCol, n_chunks, dup_chunks,
+    *         dup_frac) with dup_frac rounded to 6 places.
+    */
+  def chunkDupStats(docs: DataFrame, idCol: String, textCol: String,
+      size: Int): DataFrame = {
+    val chunks = TextOps.chunkTokens(docs, idCol, textCol, size, overlap = 0)
+      .select(col(idCol), md5(col("chunk")).as("__ck"))
+    // Document frequency per chunk key: count DISTINCT docs, so a
+    // within-document repeat alone does not mark a chunk duplicated.
+    val df = chunks.groupBy(col("__ck"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    chunks.join(df, Seq("__ck"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("dup_frac",
+        round(col("dup_chunks") / col("n_chunks"), 6))
+  }
+
+  /** Semantic dedup in the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space into k clusters,
+    * then search for near-duplicate pairs ONLY within a cluster — the
+    * cluster assignment bounds the pair space exactly the way LSH
+    * bands do for text, but follows the data's own geometry.
+    *
+    * Clustering here is assignment to k deterministic seed exemplars
+    * (the k vectors with the lexicographically smallest md5(id) — an
+    * engine-portable pseudo-random draw, the md5-threshold sampling
+    * idiom) by highest cosine; production would feed KMeans centroids
+    * ([[graft.ml.Drivers]]) through the same `assign → intra-cluster
+    * pairs` plan — the seeds relation is the only thing that changes.
+    *
+    * Scale shape: seeds are k rows (broadcast); assignment is one
+    * map-side cross join + per-id argmax (k candidates per row, no
+    * shuffle beyond the argmax aggregate); intra-cluster pairing is a
+    * self-equi-join on cluster — Σ m_c² work, the SemDeDup bound,
+    * tunable by k. No global windows.
+    *
+    * @return near-dup pairs (cluster, id_a, id_b, cosine ≥ threshold),
+    *         id_a < id_b, cosine rounded to 6 places.
+    */
+  def semanticDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    import graft.sim.Similarity
+    require(k >= 1, s"need k >= 1 clusters, got $k")
+    val seeds = broadcast(
+      vectors.select(col(idCol).as("__sid"), col(vecCol).as("__sv"))
+        .orderBy(md5(col("__sid").cast("string")), col("__sid"))
+        .limit(k))
+    // Nearest-seed assignment: argmax cosine, ties to the lower seed
+    // id — max_by on a (cosine, -sid) struct, one aggregate per row id.
+    val assigned = vectors
+      .crossJoin(seeds) // broadcast: k candidate rows per vector, map-side
+      .groupBy(col(idCol))
+      .agg(max_by(col("__sid"),
+        struct(Similarity.cosine(col(vecCol), col("__sv")).as("c"),
+          (-col("__sid")).as("nt"))).as("cluster"))
+    val withC = vectors.join(assigned, Seq(idCol))
+    val a = withC.select(col("cluster"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = withC.select(col("cluster"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(Similarity.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("cluster"), col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** [[dupClusters]] composed with a keep rule: every node whose id is
     * not its component minimum is a drop candidate. */
   def dropNearDups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {

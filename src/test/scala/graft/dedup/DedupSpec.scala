@@ -170,4 +170,58 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.subsetOf(full), s"capped added pairs: ${capped -- full}")
     assert(n === capped.size.toLong)
   }
+
+  test("chunkDupStats: cross-doc repeats count, within-doc repeats alone don't") {
+    val w = (1 to 32).map(i => s"w$i").mkString(" ") // two full 16-token chunks
+    val docs = Seq(
+      (1L, w),           // chunks A B
+      (2L, w),           // exact copy: both chunks duplicated
+      (3L, (1 to 16).map(i => s"w$i").mkString(" ") + " " +
+           (1 to 16).map(i => s"w$i").mkString(" ")), // chunk A twice, SAME doc
+      (4L, (101 to 132).map(i => s"u$i").mkString(" ")) // unique everywhere
+    ).toDF("doc_id", "text")
+    val stats = Dedup.chunkDupStats(docs, "doc_id", "text", size = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(stats(1L) === ((2L, 2L, 1.0)), stats.toString) // fully mirrored
+    assert(stats(2L) === ((2L, 2L, 1.0)))
+    // doc 3's chunk A is duplicated because docs 1/2 also contain it;
+    // chunk-level df is DISTINCT docs, so its within-doc repetition is
+    // not what triggers it — both its chunks match docs 1/2's chunk A
+    assert(stats(3L)._1 === 2L && stats(3L)._2 === 2L)
+    assert(stats(4L) === ((2L, 0L, 0.0)), "unique doc must report 0 dups")
+    // within-doc-only repetition: alone in the corpus → no dup chunks
+    val solo = Seq((9L, (1 to 16).map(i => s"x$i").mkString(" ") + " " +
+      (1 to 16).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
+    val soloStats = Dedup.chunkDupStats(solo, "doc_id", "text", size = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(soloStats(9L) === 0L, "within-doc repeat alone is not a cross-doc dup")
+  }
+
+  test("semanticDupPairs: finds planted copies, pairs only within clusters") {
+    val e = TestSpark.table("embeddings").select("vec_id", "embedding")
+    val doubled = e.unionByName(
+      e.withColumn("vec_id", $"vec_id" + lit(100000L)))
+    val pairs = Dedup.semanticDupPairs(doubled, "vec_id", "embedding",
+      k = 8, threshold = 0.999)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a vector and its offset copy have cosine exactly 1 and identical
+    // seed-assignment argmax inputs → same cluster → every planted
+    // pair is found (recall 1.0 on the planted set)
+    val planted = e.select("vec_id").collect()
+      .map(_.getLong(0)).map(id => (id, id + 100000L)).toSet
+    assert(planted.subsetOf(got),
+      s"missed ${planted.size - (planted & got).size} of ${planted.size} planted pairs")
+    // ids ordered, cosine thresholded
+    val rows = pairs.collect()
+    assert(rows.forall(r => r.getLong(1) < r.getLong(2)))
+    assert(rows.forall(r => r.getDouble(3) >= 0.999))
+    // precision is exact: every reported pair is also in the exact
+    // O(n²) sweep at the same threshold (cluster bounding only PRUNES)
+    val exact = Dedup.cosineDupPairs(doubled, "vec_id", "embedding", 0.999)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), s"semantic pairs not in exact sweep: ${got -- exact}")
+  }
 }
