@@ -4590,6 +4590,51 @@ object Queries {
       |  min(h) AS h_min, max(h) AS h_max
       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Deterministic relational k-means ([[graft.ml.KMeansRel]]): two
+    * Lloyd rounds from md5-seeded exemplars, every step pinned to an
+    * engine-portable form — expanded-dot argmin, DECIMAL-exact means
+    * on a 9-decimal grid. The oracle replays BOTH rounds (init →
+    * assign → mean → assign → mean → final assign) bit-for-bit in SQL;
+    * output is the final assignment with full squared distance. */
+  def q160Kmeans(s: SparkSession, dir: String): DataFrame =
+    graft.ml.KMeansRel.fitAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy("vec_id")
+
+  val q160Sql: String = {
+    // One Lloyd round in SQL, parameterized by the centroid CTE names:
+    // assign against `cp`, emit means `mp`, rebuilt+coalesced `cn`.
+    def round(cp: String, ap: String, mp: String, cn: String): String =
+      s"""$ap AS (SELECT vec_id, c AS cluster FROM (
+         |  SELECT v.vec_id, $cp.c, row_number() OVER (PARTITION BY v.vec_id
+         |    ORDER BY list_dot_product($cp.cv, $cp.cv)
+         |      - 2 * list_dot_product(v.ve, $cp.cv), $cp.c) AS rn
+         |  FROM v, $cp) WHERE rn = 1),
+         |$mp AS (SELECT cluster, pos,
+         |  round(CAST(sum(CAST(e AS DECIMAL(38, 12))) AS DOUBLE) / count(*), 9) AS m
+         |  FROM (SELECT $ap.cluster, unnest(v.ve) AS e,
+         |        unnest(range(len(v.ve))) AS pos FROM $ap JOIN v USING (vec_id))
+         |  GROUP BY 1, 2),
+         |$cn AS (SELECT p.c, coalesce(n.cv, p.cv) AS cv FROM $cp p LEFT JOIN
+         |  (SELECT cluster AS c, list(m ORDER BY pos) AS cv FROM $mp GROUP BY 1) n
+         |  USING (c))""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+       |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS c, ve AS cv FROM (
+       |  SELECT vec_id, ve, row_number() OVER (
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM v)
+       |  WHERE rn <= 8),
+       |${round("c0", "a0", "m0", "c1")},
+       |${round("c1", "a1", "m1", "c2")}
+       |SELECT vec_id, cluster, round(list_dot_product(ve, ve)
+       |  - 2 * list_dot_product(ve, cv) + list_dot_product(cv, cv), 6) AS d2
+       |FROM (SELECT v.vec_id, c2.c AS cluster, v.ve, c2.cv,
+       |  row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY list_dot_product(c2.cv, c2.cv)
+       |      - 2 * list_dot_product(v.ve, c2.cv), c2.c) AS rn FROM v, c2)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4754,6 +4799,7 @@ object Queries {
     "q157_dup_chunks" -> (q157DupChunks _),
     "q158_semantic_dup" -> (q158SemanticDup _),
     "q159_shards" -> (q159Shards _),
+    "q160_kmeans" -> (q160Kmeans _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4916,6 +4962,7 @@ object Queries {
     "q157_dup_chunks" -> q157Sql,
     "q158_semantic_dup" -> q158Sql,
     "q159_shards" -> q159Sql,
+    "q160_kmeans" -> q160Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

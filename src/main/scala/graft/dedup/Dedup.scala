@@ -445,9 +445,10 @@ object Dedup {
     * Clustering here is assignment to k deterministic seed exemplars
     * (the k vectors with the lexicographically smallest md5(id) — an
     * engine-portable pseudo-random draw, the md5-threshold sampling
-    * idiom) by highest cosine; production would feed KMeans centroids
-    * ([[graft.ml.Drivers]]) through the same `assign → intra-cluster
-    * pairs` plan — the seeds relation is the only thing that changes.
+    * idiom) by highest cosine; production feeds KMeans centroids
+    * ([[graft.ml.KMeansRel.fit]]) through the same `assign →
+    * intra-cluster pairs` plan via [[semanticDupPairsWith]] — the
+    * seeds relation is the only thing that changes.
     *
     * Scale shape: seeds are k rows (broadcast); assignment is one
     * map-side cross join + per-id argmax (k candidates per row, no
@@ -460,16 +461,31 @@ object Dedup {
     */
   def semanticDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, threshold: Double): DataFrame = {
-    import graft.sim.Similarity
     require(k >= 1, s"need k >= 1 clusters, got $k")
-    val seeds = broadcast(
-      vectors.select(col(idCol).as("__sid"), col(vecCol).as("__sv"))
-        .orderBy(md5(col("__sid").cast("string")), col("__sid"))
-        .limit(k))
+    val seeds = vectors.select(col(idCol).as("__sid"), col(vecCol).as("__sv"))
+      .orderBy(md5(col("__sid").cast("string")), col("__sid"))
+      .limit(k)
+    semanticDupPairsWith(vectors, idCol, vecCol, seeds, threshold)
+  }
+
+  /** [[semanticDupPairs]] with a caller-supplied cluster relation —
+    * the production SemDeDup face: feed
+    * [[graft.ml.KMeansRel.fit]] centroids (cluster, centroid) in as
+    * `(__sid, __sv)` and the same `assign → intra-cluster pairs` plan
+    * runs over real Lloyd cells instead of seed exemplars. */
+  def semanticDupPairsWith(vectors: DataFrame, idCol: String,
+      vecCol: String, seeds: DataFrame, threshold: Double): DataFrame = {
+    import graft.sim.Similarity
+    val s = seeds.columns.toSeq match {
+      case Seq("__sid", "__sv") => seeds
+      case Seq(a, b) => seeds.select(col(a).as("__sid"), col(b).as("__sv"))
+      case other => throw new IllegalArgumentException(
+        s"seeds must have exactly (id, vector) columns, got $other")
+    }
     // Nearest-seed assignment: argmax cosine, ties to the lower seed
     // id — max_by on a (cosine, -sid) struct, one aggregate per row id.
     val assigned = vectors
-      .crossJoin(seeds) // broadcast: k candidate rows per vector, map-side
+      .crossJoin(broadcast(s)) // k candidate rows per vector, map-side
       .groupBy(col(idCol))
       .agg(max_by(col("__sid"),
         struct(Similarity.cosine(col(vecCol), col("__sv")).as("c"),
