@@ -4635,6 +4635,43 @@ object Queries {
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** Hard-negative mining ([[graft.sim.Similarity.hardNegatives]]):
+    * per anchor, the 5 most-cosine-similar vectors with a DIFFERENT
+    * label, candidates bounded to the anchor's seed-exemplar cluster
+    * (the SemDeDup cell trick — out-of-neighborhood negatives are
+    * easy, not hard). Per-anchor top-k on the bounded heap aggregate;
+    * the oracle replays seed draw, argmax assignment, intra-cluster
+    * label-mismatch ranking in SQL. */
+  def q161HardNegatives(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.hardNegatives(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        nClusters = 4, k = 5)
+      .orderBy("vec_id", "rn")
+
+  val q161Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label
+      |  FROM embeddings),
+      |seeds AS (SELECT vec_id AS sid, ve AS sv FROM v
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+      |scored AS (SELECT v.vec_id, s.sid,
+      |  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |    list_dot_product(v.ve, s.sv) /
+      |      (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(s.sv, s.sv))) DESC,
+      |    s.sid) AS rn
+      |  FROM v, seeds s),
+      |asg AS (SELECT vec_id, sid AS cluster FROM scored WHERE rn = 1),
+      |m AS (SELECT a.cluster, v.vec_id, v.ve, v.label
+      |  FROM asg a JOIN v USING (vec_id)),
+      |cand AS (SELECT a.vec_id, b.vec_id AS neg_id,
+      |  list_dot_product(a.ve, b.ve) /
+      |    (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) AS c
+      |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.label <> b.label),
+      |r AS (SELECT vec_id, neg_id, round(c, 6) AS cosine,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, neg_id) AS rn
+      |  FROM cand WHERE c IS NOT NULL)
+      |SELECT vec_id, neg_id, cosine, CAST(rn AS BIGINT) AS rn
+      |FROM r WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4800,6 +4837,7 @@ object Queries {
     "q158_semantic_dup" -> (q158SemanticDup _),
     "q159_shards" -> (q159Shards _),
     "q160_kmeans" -> (q160Kmeans _),
+    "q161_hard_negatives" -> (q161HardNegatives _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4963,6 +5001,7 @@ object Queries {
     "q158_semantic_dup" -> q158Sql,
     "q159_shards" -> q159Sql,
     "q160_kmeans" -> q160Sql,
+    "q161_hard_negatives" -> q161Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -364,4 +364,62 @@ object Similarity {
       .select(col(idCol), round(cosine(col(vecCol), pVec), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol)).limit(k)
   }
+
+  /** Deterministic seed-exemplar clustering: every vector assigned to
+    * the most-cosine-similar of the k corpus vectors with the
+    * lexicographically smallest `(md5(id), id)` — the same
+    * engine-portable draw + argmax [[graft.dedup.Dedup.semanticDupPairs]]
+    * buckets with (ties to the lower seed id). The cheap bucketing
+    * face shared by SemDeDup and [[hardNegatives]]; swap in
+    * [[graft.ml.KMeansRel.fit]] centroids when cluster quality
+    * matters more than zero-fit cost. Returns (idCol, cluster). */
+  def seedAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1 clusters, got $k")
+    val seeds = broadcast(
+      vectors.select(col(idCol).as("__sid"), col(vecCol).as("__sv"))
+        .orderBy(md5(col("__sid").cast("string")), col("__sid"))
+        .limit(k))
+    vectors.crossJoin(seeds)
+      .groupBy(col(idCol))
+      .agg(max_by(col("__sid"),
+        struct(cosine(col(vecCol), col("__sv")).as("c"),
+          (-col("__sid")).as("nt"))).as("cluster"))
+  }
+
+  /** Hard-negative mining for contrastive training: for every anchor,
+    * the k most-similar vectors carrying a DIFFERENT label — the
+    * "hardest" negatives, the pairs that teach a metric model the
+    * most (Schroff et al. 2015's semi-hard insight, mined corpus-wide
+    * rather than in-batch).
+    *
+    * The candidate space is bounded the SemDeDup way: anchors only
+    * meet candidates in their own [[seedAssign]] cluster (production
+    * ANN-based mining — negatives outside the anchor's neighborhood
+    * are easy, not hard, so restricting to the cell loses little and
+    * caps pair work at Σ m_c²). The per-anchor top-k runs on
+    * [[graft.functions.BoundedTopKAgg]] — every aggregation buffer
+    * holds ≤ k rows, so a mega-cluster can't OOM an executor. Rows
+    * with null labels or degenerate (zero-norm) cosines drop.
+    *
+    * @return (idCol, neg_id, cosine DESC-ranked, rn 1..k) — ties
+    *         break to the lower neg_id; cosine rounded to 6 places.
+    */
+  def hardNegatives(vectors: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nClusters: Int, k: Int): DataFrame = {
+    val cells = seedAssign(vectors, idCol, vecCol, nClusters)
+    val withC = vectors.join(cells, Seq(idCol))
+    val a = withC.select(col("cluster"), col(idCol),
+      col(vecCol).as("__va"), col(labelCol).as("__la"))
+    val b = withC.select(col("cluster"), col(idCol).as("neg_id"),
+      col(vecCol).as("__vb"), col(labelCol).as("__lb"))
+    val cand = a.join(b, Seq("cluster"))
+      .filter(col("__la") =!= col("__lb")) // null labels fall out here
+      .withColumn("__c", cosine(col("__va"), col("__vb")))
+      .filter(col("__c").isNotNull)
+    graft.features.Features.topKPerGroupBounded(cand, idCol,
+        struct((-col("__c")).as("__nc"), col("neg_id"),
+          round(col("__c"), 6).as("cosine")), k)
+      .drop("__nc")
+  }
 }

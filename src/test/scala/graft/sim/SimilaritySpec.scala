@@ -199,4 +199,39 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(vals.toSeq === again.toSeq)
   }
+
+  test("hardNegatives: never same-label, matches in-cluster brute force") {
+    val k = 5
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      nClusters = 4, k = k)
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // no anchor ever paired with its own label, ranks are 1..<=k dense
+    assert(rows.forall { case (a, n, _) => labels(a) != labels(n) })
+    val byAnchor = rows.groupBy(_._1)
+    assert(byAnchor.values.forall { rs =>
+      rs.map(_._3).sorted.toSeq == (1L to rs.length.toLong)
+    })
+    // brute-force replay inside the same cells agrees on the top pick
+    val cells = Similarity.seedAssign(emb, "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top = rows.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    top.foreach { case (a, n) =>
+      val best = vecs.keys.filter(o => o != a && cells(o) == cells(a) &&
+          labels(o) != labels(a))
+        .map(o => (-cos(vecs(a), vecs(o)), o)).minOption
+      assert(best.exists(_._2 == n) ||
+        best.exists { case (c, o) => cos(vecs(a), vecs(n)) >= -c - 1e-12 },
+        s"anchor $a: got $n want ${best.map(_._2)}")
+    }
+  }
 }
