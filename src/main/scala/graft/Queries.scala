@@ -4672,6 +4672,61 @@ object Queries {
       |SELECT vec_id, neg_id, cosine, CAST(rn AS BIGINT) AS rn
       |FROM r WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin
 
+  /** Vocabulary coverage / OOV profile
+    * ([[graft.text.TextOps.vocabCoverage]]): top-64 corpus vocabulary
+    * (TakeOrdered, broadcast back), per-document fraction of token
+    * occurrences outside it — the tokenizer-fit pre-check. */
+  def q162VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.vocabCoverage(
+        t(s, dir, "documents"), "doc_id", "text", vocabSize = 64)
+      .orderBy("doc_id")
+
+  val q162Sql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |vocab AS (SELECT term FROM (
+      |  SELECT term, count(*) AS cnt FROM toks GROUP BY 1
+      |  ORDER BY cnt DESC, term LIMIT 64) q)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS oov_tokens,
+      |  round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) / count(*), 6)
+      |    AS oov_rate
+      |FROM toks LEFT JOIN vocab v ON toks.term = v.term
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Winnowing fingerprints ([[graft.text.TextOps.winnow]], the MOSS
+    * algorithm): min-hash per sliding 4-window of 4-token shingle
+    * md5s, ties to the rightmost position via the `md5 ∥ inverted
+    * zero-padded pos` string-min trick — one portable comparison
+    * selects (min hash, rightmost pos). Any shared run of ≥ 7 tokens
+    * between documents is guaranteed to share a fingerprint. */
+  def q163Winnow(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.winnow(
+        t(s, dir, "documents"), "doc_id", "text", k = 4, w = 4)
+      .orderBy("doc_id", "pos")
+
+  val q163Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |st AS (SELECT doc_id, ws,
+      |  range(1, greatest(len(ws) - 3, 0) + 1) AS idx FROM t),
+      |sh AS (SELECT doc_id, unnest(idx) - 1 AS pos,
+      |  md5(unnest(list_transform(idx,
+      |    i -> array_to_string(list_slice(ws, i, i + 3), ' ')))) AS h
+      |  FROM st),
+      |keyed AS (SELECT doc_id, pos,
+      |  h || lpad(CAST(9999999 - pos AS VARCHAR), 7, '0') AS key FROM sh),
+      |win AS (SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id
+      |  ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+      |  FROM keyed)
+      |SELECT DISTINCT doc_id,
+      |  CAST(9999999 - CAST(substr(mk, 33, 7) AS BIGINT) AS BIGINT) AS pos,
+      |  substr(mk, 1, 32) AS fp
+      |FROM win WHERE pos >= 3 ORDER BY 1, 2""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4838,6 +4893,8 @@ object Queries {
     "q159_shards" -> (q159Shards _),
     "q160_kmeans" -> (q160Kmeans _),
     "q161_hard_negatives" -> (q161HardNegatives _),
+    "q162_vocab_coverage" -> (q162VocabCoverage _),
+    "q163_winnow" -> (q163Winnow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -5002,6 +5059,8 @@ object Queries {
     "q159_shards" -> q159Sql,
     "q160_kmeans" -> q160Sql,
     "q161_hard_negatives" -> q161Sql,
+    "q162_vocab_coverage" -> q162Sql,
+    "q163_winnow" -> q163Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -364,4 +364,85 @@ object TextOps {
       .filter(col("hits") === qs.length)
       .select("doc_id")
   }
+
+  /** Vocabulary coverage / OOV profile: build the top-`vocabSize`
+    * corpus vocabulary (by count desc, term asc — deterministic ties)
+    * over [[regexTokens]], then score every document's fraction of
+    * token OCCURRENCES falling outside it. The tokenizer-fit
+    * pre-check for a training corpus: a high OOV rate flags docs a
+    * fixed vocab (or BPE merge table) will shred into bytes.
+    *
+    * Scale shape: the vocab is a TakeOrdered top-V over the word-count
+    * aggregate (bounded by construction) and joins back as a
+    * broadcast; per-doc token counts partially aggregate map-side
+    * (one document's tokens never leave their input partition before
+    * the combine). Documents with zero tokens produce no row.
+    *
+    * @return (idCol, n_tokens, oov_tokens, oov_rate rounded to 6). */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"need vocabSize >= 1, got $vocabSize")
+    val toks = docs.select(col(idCol),
+      explode(regexTokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_rate", round(col("oov_tokens") / col("n_tokens"), 6))
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every `k`-token shingle,
+    * slide a `w`-hash window, and keep each window's minimum (ties to
+    * the RIGHTMOST position, the paper's density rule). Guarantees any
+    * shared run of ≥ w+k−1 tokens between two documents shares a
+    * fingerprint — the local-fingerprint dedup/plagiarism primitive
+    * between exact chunk hashing (position-brittle) and MinHash
+    * (global, not positional).
+    *
+    * Portability: the shingle hash is its md5 hex string and the
+    * window minimum is taken over `md5 ∥ zero-padded(10^7−1−pos)`
+    * strings — lexicographic string min picks (min hash, rightmost
+    * pos) in one portable comparison, no numeric hash arithmetic any
+    * SQL engine could round differently. Positions are capped at 10^7
+    * shingles per document (loudly, via the lpad width).
+    *
+    * Scale shape: shingling and hashing are map-side; the only
+    * shuffle is the per-document ordered window over shingle
+    * positions — partitions are document-sized (bounded by the
+    * position cap), never corpus-sized. Documents with fewer than
+    * w+k−1 tokens emit nothing (no complete window).
+    *
+    * @return distinct (idCol, pos, fp) — the selected shingle
+    *         positions and their md5 fingerprints. */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1 shingle tokens, got $k")
+    require(w >= 2, s"need w >= 2 window hashes, got $w")
+    val ts = tokens(col(textCol))
+    val shingles = when(size(ts) >= k,
+      transform(sequence(lit(0), size(ts) - k),
+        i => concat_ws(" ", slice(ts, i + 1, lit(k))))
+    ).otherwise(array().cast("array<string>"))
+    val hashed = docs
+      .select(col(idCol), posexplode(shingles).as(Seq("__p", "__g")))
+      .select(col(idCol), col("__p"),
+        concat(md5(col("__g")),
+          lpad((lit(9999999) - col("__p")).cast("string"), 7, "0"))
+          .as("__key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(-(w - 1), 0)
+    hashed
+      .withColumn("__min", min(col("__key")).over(win))
+      .filter(col("__p") >= w - 1) // complete windows only
+      .select(col(idCol),
+        (lit(9999999) - substring(col("__min"), 33, 7).cast("long"))
+          .as("pos"),
+        substring(col("__min"), 1, 32).as("fp"))
+      .distinct()
+  }
 }

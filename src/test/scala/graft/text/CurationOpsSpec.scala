@@ -295,4 +295,48 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(packs.map(_._3).sum === 100L)
     assert(packs.map(_._1).toSeq === packs.map(_._1).toSeq.sorted)
   }
+
+  test("vocabCoverage: all-in-vocab doc scores 0, all-OOV doc scores 1") {
+    // 10 docs of common words (the vocab), one doc of unique words
+    val docs = ((0L until 10L).map(i => (i, "alpha beta gamma")) :+
+      (99L, "zzq1 zzq2 zzq3")).toDF("doc_id", "text")
+    val got = TextOps.vocabCoverage(docs, "doc_id", "text", vocabSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(got.filter(_._1 < 10L).forall { case (_, n, r) => n == 3L && r == 0.0 })
+    assert(got.find(_._1 == 99L).exists { case (_, n, r) => n == 3L && r == 1.0 })
+    // empty doc emits no row
+    val e = TextOps.vocabCoverage(
+      Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", 10)
+    assert(e.count() === 1)
+  }
+
+  test("winnow: shared run guarantee, rightmost tie rule, short docs empty") {
+    val shared = "one two three four five six seven" // 7 tokens = w+k-1
+    val docs = Seq(
+      (1L, s"prefix words here $shared and a tail"),
+      (2L, s"$shared completely different ending tokens"),
+      (3L, "too short"),
+      (4L, "rep rep rep rep rep rep rep rep") // all shingles identical
+    ).toDF("doc_id", "text")
+    val fp = TextOps.winnow(docs, "doc_id", "text", k = 4, w = 4)
+    val byDoc = fp.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    // guarantee: docs 1 and 2 share >= w+k-1 consecutive tokens ->
+    // at least one common fingerprint hash
+    val f1 = byDoc(1L).map(_._3).toSet
+    val f2 = byDoc(2L).map(_._3).toSet
+    assert(f1.intersect(f2).nonEmpty, s"no shared fingerprint: $f1 vs $f2")
+    // doc 3 has < k+w-1 tokens -> no complete window -> absent
+    assert(!byDoc.contains(3L))
+    // doc 4: every shingle hashes equal -> tie resolves to the
+    // RIGHTMOST position of each window; selected positions are the
+    // window ends 3..4 (8 tokens -> 5 shingles, windows end at 3,4)
+    assert(byDoc(4L).map(_._2).sorted.toSeq === Seq(3L, 4L))
+    // determinism across repartition
+    val again = TextOps.winnow(docs.repartition(7), "doc_id", "text", 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(again === fp.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet)
+  }
 }
