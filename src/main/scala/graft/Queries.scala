@@ -4727,6 +4727,99 @@ object Queries {
       |  substr(mk, 1, 32) AS fp
       |FROM win WHERE pos >= 3 ORDER BY 1, 2""".stripMargin
 
+  /** Measured ANN recall ([[graft.ml.Metrics.recallAtK]]): the
+    * IVF probe at nprobe=2 (deliberately lossy — half the q44 probe
+    * budget) scored against the exact top-20, as one (k, hits,
+    * recall) row. The eval op that turns "approximate" from a hope
+    * into a number; the oracle replays BOTH retrieval pipelines and
+    * the set intersection. */
+  def q164AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.ivfFitSample(e, "vec_id", "embedding", nlist = 8)
+    val probe = e.filter(col("vec_id") === 0).limit(1)
+    val got = Similarity.ivfTopK(e, "vec_id", "embedding", probe,
+      k = 20, model, nprobe = 2)
+    val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding", probe,
+      k = 20)
+    graft.ml.Metrics.recallAtK(got, truth, "vec_id")
+  }
+
+  val q164Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+      |a AS (SELECT v.vec_id, v.e, c.cid,
+      |        row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |          list_dot_product(c.ce, c.ce) - 2 * list_dot_product(v.e, c.ce), c.cid) AS rn
+      |      FROM v CROSS JOIN c),
+      |cells AS (SELECT vec_id, e, cid AS cell FROM a WHERE rn = 1),
+      |p AS (SELECT e AS pe FROM v WHERE vec_id = 0),
+      |pc AS (SELECT c.cid, row_number() OVER (ORDER BY
+      |         list_dot_product(c.ce, c.ce) - 2 * list_dot_product(p.pe, c.ce), c.cid) AS rn
+      |       FROM c CROSS JOIN p),
+      |probed AS (SELECT cid FROM pc WHERE rn <= 2),
+      |ivf AS (SELECT cells.vec_id, round(list_dot_product(cells.e, p.pe) /
+      |    (sqrt(list_dot_product(cells.e, cells.e)) * sqrt(list_dot_product(p.pe, p.pe))), 6) AS cosine
+      |  FROM cells JOIN probed ON cells.cell = probed.cid CROSS JOIN p
+      |  ORDER BY cosine DESC, vec_id LIMIT 20),
+      |ex AS (SELECT vec_id, round(list_dot_product(v.e, p.pe) /
+      |    (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(p.pe, p.pe))), 6) AS cosine
+      |  FROM v, p ORDER BY cosine DESC, vec_id LIMIT 20),
+      |tr AS (SELECT count(*) AS k FROM (SELECT DISTINCT vec_id FROM ex)),
+      |h AS (SELECT count(*) AS hits FROM
+      |  (SELECT DISTINCT vec_id FROM ivf) i
+      |  JOIN (SELECT DISTINCT vec_id FROM ex) x USING (vec_id))
+      |SELECT k, hits, CASE WHEN k = 0 THEN NULL
+      |  ELSE round(CAST(hits AS DOUBLE) / k, 6) END AS recall
+      |FROM tr, h""".stripMargin
+
+  /** Corpus health report: the one-row dataset card a curation run
+    * starts and ends with — volume (docs/tokens), length shape
+    * (mean/median tokens), source spread, exact-duplicate text
+    * fraction, and language-distribution entropy (q116's
+    * grid-rounded decimal-sum idiom). Three bounded aggregates
+    * (1-row, 1-row, langs-sized) scalar-joined — the corpus is
+    * scanned twice (token pass + distinct-text pass), never
+    * shuffled whole. */
+  def q165CorpusHealth(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val perDoc = d.select(
+      graft.text.TextOps.nTokens(col("text")).as("nt"),
+      col("lang"), col("source"))
+    val base = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("n_tokens"),
+      round(avg(col("nt")), 6).as("mean_tokens"),
+      round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY nt)"), 6)
+        .as("p50_tokens"),
+      countDistinct(col("source")).as("n_sources"))
+    val dup = d.agg(round(lit(1.0)
+      - countDistinct(col("text")) / count(lit(1)).cast("double"), 6)
+      .as("dup_text_frac"))
+    val langs = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val ent = langs.crossJoin(broadcast(langs.agg(sum(col("n")).as("t"))))
+      .select(round((col("n") / col("t")) * (-log(col("n") / col("t"))), 9)
+        .as("term"))
+      .agg(round(sum(col("term").cast("decimal(28,9)")).cast("double"), 6)
+        .as("lang_entropy_nats"))
+    base.crossJoin(dup).crossJoin(ent)
+  }
+
+  val q165Sql: String =
+    """WITH pd AS (SELECT doc_id,
+      |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS nt,
+      |  lang, source FROM documents),
+      |base AS (SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  round(avg(nt), 6) AS mean_tokens,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY nt), 6) AS p50_tokens,
+      |  count(DISTINCT source) AS n_sources FROM pd),
+      |dup AS (SELECT round(1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE), 6)
+      |  AS dup_text_frac FROM documents),
+      |l AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+      |tt AS (SELECT sum(n) AS t FROM l),
+      |ent AS (SELECT round(CAST(sum(CAST(round((n / t) * (-ln(n / t)), 9)
+      |    AS DECIMAL(28, 9))) AS DOUBLE), 6) AS lang_entropy_nats FROM l, tt)
+      |SELECT * FROM base, dup, ent""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4895,6 +4988,8 @@ object Queries {
     "q161_hard_negatives" -> (q161HardNegatives _),
     "q162_vocab_coverage" -> (q162VocabCoverage _),
     "q163_winnow" -> (q163Winnow _),
+    "q164_ann_recall" -> (q164AnnRecall _),
+    "q165_corpus_health" -> (q165CorpusHealth _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -5061,6 +5156,8 @@ object Queries {
     "q161_hard_negatives" -> q161Sql,
     "q162_vocab_coverage" -> q162Sql,
     "q163_winnow" -> q163Sql,
+    "q164_ann_recall" -> q164Sql,
+    "q165_corpus_health" -> q165Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -408,4 +408,26 @@ object Metrics {
         col("p").cast("long").as("positives"),
         col("n").cast("long").as("negatives"))
   }
+
+  /** Retrieval recall: |got ∩ truth| / |truth| over two result-id
+    * relations — the ANN quality gauge ("measure, don't guess": an
+    * approximate index without a measured recall is a bug that hasn't
+    * happened yet). Both inputs are top-k result sets (id column, any
+    * other columns ignored); duplicates collapse before counting.
+    *
+    * Scale shape: the overlap is a LEFT SEMI join of two k-sized
+    * relations and each count is a 1-row aggregate — the crossJoin of
+    * 1-row frames is the scalar-broadcast pattern, never a data-sized
+    * cartesian. Returns one row: (k = |truth|, hits, recall to 6
+    * places; recall NULL when truth is empty). */
+  def recallAtK(got: DataFrame, truth: DataFrame,
+      idCol: String): DataFrame = {
+    val t = truth.select(col(idCol)).distinct()
+    val hits = got.select(col(idCol)).distinct()
+      .join(t, Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    t.agg(count(lit(1)).as("k")).crossJoin(hits)
+      .select(col("k"), col("hits"),
+        round(try_divide(col("hits"), col("k")), 6).as("recall"))
+  }
 }

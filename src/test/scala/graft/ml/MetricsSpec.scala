@@ -216,4 +216,19 @@ class MetricsSpec extends AnyFunSuite {
     val r = Metrics.aucBinary(tie, "label", "score").head()
     assert(r.getDouble(0) === 0.875 && r.getLong(1) === 2L && r.getLong(2) === 2L)
   }
+
+  test("recallAtK: overlap ratio, duplicate-insensitive, empty-truth NULL") {
+    def ids(xs: Long*) = xs.toDF("vec_id")
+    val r = Metrics.recallAtK(ids(1, 2, 3, 7, 8), ids(1, 2, 3, 4, 5),
+      "vec_id").head()
+    assert(r.getLong(0) === 5L && r.getLong(1) === 3L
+      && r.getDouble(2) === 0.6)
+    // duplicates in either side don't inflate
+    val d = Metrics.recallAtK(ids(1, 1, 2), ids(1, 2, 2), "vec_id").head()
+    assert(d.getLong(0) === 2L && d.getLong(1) === 2L && d.getDouble(2) === 1.0)
+    // empty truth -> recall NULL, not a crash
+    val e = Metrics.recallAtK(ids(1), ids().filter($"vec_id" < 0), "vec_id")
+      .head()
+    assert(e.getLong(0) === 0L && e.isNullAt(2))
+  }
 }
