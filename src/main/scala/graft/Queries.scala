@@ -5177,5 +5177,8 @@ object Queries {
     // round-4 analytics surface — benched so funnel/basket/Gini/MAD/RFM
     // regressions are visible round-over-round
     "q137_funnel", "q139_transitions", "q140_mad_outliers",
-    "q144_gini", "q145_basket", "q150_rfm")
+    "q144_gini", "q145_basket", "q150_rfm",
+    // round-5/6 curation + similarity surface
+    "q154_containment", "q156_dsir", "q157_dup_chunks",
+    "q160_kmeans", "q161_hard_negatives", "q163_winnow")
 }

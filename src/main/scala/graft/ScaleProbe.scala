@@ -37,8 +37,56 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (set == "flagship") flagship(spark, dir, k)
     else if (set == "r5") r5Probes(spark, dir, k)
+    else if (set == "r6") r6Probes(spark, dir, k)
     else r3Probes(spark, dir, k)
     spark.stop()
+  }
+
+  /** Round-6 operators at arbitrary replication. Cluster counts that
+    * bound pair work (hard negatives) grow with the corpus — the
+    * production dial: constant expected cell size keeps Σ m_c² linear
+    * in rows. KMeans keeps k=8 fixed (centroid count is a model
+    * choice, not a data-volume knob; its cost is rows × k per round
+    * regardless). */
+  private def r6Probes(spark: SparkSession, dir: String, k: Int): Unit = {
+    def t(name: String)(f: => Long): (String, Double, Long) = {
+      val s = System.nanoTime(); val n = f
+      (name, (System.nanoTime() - s) / 1e9, n)
+    }
+    def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val embK = replicate(tbl("embeddings"), Seq("vec_id"), k).persist(lvl)
+    val docsK = replicate(tbl("documents"), Seq("doc_id"), k).persist(lvl)
+    Seq(embK, docsK).foreach(_.count())
+
+    val results = Seq(
+      t("kmeans") {
+        ml.KMeansRel.fitAssign(embK, "vec_id", "embedding",
+          k = 8, iters = 2).count()
+      },
+      t("hard_negatives") {
+        sim.Similarity.hardNegatives(embK, "vec_id", "embedding", "label",
+          nClusters = 8 * k, k = 5).count()
+      },
+      t("winnow") {
+        text.TextOps.winnow(docsK, "doc_id", "text", k = 4, w = 4).count()
+      },
+      t("chunk_dup") {
+        dedup.Dedup.chunkDupStats(docsK, "doc_id", "text", size = 16).count()
+      },
+      t("dsir") {
+        text.Importance.importanceWeights(docsK, "doc_id", "text",
+          col("lang") === "en").count()
+      },
+      t("vocab_coverage") {
+        text.TextOps.vocabCoverage(docsK, "doc_id", "text",
+          vocabSize = 4096).count()
+      })
+
+    val json = results.map { case (n, sec, rows) =>
+      f""""$n":{"sec":$sec%.2f,"rows":$rows}"""
+    }.mkString("{", ",", s""","replication":$k}""")
+    println(s"[probe] $json")
   }
 
   /** Round-5 operators at arbitrary replication: ExactRank percentiles

@@ -1,10 +1,8 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.plans.PinnedWindow
 import graft.sim.Similarity
 
 /** Deterministic relational k-means — Lloyd's algorithm expressed as a
@@ -37,43 +35,66 @@ import graft.sim.Similarity
   *    rational points both engines agree on.
   *  - A cluster that loses every point keeps its previous centroid.
   *
-  * Scale shape, per round: assignment is a broadcast of the k×dim
-  * centroid relation into one hash aggregate (no shuffle of vectors
-  * beyond the per-id argmin combine); the update posexplodes to
-  * (cluster, dim, value) scalar cells — the q117 idiom, vectors never
-  * shuffle whole — into a (k × dim)-sized aggregate. Centroids are
-  * localCheckpointed each round (tiny relation), so lineage stays flat
-  * across rounds instead of re-running every prior round per action.
+  * Scale shape, per round: the centroids live on the DRIVER as k×dim
+  * doubles (model state, not data — the [[Similarity.ivfCell]]
+  * design) and assignment embeds them as array literals, so it is a
+  * pure whole-stage-codegen projection: zero joins, zero shuffles.
+  * The update posexplodes to (cluster, dim, value) scalar cells — the
+  * q117 idiom, vectors never shuffle whole — into a (k × dim)-sized
+  * aggregate collected back to the driver. Each round is therefore
+  * exactly one shuffle (the cell aggregate), and lineage never grows:
+  * every round's plan reads the source relation directly.
   */
 object KMeansRel {
 
-  /** Final centroids after `iters` Lloyd rounds: (cluster: 0..k-1 in
-    * seed order, centroid: array<double> on the 9-decimal grid —
-    * except round 0's raw seed vectors, which are the corpus's own). */
+  /** Final centroids after `iters` Lloyd rounds, as a k-row relation:
+    * (cluster: 0..k-1 in seed order, centroid: array<double> on the
+    * 9-decimal grid — except round 0's raw seed vectors, which are
+    * the corpus's own). */
   def fit(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
+    val cents = fitCentroids(vectors, idCol, vecCol, k, iters)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+  }
+
+  /** [[fit]] as driver-side model state (index = cluster id). */
+  def fitCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[Array[Double]] = {
     require(k >= 1, s"need k >= 1 clusters, got $k")
     require(iters >= 0, s"need iters >= 0, got $iters")
     val v = clean(vectors, idCol, vecCol)
-    var centroids = seedCentroids(v, idCol, k)
-    for (_ <- 1 to iters)
-      centroids = step(v, centroids, idCol, k).localCheckpoint()
-    centroids
+    var cents = seedCentroids(v, idCol, k)
+    for (_ <- 1 to iters) cents = step(v, cents)
+    cents
   }
 
   /** Assignment under the fitted centroids: one row per input vector,
     * (idCol, cluster, d2) with d2 = full squared euclidean distance to
-    * the assigned centroid, rounded to 6 places. */
+    * the assigned centroid, rounded to 6 places. A pure projection
+    * over the source — the fit's shuffles happen while fitting, the
+    * assignment itself is map-side. */
   def fitAssign(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
+    val cents = fitCentroids(vectors, idCol, vecCol, k, iters)
     val v = clean(vectors, idCol, vecCol)
-    val centroids = fit(vectors, idCol, vecCol, k, iters)
-    assign(v, centroids, idCol)
-      .withColumn("d2", round(
-        Similarity.dot(col("__v"), col("__v"))
-          - lit(2.0) * Similarity.dot(col("__v"), col("__cv"))
-          + Similarity.dot(col("__cv"), col("__cv")), 6))
-      .select(col(idCol), col("cluster"), col("d2"))
+    // candidate structs ordered by (d, cluster): d = ⟨c,c⟩ − 2⟨v,c⟩;
+    // d2full carried per candidate with the ORACLE's grouping
+    // ((⟨v,v⟩ − 2⟨v,c⟩) + ⟨c,c⟩) — float addition isn't associative,
+    // so the grouping is part of the cross-engine contract
+    val vv = Similarity.dot(col("__v"), col("__v"))
+    val best = array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      val cArr = array(c.toIndexedSeq.map(lit): _*)
+      val c2 = lit(c.map(x => x * x).sum)
+      val vc = Similarity.dot(col("__v"), cArr)
+      struct((c2 - lit(2.0) * vc).as("d"), lit(i.toLong).as("i"),
+        ((vv - lit(2.0) * vc) + c2).as("d2"))
+    }.toIndexedSeq: _*))
+    v.select(col(idCol), best.getField("i").as("cluster"),
+      round(best.getField("d2"), 6).as("d2"))
   }
 
   private def clean(vectors: DataFrame, idCol: String,
@@ -81,49 +102,46 @@ object KMeansRel {
     vectors.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
 
-  /** The k seed vectors in md5 order, numbered 0..k-1. The corpus-wide
-    * selection is `orderBy(...).limit(k)` — a TakeOrdered distributed
-    * heap, NOT a global sort; only the k survivors pass through the
-    * (pinned, k-row) numbering window. */
+  /** The k seed vectors in md5 order — `orderBy(...).limit(k)` is a
+    * TakeOrdered distributed heap, NOT a global sort; the k winners
+    * come back ordered, re-sorted driver-side defensively. */
   private def seedCentroids(v: DataFrame, idCol: String,
-      k: Int): DataFrame = {
-    val kRows = v
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      k: Int): Array[Array[Double]] =
+    v.select(md5(col(idCol).cast("string")).as("__h"),
+        col(idCol).cast("string").as("__id"), col("__v"))
+      .orderBy(col("__h"), col("__id"))
       .limit(k)
-    val w = Window.partitionBy(PinnedWindow.key(col(idCol)))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    kRows.withColumn("cluster", row_number().over(w).cast("long") - 1)
-      .select(col("cluster"), col("__v").as("__cv"))
-  }
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[Double](2).toArray))
+      .sortBy { case (h, id, _) => (h, id) }
+      .map(_._3)
 
-  /** Nearest-centroid assignment joined back with both the point and
-    * its winning centroid: (idCol, __v, cluster, __cv). */
-  private def assign(v: DataFrame, centroids: DataFrame,
-      idCol: String): DataFrame = {
-    val scored = v.crossJoin(broadcast(centroids))
-      .groupBy(col(idCol))
-      .agg(min_by(col("cluster"), struct(
-        (Similarity.dot(col("__cv"), col("__cv"))
-          - lit(2.0) * Similarity.dot(col("__v"), col("__cv"))).as("d"),
-        col("cluster").as("c"))).as("cluster"))
-    v.join(scored, Seq(idCol)).join(broadcast(centroids), Seq("cluster"))
-  }
-
-  /** One Lloyd round: reassign, then per-(cluster, dim) grid-rounded
-    * decimal-exact means; empty clusters keep their old centroid. */
-  private def step(v: DataFrame, centroids: DataFrame, idCol: String,
-      k: Int): DataFrame = {
-    val cells = assign(v, centroids, idCol)
-      .select(col("cluster"), posexplode(col("__v")).as(Seq("__p", "__e")))
-      .groupBy(col("cluster"), col("__p"))
+  /** One Lloyd round: assignment projection (centroid literals) into
+    * the per-(cluster, dim) grid-rounded decimal-exact mean aggregate;
+    * the (≤ k·dim)-row result comes back to the driver and empty
+    * clusters keep their old centroid. */
+  private def step(v: DataFrame,
+      cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val cluster = array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      val cArr = array(c.toIndexedSeq.map(lit): _*)
+      val c2 = lit(c.map(x => x * x).sum)
+      struct((c2 - lit(2.0) * Similarity.dot(col("__v"), cArr)).as("d"),
+        lit(i.toLong).as("i"))
+    }.toIndexedSeq: _*)).getField("i")
+    val cells = v.select(cluster.as("__c"),
+        posexplode(col("__v")).as(Seq("__p", "__e")))
+      .groupBy(col("__c"), col("__p"))
       .agg(round(sum(col("__e").cast("decimal(38,12)")).cast("double")
         / count(lit(1)), 9).as("__m"))
-    // Rebuild arrays: the per-cluster buffer is dim-sized (bounded by
-    // construction — embedding width, not data volume).
-    val rebuilt = cells.groupBy(col("cluster"))
-      .agg(transform(array_sort(collect_list(struct(col("__p"), col("__m")))),
-        x => x.getField("__m")).as("__nv"))
-    centroids.join(rebuilt, Seq("cluster"), "left")
-      .select(col("cluster"), coalesce(col("__nv"), col("__cv")).as("__cv"))
+      .collect()
+    val byCluster = cells.groupBy(_.getLong(0))
+    cents.zipWithIndex.map { case (old, i) =>
+      byCluster.get(i.toLong) match {
+        case Some(rows) =>
+          val m = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+          Array.tabulate(old.length)(p => m(p))
+        case None => old // empty cluster: previous centroid survives
+      }
+    }
   }
 }

@@ -62,7 +62,7 @@ class KMeansRelSpec extends AnyFunSuite {
     // still return k centroid rows either way.
     val c = KMeansRel.fit(blobs, "id", "v", k = 3, iters = 4)
     assert(c.count() === 3)
-    assert(c.filter($"__cv".isNull).count() === 0)
+    assert(c.filter($"centroid".isNull).count() === 0)
   }
 
   test("Lloyd iterations never increase total inertia") {
