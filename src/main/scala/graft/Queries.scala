@@ -4820,6 +4820,86 @@ object Queries {
       |    AS DECIMAL(28, 9))) AS DOUBLE), 6) AS lang_entropy_nats FROM l, tt)
       |SELECT * FROM base, dup, ent""".stripMargin
 
+  /** Gopher structural quality gate
+    * ([[graft.text.TextOps.gopherRules]]): word-count bounds,
+    * mean-word-length band, symbol/bullet/ellipsis ratios,
+    * alphabetic-word fraction, stop-word containment — all as one
+    * zero-shuffle codegen projection, with the conjunction `keep`.
+    * At 100 TB this runs inside the scan stage so every downstream
+    * operator only sees survivors. */
+  def q166GopherRules(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.gopherRules(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q166Sql: String =
+    """WITH d AS (SELECT doc_id, text,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws,
+      |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS wsl,
+      |  list_filter(regexp_split_to_array(text, '\n'), l -> trim(l) <> '') AS ls
+      |  FROM documents),
+      |m AS (SELECT doc_id, len(ws) AS n_words,
+      |  CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE)
+      |    / greatest(len(ws), 1) AS mean_word_len,
+      |  CAST(len(regexp_extract_all(text, '#|\.{3}|…')) AS DOUBLE)
+      |    / greatest(len(ws), 1) AS symbol_ratio,
+      |  CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+      |    / greatest(len(ls), 1) AS bullet_frac,
+      |  CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\.{3}|…)$'))) AS DOUBLE)
+      |    / greatest(len(ls), 1) AS ellipsis_frac,
+      |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+      |    / greatest(len(ws), 1) AS alpha_word_frac,
+      |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      |    s -> list_contains(wsl, s))) AS BIGINT) AS stop_hits
+      |  FROM d)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  round(mean_word_len, 6) AS mean_word_len,
+      |  round(symbol_ratio, 6) AS symbol_ratio,
+      |  round(bullet_frac, 6) AS bullet_frac,
+      |  round(ellipsis_frac, 6) AS ellipsis_frac,
+      |  round(alpha_word_frac, 6) AS alpha_word_frac, stop_hits,
+      |  (n_words >= 50 AND n_words <= 100000
+      |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |   AND symbol_ratio < 0.1 AND bullet_frac <= 0.1
+      |   AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+      |   AND stop_hits >= 2) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Batch k-NN join ([[graft.sim.Similarity.knnJoin]]): every 50th
+    * vector as a query, its top-3 cosine neighbors from the full
+    * corpus, searched only inside the query's seed cell — thousands
+    * of probes amortized into ONE equi-join (vs one scan per probe
+    * with [[graft.sim.Similarity.annTopK]]). Self-match lands at
+    * rank 1 by construction. */
+  def q167KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.sim.Similarity.knnJoin(
+        e.filter(col("vec_id") % 50 === 0), "vec_id",
+        e, "vec_id", "embedding", nClusters = 4, k = 3)
+      .orderBy("vec_id", "rn")
+  }
+
+  val q167Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |seeds AS (SELECT vec_id AS sid, ve AS sv FROM v
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+      |ca AS (SELECT vec_id, sid AS cluster FROM (
+      |  SELECT v.vec_id, s.sid, row_number() OVER (PARTITION BY v.vec_id
+      |    ORDER BY list_dot_product(v.ve, s.sv) /
+      |      (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(s.sv, s.sv))) DESC,
+      |    s.sid) AS rn FROM v, seeds s) WHERE rn = 1),
+      |q AS (SELECT vec_id, ve FROM v WHERE vec_id % 50 = 0),
+      |qa AS (SELECT q.vec_id, ca.cluster, q.ve FROM q JOIN ca USING (vec_id)),
+      |m AS (SELECT ca.cluster, v.vec_id AS nn_id, v.ve FROM ca JOIN v USING (vec_id)),
+      |cand AS (SELECT qa.vec_id, m.nn_id,
+      |  list_dot_product(qa.ve, m.ve) /
+      |    (sqrt(list_dot_product(qa.ve, qa.ve)) * sqrt(list_dot_product(m.ve, m.ve))) AS c
+      |  FROM qa JOIN m ON qa.cluster = m.cluster),
+      |r AS (SELECT vec_id, nn_id, round(c, 6) AS cosine,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nn_id) AS rn
+      |  FROM cand WHERE c IS NOT NULL)
+      |SELECT vec_id, nn_id, cosine, CAST(rn AS BIGINT) AS rn
+      |FROM r WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -4990,6 +5070,8 @@ object Queries {
     "q163_winnow" -> (q163Winnow _),
     "q164_ann_recall" -> (q164AnnRecall _),
     "q165_corpus_health" -> (q165CorpusHealth _),
+    "q166_gopher_rules" -> (q166GopherRules _),
+    "q167_knn_join" -> (q167KnnJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -5158,6 +5240,8 @@ object Queries {
     "q163_winnow" -> q163Sql,
     "q164_ann_recall" -> q164Sql,
     "q165_corpus_health" -> q165Sql,
+    "q166_gopher_rules" -> q166Sql,
+    "q167_knn_join" -> q167Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -374,17 +374,63 @@ object Similarity {
     * [[graft.ml.KMeansRel.fit]] centroids when cluster quality
     * matters more than zero-fit cost. Returns (idCol, cluster). */
   def seedAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    assignToSeeds(vectors, idCol, vecCol,
+      seedsOf(vectors, idCol, vecCol, k))
+
+  /** The k md5-draw seed exemplars of a corpus, as (__sid, __sv). */
+  def seedsOf(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1 clusters, got $k")
-    val seeds = broadcast(
-      vectors.select(col(idCol).as("__sid"), col(vecCol).as("__sv"))
-        .orderBy(md5(col("__sid").cast("string")), col("__sid"))
-        .limit(k))
-    vectors.crossJoin(seeds)
+    vectors.select(col(idCol).as("__sid"), col(vecCol).as("__sv"))
+      .orderBy(md5(col("__sid").cast("string")), col("__sid"))
+      .limit(k)
+  }
+
+  /** Assign any vector relation to an existing seed relation by argmax
+    * cosine (ties to the lower seed id) — so a query side and a corpus
+    * side bucketize IDENTICALLY. Returns (idCol, cluster). */
+  def assignToSeeds(vectors: DataFrame, idCol: String, vecCol: String,
+      seeds: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(seeds))
       .groupBy(col(idCol))
       .agg(max_by(col("__sid"),
         struct(cosine(col(vecCol), col("__sv")).as("c"),
           (-col("__sid")).as("nt"))).as("cluster"))
+
+  /** Approximate k-nearest-neighbor JOIN: for every query vector, the
+    * k most-cosine-similar corpus vectors, searched ONLY inside the
+    * query's seed cell — the batch-retrieval face of [[annTopK]]
+    * (thousands of probes amortized into one equi-join instead of one
+    * scan per probe). Both sides bucketize against the CORPUS's seed
+    * exemplars, so a query always lands where its candidates live;
+    * per-query ranking runs on [[graft.functions.BoundedTopKAgg]]
+    * (≤ k rows per buffer). Recall is what the cell geometry gives —
+    * measure it with [[graft.ml.Metrics.recallAtK]]; raise nClusters
+    * to trade recall for Σ m_c² pair work.
+    *
+    * @return (qIdCol, nn_id, cosine DESC-ranked to 6 places, rn 1..k);
+    *         a query that is also in the corpus matches itself at
+    *         rank 1 — filter `qIdCol =!= nn_id` downstream if
+    *         self-matches are unwanted. */
+  def knnJoin(queries: DataFrame, qIdCol: String,
+      corpus: DataFrame, cIdCol: String, vecCol: String,
+      nClusters: Int, k: Int): DataFrame = {
+    val seeds = seedsOf(corpus, cIdCol, vecCol, nClusters)
+    val qa = queries.join(
+      assignToSeeds(queries, qIdCol, vecCol, seeds), Seq(qIdCol))
+      .select(col("cluster"), col(qIdCol), col(vecCol).as("__vq"))
+    val ca = corpus.join(
+      assignToSeeds(corpus, cIdCol, vecCol, seeds), Seq(cIdCol))
+      .select(col("cluster"), col(cIdCol).as("nn_id"),
+        col(vecCol).as("__vc"))
+    val cand = qa.join(ca, Seq("cluster"))
+      .withColumn("__c", cosine(col("__vq"), col("__vc")))
+      .filter(col("__c").isNotNull)
+    graft.features.Features.topKPerGroupBounded(cand, qIdCol,
+        struct((-col("__c")).as("__nc"), col("nn_id"),
+          round(col("__c"), 6).as("cosine")), k)
+      .drop("__nc")
   }
 
   /** Hard-negative mining for contrastive training: for every anchor,

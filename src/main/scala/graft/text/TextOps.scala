@@ -394,6 +394,63 @@ object TextOps {
       .withColumn("oov_rate", round(col("oov_tokens") / col("n_tokens"), 6))
   }
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, §A1.1):
+    * the battery of cheap structural checks a web corpus passes
+    * through BEFORE any model-based scoring — word-count bounds,
+    * mean-word-length band, symbol-to-word ratio, bullet-line and
+    * ellipsis-line fractions, alphabetic-word fraction, and a
+    * minimum stop-word containment. One row out per document with
+    * every metric, every rule verdict, and the conjunction `keep`.
+    *
+    * Scale shape: a PURE per-row projection — tokens, lines, and
+    * ratios are all map-side higher-order-function expressions inside
+    * whole-stage codegen; the operator induces zero shuffles and
+    * composes with any downstream filter pushdown. (That is the point:
+    * at 100 TB the structural gate runs in the scan stage, so the
+    * expensive operators downstream only ever see survivors.)
+    *
+    * Ratios divide exact integer counts, so both engines produce
+    * identical doubles; rule comparisons use the unrounded values and
+    * outputs are rounded to 6 places. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val text = col(textCol)
+    val ts = tokens(text)
+    val nw = size(ts).cast("long")
+    val nwSafe = greatest(nw, lit(1L)).cast("double")
+    val meanLen = aggregate(ts, lit(0L), (a, t) => a + length(t))
+      .cast("double") / nwSafe
+    val symbolRatio =
+      size(regexp_extract_all(text, lit("#|\\.{3}|…"), lit(0)))
+        .cast("double") / nwSafe
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val nl = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines,
+      l => ltrim(l).rlike("^[-*•]"))).cast("double") / nl
+    val ellipsisFrac = size(filter(lines,
+      l => rtrim(l).rlike("(\\.{3}|…)$"))).cast("double") / nl
+    val alphaWordFrac = size(filter(ts,
+      w => w.rlike("[a-zA-Z]"))).cast("double") / nwSafe
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val tsLower = tokens(lower(text))
+    val stopHits = size(filter(
+      array(stops.map(lit): _*), s => array_contains(tsLower, s)))
+      .cast("long")
+    docs.select(col(idCol),
+      nw.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_frac"),
+      round(alphaWordFrac, 6).as("alpha_word_frac"),
+      stopHits.as("stop_hits"),
+      (nw >= minWords && nw <= maxWords &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio < 0.1 &&
+        bulletFrac <= 0.1 && ellipsisFrac <= 0.3 &&
+        alphaWordFrac >= 0.8 && stopHits >= 2L).as("keep"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): hash every `k`-token shingle,
     * slide a `w`-hash window, and keep each window's minimum (ties to

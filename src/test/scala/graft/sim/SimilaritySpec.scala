@@ -200,6 +200,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(vals.toSeq === again.toSeq)
   }
 
+  test("knnJoin: self-match at rank 1, in-cell brute-force parity") {
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val got = Similarity.knnJoin(queries, "vec_id", emb, "vec_id",
+      "embedding", nClusters = 4, k = 3)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // every query matches itself first at cosine 1.0
+    val r1 = rows.filter(_._4 == 1L)
+    assert(r1.length === queries.count())
+    assert(r1.forall { case (q, n, c, _) => q == n && c == 1.0 })
+    // brute-force within the same cells reproduces the rank-2 pick
+    val cells = Similarity.seedAssign(emb, "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.filter(_._4 == 2L).foreach { case (q, n, c, _) =>
+      val best = vecs.keys
+        .filter(o => o != q && cells(o) == cells(q))
+        .map(o => (-cos(vecs(q), vecs(o)), o)).min
+      assert(best._2 == n || math.abs(-best._1 - c) < 1e-9,
+        s"query $q: got $n want ${best._2}")
+    }
+  }
+
   test("hardNegatives: never same-label, matches in-cluster brute force") {
     val k = 5
     val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",

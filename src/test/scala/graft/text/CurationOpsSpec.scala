@@ -296,6 +296,33 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(packs.map(_._1).toSeq === packs.map(_._1).toSeq.sorted)
   }
 
+  test("gopherRules: each rule trips on its planted violator") {
+    val good = (("the quick brown fox jumps over " * 12) +
+      "lazy dogs that have fun with energy and delight be told").trim
+    val docs = Seq(
+      (1L, good), // passes everything
+      (2L, "too few words here"), // n_words < min
+      (3L, good + " ### " + ("#word " * 9).trim), // symbol ratio > 0.1
+      (4L, (1 to 10).map(i => s"- bullet item $i of the list that have").mkString("\n")), // bullets
+      (5L, good.split(" ").map(w => w + "...").mkString("\n")), // ellipsis lines
+      (6L, ("12345 67890 " * 30).trim + " the of and that") // numeric words
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(docs, "doc_id", "text", minWords = 20)
+      .collect().map(x => x.getLong(0) ->
+        (x.getBoolean(8), x.getDouble(2), x.getDouble(3), x.getDouble(4),
+          x.getDouble(5), x.getDouble(6), x.getLong(7))).toMap
+    assert(r(1L)._1, s"good doc rejected: ${r(1L)}")
+    assert(!r(2L)._1)
+    assert(!r(3L)._1 && r(3L)._3 > 0.1, s"symbols: ${r(3L)}")
+    assert(!r(4L)._1 && r(4L)._4 === 1.0, s"bullets: ${r(4L)}")
+    assert(!r(5L)._1 && r(5L)._5 === 1.0, s"ellipsis: ${r(5L)}")
+    assert(!r(6L)._1 && r(6L)._6 < 0.8, s"alpha: ${r(6L)}")
+    // empty text: zero words, keep = false, no division blowup
+    val e = TextOps.gopherRules(Seq((9L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    assert(e.getLong(1) === 0L && !e.getBoolean(8))
+  }
+
   test("vocabCoverage: all-in-vocab doc scores 0, all-OOV doc scores 1") {
     // 10 docs of common words (the vocab), one doc of unique words
     val docs = ((0L until 10L).map(i => (i, "alpha beta gamma")) :+
