@@ -4900,6 +4900,176 @@ object Queries {
       |SELECT vec_id, nn_id, cosine, CAST(rn AS BIGINT) AS rn
       |FROM r WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
 
+  /** k-anonymity / l-diversity release audit
+    * ([[graft.privacy.Anonymity.audit]]): customers grouped by the
+    * quasi-identifier pair (nation, market segment), reported as the
+    * one-row re-identification risk card — minimum equivalence-class
+    * size, rows living in sub-k classes, and the worst
+    * sensitive-attribute (acctbal) diversity. One QI shuffle plus a
+    * one-row reduce; nothing driver-side. */
+  def q168Kanonymity(s: SparkSession, dir: String): DataFrame =
+    graft.privacy.Anonymity.audit(t(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10)
+
+  val q168Sql: String =
+    """WITH ec AS (SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+      |  count(DISTINCT c_acctbal) AS l_diversity
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT CAST(sum(class_size) AS BIGINT) AS n_rows,
+      |  count(*) AS n_classes,
+      |  CAST(min(class_size) AS BIGINT) AS k_anonymity,
+      |  CAST(sum(CASE WHEN class_size < 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_below_k,
+      |  CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+      |    AS BIGINT) AS rows_at_risk,
+      |  round(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+      |    / CAST(sum(class_size) AS DOUBLE), 6) AS risk_frac,
+      |  CAST(min(l_diversity) AS BIGINT) AS min_l_diversity
+      |FROM ec""".stripMargin
+
+  /** Shuffle-key skew report ([[graft.etl.SkewProfile.keyStats]]) for
+    * the event log's user key: the measured severity that decides
+    * between a plain shuffle, AQE skew splitting, and
+    * [[graft.operators.SaltedJoin]]. Group-size percentiles computed
+    * over the (already reduced) key relation. */
+  def q169SkewProfile(s: SparkSession, dir: String): DataFrame =
+    graft.etl.SkewProfile.keyStats(t(s, dir, "events"), "user_id")
+
+  val q169Sql: String =
+    """WITH g AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+      |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+      |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+      |  round(avg(cnt), 6) AS avg_cnt,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY cnt), 6) AS p50_cnt,
+      |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY cnt), 6) AS p90_cnt,
+      |  round(percentile_cont(0.99) WITHIN GROUP (ORDER BY cnt), 6) AS p99_cnt,
+      |  round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top1_share,
+      |  round(max(cnt) / avg(cnt), 6) AS skew
+      |FROM g""".stripMargin
+
+  /** Inclusion-dependency discovery ([[graft.etl.Discovery.discover]])
+    * over four candidate FK pairs: three true foreign keys
+    * (containment 1.0) and one deliberate mismatch
+    * (nationkey→regionkey) quantifying how non-keys score. Each pair
+    * is two distinct-projections + a LEFT ANTI probe. */
+  def q170FkDiscovery(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Discovery.discover(Seq(
+      ("customer.c_nationkey->region.r_regionkey",
+        t(s, dir, "customer"), "c_nationkey",
+        t(s, dir, "region"), "r_regionkey"),
+      ("lineitem.l_orderkey->orders.o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey"),
+      ("lineitem.l_partkey->part.p_partkey",
+        t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "part"), "p_partkey"),
+      ("orders.o_custkey->customer.c_custkey",
+        t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey")))
+
+  val q170Sql: String =
+    """WITH pairs AS (
+      |  SELECT 'customer.c_nationkey->region.r_regionkey' AS pair,
+      |    (SELECT count(DISTINCT c_nationkey) FROM customer) AS n_child_distinct,
+      |    (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS v FROM customer
+      |       WHERE c_nationkey IS NOT NULL) c
+      |     WHERE NOT EXISTS (SELECT 1 FROM region r
+      |       WHERE r.r_regionkey = c.v)) AS n_missing,
+      |    (SELECT count(*) FROM customer WHERE c_nationkey IS NULL) AS n_null_child
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+      |    (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+      |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS v FROM lineitem
+      |       WHERE l_orderkey IS NOT NULL) c
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |       WHERE o.o_orderkey = c.v)),
+      |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey->part.p_partkey',
+      |    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+      |    (SELECT count(*) FROM (SELECT DISTINCT l_partkey AS v FROM lineitem
+      |       WHERE l_partkey IS NOT NULL) c
+      |     WHERE NOT EXISTS (SELECT 1 FROM part p
+      |       WHERE p.p_partkey = c.v)),
+      |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL)
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->customer.c_custkey',
+      |    (SELECT count(DISTINCT o_custkey) FROM orders),
+      |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS v FROM orders
+      |       WHERE o_custkey IS NOT NULL) c
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer cu
+      |       WHERE cu.c_custkey = c.v)),
+      |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL))
+      |SELECT pair, n_child_distinct, n_missing,
+      |  round(CASE WHEN n_child_distinct = 0 THEN NULL
+      |    ELSE 1.0 - n_missing / CAST(n_child_distinct AS DOUBLE) END, 6)
+      |    AS containment,
+      |  n_null_child
+      |FROM pairs ORDER BY pair""".stripMargin
+
+  /** Population Stability Index ([[graft.ml.Metrics.psi]]) of the
+    * event `value` distribution, first half of January vs second —
+    * the model-monitoring drift number, computed over fixed bin edges
+    * (run-to-run comparable) with Laplace-smoothed shares. One
+    * bins-sized relation per side; q116's round-9 decimal-sum
+    * determinism recipe. */
+  def q171Psi(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val cut = lit("2024-01-16").cast("timestamp")
+    graft.ml.Metrics.psi(
+      e.filter(col("ts") < cut), e.filter(col("ts") >= cut),
+      "value", bins = 10, lo = 0.0, hi = 500.0)
+  }
+
+  val q171Sql: String =
+    """WITH r AS (SELECT least(greatest(CAST(floor((value - 0.0) / 500.0 * 10)
+      |    AS BIGINT), 0), 9) AS bin
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+      |c AS (SELECT least(greatest(CAST(floor((value - 0.0) / 500.0 * 10)
+      |    AS BIGINT), 0), 9) AS bin
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+      |rb AS (SELECT bin, count(*) AS ref_cnt FROM r GROUP BY 1),
+      |cb AS (SELECT bin, count(*) AS cur_cnt FROM c GROUP BY 1),
+      |sp AS (SELECT range AS bin FROM range(0, 10)),
+      |j AS (SELECT sp.bin, coalesce(ref_cnt, 0) AS ref_cnt,
+      |  coalesce(cur_cnt, 0) AS cur_cnt
+      |  FROM sp LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+      |t AS (SELECT ref_cnt, cur_cnt,
+      |  (ref_cnt + 0.5) / ((SELECT sum(ref_cnt) FROM j) + 0.5 * 10) AS p,
+      |  (cur_cnt + 0.5) / ((SELECT sum(cur_cnt) FROM j) + 0.5 * 10) AS q
+      |  FROM j),
+      |tm AS (SELECT ref_cnt, cur_cnt,
+      |  round((p - q) * ln(p / q), 9) AS term FROM t)
+      |SELECT CAST(sum(ref_cnt) AS BIGINT) AS n_ref,
+      |  CAST(sum(cur_cnt) AS BIGINT) AS n_cur,
+      |  round(CAST(sum(CAST(term AS DECIMAL(28, 9))) AS DOUBLE), 6) AS psi
+      |FROM tm""".stripMargin
+
+  /** Smoothed target encoding ([[graft.features.Features.targetEncode]])
+    * of order priority against the "order is finalized" target — the
+    * mapping table (category, n, prior, shrunk estimate) a training
+    * pipeline fits on train and joins everywhere else. Exact decimal
+    * target sums; one domain-sized aggregate. */
+  def q172TargetEncode(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.targetEncode(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        (col("o_orderstatus") === "F").cast("int").as("y")),
+      "o_orderpriority", "y", smoothing = 20.0)
+      .orderBy("o_orderpriority")
+
+  val q172Sql: String =
+    """WITH b AS (SELECT o_orderpriority,
+      |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+      |pc AS (SELECT o_orderpriority, count(*) AS n,
+      |  sum(CAST(round(CAST(y AS DOUBLE), 6) AS DECIMAL(30, 6))) AS sy
+      |  FROM b WHERE y IS NOT NULL GROUP BY 1),
+      |pr AS (SELECT CAST(sum(sy) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+      |  AS prior FROM pc)
+      |SELECT o_orderpriority, n, round(prior, 6) AS prior,
+      |  round((CAST(sy AS DOUBLE) + 20.0 * prior)
+      |    / (CAST(n AS DOUBLE) + 20.0), 6) AS enc
+      |FROM pc, pr ORDER BY o_orderpriority""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -5072,6 +5242,11 @@ object Queries {
     "q165_corpus_health" -> (q165CorpusHealth _),
     "q166_gopher_rules" -> (q166GopherRules _),
     "q167_knn_join" -> (q167KnnJoin _),
+    "q168_kanonymity" -> (q168Kanonymity _),
+    "q169_skew_profile" -> (q169SkewProfile _),
+    "q170_fk_discovery" -> (q170FkDiscovery _),
+    "q171_psi" -> (q171Psi _),
+    "q172_target_encode" -> (q172TargetEncode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -5242,6 +5417,11 @@ object Queries {
     "q165_corpus_health" -> q165Sql,
     "q166_gopher_rules" -> q166Sql,
     "q167_knn_join" -> q167Sql,
+    "q168_kanonymity" -> q168Sql,
+    "q169_skew_profile" -> q169Sql,
+    "q170_fk_discovery" -> q170Sql,
+    "q171_psi" -> q171Sql,
+    "q172_target_encode" -> q172Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

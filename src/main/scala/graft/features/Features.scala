@@ -910,6 +910,49 @@ object Features {
       .drop("__h", "__bk", "__lc", "__off", "__quota")
   }
 
+  /** Smoothed target (mean) encoding of a categorical — the
+    * high-cardinality alternative to [[oneHot]] (which explodes the
+    * schema) and [[labelEncoding]] (whose ordinals fake an order):
+    * each category maps to a shrunk estimate of its mean target,
+    *
+    *   enc(c) = (Σ_c y + m · ȳ) / (n_c + m)
+    *
+    * (the empirical-Bayes shrinkage of Micci-Barreca's CatBoost-era
+    * formulation): a category seen n_c ≫ m times keeps its own mean,
+    * a rare one shrinks toward the global prior instead of memorizing
+    * noise. LEAKAGE contract: fit on the TRAIN split only and join
+    * the returned mapping onto val/test — fitting on all rows leaks
+    * the target; the mapping-table API makes the correct usage the
+    * natural one (and is also what [[graft.ml.TensorPrep]]-style
+    * encoder persistence wants).
+    *
+    * Numeric determinism: per-category sums accumulate on a 6-decimal
+    * DECIMAL grid (order-independent), the prior from the same exact
+    * sums; the float division happens once per category at the edge.
+    * NULL targets are excluded; NULL categories form their own row
+    * (they are a category an unseen-at-train join will also produce).
+    *
+    * Scale shape: ONE map-side-combined aggregation to the
+    * category-domain relation + a broadcast of the 1-row prior. */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      smoothing: Double = 20.0): DataFrame = {
+    require(smoothing >= 0, "smoothing must be >= 0")
+    val d6 = org.apache.spark.sql.types.DecimalType(30, 6)
+    val y = col(targetCol).cast("double")
+    val base = df.filter(y.isNotNull)
+    val perCat = base.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"),
+        sum(round(y, 6).cast(d6)).as("__sy"))
+    val prior = perCat.agg(
+      (sum(col("__sy")).cast("double") / sum(col("n")).cast("double"))
+        .as("__prior"))
+    perCat.crossJoin(broadcast(prior))
+      .select(col(catCol), col("n"),
+        round(col("__prior"), 6).as("prior"),
+        round((col("__sy").cast("double") + lit(smoothing) * col("__prior"))
+          / (col("n").cast("double") + smoothing), 6).as("enc"))
+  }
+
   /** Partition schema fields into (numeric, categorical) — the dtype
     * driven feature classification (`machineLearning.py:281-282`). */
   def classifyColumns(df: DataFrame): (Seq[String], Seq[String]) = {

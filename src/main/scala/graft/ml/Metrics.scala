@@ -430,4 +430,64 @@ object Metrics {
       .select(col("k"), col("hits"),
         round(try_divide(col("hits"), col("k")), 6).as("recall"))
   }
+
+  /** Per-bin Population Stability Index terms between a reference and
+    * a current sample of `valueCol` — the model-monitoring drift
+    * statistic (Siddiqi's credit-scoring formulation): values land in
+    * `bins` fixed-width bins over [lo, hi) (outliers clamp to the edge
+    * bins, NULLs excluded), each side's bin shares are
+    * Laplace-smoothed with a half count so an empty bin contributes a
+    * finite term instead of ±∞, and
+    *
+    *   PSI = Σ_b (p_b − q_b) · ln(p_b / q_b).
+    *
+    * Fixed, caller-supplied edges — not per-run quantiles — are what
+    * make the statistic comparable across monitoring runs (and
+    * engines). Terms follow the q116 determinism recipe: round(…,9)
+    * then an order-independent DECIMAL sum.
+    *
+    * Scale shape: each side is ONE map-side-combined aggregation to a
+    * bins-sized relation; the bin spine is a `spark.range(bins)`
+    * broadcast, so bins empty on both sides still appear (term 0 after
+    * smoothing — and their presence keeps the report's shape fixed). */
+  def psiBins(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0 && hi > lo, "psi needs bins > 0 and hi > lo")
+    def binned(df: DataFrame, out: String): DataFrame = {
+      val v = col(valueCol).cast("double")
+      val raw = floor((v - lo) / (hi - lo) * bins).cast("long")
+      df.filter(v.isNotNull)
+        .select(least(greatest(raw, lit(0L)), lit(bins - 1L)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    }
+    val spark = ref.sparkSession
+    val spine = spark.range(bins).toDF("bin")
+    // side totals via a pinned window over the bins-sized spine — ONE
+    // scan per side (a broadcast-total crossJoin would duplicate the
+    // whole per-side aggregation subtree in the plan)
+    val wAll = Window.partitionBy(graft.plans.PinnedWindow.key(col("bin")))
+    spine
+      .join(binned(ref, "ref_cnt"), Seq("bin"), "left")
+      .join(binned(cur, "cur_cnt"), Seq("bin"), "left")
+      .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
+      .withColumn("p", (col("ref_cnt") + lit(0.5))
+        / (sum(col("ref_cnt")).over(wAll) + lit(0.5) * bins))
+      .withColumn("q", (col("cur_cnt") + lit(0.5))
+        / (sum(col("cur_cnt")).over(wAll) + lit(0.5) * bins))
+      .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 9)
+          .as("term"))
+  }
+
+  /** One-row PSI report: (n_ref, n_cur, psi). Rule of thumb the
+    * monitoring literature uses: < 0.1 stable, 0.1–0.25 moderate
+    * shift, > 0.25 retrain. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int, lo: Double, hi: Double): DataFrame = {
+    val d9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    psiBins(ref, cur, valueCol, bins, lo, hi).agg(
+      sum(col("ref_cnt")).as("n_ref"),
+      sum(col("cur_cnt")).as("n_cur"),
+      round(sum(col("term").cast(d9)).cast("double"), 6).as("psi"))
+  }
 }

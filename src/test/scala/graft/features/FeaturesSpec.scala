@@ -554,4 +554,35 @@ class FeaturesSpec extends AnyFunSuite {
     // weights 1,1 → quota 5 each; domain b has only 1 row
     assert(out === Map("a" -> 5L, "b" -> 1L))
   }
+
+  test("targetEncode: frequent category keeps its mean, rare one shrinks to prior") {
+    // cat a: 40 rows mean 1.0; cat b: 1 row mean 0.0; prior = 40/41
+    val df = (Seq.fill(40)(("a", 1)) ++ Seq(("b", 0))).toDF("c", "y")
+    val m = Features.targetEncode(df, "c", "y", smoothing = 10.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("enc")).toMap
+    val prior = 40.0 / 41.0
+    assert(math.abs(m("a") - (40.0 + 10 * prior) / 50.0) < 1e-6)
+    assert(math.abs(m("b") - (0.0 + 10 * prior) / 11.0) < 1e-6)
+    assert(m("a") > m("b"))
+    // b's single 0 shrinks most of the way back to the prior
+    assert(m("b") > 0.8)
+  }
+
+  test("targetEncode: smoothing 0 is the raw per-category mean; null targets drop") {
+    val df = Seq[(String, java.lang.Integer)](
+      ("a", 1), ("a", 0), ("b", 1), ("b", null)).toDF("c", "y")
+    val m = Features.targetEncode(df, "c", "y", smoothing = 0.0)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n"),
+        r.getAs[Double]("enc"))).toList.sortBy(_._1)
+    assert(m === List(("a", 2L, 0.5), ("b", 1L, 1.0)))
+  }
+
+  test("targetEncode: NULL category is its own mapping row") {
+    val df = Seq[(String, java.lang.Integer)](
+      (null, 1), (null, 1), ("a", 0)).toDF("c", "y")
+    val rows = Features.targetEncode(df, "c", "y", smoothing = 0.0).collect()
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.getAs[Long]("n") === 2L)
+    assert(nullRow.getAs[Double]("enc") === 1.0)
+  }
 }
