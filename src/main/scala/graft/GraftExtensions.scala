@@ -62,6 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => CollapseNormalize)
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => graft.plans.SkylineStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction(one("normalize_string",
       "lower + NFD accent strip + whitespace collapse + trim")(NormalizeString.apply))
     ext.injectFunction(one("simhash64",

@@ -5070,6 +5070,31 @@ object Queries {
       |    / (CAST(n AS DOUBLE) + 20.0), 6) AS enc
       |FROM pc, pr ORDER BY o_orderpriority""".stripMargin
 
+  /** q41's as-of join through the NATIVE plan node
+    * ([[graft.plans.AsOfJoinPlan]] → `AsOfJoinExec`, the
+    * [[graft.plans.SkylinePlan]] extension ladder): co-clustering and
+    * per-partition sort declared as physical requirements, then ONE
+    * forward merge scan — no union, no window state machine. Same
+    * oracle as q41 (DuckDB's native ASOF LEFT JOIN), so the custom
+    * operator is third-engine-checked, and benched against the
+    * window formulation (q41 vs q173). */
+  def q173AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("err_id"),
+        max_by(col("value"), col("event_id")).as("err_value"))
+    graft.operators.AsOfJoin
+      .asOfNative(clicks, errors, "user_id", "ts",
+        Seq("err_id", "err_value"), "err_id")
+      .select("event_id", "user_id", "err_id", "err_value")
+      .orderBy("event_id")
+  }
+
+  val q173Sql: String = q41Sql
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -5247,6 +5272,7 @@ object Queries {
     "q170_fk_discovery" -> (q170FkDiscovery _),
     "q171_psi" -> (q171Psi _),
     "q172_target_encode" -> (q172TargetEncode _),
+    "q173_asof_native" -> (q173AsofNative _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -5422,6 +5448,7 @@ object Queries {
     "q170_fk_discovery" -> q170Sql,
     "q171_psi" -> q171Sql,
     "q172_target_encode" -> q172Sql,
+    "q173_asof_native" -> q173Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -5444,5 +5471,7 @@ object Queries {
     "q144_gini", "q145_basket", "q150_rfm",
     // round-5/6 curation + similarity surface
     "q154_containment", "q156_dsir", "q157_dup_chunks",
-    "q160_kmeans", "q161_hard_negatives", "q163_winnow")
+    "q160_kmeans", "q161_hard_negatives", "q163_winnow",
+    // q41 vs q173 exposes the window-vs-native as-of join gap
+    "q41_asof", "q173_asof_native")
 }

@@ -81,4 +81,40 @@ object AsOfJoin {
       .select((col("__l.*") +: carry.map(c => col(s"__m.$c").as(c))): _*)
       .unionByName(nullKeyedLeft)
   }
+
+  /** The same join through the NATIVE plan node
+    * ([[graft.plans.AsOfJoinPlan]] → `AsOfJoinStrategy` →
+    * `AsOfJoinExec`) — requires a session carrying `GraftExtensions`.
+    * Identical semantics and column layout to [[asOf]] (spec-enforced
+    * parity); the physical plan is one exchange + sort per side and a
+    * single forward merge scan, instead of union + window. */
+  def asOfNative(left: DataFrame, right: DataFrame, key: String,
+      ts: String, carry: Seq[String], rightTieBreak: String): DataFrame = {
+    val rSchema = right.schema
+    // NULL-keyed left rows match nothing; route them around the node
+    // (inside the merge, natural ordering would group NULL keys)
+    val nullKeyedLeft = left.filter(col(key).isNull)
+      .select((left.columns.map(col) ++
+        carry.map(c => lit(null).cast(rSchema(c).dataType).as(c))).toIndexedSeq: _*)
+    val leftK = left.filter(col(key).isNotNull)
+    // shuffle only what the merge needs from the right side; the
+    // explicit aliases mint FRESH exprIds so a self-join (same base
+    // relation on both sides) can't leave the node with ambiguous
+    // attribute references
+    val rightCols = (Seq(key, ts, rightTieBreak) ++ carry).distinct
+    val rightK = right.filter(col(key).isNotNull)
+      .select(rightCols.map(c => col(c).as(c)): _*)
+
+    val lp = leftK.queryExecution.analyzed
+    val rp = rightK.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"asOfNative: no column $name"))
+    val plan = graft.plans.AsOfJoinPlan(
+      attr(lp, key), attr(lp, ts), attr(rp, key), attr(rp, ts),
+      attr(rp, rightTieBreak), carry.map(attr(rp, _)), lp, rp)
+    org.apache.spark.sql.graft.Bridge.ofRows(left.sparkSession, plan)
+      .unionByName(nullKeyedLeft)
+  }
 }

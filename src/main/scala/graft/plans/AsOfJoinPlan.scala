@@ -1,0 +1,144 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** The as-of join as a FIRST-CLASS plan node — the native-operator
+  * face of [[graft.operators.AsOfJoin]] (which builds the merge out of
+  * union + window). Same extension ladder as [[SkylinePlan]]: the
+  * operator gets a real place in the plan, its physical needs are
+  * declared as REQUIREMENTS — co-clustering on the key
+  * (`ClusteredDistribution` on both sides) and per-partition sort
+  * orders (left by (key, ts), right by (key, ts, tieBreak)) — so the
+  * planner places the exchanges and sorts, and AQE sizes them. The
+  * merge itself is then a single forward scan of both sorted streams
+  * per partition: no union of mismatched schemas, no window state
+  * machine, no carried `last(ignoreNulls)` buffers.
+  *
+  * Semantics (identical to [[graft.operators.AsOfJoin.asOf]], which is
+  * the spec'd contract): for each left row, the LAST right row with
+  * the same key and `rightTs <= leftTs` under (ts, tieBreak) order
+  * supplies the carry columns; unmatched left rows carry NULLs.
+  * Callers must route NULL keys around the node (the DataFrame face
+  * does) — inside the merge, keys compare with the natural ordering,
+  * which would happily group NULLs.
+  *
+  * Cost at 100 TB: ONE hash exchange of each side on the key + the
+  * per-partition sorts (what any shuffled equi-join pays), then a
+  * linear merge. The window formulation shuffles the same bytes but
+  * pays a second pass over the unioned relation and materializes a
+  * carry struct per row; the native node touches each row once.
+  */
+case class AsOfJoinPlan(leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute, tieBreak: Attribute,
+    carry: Seq[Attribute], left: LogicalPlan, right: LogicalPlan)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ carry.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+      newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical sorted-merge as-of pass over co-clustered, co-sorted
+  * children. */
+case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute, tieBreak: Attribute,
+    carry: Seq[Attribute], left: SparkPlan, right: SparkPlan)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ carry.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  private def asc(a: Attribute) =
+    SortOrder(a, Ascending, Ascending.defaultNullOrdering, Seq.empty)
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(asc(leftKey), asc(leftTs)) ::
+      Seq(asc(rightKey), asc(rightTs), asc(tieBreak)) :: Nil
+
+  // left rows pass through in place: their partitioning and order survive
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+      newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKey = leftKey; val lTs = leftTs
+    val rKey = rightKey; val rTs = rightTs
+    val carryAttrs = carry
+    val nCarry = carryAttrs.length
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyProj = UnsafeProjection.create(Seq(lKey), lOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTs), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rKey), rOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
+      val carryProj = UnsafeProjection.create(carryAttrs, rOut)
+      val keyOrd =
+        RowOrdering.createNaturalAscendingOrdering(Seq(lKey.dataType))
+      val tsOrd =
+        RowOrdering.createNaturalAscendingOrdering(Seq(lTs.dataType))
+      val nullCarry: InternalRow = new GenericInternalRow(nCarry)
+      val joined = new JoinedRow
+      // emit UnsafeRows: parents (exchanges in particular) require them.
+      // Bind against the NULLABLE output schema — the carry attrs' child
+      // nullability would compile away the null check an unmatched
+      // row's null carry needs
+      val outAttrs = lOut ++ carryAttrs.map(_.withNullability(true))
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      // one-row lookahead over the right stream
+      var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
+      // last right row (its carry projection) whose (key, ts) qualified,
+      // and the key it qualified under
+      var candCarry: InternalRow = null
+      var candKey: InternalRow = null
+
+      lIt.map { lRow =>
+        val lk = lKeyProj(lRow)
+        val lt = lTsProj(lRow)
+        // advance the right stream through everything at-or-before
+        // (lk, lt); the last advanced row with key == lk is the match
+        var advance = true
+        while (advance && rHead != null) {
+          val rk = rKeyProj(rHead)
+          val kc = keyOrd.compare(rk, lk)
+          if (kc < 0) {
+            rHead = if (rIt.hasNext) rIt.next() else null
+          } else if (kc == 0 && tsOrd.compare(rTsProj(rHead), lt) <= 0) {
+            candCarry = carryProj(rHead).copy()
+            candKey = rk.copy()
+            rHead = if (rIt.hasNext) rIt.next() else null
+          } else {
+            advance = false
+          }
+        }
+        val matched =
+          candKey != null && keyOrd.compare(candKey, lk) == 0
+        resultProj(joined(lRow, if (matched) candCarry else nullCarry))
+      }
+    }
+  }
+}
+
+/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(lk, lt, rk, rt, tb, carry, l, r) =>
+      AsOfJoinExec(lk, lt, rk, rt, tb, carry,
+        planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
