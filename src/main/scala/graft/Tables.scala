@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated parquet corpus (see TESTDATA.md).
   *
@@ -17,6 +19,52 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table with `ts` normalized to TIMESTAMP_NTZ (micros),
+    * whichever of the two driver fixture generations is on disk:
+    * TIMESTAMP(NANOS) parquet (Spark's vectorized reader rejects the
+    * type — read the raw int64 nanos under the scoped legacy flag and
+    * integer-DIV to micros; `DIV`, not `/`: double division rounds
+    * ~1.6% of epoch-nanos down by 1µs) or native TIMESTAMP(MICROS)
+    * (isAdjustedToUTC=false → Spark already infers TIMESTAMP_NTZ).
+    * NTZ matches the naive-timestamp view DuckDB and pandas see. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    // the schema (footer) resolves eagerly on read; restore the flag after
+    try {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts",
+          expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** events with `ts` as raw epoch micros (BIGINT) — for operators
+    * exercised over integer time axes. Exact integer arithmetic on
+    * both fixture generations. */
+  def eventsEpochMicros(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("ts DIV 1000"))
+        case _ => raw.withColumn("ts",
+          expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** Register every table as a temp view so `spark.sql` mirrors the
     * DuckDB oracle's view of the world. */
