@@ -93,28 +93,13 @@ object Queries {
       fanOut(spark, path, spark.read.parquet(path))
     }
     else if (name == "events") {
-      // The events table carries TIMESTAMP(NANOS) parquet timestamps,
-      // which Spark's vectorized reader rejects; read the raw int64
-      // nanos and convert to TIMESTAMP_NTZ (micros) — NTZ to match the
-      // naive-timestamp semantics DuckDB and pandas see.
-      // `ts DIV 1000`, NOT `ts / 1000`: `/` coerces the BIGINT nanos
-      // (~1.7e18, beyond double's 2^53 exact range) to DOUBLE, which
-      // rounds ~1.6% of micro-aligned values down by 1µs before the
-      // truncating cast. The legacy-read flag is scoped: set for the
-      // (eager) footer/schema resolution, then restored.
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      // no fanOut here: every events consumer immediately shuffles on
+      // One loader, one contract: Tables.events handles both fixture
+      // generations (TIMESTAMP(NANOS)-as-int64 legacy and native
+      // TIMESTAMP(MICROS)) and normalizes `ts` to TIMESTAMP_NTZ.
+      // No fanOut here: every events consumer immediately shuffles on
       // its own key (window start, user_id) — a pre-repartition is a
-      // pure extra stage, measured ~2× slower on q13
-      try spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+      // pure extra stage, measured ~2× slower on q13.
+      Tables.events(spark, dir)
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   private val dec2 = DecimalType(18, 2)
@@ -4529,7 +4514,7 @@ object Queries {
       |  FROM st),
       |df AS (SELECT ck, count(DISTINCT doc_id) AS df FROM ch GROUP BY ck)
       |SELECT doc_id, count(*) AS n_chunks,
-      |  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_chunks,
+      |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
       |  round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
       |FROM ch JOIN df USING (ck)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin

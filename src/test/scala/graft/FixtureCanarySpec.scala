@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Canary for the driver-generated fixture contract: if the driver
+  * regenerates `/root/testdata` with different physical types (as it
+  * did between rounds 4 and 5, moving events.ts from TIMESTAMP(NANOS)
+  * stored as int64 to native TIMESTAMP(MICROS)), this ONE named test
+  * fails instead of 17 scattered ones.
+  */
+class FixtureCanarySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("every fixture table loads and resolves the expected key columns") {
+    val schemas = Tables.names.map { n =>
+      n -> TestSpark.table(n).schema
+    }.toMap
+    // spine columns each family of queries depends on
+    assert(schemas("lineitem")("l_quantity").dataType.isInstanceOf[NumericType])
+    assert(schemas("lineitem")("l_returnflag").dataType == StringType)
+    assert(Seq(DateType, StringType, TimestampNTZType)
+      .contains(schemas("orders")("o_orderdate").dataType))
+    assert(Seq(ByteType, ShortType, IntegerType, LongType)
+      .contains(schemas("customer")("c_custkey").dataType))
+    assert(schemas("documents")("text").dataType == StringType)
+    assert(schemas("embeddings")("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true) ||
+      schemas("embeddings")("embedding").dataType ==
+      ArrayType(FloatType, containsNull = false) ||
+      schemas("embeddings")("embedding").dataType ==
+      ArrayType(DoubleType, containsNull = true) ||
+      schemas("embeddings")("embedding").dataType ==
+      ArrayType(DoubleType, containsNull = false))
+  }
+
+  test("events.ts normalizes to TIMESTAMP_NTZ through the one shared loader") {
+    // the raw file may be int64-nanos (legacy) or TIMESTAMP(MICROS)
+    // (native); both must resolve through Tables.events to NTZ, and
+    // through eventsEpochMicros to BIGINT
+    val ev = Tables.events(spark, TestSpark.sf)
+    assert(ev.schema("ts").dataType == TimestampNTZType,
+      s"events.ts resolved as ${ev.schema("ts").dataType}; " +
+        "the fixture generation changed — update Tables.events")
+    val em = Tables.eventsEpochMicros(spark, TestSpark.sf)
+    assert(em.schema("ts").dataType == LongType)
+    // both views agree on the same instant for every row
+    import org.apache.spark.sql.functions._
+    val mismatch = ev
+      .select(col("event_id"), expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        .as("micros_a"))
+      .join(em.select(col("event_id"), col("ts").as("micros_b")), "event_id")
+      .filter(col("micros_a") =!= col("micros_b"))
+      .count()
+    assert(mismatch == 0L, s"$mismatch rows disagree between Tables.events and eventsEpochMicros")
+  }
+}

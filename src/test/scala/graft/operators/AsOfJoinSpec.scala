@@ -78,11 +78,8 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   test("matches DuckDB-style semantics on the events table shape") {
     // self-contained mini replay of q41: clicks get last error per user
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    spark.conf.set(key, "true")
-    val ev = try TestSpark.table("events")
-      .withColumn("ts", expr("ts DIV 1000")) // unix micros, exact int div
-    finally spark.conf.unset(key) // schema resolved eagerly; restore
+    // one shared loader; integer (epoch-micros) time axis for exact math
+    val ev = graft.Tables.eventsEpochMicros(spark, TestSpark.sf)
     val clicks = ev.filter($"event_type" === "click")
       .select("event_id", "user_id", "ts")
     val errors = ev.filter($"event_type" === "error")

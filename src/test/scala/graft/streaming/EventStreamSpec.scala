@@ -10,18 +10,11 @@ class EventStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  /** events with Spark-readable (µs) timestamps — integer DIV (double
-    * division loses 1µs on ~1.6% of epoch-nanos), conf restored after
-    * the eager schema resolution. */
-  private lazy val events = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    spark.conf.set(key, "true")
-    try TestSpark.table("events")
-      .withColumn("ts",
-        expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"))
-      .select("event_id", "ts", "user_id", "event_type", "value")
-    finally spark.conf.unset(key)
-  }
+  /** events via the one shared loader (handles both fixture
+    * generations); streaming windows want a TZ-anchored TIMESTAMP. */
+  private lazy val events = graft.Tables.events(spark, TestSpark.sf)
+    .withColumn("ts", col("ts").cast("timestamp"))
+    .select("event_id", "ts", "user_id", "event_type", "value")
 
   test("streaming windowed agg over AvailableNow equals the batch plan") {
     val dir = Files.createTempDirectory("events_stream").toString
