@@ -33,11 +33,13 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "16g")
+      .withExtensions(new GraftExtensions) // native plan strategies (as-of, skyline)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (set == "flagship") flagship(spark, dir, k)
     else if (set == "r5") r5Probes(spark, dir, k)
     else if (set == "r6") r6Probes(spark, dir, k)
+    else if (set == "asof") asofProbes(spark, dir, k)
     else r3Probes(spark, dir, k)
     spark.stop()
   }
@@ -81,6 +83,53 @@ object ScaleProbe {
       t("vocab_coverage") {
         text.TextOps.vocabCoverage(docsK, "doc_id", "text",
           vocabSize = 4096).count()
+      })
+
+    val json = results.map { case (n, sec, rows) =>
+      f""""$n":{"sec":$sec%.2f,"rows":$rows}"""
+    }.mkString("{", ",", s""","replication":$k}""")
+    println(s"[probe] $json")
+  }
+
+  /** As-of join, window formulation vs native merge node, at
+    * arbitrary replication. Replicas offset user_id AND event_id, so
+    * key cardinality scales with volume while per-key history length
+    * stays fixed — the realistic growth mode for an event log (more
+    * users, not deeper per-user history). Both formulations shuffle
+    * once per side on user_id; the native node then merges without
+    * materializing the unioned sort, so its working set per task is
+    * O(right-rows-per-key), not O(union). */
+  private def asofProbes(spark: SparkSession, dir: String, k: Int): Unit = {
+    def t(name: String)(f: => Long): (String, Double, Long) = {
+      val s = System.nanoTime(); val n = f
+      (name, (System.nanoTime() - s) / 1e9, n)
+    }
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val evK = replicate(Tables.events(spark, dir),
+      Seq("event_id", "user_id"), k).persist(lvl)
+    evK.count()
+    val clicks = evK.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = evK.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("err_id"),
+        max_by(col("value"), col("event_id")).as("err_value"))
+
+    // noop sink, NOT count(): under count() Catalyst prunes the unused
+    // window expression out of the window formulation (skipping the
+    // whole window pass) but cannot prune through the opaque native
+    // node — the comparison must force every output column on both
+    def full(df: DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
+    }
+    val results = Seq(
+      t("asof_window") {
+        full(operators.AsOfJoin.asOf(clicks, errors, "user_id", "ts",
+          Seq("err_id", "err_value"), "err_id"))
+      },
+      t("asof_native") {
+        full(operators.AsOfJoin.asOfNative(clicks, errors, "user_id", "ts",
+          Seq("err_id", "err_value"), "err_id"))
       })
 
     val json = results.map { case (n, sec, rows) =>

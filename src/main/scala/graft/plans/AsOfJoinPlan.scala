@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -73,6 +73,22 @@ case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
       newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** Direct primitive reader for long-backed fixed-width types — the
+    * fast merge path. Key/ts columns of these types compare as their
+    * underlying long, no projection, no boxing. */
+  private def longGetter(
+      dt: org.apache.spark.sql.types.DataType): Option[(InternalRow, Int) => Long] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        Some((r, i) => r.getLong(i))
+      case IntegerType | DateType => Some((r, i) => r.getInt(i).toLong)
+      case ShortType => Some((r, i) => r.getShort(i).toLong)
+      case ByteType => Some((r, i) => r.getByte(i).toLong)
+      case _ => None
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -80,16 +96,25 @@ case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
     val rKey = rightKey; val rTs = rightTs
     val carryAttrs = carry
     val nCarry = carryAttrs.length
+    // ordinals + primitive getters resolved ONCE on the driver; the
+    // merge loop then reads fields in place — the window formulation
+    // this node competes with is whole-stage-codegen'd, so an
+    // interpreted per-row projection/comparator here (boxing, two
+    // allocations per right row) loses exactly where the node should
+    // win: per-row cost at volume
+    val lkOrdinal = lOut.indexWhere(_.exprId == lKey.exprId)
+    val ltOrdinal = lOut.indexWhere(_.exprId == lTs.exprId)
+    val rkOrdinal = rOut.indexWhere(_.exprId == rKey.exprId)
+    val rtOrdinal = rOut.indexWhere(_.exprId == rTs.exprId)
+    val fastPath: Option[((InternalRow, Int) => Long, (InternalRow, Int) => Long)] =
+      if (lkOrdinal >= 0 && ltOrdinal >= 0 && rkOrdinal >= 0 && rtOrdinal >= 0 &&
+          lKey.dataType == rKey.dataType && lTs.dataType == rTs.dataType)
+        for (gk <- longGetter(lKey.dataType); gt <- longGetter(lTs.dataType))
+          yield (gk, gt)
+      else None
+
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
-      val lKeyProj = UnsafeProjection.create(Seq(lKey), lOut)
-      val lTsProj = UnsafeProjection.create(Seq(lTs), lOut)
-      val rKeyProj = UnsafeProjection.create(Seq(rKey), rOut)
-      val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
       val carryProj = UnsafeProjection.create(carryAttrs, rOut)
-      val keyOrd =
-        RowOrdering.createNaturalAscendingOrdering(Seq(lKey.dataType))
-      val tsOrd =
-        RowOrdering.createNaturalAscendingOrdering(Seq(lTs.dataType))
       val nullCarry: InternalRow = new GenericInternalRow(nCarry)
       val joined = new JoinedRow
       // emit UnsafeRows: parents (exchanges in particular) require them.
@@ -101,33 +126,86 @@ case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
 
       // one-row lookahead over the right stream
       var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
-      // last right row (its carry projection) whose (key, ts) qualified,
-      // and the key it qualified under
-      var candCarry: InternalRow = null
-      var candKey: InternalRow = null
 
-      lIt.map { lRow =>
-        val lk = lKeyProj(lRow)
-        val lt = lTsProj(lRow)
-        // advance the right stream through everything at-or-before
-        // (lk, lt); the last advanced row with key == lk is the match
-        var advance = true
-        while (advance && rHead != null) {
-          val rk = rKeyProj(rHead)
-          val kc = keyOrd.compare(rk, lk)
-          if (kc < 0) {
-            rHead = if (rIt.hasNext) rIt.next() else null
-          } else if (kc == 0 && tsOrd.compare(rTsProj(rHead), lt) <= 0) {
-            candCarry = carryProj(rHead).copy()
-            candKey = rk.copy()
-            rHead = if (rIt.hasNext) rIt.next() else null
-          } else {
-            advance = false
+      fastPath match {
+        case Some((getKey, getTs)) =>
+          // nulls-first total order on (isNull, value) — matches the
+          // generic path's natural ascending null-first comparator
+          var candSet = false
+          var candKeyNull = false
+          var candKeyVal = 0L
+          // reusable carry buffer: copyFrom grows the backing array as
+          // needed and steady-states at zero allocation per row
+          val candCarry = new UnsafeRow(nCarry)
+          candCarry.pointTo(new Array[Byte](64), 64)
+          def cmp(aNull: Boolean, a: Long, bNull: Boolean, b: Long): Int =
+            if (aNull && bNull) 0 else if (aNull) -1 else if (bNull) 1
+            else java.lang.Long.compare(a, b)
+          lIt.map { lRow =>
+            val lkNull = lRow.isNullAt(lkOrdinal)
+            val lk = if (lkNull) 0L else getKey(lRow, lkOrdinal)
+            val ltNull = lRow.isNullAt(ltOrdinal)
+            val lt = if (ltNull) 0L else getTs(lRow, ltOrdinal)
+            var advance = true
+            while (advance && rHead != null) {
+              val rkNull = rHead.isNullAt(rkOrdinal)
+              val rk = if (rkNull) 0L else getKey(rHead, rkOrdinal)
+              val kc = cmp(rkNull, rk, lkNull, lk)
+              if (kc < 0) {
+                rHead = if (rIt.hasNext) rIt.next() else null
+              } else if (kc == 0 && {
+                  val rtNull = rHead.isNullAt(rtOrdinal)
+                  val rt = if (rtNull) 0L else getTs(rHead, rtOrdinal)
+                  cmp(rtNull, rt, ltNull, lt) <= 0
+                }) {
+                candCarry.copyFrom(carryProj(rHead))
+                candSet = true; candKeyNull = rkNull; candKeyVal = rk
+                rHead = if (rIt.hasNext) rIt.next() else null
+              } else {
+                advance = false
+              }
+            }
+            val matched =
+              candSet && cmp(candKeyNull, candKeyVal, lkNull, lk) == 0
+            resultProj(joined(lRow, if (matched) candCarry else nullCarry))
           }
-        }
-        val matched =
-          candKey != null && keyOrd.compare(candKey, lk) == 0
-        resultProj(joined(lRow, if (matched) candCarry else nullCarry))
+
+        case None =>
+          val lKeyProj = UnsafeProjection.create(Seq(lKey), lOut)
+          val lTsProj = UnsafeProjection.create(Seq(lTs), lOut)
+          val rKeyProj = UnsafeProjection.create(Seq(rKey), rOut)
+          val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
+          val keyOrd =
+            RowOrdering.createNaturalAscendingOrdering(Seq(lKey.dataType))
+          val tsOrd =
+            RowOrdering.createNaturalAscendingOrdering(Seq(lTs.dataType))
+          // last right row (its carry projection) whose (key, ts)
+          // qualified, and the key it qualified under
+          var candCarry: InternalRow = null
+          var candKey: InternalRow = null
+          lIt.map { lRow =>
+            val lk = lKeyProj(lRow)
+            val lt = lTsProj(lRow)
+            // advance the right stream through everything at-or-before
+            // (lk, lt); the last advanced row with key == lk is the match
+            var advance = true
+            while (advance && rHead != null) {
+              val rk = rKeyProj(rHead)
+              val kc = keyOrd.compare(rk, lk)
+              if (kc < 0) {
+                rHead = if (rIt.hasNext) rIt.next() else null
+              } else if (kc == 0 && tsOrd.compare(rTsProj(rHead), lt) <= 0) {
+                candCarry = carryProj(rHead).copy()
+                candKey = rk.copy()
+                rHead = if (rIt.hasNext) rIt.next() else null
+              } else {
+                advance = false
+              }
+            }
+            val matched =
+              candKey != null && keyOrd.compare(candKey, lk) == 0
+            resultProj(joined(lRow, if (matched) candCarry else nullCarry))
+          }
       }
     }
   }
