@@ -40,6 +40,7 @@ object ScaleProbe {
     else if (set == "r5") r5Probes(spark, dir, k)
     else if (set == "r6") r6Probes(spark, dir, k)
     else if (set == "asof") asofProbes(spark, dir, k)
+    else if (set == "events") eventsProbes(spark, dir, k)
     else r3Probes(spark, dir, k)
     spark.stop()
   }
@@ -70,6 +71,14 @@ object ScaleProbe {
         sim.Similarity.hardNegatives(embK, "vec_id", "embedding", "label",
           nClusters = 8 * k, k = 5).count()
       },
+      t("hard_negatives_coarse") {
+        // two-level assignment: exact assignment's n·c cosines are the
+        // probe-measured super-linearity once c scales with the corpus;
+        // nCoarse ≈ √c restores O(n·√c)
+        sim.Similarity.hardNegatives(embK, "vec_id", "embedding", "label",
+          nClusters = 8 * k, k = 5,
+          nCoarse = math.max(4, math.ceil(math.sqrt(8.0 * k)).toInt)).count()
+      },
       t("winnow") {
         text.TextOps.winnow(docsK, "doc_id", "text", k = 4, w = 4).count()
       },
@@ -83,6 +92,69 @@ object ScaleProbe {
       t("vocab_coverage") {
         text.TextOps.vocabCoverage(docsK, "doc_id", "text",
           vocabSize = 4096).count()
+      })
+
+    val json = results.map { case (n, sec, rows) =>
+      f""""$n":{"sec":$sec%.2f,"rows":$rows}"""
+    }.mkString("{", ",", s""","replication":$k}""")
+    println(s"[probe] $json")
+  }
+
+  /** The events operator family (funnel, transitions, sessionization,
+    * heavy hitters, sketched rolling DAU, TWAP) at arbitrary
+    * replication — the family had never been scale-probed (its fixture
+    * break predates the probe sets). event_id AND user_id offset per
+    * replica: key cardinality scales with volume while per-user
+    * history depth stays fixed — the realistic growth mode for an
+    * event log (more users, not deeper per-user history). count() is a
+    * fair sink for every entry here: each is an aggregation whose
+    * output the count cannot prune (unlike the as-of probe's window).
+    */
+  private def eventsProbes(spark: SparkSession, dir: String, k: Int): Unit = {
+    def t(name: String)(f: => Long): (String, Double, Long) = {
+      val s = System.nanoTime(); val n = f
+      (name, (System.nanoTime() - s) / 1e9, n)
+    }
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val evK = replicate(Tables.events(spark, dir),
+      Seq("event_id", "user_id"), k).persist(lvl)
+    evK.count()
+
+    val results = Seq(
+      t("funnel") {
+        operators.Funnel.counts(evK, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase")).count()
+      },
+      t("transitions") {
+        operators.Paths.transitionMatrix(evK, "user_id", "event_type",
+          "ts", "event_id").count()
+      },
+      t("sessionize_window") {
+        streaming.EventStream.sessionizeBatch(evK, 1800L).count()
+      },
+      t("sessionize_native") {
+        streaming.EventStream.sessionizeNative(evK, 1800L).count()
+      },
+      t("heavy_hitters") {
+        operators.HeavyHitters(evK, col("user_id"), 200).count()
+      },
+      t("hll_dau7") {
+        val perDay = evK.filter(col("user_id").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val mx = perDay.agg(max(col("day")).as("mday"))
+        perDay.select(col("sk"),
+            explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+          .join(broadcast(mx), col("wday") <= col("mday"))
+          .groupBy(col("wday").as("day"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+          .count()
+      },
+      t("twap") {
+        features.Features.timeWeightedAvg(
+          evK.select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
+            col("event_id"), col("value")),
+          "event_type", "sec", "event_id", "value").count()
       })
 
     val json = results.map { case (n, sec, rows) =>

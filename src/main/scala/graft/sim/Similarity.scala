@@ -374,9 +374,11 @@ object Similarity {
     * [[graft.ml.KMeansRel.fit]] centroids when cluster quality
     * matters more than zero-fit cost. Returns (idCol, cluster). */
   def seedAssign(vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame =
-    assignToSeeds(vectors, idCol, vecCol,
-      seedsOf(vectors, idCol, vecCol, k))
+      k: Int, nCoarse: Int = 0): DataFrame = {
+    val seeds = seedsOf(vectors, idCol, vecCol, k)
+    if (nCoarse > 0) assignToSeedsCoarse(vectors, idCol, vecCol, seeds, nCoarse)
+    else assignToSeeds(vectors, idCol, vecCol, seeds)
+  }
 
   /** The k md5-draw seed exemplars of a corpus, as (__sid, __sv). */
   def seedsOf(vectors: DataFrame, idCol: String, vecCol: String,
@@ -389,7 +391,14 @@ object Similarity {
 
   /** Assign any vector relation to an existing seed relation by argmax
     * cosine (ties to the lower seed id) — so a query side and a corpus
-    * side bucketize IDENTICALLY. Returns (idCol, cluster). */
+    * side bucketize IDENTICALLY. Returns (idCol, cluster).
+    *
+    * Cost is n·|seeds| cosines (broadcast crossJoin) — fine while the
+    * seed count is a model choice, but the SemDeDup/kNN/hard-negative
+    * contract scales |seeds| WITH the corpus (constant expected cell
+    * size keeps pair work Σ m_c² linear), which makes exact assignment
+    * O(n²/m) — the measured super-linearity of the 100× probe. At that
+    * regime use [[assignToSeedsCoarse]]. */
   def assignToSeeds(vectors: DataFrame, idCol: String, vecCol: String,
       seeds: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(seeds))
@@ -397,6 +406,52 @@ object Similarity {
       .agg(max_by(col("__sid"),
         struct(cosine(col(vecCol), col("__sv")).as("c"),
           (-col("__sid")).as("nt"))).as("cluster"))
+
+  /** Two-level (coarse-quantized) seed assignment — the IVF trick
+    * applied to the seed layer itself: draw `nCoarse` SUPER-seeds from
+    * the seeds (same deterministic md5 draw), pre-assign every seed to
+    * its nearest super-seed (|seeds|·nCoarse, trivial), then each
+    * vector probes its nearest super-seed's cell only. With
+    * nCoarse ≈ √|seeds| the per-vector work drops from |seeds| to
+    * ~2√|seeds| cosines — O(n·√c) total, which is what survives the
+    * "cell count scales with the corpus" contract at 100 TB.
+    *
+    * APPROXIMATE in the standard IVF sense: a vector whose true
+    * nearest seed lives outside its coarse cell lands on the best seed
+    * INSIDE the cell instead (locality makes this rare, and for the
+    * bucketing use cases — SemDeDup, kNN, hard negatives — a
+    * near-boundary vector moving cells trades a little recall, not
+    * correctness). Every super-seed is itself a seed and assigns to
+    * itself, so every coarse cell is non-empty and the assignment
+    * stays TOTAL. Deterministic end-to-end: md5 draws + tie-broken
+    * argmaxes, no RNG. Returns (idCol, cluster). */
+  def assignToSeedsCoarse(vectors: DataFrame, idCol: String,
+      vecCol: String, seeds: DataFrame, nCoarse: Int): DataFrame = {
+    require(nCoarse >= 1, s"need nCoarse >= 1, got $nCoarse")
+    val superSeeds = seeds
+      .orderBy(md5(col("__sid").cast("string")), col("__sid"))
+      .limit(nCoarse)
+      .select(col("__sid").as("__cid"), col("__sv").as("__cv"))
+    // seed → coarse cell (tiny: |seeds| × nCoarse, both broadcastable)
+    val seedCell = seeds.crossJoin(broadcast(superSeeds))
+      .groupBy(col("__sid"), col("__sv"))
+      .agg(max_by(col("__cid"),
+        struct(cosine(col("__sv"), col("__cv")).as("c"),
+          (-col("__cid")).as("nt"))).as("__cell"))
+    // vector → coarse cell (n · nCoarse cosines)
+    val vecCell = vectors.crossJoin(broadcast(superSeeds))
+      .groupBy(col(idCol))
+      .agg(max_by(col("__cid"),
+        struct(cosine(col(vecCol), col("__cv")).as("c"),
+          (-col("__cid")).as("nt"))).as("__cell"))
+    // vector → best seed within its cell (n · expected-cell-size)
+    vectors.join(vecCell, Seq(idCol))
+      .join(broadcast(seedCell), Seq("__cell"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("__sid"),
+        struct(cosine(col(vecCol), col("__sv")).as("c"),
+          (-col("__sid")).as("nt"))).as("cluster"))
+  }
 
   /** Approximate k-nearest-neighbor JOIN: for every query vector, the
     * k most-cosine-similar corpus vectors, searched ONLY inside the
@@ -415,13 +470,14 @@ object Similarity {
     *         self-matches are unwanted. */
   def knnJoin(queries: DataFrame, qIdCol: String,
       corpus: DataFrame, cIdCol: String, vecCol: String,
-      nClusters: Int, k: Int): DataFrame = {
+      nClusters: Int, k: Int, nCoarse: Int = 0): DataFrame = {
     val seeds = seedsOf(corpus, cIdCol, vecCol, nClusters)
-    val qa = queries.join(
-      assignToSeeds(queries, qIdCol, vecCol, seeds), Seq(qIdCol))
+    def assign(v: DataFrame, id: String) =
+      if (nCoarse > 0) assignToSeedsCoarse(v, id, vecCol, seeds, nCoarse)
+      else assignToSeeds(v, id, vecCol, seeds)
+    val qa = queries.join(assign(queries, qIdCol), Seq(qIdCol))
       .select(col("cluster"), col(qIdCol), col(vecCol).as("__vq"))
-    val ca = corpus.join(
-      assignToSeeds(corpus, cIdCol, vecCol, seeds), Seq(cIdCol))
+    val ca = corpus.join(assign(corpus, cIdCol), Seq(cIdCol))
       .select(col("cluster"), col(cIdCol).as("nn_id"),
         col(vecCol).as("__vc"))
     val cand = qa.join(ca, Seq("cluster"))
@@ -452,8 +508,9 @@ object Similarity {
     *         break to the lower neg_id; cosine rounded to 6 places.
     */
   def hardNegatives(vectors: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, nClusters: Int, k: Int): DataFrame = {
-    val cells = seedAssign(vectors, idCol, vecCol, nClusters)
+      labelCol: String, nClusters: Int, k: Int,
+      nCoarse: Int = 0): DataFrame = {
+    val cells = seedAssign(vectors, idCol, vecCol, nClusters, nCoarse)
     val withC = vectors.join(cells, Seq(idCol))
     val a = withC.select(col("cluster"), col(idCol),
       col(vecCol).as("__va"), col(labelCol).as("__la"))

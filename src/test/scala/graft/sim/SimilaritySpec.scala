@@ -263,4 +263,63 @@ class SimilaritySpec extends AnyFunSuite {
         s"anchor $a: got $n want ${best.map(_._2)}")
     }
   }
+
+  test("coarse two-level assignment is total, valid, and deterministic") {
+    val k = 16
+    val seeds = Similarity.seedsOf(emb, "vec_id", "embedding", k)
+      .collect().map(_.getLong(0)).toSet
+    val coarse = Similarity.seedAssign(emb, "vec_id", "embedding", k,
+      nCoarse = 4)
+    val rows = coarse.collect().map(r => r.getLong(0) -> r.getLong(1))
+    // total: every vector assigned exactly once
+    assert(rows.length === emb.count())
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // valid: every cluster is one of the k seed ids
+    assert(rows.forall { case (_, c) => seeds.contains(c) })
+    // deterministic: a second run is identical
+    val again = Similarity.seedAssign(emb, "vec_id", "embedding", k,
+      nCoarse = 4).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.sorted.toSeq === again.sorted.toSeq)
+  }
+
+  test("coarse assignment equals exact assignment on well-separated cells") {
+    // orthogonal one-hot groups: every vector's nearest seed is in its
+    // own coarse cell by construction, so the two-level path must
+    // reproduce exact assignment bit-for-bit
+    val dim = 8
+    val data = (0L until 64L).map { i =>
+      val g = (i % 4).toInt // 4 orthogonal directions
+      val v = Array.fill(dim)(0.001f)
+      v(g) = 1.0f + (i / 4 % 3) * 0.01f
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.seedAssign(data, "vec_id", "embedding", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    val twoLevel = Similarity.seedAssign(data, "vec_id", "embedding", 8,
+        nCoarse = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    // sanity: coarse landed every vector on SOME seed of the same run
+    assert(twoLevel.length === exact.length)
+    // on separated data the approximation is exact
+    val agree = exact.zip(twoLevel).count { case (a, b) => a == b }
+    assert(agree === exact.length,
+      s"coarse diverged on separated cells: $agree/${exact.length}")
+  }
+
+  test("hard negatives via coarse assignment: k rows per anchor, different labels") {
+    val hn = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      nClusters = 8, k = 3, nCoarse = 3)
+    val labels = emb.select($"vec_id", $"label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = hn.select($"vec_id", $"neg_id", $"rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // ≤ k negatives per anchor, ranks 1..n contiguous
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      assert(g.map(_._3).sorted.toSeq === (1L to g.length))
+    }
+    // every negative carries a different label than its anchor
+    assert(rows.forall { case (a, n, _) => labels(a) != labels(n) })
+  }
 }
