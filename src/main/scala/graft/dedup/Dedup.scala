@@ -474,7 +474,8 @@ object Dedup {
     * `(__sid, __sv)` and the same `assign → intra-cluster pairs` plan
     * runs over real Lloyd cells instead of seed exemplars. */
   def semanticDupPairsWith(vectors: DataFrame, idCol: String,
-      vecCol: String, seeds: DataFrame, threshold: Double): DataFrame = {
+      vecCol: String, seeds: DataFrame, threshold: Double,
+      nCoarse: Int = 0): DataFrame = {
     import graft.sim.Similarity
     val s = seeds.columns.toSeq match {
       case Seq("__sid", "__sv") => seeds
@@ -483,13 +484,19 @@ object Dedup {
         s"seeds must have exactly (id, vector) columns, got $other")
     }
     // Nearest-seed assignment: argmax cosine, ties to the lower seed
-    // id — max_by on a (cosine, -sid) struct, one aggregate per row id.
-    val assigned = vectors
-      .crossJoin(broadcast(s)) // k candidate rows per vector, map-side
-      .groupBy(col(idCol))
-      .agg(max_by(col("__sid"),
-        struct(Similarity.cosine(col(vecCol), col("__sv")).as("c"),
-          (-col("__sid")).as("nt"))).as("cluster"))
+    // id. Exact assignment is n·k cosines — once the cell count scales
+    // with the corpus (the constant-cell-size contract), pass
+    // nCoarse ≈ √k for the two-level O(n·√k) path
+    // ([[graft.sim.Similarity.assignToSeedsCoarse]]).
+    val assigned =
+      if (nCoarse > 0)
+        Similarity.assignToSeedsCoarse(vectors, idCol, vecCol, s, nCoarse)
+      else vectors
+        .crossJoin(broadcast(s)) // k candidate rows per vector, map-side
+        .groupBy(col(idCol))
+        .agg(max_by(col("__sid"),
+          struct(Similarity.cosine(col(vecCol), col("__sv")).as("c"),
+            (-col("__sid")).as("nt"))).as("cluster"))
     val withC = vectors.join(assigned, Seq(idCol))
     val a = withC.select(col("cluster"), col(idCol).as("id_a"),
       col(vecCol).as("__va"))
