@@ -5080,6 +5080,62 @@ object Queries {
 
   val q173Sql: String = q41Sql
 
+  /** Hard-negative mining through the TWO-LEVEL coarse assignment
+    * ([[graft.sim.Similarity.assignToSeedsCoarse]]) — the O(n·√c)
+    * production path once cell count scales with the corpus (exact
+    * assignment's n·c cosines measured 210 s vs 20 s at the 100×
+    * probe). The oracle replays both quantizer levels in SQL: the
+    * md5-draw of 8 seeds, the md5-draw of 3 super-seeds FROM those
+    * seeds, seed→super and vector→super argmax assignment, then
+    * best-seed-within-cell argmax — every stage the same
+    * deterministic (cosine DESC, id ASC) tiebreak the exact oracles
+    * use. */
+  def q174HardNegativesCoarse(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.hardNegatives(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", nClusters = 8, k = 5, nCoarse = 3)
+      .orderBy("vec_id", "rn")
+
+  val q174Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label
+      |  FROM embeddings),
+      |seeds AS (SELECT vec_id AS sid, ve AS sv FROM v
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |super AS (SELECT sid AS cid, sv AS cv FROM seeds
+      |  ORDER BY md5(CAST(sid AS VARCHAR)), sid LIMIT 3),
+      |ssc AS (SELECT sid, sv, cid AS cell FROM (
+      |  SELECT s.sid, s.sv, p.cid,
+      |    row_number() OVER (PARTITION BY s.sid ORDER BY
+      |      list_dot_product(s.sv, p.cv) /
+      |        (sqrt(list_dot_product(s.sv, s.sv)) * sqrt(list_dot_product(p.cv, p.cv))) DESC,
+      |      p.cid) AS rn
+      |  FROM seeds s, super p) q WHERE rn = 1),
+      |vsc AS (SELECT vec_id, cell FROM (
+      |  SELECT v.vec_id, p.cid AS cell,
+      |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |      list_dot_product(v.ve, p.cv) /
+      |        (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(p.cv, p.cv))) DESC,
+      |      p.cid) AS rn
+      |  FROM v, super p) q WHERE rn = 1),
+      |asg AS (SELECT vec_id, sid AS cluster FROM (
+      |  SELECT v.vec_id, s.sid,
+      |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |      list_dot_product(v.ve, s.sv) /
+      |        (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(s.sv, s.sv))) DESC,
+      |      s.sid) AS rn
+      |  FROM v JOIN vsc USING (vec_id) JOIN ssc s ON s.cell = vsc.cell) q
+      |  WHERE rn = 1),
+      |m AS (SELECT a.cluster, v.vec_id, v.ve, v.label
+      |  FROM asg a JOIN v USING (vec_id)),
+      |cand AS (SELECT a.vec_id, b.vec_id AS neg_id,
+      |  list_dot_product(a.ve, b.ve) /
+      |    (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) AS c
+      |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.label <> b.label),
+      |r AS (SELECT vec_id, neg_id, round(c, 6) AS cosine,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, neg_id) AS rn
+      |  FROM cand WHERE c IS NOT NULL)
+      |SELECT vec_id, neg_id, cosine, CAST(rn AS BIGINT) AS rn
+      |FROM r WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -5258,6 +5314,7 @@ object Queries {
     "q171_psi" -> (q171Psi _),
     "q172_target_encode" -> (q172TargetEncode _),
     "q173_asof_native" -> (q173AsofNative _),
+    "q174_hard_negatives_coarse" -> (q174HardNegativesCoarse _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -5434,6 +5491,7 @@ object Queries {
     "q171_psi" -> q171Sql,
     "q172_target_encode" -> q172Sql,
     "q173_asof_native" -> q173Sql,
+    "q174_hard_negatives_coarse" -> q174Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
