@@ -15,10 +15,29 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   private def replicate(df: DataFrame, idCols: Seq[String], k: Int): DataFrame =
-    (0 until k).map { i =>
+    if (k > 64) replicateExplode(df, idCols, k)
+    else (0 until k).map { i =>
       idCols.foldLeft(df)((d, c) =>
         d.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
     }.reduce(_ unionByName _)
+
+  /** Union-replication via explode(sequence(…)) — one scan, one plan
+    * node, any k. A k-way union is fine to a few dozen branches but
+    * its analysis cost and plan size are O(k); posexploding a replica
+    * index keeps the 1000× probe planbuild instant. Same id-offset
+    * semantics as [[replicate]]. */
+  private def replicateExplode(df: DataFrame, idCols: Seq[String],
+      k: Int): DataFrame = {
+    val rep = df.withColumn("__rep",
+      explode(sequence(lit(0L), lit(k.toLong - 1L))))
+    val offset = idCols.foldLeft(rep)((d, c) =>
+      d.withColumn(c, col(c) + col("__rep") * lit(100000000L)))
+      .drop("__rep")
+    // the single source scan has O(row-groups) tasks; without a
+    // fan-out the entire k× generation runs in those few tasks
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    offset.repartition(parts)
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -177,7 +196,11 @@ object ScaleProbe {
       (name, (System.nanoTime() - s) / 1e9, n)
     }
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val evK = replicate(Tables.events(spark, dir),
+    // drop props before persisting: the free-text payload is dead
+    // weight for the join and dominates the cached bytes at 1000×
+    val evK = replicate(
+      Tables.events(spark, dir)
+        .select("event_id", "user_id", "ts", "event_type", "value"),
       Seq("event_id", "user_id"), k).persist(lvl)
     evK.count()
     val clicks = evK.filter(col("event_type") === "click")

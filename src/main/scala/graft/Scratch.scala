@@ -8,7 +8,9 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // native plan strategies
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val name = if (args.length > 1) args(1) else "q01_pricing"
