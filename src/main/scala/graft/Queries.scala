@@ -4014,7 +4014,11 @@ object Queries {
   def q141Twap(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events").select(col("event_type"),
       unix_timestamp(col("ts")).as("sec"), col("event_id"), col("value"))
-    Features.timeWeightedAvg(e, "event_type", "sec", "event_id", "value")
+    // day chunks: event_type is ~5 values, so the unchunked lead
+    // window would sort each type's whole history in ONE task; the
+    // chunked path is bit-identical (spec'd) with type×day parallelism
+    Features.timeWeightedAvg(e, "event_type", "sec", "event_id", "value",
+        chunkSeconds = 86400L)
       .orderBy("event_type")
   }
 

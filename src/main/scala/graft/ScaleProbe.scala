@@ -135,7 +135,11 @@ object ScaleProbe {
       (name, (System.nanoTime() - s) / 1e9, n)
     }
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val evK = replicate(Tables.events(spark, dir),
+    // props dropped before persist: no probe reads it, and the
+    // free-text payload would dominate the cached bytes at 1000×
+    val evK = replicate(
+      Tables.events(spark, dir)
+        .select("event_id", "user_id", "ts", "event_type", "value"),
       Seq("event_id", "user_id"), k).persist(lvl)
     evK.count()
 
@@ -170,10 +174,18 @@ object ScaleProbe {
           .count()
       },
       t("twap") {
+        // unchunked: ~5 event types = 5 sort tasks — the measured wall
         features.Features.timeWeightedAvg(
           evK.select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
             col("event_id"), col("value")),
           "event_type", "sec", "event_id", "value").count()
+      },
+      t("twap_chunked") {
+        features.Features.timeWeightedAvg(
+          evK.select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
+            col("event_id"), col("value")),
+          "event_type", "sec", "event_id", "value",
+          chunkSeconds = 86400L).count()
       })
 
     val json = results.map { case (n, sec, rows) =>

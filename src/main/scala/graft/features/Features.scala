@@ -755,14 +755,52 @@ object Features {
     * be numeric (epoch seconds/micros — caller's resolution choice);
     * values exact at 6 decimals by the engine's cross-engine sum
     * contract. Returns (series, obs_used, twap). */
+  /** @param chunkSeconds 0 (default) = one lead window per series —
+    *        fine while each series fits a task's sort. A LOW-
+    *        cardinality series column makes that window the classic
+    *        few-huge-partitions wall (5 event types × 120M rows = 5
+    *        tasks sorting 120M rows each; measured super-linear,
+    *        per-row ratio 2.1, at the 1000× probe decade). Pass a
+    *        positive chunk width (same unit as `tsCol`) to compute the
+    *        lead per (series, ts DIV chunk) instead — parallelism
+    *        becomes series × chunks — and stitch chunk boundaries
+    *        through the per-chunk-firsts relation (a chunk's first ts
+    *        IS min(ts); the last row of a chunk's successor is the
+    *        next non-empty chunk's first row, because equal
+    *        timestamps can never straddle a chunk edge). Results are
+    *        BIT-IDENTICAL to the global window; `tsCol` must be
+    *        non-negative (integer DIV = floor only for t ≥ 0 — the
+    *        [[resampleLinear]] contract). */
   def timeWeightedAvg(df: DataFrame, seriesCol: String, tsCol: String,
-      tieBreak: String, valueCol: String): DataFrame = {
+      tieBreak: String, valueCol: String,
+      chunkSeconds: Long = 0L): DataFrame = {
     val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val d30 = org.apache.spark.sql.types.DecimalType(38, 6)
-    val w = Window.partitionBy(col(seriesCol))
-      .orderBy(col(tsCol), col(tieBreak))
-    df.withColumn("__dur",
-        (lead(col(tsCol), 1).over(w) - col(tsCol)).cast("long"))
+    val withDur =
+      if (chunkSeconds <= 0L) {
+        val w = Window.partitionBy(col(seriesCol))
+          .orderBy(col(tsCol), col(tieBreak))
+        df.withColumn("__dur",
+          (lead(col(tsCol), 1).over(w) - col(tsCol)).cast("long"))
+      } else {
+        val b = df.withColumn("__b",
+          expr(s"CAST(`$tsCol` AS BIGINT) DIV $chunkSeconds"))
+        val wl = Window.partitionBy(col(seriesCol), col("__b"))
+          .orderBy(col(tsCol), col(tieBreak))
+        // chunk-level firsts: tiny (series × non-empty chunks); its
+        // per-series window sorts chunk COUNTS, not rows
+        val wb = Window.partitionBy(col(seriesCol)).orderBy(col("__b"))
+        val nextFirst = b.groupBy(col(seriesCol), col("__b"))
+          .agg(min(col(tsCol)).as("__fts"))
+          .withColumn("__nf", lead(col("__fts"), 1).over(wb))
+          .drop("__fts")
+        b.withColumn("__nl", lead(col(tsCol), 1).over(wl))
+          .join(nextFirst, Seq(seriesCol, "__b"))
+          .withColumn("__dur",
+            (coalesce(col("__nl"), col("__nf")) - col(tsCol)).cast("long"))
+          .drop("__b", "__nl", "__nf")
+      }
+    withDur
       .filter(col("__dur").isNotNull && col(valueCol).isNotNull)
       .groupBy(col(seriesCol))
       .agg(count(lit(1)).as("obs_used"),

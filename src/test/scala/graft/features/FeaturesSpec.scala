@@ -96,6 +96,30 @@ class FeaturesSpec extends AnyFunSuite {
     assert(r("s") === ((2L, 18.0)))
     // t: 7 for 5s, 7 for 1s → 7.0 regardless of spacing
     assert(r("t") === ((2L, 7.0)))
+    // chunked lead stitches boundaries exactly: chunk width 3 puts the
+    // s-series rows in chunks 0|0|3 and t in 0|1|2 — every duration
+    // crosses or touches a chunk edge, results must not move
+    val c = Features.timeWeightedAvg(df, "k", "sec", "id", "v",
+        chunkSeconds = 3L)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(c === r)
+  }
+
+  test("timeWeightedAvg: chunked path is bit-identical on the events fixture") {
+    val e = graft.Tables.events(spark, TestSpark.sf)
+      .select($"event_type", unix_timestamp($"ts").as("sec"),
+        $"event_id", $"value")
+    def run(chunk: Long) =
+      Features.timeWeightedAvg(e, "event_type", "sec", "event_id", "value",
+          chunkSeconds = chunk)
+        .orderBy("event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    // several chunk widths, including one narrower than typical gaps
+    // (most chunks hold 0-1 rows → nearly every lead crosses an edge)
+    assert(run(86400L) === run(0L))
+    assert(run(3600L) === run(0L))
+    assert(run(7L) === run(0L))
   }
 
   test("timeSplitByQuantile splits near the requested fraction") {
