@@ -4151,7 +4151,10 @@ object Queries {
   def q146Cusum(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events").select(col("event_type"),
       unix_timestamp(col("ts")).as("sec"), col("event_id"), col("value"))
-    Features.cusumDeviation(e, "event_type", "sec", "event_id", "value")
+    // raw rows keyed by ~5 event types: the unchunked prefix scan is
+    // 5 single-task sorts; day chunks are bit-identical (spec'd)
+    Features.cusumDeviation(e, "event_type", "sec", "event_id", "value",
+        chunkSeconds = 86400L)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(max(abs(col("cusum"))).cast("double"), 6).as("max_abs_cusum"),

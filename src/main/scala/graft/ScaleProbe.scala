@@ -186,6 +186,19 @@ object ScaleProbe {
             col("event_id"), col("value")),
           "event_type", "sec", "event_id", "value",
           chunkSeconds = 86400L).count()
+      },
+      t("cusum") {
+        features.Features.cusumDeviation(
+          evK.select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
+            col("event_id"), col("value")),
+          "event_type", "sec", "event_id", "value").count()
+      },
+      t("cusum_chunked") {
+        features.Features.cusumDeviation(
+          evK.select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
+            col("event_id"), col("value")),
+          "event_type", "sec", "event_id", "value",
+          chunkSeconds = 86400L).count()
       })
 
     val json = results.map { case (n, sec, rows) =>

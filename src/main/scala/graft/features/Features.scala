@@ -541,15 +541,45 @@ object Features {
     *
     * Output: (seriesCol, grid_ts, value) — value is the raw IEEE
     * interpolation; round at the query edge for cross-engine dumps. */
+  /** @param chunkSeconds 0 (default) = one lead window per series;
+    *        pass a positive chunk width (units of `tsCol`) when the
+    *        series column is low-cardinality over raw observations —
+    *        the lead is then computed per (series, t DIV chunk) and
+    *        chunk boundaries stitch through the per-chunk-firsts
+    *        relation, bit-identically (the [[timeWeightedAvg]]
+    *        chunking; equal timestamps cannot straddle a chunk edge). */
   def resampleLinear(df: DataFrame, seriesCol: String, tsCol: String,
-      valueCol: String, step: Long): DataFrame = {
+      valueCol: String, step: Long, chunkSeconds: Long = 0L): DataFrame = {
     require(step > 0, "step must be positive")
-    val w = Window.partitionBy(col(seriesCol)).orderBy(col("__t"))
-    val p = df.select(col(seriesCol),
-        col(tsCol).cast("long").as("__t"),
-        col(valueCol).cast("double").as("__v"))
-      .withColumn("__t1", lead(col("__t"), 1).over(w))
-      .withColumn("__v1", lead(col("__v"), 1).over(w))
+    val base = df.select(col(seriesCol),
+      col(tsCol).cast("long").as("__t"),
+      col(valueCol).cast("double").as("__v"))
+    val p =
+      if (chunkSeconds <= 0L) {
+        val w = Window.partitionBy(col(seriesCol)).orderBy(col("__t"))
+        base
+          .withColumn("__t1", lead(col("__t"), 1).over(w))
+          .withColumn("__v1", lead(col("__v"), 1).over(w))
+      } else {
+        val b = base.withColumn("__b", expr(s"__t DIV $chunkSeconds"))
+        val wl = Window.partitionBy(col(seriesCol), col("__b"))
+          .orderBy(col("__t"))
+        // first (t, v) of each chunk: lexicographic struct-min matches
+        // the window's arbitrary choice among equal timestamps
+        val wb = Window.partitionBy(col(seriesCol)).orderBy(col("__b"))
+        val firsts = b.groupBy(col(seriesCol), col("__b"))
+          .agg(min(struct(col("__t"), col("__v"))).as("__f"))
+          .withColumn("__nf", lead(col("__f"), 1).over(wb))
+          .select(col(seriesCol), col("__b"),
+            col("__nf.__t").as("__nt"), col("__nf.__v").as("__nv"))
+        b.withColumn("__lt", lead(col("__t"), 1).over(wl))
+          .withColumn("__lv", lead(col("__v"), 1).over(wl))
+          .join(firsts, Seq(seriesCol, "__b"))
+          .withColumn("__t1", coalesce(col("__lt"), col("__nt")))
+          .withColumn("__v1",
+            when(col("__lt").isNotNull, col("__lv")).otherwise(col("__nv")))
+          .drop("__b", "__lt", "__lv", "__nt", "__nv")
+      }
     val gs = expr(s"((__t + ${step - 1}) DIV $step) * $step")
     val interior = p.filter(col("__t1").isNotNull)
       .withColumn("__gs", gs)
@@ -674,21 +704,58 @@ object Features {
     *
     * Returns the input plus `cusumCol` (decimal) — aggregate or
     * threshold-filter downstream. */
+  /** @param chunkSeconds 0 (default) = one running-sum window per
+    *        series; positive = the TWO-PHASE prefix formulation for
+    *        low-cardinality series over raw rows (the classic
+    *        single-task prefix-scan wall): intra-chunk running sum
+    *        per (series, ts DIV chunk) + an exclusive prefix of the
+    *        chunk totals (a chunk-count-sized relation) joined back.
+    *        DECIMAL addition is associative and exact, so the
+    *        regrouping is BIT-IDENTICAL to the global scan — the
+    *        [[graft.operators.PrefixSum]] two-level idea applied per
+    *        series. Equal timestamps land in one chunk, preserving
+    *        the (ts, tieBreak) order across edges. */
   def cusumDeviation(df: DataFrame, seriesCol: String, tsCol: String,
       tieBreak: String, valueCol: String,
-      cusumCol: String = "cusum"): DataFrame = {
+      cusumCol: String = "cusum", chunkSeconds: Long = 0L): DataFrame = {
     val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val means = df.filter(col(valueCol).isNotNull)
       .groupBy(col(seriesCol))
       .agg(round(sum(col(valueCol).cast(d6)).cast("double") /
         count(lit(1)).cast("double"), 6).cast(d6).as("__mu"))
-    val w = Window.partitionBy(col(seriesCol))
-      .orderBy(col(tsCol), col(tieBreak))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    df.join(means, Seq(seriesCol))
-      .withColumn(cusumCol,
-        sum(col(valueCol).cast(d6) - col("__mu")).over(w))
-      .drop("__mu")
+    if (chunkSeconds <= 0L) {
+      val w = Window.partitionBy(col(seriesCol))
+        .orderBy(col(tsCol), col(tieBreak))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      df.join(means, Seq(seriesCol))
+        .withColumn(cusumCol,
+          sum(col(valueCol).cast(d6) - col("__mu")).over(w))
+        .drop("__mu")
+    } else {
+      val b = df.join(means, Seq(seriesCol))
+        .withColumn("__b",
+          expr(s"CAST(`$tsCol` AS BIGINT) DIV $chunkSeconds"))
+        .withColumn("__d", col(valueCol).cast(d6) - col("__mu"))
+      val wl = Window.partitionBy(col(seriesCol), col("__b"))
+        .orderBy(col(tsCol), col(tieBreak))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // exclusive prefix of chunk totals: rows = non-empty chunks
+      val wb = Window.partitionBy(col(seriesCol)).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = b.groupBy(col(seriesCol), col("__b"))
+        .agg(sum(col("__d")).as("__ct"))
+        .withColumn("__off", sum(col("__ct")).over(wb))
+        .drop("__ct")
+      // sum(DECIMAL(18,6)) types as DECIMAL(28,6); cast the stitched
+      // result back to it so both paths emit the identical schema
+      val d28 = org.apache.spark.sql.types.DecimalType(28, 6)
+      b.withColumn("__intra", sum(col("__d")).over(wl))
+        .join(offsets, Seq(seriesCol, "__b"))
+        .withColumn(cusumCol,
+          (coalesce(col("__off").cast(d28), lit(0).cast(d28)) +
+            col("__intra")).cast(d28))
+        .drop("__mu", "__b", "__d", "__intra", "__off")
+    }
   }
 
   /** Robust per-group outlier scores via MAD (median absolute

@@ -105,6 +105,35 @@ class FeaturesSpec extends AnyFunSuite {
     assert(c === r)
   }
 
+  test("resampleLinear and cusumDeviation: chunked paths bit-identical on the events fixture") {
+    val e = graft.Tables.events(spark, TestSpark.sf)
+      .select($"event_type", unix_timestamp($"ts").as("sec"),
+        $"event_id", $"value")
+    // resample over daily-max observations (the q111 shape)
+    val obs = e.groupBy($"event_type",
+        (expr("sec DIV 86400") * 86400L).as("t"))
+      .agg(max($"value").as("v"))
+    def resample(chunk: Long) =
+      Features.resampleLinear(obs, "event_type", "t", "v", step = 21600L,
+          chunkSeconds = chunk)
+        .orderBy("event_type", "grid_ts")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    assert(resample(86400L * 7) === resample(0L))
+    assert(resample(100000L) === resample(0L))
+    // cusum: two-phase regrouping of exact decimals must not move a bit
+    def cusum(chunk: Long) =
+      Features.cusumDeviation(e, "event_type", "sec", "event_id", "value",
+          chunkSeconds = chunk)
+        .orderBy("event_type", "sec", "event_id")
+        .select($"event_type", $"event_id", $"cusum")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.getDecimal(2)).map(_.toPlainString)))
+        .toSeq
+    assert(cusum(86400L) === cusum(0L))
+    assert(cusum(604800L) === cusum(0L))
+  }
+
   test("timeWeightedAvg: chunked path is bit-identical on the events fixture") {
     val e = graft.Tables.events(spark, TestSpark.sf)
       .select($"event_type", unix_timestamp($"ts").as("sec"),
