@@ -188,17 +188,25 @@ object ScaleProbe {
           chunkSeconds = 86400L).count()
       },
       t("cusum") {
+        // noop, not count(): count prunes the unused cusum WINDOW out
+        // of the unchunked plan (leaving a bare scan) but cannot
+        // eliminate the chunked path's stitch joins — same fairness
+        // trap as the as-of probe, caught by rows≠work here
         features.Features.cusumDeviation(
           evK.select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
             col("event_id"), col("value")),
-          "event_type", "sec", "event_id", "value").count()
+          "event_type", "sec", "event_id", "value")
+          .write.format("noop").mode("overwrite").save()
+        0L
       },
       t("cusum_chunked") {
         features.Features.cusumDeviation(
           evK.select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
             col("event_id"), col("value")),
           "event_type", "sec", "event_id", "value",
-          chunkSeconds = 86400L).count()
+          chunkSeconds = 86400L)
+          .write.format("noop").mode("overwrite").save()
+        0L
       })
 
     val json = results.map { case (n, sec, rows) =>
