@@ -495,6 +495,51 @@ object Features {
     df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** [[forwardFill]] for a LOW-cardinality partition column over raw
+    * rows — the third member of the chunked family (lead:
+    * [[timeWeightedAvg]]/[[resampleLinear]]; prefix sum:
+    * [[cusumDeviation]]; LOCF: here). Intra-chunk LOCF per
+    * (partition, ts DIV chunk), then each chunk's last non-null value
+    * (a chunk-count-sized relation) carries forward across chunks via
+    * an EXCLUSIVE running `last(ignoreNulls)`, and rows whose
+    * intra-chunk fill is null adopt the carried value. BIT-IDENTICAL
+    * to the global window (LOCF composes associatively: the latest
+    * non-null at-or-before a row is either inside its own chunk or
+    * the last non-null of some earlier chunk). `tsCol` must be
+    * numeric non-negative and (tsCol, tieBreak) unique per key —
+    * equal timestamps land in one chunk, preserving order across
+    * edges. */
+  def forwardFillChunked(df: DataFrame, partCol: String, tsCol: String,
+      tieBreak: String, valueCol: String, outCol: String,
+      chunkSeconds: Long): DataFrame = {
+    require(chunkSeconds > 0, "chunkSeconds must be positive")
+    val b = df.withColumn("__b",
+      expr(s"CAST(`$tsCol` AS BIGINT) DIV $chunkSeconds"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol), col("__b"))
+      .orderBy(col(tsCol), col(tieBreak))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // per-chunk last non-null: max_by over non-null rows only (the
+    // running last(ignoreNulls) of a whole chunk IS its latest
+    // non-null row's value under the same (ts, tie) order)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // EVERY chunk gets a row (an all-null chunk must still receive the
+    // carry of earlier chunks): max_by's ordering is masked null for
+    // null values, so it yields the latest non-null value or null
+    val carried = b.groupBy(col(partCol), col("__b"))
+      .agg(max_by(col(valueCol),
+        when(col(valueCol).isNotNull,
+          struct(col(tsCol), col(tieBreak)))).as("__cl"))
+      .withColumn("__carry", last(col("__cl"), ignoreNulls = true).over(wb))
+      .drop("__cl")
+    b.withColumn("__intra", last(col(valueCol), ignoreNulls = true).over(wl))
+      .join(carried, Seq(partCol, "__b"))
+      .withColumn(outCol, coalesce(col("__intra"), col("__carry")))
+      .drop("__b", "__intra", "__carry")
+  }
+
   /** [[topKPerGroupAgg]] on the native bounded-heap aggregate
     * ([[graft.functions.BoundedTopKAgg]]): identical results, but the
     * aggregation buffer holds AT MOST k rows per group at every stage —

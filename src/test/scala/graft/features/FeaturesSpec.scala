@@ -134,6 +134,46 @@ class FeaturesSpec extends AnyFunSuite {
     assert(cusum(604800L) === cusum(0L))
   }
 
+  test("forwardFillChunked: bit-identical to forwardFill, incl. all-null chunks") {
+    // key "s": values at t=0,1 then a LONG null run spanning several
+    // chunks (chunk width 2 → chunks 2,3 are ALL-null; their rows
+    // must still adopt the t=1 value), then a new value at t=9
+    val df = Seq(
+      ("s", 0L, 1L, Some(1.0)), ("s", 1L, 2L, Some(2.0)),
+      ("s", 4L, 3L, None), ("s", 5L, 4L, None),
+      ("s", 6L, 5L, None), ("s", 7L, 6L, None),
+      ("s", 9L, 7L, Some(9.0)), ("s", 10L, 8L, None),
+      ("t", 0L, 9L, None), ("t", 3L, 10L, Some(3.0))) // leading nulls stay null
+      .toDF("k", "ts", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) = d
+      .orderBy("k", "ts")
+      .select("k", "ts", "f")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq
+    val exact = run(Features.forwardFill(df, "k", Seq("ts", "id"), "v", "f"))
+    val chunked = run(Features.forwardFillChunked(
+      df, "k", "ts", "id", "v", "f", chunkSeconds = 2L))
+    assert(chunked === exact)
+    assert(exact.filter(_._1 == "s").map(_._3) ===
+      Seq(Some(1.0), Some(2.0), Some(2.0), Some(2.0), Some(2.0),
+        Some(2.0), Some(9.0), Some(9.0)))
+    // fixture parity: fill value gaps per event_type over raw events
+    val e = graft.Tables.events(spark, TestSpark.sf)
+      .select($"event_type", unix_timestamp($"ts").as("sec"),
+        $"event_id", $"value")
+    def runE(d: org.apache.spark.sql.DataFrame) = d
+      .orderBy("event_type", "sec", "event_id")
+      .select("event_type", "event_id", "f")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq
+    val ee = runE(Features.forwardFill(
+      e, "event_type", Seq("sec", "event_id"), "value", "f"))
+    assert(runE(Features.forwardFillChunked(
+      e, "event_type", "sec", "event_id", "value", "f", 86400L)) === ee)
+    assert(runE(Features.forwardFillChunked(
+      e, "event_type", "sec", "event_id", "value", "f", 7L)) === ee)
+  }
+
   test("timeWeightedAvg: chunked path is bit-identical on the events fixture") {
     val e = graft.Tables.events(spark, TestSpark.sf)
       .select($"event_type", unix_timestamp($"ts").as("sec"),
