@@ -5523,5 +5523,9 @@ object Queries {
     "q154_containment", "q156_dsir", "q157_dup_chunks",
     "q160_kmeans", "q161_hard_negatives", "q163_winnow",
     // q41 vs q173 exposes the window-vs-native as-of join gap
-    "q41_asof", "q173_asof_native")
+    "q41_asof", "q173_asof_native",
+    // round-6: the chunked time-series paths (TWAP lead, CUSUM
+    // two-phase prefix) — benched so the chunk stitching's overhead
+    // stays visible round-over-round
+    "q141_twap", "q146_cusum")
 }
