@@ -37,13 +37,22 @@ class FixtureCanarySpec extends AnyFunSuite {
   test("events.ts normalizes to TIMESTAMP_NTZ through the one shared loader") {
     // the raw file may be int64-nanos (legacy) or TIMESTAMP(MICROS)
     // (native); both must resolve through Tables.events to NTZ, and
-    // through eventsEpochMicros to BIGINT
+    // through eventsEpochMicros to BIGINT. All driver scale factors
+    // checked: a PARTIAL fixture regeneration (one sf moved to a new
+    // physical type) must fail here, not in the sf0.01 verify run
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(dir).isDirectory) {
+        val evSf = Tables.events(spark, dir)
+        assert(evSf.schema("ts").dataType == TimestampNTZType,
+          s"$sf events.ts resolved as ${evSf.schema("ts").dataType}; " +
+            "the fixture generation changed — update Tables.events")
+        assert(Tables.eventsEpochMicros(spark, dir)
+          .schema("ts").dataType == LongType, s"$sf epoch-micros loader")
+      }
+    }
     val ev = Tables.events(spark, TestSpark.sf)
-    assert(ev.schema("ts").dataType == TimestampNTZType,
-      s"events.ts resolved as ${ev.schema("ts").dataType}; " +
-        "the fixture generation changed — update Tables.events")
     val em = Tables.eventsEpochMicros(spark, TestSpark.sf)
-    assert(em.schema("ts").dataType == LongType)
     // both views agree on the same instant for every row
     import org.apache.spark.sql.functions._
     val mismatch = ev
