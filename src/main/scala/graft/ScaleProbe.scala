@@ -174,11 +174,13 @@ object ScaleProbe {
           .count()
       },
       t("twap") {
-        // unchunked: ~5 event types = 5 sort tasks — the measured wall
+        // FORCED unchunked (chunkSeconds = 0): ~5 event types = 5
+        // sort tasks — the measured wall, kept as the comparison floor
         features.Features.timeWeightedAvg(
           evK.select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
             col("event_id"), col("value")),
-          "event_type", "sec", "event_id", "value").count()
+          "event_type", "sec", "event_id", "value",
+          chunkSeconds = 0L).count()
       },
       t("twap_chunked") {
         features.Features.timeWeightedAvg(
@@ -186,6 +188,14 @@ object ScaleProbe {
             col("event_id"), col("value")),
           "event_type", "sec", "event_id", "value",
           chunkSeconds = 86400L).count()
+      },
+      t("twap_auto") {
+        // the ChunkAuto DEFAULT: probe + data-chosen path — at this
+        // decade the probe must pick a chunked plan, not the wall
+        features.Features.timeWeightedAvg(
+          evK.select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
+            col("event_id"), col("value")),
+          "event_type", "sec", "event_id", "value").count()
       },
       t("cusum") {
         // noop, not count(): count prunes the unused cusum WINDOW out
@@ -195,7 +205,8 @@ object ScaleProbe {
         features.Features.cusumDeviation(
           evK.select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
             col("event_id"), col("value")),
-          "event_type", "sec", "event_id", "value")
+          "event_type", "sec", "event_id", "value",
+          chunkSeconds = 0L)
           .write.format("noop").mode("overwrite").save()
         0L
       },
@@ -205,6 +216,14 @@ object ScaleProbe {
             col("event_id"), col("value")),
           "event_type", "sec", "event_id", "value",
           chunkSeconds = 86400L)
+          .write.format("noop").mode("overwrite").save()
+        0L
+      },
+      t("cusum_auto") {
+        features.Features.cusumDeviation(
+          evK.select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
+            col("event_id"), col("value")),
+          "event_type", "sec", "event_id", "value")
           .write.format("noop").mode("overwrite").save()
         0L
       })

@@ -465,7 +465,10 @@ object Dedup {
     val seeds = vectors.select(col(idCol).as("__sid"), col(vecCol).as("__sv"))
       .orderBy(md5(col("__sid").cast("string")), col("__sid"))
       .limit(k)
-    semanticDupPairsWith(vectors, idCol, vecCol, seeds, threshold)
+    // k is known statically here — resolve the CoarseAuto rule without
+    // the seed-count job the DataFrame-seeded entry needs
+    semanticDupPairsWith(vectors, idCol, vecCol, seeds, threshold,
+      nCoarse = graft.sim.Similarity.autoNCoarse(k))
   }
 
   /** [[semanticDupPairs]] with a caller-supplied cluster relation —
@@ -475,7 +478,7 @@ object Dedup {
     * runs over real Lloyd cells instead of seed exemplars. */
   def semanticDupPairsWith(vectors: DataFrame, idCol: String,
       vecCol: String, seeds: DataFrame, threshold: Double,
-      nCoarse: Int = 0): DataFrame = {
+      nCoarse: Int = graft.sim.Similarity.CoarseAuto): DataFrame = {
     import graft.sim.Similarity
     val s = seeds.columns.toSeq match {
       case Seq("__sid", "__sv") => seeds
@@ -485,12 +488,17 @@ object Dedup {
     }
     // Nearest-seed assignment: argmax cosine, ties to the lower seed
     // id. Exact assignment is n·k cosines — once the cell count scales
-    // with the corpus (the constant-cell-size contract), pass
-    // nCoarse ≈ √k for the two-level O(n·√k) path
-    // ([[graft.sim.Similarity.assignToSeedsCoarse]]).
+    // with the corpus (the constant-cell-size contract) the two-level
+    // O(n·√k) path ([[graft.sim.Similarity.assignToSeedsCoarse]]) is
+    // the one that survives, so CoarseAuto picks it past the seed
+    // threshold. The seed relation is broadcast-tiny by contract, so
+    // the auto rule's count() is a trivially small job.
+    val nc =
+      if (nCoarse < 0) Similarity.autoNCoarse(s.count().toInt)
+      else nCoarse
     val assigned =
-      if (nCoarse > 0)
-        Similarity.assignToSeedsCoarse(vectors, idCol, vecCol, s, nCoarse)
+      if (nc > 0)
+        Similarity.assignToSeedsCoarse(vectors, idCol, vecCol, s, nc)
       else vectors
         .crossJoin(broadcast(s)) // k candidate rows per vector, map-side
         .groupBy(col(idCol))

@@ -478,6 +478,67 @@ object Features {
       .drop("__rn")
   }
 
+  /** Sentinel `chunkSeconds`: PROBE the data and choose the path.
+    * The default for the chunked time-series family
+    * ([[timeWeightedAvg]], [[cusumDeviation]], [[resampleLinear]],
+    * [[forwardFillTs]]) — the 1000× scale probes proved the unchunked
+    * per-series window is the few-huge-partitions wall exactly when
+    * the caller least expects it (a low-cardinality series column over
+    * raw rows), so the scale-safe plan must not hide behind a knob.
+    * Pass 0 to force the single-window path (skips the probe — the
+    * interactive-latency choice when the caller KNOWS series are
+    * small), or an explicit positive width to force chunking. */
+  val ChunkAuto: Long = -1L
+
+  /** [[autoChunkWidth]] keeps the single-window path while the mean
+    * series holds at most this many rows — a one-task sort of 4M rows
+    * is comfortably inside an executor; beyond it the per-series
+    * window is the measured super-linear wall. */
+  val AutoChunkMaxRowsPerSeries: Long = 4000000L
+
+  /** Target rows per (series, chunk) task once [[autoChunkWidth]]
+    * decides to chunk. */
+  val AutoChunkTargetRows: Long = 1000000L
+
+  /** The data probe behind [[ChunkAuto]]: ONE aggregate-only pass
+    * (map-side combined, four scalars back — no shuffle of raw rows)
+    * reading row count, approximate series cardinality, and the
+    * timestamp span. Returns 0 ("don't chunk") while the mean series
+    * fits a single task's sort, else a chunk width (units of `ts`)
+    * sized so a mean (series, chunk) cell holds ~`targetChunkRows`
+    * rows under a uniform-timestamp assumption — skewed timestamps
+    * change task sizes, never results (the chunked formulations are
+    * bit-identical at ANY width). The width derives from
+    * `approx_count_distinct` (±2% HLL), so it is stable for a given
+    * dataset but not a cross-engine contract — oracle-checked queries
+    * rely on the bit-identity of both paths, not on which path ran.
+    * Cost: one extra job over `df` — callers at interactive latency
+    * who know their data pass an explicit `chunkSeconds` instead. */
+  def autoChunkWidth(df: DataFrame, seriesCol: String, tsCol: Column,
+      maxRowsPerSeries: Long = AutoChunkMaxRowsPerSeries,
+      targetChunkRows: Long = AutoChunkTargetRows): Long = {
+    val r = df.agg(count(lit(1)).as("n"),
+      approx_count_distinct(col(seriesCol)).as("s"),
+      min(tsCol.cast("long")).as("lo"),
+      max(tsCol.cast("long")).as("hi")).head()
+    if (r.isNullAt(2) || r.getLong(0) == 0L) return 0L // empty input
+    val perSeries = r.getLong(0) / math.max(1L, r.getLong(1))
+    if (perSeries <= maxRowsPerSeries) 0L
+    else {
+      val chunks = math.max(2L,
+        (perSeries + targetChunkRows - 1L) / targetChunkRows)
+      val span = r.getLong(3) - r.getLong(2) + 1L
+      math.max(1L, (span + chunks - 1L) / chunks)
+    }
+  }
+
+  /** Resolve a caller's `chunkSeconds` against the [[ChunkAuto]]
+    * contract: negative = probe, else pass through. */
+  private def resolveChunk(df: DataFrame, seriesCol: String, tsCol: Column,
+      chunkSeconds: Long): Long =
+    if (chunkSeconds < 0L) autoChunkWidth(df, seriesCol, tsCol)
+    else chunkSeconds
+
   /** Forward-fill (LOCF imputation): each null adopts the latest
     * non-null value at-or-before it within its partition — the
     * time-series face of imputation (sensor gaps, sparse event
@@ -540,6 +601,26 @@ object Features {
       .drop("__b", "__intra", "__carry")
   }
 
+  /** The timestamp-keyed LOCF entry with AUTOMATIC path selection —
+    * [[forwardFill]] when the probe says series fit a task's sort,
+    * [[forwardFillChunked]] (bit-identical) when they don't. The
+    * scale-safe default: a caller shouldn't need to know the
+    * few-huge-partitions wall exists to survive it. `(tsCol,
+    * tieBreak)` must be unique per key and `tsCol` numeric
+    * non-negative (the chunked contract). Column order is preserved
+    * (input columns, then `outCol`) whichever path runs. */
+  def forwardFillTs(df: DataFrame, partCol: String, tsCol: String,
+      tieBreak: String, valueCol: String, outCol: String,
+      chunkSeconds: Long = ChunkAuto): DataFrame = {
+    val chunk = resolveChunk(df, partCol, col(tsCol), chunkSeconds)
+    val out =
+      if (chunk <= 0L)
+        forwardFill(df, partCol, Seq(tsCol, tieBreak), valueCol, outCol)
+      else forwardFillChunked(df, partCol, tsCol, tieBreak, valueCol,
+        outCol, chunk)
+    out.select((df.columns :+ outCol).map(col): _*)
+  }
+
   /** [[topKPerGroupAgg]] on the native bounded-heap aggregate
     * ([[graft.functions.BoundedTopKAgg]]): identical results, but the
     * aggregation buffer holds AT MOST k rows per group at every stage —
@@ -586,27 +667,37 @@ object Features {
     *
     * Output: (seriesCol, grid_ts, value) — value is the raw IEEE
     * interpolation; round at the query edge for cross-engine dumps. */
-  /** @param chunkSeconds 0 (default) = one lead window per series;
-    *        pass a positive chunk width (units of `tsCol`) when the
-    *        series column is low-cardinality over raw observations —
-    *        the lead is then computed per (series, t DIV chunk) and
-    *        chunk boundaries stitch through the per-chunk-firsts
-    *        relation, bit-identically (the [[timeWeightedAvg]]
-    *        chunking; equal timestamps cannot straddle a chunk edge). */
+  /** @param chunkSeconds [[ChunkAuto]] (default) = probe the data and
+    *        choose ([[autoChunkWidth]]); 0 = force one lead window per
+    *        series; positive = force that chunk width (units of
+    *        `tsCol`) — the lead is then computed per (series, t DIV
+    *        chunk) and chunk boundaries stitch through the
+    *        per-chunk-firsts relation, bit-identically (the
+    *        [[timeWeightedAvg]] chunking; equal timestamps cannot
+    *        straddle a chunk edge). PRECONDITION for the bit-identity
+    *        (and thus for the auto default, where the path is a
+    *        data-dependent choice): timestamps must be UNIQUE per
+    *        series — the unchunked window orders by `__t` alone, so a
+    *        duplicate (series, ts) makes its lead nondeterministic
+    *        while the chunked stitch deterministically picks
+    *        min(struct(t, v)); dedup or pre-aggregate first (the q111
+    *        shape). */
   def resampleLinear(df: DataFrame, seriesCol: String, tsCol: String,
-      valueCol: String, step: Long, chunkSeconds: Long = 0L): DataFrame = {
+      valueCol: String, step: Long,
+      chunkSeconds: Long = ChunkAuto): DataFrame = {
     require(step > 0, "step must be positive")
     val base = df.select(col(seriesCol),
       col(tsCol).cast("long").as("__t"),
       col(valueCol).cast("double").as("__v"))
+    val chunk = resolveChunk(base, seriesCol, col("__t"), chunkSeconds)
     val p =
-      if (chunkSeconds <= 0L) {
+      if (chunk <= 0L) {
         val w = Window.partitionBy(col(seriesCol)).orderBy(col("__t"))
         base
           .withColumn("__t1", lead(col("__t"), 1).over(w))
           .withColumn("__v1", lead(col("__v"), 1).over(w))
       } else {
-        val b = base.withColumn("__b", expr(s"__t DIV $chunkSeconds"))
+        val b = base.withColumn("__b", expr(s"__t DIV $chunk"))
         val wl = Window.partitionBy(col(seriesCol), col("__b"))
           .orderBy(col("__t"))
         // first (t, v) of each chunk: lexicographic struct-min matches
@@ -749,8 +840,10 @@ object Features {
     *
     * Returns the input plus `cusumCol` (decimal) — aggregate or
     * threshold-filter downstream. */
-  /** @param chunkSeconds 0 (default) = one running-sum window per
-    *        series; positive = the TWO-PHASE prefix formulation for
+  /** @param chunkSeconds [[ChunkAuto]] (default) = probe the data and
+    *        choose ([[autoChunkWidth]]); 0 = force one running-sum
+    *        window per series; positive = force the TWO-PHASE prefix
+    *        formulation at that width — the scale path for
     *        low-cardinality series over raw rows (the classic
     *        single-task prefix-scan wall): intra-chunk running sum
     *        per (series, ts DIV chunk) + an exclusive prefix of the
@@ -762,13 +855,14 @@ object Features {
     *        the (ts, tieBreak) order across edges. */
   def cusumDeviation(df: DataFrame, seriesCol: String, tsCol: String,
       tieBreak: String, valueCol: String,
-      cusumCol: String = "cusum", chunkSeconds: Long = 0L): DataFrame = {
+      cusumCol: String = "cusum", chunkSeconds: Long = ChunkAuto): DataFrame = {
     val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val chunk = resolveChunk(df, seriesCol, col(tsCol), chunkSeconds)
     val means = df.filter(col(valueCol).isNotNull)
       .groupBy(col(seriesCol))
       .agg(round(sum(col(valueCol).cast(d6)).cast("double") /
         count(lit(1)).cast("double"), 6).cast(d6).as("__mu"))
-    if (chunkSeconds <= 0L) {
+    if (chunk <= 0L) {
       val w = Window.partitionBy(col(seriesCol))
         .orderBy(col(tsCol), col(tieBreak))
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -779,7 +873,7 @@ object Features {
     } else {
       val b = df.join(means, Seq(seriesCol))
         .withColumn("__b",
-          expr(s"CAST(`$tsCol` AS BIGINT) DIV $chunkSeconds"))
+          expr(s"CAST(`$tsCol` AS BIGINT) DIV $chunk"))
         .withColumn("__d", col(valueCol).cast(d6) - col("__mu"))
       val wl = Window.partitionBy(col(seriesCol), col("__b"))
         .orderBy(col(tsCol), col(tieBreak))
@@ -791,14 +885,16 @@ object Features {
         .agg(sum(col("__d")).as("__ct"))
         .withColumn("__off", sum(col("__ct")).over(wb))
         .drop("__ct")
-      // sum(DECIMAL(18,6)) types as DECIMAL(28,6); cast the stitched
-      // result back to it so both paths emit the identical schema
-      val d28 = org.apache.spark.sql.types.DecimalType(28, 6)
+      // __d is DECIMAL(19,6) (the 18,6 subtraction widens one digit),
+      // so the unchunked sum(__d) window types as DECIMAL(29,6); cast
+      // the stitched result to THAT so both paths emit the identical
+      // schema with identical overflow headroom
+      val d29 = org.apache.spark.sql.types.DecimalType(29, 6)
       b.withColumn("__intra", sum(col("__d")).over(wl))
         .join(offsets, Seq(seriesCol, "__b"))
         .withColumn(cusumCol,
-          (coalesce(col("__off").cast(d28), lit(0).cast(d28)) +
-            col("__intra")).cast(d28))
+          (coalesce(col("__off").cast(d29), lit(0).cast(d29)) +
+            col("__intra")).cast(d29))
         .drop("__mu", "__b", "__d", "__intra", "__off")
     }
   }
@@ -867,36 +963,38 @@ object Features {
     * be numeric (epoch seconds/micros — caller's resolution choice);
     * values exact at 6 decimals by the engine's cross-engine sum
     * contract. Returns (series, obs_used, twap). */
-  /** @param chunkSeconds 0 (default) = one lead window per series —
-    *        fine while each series fits a task's sort. A LOW-
+  /** @param chunkSeconds [[ChunkAuto]] (default) = probe the data and
+    *        choose ([[autoChunkWidth]]); 0 = force one lead window per
+    *        series — fine while each series fits a task's sort. A LOW-
     *        cardinality series column makes that window the classic
     *        few-huge-partitions wall (5 event types × 120M rows = 5
     *        tasks sorting 120M rows each; measured super-linear,
-    *        per-row ratio 2.1, at the 1000× probe decade). Pass a
-    *        positive chunk width (same unit as `tsCol`) to compute the
-    *        lead per (series, ts DIV chunk) instead — parallelism
-    *        becomes series × chunks — and stitch chunk boundaries
-    *        through the per-chunk-firsts relation (a chunk's first ts
-    *        IS min(ts); the last row of a chunk's successor is the
-    *        next non-empty chunk's first row, because equal
-    *        timestamps can never straddle a chunk edge). Results are
-    *        BIT-IDENTICAL to the global window; `tsCol` must be
-    *        non-negative (integer DIV = floor only for t ≥ 0 — the
+    *        per-row ratio 2.1, at the 1000× probe decade). A positive
+    *        width (same unit as `tsCol`) computes the lead per
+    *        (series, ts DIV chunk) instead — parallelism becomes
+    *        series × chunks — and stitches chunk boundaries through
+    *        the per-chunk-firsts relation (a chunk's first ts IS
+    *        min(ts); the last row of a chunk's successor is the next
+    *        non-empty chunk's first row, because equal timestamps can
+    *        never straddle a chunk edge). Results are BIT-IDENTICAL
+    *        to the global window; `tsCol` must be non-negative
+    *        (integer DIV = floor only for t ≥ 0 — the
     *        [[resampleLinear]] contract). */
   def timeWeightedAvg(df: DataFrame, seriesCol: String, tsCol: String,
       tieBreak: String, valueCol: String,
-      chunkSeconds: Long = 0L): DataFrame = {
+      chunkSeconds: Long = ChunkAuto): DataFrame = {
     val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val d30 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val chunk = resolveChunk(df, seriesCol, col(tsCol), chunkSeconds)
     val withDur =
-      if (chunkSeconds <= 0L) {
+      if (chunk <= 0L) {
         val w = Window.partitionBy(col(seriesCol))
           .orderBy(col(tsCol), col(tieBreak))
         df.withColumn("__dur",
           (lead(col(tsCol), 1).over(w) - col(tsCol)).cast("long"))
       } else {
         val b = df.withColumn("__b",
-          expr(s"CAST(`$tsCol` AS BIGINT) DIV $chunkSeconds"))
+          expr(s"CAST(`$tsCol` AS BIGINT) DIV $chunk"))
         val wl = Window.partitionBy(col(seriesCol), col("__b"))
           .orderBy(col(tsCol), col(tieBreak))
         // chunk-level firsts: tiny (series × non-empty chunks); its

@@ -374,11 +374,43 @@ object Similarity {
     * [[graft.ml.KMeansRel.fit]] centroids when cluster quality
     * matters more than zero-fit cost. Returns (idCol, cluster). */
   def seedAssign(vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCoarse: Int = 0): DataFrame = {
+      k: Int, nCoarse: Int = CoarseAuto): DataFrame = {
     val seeds = seedsOf(vectors, idCol, vecCol, k)
-    if (nCoarse > 0) assignToSeedsCoarse(vectors, idCol, vecCol, seeds, nCoarse)
+    val nc = resolveNCoarse(k, nCoarse)
+    if (nc > 0) assignToSeedsCoarse(vectors, idCol, vecCol, seeds, nc)
     else assignToSeeds(vectors, idCol, vecCol, seeds)
   }
+
+  /** Sentinel `nCoarse`: choose the assignment path FROM the seed
+    * count ([[autoNCoarse]]) — the default for [[seedAssign]],
+    * [[knnJoin]], [[hardNegatives]], and
+    * [[graft.dedup.Dedup.semanticDupPairsWith]]. The 100× probe
+    * measured exact assignment's n·c cosines at 210 s vs the
+    * two-level path's 20 s once the cell count scales with the corpus
+    * — the scale-safe plan must not hide behind a knob. Pass 0 to
+    * force exact assignment, or an explicit positive super-seed count
+    * to force the two-level path. */
+  val CoarseAuto: Int = -1
+
+  /** Below this many seeds, exact assignment stays the default under
+    * [[CoarseAuto]]: n·c broadcast cosines are cheap at small c, and
+    * exact beats approximate when it costs nothing. At or above it,
+    * the two-level path with √c super-seeds wins asymptotically
+    * (O(n·√c)) and the IVF-style recall trade is the right one. */
+  val AutoCoarseMinSeeds: Int = 128
+
+  /** The path rule behind [[CoarseAuto]]: 0 (exact) below
+    * [[AutoCoarseMinSeeds]] seeds, else ⌈√c⌉ super-seeds. A PURE
+    * function of the caller's seed count — no data probe — so which
+    * path runs is deterministic for a given call, and an oracle
+    * replaying the query knows it statically. */
+  def autoNCoarse(nSeeds: Int): Int =
+    if (nSeeds >= AutoCoarseMinSeeds)
+      math.max(1, math.ceil(math.sqrt(nSeeds.toDouble)).toInt)
+    else 0
+
+  private[graft] def resolveNCoarse(nSeeds: Int, nCoarse: Int): Int =
+    if (nCoarse < 0) autoNCoarse(nSeeds) else nCoarse
 
   /** The k md5-draw seed exemplars of a corpus, as (__sid, __sv). */
   def seedsOf(vectors: DataFrame, idCol: String, vecCol: String,
@@ -470,10 +502,11 @@ object Similarity {
     *         self-matches are unwanted. */
   def knnJoin(queries: DataFrame, qIdCol: String,
       corpus: DataFrame, cIdCol: String, vecCol: String,
-      nClusters: Int, k: Int, nCoarse: Int = 0): DataFrame = {
+      nClusters: Int, k: Int, nCoarse: Int = CoarseAuto): DataFrame = {
     val seeds = seedsOf(corpus, cIdCol, vecCol, nClusters)
+    val nc = resolveNCoarse(nClusters, nCoarse)
     def assign(v: DataFrame, id: String) =
-      if (nCoarse > 0) assignToSeedsCoarse(v, id, vecCol, seeds, nCoarse)
+      if (nc > 0) assignToSeedsCoarse(v, id, vecCol, seeds, nc)
       else assignToSeeds(v, id, vecCol, seeds)
     val qa = queries.join(assign(queries, qIdCol), Seq(qIdCol))
       .select(col("cluster"), col(qIdCol), col(vecCol).as("__vq"))
@@ -509,7 +542,7 @@ object Similarity {
     */
   def hardNegatives(vectors: DataFrame, idCol: String, vecCol: String,
       labelCol: String, nClusters: Int, k: Int,
-      nCoarse: Int = 0): DataFrame = {
+      nCoarse: Int = CoarseAuto): DataFrame = {
     val cells = seedAssign(vectors, idCol, vecCol, nClusters, nCoarse)
     val withC = vectors.join(cells, Seq(idCol))
     val a = withC.select(col("cluster"), col(idCol),

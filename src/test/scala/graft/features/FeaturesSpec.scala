@@ -191,6 +191,63 @@ class FeaturesSpec extends AnyFunSuite {
     assert(run(7L) === run(0L))
   }
 
+  test("ChunkAuto: probe picks the path, results and schema never move") {
+    val e = graft.Tables.events(spark, TestSpark.sf)
+      .select($"event_type", unix_timestamp($"ts").as("sec"),
+        $"event_id", $"value")
+    // small fixture: the probe must keep the single-window path
+    assert(Features.autoChunkWidth(e, "event_type", $"sec") === 0L)
+    // tiny thresholds force the probe down the chunked branch: the
+    // width it derives must itself be bit-identical to unchunked
+    val w = Features.autoChunkWidth(e, "event_type", $"sec",
+      maxRowsPerSeries = 10L, targetChunkRows = 5L)
+    assert(w > 0L)
+    def twap(chunk: Long) =
+      Features.timeWeightedAvg(e, "event_type", "sec", "event_id", "value",
+          chunkSeconds = chunk)
+        .orderBy("event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    assert(twap(w) === twap(0L))
+    // the DEFAULT call (no knob) routes through the probe and matches
+    assert(twap(Features.ChunkAuto) === twap(0L))
+    // cusum: both paths must agree on VALUES and on the column's
+    // DECIMAL type — auto flips paths on data, so a schema divergence
+    // would be a silent downstream break
+    def cusum(chunk: Long) =
+      Features.cusumDeviation(e, "event_type", "sec", "event_id", "value",
+        chunkSeconds = chunk)
+    assert(cusum(0L).schema("cusum").dataType ===
+      cusum(86400L).schema("cusum").dataType)
+    assert(cusum(Features.ChunkAuto).schema("cusum").dataType ===
+      cusum(0L).schema("cusum").dataType)
+    // empty input: probe returns 0, no throw
+    assert(Features.autoChunkWidth(e.filter(lit(false)), "event_type",
+      $"sec") === 0L)
+  }
+
+  test("forwardFillTs: auto entry matches forwardFill, column order stable") {
+    val e = graft.Tables.events(spark, TestSpark.sf)
+      .select($"event_type", unix_timestamp($"ts").as("sec"),
+        $"event_id", $"value")
+    def run(d: org.apache.spark.sql.DataFrame) = d
+      .orderBy("event_type", "sec", "event_id")
+      .select("event_type", "event_id", "f")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq
+    val exact = run(Features.forwardFill(
+      e, "event_type", Seq("sec", "event_id"), "value", "f"))
+    val auto = Features.forwardFillTs(
+      e, "event_type", "sec", "event_id", "value", "f")
+    val forced = Features.forwardFillTs(
+      e, "event_type", "sec", "event_id", "value", "f", chunkSeconds = 7L)
+    assert(run(auto) === exact)
+    assert(run(forced) === exact)
+    // whichever path ran, the contract is (input columns, outCol)
+    assert(auto.columns.toSeq === e.columns.toSeq :+ "f")
+    assert(forced.columns.toSeq === e.columns.toSeq :+ "f")
+  }
+
   test("timeSplitByQuantile splits near the requested fraction") {
     val orders = TestSpark.table("orders")
       .withColumn("ep", unix_timestamp($"o_orderdate").cast("double"))

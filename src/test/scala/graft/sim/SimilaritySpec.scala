@@ -306,6 +306,33 @@ class SimilaritySpec extends AnyFunSuite {
       s"coarse diverged on separated cells: $agree/${exact.length}")
   }
 
+  test("CoarseAuto: pure threshold rule, and the default routes to it") {
+    // the rule is a pure function of the seed count — statically
+    // replayable by an oracle, no data probe
+    assert(Similarity.autoNCoarse(4) === 0)
+    assert(Similarity.autoNCoarse(Similarity.AutoCoarseMinSeeds - 1) === 0)
+    assert(Similarity.autoNCoarse(128) === 12) // ceil(sqrt(128)) = 12
+    assert(Similarity.autoNCoarse(10000) === 100)
+    // below the threshold the DEFAULT call must be exactly the exact
+    // path (the green-query guarantee: q161/q167/q158 keep their
+    // oracles with no knob set)
+    val exact = Similarity.seedAssign(emb, "vec_id", "embedding", 8,
+        nCoarse = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    val auto = Similarity.seedAssign(emb, "vec_id", "embedding", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    assert(auto === exact)
+    // at/above the threshold the default takes the two-level path:
+    // identical to the same explicit nCoarse call
+    val k = Similarity.AutoCoarseMinSeeds
+    val viaAuto = Similarity.seedAssign(emb, "vec_id", "embedding", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    val viaExplicit = Similarity.seedAssign(emb, "vec_id", "embedding", k,
+        nCoarse = Similarity.autoNCoarse(k))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    assert(viaAuto === viaExplicit)
+  }
+
   test("hard negatives via coarse assignment: k rows per anchor, different labels") {
     val hn = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
       nClusters = 8, k = 3, nCoarse = 3)
