@@ -5143,6 +5143,122 @@ object Queries {
       |SELECT vec_id, neg_id, cosine, CAST(rn AS BIGINT) AS rn
       |FROM r WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin
 
+  /** The shared merges-table SQL (top-20 one-shot BPE merges, ranked)
+    * for the q175/q176 oracles — the q66 pair count with a rank. */
+  private val bpeMergesCteSql: String =
+    """w0 AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |         x -> x <> '')) AS w FROM documents),
+      |wc AS (SELECT w, count(*) AS cnt FROM w0 GROUP BY w),
+      |pc AS (SELECT unnest(list_transform(range(1, length(w)),
+      |         i -> substr(w, i, 2))) AS pair, cnt
+      |       FROM wc WHERE length(w) >= 2),
+      |pcc AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM pc GROUP BY pair),
+      |mg AS (SELECT substr(pair, 1, 1) AS l, substr(pair, 2, 1) AS r,
+      |         CAST(row_number() OVER (ORDER BY cnt DESC, pair) - 1 AS INT) AS rank
+      |       FROM (SELECT * FROM pcc ORDER BY cnt DESC, pair LIMIT 20))"""
+      .stripMargin
+
+  /** The BPE-apply recursive CTE over a vocabulary relation `v(w)`:
+    * split to codepoint symbols, then one merge per step — the
+    * LEFTMOST occurrence of the lowest-ranked adjacent pair — until no
+    * pair is in `mg`. Final state per word = the minimum-length row
+    * (each step shrinks the list by one, so the chain is linear).
+    * Exactly [[graft.text.TextOps.bpeApply]]'s contract. */
+  private val bpeEncCteSql: String =
+    """init AS (SELECT w, list_transform(range(1, length(w) + 1),
+      |           i -> substr(w, i, 1)) AS syms FROM v),
+      |enc(w, syms) AS (
+      |  SELECT w, syms FROM init
+      |  UNION ALL
+      |  SELECT w, syms[1:pos-1] || [syms[pos] || syms[pos+1]] || syms[pos+2:]
+      |  FROM (
+      |    SELECT w, syms, min_by(pos, rank * 1000000 + pos) AS pos
+      |    FROM (
+      |      SELECT e.w, e.syms, t.i AS pos, mg.rank
+      |      FROM enc e, UNNEST(range(1, len(e.syms))) AS t(i)
+      |      JOIN mg ON mg.l = e.syms[t.i] AND mg.r = e.syms[t.i + 1]
+      |    ) GROUP BY w, syms
+      |  )
+      |),
+      |fin AS (SELECT w, min_by(syms, len(syms)) AS syms FROM enc GROUP BY w)"""
+      .stripMargin
+
+  /** BPE tokenizer APPLY ([[graft.text.TextOps.bpeEncodeWords]]):
+    * encode the distinct vocabulary of the first documents against a
+    * one-shot top-20 merges table ([[graft.text.TextOps.bpeMerges]]).
+    * The oracle replays the ENTIRE merge loop in a recursive CTE —
+    * codepoint split, per-step leftmost-lowest-rank merge, fixpoint —
+    * so the iterative UDF inner loop is value-checked end-to-end, not
+    * just row-counted. Corpus-scale discipline: merges are trained on
+    * ALL documents, the encode runs on a distinct-word relation. */
+  def q175BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.text.TextOps.bpeMerges(docs, "text", 20)
+    val vocab = docs.filter(col("doc_id") < 40)
+      .select(explode(graft.text.TextOps.tokens(lower(col("text")))).as("w"))
+      .distinct()
+    graft.text.TextOps.bpeEncodeWords(vocab, "w", merges)
+      .select(col("w").as("word"),
+        array_join(col("bpe_tokens"), " ").as("encoded"),
+        size(col("bpe_tokens")).cast("long").as("n_tokens"))
+      .orderBy("word")
+  }
+
+  val q175Sql: String =
+    s"""WITH RECURSIVE $bpeMergesCteSql,
+      |v AS (SELECT DISTINCT unnest(list_filter(
+      |        regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+      |      FROM documents WHERE doc_id < 40),
+      |$bpeEncCteSql
+      |SELECT w AS word, array_to_string(syms, ' ') AS encoded,
+      |  CAST(len(syms) AS BIGINT) AS n_tokens
+      |FROM fin ORDER BY word""".stripMargin
+
+  /** TOKEN-ACCURATE sequence packing — q63's greedy budget fill with
+    * the whitespace count replaced by BPE token counts
+    * ([[graft.text.TextOps.bpeTokenCounts]]): whitespace counts
+    * misstate budgets for a real tokenizer (this corpus under the
+    * 20-merge demo table runs 3.57 BPE tokens per word; a production
+    * 30k-merges file lands near 1.3 for English prose), so
+    * ws-budgeted packs systematically misfit a model's context.
+    * Corpus → (doc, word) counts →
+    * vocabulary-sized encode → weighted join-back, then the same
+    * distributed two-phase prefix sum over doc order. The oracle
+    * replays the merge loop over the FULL corpus vocabulary plus the
+    * packing window. */
+  def q176BpePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.text.TextOps.bpeMerges(docs, "text", 20)
+    val counts = graft.text.TextOps
+      .bpeTokenCounts(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    graft.operators.PrefixSum
+      .packBudget(counts, "doc_id", "n_bpe_tokens", budget = 2048L,
+        bucketWidth = 100L)
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bpe_tokens").as("pack_tokens"))
+      .orderBy("pack_id")
+  }
+
+  val q176Sql: String =
+    s"""WITH RECURSIVE $bpeMergesCteSql,
+      |v AS (SELECT DISTINCT w FROM w0),
+      |$bpeEncCteSql,
+      |dwc AS (SELECT doc_id, w, count(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(list_filter(
+      |      regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+      |    FROM documents) GROUP BY doc_id, w),
+      |d AS (SELECT doc_id, CAST(sum(cnt * len(syms)) AS BIGINT) AS n_bpe_tokens
+      |      FROM dwc JOIN fin USING (w) GROUP BY doc_id),
+      |c AS (SELECT doc_id, n_bpe_tokens,
+      |  sum(n_bpe_tokens) OVER (ORDER BY doc_id) AS cum FROM d),
+      |p AS (SELECT doc_id, n_bpe_tokens,
+      |  CAST(floor((cum - n_bpe_tokens) / 2048.0) AS BIGINT) AS pack_id FROM c)
+      |SELECT pack_id, count(*) AS n_docs,
+      |  CAST(sum(n_bpe_tokens) AS BIGINT) AS pack_tokens
+      |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -5322,6 +5438,8 @@ object Queries {
     "q172_target_encode" -> (q172TargetEncode _),
     "q173_asof_native" -> (q173AsofNative _),
     "q174_hard_negatives_coarse" -> (q174HardNegativesCoarse _),
+    "q175_bpe_encode" -> (q175BpeEncode _),
+    "q176_bpe_pack" -> (q176BpePack _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -5499,6 +5617,8 @@ object Queries {
     "q172_target_encode" -> q172Sql,
     "q173_asof_native" -> q173Sql,
     "q174_hard_negatives_coarse" -> q174Sql,
+    "q175_bpe_encode" -> q175Sql,
+    "q176_bpe_pack" -> q176Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -5527,5 +5647,8 @@ object Queries {
     // round-6: the chunked time-series paths (TWAP lead, CUSUM
     // two-phase prefix) — benched so the chunk stitching's overhead
     // stays visible round-over-round
-    "q141_twap", "q146_cusum")
+    "q141_twap", "q146_cusum",
+    // round-7: BPE tokenizer apply (vocab-collapsed encode + weighted
+    // join-back + token-accurate packing)
+    "q176_bpe_pack")
 }

@@ -243,6 +243,104 @@ object TextOps {
       .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** One-shot BPE merges table from [[bpePairCounts]]'s first-round
+    * statistics: the top-`m` adjacent character pairs by
+    * (count DESC, pair ASC), ranked 0..m-1 in that order — lower rank
+    * = higher merge priority, the convention of every published BPE
+    * merges file. True BPE training re-counts pairs after each merge;
+    * this one-shot table is the oracle-replayable fixed contract (and
+    * [[bpeEncodeWords]] accepts ANY (left, right, rank) relation, so
+    * a caller with a real trained merges file feeds it unchanged).
+    * Returns (left, right, rank) — model-sized by construction. */
+  def bpeMerges(docs: DataFrame, textCol: String, m: Int): DataFrame = {
+    require(m >= 1, "need at least one merge")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair"))
+    // the window runs AFTER the limit: a single-task sort of m rows
+    bpePairCounts(docs, textCol)
+      .orderBy(col("cnt").desc, col("pair")).limit(m)
+      .withColumn("rank", (row_number().over(w) - 1).cast("int"))
+      .select(substring(col("pair"), 1, 1).as("left"),
+        substring(col("pair"), 2, 1).as("right"), col("rank"))
+  }
+
+  /** The BPE APPLY inner loop, pure JVM: split `word` into codepoint
+    * symbols, then repeatedly merge the LEFTMOST occurrence of the
+    * lowest-ranked adjacent pair until no pair is in the table. One
+    * merge per step (not all-occurrences-per-rank) — a simpler
+    * deterministic contract than the GPT-2 batch variant, identical
+    * whenever merges don't interact, and exactly replayable by a
+    * recursive SQL CTE (the q175 oracle). Codepoint splitting matches
+    * SQL `substr` semantics on supplementary characters. */
+  private[text] def bpeApply(word: String,
+      ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toVector
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPos = i } // strict <: leftmost tie
+        i += 1
+      }
+      if (bestPos < 0) done = true
+      else {
+        syms = (syms.take(bestPos) :+ (syms(bestPos) + syms(bestPos + 1))) ++
+          syms.drop(bestPos + 2)
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** BPE-encode a WORD relation against a merges table — the
+    * tokenizer-apply face of [[bpePairCounts]]. The merges relation is
+    * model-sized by contract (a tokenizer's merge list, tens of
+    * thousands of rows at most), so it collects to a broadcast map;
+    * the per-word merge loop is inherently iterative data-dependent
+    * control flow, which is why this is the one place the text stack
+    * uses a Scala UDF — and the corpus-scale discipline is the CALLER
+    * feeding it the collapsed vocabulary, not raw tokens (see
+    * [[bpeTokenCounts]]: corpus → distinct words → encode once per
+    * word → weighted join-back, the [[bpePairCounts]] shape).
+    * Appends `bpe_tokens` (array of symbol strings). */
+  def bpeEncodeWords(words: DataFrame, wordCol: String,
+      merges: DataFrame): DataFrame = {
+    val ranks = merges.select(col("left"), col("right"), col("rank"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val enc = udf((w: String) =>
+      if (w == null) null else bpeApply(w, ranks))
+    words.withColumn("bpe_tokens", enc(col(wordCol)))
+  }
+
+  /** Per-document token counts under BOTH budgets: whitespace words
+    * and BPE tokens against `merges` — the correction every
+    * token-budget operator (packing, mixture quotas, corpus cards)
+    * needs, because whitespace counts misstate real-tokenizer budgets
+    * (English prose runs ~1.3 BPE tokens per word; code and
+    * non-Latin text far more). Corpus-collapsed: the heavy stages are
+    * the token explode → (doc, word) counts and a vocabulary-sized
+    * encode + join-back; the merge loop never sees corpus-scale rows.
+    * Returns (idCol, n_ws_tokens, n_bpe_tokens). */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val wc = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__cnt"))
+    val vocab = wc.select(col("__w")).distinct()
+    val encoded = bpeEncodeWords(vocab, "__w", merges)
+      .select(col("__w"),
+        size_(col("bpe_tokens")).cast("long").as("__nb"))
+    wc.join(encoded, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_ws_tokens"),
+        sum(col("__cnt") * col("__nb")).as("n_bpe_tokens"))
+  }
+
   /** Gopher-style within-document repetition metrics — the quality
     * rules that catch pathological pages exact/near dedup misses
     * (keyword stuffing, template spam): the fraction of REPEATED

@@ -127,6 +127,45 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Map("ab" -> 2L, "cd" -> 1L))
   }
 
+  test("bpeApply: leftmost lowest-rank merges to fixpoint, hand-checked") {
+    // merges: at=0, th=1, he=2
+    val ranks = Map(("a", "t") -> 0, ("t", "h") -> 1, ("h", "e") -> 2)
+    assert(TextOps.bpeApply("cat", ranks) === Seq("c", "at"))
+    // "the": th (rank 1) beats he (rank 2); (th,e) is not a merge
+    assert(TextOps.bpeApply("the", ranks) === Seq("th", "e"))
+    // leftmost tie: both th occurrences rank 1, the first merges first,
+    // and the loop still reaches the same fixpoint
+    assert(TextOps.bpeApply("ththe", ranks) === Seq("th", "th", "e"))
+    // no applicable merges / single char / empty
+    assert(TextOps.bpeApply("xyz", ranks) === Seq("x", "y", "z"))
+    assert(TextOps.bpeApply("q", ranks) === Seq("q"))
+    assert(TextOps.bpeApply("", ranks) === Seq())
+    // multi-symbol merges chain: (at,s) after (a,t)
+    val r2 = Map(("a", "t") -> 0, ("at", "s") -> 1)
+    assert(TextOps.bpeApply("ats", r2) === Seq("ats"))
+    // supplementary character: codepoint split, not UTF-16 units
+    assert(TextOps.bpeApply("a😀b", Map.empty) ===
+      Seq("a", "😀", "b"))
+  }
+
+  test("bpeMerges + bpeTokenCounts: ranked one-shot table, weighted doc counts") {
+    val df = Seq((1L, "the cat sat on the mat"), (2L, "the thin cat"),
+      (3L, "thethe mat mat")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(df, "text", 5)
+    val m = merges.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    // counts: at=6, th=6, he=5, ma=3, ca=2 → ties break pair-ASC
+    assert(m.sortBy(_._3) === Seq(("a", "t", 0), ("t", "h", 1),
+      ("h", "e", 2), ("m", "a", 3), ("c", "a", 4)))
+    val counts = TextOps.bpeTokenCounts(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: the(2)+cat(2)+sat(2)+on(2)+mat(2) weighted by occurrence:
+    // the×2→4, cat→2, sat→2, on→2, mat→2 = 12 bpe; 6 ws words
+    assert(counts(1L) === ((6L, 12L)))
+    // doc 3: thethe→4 ("th e th e"), mat×2→4 = 8 bpe; 3 ws words
+    assert(counts(3L) === ((3L, 8L)))
+  }
+
   test("chunkTokens: overlapping windows cover the doc, short doc = one chunk") {
     val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, "a b")).toDF("doc_id", "text")
     val got = TextOps.chunkTokens(df, "doc_id", "text", size = 4, overlap = 1)
