@@ -1597,18 +1597,23 @@ object Queries {
   }
 
   /** Word-3-shingle set per doc (t, s CTEs) — the exact-shingle base
-    * shared by the q64/q153/q154 oracles. */
-  private val shingleCteSql: String =
-    """t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x->x<>'') toks FROM documents),
+    * shared by the q64/q153/q154/q177 oracles, parameterized by the
+    * source relation so the q177 pipeline can run it over the
+    * exact-dedup SURVIVORS instead of raw documents. */
+  private def shingleCteSqlFrom(src: String): String =
+    s"""t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x->x<>'') toks FROM $src),
       |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
       |  THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
       |       i -> array_to_string(list_slice(toks, i, i+2), ' ')))
       |  ELSE [array_to_string(toks, ' ')] END sh FROM t)""".stripMargin
 
+  private val shingleCteSql: String = shingleCteSqlFrom("documents")
+
   /** The q64 connected-components CTE chain (exact pairwise Jaccard →
-    * edges → min-label reachability) — shared with the q153 oracle. */
-  private val dupClusterCteSql: String =
-    s"""$shingleCteSql,
+    * edges → min-label reachability) — shared with the q153/q177
+    * oracles. */
+  private def dupClusterCteSqlFrom(src: String): String =
+    s"""${shingleCteSqlFrom(src)},
       |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
       |  CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
       |    (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) jaccard
@@ -1622,6 +1627,8 @@ object Queries {
       |  UNION
       |  SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.id
       |  WHERE r.label < e2.dst)""".stripMargin
+
+  private val dupClusterCteSql: String = dupClusterCteSqlFrom("documents")
 
   val q64Sql: String =
     s"""WITH RECURSIVE $dupClusterCteSql
@@ -5259,6 +5266,85 @@ object Queries {
       |  CAST(sum(n_bpe_tokens) AS BIGINT) AS pack_tokens
       |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin
 
+  /** THE END-TO-END CURATION PIPELINE — the artifact a training-data
+    * user actually ships: one query chaining exact dedup → near-dup
+    * clusters → quality gate → benchmark decontamination → budget
+    * mixture → export shards (the q17 → q64 → q55 → q60 → q152 → q159
+    * composition), ending in the 8-shard export profile. Every stage
+    * is the library operator, every stage's scale shape is the one its
+    * own query proved (hash-agg dedup, bounded pair space + CC,
+    * zero-shuffle quality projection, broadcast-semi decontamination,
+    * bucketed two-phase quota cut, md5 sharding), and the oracle
+    * replays the ENTIRE chain — so a drift in any stage fails the one
+    * pipeline hash. The quality gate is the q55 composite-score form
+    * (the full Gopher conjunction is a 50-word floor this fixture's
+    * short documents never pass — gates must fit the corpus).
+    * Output: (shard, n_docs, chars) — the export manifest. */
+  def q177CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val d1 = Dedup.dropExactDups(docs, "doc_id", "text")
+    val d2 = Dedup.dropNearDups(d1, "doc_id",
+      Dedup.nearDupPairs(d1, "doc_id", "text", threshold = 0.9))
+    val d3 = d2.filter(round(TextOps.qualityScore(col("text")), 6) >= 0.3)
+    val d4 = graft.text.Decontaminate.decontaminate(
+      d3.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+      "doc_id", "text", n = 4)
+    val d5 = Features.budgetMixSample(
+      d4.select("doc_id", "lang", "n_chars"),
+      domainCol = "lang", keyCol = "doc_id", costCol = "n_chars",
+      weights = q152Weights.toMap, budget = q152Budget)
+    d5.withColumn("shard", graft.operators.Shards.shardCol("doc_id", 8))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy("shard")
+  }
+
+  val q177Sql: String = {
+    val ordered = q152Weights.sortBy(_._1)
+    val wsum = ordered.map(_._2).sum
+    val quotaRows = ordered.map { case (d, w) =>
+      s"('$d', ${math.floor(q152Budget * w / wsum).toLong})"
+    }.mkString(", ")
+    val g4 = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]"
+    s"""WITH RECURSIVE
+      |k1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+      |d1 AS (SELECT d.doc_id, d.text, d.lang, d.n_chars
+      |       FROM documents d JOIN k1 USING (doc_id)),
+      |${dupClusterCteSqlFrom("d1")},
+      |cl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+      |d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN
+      |        (SELECT id FROM cl WHERE cluster <> id)),
+      |d3 AS (SELECT * FROM d2 WHERE round($qualityExprSql, 6) >= 0.3),
+      |tt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |         x -> x <> '') AS ws FROM d3 WHERE doc_id >= 10),
+      |tg AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 4
+      |         THEN list_transform(range(1, len(ws) - 2), i -> $g4)
+      |         ELSE [array_to_string(ws, ' ')] END) AS gram FROM tt),
+      |bt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |         x -> x <> '') AS ws FROM documents WHERE doc_id < 10),
+      |bg AS (SELECT DISTINCT unnest(CASE WHEN len(ws) >= 4
+      |         THEN list_transform(range(1, len(ws) - 2), i -> $g4)
+      |         ELSE [array_to_string(ws, ' ')] END) AS gram FROM bt),
+      |cont AS (SELECT DISTINCT doc_id FROM tg
+      |         WHERE gram IN (SELECT gram FROM bg)),
+      |d4 AS (SELECT * FROM d3 WHERE doc_id >= 10
+      |        AND doc_id NOT IN (SELECT doc_id FROM cont)),
+      |q(lang, quota) AS (VALUES $quotaRows),
+      |r AS (SELECT doc_id, d.lang, n_chars, quota,
+      |        coalesce(sum(n_chars) OVER (PARTITION BY d.lang
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |      FROM d4 d JOIN q ON d.lang = q.lang),
+      |d5 AS (SELECT doc_id, n_chars FROM r WHERE cum < quota),
+      |h AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM d5),
+      |sh AS (SELECT doc_id, n_chars,
+      |  ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |   + instr('0123456789abcdef', substr(h, 2, 1)) - 1) % 8 AS shard FROM h)
+      |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -5440,6 +5526,7 @@ object Queries {
     "q174_hard_negatives_coarse" -> (q174HardNegativesCoarse _),
     "q175_bpe_encode" -> (q175BpeEncode _),
     "q176_bpe_pack" -> (q176BpePack _),
+    "q177_curation_pipeline" -> (q177CurationPipeline _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -5619,6 +5706,7 @@ object Queries {
     "q174_hard_negatives_coarse" -> q174Sql,
     "q175_bpe_encode" -> q175Sql,
     "q176_bpe_pack" -> q176Sql,
+    "q177_curation_pipeline" -> q177Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -5649,6 +5737,7 @@ object Queries {
     // stays visible round-over-round
     "q141_twap", "q146_cusum",
     // round-7: BPE tokenizer apply (vocab-collapsed encode + weighted
-    // join-back + token-accurate packing)
-    "q176_bpe_pack")
+    // join-back + token-accurate packing) and the end-to-end curation
+    // pipeline (the north-star chain a training-data user ships)
+    "q176_bpe_pack", "q177_curation_pipeline")
 }
