@@ -5345,6 +5345,50 @@ object Queries {
       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** Perceptual dHash over media columns
+    * ([[graft.multimodal.Multimodal.dHash64]]): each doc's "image" is
+    * the deterministic fake media wrapping its md5 hex (32 ASCII
+    * bytes = an 8×4 grayscale grid — ASCII so the oracle reads pixel
+    * values with `ord(substr(...))`), decoded and dHashed in the
+    * partition-local batch shape. The oracle recomputes all 64
+    * gradient bits from the SAME nearest-neighbor grid arithmetic
+    * (the bit expressions are GENERATED from one copy of the integer
+    * resample math, so engine and oracle cannot drift), emitted
+    * MSB-first as a 64-char bit string — integer packing would
+    * overflow SQL BIGINT at bit 63. */
+  def q178MediaDhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("hx"))
+      .as[(Long, String)]
+      .map { case (id, hx) =>
+        (id, Multimodal.fakeMedia("img", 8, 4, hx.getBytes("US-ASCII")))
+      }.toDF("doc_id", "media")
+    Multimodal.withDHash(media, "media")
+      .select(col("doc_id"),
+        lpad(bin(col("dhash")), 64, "0").as("dhash_bits"))
+      .orderBy("doc_id")
+  }
+
+  val q178Sql: String = {
+    // one copy of the resample math (w=8, h=4 — the md5-hex grid),
+    // mirrored from Multimodal.dHash64's nearest-neighbor sampling
+    def pixExpr(y: Int, x: Int): String = {
+      val yy = math.min(3, y * 4 / 8)
+      val xx = math.min(7, x * 8 / 9)
+      s"ord(substr(hx, ${yy * 8 + xx + 1}, 1))"
+    }
+    val bits = (63 to 0 by -1).map { b =>
+      val y = b / 8
+      val x = b % 8
+      s"(CASE WHEN ${pixExpr(y, x)} > ${pixExpr(y, x + 1)} THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH h0 AS (SELECT doc_id, md5(text) AS hx FROM documents)
+       |SELECT doc_id, $bits AS dhash_bits FROM h0 ORDER BY doc_id"""
+      .stripMargin
+  }
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -5527,6 +5571,7 @@ object Queries {
     "q175_bpe_encode" -> (q175BpeEncode _),
     "q176_bpe_pack" -> (q176BpePack _),
     "q177_curation_pipeline" -> (q177CurationPipeline _),
+    "q178_media_dhash" -> (q178MediaDhash _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -5707,6 +5752,7 @@ object Queries {
     "q175_bpe_encode" -> q175Sql,
     "q176_bpe_pack" -> q176Sql,
     "q177_curation_pipeline" -> q177Sql,
+    "q178_media_dhash" -> q178Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

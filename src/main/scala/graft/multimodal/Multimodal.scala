@@ -120,6 +120,80 @@ object Multimodal {
       threshold, bits = math.min(16, bins), tables = tables, dim = bins)
   }
 
+  /** 64-bit difference hash (dHash) over a decoded grayscale pixel
+    * grid — the industry-standard perceptual fingerprint for image
+    * dedup (Krawetz's dHash: resample to a 9×8 grid, hash the sign of
+    * each horizontal gradient; near-identical images differ in a few
+    * bits, so Hamming-band blocking finds them without pairwise
+    * compares). Resampling here is NEAREST-NEIGHBOR
+    * (`g(y,x) = pix(y·h/8, x·w/9)`, floor division) rather than the
+    * conventional area/bilinear filter: bit-exact across engines and
+    * integer-only, which is what lets a SQL oracle replay the hash
+    * value-for-value (q178); a production build swaps bilinear in
+    * behind the same 64-bit contract. Pixels are unsigned bytes,
+    * row-major; grid cells beyond the payload read 0 (the stub-decode
+    * contract: payload IS the pixel buffer). Bit b = y·8+x is set
+    * when g(y,x) > g(y,x+1). */
+  def dHash64(pixels: Array[Byte], w: Int, h: Int): Long = {
+    require(w > 0 && h > 0, s"need positive dimensions, got ${w}x$h")
+    @inline def pix(y: Int, x: Int): Int = {
+      val yy = math.min(h - 1, y * h / 8)
+      val xx = math.min(w - 1, x * w / 9)
+      val idx = yy * w + xx
+      if (idx < pixels.length) pixels(idx) & 0xff else 0
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (pix(y, x) > pix(y, x + 1)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Attach the [[dHash64]] perceptual hash of each media value —
+    * partition-local batch decode + hash, zero shuffle (the feature
+    * extraction shape: the heavy codec work rides the scan). Null
+    * when the media fails to decode or has degenerate dimensions. */
+  def withDHash(df: DataFrame, mediaCol: String,
+      outCol: String = "dhash"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, LongType))
+    val enc = ExpressionEncoder(schema)
+    val idx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val hash = decodeStub(r.getAs[Array[Byte]](idx)) match {
+          case Some((_, w, h, p)) if w > 0 && h > 0 =>
+            java.lang.Long.valueOf(dHash64(p, w, h))
+          case _ => null
+        }
+        Row.fromSeq(r.toSeq :+ hash)
+      }
+    }(enc)
+  }
+
+  /** Perceptual-hash media near-duplicates: [[withDHash]] signatures
+    * through the full-recall Hamming-band blocking of
+    * [[graft.dedup.Dedup.simhashPairsFromSigs]] (maxHamming+1 bands —
+    * pigeonhole guarantees a pair within the radius shares a band; an
+    * exact Hamming check verifies, so precision is exact). This is
+    * the industry-standard image-dedup shape; the histogram-LSH
+    * [[mediaNearDups]] remains the embedding-feature variant.
+    * Returns (id_a, id_b, hamming). */
+  def mediaNearDupsPerceptual(df: DataFrame, idCol: String,
+      mediaCol: String, maxHamming: Int,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = withDHash(df.select(col(idCol), col(mediaCol)), mediaCol)
+      .filter(col("dhash").isNotNull)
+      .select(col(idCol).as("id"), col("dhash").as("sig"))
+    graft.dedup.Dedup.simhashPairsFromSigs(sigs, maxHamming,
+      sigBits = 64, maxBucket = maxBucket)
+  }
+
   /** "Resize" stub: truncate/pad the payload to w×h bytes, rewriting
     * the header — the partition-local transform shape of a real
     * resize. */

@@ -62,6 +62,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("dHash64: gradient bits, nearest resample, payload-edge zeros") {
+    // 9x8 "image" whose rows strictly decrease left-to-right: every
+    // horizontal gradient is positive, all 64 bits set
+    val desc = Array.tabulate(9 * 8)(i => (200 - (i % 9) * 10).toByte)
+    assert(Multimodal.dHash64(desc, 9, 8) === -1L)
+    // strictly increasing rows: no bit set
+    val asc = Array.tabulate(9 * 8)(i => ((i % 9) * 10).toByte)
+    assert(Multimodal.dHash64(asc, 9, 8) === 0L)
+    // flat image: ties are NOT greater, no bit set
+    assert(Multimodal.dHash64(Array.fill(72)(7.toByte), 9, 8) === 0L)
+    // payload shorter than w*h: missing pixels read as 0 — a positive
+    // run followed by the zero tail WITHIN row 0 sets the boundary
+    // gradient bit (dHash compares horizontally, so the tail must cut
+    // a row, not start a fresh one)
+    val short = Array.fill(4)(50.toByte) // half of row 0 of an 8x4 grid
+    val hShort = Multimodal.dHash64(short, 8, 4)
+    assert(hShort !== 0L)
+    // deterministic
+    assert(Multimodal.dHash64(desc, 9, 8) === Multimodal.dHash64(desc, 9, 8))
+  }
+
+  test("mediaNearDupsPerceptual: planted near-identical media pair within radius") {
+    // base "photo": a smooth horizontal gradient 16x8
+    val base = Array.tabulate(16 * 8) { i => ((i % 16) * 12).toByte }
+    // near-identical: one pixel nudged — resampled grid moves at most
+    // a couple of gradient signs, so Hamming stays small
+    val nudged = base.clone()
+    nudged(5) = (nudged(5) + 3).toByte
+    // structurally different: reversed gradient
+    val other = Array.tabulate(16 * 8) { i => (180 - (i % 16) * 12).toByte }
+    val df = Seq(
+      (1L, Multimodal.fakeMedia("img", 16, 8, base)),
+      (2L, Multimodal.fakeMedia("img", 16, 8, nudged)),
+      (3L, Multimodal.fakeMedia("img", 16, 8, other)),
+      (4L, Array[Byte](9))) // undecodable → excluded
+      .toDF("id", "media")
+    val pairs = Multimodal
+      .mediaNearDupsPerceptual(df, "id", "media", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.forall(_._3 <= 3))
+    // the reversed image is far from both in Hamming space
+    val h = Multimodal.withDHash(df, "media")
+      .filter($"dhash".isNotNull)
+      .select($"id", $"dhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 3)
+  }
+
   test("resizeStub rewrites header and payload size") {
     val out = Multimodal.resizeStub(media, "media", 4, 2)
     val meta = Multimodal.withMeta(out, "media")
