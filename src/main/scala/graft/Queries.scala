@@ -5389,6 +5389,119 @@ object Queries {
       .stripMargin
   }
 
+  /** q90's streaming twin — the SAME point-in-time SCD2 lookup run
+    * through the REAL Structured Streaming path
+    * ([[graft.streaming.EventStream.scdEnrichStream]]: file source →
+    * stateless broadcast interval-containment join → memory sink,
+    * bounded replay under AvailableNow), sharing q90's oracle. The
+    * facts stream from a temp parquet copy (a file SOURCE directory —
+    * the testdata file stays untouched); the SCD2 dim is built once,
+    * batch-side, as in q90. Micro-batch boundaries cannot affect the
+    * result because the join is per-row and stateless — which is
+    * exactly the property this oracle run certifies. */
+  def q179StreamScdEnrich(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders").filter(col("o_custkey") < 100)
+      .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    val scd = graft.etl.Scd.scd2FromChangeLog(src,
+      keyCols = Seq("o_custkey"), attrCols = Seq("o_orderpriority"),
+      orderCols = Seq("o_orderdate", "o_orderkey"))
+      .select(col("o_custkey"), col("o_orderpriority").as("state"),
+        col("valid_from"), col("valid_to"), col("version"))
+    val facts = src.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").as("ts"))
+    val tmp = java.nio.file.Files.createTempDirectory("q179_src")
+    val srcDir = tmp.toString
+    facts.write.mode("overwrite").parquet(srcDir)
+    val name = "q179_sink_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = graft.streaming.EventStream.scdEnrichStream(s, srcDir, facts,
+      scd, key = "o_custkey", ts = "ts", attrs = Seq("state", "version"),
+      queryName = name)
+    require(q.awaitTermination(300000), "q179 streaming replay timed out")
+    s.table(name)
+      .select(col("o_orderkey"), col("o_custkey"), col("state"),
+        col("version"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Oracle-drift canary — the q157 class of failure (a DuckDB
+    * version/typing change silently shifting oracle output) pinned to
+    * ONE named row per behavior. Every probe is a cross-engine
+    * semantics the oracle corpus depends on: HUGEINT→BIGINT sum
+    * downcasts, int division yielding DOUBLE, HALF_UP rounding,
+    * binary (non-ICU) string collation, leap-day interval clamping,
+    * NaN self-equality, IN-list null propagation, DuckDB's log()
+    * being base-10 (Spark's is ln — oracle authors must translate),
+    * trimming string→int casts. If a DuckDB upgrade changes any of
+    * them, THIS query's hash fails by probe name instead of
+    * scattering mysterious failures across real queries. The Spark
+    * side computes each probe with its own engine semantics — both
+    * engines agree on these TODAY (verified against DuckDB 1.0.0);
+    * the canary pins that agreement. */
+  def q180OracleCanary(s: SparkSession, dir: String): DataFrame =
+    s.sql("""
+      |SELECT 'avg_int' AS probe,
+      |  CAST((SELECT avg(x) FROM VALUES (1),(2) AS t(x)) AS DOUBLE) AS v
+      |UNION ALL SELECT 'datediff_days',
+      |  CAST(datediff(DATE '2020-03-01', DATE '2020-02-01') AS DOUBLE)
+      |UNION ALL SELECT 'dec_div',
+      |  CAST(CAST(1.10 AS DECIMAL(10,2)) / 4 AS DOUBLE)
+      |UNION ALL SELECT 'epoch_val',
+      |  CAST(unix_timestamp(TIMESTAMP '2020-01-01 00:00:00') AS DOUBLE)
+      |UNION ALL SELECT 'in_null_isnull',
+      |  CAST((1 IN (2, CAST(NULL AS INT))) IS NULL AS DOUBLE)
+      |UNION ALL SELECT 'int_div', CAST(7 / 2 AS DOUBLE)
+      |UNION ALL SELECT 'leap_clamp',
+      |  CAST(CAST(DATE '2020-02-29' + INTERVAL 1 YEAR AS DATE)
+      |    = DATE '2021-02-28' AS DOUBLE)
+      |UNION ALL SELECT 'least_null',
+      |  CAST(least(1, CAST(NULL AS INT)) AS DOUBLE)
+      |UNION ALL SELECT 'log10_convention', CAST(round(log10(100), 6) AS DOUBLE)
+      |UNION ALL SELECT 'mod_neg', CAST(-7 % 3 AS DOUBLE)
+      |UNION ALL SELECT 'nan_eq',
+      |  CAST(CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS DOUBLE)
+      |UNION ALL SELECT 'pow_val', CAST(power(2, 10) AS DOUBLE)
+      |UNION ALL SELECT 'round_half', CAST(round(2.5, 0) AS DOUBLE)
+      |UNION ALL SELECT 'round_neg_half', CAST(round(-2.5, 0) AS DOUBLE)
+      |UNION ALL SELECT 'str_cmp_binary', CAST('a' < 'B' AS DOUBLE)
+      |UNION ALL SELECT 'substr_idx',
+      |  CAST(substr('hello', 2, 2) = 'el' AS DOUBLE)
+      |UNION ALL SELECT 'sum_int_bigint', CAST(CAST(
+      |  (SELECT sum(x) FROM VALUES (1),(2),(3) AS t(x)) AS BIGINT) AS DOUBLE)
+      |UNION ALL SELECT 'trim_cast', CAST(CAST('  42  ' AS INT) AS DOUBLE)
+      |ORDER BY probe""".stripMargin)
+
+  val q180Sql: String =
+    """SELECT 'avg_int' AS probe,
+      |  CAST((SELECT avg(x) FROM (VALUES (1),(2)) t(x)) AS DOUBLE) AS v
+      |UNION ALL SELECT 'datediff_days',
+      |  CAST(datediff('day', DATE '2020-02-01', DATE '2020-03-01') AS DOUBLE)
+      |UNION ALL SELECT 'dec_div',
+      |  CAST(CAST(1.10 AS DECIMAL(10,2)) / 4 AS DOUBLE)
+      |UNION ALL SELECT 'epoch_val',
+      |  CAST(extract(epoch FROM TIMESTAMP '2020-01-01 00:00:00') AS DOUBLE)
+      |UNION ALL SELECT 'in_null_isnull',
+      |  CAST((1 IN (2, CAST(NULL AS INT))) IS NULL AS DOUBLE)
+      |UNION ALL SELECT 'int_div', CAST(7 / 2 AS DOUBLE)
+      |UNION ALL SELECT 'leap_clamp',
+      |  CAST(CAST(DATE '2020-02-29' + INTERVAL 1 YEAR AS DATE)
+      |    = DATE '2021-02-28' AS DOUBLE)
+      |UNION ALL SELECT 'least_null',
+      |  CAST(least(1, CAST(NULL AS INT)) AS DOUBLE)
+      |UNION ALL SELECT 'log10_convention', CAST(round(log(100), 6) AS DOUBLE)
+      |UNION ALL SELECT 'mod_neg', CAST(-7 % 3 AS DOUBLE)
+      |UNION ALL SELECT 'nan_eq',
+      |  CAST(CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS DOUBLE)
+      |UNION ALL SELECT 'pow_val', CAST(2 ^ 10 AS DOUBLE)
+      |UNION ALL SELECT 'round_half', CAST(round(2.5, 0) AS DOUBLE)
+      |UNION ALL SELECT 'round_neg_half', CAST(round(-2.5, 0) AS DOUBLE)
+      |UNION ALL SELECT 'str_cmp_binary', CAST('a' < 'B' AS DOUBLE)
+      |UNION ALL SELECT 'substr_idx',
+      |  CAST(substr('hello', 2, 2) = 'el' AS DOUBLE)
+      |UNION ALL SELECT 'sum_int_bigint', CAST(CAST(
+      |  (SELECT sum(x) FROM (VALUES (1),(2),(3)) t(x)) AS BIGINT) AS DOUBLE)
+      |UNION ALL SELECT 'trim_cast', CAST(CAST('  42  ' AS INT) AS DOUBLE)
+      |ORDER BY probe""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -5572,6 +5685,8 @@ object Queries {
     "q176_bpe_pack" -> (q176BpePack _),
     "q177_curation_pipeline" -> (q177CurationPipeline _),
     "q178_media_dhash" -> (q178MediaDhash _),
+    "q179_stream_scd_enrich" -> (q179StreamScdEnrich _),
+    "q180_oracle_canary" -> (q180OracleCanary _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -5753,6 +5868,10 @@ object Queries {
     "q176_bpe_pack" -> q176Sql,
     "q177_curation_pipeline" -> q177Sql,
     "q178_media_dhash" -> q178Sql,
+    // the streaming path must reproduce the BATCH point-in-time answer
+    // — that is the claim — so it shares q90's oracle verbatim
+    "q179_stream_scd_enrich" -> q90Sql,
+    "q180_oracle_canary" -> q180Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -177,26 +177,32 @@ object Dedup {
     * face symmetric Jaccard misses: a short doc quoted whole inside a
     * long one scores |A∩B|/|A| ≈ 1 while its Jaccard is tiny, so the
     * MinHash-LSH candidate path (tuned to the Jaccard s-curve) would
-    * never propose the pair. Candidates here come from an INVERTED
-    * SHINGLE INDEX instead: explode distinct shingles, self-join on
-    * the shingle, count shared shingles per ordered pair, divide by
-    * the left doc's shingle count. Exact for every pair sharing at
-    * least one surviving shingle; both directions are emitted (the
-    * measure is asymmetric).
+    * never propose the pair. Candidates come from a PREFIX-FILTERED
+    * inverted shingle index (the all-pairs similarity-join bound,
+    * Bayardo/Ma/Srikant WWW'07): order every doc's shingles by global
+    * rarity (df asc, shingle asc); for C(A,B) ≥ t to hold, B must
+    * contain ≥ ⌈t·|A|⌉ of A's kept shingles, so it must contain at
+    * least one of A's (kept − ⌈t·|A|⌉ + 1) RAREST shingles — only
+    * that prefix is indexed on the A side, and candidates are its
+    * join against the full kept postings. Every candidate pair is
+    * then verified EXACTLY (array_intersect of the two kept shingle
+    * sets over |A|'s full count), so the result is identical to the
+    * naive Σ df² posting self-join — both directions emitted (the
+    * measure is asymmetric), the same rounding, the same threshold.
     *
-    * Scale: the pair space is Σ_shingle df² — bounded by dropping
-    * shingles with document frequency above `maxShingleDf` (stopword
-    * n-grams carry no containment signal and are exactly the ones
-    * that explode; drops are observable via `obs`: `dropped_shingles`,
-    * `max_shingle_df`). With drops, shared counts — and therefore
-    * containment — can only UNDERESTIMATE (the denominator stays the
-    * full shingle count), so the threshold filter never admits a
-    * false pair; at oracle test scale the default cap drops nothing
-    * and the result is exact (q154 relies on that). At corpus scale
-    * TUNE THE CAP DOWN (a shingle appearing in hundreds of docs is
-    * boilerplate, not containment signal): cost is Σ min(df, cap)²,
-    * and the 10× probe measures cap=100 at ~7× less work than the
-    * default. */
+    * Scale: candidate volume is Σ_s prefix_count(s)·df(s) instead of
+    * Σ_s df(s)² — the prefix is rarest-first, so the join keys are
+    * precisely the shingles with SHORT posting lists (measured on the
+    * 10× salted probe corpus: 381 s → single-digit seconds for the
+    * identical output). Shingles with df above `maxShingleDf` are
+    * still dropped entirely (stopword n-grams carry no containment
+    * signal; drops observable via `obs`: `dropped_shingles`,
+    * `max_shingle_df`) — with drops, containment can only
+    * UNDERESTIMATE (the denominator stays the full shingle count), so
+    * the threshold never admits a false pair; at oracle test scale
+    * the default cap drops nothing and the result is exact (q154
+    * relies on that). A doc whose kept count can't reach ⌈t·|A|⌉
+    * indexes NOTHING — capped boilerplate docs prune themselves. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWidth: Int = 3, maxShingleDf: Int = 1000,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
@@ -205,31 +211,95 @@ object Dedup {
       graft.functions.shingle_set(col(textCol), shingleWidth).as("sh"))
     val sized = sets.select(col("id"), size(col("sh")).as("__nsh"))
     val inv = sets.select(col("id"), explode(col("sh")).as("s"))
-    // df cap rides the shuffle the self-join needs anyway (same key);
-    // __rn = 1 exactly once per shingle, so the drop counter counts
-    // SHINGLES, not posting rows (the Basket dropped-baskets idiom —
-    // summing rows would inflate the metric by each dropped shingle's
-    // document frequency)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-    val rw = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-      .orderBy(col("id"))
-    val counted = inv.withColumn("__df", count(lit(1)).over(w))
-      .withColumn("__rn", row_number().over(rw))
-    val observed = obs.fold(counted)(o => counted.observe(o,
-      sum(when(col("__df") > maxShingleDf && col("__rn") === 1, 1L)
-        .otherwise(0L)).as("dropped_shingles"),
-      max(col("__df")).as("max_shingle_df")))
-    val kept = observed.filter(col("__df") <= maxShingleDf)
-      .drop("__df", "__rn")
-    val shared = kept.select(col("id").as("id_a"), col("s"))
-      .join(kept.select(col("id").as("id_b"), col("s")), Seq("s"))
-      .filter(col("id_a") =!= col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("__shared"))
-    shared
-      .join(sized.select(col("id").as("id_a"), col("__nsh")), Seq("id_a"))
+    // document frequency: one row per DISTINCT shingle, so the drop
+    // observation counts shingles directly (no row_number dedup trick)
+    val dfs = inv.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    // the Observation runs as its OWN action on the df profile: an
+    // in-plan CollectMetrics is silently removed by AQE empty-relation
+    // propagation whenever the pair result is empty (exactly when an
+    // aggressive cap makes the drop report matter most), so delivery
+    // must not depend on the main plan's shape
+    obs.foreach { o =>
+      dfs.observe(o,
+        sum(when(col("__df") > maxShingleDf, 1L).otherwise(0L))
+          .as("dropped_shingles"),
+        max(col("__df")).as("max_shingle_df"))
+        .groupBy().agg(count(lit(1))).head()
+    }
+    val kept = inv.join(dfs.filter(col("__df") <= maxShingleDf), Seq("s"))
+    // per-doc kept shingles in global rarity order; minShared is the
+    // smallest intersection count that can still pass the ROUNDED
+    // threshold filter (the 1e-5 slack under-approximates round-to-6's
+    // boundary — it can only lengthen the prefix, never skip a pair)
+    val docArr = kept
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("s"))))
+        .as("__ranked"))
+      .join(sized, Seq("id"))
+      .withColumn("__sarr", transform(col("__ranked"), _.getField("s")))
+      // lex-sorted copy for the two-pointer verification kernel
+      .withColumn("__lex", sort_array(col("__sarr")))
+      .withColumn("__nkept", size(col("__sarr")))
+      .withColumn("__minshared",
+        ceil(col("__nsh") * lit(threshold - 1e-5)).cast("int"))
+      .withColumn("__p", col("__nkept") - col("__minshared") + 1)
+      .drop("__ranked")
+    val prefixes = docArr
+      .select(col("id").as("id_a"), col("__minshared").as("__c"),
+        col("__nkept").as("__na"),
+        posexplode(slice(col("__sarr"), lit(1), greatest(col("__p"), lit(0)))))
+      .select(col("id_a"), col("__c"), col("__na"),
+        col("pos").as("__i"), col("col").as("s"))
+    val postings = docArr
+      .select(col("id").as("id_b"), col("__nkept").as("__nb"),
+        posexplode(col("__sarr")))
+      .select(col("id_b"), col("__nb"), col("pos").as("__j"), col("col").as("s"))
+    // POSITIONAL filter (PPJoin): a collision on the shared shingle at
+    // ranks (i, j) bounds the intersection by 1 + min(tail_A, tail_B);
+    // the FIRST shared shingle of a qualifying pair always survives
+    // (both tails then hold the remaining ≥ c−1 shared elements), so
+    // recall stays exact while dense-corpus candidates collapse
+    val candidates = prefixes.join(postings, Seq("s"))
+      .filter(col("id_a") =!= col("id_b") &&
+        lit(1) + least(col("__na") - 1 - col("__i"),
+          col("__nb") - 1 - col("__j")) >= col("__c"))
+      .select("id_a", "id_b").distinct()
+    // Two-stage verification. Stage 1 screens every candidate with a
+    // sorted-INT-HASH intersection: Murmur3 equality is implied by
+    // shingle equality, so the hash count can only OVER-count — full
+    // recall, with the per-pair payload shrunk from ~w strings to 4
+    // bytes/shingle. On a dense corpus (candidates ≈ all pairs) the
+    // payload shuffled per candidate is what dominates, so when the
+    // doc side is broadcast-sized the stage-1 joins broadcast it and
+    // the candidate relation never shuffles again (the ChunkAuto
+    // pattern: one cheap count picks the plan, never the values).
+    // Stage 2 re-verifies the (tiny) survivor set EXACTLY on the
+    // lex-sorted string arrays — a stage-1 hash collision admits a
+    // false survivor only as far as this filter, never into the
+    // result.
+    val docH = docArr.select(col("id"), col("__nsh"),
+      col("__minshared").as("__c"),
+      sort_array(transform(col("__sarr"), hash(_))).as("__hh"))
+    val nDocs = docs.count()
+    def bcast(rel: DataFrame): DataFrame =
+      if (nDocs <= 250000) broadcast(rel) else rel
+    val survivors = candidates
+      .join(bcast(docH.select(col("id").as("id_a"), col("__c"),
+        col("__hh").as("__ha"))), Seq("id_a"))
+      .join(bcast(docH.select(col("id").as("id_b"),
+        col("__hh").as("__hb"))), Seq("id_b"))
+      .filter(graft.functions.sorted_intersect_count(
+        col("__ha"), col("__hb")) >= col("__c"))
+      .select("id_a", "id_b")
+    survivors
+      .join(docArr.select(col("id").as("id_a"), col("__lex").as("__la"),
+        col("__nsh")), Seq("id_a"))
+      .join(docArr.select(col("id").as("id_b"), col("__lex").as("__lb")),
+        Seq("id_b"))
       .withColumn("containment",
-        round(col("__shared").cast("double") / col("__nsh").cast("double"), 6))
+        round(graft.functions.sorted_intersect_count(
+          col("__la"), col("__lb")).cast("double") /
+          col("__nsh").cast("double"), 6))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }

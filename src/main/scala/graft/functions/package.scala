@@ -28,6 +28,13 @@ package object functions {
   def simhash64(c: Column): Column =
     Bridge.column(SimHashExpr(Bridge.expression(c)))
 
+  /** Intersection count of two SORTED arrays (`array<string>` in
+    * binary order, or `array<int>` ascending) — the zero-allocation
+    * verification kernel for set-overlap joins. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCountExpr(
+      Bridge.expression(a), Bridge.expression(b)))
+
   /** Oracle-portable polynomial rolling hash over word tokens. */
   def rolling_hash(c: Column): Column =
     Bridge.column(RollingHashExpr(Bridge.expression(c)))

@@ -96,6 +96,96 @@ object PlanLint {
     }
   }
 
+  /** Data-aware skew advisory — the wiring between the static lint
+    * above and [[graft.etl.SkewProfile.keyStats]]: walk the OPTIMIZED
+    * logical plan for equi-joins that will shuffle (neither side under
+    * the broadcast threshold by Catalyst's own size estimate), then
+    * MEASURE each side's join-key distribution and, where one key
+    * value owns more than `hotShare` of the rows, emit a finding that
+    * names the key, the hot value, its share, and the
+    * [[graft.operators.SaltedJoin]] rewrite with a computed bucket
+    * count (≈ the number of reducers the hot key's rows should spread
+    * over: top1_share × shuffle partitions).
+    *
+    * This EXECUTES one aggregation + one top-1 probe per join side —
+    * it is a pre-flight/CI tool like [[check]], not something to call
+    * inside a production query. The measurement is exact (the same
+    * one-shuffle keyStats relation a skew investigation would run by
+    * hand); at corpus scale point it at a sample of the input.
+    *
+    * @param broadcastThreshold bytes under which a side is assumed to
+    *        broadcast (no shuffle, skew irrelevant); None = read
+    *        `spark.sql.autoBroadcastJoinThreshold` from the session.
+    */
+  def adviseSkew(df: DataFrame, hotShare: Double = 0.3,
+      minRows: Long = 10000L,
+      broadcastThreshold: Option[Long] = None): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val bcThr = broadcastThreshold.getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+          .replaceAll("(?i)b$", "")))
+    val shuffleParts = spark.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val plan = df.queryExecution.optimizedPlan
+    plan.collect {
+      case j: Join =>
+        val keyPairs = j.condition.toSeq.flatMap(conjuncts).collect {
+          case EqualTo(a: Attribute, b: Attribute)
+              if j.left.outputSet.contains(a) && j.right.outputSet.contains(b) =>
+            (a, b)
+          case EqualTo(a: Attribute, b: Attribute)
+              if j.left.outputSet.contains(b) && j.right.outputSet.contains(a) =>
+            (b, a)
+        }
+        if (keyPairs.isEmpty) Seq.empty[String]
+        else {
+          def sideFindings(side: LogicalPlan, keys: Seq[Attribute],
+              label: String): Seq[String] = {
+            if (side.stats.sizeInBytes <= bcThr) Seq.empty
+            else {
+              val sideDf = org.apache.spark.sql.graft.Bridge
+                .ofRows(spark, side)
+              // address keys by ATTRIBUTE, not name — self-join plans
+              // can carry two same-named attributes on one side
+              val keyed = sideDf.select(struct(keys.map(a =>
+                org.apache.spark.sql.graft.Bridge.column(a)): _*).as("__k"))
+              val stats = graft.etl.SkewProfile.keyStats(keyed, "__k").head()
+              val nRows = stats.getAs[Long]("n_rows")
+              val share = stats.getAs[Double]("top1_share")
+              if (nRows < minRows || share < hotShare) Seq.empty
+              else {
+                val hot = keyed.groupBy(col("__k"))
+                  .agg(count(lit(1)).as("cnt"))
+                  .orderBy(col("cnt").desc).limit(1).head()
+                val hotVal = hot.getStruct(0).mkString(", ")
+                val buckets = math.max(2,
+                  math.ceil(share * shuffleParts).toInt)
+                val keyNames = keys.map(_.name).mkString(", ")
+                Seq(f"SKEWED_JOIN_KEY: ($keyNames) on the $label side of a " +
+                  f"${j.joinType.sql} join — value $hotVal owns " +
+                  f"${share * 100}%.1f%% of $nRows%d rows " +
+                  f"(skew ${stats.getAs[Double]("skew")}%.1fx): one reducer " +
+                  "becomes the stage's critical path. Rewrite with " +
+                  s"graft.operators.SaltedJoin.join(big, other, " +
+                  s"""Seq("$keyNames"), buckets = $buckets) — or rely on """ +
+                  "AQE skew split for moderate skew.")
+              }
+            }
+          }
+          sideFindings(j.left, keyPairs.map(_._1), "left") ++
+            sideFindings(j.right, keyPairs.map(_._2), "right")
+        }
+    }.flatten
+  }
+
   /** Real (non-null-guard) data filters exist, but nothing beyond
     * IsNotNull guards reached the source — the predicate shape
     * defeated pushdown. */

@@ -246,6 +246,82 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming point-in-time SCD2 enrichment — the retrieval half of
+    * q90 under arrival: each arriving fact resolves the dimension
+    * episode IN EFFECT at its event time. The key observation that
+    * makes this STATELESS: [[graft.etl.Scd.scd2FromChangeLog]] closes
+    * every episode with `valid_to`, and closed half-open episodes
+    * `[valid_from, valid_to)` PARTITION time per key — so the as-of
+    * lookup degenerates to a stream-static interval-containment join
+    * (key match + valid_from ≤ ts < valid_to, at most ONE match per
+    * fact). No watermark, no state store: the dim broadcasts per
+    * micro-batch exactly like [[enrichStream]]. Left join keeps facts
+    * from before their key's first episode (and unknown keys) with
+    * null attrs — [[graft.operators.AsOfJoin]]'s no-match contract,
+    * which the parity spec checks row-for-row. Empty episodes
+    * (valid_from = valid_to, two changes at one timestamp) match
+    * nothing, so the later version wins at its own boundary — the
+    * same collision rule as `asOf(rightTieBreak = version)`.
+    *
+    * At 100 TB the dim is the small side by construction (episodes,
+    * not facts); if it ever outgrew broadcast, drop the hint for a
+    * bucketed static table — the logical shape is unchanged. */
+  def scdEnrichStream(spark: SparkSession, srcDir: String,
+      schemaFrom: DataFrame, scdDim: DataFrame, key: String, ts: String,
+      attrs: Seq[String], queryName: String): StreamingQuery = {
+    val dim = scdDim.select(
+      (col(key).as("__dk") +: col("valid_from") +: col("valid_to") +:
+        attrs.map(col)).toIndexedSeq: _*)
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(srcDir)
+      .join(broadcast(dim),
+        col(key) === col("__dk") && col(ts) >= col("valid_from") &&
+          (col("valid_to").isNull || col(ts) < col("valid_to")),
+        "left")
+      .drop("__dk", "valid_from", "valid_to")
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** General streaming as-of enrichment — for a right side that is
+    * NOT episode-closed (a raw quote/sensor history, where "the match"
+    * is the latest right row at or before the fact's timestamp, with
+    * nothing marking where its validity ends). Runs the full batch
+    * [[graft.operators.AsOfJoin.asOf]] per micro-batch under
+    * `foreachBatch`: correct because the right side is static and
+    * as-of is per-left-row, so batching the left side cannot change
+    * any row's match (the parity + replay specs check this).
+    *
+    * Exactly-once by idempotence: `foreachBatch` is at-least-once —
+    * after a crash between sink write and checkpoint commit the batch
+    * REPLAYS with the same `batchId` — so each batch overwrites its
+    * own `batch_id=N/` partition instead of appending. A replayed
+    * batch rewrites identical bytes; readers see each source row once.
+    * The checkpoint carries source progress, so a restart with new
+    * source files processes ONLY the new files into new partitions. */
+  def asOfEnrichForeachBatch(spark: SparkSession, srcDir: String,
+      schemaFrom: DataFrame, right: DataFrame, key: String, ts: String,
+      carry: Seq[String], rightTieBreak: String, sinkDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.AsOfJoin
+          .asOf(batch, right, key, ts, carry, rightTieBreak)
+          .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

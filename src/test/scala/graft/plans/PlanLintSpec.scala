@@ -55,4 +55,42 @@ class PlanLintSpec extends AnyFunSuite {
       .groupBy($"l_returnflag").agg(sum($"l_quantity"))
     assert(PlanLint.check(q) === Seq.empty)
   }
+
+  test("adviseSkew names a planted 90%-hot join key and suggests SaltedJoin") {
+    // 90% of the big side lands on key 7; the dim side is uniform.
+    // broadcastThreshold = -1 forces "both sides shuffle" so the
+    // advisory path is exercised without mutating the shared session
+    val big = spark.range(0, 20000)
+      .select(when($"id" % 10 =!= 0, lit(7L)).otherwise($"id").as("k"),
+        $"id".as("payload"))
+    val dim = spark.range(0, 100).select($"id".as("k"), $"id".as("attr"))
+    val findings = PlanLint.adviseSkew(big.join(dim, Seq("k")),
+      hotShare = 0.3, minRows = 1000, broadcastThreshold = Some(-1L))
+    assert(findings.size === 1, findings.toString)
+    val f = findings.head
+    assert(f.startsWith("SKEWED_JOIN_KEY"), f)
+    assert(f.contains("(k)") && f.contains("left side"), f)
+    assert(f.contains("value 7 owns 90.0%"), f)
+    assert(f.contains("SaltedJoin.join"), f)
+    // the suggested rewrite really does balance: same rows out
+    val salted = graft.operators.SaltedJoin.join(big, dim, Seq("k"), 8)
+    assert(salted.count() === big.join(dim, Seq("k")).count())
+  }
+
+  test("adviseSkew: uniform keys and broadcast-size dims stay silent") {
+    val big = spark.range(0, 20000)
+      .select(($"id" % 500).as("k"), $"id".as("payload"))
+    val dim = spark.range(0, 500).select($"id".as("k"), $"id".as("attr"))
+    // uniform keys: no finding even with broadcast disabled
+    assert(PlanLint.adviseSkew(big.join(dim, Seq("k")),
+      hotShare = 0.3, minRows = 1000,
+      broadcastThreshold = Some(-1L)) === Seq.empty)
+    // skewed but the dim side broadcasts: no shuffle, no finding —
+    // and the skewed BIG side is also skipped when IT broadcasts
+    val hot = spark.range(0, 20000)
+      .select(when($"id" % 10 =!= 0, lit(7L)).otherwise($"id").as("k"))
+    assert(PlanLint.adviseSkew(hot.join(dim, Seq("k")),
+      hotShare = 0.3, minRows = 1000,
+      broadcastThreshold = Some(Long.MaxValue)) === Seq.empty)
+  }
 }

@@ -244,4 +244,88 @@ class EventStreamSpec extends AnyFunSuite {
     assert(sessions.forall(s =>
       batchSet.contains((s.user_id, s.session_start.getTime / 1000, s.n_events))))
   }
+
+  test("streaming SCD2 enrichment equals the batch as-of join") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("events_scd").toString
+    events.write.mode("overwrite").parquet(dir)
+    val span = events.agg(min($"ts"), max($"ts")).head()
+    val t0 = span.getTimestamp(0); val mid =
+      new Timestamp((span.getTimestamp(0).getTime + span.getTimestamp(1).getTime) / 2)
+    // even users: two episodes (bronze from t0, gold from mid); odd
+    // users: ONE episode starting at mid — their pre-mid events hit
+    // the no-episode-yet path; users ≥ 500 absent — unknown-key path
+    val log = spark.range(0, 500).select($"id".as("user_id"))
+      .flatMap { r =>
+        val u = r.getLong(0)
+        if (u % 2 == 0) Seq((u, "bronze", t0), (u, "gold", mid))
+        else Seq((u, "gold", mid))
+      }.toDF("user_id", "segment", "chg_ts")
+    val scd = graft.etl.Scd.scd2FromChangeLog(log,
+      keyCols = Seq("user_id"), attrCols = Seq("segment"),
+      orderCols = Seq("chg_ts"))
+    val q = EventStream.scdEnrichStream(spark, dir, events, scd,
+      key = "user_id", ts = "ts", attrs = Seq("segment", "version"),
+      queryName = "scd_enrich_test")
+    assert(q.awaitTermination(120000), "streaming query timed out")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "segment", "version").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val streamed = canon(spark.table("scd_enrich_test"))
+    val batch = canon(graft.operators.AsOfJoin.asOf(
+      events,
+      scd.select($"user_id", $"valid_from".as("ts"), $"segment", $"version"),
+      key = "user_id", ts = "ts", carry = Seq("segment", "version"),
+      rightTieBreak = "version"))
+    assert(streamed === batch)
+    // all three match regimes must actually occur in the fixture
+    assert(streamed.exists(_._2 == "bronze"))
+    assert(streamed.exists(_._2 == "gold"))
+    assert(streamed.exists(_._2 == null), "null-carry rows must survive")
+  }
+
+  test("foreachBatch as-of enrichment: checkpointed restart processes only new files") {
+    val tmp = Files.createTempDirectory("asof_stream").toString
+    val src = s"$tmp/src"; val sink = s"$tmp/out"; val ck = s"$tmp/ck"
+    def ev(id: Long, sec: Long, u: Long) =
+      EventStream.Event(id, new java.sql.Timestamp(sec * 1000), u, "x", 0.0)
+    val wave1 = Seq(ev(1, 10, 1), ev(2, 20, 1), ev(3, 15, 2))
+    val wave2 = Seq(ev(4, 25, 1), ev(5, 5, 2), ev(6, 30, 3))
+    // quote history: NOT episode-closed — the general-as-of case
+    val quotes = Seq((1L, 10L, 1.0), (1L, 22L, 2.0), (2L, 12L, 3.0))
+      .map { case (k, s, p) => (k, new java.sql.Timestamp(s * 1000), p, s) }
+      .toDF("user_id", "ts", "px", "seq")
+    def run(ws: Seq[EventStream.Event]): Unit = {
+      if (ws.nonEmpty) ws.toDS().write.mode("append").parquet(src)
+      val q = EventStream.asOfEnrichForeachBatch(spark, src,
+        wave1.toDS().toDF(), quotes, key = "user_id", ts = "ts",
+        carry = Seq("px"), rightTieBreak = "seq", sinkDir = sink,
+        checkpointDir = ck)
+      assert(q.awaitTermination(120000), "streaming query timed out")
+    }
+    run(wave1)
+    run(wave2)
+    val out = spark.read.parquet(sink)
+    // restart touched only the new files → a second batch partition,
+    // and wave1 rows appear exactly once
+    assert(out.select("batch_id").distinct().count() === 2)
+    // null carry → sentinel, not NaN: scala tuple equality on NaN is
+    // always false (BoxesRunTime compares via primitive ==)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "px").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -999.0 else r.getDouble(1))).toSet
+    val batch = canon(graft.operators.AsOfJoin.asOf(
+      (wave1 ++ wave2).toDS().toDF(), quotes, key = "user_id", ts = "ts",
+      carry = Seq("px"), rightTieBreak = "seq"))
+    assert(canon(out) === batch)
+    assert(batch === Set((1L, 1.0), (2L, 1.0), (3L, 3.0), (4L, 2.0),
+      (5L, -999.0), (6L, -999.0)))
+    // a third AvailableNow run with NO new source data must be a no-op
+    run(Nil)
+    assert(spark.read.parquet(sink).count() === 6)
+    assert(spark.read.parquet(sink).select("batch_id").distinct().count() === 2)
+  }
 }
