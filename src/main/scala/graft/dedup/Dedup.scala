@@ -105,9 +105,14 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
-  /** Exact word-shingle Jaccard between two token-set columns. */
+  /** Exact word-shingle Jaccard between two token-set columns. BOTH
+    * inputs must be distinct and binary-sorted — what `shingle_set`
+    * and `array_sort(array_distinct(...))` emit — so the intersection
+    * runs through the zero-allocation two-pointer kernel instead of
+    * `array_intersect`'s per-row hash set. */
   def jaccard(aSet: Column, bSet: Column): Column = {
-    val inter = size(array_intersect(aSet, bSet)).cast("double")
+    val inter = graft.functions.sorted_intersect_count(aSet, bSet)
+      .cast("double")
     inter / (size(aSet) + size(bSet) - inter).cast("double")
   }
 

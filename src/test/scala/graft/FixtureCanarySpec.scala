@@ -8,6 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * did between rounds 4 and 5, moving events.ts from TIMESTAMP(NANOS)
   * stored as int64 to native TIMESTAMP(MICROS)), this ONE named test
   * fails instead of 17 scattered ones.
+  *
+  * The ORACLE side of the same discipline is `q180_oracle_canary`
+  * (Queries.scala): DuckDB runs only driver-side, so oracle-engine
+  * drift (the q157 class — a version bump changing sum typing,
+  * rounding, collation, or interval clamping) is pinned by a query
+  * whose probes fail the correctness gate one named row at a time.
   */
 class FixtureCanarySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark

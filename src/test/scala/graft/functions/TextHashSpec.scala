@@ -82,4 +82,30 @@ class TextHashSpec extends AnyFunSuite {
     assert(rows(0).getSeq[String](3) === Seq("a b c", "b c d", "c d e"))
     assert(rows(0).getSeq[Long](0) !== rows(1).getSeq[Long](0))
   }
+
+  test("sorted_intersect_count: kernel parity with array_intersect on both element types") {
+    // string kernel — shingle_set output is binary-sorted by contract
+    val df = Seq(
+      ("a b c d e f", "c d e f g h"),   // overlapping shingle sets
+      ("a b c", "x y z"),               // disjoint
+      ("a b c d", "a b c d")            // identical
+    ).toDF("l", "r")
+      .select(shingle_set($"l", 2).as("sl"), shingle_set($"r", 2).as("sr"))
+    val got = df.select(
+      sorted_intersect_count($"sl", $"sr").as("n"),
+      size(array_intersect($"sl", $"sr")).as("want")).collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
+    assert(got.map(_.getInt(0)).toSeq === Seq(3, 0, 3))
+    // int kernel over hash-compressed sets, duplicates collapse to
+    // multiset-min semantics — counted against the sorted merge by hand
+    val ints = Seq((Seq(1, 3, 3, 7, 9), Seq(3, 3, 5, 9, 11)))
+      .toDF("a", "b")
+      .select(sorted_intersect_count($"a", $"b").as("n")).head()
+    assert(ints.getInt(0) === 3) // 3, 3, 9
+    // null in → null out (nullIntolerant)
+    val n = Seq(("a b c", Option.empty[String])).toDF("l", "r")
+      .select(sorted_intersect_count(shingle_set($"l", 2),
+        shingle_set($"r", 2)).as("n")).head()
+    assert(n.isNullAt(0))
+  }
 }
