@@ -208,9 +208,17 @@ object Dedup {
     * the default cap drops nothing and the result is exact (q154
     * relies on that). A doc whose kept count can't reach ⌈t·|A|⌉
     * indexes NOTHING — capped boilerplate docs prune themselves. */
+  /** @param stage1BroadcastDocs doc-count ceiling for broadcasting the
+    *        int-hash side of stage-1 verification. At ~80 shingles/doc
+    *        the hash relation costs ≈350 B/doc, so the default 10⁶
+    *        broadcasts ≈350 MB — cheap against the alternative, which
+    *        is shuffling EVERY candidate pair with that payload
+    *        attached (the 100× probe measured the plan flip at 5.7×
+    *        wall). Corpora with much longer docs should tune down. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWidth: Int = 3, maxShingleDf: Int = 1000,
-      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      obs: Option[org.apache.spark.sql.Observation] = None,
+      stage1BroadcastDocs: Long = 1000000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val sets = docs.select(col(idCol).as("id"),
       graft.functions.shingle_set(col(textCol), shingleWidth).as("sh"))
@@ -287,7 +295,7 @@ object Dedup {
       sort_array(transform(col("__sarr"), hash(_))).as("__hh"))
     val nDocs = docs.count()
     def bcast(rel: DataFrame): DataFrame =
-      if (nDocs <= 250000) broadcast(rel) else rel
+      if (nDocs <= stage1BroadcastDocs) broadcast(rel) else rel
     val survivors = candidates
       .join(bcast(docH.select(col("id").as("id_a"), col("__c"),
         col("__hh").as("__ha"))), Seq("id_a"))
