@@ -5502,6 +5502,57 @@ object Queries {
       |UNION ALL SELECT 'trim_cast', CAST(CAST('  42  ' AS INT) AS DOUBLE)
       |ORDER BY probe""".stripMargin
 
+  /** EXACT SUBSTRING DEDUP (Lee et al. 2021, arXiv:2107.06499): remove
+    * every token covered by a non-keeper occurrence of a duplicated
+    * 8-token span, corpus-wide ([[graft.dedup.Dedup.spanDedup]]).
+    * Where the paper builds one suffix array over the concatenated
+    * corpus (a single-machine structure), the Spark shape is sliding
+    * token windows + a two-stage hash-screen/string-verify group — the
+    * wide string shuffle only ever carries duplicated candidates. The
+    * oracle replays the whole chain: windows via 1-based list slicing,
+    * global count>1, min-(doc,start) keeper, coverage anti join,
+    * position-ordered reassembly. clean_text is compared VERBATIM, so
+    * keeper choice, overlap union, and join order are all pinned. */
+  def q181SpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", w = 8)
+      .orderBy("doc_id")
+
+  val q181Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+      |                             x -> x <> '') AS ts
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(1, greatest(len(ts)-8+1, 0))) AS s, ts
+      |  FROM toks),
+      |occ AS (SELECT doc_id, s, array_to_string(ts[s:s+8-1], ' ') AS wtext
+      |        FROM wins),
+      |dup AS (SELECT wtext, min(doc_id*1000000+s) AS keeper
+      |        FROM occ GROUP BY wtext HAVING count(*) > 1),
+      |removed AS (
+      |  SELECT o.doc_id, o.s FROM occ o JOIN dup d USING (wtext)
+      |  WHERE o.doc_id*1000000+o.s <> d.keeper),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, unnest(generate_series(s, s+8-1)) AS pos
+      |  FROM removed),
+      |tp AS (
+      |  SELECT doc_id, unnest(ts) AS tok,
+      |         unnest(generate_series(1, len(ts))) AS pos
+      |  FROM toks),
+      |kept AS (
+      |  SELECT tp.doc_id, tp.tok, tp.pos FROM tp
+      |  ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos),
+      |clean AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+      |         count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+      |  CAST(len(t.ts) - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(c.clean_text, '') AS clean_text
+      |FROM toks t LEFT JOIN clean c USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -5687,6 +5738,7 @@ object Queries {
     "q178_media_dhash" -> (q178MediaDhash _),
     "q179_stream_scd_enrich" -> (q179StreamScdEnrich _),
     "q180_oracle_canary" -> (q180OracleCanary _),
+    "q181_span_dedup" -> (q181SpanDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -5872,6 +5924,7 @@ object Queries {
     // — that is the claim — so it shares q90's oracle verbatim
     "q179_stream_scd_enrich" -> q90Sql,
     "q180_oracle_canary" -> q180Sql,
+    "q181_span_dedup" -> q181Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -609,4 +609,98 @@ object Dedup {
       .select(col("id").as(idCol))
     docs.join(drops, Seq(idCol), "left_anti")
   }
+
+  /** Sliding w-token window occurrences: one row per (doc, start)
+    * with the window's text and its 64-bit hash. Positions are
+    * 1-based (the oracle's list-slicing convention). Documents
+    * shorter than `w` tokens emit nothing. Shares [[TextOps.tokens]]
+    * whitespace semantics with every other text operator. */
+  private def spanOccurrences(docs: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame =
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= w)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("__ts")) - (w - 1))).as("__s"),
+        col("__ts"))
+      .select(col(idCol), col("__s"),
+        concat_ws(" ", slice(col("__ts"), col("__s"), lit(w))).as("__wtext"))
+      .withColumn("__whash", xxhash64(col("__wtext")))
+
+  /** Duplicated w-token spans across the corpus — the candidate side
+    * of exact substring deduplication (the "Deduplicating Training
+    * Data Makes Language Models Better" shape, Lee et al. 2021,
+    * arXiv:2107.06499, re-expressed for Spark: sliding token windows
+    * and a hash group stand in for the single-machine suffix array).
+    *
+    * Two-stage at scale: stage 1 groups the 8-byte window HASH with a
+    * map-side partial count, so the corpus-tokens×window-bytes string
+    * shuffle never happens — only (hash, count) pairs move. Stage 2
+    * re-groups just the occurrences whose hash count exceeds one
+    * (duplicated spans are a small fraction of all windows) by the
+    * exact window STRING, which both eliminates 64-bit collisions and
+    * fixes the keeper: the minimum (doc, start) occurrence. Output:
+    * one row per duplicated span occurrence, keeper flagged. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val occ = spanOccurrences(docs, idCol, textCol, w)
+    val candHashes = occ.groupBy(col("__whash"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .select(col("__whash"))
+    val cand = occ.join(candHashes, Seq("__whash"), "left_semi")
+    val spans = cand.groupBy(col("__wtext"))
+      .agg(min(struct(col(idCol), col("__s"))).as("__keeper"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") > 1)
+    cand.join(spans, Seq("__wtext"))
+      .select(col(idCol), col("__s").as("start"),
+        col("__wtext").as("span"), col("n_occurrences"),
+        (struct(col(idCol), col("__s")) === col("__keeper")).as("is_keeper"))
+  }
+
+  /** Exact substring (token-window) deduplication: remove every token
+    * covered by a non-keeper occurrence of a duplicated w-token span
+    * ([[duplicatedSpans]]) and reassemble the surviving tokens in
+    * position order. The first occurrence in (doc, start) order keeps
+    * its text; all other occurrences lose theirs — exactly the
+    * remove-all-but-one policy of Lee et al. 2021 §3, with w tokens in
+    * place of 50 BPE tokens.
+    *
+    * Scale shape: the expensive relation is the occurrence explosion
+    * (corpus-token rows), but it is touched twice by narrow plans —
+    * an 8-byte hash groupBy (map-side combined) and a semi join
+    * against the small candidate-hash set; the wide string group runs
+    * only on duplicated candidates. Coverage → anti join → ordered
+    * reassembly are all shuffles keyed on the doc id, the natural
+    * partitioning. Output one row per input document:
+    * (id, n_tokens, n_removed, clean_text) — clean_text is the
+    * surviving tokens joined by single spaces (whitespace-normalized,
+    * like every tokens()-derived text). */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__ts"))
+    val removed = duplicatedSpans(docs, idCol, textCol, w)
+      .filter(!col("is_keeper"))
+    val cov = removed
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + (w - 1))).as("__pos"))
+      .distinct()
+    val tp = toks
+      .select(col(idCol), posexplode(col("__ts")).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).as("__pos"), col("__tok"))
+    val clean = tp.join(cov, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            x => x.getField("__tok")),
+          " ").as("__clean"),
+        count(lit(1)).as("__kept"))
+    toks.select(col(idCol), size(col("__ts")).cast("long").as("n_tokens"))
+      .join(clean, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
 }
