@@ -5553,6 +5553,109 @@ object Queries {
       |FROM toks t LEFT JOIN clean c USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** PRODUCT-QUANTIZED ANN ([[graft.sim.Pq]], Jégou et al. 2011):
+    * m=4 sub-quantizers of 16 codes (one KMeansRel Lloyd round each,
+    * md5-seeded), corpus encoded to 4 small codes per vector, queries
+    * answered by ADC — Σ of per-subspace expanded distances to the
+    * coded centroids, ranked per query. The oracle replays ALL FOUR
+    * sub-fits (seed draw, assign, DECIMAL-exact means on the
+    * 9-decimal grid), the per-subspace argmin encode, and the ADC sum
+    * in SQL — one drifting centroid digit anywhere fails the hash.
+    * Ranks on the RAW double (ties to lower id), emits round-6. */
+  def q182PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.sim.Pq.pqTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding")),
+      "qid", m = 4, kCodes = 16, iters = 1, k = 5)
+      .orderBy("qid", "rn")
+  }
+
+  val q182Sql: String = {
+    val m = 4; val sub = 16
+    def lo(s: Int) = s * sub + 1
+    def hi(s: Int) = (s + 1) * sub
+    // per-subspace slice relation, init, one KMeansRel round, encode
+    val perSub = (0 until m).map { s =>
+      s"""v$s AS (SELECT vec_id, ve[${lo(s)}:${hi(s)}] AS sv FROM v),
+         |i$s AS (SELECT CAST(rn - 1 AS BIGINT) AS c, sv AS cv
+         |  FROM sel JOIN v$s USING (vec_id) WHERE rn <= 16),
+         |a$s AS (SELECT vec_id, c AS cluster FROM (
+         |  SELECT v$s.vec_id, i$s.c, row_number() OVER (PARTITION BY v$s.vec_id
+         |    ORDER BY list_dot_product(i$s.cv, i$s.cv)
+         |      - 2 * list_dot_product(v$s.sv, i$s.cv), i$s.c) AS rn
+         |  FROM v$s, i$s) WHERE rn = 1),
+         |m$s AS (SELECT cluster, pos,
+         |  round(CAST(sum(CAST(e AS DECIMAL(38, 12))) AS DOUBLE) / count(*), 9) AS mn
+         |  FROM (SELECT a$s.cluster, unnest(v$s.sv) AS e,
+         |        unnest(range(len(v$s.sv))) AS pos FROM a$s JOIN v$s USING (vec_id))
+         |  GROUP BY 1, 2),
+         |b$s AS (SELECT p.c, coalesce(n.cv, p.cv) AS cv FROM i$s p LEFT JOIN
+         |  (SELECT cluster AS c, list(mn ORDER BY pos) AS cv FROM m$s GROUP BY 1) n
+         |  USING (c)),
+         |e$s AS (SELECT vec_id, c AS code FROM (
+         |  SELECT v$s.vec_id, b$s.c, row_number() OVER (PARTITION BY v$s.vec_id
+         |    ORDER BY list_dot_product(b$s.cv, b$s.cv)
+         |      - 2 * list_dot_product(v$s.sv, b$s.cv), b$s.c) AS rn
+         |  FROM v$s, b$s) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val adcTerms = (0 until m).map { s =>
+      s"""(list_dot_product(b$s.cv, b$s.cv)
+         |   - 2 * list_dot_product(q.ve[${lo(s)}:${hi(s)}], b$s.cv)
+         |   + list_dot_product(q.ve[${lo(s)}:${hi(s)}], q.ve[${lo(s)}:${hi(s)}]))""".stripMargin
+    }.mkString(" + ")
+    val joins = "e0 JOIN b0 ON b0.c = e0.code " + (1 until m).map(s =>
+      s"JOIN e$s USING (vec_id) JOIN b$s ON b$s.c = e$s.code").mkString(" ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+       |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |sel AS (SELECT vec_id, row_number() OVER (
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM v),
+       |$perSub,
+       |q AS (SELECT vec_id AS qid, ve FROM v WHERE vec_id % 100 = 0),
+       |d AS (SELECT q.qid, e0.vec_id AS vid, $adcTerms AS ad2r
+       |  FROM q, $joins),
+       |r AS (SELECT qid, vid, round(ad2r, 6) AS ad2,
+       |  row_number() OVER (PARTITION BY qid ORDER BY ad2r, vid) AS rn
+       |  FROM d)
+       |SELECT qid, vid AS vec_id, ad2, CAST(rn AS BIGINT) AS rn
+       |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
+  /** CORPUS-TRAINED BIGRAM PERPLEXITY ([[graft.text.NgramLm]]) — the
+    * CCNet-style LM quality gate's scoring half: every document's
+    * add-0.5 bigram perplexity under the corpus's own counts.
+    * Count tables are vocabulary-sized groupBys; scoring rejoins the
+    * bigram stream on the same keys; the per-doc mean accumulates
+    * 9-decimal-rounded log-probs in DECIMAL(38,12) so partial
+    * aggregation order cannot perturb the 6-decimal perplexity. The
+    * oracle replays tokenization, counts, smoothing, and the decimal
+    * mean. */
+  def q183Perplexity(s: SparkSession, dir: String): DataFrame =
+    graft.text.NgramLm.perplexity(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q183Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                             x -> x <> '') AS ts
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+      |  FROM toks WHERE len(ts) >= 2),
+      |uc AS (SELECT w1 AS w, count(*) AS cw FROM big GROUP BY w1),
+      |v AS (SELECT count(*) AS vs FROM (SELECT DISTINCT unnest(ts) AS t FROM toks)),
+      |bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+      |sc AS (
+      |  SELECT b.doc_id,
+      |    round(ln((bc.cb + 0.5) / (uc.cw + 0.5 * (SELECT vs FROM v))), 9) AS lp
+      |  FROM big b JOIN bc USING (w1, w2) JOIN uc ON b.w1 = uc.w),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CAST(lp AS DECIMAL(38, 12))) AS DOUBLE) / count(*) AS mlp
+      |  FROM sc GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  round(exp(-mlp), 6) AS ppl
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -5739,6 +5842,8 @@ object Queries {
     "q179_stream_scd_enrich" -> (q179StreamScdEnrich _),
     "q180_oracle_canary" -> (q180OracleCanary _),
     "q181_span_dedup" -> (q181SpanDedup _),
+    "q182_pq_topk" -> (q182PqTopK _),
+    "q183_perplexity" -> (q183Perplexity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -5925,6 +6030,8 @@ object Queries {
     "q179_stream_scd_enrich" -> q90Sql,
     "q180_oracle_canary" -> q180Sql,
     "q181_span_dedup" -> q181Sql,
+    "q182_pq_topk" -> q182Sql,
+    "q183_perplexity" -> q183Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -5957,5 +6064,9 @@ object Queries {
     // round-7: BPE tokenizer apply (vocab-collapsed encode + weighted
     // join-back + token-accurate packing) and the end-to-end curation
     // pipeline (the north-star chain a training-data user ships)
-    "q176_bpe_pack", "q177_curation_pipeline")
+    "q176_bpe_pack", "q177_curation_pipeline",
+    // round-7: exact substring dedup (two-stage hash screen) and
+    // product-quantized ANN (4 sub-fits + ADC scan) — both new
+    // operator families, benched from birth
+    "q181_span_dedup", "q182_pq_topk", "q183_perplexity")
 }

@@ -59,6 +59,7 @@ object ScaleProbe {
     else if (set == "r5") r5Probes(spark, dir, k)
     else if (set == "r6") r6Probes(spark, dir, k)
     else if (set == "r7") r7Probes(spark, dir, k)
+    else if (set == "r7b") r7bProbes(spark, dir, k)
     else if (set == "asof") asofProbes(spark, dir, k)
     else if (set == "events") eventsProbes(spark, dir, k)
     else r3Probes(spark, dir, k)
@@ -155,6 +156,83 @@ object ScaleProbe {
       .repartition(parts)
   }
 
+  /** Round-7, second wave: the session's new operator families —
+    * exact substring (span) dedup, PQ / IVF-ADC ANN, and the bigram
+    * perplexity gate — probed across decades on the same salted
+    * replicators. Query COUNT is held constant for the ADC probes
+    * (replica-0 ids only): the scan is queries × corpus by design, so
+    * a probe that grew both sides would measure the square, not the
+    * operator. The IVF-ADC coarse book is fixed at 64 cells / 8
+    * probes: nlist is a recall dial, not a data-size dial, and the
+    * probe measures the pruned-scan slope. */
+  private def r7bProbes(spark: SparkSession, dir: String, k: Int): Unit = {
+    def t(name: String)(f: => Long): String = timeEntry(name)(f)
+    def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docsK = replicateTextSalted(tbl("documents"), k).persist(lvl)
+    val embK = replicateVecSalted(tbl("embeddings"), k).persist(lvl)
+    Seq(docsK, embK).foreach(_.count())
+
+    val results = Seq(
+      t("span_dedup") {
+        // sum over clean_text lengths forces the reassembly (a bare
+        // count() would let Catalyst prune the whole coverage chain)
+        dedup.Dedup.spanDedup(docsK, "doc_id", "text", w = 8)
+          .agg(sum(length(col("clean_text"))).as("c"),
+            sum(col("n_removed")).as("r"))
+          .head().getLong(1)
+      },
+      t("pq_fit_encode_adc") {
+        // constant 20-query set (replica 0): ADC cost = queries × codes
+        val model = sim.Pq.fit(embK, "vec_id", "embedding",
+          m = 4, kCodes = 16, iters = 1)
+        sim.Pq.adcTopK(
+          sim.Pq.encode(embK, "vec_id", "embedding", model), "vec_id",
+          embK.filter(col("vec_id") < 100000000L && col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          "qid", "embedding", model, k = 10).count()
+      },
+      t("ivfadc_topk") {
+        val model = sim.Pq.ivfAdcFit(embK, "vec_id", "embedding",
+          nlist = 64, m = 4, kCodes = 16, iters = 1)
+        val index = sim.Pq.ivfAdcIndex(embK, "vec_id", "embedding", model)
+          .persist(lvl)
+        index.count()
+        val n = sim.Pq.ivfAdcTopK(index, "vec_id",
+          embK.filter(col("vec_id") < 100000000L && col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          "qid", "embedding", model, nprobe = 8, k = 10).count()
+        index.unpersist()
+        n
+      },
+      t("perplexity") {
+        text.NgramLm.perplexity(docsK, "doc_id", "text")
+          .agg(sum(col("n_bigrams")).as("b"), sum(col("ppl")).as("p"))
+          .head().getLong(0)
+      })
+
+    println(results.mkString("[probe] {", ",", s""","replication":$k}"""))
+  }
+
+  /** Per-entry timer that PRINTS each fragment as it lands and turns
+    * an entry's failure into an "err" fragment instead of losing the
+    * whole set — a probe decade whose last entry exhausts this box's
+    * shuffle disk (containment at 1000×) must still report the
+    * entries that finished. */
+  private def timeEntry(name: String)(f: => Long): String = {
+    val s = System.nanoTime()
+    val frag = try {
+      val n = f
+      f""""$name":{"sec":${(System.nanoTime() - s) / 1e9}%.2f,"rows":$n}"""
+    } catch { case e: Throwable =>
+      f""""$name":{"sec":${(System.nanoTime() - s) / 1e9}%.2f,"err":"${e.getClass.getSimpleName}"}"""
+    }
+    println(s"[probe-entry] $frag")
+    System.gc()
+    Thread.sleep(2000)
+    frag
+  }
+
   /** Round-7: the dedup/ANN family's third probe decade (the verdict's
     * missing evidence tier) plus the q177 end-to-end curation chain.
     * Cluster counts scale with the corpus (constant expected cell
@@ -162,17 +240,13 @@ object ScaleProbe {
     * threshold, so these probes ALSO evidence that the default now
     * takes the two-level plan with no knob set. */
   private def r7Probes(spark: SparkSession, dir: String, k: Int): Unit = {
-    def t(name: String)(f: => Long): (String, Double, Long) = {
-      val s = System.nanoTime(); val n = f
-      val sec = (System.nanoTime() - s) / 1e9
-      // shuffle files persist until ContextCleaner GCs their
-      // dependencies — at the 1000× decade the set's accumulated
-      // scratch exceeds the box's disk, so each probe's DAG is
-      // released eagerly once timed (outside the timed window)
-      System.gc()
-      Thread.sleep(2000)
-      (name, sec, n)
-    }
+    // shuffle files persist until ContextCleaner GCs their
+    // dependencies — at the 1000× decade the set's accumulated
+    // scratch exceeds the box's disk, so timeEntry releases each
+    // probe's DAG eagerly once timed (outside the timed window), and
+    // prints each fragment as it lands: a decade whose LAST entry
+    // dies on disk still reports the entries that finished.
+    def t(name: String)(f: => Long): String = timeEntry(name)(f)
     def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docsK = replicateTextSalted(tbl("documents"), k).persist(lvl)
@@ -240,10 +314,7 @@ object ScaleProbe {
             if (k >= 1000) 10000000L else 1000000L).count()
       })
 
-    val json = results.map { case (n, sec, rows) =>
-      f""""$n":{"sec":$sec%.2f,"rows":$rows}"""
-    }.mkString("{", ",", s""","replication":$k}""")
-    println(s"[probe] $json")
+    println(results.mkString("[probe] {", ",", s""","replication":$k}"""))
   }
 
   /** The events operator family (funnel, transitions, sessionization,

@@ -1,0 +1,252 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ml.KMeansRel
+
+/** Product quantization (Jégou, Douze, Schmid, "Product Quantization
+  * for Nearest Neighbor Search", IEEE TPAMI 2011) — the memory-scale
+  * path for ANN: split each d-dim vector into `m` contiguous
+  * subspaces, k-means each subspace independently, and store every
+  * vector as `m` small codes. A 64-dim float vector (256 B) becomes
+  * m=4 bytes; a 100 TB embedding corpus scans as ~1.5 TB of codes.
+  * Search is Asymmetric Distance Computation (ADC): the query stays
+  * un-quantized and its distance to a code is the sum of per-subspace
+  * exact distances to the code's centroid — computed here as a pure
+  * codegen projection over the codes relation (centroid literals
+  * constant-fold, the [[Similarity.ivfCell]] idiom), no join, no
+  * shuffle until the per-query top-k.
+  *
+  * Determinism contract (the [[KMeansRel]] one, per subspace): seeds
+  * are the k vectors with lexicographically smallest (md5(id), id) —
+  * the SAME rows seed every subspace — assignment argmin uses the
+  * expanded ‖c‖²−2⟨v,c⟩ form with left-to-right dot folds, means
+  * accumulate in DECIMAL(38,12) and round to the 9-decimal grid. An
+  * external SQL engine replays fit, encode, and ADC bit-for-bit
+  * (q182's oracle replays all m sub-fits).
+  *
+  * Reference behavior anchor: the reference's ANN surface is a flat
+  * cosine scan (`machineLearning.py` similarity paths); PQ is the
+  * documented 100 TB extension alongside IVF ([[Similarity.ivfTopK]])
+  * — IVF prunes WHICH vectors are scanned, PQ shrinks WHAT is
+  * scanned; [[Similarity]] composes both for IVF-ADC.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: `books(s)(c)` is the centroid of code
+    * `c` in subspace `s`, each `subDim` doubles on the 9-decimal
+    * KMeansRel grid (round-0 raw seed slices excepted). Driver-side
+    * model state, like [[Similarity.IvfModel]]: m×k×subDim doubles,
+    * embedded into plans as constant-folding literals. */
+  final case class PqModel(subDim: Int, books: Array[Array[Array[Double]]]) {
+    def m: Int = books.length
+    def kCodes: Int = books.head.length
+  }
+
+  /** Fit `m` independent sub-quantizers of `kCodes` codes each with
+    * `iters` Lloyd rounds. One [[KMeansRel]] fit per subspace — each
+    * is one cell-aggregate shuffle per round over (id, subDim-slice)
+    * projections; vectors never move whole. `dim` must divide evenly
+    * into `m` subspaces. */
+  def fit(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int, kCodes: Int, iters: Int): PqModel = {
+    val dim = vectors.select(org.apache.spark.sql.functions.size(
+      col(vecCol)).as("d")).filter(col("d") > 0).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val books = (0 until m).toArray.map { s =>
+      val sub = vectors.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"),
+          s * subDim + 1, subDim).as("__sub"))
+      KMeansRel.fitCentroids(sub, idCol, "__sub", kCodes, iters)
+    }
+    PqModel(subDim, books)
+  }
+
+  /** The m-code array for one vector: per subspace, argmin over codes
+    * of ‖c‖²−2⟨v_s,c⟩ (ties to the lower code — the
+    * [[Similarity.ivfCell]] expression shape, m·kCodes fused dot
+    * products per row, whole-stage codegen, zero shuffle). */
+  def codesFor(vec: Column, model: PqModel): Column = {
+    val v = vec.cast("array<double>")
+    val per = model.books.zipWithIndex.map { case (book, s) =>
+      val vs = slice(v, s * model.subDim + 1, model.subDim)
+      val scored = book.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        val cArr = array(c.map(lit).toIndexedSeq: _*)
+        struct((lit(c2) - lit(2.0) * Similarity.dot(vs, cArr)).as("d"),
+          lit(i).as("i"))
+      }
+      array_min(array(scored.toIndexedSeq: _*)).getField("i")
+    }
+    array(per.toIndexedSeq: _*)
+  }
+
+  /** Encode a corpus: (id, codes array<int>) — the relation a 100 TB
+    * deployment materializes (bucketed by id) instead of raw vectors. */
+  def encode(vectors: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    vectors.select(col(idCol), codesFor(col(vecCol), model).as("codes"))
+
+  /** ADC distance of an un-quantized query to a code row:
+    * Σ_s (‖c_s‖² − 2⟨q_s,c_s⟩ + ⟨q_s,q_s⟩) = ‖q − reconstruct(codes)‖².
+    * Codebook arrays and norms embed as literals; the code column
+    * indexes into them with `element_at` — still a pure projection. */
+  def adcDist(qvec: Column, codes: Column, model: PqModel): Column = {
+    val q = qvec.cast("array<double>")
+    val terms = model.books.zipWithIndex.map { case (book, s) =>
+      val qs = slice(q, s * model.subDim + 1, model.subDim)
+      val cents = array(book.map(c =>
+        array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      val norms = array(book.map(c =>
+        lit(c.map(x => x * x).sum)).toIndexedSeq: _*)
+      val idx = element_at(codes, s + 1) + 1
+      element_at(norms, idx) - lit(2.0) * Similarity.dot(qs, element_at(cents, idx)) +
+        Similarity.dot(qs, qs)
+    }
+    terms.reduceLeft(_ + _)
+  }
+
+  /** Per-query top-k on the bounded heap ([[graft.functions
+    * .BoundedTopKAgg]]): every aggregation buffer holds ≤ k
+    * (distance, id) pairs, so only heap-sized partials shuffle — a
+    * window rank here would shuffle the ENTIRE queries × corpus
+    * scored relation (the q87 lesson). Struct ordering = (raw
+    * distance asc, id asc), identical to the rank contract. */
+  private def heapTopK(scored: DataFrame, qIdCol: String, idCol: String,
+      k: Int): DataFrame =
+    scored.groupBy(col(qIdCol))
+      .agg(graft.functions.bounded_topk(
+        struct(col("__ad2"), col(idCol)), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")))
+      .select(col(qIdCol), col("col").getField(idCol).as(idCol),
+        round(col("col").getField("__ad2"), 6).as("ad2"),
+        (col("pos") + 1).cast("long").as("rn"))
+
+  /** Approximate top-k by ADC: broadcast the (small) query relation
+    * against the codes scan, one codegen'd distance per (query, code)
+    * row, per-query bounded-heap rank. The scan is the brute-force
+    * shape but over m ints per row instead of d floats — the PQ
+    * trade. Ranks by the raw double (ties to the lower id), outputs
+    * the 6-decimal-rounded distance, the repo's cross-engine
+    * contract. */
+  def adcTopK(codes: DataFrame, idCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      model: PqModel, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).as("__qid"),
+      col(qVecCol).cast("array<double>").as("__qv")))
+    val scored = codes.crossJoin(q)
+      .select(col("__qid").as(qIdCol), col(idCol),
+        adcDist(col("__qv"), col("codes"), model).as("__ad2"))
+    heapTopK(scored, qIdCol, idCol, k)
+  }
+
+  /** Fit + encode + search in one call (the q182 shape). Queries must
+    * not alias the corpus id column name. */
+  def pqTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String,
+      m: Int, kCodes: Int, iters: Int, k: Int): DataFrame = {
+    val model = fit(vectors, idCol, vecCol, m, kCodes, iters)
+    adcTopK(encode(vectors, idCol, vecCol, model), idCol,
+      queries, qIdCol, vecCol, model, k)
+  }
+
+  // =================================================================
+  // IVF-ADC: the billion-scale composition (Jégou et al. 2011 §IV) —
+  // a coarse quantizer prunes WHICH vectors are scanned, PQ over the
+  // RESIDUAL (v − coarse centroid) shrinks WHAT is scanned. At 100 TB
+  // the index relation is written partitioned by cell; an nprobe-cell
+  // query reads ~nprobe/nlist of the codes and never touches raw
+  // vectors.
+  // =================================================================
+
+  /** Coarse + residual-PQ model. Both quantizers follow the
+    * [[KMeansRel]] determinism contract, so the index relation is
+    * recomputable across engines and re-runs. */
+  final case class IvfAdcModel(coarse: Array[Array[Double]], pq: PqModel)
+
+  private def coarseCell(vec: Column, coarse: Array[Array[Double]]): Column = {
+    val v = vec.cast("array<double>")
+    val scored = coarse.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      val cArr = array(c.map(lit).toIndexedSeq: _*)
+      struct((lit(c2) - lit(2.0) * Similarity.dot(v, cArr)).as("d"),
+        lit(i).as("i"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("i")
+  }
+
+  /** v − coarse[cell], as a codegen'd zip_with over the embedded
+    * centroid table. */
+  private def residual(vec: Column, cell: Column,
+      coarse: Array[Array[Double]]): Column = {
+    val cents = array(coarse.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    zip_with(vec.cast("array<double>"), element_at(cents, cell + 1),
+      (a, b) => a - b)
+  }
+
+  /** Fit the coarse quantizer on the vectors, then PQ on the
+    * residuals. Residuals are a projection (no shuffle); the two fits
+    * are the only shuffling stages. */
+  def ivfAdcFit(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, kCodes: Int, iters: Int): IvfAdcModel = {
+    val coarse = KMeansRel.fitCentroids(vectors, idCol, vecCol, nlist, iters)
+    val res = vectors
+      .withColumn("__cell", coarseCell(col(vecCol), coarse))
+      .select(col(idCol),
+        residual(col(vecCol), col("__cell"), coarse).as("__res"))
+    IvfAdcModel(coarse, fit(res, idCol, "__res", m, kCodes, iters))
+  }
+
+  /** The index relation: (id, cell, codes). At scale, write this
+    * partitioned by `cell` (the [[Similarity.buildIvfIndex]] layout)
+    * so probes prune partitions at planning time. */
+  def ivfAdcIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      model: IvfAdcModel): DataFrame =
+    vectors
+      .withColumn("cell", coarseCell(col(vecCol), model.coarse))
+      .select(col(idCol), col("cell"),
+        codesFor(residual(col(vecCol), col("cell"), model.coarse),
+          model.pq).as("codes"))
+
+  /** The query's `nprobe` nearest coarse cells, as an array column —
+    * ranked by the same expanded distance as assignment, ties to the
+    * lower cell (the [[Similarity.probeCells]] contract, computed
+    * per-row instead of driver-side so a query RELATION probes in one
+    * pass). */
+  private def probeCellsCol(qvec: Column, coarse: Array[Array[Double]],
+      nprobe: Int): Column = {
+    val v = qvec.cast("array<double>")
+    val scored = coarse.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      val cArr = array(c.map(lit).toIndexedSeq: _*)
+      struct((lit(c2) - lit(2.0) * Similarity.dot(v, cArr)).as("d"),
+        lit(i).as("i"))
+    }
+    transform(slice(array_sort(array(scored.toIndexedSeq: _*)), 1, nprobe),
+      x => x.getField("i"))
+  }
+
+  /** IVF-ADC search: explode each query into its nprobe (query, cell)
+    * probes, join the cell-keyed index (only probed cells are read —
+    * under a cell-partitioned store this is partition pruning), ADC
+    * the query RESIDUAL against the residual codes, rank per query.
+    * Approximation error vs flat [[adcTopK]]: vectors outside the
+    * probed cells are unseen — the IVF recall trade. */
+  def ivfAdcTopK(index: DataFrame, idCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      model: IvfAdcModel, nprobe: Int, k: Int): DataFrame = {
+    val probes = broadcast(queries
+      .select(col(qIdCol).as("__qid"),
+        col(qVecCol).cast("array<double>").as("__qv"))
+      .withColumn("cell",
+        explode(probeCellsCol(col("__qv"), model.coarse, nprobe)))
+      .withColumn("__qres", residual(col("__qv"), col("cell"), model.coarse)))
+    val scored = index.join(probes, Seq("cell"))
+      .select(col("__qid").as(qIdCol), col(idCol),
+        adcDist(col("__qres"), col("codes"), model.pq).as("__ad2"))
+    heapTopK(scored, qIdCol, idCol, k)
+  }
+}
