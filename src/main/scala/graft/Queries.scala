@@ -5656,6 +5656,50 @@ object Queries {
       |  round(exp(-mlp), 6) AS ppl
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** STREAMING NEAR-DUP INGESTION ([[graft.streaming.DocStream]]):
+    * the REAL AvailableNow stream runs inside the query — the corpus
+    * lands as three id-ranged files drained one per micro-batch (mod
+    * time fixes arrival order), each batch rejecting docs near-dup to
+    * the already-accepted corpus (cross-first), then deduping its own
+    * survivors. On this fixture's dup graph (pairs + one triangle,
+    * verified) greedy first-wins ≡ offline connected-component
+    * keep-min with id-ordered arrival, so the stream replays against
+    * the OFFLINE exact-Jaccard CC oracle — the chain-divergence case
+    * where the two differ is pinned separately in DocStreamSpec. */
+  def q184StreamNearDupIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("q184_src").toString
+    val sink = java.nio.file.Files.createTempDirectory("q184_sink")
+      .toString + "/accepted"
+    val cp = java.nio.file.Files.createTempDirectory("q184_cp").toString
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+    Seq(
+      docs.filter(col("doc_id") <= cut1),
+      docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+      docs.filter(col("doc_id") > cut2)
+    ).foreach { part =>
+      part.coalesce(1).write.mode("append").parquet(tmp)
+      Thread.sleep(1100) // the file source orders batches by mod time
+    }
+    val name = "q184_ingest_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = graft.streaming.DocStream.nearDupIngestStream(s, tmp, docs,
+      "doc_id", "text", threshold = 0.9, sink, name, Some(cp),
+      maxFilesPerTrigger = Some(1))
+    require(q.awaitTermination(300000), "q184 ingest timed out")
+    graft.streaming.DocStream.accepted(s, sink, docs)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q184Sql: String =
+    s"""WITH RECURSIVE ${dupClusterCteSqlFrom("documents")},
+      |cl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+      |SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM cl WHERE cluster <> id)
+      |ORDER BY doc_id""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -5844,6 +5888,7 @@ object Queries {
     "q181_span_dedup" -> (q181SpanDedup _),
     "q182_pq_topk" -> (q182PqTopK _),
     "q183_perplexity" -> (q183Perplexity _),
+    "q184_stream_neardup" -> (q184StreamNearDupIngest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6032,6 +6077,7 @@ object Queries {
     "q181_span_dedup" -> q181Sql,
     "q182_pq_topk" -> q182Sql,
     "q183_perplexity" -> q183Sql,
+    "q184_stream_neardup" -> q184Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -37,7 +37,11 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
   private val boundedCross = Set(
     "q33_fuzzy",        // probes × dim, both driver-small, broadcast
     "q104_hll_intersect", // C(types,2) sketch pairs — types-sized
-    "q107_jaro_winkler")  // probes × nation dim
+    "q107_jaro_winkler",  // probes × nation dim
+    "q182_pq_topk")     // ADC scan: broadcast QUERY BATCH × codes is
+                        // the PQ design (Pq.adcTopK scaladoc) — the
+                        // scan is the operator, the broadcast side is
+                        // the bounded probe set
 
   test("every SparkEntry query passes the scale lint (allowlisted exceptions only)") {
     val spark = TestSpark.spark

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming near-dup ingestion: greedy first-wins semantics, batch
+  * parity on CC-equivalent graphs, chain divergence pinned, and
+  * checkpointed-restart idempotence. */
+class DocStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDirs() = {
+    val src = Files.createTempDirectory("docstream_src").toString
+    val sink = Files.createTempDirectory("docstream_sink").toString
+    val cp = Files.createTempDirectory("docstream_cp").toString
+    (src, sink, cp)
+  }
+
+  private def run(src: String, sink: String, cp: String, name: String,
+      schemaFrom: org.apache.spark.sql.DataFrame): Unit = {
+    val q = DocStream.nearDupIngestStream(spark, src, schemaFrom,
+      "doc_id", "text", threshold = 0.9, sink, name, Some(cp))
+    assert(q.awaitTermination(180000), s"stream $name timed out")
+  }
+
+  test("fixture corpus in one batch equals the offline CC dedup") {
+    val docs = TestSpark.table("documents").select("doc_id", "text")
+    val (src, sink, cp) = freshDirs()
+    docs.write.mode("overwrite").parquet(src)
+    run(src, sink, cp, "docstream_one", docs)
+    val got = DocStream.accepted(spark, sink, docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = Dedup.dropNearDups(docs, "doc_id",
+      Dedup.nearDupPairs(docs, "doc_id", "text", 0.9))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(got.size < docs.count())
+  }
+
+  test("cross-batch: later near-dups of accepted docs are rejected") {
+    // batch 1: originals; batch 2: one near-identical copy + one fresh
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "completely different words appear in this document here now")
+    ).toDF("doc_id", "text")
+    val (src, sink, cp) = freshDirs()
+    b1.write.mode("overwrite").parquet(s"$src/f1")
+    run(s"$src/f1", sink, cp, "docstream_cross", b1)
+    b2.write.mode("append").parquet(s"$src/f1") // same glob dir: new files
+    run(s"$src/f1", sink, cp, "docstream_cross", b1)
+    val got = DocStream.accepted(spark, sink, b1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 12L))
+  }
+
+  test("chain across batches diverges from CC by design: tail survives") {
+    // a (accepted) — b (dup of a, rejected) — c (dup of b only):
+    // greedy accepts c; offline CC would drop it. The spec PINS the
+    // documented online semantics.
+    // b = 12 tokens; a edits b's LAST token (differs in 1 of 10
+    // shingles, J = 9/11 ≈ 0.82), c edits b's FIRST (J(b,c) = 9/11),
+    // so J(a,c) = 8/12 ≈ 0.67 < 0.8 — a genuine chain at t = 0.8
+    val mid = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"
+    val a = (1L, s"$mid zzz")
+    val b = (2L, s"$mid t12")
+    val c = (3L, s"yyy ${mid.stripPrefix("t1 ")} t12")
+    val all = Seq(a, b, c).toDF("doc_id", "text")
+    // sanity: pair graph is the chain a-b, b-c
+    val pairs = Dedup.nearDupPairs(all, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L)))
+    val (src, sink, cp) = freshDirs()
+    Seq(a).toDF("doc_id", "text").write.parquet(s"$src/d")
+    val q1 = DocStream.nearDupIngestStream(spark, s"$src/d", all,
+      "doc_id", "text", 0.8, sink, "docstream_chain", Some(cp))
+    assert(q1.awaitTermination(180000))
+    Seq(b, c).toDF("doc_id", "text").write.mode("append").parquet(s"$src/d")
+    val q2 = DocStream.nearDupIngestStream(spark, s"$src/d", all,
+      "doc_id", "text", 0.8, sink, "docstream_chain", Some(cp))
+    assert(q2.awaitTermination(180000))
+    val got = DocStream.accepted(spark, sink, all)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L)) // b rejected vs a; c survives (greedy)
+    // offline CC on the same corpus drops BOTH b and c
+    val offline = Dedup.dropNearDups(all, "doc_id",
+      Dedup.nearDupPairs(all, "doc_id", "text", 0.8))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(offline === Set(1L))
+  }
+
+  test("restart with the same checkpoint reprocesses nothing") {
+    val docs = TestSpark.table("documents").select("doc_id", "text").limit(100)
+    val (src, sink, cp) = freshDirs()
+    docs.write.mode("overwrite").parquet(src)
+    run(src, sink, cp, "docstream_restart", docs)
+    val first = DocStream.accepted(spark, sink, docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // restart: same checkpoint, same name — no new files, no new batches
+    run(src, sink, cp, "docstream_restart", docs)
+    val second = DocStream.accepted(spark, sink, docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(first === second)
+  }
+}
