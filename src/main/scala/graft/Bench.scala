@@ -68,7 +68,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the JSON line must be the LAST thing on the combined stream: a
+    // tail-capture harness greps it from the end, and Spark's stop()
+    // writes shutdown INFO lines AFTER anything printed before it —
+    // every earlier round's driver capture lost the line exactly that
+    // way (BENCH_r*.json: parsed null, tail full of BlockManager logs)
+    println(json)
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }
