@@ -5282,21 +5282,14 @@ object Queries {
     * Output: (shard, n_docs, chars) — the export manifest. */
   def q177CurationPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val d1 = Dedup.dropExactDups(docs, "doc_id", "text")
-    val d2 = Dedup.dropNearDups(d1, "doc_id",
-      Dedup.nearDupPairs(d1, "doc_id", "text", threshold = 0.9))
-    val d3 = d2.filter(round(TextOps.qualityScore(col("text")), 6) >= 0.3)
-    val d4 = graft.text.Decontaminate.decontaminate(
-      d3.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
-      "doc_id", "text", n = 4)
-    val d5 = Features.budgetMixSample(
-      d4.select("doc_id", "lang", "n_chars"),
-      domainCol = "lang", keyCol = "doc_id", costCol = "n_chars",
-      weights = q152Weights.toMap, budget = q152Budget)
-    d5.withColumn("shard", graft.operators.Shards.shardCol("doc_id", 8))
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
-      .orderBy("shard")
+    val accepted = graft.etl.Curation.curate(docs,
+      idCol = "doc_id", textCol = "text",
+      domainCol = "lang", costCol = "n_chars",
+      threshold = 0.9, minQuality = 0.3,
+      benchmark = docs.filter(col("doc_id") < 10), decontaminateN = 4,
+      weights = q152Weights.toMap, budget = q152Budget,
+      corpusPredicate = col("doc_id") >= 10)
+    graft.etl.Curation.exportProfile(accepted, "doc_id", "n_chars", 8)
   }
 
   val q177Sql: String = {

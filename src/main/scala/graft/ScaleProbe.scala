@@ -60,6 +60,8 @@ object ScaleProbe {
     else if (set == "r6") r6Probes(spark, dir, k)
     else if (set == "r7") r7Probes(spark, dir, k)
     else if (set == "r7b") r7bProbes(spark, dir, k)
+    else if (set == "curationcmp") curationCmpProbes(spark, dir, k)
+    else if (set == "curationstages") curationStageProbes(spark, dir, k)
     else if (set == "asof") asofProbes(spark, dir, k)
     else if (set == "events") eventsProbes(spark, dir, k)
     else r3Probes(spark, dir, k)
@@ -214,6 +216,73 @@ object ScaleProbe {
     println(results.mkString("[probe] {", ",", s""","replication":$k}"""))
   }
 
+  /** Head-to-head: the q177 curation chain with raw lineage vs with
+    * stage-boundary persistence ([[graft.etl.Curation.curate]]
+    * `persistStages`). The chain's early stages feed 3+ consumers
+    * each, so the unpersisted plan recomputes them per consumer —
+    * this probe prices that recomputation factor at scale. Identical
+    * output by CurationSpec's bit-identity test. */
+  private def curationCmpProbes(spark: SparkSession, dir: String,
+      k: Int): Unit = {
+    def t(name: String)(f: => Long): String = timeEntry(name)(f)
+    def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docsK = replicateTextSalted(tbl("documents"), k).persist(lvl)
+    docsK.count()
+    val weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
+    def chain(persist: Boolean): Long =
+      etl.Curation.exportProfile(
+        etl.Curation.curate(docsK, "doc_id", "text", "lang", "n_chars",
+          threshold = 0.9, minQuality = 0.3,
+          benchmark = docsK.filter(col("doc_id") < 10), decontaminateN = 4,
+          weights = weights, budget = 40000L * k,
+          corpusPredicate = col("doc_id") >= 10,
+          persistStages = persist),
+        "doc_id", "n_chars", 8).count()
+    val results = Seq(
+      t("curation_lineage") { chain(persist = false) },
+      t("curation_persisted") { chain(persist = true) })
+    println(results.mkString("[probe] {", ",", s""","replication":$k}"""))
+  }
+
+  /** Stage-level timing of the curation chain: every stage's INPUT is
+    * pinned before its own timer starts, so each entry prices one
+    * stage's own work, not its lineage — the attribution the
+    * lineage-vs-persisted head-to-head can't give. */
+  private def curationStageProbes(spark: SparkSession, dir: String,
+      k: Int): Unit = {
+    def t(name: String)(f: => Long): String = timeEntry(name)(f)
+    def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docsK = replicateTextSalted(tbl("documents"), k).persist(lvl)
+    docsK.count()
+    val weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
+    val d1 = dedup.Dedup.dropExactDups(docsK, "doc_id", "text").persist(lvl)
+    val r1 = t("s1_exact_dedup") { d1.count() }
+    val pairs = dedup.Dedup
+      .nearDupPairs(d1, "doc_id", "text", threshold = 0.9).persist(lvl)
+    val r2a = t("s2a_neardup_pairs") { pairs.count() }
+    val d2 = dedup.Dedup.dropNearDups(d1, "doc_id", pairs).persist(lvl)
+    val r2b = t("s2b_cc_drop") { d2.count() }
+    val d3 = d2.filter(
+      round(text.TextOps.qualityScore(col("text")), 6) >= 0.3)
+    val d4 = text.Decontaminate.decontaminate(
+      d3.filter(col("doc_id") >= 10), docsK.filter(col("doc_id") < 10),
+      "doc_id", "text", n = 4).persist(lvl)
+    val r4 = t("s3_quality_s4_decontaminate") { d4.count() }
+    val d5 = features.Features.budgetMixSample(
+      d4.select("doc_id", "lang", "n_chars"), "lang", "doc_id", "n_chars",
+      weights, budget = 40000L * k)
+    val r5 = t("s5_budget_mix_shards") {
+      d5.withColumn("shard", operators.Shards.shardCol("doc_id", 8))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .count()
+    }
+    println(Seq(r1, r2a, r2b, r4, r5)
+      .mkString("[probe] {", ",", s""","replication":$k}"""))
+  }
+
   /** Per-entry timer that PRINTS each fragment as it lands and turns
     * an entry's failure into an "err" fragment instead of losing the
     * whole set — a probe decade whose last entry exhausts this box's
@@ -296,22 +365,22 @@ object ScaleProbe {
           .count()
       },
       // containment runs LAST: its candidate distinct is the set's
-      // largest scratch consumer at 1000×, so the rest of the decade
-      // lands even if this box runs out of shuffle disk here.
-      // At the 1000× decade (5M docs) the DEFAULT stage-1 broadcast
-      // ceiling (10⁶ docs) puts verification in the shuffle regime —
-      // candidates × payload is a TB-scale shuffle this single box
-      // cannot hold, while the 1.75 GB hash relation broadcasts fine
-      // in one 100 GB JVM. The probe raises the ceiling EXPLICITLY
-      // and renames the entry so the README table shows a knob was
-      // turned; on a real cluster that broadcast fits executor memory
-      // or the candidates shuffle across the fleet — both documented
-      // on the operator.
-      t(if (k >= 1000) "containment_bcast" else "containment") {
+      // largest scratch consumer. At the 1000× decade the probe
+      // SKIPS it outright: this salted corpus is all-pairs-dense
+      // WITHIN each replica by construction, so the candidate pair
+      // relation alone is ~12.5G rows (~300 GB of shuffle scratch
+      // before verification starts) — measured: the box's 80 GB free
+      // disk dies mid-distinct even with the stage-1 hash relation
+      // (1.75 GB) broadcast. That is the operator's documented
+      // Σ min(df,cap)² candidate bound doing exactly what it says; a
+      // 1000-executor cluster holds the shuffle, one box does not,
+      // and an entry that thrashes retry loops for an hour before
+      // ENOSPC measures the disk, not the operator.
+      if (k >= 1000)
+        """"containment":{"skipped":"single-box disk: all-pairs-dense candidates ~300GB scratch at this decade"}"""
+      else t("containment") {
         dedup.Dedup.containmentPairs(docsK, "doc_id", "text",
-          threshold = 0.8,
-          stage1BroadcastDocs =
-            if (k >= 1000) 10000000L else 1000000L).count()
+          threshold = 0.8).count()
       })
 
     println(results.mkString("[probe] {", ",", s""","replication":$k}"""))

@@ -86,14 +86,24 @@ object Dedup {
   def pairsFromBuckets(bucketed: DataFrame, bucketCols: Seq[String],
       maxBucket: Int,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(bucketCols.map(col): _*)
-    val counted = bucketed.withColumn("__n", count(lit(1)).over(w))
-    val observed = obs.fold(counted)(o => counted.observe(o,
-      sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
+    // Bucket sizes as an AGGREGATE joined back, not a window: a
+    // window count must SORT the full banded relation inside each
+    // partition, and the 1000× stage probe put that sort at the top
+    // of the near-dup chain's cost once it stops fitting in memory
+    // (the aggregate's partial combine ships only distinct-bucket
+    // partials, and the join back is a hash join on the same key the
+    // collect_set group reuses — no wide sort anywhere). Same drop
+    // semantics and the same observability: Σ n over over-cap buckets
+    // IS the number of dropped rows.
+    val sizes = bucketed.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val observed = obs.fold(sizes)(o => sizes.observe(o,
+      sum(when(col("__n") > maxBucket, col("__n")).otherwise(0L))
+        .as("dropped_rows"),
       max(col("__n")).as("max_bucket_size")))
-    observed
-      .filter(col("__n") >= 2 && col("__n") <= maxBucket)
+    bucketed
+      .join(observed.filter(col("__n") >= 2 && col("__n") <= maxBucket),
+        bucketCols)
       .groupBy(bucketCols.map(col): _*)
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -154,10 +164,14 @@ object Dedup {
       .select(col(id).as(as),
         posexplode(graft.functions.minhash_bands(col(text), shingleWidth,
           bands, rowsPerBand)).as(Seq("band", "bucket")))
+    // per-side bucket sizes as an aggregate joined back (not a window
+    // — see pairsFromBuckets: the window's full-relation sort is the
+    // third-decade wall); the join key is the same (band, bucket) the
+    // candidate join uses next, so the exchange is shared
     def capped(df: DataFrame) = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bucket"))
-      df.withColumn("__n", count(lit(1)).over(w))
+      val sizes = df.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__n"))
+      df.join(sizes, Seq("band", "bucket"))
     }
     val lb = capped(banded(left, leftId, leftText, "id_a"))
     val rb = capped(banded(right, rightId, rightText, "id_b"))

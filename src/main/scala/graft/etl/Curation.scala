@@ -1,0 +1,85 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.dedup.Dedup
+import graft.features.Features
+import graft.text.{Decontaminate, TextOps}
+
+/** The end-to-end training-data curation chain (the q177 composition)
+  * as ONE operator: exact dedup → near-dup clusters → quality gate →
+  * benchmark decontamination → budget mixture → shard assignment.
+  *
+  * Why it exists beyond the inline composition: LINEAGE. Each stage's
+  * output feeds multiple downstream consumers (the near-dup stage
+  * alone reads its input three times — band join, both shingle-verify
+  * sides — and every later stage re-reads the dedup survivors), so an
+  * unpersisted chain recomputes the expensive early stages once per
+  * consumer. At probe scale that recomputation factor is most of the
+  * chain's wall-clock. `persistStages = true` pins each stage boundary
+  * at MEMORY_AND_DISK while its consumers run and releases it
+  * afterwards — the scale posture a real pipeline run wants. The
+  * DEFAULT stays unpersisted: identical results, zero caching policy
+  * imposed on callers who compose their own persistence (q177's
+  * oracle-checked path).
+  */
+object Curation {
+
+  /** Accepted documents after the full gate chain (before sharding):
+    * exact dedup (keep-min fingerprint group), near-dup CC drop at
+    * `threshold`, quality-score floor, n-gram decontamination of
+    * `corpus` against `benchmark`, and the md5-bucketed budget
+    * mixture. Column contract: docs(idCol, textCol, domainCol,
+    * costCol). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, costCol: String,
+      threshold: Double, minQuality: Double,
+      benchmark: DataFrame, decontaminateN: Int,
+      weights: Map[String, Double], budget: Long,
+      corpusPredicate: Column = lit(true),
+      persistStages: Boolean = false): DataFrame = {
+    def staged(df: DataFrame): DataFrame =
+      if (persistStages) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    val d1 = staged(Dedup.dropExactDups(docs, idCol, textCol))
+    val d2 = staged(Dedup.dropNearDups(d1, idCol,
+      Dedup.nearDupPairs(d1, idCol, textCol, threshold)))
+    val d3 = d2.filter(
+      round(TextOps.qualityScore(col(textCol)), 6) >= minQuality)
+    // corpusPredicate carves the export corpus out AFTER the corpus-
+    // wide gates (dedup/quality see everything) but BEFORE
+    // decontamination — the q177 shape, where the benchmark's own
+    // rows must not decontaminate themselves out of a corpus they
+    // are not part of
+    val d4 = staged(Decontaminate.decontaminate(
+      d3.filter(corpusPredicate), benchmark, idCol, textCol,
+      n = decontaminateN))
+    val d5 = Features.budgetMixSample(
+      d4.select(col(idCol), col(domainCol), col(costCol)),
+      domainCol = domainCol, keyCol = idCol, costCol = costCol,
+      weights = weights, budget = budget)
+    // materialize the selection before releasing the pinned stages —
+    // unpersisting first would force the final action to recompute
+    // the whole chain from the source (exactly the cost the knob is
+    // buying out)
+    val out =
+      if (persistStages) {
+        val pinned = d5.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.count()
+        Seq(d1, d2, d4).foreach(_.unpersist())
+        pinned
+      } else d5
+    out
+  }
+
+  /** [[curate]] + 8-shard export profile — the manifest a training
+    * export ships (q177's output shape). */
+  def exportProfile(accepted: DataFrame, idCol: String, costCol: String,
+      nShards: Int): DataFrame =
+    accepted
+      .withColumn("shard", graft.operators.Shards.shardCol(idCol, nShards))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(costCol)).as("chars"))
+      .orderBy("shard")
+}

