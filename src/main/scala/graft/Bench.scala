@@ -70,12 +70,15 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // the JSON line must be the LAST thing on the combined stream: a
-    // tail-capture harness greps it from the end, and Spark's stop()
-    // writes shutdown INFO lines AFTER anything printed before it —
-    // every earlier round's driver capture lost the line exactly that
-    // way (BENCH_r*.json: parsed null, tail full of BlockManager logs)
-    println(json)
+    // the authoritative JSON line must be the LAST thing on the
+    // combined stream: a tail-capture harness greps it from the end,
+    // and Spark's stop() writes shutdown INFO lines AFTER anything
+    // printed before it — every earlier round's driver capture lost
+    // the line exactly that way (BENCH_r*.json: parsed null, tail full
+    // of BlockManager logs). The pre-stop safety copy (in case stop()
+    // hangs) is marked "provisional" so a parse-every-line consumer
+    // can dedupe instead of double-counting the run.
+    println(json.patch(1, "\"provisional\":true,", 0))
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(json)

@@ -5521,11 +5521,11 @@ object Queries {
       |  FROM toks),
       |occ AS (SELECT doc_id, s, array_to_string(ts[s:s+8-1], ' ') AS wtext
       |        FROM wins),
-      |dup AS (SELECT wtext, min(doc_id*1000000+s) AS keeper
+      |dup AS (SELECT wtext, min(ROW(doc_id, s)) AS keeper
       |        FROM occ GROUP BY wtext HAVING count(*) > 1),
       |removed AS (
       |  SELECT o.doc_id, o.s FROM occ o JOIN dup d USING (wtext)
-      |  WHERE o.doc_id*1000000+o.s <> d.keeper),
+      |  WHERE ROW(o.doc_id, o.s) <> d.keeper),
       |cov AS (
       |  SELECT DISTINCT doc_id, unnest(generate_series(s, s+8-1)) AS pos
       |  FROM removed),
@@ -5663,27 +5663,47 @@ object Queries {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
     val tmp = java.nio.file.Files.createTempDirectory("q184_src").toString
-    val sink = java.nio.file.Files.createTempDirectory("q184_sink")
-      .toString + "/accepted"
+    val sinkRoot = java.nio.file.Files.createTempDirectory("q184_sink").toString
+    val sink = sinkRoot + "/accepted"
     val cp = java.nio.file.Files.createTempDirectory("q184_cp").toString
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
-    Seq(
-      docs.filter(col("doc_id") <= cut1),
-      docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
-      docs.filter(col("doc_id") > cut2)
-    ).foreach { part =>
-      part.coalesce(1).write.mode("append").parquet(tmp)
-      Thread.sleep(1100) // the file source orders batches by mod time
-    }
-    val name = "q184_ingest_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = graft.streaming.DocStream.nearDupIngestStream(s, tmp, docs,
-      "doc_id", "text", threshold = 0.9, sink, name, Some(cp),
-      maxFilesPerTrigger = Some(1))
-    require(q.awaitTermination(300000), "q184 ingest timed out")
-    graft.streaming.DocStream.accepted(s, sink, docs)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .orderBy("doc_id")
+    try {
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+      // the file source orders batches by mod time: stamp each wave's
+      // files EXPLICITLY one second apart (FileSystem.setTimes) —
+      // sleeping between writes would rely on filesystem timestamp
+      // granularity, a latent flake on coarse-grained filesystems
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val stamped = scala.collection.mutable.Set[String]()
+      val base = 1600000000000L
+      Seq(
+        docs.filter(col("doc_id") <= cut1),
+        docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+        docs.filter(col("doc_id") > cut2)
+      ).zipWithIndex.foreach { case (part, i) =>
+        part.coalesce(1).write.mode("append").parquet(tmp)
+        fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .foreach { st =>
+            if (stamped.add(st.getPath.getName))
+              fs.setTimes(st.getPath, base + i * 1000L, -1)
+          }
+      }
+      val name = "q184_ingest_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = graft.streaming.DocStream.nearDupIngestStream(s, tmp, docs,
+        "doc_id", "text", threshold = 0.9, sink, name, Some(cp),
+        maxFilesPerTrigger = Some(1))
+      require(q.awaitTermination(300000), "q184 ingest timed out")
+      // materialize before the finally deletes the sink the plan reads
+      val acc = graft.streaming.DocStream.accepted(s, sink, docs)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+      val rows = java.util.Arrays.asList(acc.collect(): _*)
+      s.createDataFrame(rows, acc.schema).orderBy("doc_id")
+    } finally
+      Seq(tmp, sinkRoot, cp).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }
 
   val q184Sql: String =
@@ -5692,6 +5712,125 @@ object Queries {
       |SELECT doc_id, lang, n_chars FROM documents
       |WHERE doc_id NOT IN (SELECT id FROM cl WHERE cluster <> id)
       |ORDER BY doc_id""".stripMargin
+
+  /** SAMPLED PQ CODEBOOK FIT ([[graft.sim.Pq.fitSample]]) — the
+    * production fit shape: codebooks are fit on an md5-deterministic
+    * ~50% sample of the corpus (hash-threshold '8' on vec_id — the
+    * portable [[graft.features.Features.hashSample]] idiom), then the
+    * FULL corpus is encoded and searched by ADC. Per-Lloyd-round cost
+    * drops from O(corpus) to O(sample) — the fix for the full-fit's
+    * 1000×-decade cell-mean aggregates — while encode stays a
+    * zero-shuffle projection over everything. The oracle re-draws the
+    * identical sample and replays all four sub-fits, the full-corpus
+    * encode, and the ADC sum. */
+  def q185PqSampleTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = graft.sim.Pq.fitSample(emb, "vec_id", "embedding",
+      m = 4, kCodes = 16, iters = 1, hexThreshold = "8")
+    graft.sim.Pq.adcTopK(
+      graft.sim.Pq.encode(emb, "vec_id", "embedding", model), "vec_id",
+      emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding")),
+      "qid", "embedding", model, k = 5)
+      .orderBy("qid", "rn")
+  }
+
+  val q185Sql: String = {
+    val m = 4; val sub = 16
+    def lo(s: Int) = s * sub + 1
+    def hi(s: Int) = (s + 1) * sub
+    // fit CTEs read the SAMPLED slices (vf$s); encode reads the FULL
+    // slices (v$s) — the q182 template with the fit corpus swapped
+    val perSub = (0 until m).map { s =>
+      s"""v$s AS (SELECT vec_id, ve[${lo(s)}:${hi(s)}] AS sv FROM v),
+         |vf$s AS (SELECT vec_id, ve[${lo(s)}:${hi(s)}] AS sv FROM vf),
+         |i$s AS (SELECT CAST(rn - 1 AS BIGINT) AS c, sv AS cv
+         |  FROM sel JOIN vf$s USING (vec_id) WHERE rn <= 16),
+         |a$s AS (SELECT vec_id, c AS cluster FROM (
+         |  SELECT vf$s.vec_id, i$s.c, row_number() OVER (PARTITION BY vf$s.vec_id
+         |    ORDER BY list_dot_product(i$s.cv, i$s.cv)
+         |      - 2 * list_dot_product(vf$s.sv, i$s.cv), i$s.c) AS rn
+         |  FROM vf$s, i$s) WHERE rn = 1),
+         |m$s AS (SELECT cluster, pos,
+         |  round(CAST(sum(CAST(e AS DECIMAL(38, 12))) AS DOUBLE) / count(*), 9) AS mn
+         |  FROM (SELECT a$s.cluster, unnest(vf$s.sv) AS e,
+         |        unnest(range(len(vf$s.sv))) AS pos FROM a$s JOIN vf$s USING (vec_id))
+         |  GROUP BY 1, 2),
+         |b$s AS (SELECT p.c, coalesce(n.cv, p.cv) AS cv FROM i$s p LEFT JOIN
+         |  (SELECT cluster AS c, list(mn ORDER BY pos) AS cv FROM m$s GROUP BY 1) n
+         |  USING (c)),
+         |e$s AS (SELECT vec_id, c AS code FROM (
+         |  SELECT v$s.vec_id, b$s.c, row_number() OVER (PARTITION BY v$s.vec_id
+         |    ORDER BY list_dot_product(b$s.cv, b$s.cv)
+         |      - 2 * list_dot_product(v$s.sv, b$s.cv), b$s.c) AS rn
+         |  FROM v$s, b$s) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val adcTerms = (0 until m).map { s =>
+      s"""(list_dot_product(b$s.cv, b$s.cv)
+         |   - 2 * list_dot_product(q.ve[${lo(s)}:${hi(s)}], b$s.cv)
+         |   + list_dot_product(q.ve[${lo(s)}:${hi(s)}], q.ve[${lo(s)}:${hi(s)}]))""".stripMargin
+    }.mkString(" + ")
+    val joins = "e0 JOIN b0 ON b0.c = e0.code " + (1 until m).map(s =>
+      s"JOIN e$s USING (vec_id) JOIN b$s ON b$s.c = e$s.code").mkString(" ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+       |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |vf AS (SELECT vec_id, ve FROM v
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'),
+       |sel AS (SELECT vec_id, row_number() OVER (
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM vf),
+       |$perSub,
+       |q AS (SELECT vec_id AS qid, ve FROM v WHERE vec_id % 100 = 0),
+       |d AS (SELECT q.qid, e0.vec_id AS vid, $adcTerms AS ad2r
+       |  FROM q, $joins),
+       |r AS (SELECT qid, vid, round(ad2r, 6) AS ad2,
+       |  row_number() OVER (PARTITION BY qid ORDER BY ad2r, vid) AS rn
+       |  FROM d)
+       |SELECT qid, vid AS vec_id, ad2, CAST(rn AS BIGINT) AS rn
+       |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
+  /** REAL-CODEC PERCEPTUAL dHASH ([[graft.multimodal.Multimodal
+    * .decode]], javax.imageio): each doc's md5 hex drives a 9×8
+    * grayscale pixel pattern, encoded to a REAL PNG (JDK ImageIO
+    * writer), decoded back through the real ImageIO reader path, and
+    * dHashed. At 9×8 the dHash grid is the IDENTITY resample, so the
+    * oracle replays all 64 gradient bits straight from the md5
+    * arithmetic — and emits format/width/height from the decoded
+    * metadata. Hash-green HERE certifies the real PNG encode→decode
+    * round-trip is bit-exact: a silent fallback to the fake-header
+    * stub would report a garbage format tag and hash garbage pixels. */
+  def q186MediaDhashPng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("hx"))
+      .as[(Long, String)]
+      .map { case (id, hx) =>
+        val px = Array.tabulate[Byte](72)(i => hx.charAt(i % 32).toByte)
+        (id, Multimodal.grayPng(px, 9, 8))
+      }.toDF("doc_id", "media")
+    Multimodal.withMeta(Multimodal.withDHash(media, "media"), "media")
+      .select(col("doc_id"),
+        col("meta").getField("format").as("fmt"),
+        col("meta").getField("width").cast("long").as("w"),
+        col("meta").getField("height").cast("long").as("h"),
+        lpad(bin(col("dhash")), 64, "0").as("dhash_bits"))
+      .orderBy("doc_id")
+  }
+
+  val q186Sql: String = {
+    def pixExpr(y: Int, x: Int): String =
+      s"ord(substr(hx, ${(y * 9 + x) % 32 + 1}, 1))"
+    val bits = (63 to 0 by -1).map { b =>
+      val y = b / 8
+      val x = b % 8
+      s"(CASE WHEN ${pixExpr(y, x)} > ${pixExpr(y, x + 1)} THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH h0 AS (SELECT doc_id, md5(text) AS hx FROM documents)
+       |SELECT doc_id, 'png' AS fmt, CAST(9 AS BIGINT) AS w,
+       |  CAST(8 AS BIGINT) AS h, $bits AS dhash_bits
+       |FROM h0 ORDER BY doc_id""".stripMargin
+  }
 
   // ===================================================================
   // Wiring
@@ -5882,6 +6021,8 @@ object Queries {
     "q182_pq_topk" -> (q182PqTopK _),
     "q183_perplexity" -> (q183Perplexity _),
     "q184_stream_neardup" -> (q184StreamNearDupIngest _),
+    "q185_pq_sample" -> (q185PqSampleTopK _),
+    "q186_media_dhash_png" -> (q186MediaDhashPng _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6071,6 +6212,8 @@ object Queries {
     "q182_pq_topk" -> q182Sql,
     "q183_perplexity" -> q183Sql,
     "q184_stream_neardup" -> q184Sql,
+    "q185_pq_sample" -> q185Sql,
+    "q186_media_dhash_png" -> q186Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -6107,5 +6250,9 @@ object Queries {
     // round-7: exact substring dedup (two-stage hash screen) and
     // product-quantized ANN (4 sub-fits + ADC scan) — both new
     // operator families, benched from birth
-    "q181_span_dedup", "q182_pq_topk", "q183_perplexity")
+    "q181_span_dedup", "q182_pq_topk", "q183_perplexity",
+    // round-8: sampled-fit PQ (the production fit shape, benched
+    // against q182's full fit) and the real-codec dHash path (PNG
+    // encode/decode riding the scan)
+    "q185_pq_sample", "q186_media_dhash_png")
 }

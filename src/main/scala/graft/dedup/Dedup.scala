@@ -159,11 +159,46 @@ object Dedup {
       right: DataFrame, rightId: String, rightText: String,
       threshold: Double, shingleWidth: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 4, maxBucket: Int = 1000,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    crossNearDupPairsVsSignatures(left, leftId, leftText,
+      nearDupSignatures(right, rightId, rightText, shingleWidth, bands,
+        rowsPerBand),
+      threshold, shingleWidth, bands, rowsPerBand, maxBucket, obs)
+
+  /** One-row-per-doc near-dup SIGNATURE relation — `(id, bands, sh)`:
+    * the LSH band buckets (candidate face) and the sorted distinct
+    * shingle set (exact-verify face), both derived from the text ONCE.
+    * Persist this next to an accepted/lake corpus and every later
+    * incremental or streaming dedup against it reads the signatures —
+    * the corpus text is never re-read, never re-shingled
+    * ([[crossNearDupPairsVsSignatures]]). Storage is O(docs × (bands +
+    * shingles)) — the same rows the text-side plan materializes
+    * transiently per run, paid once. */
+  def nearDupSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.minhash_bands(col(textCol), shingleWidth, bands,
+        rowsPerBand).as("bands"),
+      graft.functions.shingle_set(col(textCol), shingleWidth).as("sh"))
+
+  /** [[crossNearDupPairs]] where the RIGHT side is a precomputed
+    * [[nearDupSignatures]] relation. The signature schema carries no
+    * text column at all, so re-shingling the right corpus is
+    * statically impossible — the candidate join reads `bands`, the
+    * exact-Jaccard verify reads `sh`. Identical output to the
+    * text-to-text form when the signatures were computed with the
+    * same (shingleWidth, bands, rowsPerBand); the caller owns that
+    * parameter agreement. */
+  def crossNearDupPairsVsSignatures(left: DataFrame, leftId: String,
+      leftText: String, rightSigs: DataFrame, threshold: Double,
+      shingleWidth: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      maxBucket: Int = 1000,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    def banded(df: DataFrame, id: String, text: String, as: String) = df
-      .select(col(id).as(as),
-        posexplode(graft.functions.minhash_bands(col(text), shingleWidth,
-          bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val lb0 = left.select(col(leftId).as("id_a"),
+      posexplode(graft.functions.minhash_bands(col(leftText), shingleWidth,
+        bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val rb0 = rightSigs.select(col("id").as("id_b"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
     // per-side bucket sizes as an aggregate joined back (not a window
     // — see pairsFromBuckets: the window's full-relation sort is the
     // third-decade wall); the join key is the same (band, bucket) the
@@ -173,8 +208,8 @@ object Dedup {
         .agg(count(lit(1)).as("__n"))
       df.join(sizes, Seq("band", "bucket"))
     }
-    val lb = capped(banded(left, leftId, leftText, "id_a"))
-    val rb = capped(banded(right, rightId, rightText, "id_b"))
+    val lb = capped(lb0)
+    val rb = capped(rb0)
     val observed = obs.fold(lb)(o => lb.observe(o,
       sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
       max(col("__n")).as("max_bucket_size")))
@@ -184,8 +219,7 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
     val shL = left.select(col(leftId).as("id_a"),
       graft.functions.shingle_set(col(leftText), shingleWidth).as("sh_a"))
-    val shR = right.select(col(rightId).as("id_b"),
-      graft.functions.shingle_set(col(rightText), shingleWidth).as("sh_b"))
+    val shR = rightSigs.select(col("id").as("id_b"), col("sh").as("sh_b"))
     cands.join(shL, Seq("id_a")).join(shR, Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
@@ -222,17 +256,23 @@ object Dedup {
     * the default cap drops nothing and the result is exact (q154
     * relies on that). A doc whose kept count can't reach ⌈t·|A|⌉
     * indexes NOTHING — capped boilerplate docs prune themselves. */
-  /** @param stage1BroadcastDocs doc-count ceiling for broadcasting the
-    *        int-hash side of stage-1 verification. At ~80 shingles/doc
-    *        the hash relation costs ≈350 B/doc, so the default 10⁶
-    *        broadcasts ≈350 MB — cheap against the alternative, which
-    *        is shuffling EVERY candidate pair with that payload
-    *        attached (the 100× probe measured the plan flip at 5.7×
-    *        wall). Corpora with much longer docs should tune down. */
+  /** @param stage1BroadcastBytes BYTE ceiling for broadcasting the
+    *        int-hash side of stage-1 verification. The actual
+    *        constraint is bytes, not docs (corpora differ 100× in
+    *        shingles/doc), so the relation's size is MEASURED — one
+    *        aggregate over the kept-shingle relation
+    *        ([[stage1HashRelationBytes]], the ChunkAuto probe
+    *        pattern) — and compared against this ceiling. Under it,
+    *        the stage-1 joins broadcast the hash relation and the
+    *        candidate relation never shuffles again; over it, they
+    *        fall back to shuffle joins (the 100× probe measured the
+    *        plan flip at 5.7× wall on the dense corpus). The 400 MB
+    *        default matches the old 10⁶-doc ceiling at the reference
+    *        corpus's ~80 shingles/doc. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWidth: Int = 3, maxShingleDf: Int = 1000,
       obs: Option[org.apache.spark.sql.Observation] = None,
-      stage1BroadcastDocs: Long = 1000000L): DataFrame = {
+      stage1BroadcastBytes: Long = 400L << 20): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val sets = docs.select(col(idCol).as("id"),
       graft.functions.shingle_set(col(textCol), shingleWidth).as("sh"))
@@ -307,9 +347,14 @@ object Dedup {
     val docH = docArr.select(col("id"), col("__nsh"),
       col("__minshared").as("__c"),
       sort_array(transform(col("__sarr"), hash(_))).as("__hh"))
-    val nDocs = docs.count()
+    // byte-aware broadcast choice: ONE aggregate over the kept-shingle
+    // relation (cheaper than docArr — no collect_list/sort) measures
+    // the hash relation the stage-1 joins would ship
+    val kstats = kept.agg(count(lit(1)).as("k"),
+      approx_count_distinct(col("id")).as("n")).head()
+    val estBytes = stage1HashRelationBytes(kstats.getLong(1), kstats.getLong(0))
     def bcast(rel: DataFrame): DataFrame =
-      if (nDocs <= stage1BroadcastDocs) broadcast(rel) else rel
+      if (estBytes <= stage1BroadcastBytes) broadcast(rel) else rel
     val survivors = candidates
       .join(bcast(docH.select(col("id").as("id_a"), col("__c"),
         col("__hh").as("__ha"))), Seq("id_a"))
@@ -330,6 +375,16 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }
+
+  /** Estimated serialized bytes of the stage-1 int-hash relation:
+    * 4 B per kept shingle hash plus ~32 B per doc row (ids, counts,
+    * array headers) — the quantity [[containmentPairs]] compares
+    * against `stage1BroadcastBytes` to pick broadcast vs shuffle.
+    * Deliberately simple integer arithmetic so a spec can pin the
+    * choice at planted sizes. */
+  private[graft] def stage1HashRelationBytes(nDocs: Long,
+      keptShingles: Long): Long =
+    nDocs * 32L + keptShingles * 4L
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =

@@ -13,14 +13,21 @@ import org.apache.spark.sql.types._
   * partition, library handles amortized per batch, no per-row JVM/
   * interpreter crossings.
   *
-  * The actual codec calls are STUBBED with a deterministic fake (this
-  * container ships no image/audio libraries): `decodeStub` parses a
-  * 12-byte fake header (format tag, width, height) and "pixels" are the
-  * payload bytes. The Spark-side contract — schema, null handling,
-  * batch shape, partitioning — is real and tested; swapping the stub
-  * for javacv/libvips is a one-function change.
+  * IMAGE decode is REAL: [[decode]] routes through the JDK's
+  * `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP readers ship with every
+  * JDK — zero new dependencies), reducing to a row-major grayscale
+  * pixel buffer (grayscale rasters pass through bit-exact; color
+  * reduces by integer BT.601 luma). Payloads ImageIO does not
+  * recognize fall back to [[decodeStub]]'s deterministic fake-header
+  * format — the fixture/audio/video stand-in (this container ships no
+  * audio/video codecs; that half of the contract stays stubbed, with
+  * the Spark-side schema/batching/partitioning real and tested).
   */
 object Multimodal {
+
+  // ImageIO's default stream cache spills to temp FILES per decode —
+  // per-row disk I/O inside a scan; keep the cache in memory
+  javax.imageio.ImageIO.setUseCache(false)
 
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
@@ -39,8 +46,9 @@ object Multimodal {
     bb.array()
   }
 
-  /** STUB decode: parse the fake header. A real implementation would
-    * call an image codec here; everything around it stays identical. */
+  /** STUB decode: parse the fake header. The fallback half of
+    * [[decode]] — covers the fixture format and stands in for the
+    * audio/video codecs this container doesn't ship. */
   def decodeStub(media: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
     if (media == null || media.length < 12) None
     else {
@@ -54,8 +62,71 @@ object Multimodal {
       Some((new String(tag, "US-ASCII").trim, w, h, payload))
     }
 
-  /** Attach a metadata struct column by decoding the header of each
-    * payload — partition-local, zero shuffle. */
+  /** REAL media decode: `javax.imageio` for any payload an installed
+    * reader recognizes (the JDK ships PNG/JPEG/BMP/GIF/WBMP),
+    * returning (format, width, height, row-major grayscale pixels).
+    * Single-band rasters (grayscale PNG etc.) read through the raster
+    * BIT-EXACT — no colorspace math — which is what lets a SQL oracle
+    * replay a hash of the decoded pixels (q186); multi-band images
+    * reduce by the integer BT.601 luma (299·R + 587·G + 114·B)/1000,
+    * integer-only so the value is identical on every JVM. Unrecognized
+    * payloads fall back to the fake-header [[decodeStub]] (tried
+    * second: a real PNG would "parse" as a garbage fake header, so
+    * ImageIO gets first claim). Returns None for null/corrupt media. */
+  def decode(media: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
+    if (media == null) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(media))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return decodeStub(media)
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Byte](w * h)
+        if (img.getRaster.getNumBands == 1) {
+          val samples = img.getRaster.getSamples(0, 0, w, h, 0,
+            null.asInstanceOf[Array[Int]])
+          var i = 0
+          while (i < px.length) { px(i) = samples(i).toByte; i += 1 }
+        } else {
+          val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+          var i = 0
+          while (i < px.length) {
+            val p = rgb(i)
+            px(i) = ((((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+              (p & 0xff) * 114) / 1000).toByte
+            i += 1
+          }
+        }
+        Some((fmt, w, h, px))
+      } catch {
+        case _: java.io.IOException => None
+      } finally reader.dispose()
+    } finally if (iis != null) iis.close()
+  }
+
+  /** Encode a row-major grayscale pixel buffer as a REAL PNG via the
+    * JDK ImageIO writer — the test/fixture producer for [[decode]]'s
+    * bit-exact single-band path (PNG grayscale round-trips the exact
+    * bytes). */
+  def grayPng(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length >= w * h, s"need $w*$h pixels, got ${pixels.length}")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h,
+      java.util.Arrays.copyOf(pixels, w * h))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a metadata struct column by decoding each payload —
+    * partition-local, zero shuffle. */
   def withMeta(df: DataFrame, mediaCol: String, metaCol: String = "meta")
       : DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(metaCol, metaSchema))
@@ -63,7 +134,7 @@ object Multimodal {
     val idx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val m = decodeStub(r.getAs[Array[Byte]](idx)) match {
+        val m = decode(r.getAs[Array[Byte]](idx)) match {
           case Some((f, w, h, p)) => Row(f, w, h, p.length.toLong)
           case None => null
         }
@@ -83,7 +154,7 @@ object Multimodal {
     val idx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val feat = decodeStub(r.getAs[Array[Byte]](idx)) match {
+        val feat = decode(r.getAs[Array[Byte]](idx)) match {
           case Some((_, _, _, payload)) =>
             val hist = new Array[Float](bins)
             var i = 0
@@ -166,7 +237,7 @@ object Multimodal {
     val idx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val hash = decodeStub(r.getAs[Array[Byte]](idx)) match {
+        val hash = decode(r.getAs[Array[Byte]](idx)) match {
           case Some((_, w, h, p)) if w > 0 && h > 0 =>
             java.lang.Long.valueOf(dHash64(p, w, h))
           case _ => null
@@ -202,7 +273,7 @@ object Multimodal {
     val idx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val out = decodeStub(r.getAs[Array[Byte]](idx)) match {
+        val out = decode(r.getAs[Array[Byte]](idx)) match {
           case Some((f, _, _, p)) =>
             fakeMedia(f, w, h, java.util.Arrays.copyOf(p, w * h))
           case None => null
@@ -227,7 +298,7 @@ object Multimodal {
     val mIdx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
-        decodeStub(r.getAs[Array[Byte]](mIdx)) match {
+        decode(r.getAs[Array[Byte]](mIdx)) match {
           case Some((_, _, _, p)) =>
             val nFrames = p.length / frameBytes
             (0 until nFrames by stride).iterator.map { f =>

@@ -51,8 +51,19 @@ object Pq {
     * into `m` subspaces. */
   def fit(vectors: DataFrame, idCol: String, vecCol: String,
       m: Int, kCodes: Int, iters: Int): PqModel = {
-    val dim = vectors.select(org.apache.spark.sql.functions.size(
-      col(vecCol)).as("d")).filter(col("d") > 0).head().getInt(0)
+    // one aggregate probes the dimension AND validates the
+    // uniform-dimension assumption the sub-slices depend on: a ragged
+    // corpus would silently mis-slice, an empty one would throw an
+    // opaque NoSuchElementException mid-plan
+    val d = vectors.agg(
+      min(org.apache.spark.sql.functions.size(col(vecCol))).as("dmin"),
+      max(org.apache.spark.sql.functions.size(col(vecCol))).as("dmax")).head()
+    require(!d.isNullAt(0),
+      s"Pq.fit: no non-null '$vecCol' vectors to infer the dimension from")
+    val dim = d.getInt(0)
+    require(dim == d.getInt(1) && dim > 0,
+      s"Pq.fit: '$vecCol' must have one uniform non-zero dimension, " +
+        s"got sizes in [${d.getInt(0)}, ${d.getInt(1)}]")
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
     val books = (0 until m).toArray.map { s =>
@@ -63,6 +74,22 @@ object Pq {
     }
     PqModel(subDim, books)
   }
+
+  /** [[fit]] on an md5-deterministic SAMPLE of the corpus — the
+    * production shape: codebook quality needs thousands of points per
+    * code, not the full corpus, so a 100 TB deployment fits on a
+    * hash-sampled fraction and encodes everything (k-means cost drops
+    * from O(corpus) to O(sample) per Lloyd round; encode stays a full
+    * zero-shuffle projection). The sample is the repo's portable
+    * hash-threshold idiom ([[graft.features.Features.hashSample]]):
+    * rows whose `md5(id)` hex prefix sorts below `hexThreshold` — a
+    * pure function of the data, so any engine (and the q185 oracle)
+    * re-draws the identical sample and replays the identical fit. */
+  def fitSample(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int, kCodes: Int, iters: Int, hexThreshold: String): PqModel =
+    fit(vectors.filter(
+        graft.features.Features.hashSample(col(idCol), hexThreshold)),
+      idCol, vecCol, m, kCodes, iters)
 
   /** The m-code array for one vector: per subspace, argmin over codes
     * of ‖c‖²−2⟨v_s,c⟩ (ties to the lower code — the

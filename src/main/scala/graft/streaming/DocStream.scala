@@ -30,35 +30,123 @@ import graft.dedup.Dedup
   *
   * Scale shape, per micro-batch: in-batch MinHash-LSH near-dup
   * (shuffle = batch × bands sketches), then ONE cross-corpus LSH join
-  * batch × accepted ([[Dedup.crossNearDupPairs]] — the accepted side
-  * re-banded per batch; at production scale the banded accepted
-  * signatures would be the materialized side, the
-  * [[graft.sim.Similarity.appendToAnnIndexStream]] layout). State is
+  * batch × accepted SIGNATURES: each committed batch persists its
+  * banded MinHash buckets and shingle sets under `_sig/batch_id=N/`
+  * ([[Dedup.nearDupSignatures]]), and the cross-corpus rejection
+  * joins batch text against those stored signatures
+  * ([[Dedup.crossNearDupPairsVsSignatures]]) — the accepted TEXT is
+  * never re-read and never re-shingled, so per-batch cost is
+  * O(batch × bands + matched candidates), not O(accepted). State is
   * the accepted PARQUET, not a state store — restarts are free.
   *
   * Exactly-once: foreachBatch is at-least-once, so each batch writes
-  * its own `batch_id=N/` partition AND a marker under `_applied/`;
-  * a replayed batch short-circuits on the marker — it must NOT
-  * recompute against an accepted corpus that now contains its own
-  * output (every row would self-match and vanish). The
-  * marker-after-write window is the standard non-transactional-sink
-  * residue ([[graft.sim.Similarity.appendToAnnIndexStream]] note). */
+  * its own `batch_id=N/` partition (then its `_sig/batch_id=N/`
+  * signatures) AND a marker under `_applied/`; a replayed batch
+  * short-circuits on the marker. A replay that crashed AFTER the
+  * partition write but BEFORE the marker recomputes with its own
+  * `batch_id=N` partition EXCLUDED from the accepted corpus — without
+  * that exclusion every row would self-match against its own earlier
+  * output and the replay would land an empty partition (silent data
+  * loss). With it, a replay is bit-identical to the first attempt:
+  * batches run serially, so at most one uncommitted partition can
+  * exist, and it is the one being replayed. */
 object DocStream {
+
+  private def batchParts(spark: SparkSession, base: Path,
+      excludeBatchId: Option[Long]): Seq[Path] = {
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) Seq.empty
+    else {
+      val skip = excludeBatchId.map(id => s"batch_id=$id")
+      fs.listStatus(base)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .filter(s => !skip.contains(s.getPath.getName))
+        .map(_.getPath).toIndexedSeq
+    }
+  }
 
   /** Accepted corpus so far: the union of committed batch partitions
     * (underscore paths are invisible to the parquet reader). None
-    * before the first commit. */
+    * before the first commit. `excludeBatchId` drops that batch's own
+    * partition — replay idempotence (see object doc). */
   private def acceptedSoFar(spark: SparkSession, sinkDir: String,
-      schemaFrom: DataFrame): Option[DataFrame] = {
-    val p = new Path(sinkDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
+      schemaFrom: DataFrame,
+      excludeBatchId: Option[Long] = None): Option[DataFrame] = {
+    val parts = batchParts(spark, new Path(sinkDir), excludeBatchId)
+    if (parts.isEmpty) None
+    else Some(spark.read.schema(schemaFrom.schema)
+      .parquet(parts.map(_.toString): _*))
+  }
+
+  /** Accepted-corpus SIGNATURES so far: the union of the per-batch
+    * `_sig/batch_id=N/` relations. Any accepted partition missing its
+    * signature partition (a sink written by an older layout) falls
+    * back to recomputing signatures from that partition's text — a
+    * one-time migration cost per legacy partition, not the steady
+    * state. */
+  private def acceptedSigsSoFar(spark: SparkSession, sinkDir: String,
+      schemaFrom: DataFrame, idCol: String, textCol: String,
+      excludeBatchId: Option[Long]): Option[DataFrame] = {
+    val accParts = batchParts(spark, new Path(sinkDir), excludeBatchId)
+    if (accParts.isEmpty) None
     else {
-      val parts = fs.listStatus(p)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-        .map(_.getPath.toString)
-      if (parts.isEmpty) None
-      else Some(spark.read.schema(schemaFrom.schema).parquet(parts.toIndexedSeq: _*))
+      val sigBase = new Path(s"$sinkDir/_sig")
+      val sigNames = batchParts(spark, sigBase, excludeBatchId)
+        .map(_.getName).toSet
+      val (withSig, legacy) =
+        accParts.partition(p => sigNames.contains(p.getName))
+      val sigRel = Option(withSig).filter(_.nonEmpty).map(ps =>
+        spark.read.parquet(ps.map(p => s"$sigBase/${p.getName}"): _*))
+      val legacyRel = Option(legacy).filter(_.nonEmpty).map(ps =>
+        Dedup.nearDupSignatures(
+          spark.read.schema(schemaFrom.schema).parquet(ps.map(_.toString): _*),
+          idCol, textCol))
+      (sigRel, legacyRel) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b) => a.orElse(b)
+      }
+    }
+  }
+
+  /** One micro-batch of the ingest, idempotent under at-least-once
+    * replay (exposed for direct replay testing — the stream calls
+    * exactly this). Cross-corpus rejection against the accepted
+    * SIGNATURES first, in-batch dedup on the survivors, then: write
+    * `batch_id=N/`, write `_sig/batch_id=N/` (computed from the
+    * just-written partition — one batch-sized re-read, not a
+    * recompute of the dedup plan), create the marker. */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, threshold: Double,
+      sinkDir: String, queryName: String): Unit = {
+    val fs = new Path(sinkDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(s"$sinkDir/_applied/$queryName/$batchId")
+    if (!fs.exists(marker)) {
+      // cross-corpus rejection FIRST, in-batch dedup on the
+      // survivors: a batch row that is doomed against the
+      // accepted corpus must not act as an in-batch cluster
+      // keeper and take fresh rows down with it (that would make
+      // acceptance depend on batch boundaries even for non-chain
+      // graphs) — cross-first matches per-document sequential
+      // greedy whenever the batch's own dup graph is CC-clean
+      val survivors = acceptedSigsSoFar(spark, sinkDir, batch, idCol,
+        textCol, Some(batchId)) match {
+        case Some(sigs) =>
+          val hit = Dedup.crossNearDupPairsVsSignatures(batch, idCol,
+            textCol, sigs, threshold)
+            .select(col("id_a").as(idCol)).distinct()
+          batch.join(hit, Seq(idCol), "left_anti")
+        case None => batch
+      }
+      val out = Dedup.dropNearDups(survivors, idCol,
+        Dedup.nearDupPairs(survivors, idCol, textCol, threshold))
+      out.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+      val written = spark.read.schema(batch.schema)
+        .parquet(s"$sinkDir/batch_id=$batchId")
+      Dedup.nearDupSignatures(written, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$sinkDir/_sig/batch_id=$batchId")
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
     }
   }
 
@@ -84,32 +172,8 @@ object DocStream {
     checkpoint.foreach(writer.option("checkpointLocation", _))
     writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fs = new Path(sinkDir)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        val marker = new Path(s"$sinkDir/_applied/$queryName/$batchId")
-        if (!fs.exists(marker)) {
-          // cross-corpus rejection FIRST, in-batch dedup on the
-          // survivors: a batch row that is doomed against the
-          // accepted corpus must not act as an in-batch cluster
-          // keeper and take fresh rows down with it (that would make
-          // acceptance depend on batch boundaries even for non-chain
-          // graphs) — cross-first matches per-document sequential
-          // greedy whenever the batch's own dup graph is CC-clean
-          val survivors = acceptedSoFar(spark, sinkDir, batch) match {
-            case Some(acc) =>
-              val hit = Dedup.crossNearDupPairs(batch, idCol, textCol,
-                acc, idCol, textCol, threshold)
-                .select(col("id_a").as(idCol)).distinct()
-              batch.join(hit, Seq(idCol), "left_anti")
-            case None => batch
-          }
-          val out = Dedup.dropNearDups(survivors, idCol,
-            Dedup.nearDupPairs(survivors, idCol, textCol, threshold))
-          out.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
-          fs.mkdirs(marker.getParent)
-          fs.create(marker, true).close()
-        }
-        ()
+        processBatch(spark, batch, batchId, idCol, textCol, threshold,
+          sinkDir, queryName)
       }
       .start()
   }

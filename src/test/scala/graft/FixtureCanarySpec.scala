@@ -75,4 +75,27 @@ class FixtureCanarySpec extends AnyFunSuite {
       .count()
     assert(mismatch == 0L, s"$mismatch rows disagree between Tables.events and eventsEpochMicros")
   }
+
+  test("media canary: JDK PNG codec present and routed, fixture magic intact") {
+    import graft.multimodal.Multimodal
+    // decoder presence — q186 and the real-decode path die silently
+    // (stub fallback hashing garbage) if a future runtime drops the
+    // ImageIO PNG plugin, so pin it by name here
+    assert(javax.imageio.ImageIO.getImageReadersByFormatName("png").hasNext,
+      "no ImageIO PNG reader on this JVM — the real-decode contract broke")
+    assert(javax.imageio.ImageIO.getImageWritersByFormatName("png").hasNext,
+      "no ImageIO PNG writer on this JVM — grayPng cannot build fixtures")
+    val png = Multimodal.grayPng(Array.tabulate[Byte](72)(_.toByte), 9, 8)
+    assert((png(0) & 0xff) === 0x89 &&
+      new String(png.slice(1, 4), "US-ASCII") === "PNG",
+      "grayPng no longer emits PNG magic bytes")
+    // routing: a PNG payload must decode through ImageIO (format
+    // 'png', true dimensions), never the fake-header stub
+    val (fmt, w, h, _) = Multimodal.decode(png).get
+    assert(fmt === "png" && w === 9 && h === 8,
+      s"PNG decoded as ($fmt, $w, $h) — fell back to the stub?")
+    // the fake-header fixture format keeps decoding through the stub
+    val fake = Multimodal.fakeMedia("img", 8, 4, new Array[Byte](32))
+    assert(Multimodal.decode(fake).get._1 === "img")
+  }
 }

@@ -60,6 +60,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("cross join vs parquet-round-tripped signatures equals the text form") {
+    val left = docs.filter($"doc_id" % 2 === 0)
+    val right = docs.filter($"doc_id" % 2 === 1)
+    val want = Dedup.crossNearDupPairs(left, "doc_id", "text",
+      right, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("sigs").toString
+    try {
+      Dedup.nearDupSignatures(right, "doc_id", "text")
+        .write.mode("overwrite").parquet(dir)
+      val sigs = spark.read.parquet(dir)
+      assert(sigs.columns.toSet === Set("id", "bands", "sh")) // no text
+      val got = Dedup.crossNearDupPairsVsSignatures(left, "doc_id", "text",
+        sigs, 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("cross-corpus join: per-side bucket cap drops degenerate buckets observably") {
     // left: a 30-doc degenerate cluster (over cap) + one normal doc
     // that still finds its twin — the surviving pair keeps the plan
@@ -152,6 +173,21 @@ class DedupSpec extends AnyFunSuite {
     val jac = Dedup.nearDupPairs(planted, "doc_id", "text", threshold = 0.9)
       .collect()
     assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("containment stage-1 broadcast choice is byte-aware at planted sizes") {
+    // ~80 kept shingles/doc: 10⁶ docs ≈ 337 MB — under the 400 MB
+    // default ceiling, broadcasts; 10⁷ docs ≈ 3.3 GB — does not
+    assert(Dedup.stage1HashRelationBytes(1000000L, 80000000L) <= (400L << 20))
+    assert(Dedup.stage1HashRelationBytes(10000000L, 800000000L) > (400L << 20))
+    // forced-shuffle (ceiling 0) and auto-broadcast paths are identical
+    val forced = Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.8, stage1BroadcastBytes = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val auto = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(forced === auto)
+    assert(auto.nonEmpty)
   }
 
   test("containmentPairs: hot-shingle cap drops are observed, never inflate") {

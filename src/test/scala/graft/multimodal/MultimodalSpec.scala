@@ -111,6 +111,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 3)
   }
 
+  test("decode: real grayscale PNG round-trips bit-exact through ImageIO") {
+    val px = Array.tabulate[Byte](72)(i => ((i * 37 + 11) % 256).toByte)
+    val png = Multimodal.grayPng(px, 9, 8)
+    // PNG magic — a real codec container, not the 12-byte fake header
+    assert((png(0) & 0xff) === 0x89 &&
+      new String(png.slice(1, 4), "US-ASCII") === "PNG")
+    val (fmt, w, h, out) = Multimodal.decode(png).get
+    assert(fmt === "png" && w === 9 && h === 8)
+    assert(out.toSeq === px.toSeq)
+  }
+
+  test("decode: color PNG reduces by integer BT.601 luma") {
+    val img = new java.awt.image.BufferedImage(3, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(2, 0, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (fmt, w, h, px) = Multimodal.decode(bos.toByteArray).get
+    assert(fmt === "png" && w === 3 && h === 1)
+    assert((px(0) & 0xff) === 255 * 299 / 1000)
+    assert((px(1) & 0xff) === 255 * 587 / 1000)
+    assert((px(2) & 0xff) === 255 * 114 / 1000)
+  }
+
+  test("decode: unrecognized payloads fall back to the fake-header stub") {
+    val fake = Multimodal.fakeMedia("img", 8, 4, Array.tabulate(32)(_.toByte))
+    val viaDecode = Multimodal.decode(fake).get
+    val viaStub = Multimodal.decodeStub(fake).get
+    assert(viaDecode._1 === viaStub._1 && viaDecode._2 === viaStub._2 &&
+      viaDecode._3 === viaStub._3 &&
+      viaDecode._4.toSeq === viaStub._4.toSeq)
+    assert(Multimodal.decode(null) === None)
+    assert(Multimodal.decode(Array[Byte](1, 2)) === None)
+  }
+
+  test("mediaNearDupsPerceptual over REAL PNGs: near pair within radius, distinct beyond") {
+    val base = Array.tabulate[Byte](32 * 16)(i => ((i % 32) * 8).toByte)
+    val nudged = base.clone()
+    nudged(40) = (nudged(40) + 2).toByte // one-pixel edit
+    val other = Array.tabulate[Byte](32 * 16)(i => (255 - (i % 32) * 8).toByte)
+    val df = Seq(
+      (1L, Multimodal.grayPng(base, 32, 16)),
+      (2L, Multimodal.grayPng(nudged, 32, 16)),
+      (3L, Multimodal.grayPng(other, 32, 16)))
+      .toDF("id", "media")
+    val pairs = Multimodal
+      .mediaNearDupsPerceptual(df, "id", "media", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // the reversed-gradient image is beyond the radius from both
+    val h = Multimodal.withDHash(df, "media")
+      .select($"id", $"dhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 7)
+    assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) <= 7)
+  }
+
   test("resizeStub rewrites header and payload size") {
     val out = Multimodal.resizeStub(media, "media", 4, 2)
     val meta = Multimodal.withMeta(out, "media")

@@ -163,4 +163,38 @@ class PqSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fit rejects empty and ragged corpora with clear errors") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.fit(empty, "id", "v", 2, 2, 1)
+    }
+    assert(e1.getMessage.contains("non-null"))
+    val allNull = Seq((1L, null.asInstanceOf[Seq[Double]])).toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.fit(allNull, "id", "v", 2, 2, 1)
+    }
+    assert(e2.getMessage.contains("non-null"))
+    val ragged = Seq((1L, Seq(1.0, 2.0, 3.0, 4.0)), (2L, Seq(1.0, 2.0)))
+      .toDF("id", "v")
+    val e3 = intercept[IllegalArgumentException] {
+      Pq.fit(ragged, "id", "v", 2, 2, 1)
+    }
+    assert(e3.getMessage.contains("uniform"))
+  }
+
+  test("fitSample: full-sample threshold reproduces fit; partial sample fits on the subsample") {
+    // every md5 hex digit sorts below 'g' — 100% sample ≡ full fit
+    val full = Pq.fitSample(emb, "vec_id", "embedding", m, kCodes,
+      iters = 1, hexThreshold = "g")
+    assert(full.books.map(_.toSeq.map(_.toSeq)).toSeq ===
+      model.books.map(_.toSeq.map(_.toSeq)).toSeq)
+    // '8' keeps ~half the corpus; the model stays well-formed and the
+    // full corpus still encodes under it
+    val half = Pq.fitSample(emb, "vec_id", "embedding", m, kCodes,
+      iters = 1, hexThreshold = "8")
+    assert(half.m === m && half.kCodes === kCodes && half.subDim === 16)
+    val n = Pq.encode(emb, "vec_id", "embedding", half).count()
+    assert(n === emb.count())
+  }
 }

@@ -98,6 +98,97 @@ class DocStreamSpec extends AnyFunSuite {
     assert(offline === Set(1L))
   }
 
+  test("cross-corpus rejection reads stored signatures, never accepted text") {
+    // commit batch 1, then OVERWRITE the accepted partition's text
+    // with garbage (same ids, same schema). Batch 2 carries a
+    // near-identical copy of the ORIGINAL batch-1 text: if the
+    // cross-corpus join read the accepted TEXT it would see garbage
+    // and accept the copy; reading the stored _sig/ signatures
+    // (computed at commit time) rejects it.
+    val orig = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b1 = Seq((1L, orig),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((11L, orig),
+      (12L, "completely different words appear in this document here now"))
+      .toDF("doc_id", "text")
+    val (src, sink, cp) = freshDirs()
+    b1.write.mode("overwrite").parquet(s"$src/f")
+    run(s"$src/f", sink, cp, "docstream_sig", b1)
+    assert(new java.io.File(s"$sink/_sig/batch_id=0").isDirectory)
+    Seq((1L, "g1 g2 g3 g4 g5 g6 g7 g8 g9 g10"),
+      (2L, "h1 h2 h3 h4 h5 h6 h7 h8 h9 h10")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$sink/batch_id=0")
+    b2.write.mode("append").parquet(s"$src/f")
+    run(s"$src/f", sink, cp, "docstream_sig", b1)
+    val got = DocStream.accepted(spark, sink, b1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 12L)) // 11 rejected via signatures alone
+  }
+
+  test("replay after crash-before-marker does not self-reject the batch") {
+    // simulate the at-least-once window: batch N's partition (and
+    // optionally its signatures) are on disk but the marker is not.
+    // The replay must exclude its own partition from the accepted
+    // corpus — otherwise every row self-matches and the replay lands
+    // an EMPTY partition (silent data loss).
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((11L, "completely different words appear in this document here now"),
+      (12L, "yet another block of fresh unrelated tokens for the spec"))
+      .toDF("doc_id", "text")
+    val (src, sink, cp) = freshDirs()
+    b1.write.mode("overwrite").parquet(s"$src/f")
+    run(s"$src/f", sink, cp, "docstream_replay", b1)
+    b2.write.mode("append").parquet(s"$src/f")
+    run(s"$src/f", sink, cp, "docstream_replay", b1)
+    val before = DocStream.accepted(spark, sink, b1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(before === Set(1L, 2L, 11L, 12L))
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // window (b): marker missing, partition + signatures present
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$sink/_applied/docstream_replay/1"), false)
+    DocStream.processBatch(spark, b2, 1L, "doc_id", "text", 0.9,
+      sink, "docstream_replay")
+    val afterB = DocStream.accepted(spark, sink, b1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterB === before)
+    // window (a): marker AND signatures missing, partition present
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$sink/_applied/docstream_replay/1"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$sink/_sig/batch_id=1"), true)
+    DocStream.processBatch(spark, b2, 1L, "doc_id", "text", 0.9,
+      sink, "docstream_replay")
+    val afterA = DocStream.accepted(spark, sink, b1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterA === before)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$sink/_sig/batch_id=1")))
+  }
+
+  test("legacy sink without _sig partitions still cross-rejects (fallback)") {
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "completely different words appear in this document here now"))
+      .toDF("doc_id", "text")
+    val (src, sink, cp) = freshDirs()
+    b1.write.mode("overwrite").parquet(s"$src/f")
+    run(s"$src/f", sink, cp, "docstream_legacy", b1)
+    // strip the signatures: the sink now looks like the pre-signature
+    // layout — rejection must fall back to re-shingling that partition
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$sink/_sig"), true)
+    b2.write.mode("append").parquet(s"$src/f")
+    run(s"$src/f", sink, cp, "docstream_legacy", b1)
+    val got = DocStream.accepted(spark, sink, b1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 12L))
+  }
+
   test("restart with the same checkpoint reprocesses nothing") {
     val docs = TestSpark.table("documents").select("doc_id", "text").limit(100)
     val (src, sink, cp) = freshDirs()
