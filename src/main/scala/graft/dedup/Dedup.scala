@@ -347,12 +347,15 @@ object Dedup {
     val docH = docArr.select(col("id"), col("__nsh"),
       col("__minshared").as("__c"),
       sort_array(transform(col("__sarr"), hash(_))).as("__hh"))
-    // byte-aware broadcast choice: ONE aggregate over the kept-shingle
-    // relation (cheaper than docArr — no collect_list/sort) measures
-    // the hash relation the stage-1 joins would ship
-    val kstats = kept.agg(count(lit(1)).as("k"),
-      approx_count_distinct(col("id")).as("n")).head()
-    val estBytes = stage1HashRelationBytes(kstats.getLong(1), kstats.getLong(0))
+    // byte-aware broadcast choice: ONE aggregate-only pass over the
+    // shingle-set projection (no shuffle, no joins — the ChunkAuto
+    // probe shape) measures the PRE-CAP shingle total, an
+    // over-estimate of the kept hash relation — so the choice can
+    // only err toward the safe shuffle path, never broadcast too much
+    val kstats = sets.agg(count(lit(1)).as("n"),
+      sum(size(col("sh"))).as("k")).head()
+    val estBytes = stage1HashRelationBytes(kstats.getLong(0),
+      if (kstats.isNullAt(1)) 0L else kstats.getLong(1))
     def bcast(rel: DataFrame): DataFrame =
       if (estBytes <= stage1BroadcastBytes) broadcast(rel) else rel
     val survivors = candidates
