@@ -5832,6 +5832,67 @@ object Queries {
        |FROM h0 ORDER BY doc_id""".stripMargin
   }
 
+  /** NEAR-DUP DEDUP FROM MATERIALIZED SIGNATURES
+    * ([[graft.dedup.Dedup.nearDupPairsFromSignatures]]): the lake
+    * layout — [[graft.dedup.Dedup.nearDupSignatures]] written to
+    * parquet ONCE (what `DocStream` persists per committed batch),
+    * read back, and deduped entirely from the stored `(id, bands,
+    * sh)` relation; the corpus text is never touched after signature
+    * build. Shares q23's exact O(n²) Jaccard oracle: the
+    * stored-signature path must reproduce the text path
+    * bit-for-bit. */
+  def q187SignatureDedup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("q187_sigs").toString
+    try {
+      Dedup.nearDupSignatures(t(s, dir, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(tmp)
+      val pairs = Dedup
+        .nearDupPairsFromSignatures(s.read.parquet(tmp), threshold = 0.9)
+        .orderBy("id_a", "id_b")
+      val rows = java.util.Arrays.asList(pairs.collect(): _*)
+      s.createDataFrame(rows, pairs.schema).orderBy("id_a", "id_b")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  /** REAL-CODEC AUDIO WINDOW ENERGY ([[graft.multimodal.Multimodal
+    * .decodeAudio]], javax.sound.sampled): each doc's md5 hex drives
+    * 32 PCM16 samples ((ord − 80)·256), encoded as a REAL RIFF/WAV
+    * container, decoded back through the JDK's actual WAV parser, and
+    * folded into exact integer window energies (Σ s² per 8-sample
+    * window, Long arithmetic — zero float drift). The oracle replays
+    * the energies from the md5 arithmetic; hash-green certifies the
+    * WAV encode→decode round-trip, the q186 pattern for the audio
+    * modality. */
+  def q188AudioEnergy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("hx"))
+      .as[(Long, String)]
+      .map { case (id, hx) =>
+        val samples = Array.tabulate[Short](32)(i =>
+          ((hx.charAt(i).toInt - 80) * 256).toShort)
+        (id, Multimodal.pcm16Wav(samples, 16000))
+      }.toDF("doc_id", "media")
+    Multimodal.audioWindowEnergy(media, "doc_id", "media",
+      windowSamples = 8)
+      .select(col("doc_id"), col("win").cast("long").as("win"),
+        col("n_samples").cast("long").as("n_samples"), col("energy"))
+      .orderBy("doc_id", "win")
+  }
+
+  val q188Sql: String =
+    """WITH h0 AS (SELECT doc_id, md5(text) AS hx FROM documents),
+      |sm AS (SELECT doc_id, unnest(generate_series(1, 32)) AS i, hx FROM h0),
+      |sv AS (SELECT doc_id, i, (ord(substr(hx, i, 1)) - 80) * 256 AS s FROM sm),
+      |w AS (SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS win,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy
+      |  FROM sv GROUP BY 1, 2)
+      |SELECT doc_id, win, n_samples, energy FROM w
+      |ORDER BY doc_id, win""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -6023,6 +6084,8 @@ object Queries {
     "q184_stream_neardup" -> (q184StreamNearDupIngest _),
     "q185_pq_sample" -> (q185PqSampleTopK _),
     "q186_media_dhash_png" -> (q186MediaDhashPng _),
+    "q187_signature_dedup" -> (q187SignatureDedup _),
+    "q188_audio_energy" -> (q188AudioEnergy _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6214,6 +6277,10 @@ object Queries {
     "q184_stream_neardup" -> q184Sql,
     "q185_pq_sample" -> q185Sql,
     "q186_media_dhash_png" -> q186Sql,
+    // stored-signature dedup must reproduce the text path bit-for-bit,
+    // so it shares q23's exact O(n²) Jaccard oracle verbatim
+    "q187_signature_dedup" -> q23Sql,
+    "q188_audio_energy" -> q188Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -6252,7 +6319,9 @@ object Queries {
     // operator families, benched from birth
     "q181_span_dedup", "q182_pq_topk", "q183_perplexity",
     // round-8: sampled-fit PQ (the production fit shape, benched
-    // against q182's full fit) and the real-codec dHash path (PNG
-    // encode/decode riding the scan)
-    "q185_pq_sample", "q186_media_dhash_png")
+    // against q182's full fit), the real-codec media paths (PNG
+    // encode/decode, WAV encode/decode riding the scan), and
+    // stored-signature dedup (benched against q23's from-text form)
+    "q185_pq_sample", "q186_media_dhash_png", "q187_signature_dedup",
+    "q188_audio_energy")
 }

@@ -64,6 +64,8 @@ object ScaleProbe {
     else if (set == "curationstages") curationStageProbes(spark, dir, k)
     else if (set == "asof") asofProbes(spark, dir, k)
     else if (set == "events") eventsProbes(spark, dir, k)
+    else if (set == "streams") streamProbes(spark, dir, k)
+    else if (set == "r8") r8Probes(spark, dir, k)
     else r3Probes(spark, dir, k)
     spark.stop()
   }
@@ -211,6 +213,56 @@ object ScaleProbe {
         text.NgramLm.perplexity(docsK, "doc_id", "text")
           .agg(sum(col("n_bigrams")).as("b"), sum(col("ppl")).as("p"))
           .head().getLong(0)
+      })
+
+    println(results.mkString("[probe] {", ",", s""","replication":$k}"""))
+  }
+
+  /** Round-8 probes: the sampled-PQ fit (the r7 verdict's PQ-fit
+    * per-row 1.6 fix) and the bloom-gated decontamination stage in
+    * isolation. The sample threshold SHRINKS with the decade so the
+    * absolute sample size stays ≈ the base corpus — the production
+    * configuration (codebook quality needs a fixed number of points
+    * per code, not a fixed fraction), and the reason fit cost should
+    * be ~FLAT across decades while encode scales per-row ~1. */
+  private def r8Probes(spark: SparkSession, dir: String, k: Int): Unit = {
+    def t(name: String)(f: => Long): String = timeEntry(name)(f)
+    def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docsK = replicateTextSalted(tbl("documents"), k).persist(lvl)
+    val embK = replicateVecSalted(tbl("embeddings"), k).persist(lvl)
+    Seq(docsK, embK).foreach(_.count())
+    // ~fixed absolute sample: fraction ≈ 1/k via the md5 hex prefix
+    val thr = if (k >= 1000) "004" else if (k >= 100) "02"
+      else if (k >= 10) "1" else "g"
+
+    val results = Seq(
+      t("pq_fit_full") {
+        sim.Pq.fit(embK, "vec_id", "embedding",
+          m = 4, kCodes = 16, iters = 1).books.length.toLong
+      },
+      t("pq_fit_sample") {
+        sim.Pq.fitSample(embK, "vec_id", "embedding",
+          m = 4, kCodes = 16, iters = 1, hexThreshold = thr)
+          .books.length.toLong
+      },
+      t("pq_sample_encode_adc") {
+        val model = sim.Pq.fitSample(embK, "vec_id", "embedding",
+          m = 4, kCodes = 16, iters = 1, hexThreshold = thr)
+        sim.Pq.adcTopK(
+          sim.Pq.encode(embK, "vec_id", "embedding", model), "vec_id",
+          embK.filter(col("vec_id") < 100000000L && col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          "qid", "embedding", model, k = 10).count()
+      },
+      t("decontaminate_bloom") {
+        // the q177 chain's 52%-share stage, isolated: constant-sized
+        // benchmark side, corpus grams bloom-gated before the exact
+        // semi join
+        text.Decontaminate.decontaminate(
+          docsK.filter(col("doc_id") >= 10),
+          docsK.filter(col("doc_id") < 10),
+          "doc_id", "text", n = 4).count()
       })
 
     println(results.mkString("[probe] {", ",", s""","replication":$k}"""))
@@ -783,6 +835,126 @@ object ScaleProbe {
     val json = results.map { case (n, sec, rows) =>
       f""""$n":{"sec":$sec%.2f,"rows":$rows}"""
     }.mkString("{", ",", s""","replication":$k}""")
+    println(s"[probe] $json")
+  }
+
+  /** Round-8 streaming probes: PER-BATCH wall vs batch index for the
+    * streaming family under AvailableNow with maxFilesPerTrigger=1 —
+    * the shape that catches O(accepted)-class walls (per-batch cost
+    * growing with what the stream has already committed, invisible to
+    * a 3-batch correctness spec). `k` = micro-batch count; each batch
+    * is one fresh corpus replica (ids offset; doc text mutated so
+    * replicas are not near-dups of each other, making the accepted
+    * corpus grow linearly while per-batch input stays constant).
+    * Healthy = the per-batch series is FLAT after the first-batch
+    * warmup; the pre-round-8 DocStream (accepted side re-read and
+    * re-shingled per batch) slopes linearly here. `flatness` =
+    * mean(last third)/mean(second third) — ~1 flat, ~k/2 linear. */
+  private def streamProbes(spark: SparkSession, dir: String, k: Int): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val fsConf = spark.sessionState.newHadoopConf()
+    val times =
+      scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        times.synchronized {
+          times += ((e.progress.name, e.progress.batchId,
+            e.progress.durationMs.get("triggerExecution").toDouble / 1000.0))
+        }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+    // explicit mod-time stamps fix batch arrival order (the q184 idiom)
+    def stampWave(dirPath: String, wave: Int,
+        stamped: scala.collection.mutable.Set[String]): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dirPath)
+      val fs = p.getFileSystem(fsConf)
+      fs.listStatus(p)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .foreach(s => if (stamped.add(s.getPath.getName))
+          fs.setTimes(s.getPath, 1600000000000L + wave * 1000L, -1))
+    }
+
+    // --- near-dup ingest: the O(accepted) catcher ---------------------
+    val docs = tbl("documents").select("doc_id", "text", "lang", "n_chars")
+    val dsSrc = tmp("probe_docstream_src")
+    val dsSink = tmp("probe_docstream_sink") + "/accepted"
+    val dsCp = tmp("probe_docstream_cp")
+    val dsStamped = scala.collection.mutable.Set[String]()
+    (0 until k).foreach { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+        .withColumn("text",
+          regexp_replace(col("text"), "((\\S+\\s+){2})", s"$$1zzr$i "))
+        .coalesce(1).write.mode("append").parquet(dsSrc)
+      stampWave(dsSrc, i, dsStamped)
+    }
+    streaming.DocStream.nearDupIngestStream(spark, dsSrc, docs,
+      "doc_id", "text", 0.9, dsSink, "probe_docstream", Some(dsCp),
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    val accepted = streaming.DocStream.accepted(spark, dsSink, docs).count()
+
+    // --- stateless SCD2 enrichment (q179 family) ----------------------
+    val ordSrc = tbl("orders").filter(col("o_custkey") < 5000)
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+    val scdDim = etl.Scd.scd2FromChangeLog(ordSrc,
+      keyCols = Seq("o_custkey"), attrCols = Seq("o_orderpriority"),
+      orderCols = Seq("o_orderdate", "o_orderkey"))
+      .select(col("o_custkey"), col("o_orderpriority").as("state"),
+        col("valid_from"), col("valid_to"), col("version"))
+    val facts = ordSrc.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").as("ts"))
+    val scdSrc = tmp("probe_scd_src")
+    val scdStamped = scala.collection.mutable.Set[String]()
+    (0 until k).foreach { i =>
+      facts.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+        .coalesce(1).write.mode("append").parquet(scdSrc)
+      stampWave(scdSrc, i, scdStamped)
+    }
+    streaming.EventStream.scdEnrichStream(spark, scdSrc, facts, scdDim,
+      key = "o_custkey", ts = "ts", attrs = Seq("state", "version"),
+      queryName = "probe_scd",
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+
+    // --- stateful sketch aggregation (heavy hitters) ------------------
+    val hhFacts = ordSrc.select(col("o_orderkey"),
+      col("o_orderpriority").as("grp"), (col("o_custkey") % 1000).as("item"))
+    val hhSrc = tmp("probe_hh_src")
+    val hhStamped = scala.collection.mutable.Set[String]()
+    (0 until k).foreach { i =>
+      hhFacts.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+        .coalesce(1).write.mode("append").parquet(hhSrc)
+      stampWave(hhSrc, i, hhStamped)
+    }
+    streaming.EventStream.heavyHittersStream(spark, hhSrc, hhFacts,
+      groupCol = "grp", itemCol = "item", capacity = 32,
+      queryName = "probe_hh",
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+
+    Thread.sleep(2000) // listener events are delivered asynchronously
+    spark.streams.removeListener(listener)
+    val byName = times.synchronized { times.toSeq }
+      .groupBy(_._1).map { case (n, ts) =>
+        n -> ts.sortBy(_._2).map(_._3)
+      }
+    def flatness(ts: Seq[Double]): Double = {
+      val third = math.max(ts.length / 3, 1)
+      val mid = ts.slice(third, 2 * third)
+      val last = ts.takeRight(third)
+      if (mid.isEmpty || mid.sum == 0) -1.0 else last.sum / third / (mid.sum / mid.length)
+    }
+    val json = byName.toSeq.sortBy(_._1).map { case (n, ts) =>
+      val arr = ts.map(t => f"$t%.2f").mkString("[", ",", "]")
+      f""""$n":{"batches":$arr,"flatness":${flatness(ts)}%.2f}"""
+    }.mkString("{", ",",
+      s""","accepted":$accepted,"replication":$k}""")
     println(s"[probe] $json")
   }
 }

@@ -127,16 +127,33 @@ object Dedup {
   }
 
   /** Full near-dup pipeline: LSH candidates → exact Jaccard verify →
-    * pairs above threshold. */
+    * pairs above threshold. One code path with
+    * [[nearDupPairsFromSignatures]]: the text form just derives the
+    * signature relation inline (Catalyst prunes `sh` off the banding
+    * branch and `bands` off the verify branch, so the plan matches
+    * the old two-projection form). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWidth: Int = 3,
-      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val cands = lshCandidates(docs, idCol, textCol, shingleWidth, bands, rowsPerBand)
-    val sets = docs.select(col(idCol).as("id"),
-      graft.functions.shingle_set(col(textCol), shingleWidth).as("sh"))
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    nearDupPairsFromSignatures(
+      nearDupSignatures(docs, idCol, textCol, shingleWidth, bands,
+        rowsPerBand), threshold)
+
+  /** [[nearDupPairs]] over a MATERIALIZED [[nearDupSignatures]]
+    * relation — the lake layout: signatures are computed once at
+    * ingest (the round-8 `DocStream` persists them per batch) and
+    * every later dedup pass reads `(id, bands, sh)`, never the text.
+    * Identical output to the text form under the same signature
+    * parameters. */
+  def nearDupPairsFromSignatures(sigs: DataFrame, threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val banded = sigs.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val cands = pairsFromBuckets(banded, Seq("band", "bucket"), maxBucket)
+    val sh = sigs.select(col("id"), col("sh"))
     cands
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

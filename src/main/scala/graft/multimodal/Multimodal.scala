@@ -125,6 +125,106 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** PCM16 mono WAV encode (RIFF header + little-endian samples) —
+    * the audio fixture producer, mirroring [[grayPng]]: the JDK's
+    * real WAV parser ([[decodeAudio]]) round-trips these samples
+    * bit-exactly. */
+  def pcm16Wav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/
+    * AU PCM parsers ship with every JDK — zero new dependencies):
+    * returns (file type, sample rate, channels, interleaved PCM16
+    * samples). 16-bit PCM passes through bit-exact; unrecognized or
+    * non-PCM16 payloads return None (there is no meaningful stub
+    * fallback for audio — the fake-header format carries pixels, not
+    * samples). The image/audio pair [[decode]]/[[decodeAudio]] makes
+    * both media modalities REAL behind the binary-column contract;
+    * video remains the stubbed modality ([[sampleFrames]]). */
+  def decodeAudio(media: Array[Byte])
+      : Option[(String, Float, Int, Array[Short])] = {
+    if (media == null) return None
+    try {
+      val bis = new java.io.ByteArrayInputStream(media)
+      val fileType = javax.sound.sampled.AudioSystem
+        .getAudioFileFormat(new java.io.ByteArrayInputStream(media))
+        .getType.toString.toLowerCase(java.util.Locale.ROOT)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(bis)
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Short](n)
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < n) { out(i) = bb.getShort(); i += 1 }
+          Some((fileType, fmt.getSampleRate, fmt.getChannels, out))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Windowed audio energy: per media row, one output row per
+    * `windowSamples`-sized window with the EXACT integer sum of
+    * squared PCM16 samples (Long arithmetic — engine-replayable, no
+    * float drift) — the audio feature-extraction face (silence
+    * trimming, voice-activity gating, loudness normalization all key
+    * off exactly this). Partition-local decode + window fold, zero
+    * shuffle; undecodable rows produce no output rows. */
+  def audioWindowEnergy(df: DataFrame, idCol: String, mediaCol: String,
+      windowSamples: Int): DataFrame = {
+    require(windowSamples > 0, s"windowSamples must be > 0")
+    val schema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)),
+      StructField("win", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    val enc = ExpressionEncoder(schema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudio(r.getAs[Array[Byte]](mIdx)) match {
+          case Some((_, _, _, samples)) =>
+            samples.grouped(windowSamples).zipWithIndex.map {
+              case (w, i) =>
+                var e = 0L
+                var j = 0
+                while (j < w.length) {
+                  e += w(j).toLong * w(j).toLong; j += 1
+                }
+                Row(r.get(idIdx), i, w.length, e)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   /** Attach a metadata struct column by decoding each payload —
     * partition-local, zero shuffle. */
   def withMeta(df: DataFrame, mediaCol: String, metaCol: String = "meta")

@@ -210,9 +210,12 @@ object EventStream {
     * just another merge order of the same mergeable sketch. */
   def heavyHittersStream(spark: SparkSession, srcDir: String,
       schemaFrom: DataFrame, groupCol: String, itemCol: String,
-      capacity: Int, queryName: String): StreamingQuery =
-    spark.readStream
-      .schema(schemaFrom.schema)
+      capacity: Int, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schemaFrom.schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
       .parquet(srcDir)
       .groupBy(col(groupCol))
       .agg(graft.functions.freq_sketch(col(itemCol), capacity).as("sketch"))
@@ -222,6 +225,7 @@ object EventStream {
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Streaming bounded top-k per group: the [[graft.functions
     * .BoundedTopKAgg]] heap under a streaming groupBy — per-key state
@@ -268,12 +272,15 @@ object EventStream {
     * bucketed static table — the logical shape is unchanged. */
   def scdEnrichStream(spark: SparkSession, srcDir: String,
       schemaFrom: DataFrame, scdDim: DataFrame, key: String, ts: String,
-      attrs: Seq[String], queryName: String): StreamingQuery = {
+      attrs: Seq[String], queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val dim = scdDim.select(
       (col(key).as("__dk") +: col("valid_from") +: col("valid_to") +:
         attrs.map(col)).toIndexedSeq: _*)
-    spark.readStream
-      .schema(schemaFrom.schema)
+    val reader = spark.readStream.schema(schemaFrom.schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
       .parquet(srcDir)
       .join(broadcast(dim),
         col(key) === col("__dk") && col(ts) >= col("valid_from") &&

@@ -97,5 +97,10 @@ class FixtureCanarySpec extends AnyFunSuite {
     // the fake-header fixture format keeps decoding through the stub
     val fake = Multimodal.fakeMedia("img", 8, 4, new Array[Byte](32))
     assert(Multimodal.decode(fake).get._1 === "img")
+    // audio half (q188): the JDK WAV parser must be present and
+    // round-trip PCM16 — pinned the same way
+    val wav = Multimodal.pcm16Wav(Array[Short](1, -2, 3), 8000)
+    assert(Multimodal.decodeAudio(wav).get._4.toSeq === Seq[Short](1, -2, 3),
+      "JDK javax.sound WAV parser missing or PCM16 round-trip broke")
   }
 }

@@ -170,6 +170,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) <= 7)
   }
 
+  test("decodeAudio: real PCM16 WAV round-trips samples bit-exact") {
+    val samples = Array.tabulate[Short](64)(i => ((i - 32) * 997).toShort)
+    val wav = Multimodal.pcm16Wav(samples, 16000)
+    assert(new String(wav.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val (tpe, rate, ch, out) = Multimodal.decodeAudio(wav).get
+    assert(tpe === "wave" && rate === 16000f && ch === 1)
+    assert(out.toSeq === samples.toSeq)
+    // non-audio payloads: None, not a crash
+    assert(Multimodal.decodeAudio(null) === None)
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.decodeAudio(
+      Multimodal.fakeMedia("img", 2, 2, new Array[Byte](4))) === None)
+  }
+
+  test("audioWindowEnergy: exact integer window sums, ragged tail, bad rows skipped") {
+    val s1 = Array[Short](3, -4, 0, 2, 10) // windows of 2: 25, 4, 100
+    val df = Seq(
+      (1L, Multimodal.pcm16Wav(s1, 8000)),
+      (2L, Array[Byte](1, 2))) // undecodable → no rows
+      .toDF("id", "media")
+    val got = Multimodal.audioWindowEnergy(df, "id", "media", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(got === Set((1L, 0, 2, 25L), (1L, 1, 2, 4L), (1L, 2, 1, 100L)))
+  }
+
   test("resizeStub rewrites header and payload size") {
     val out = Multimodal.resizeStub(media, "media", 4, 2)
     val meta = Multimodal.withMeta(out, "media")
