@@ -141,6 +141,70 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  private val GramSeed = 0x6A09E667F3BCC908L
+
+  /** Distinct 64-bit hashes of the w-word shingles WITHOUT
+    * materializing gram strings: [[hash64]]'s FNV-1a fold streamed
+    * token-by-token with a single 0x20 between tokens — byte-identical
+    * to `hash64(joined gram, GramSeed)`, so any two producers meet on
+    * equal grams exactly. <w tokens → the single whole-join gram
+    * ([[shingleSet]] semantics, empty text included). Each token's
+    * UTF-8 bytes are materialized once and reused across the w windows
+    * containing it; no per-gram string, no set of strings — this is
+    * the corpus-side screen for n-gram containment joins
+    * ([[graft.text.Decontaminate]]), where building ~25-byte gram
+    * strings for every corpus position is the measured cost. */
+  def gramHashes(text: UTF8String, w: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    val n = toks.size
+    val tokBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tokBytes(i) = toks.get(i).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val seeded = 0xCBF29CE484222325L ^ mix64(GramSeed)
+    @inline def foldBytes(h0: Long, bytes: Array[Byte]): Long = {
+      var h = h0
+      var j = 0
+      while (j < bytes.length) {
+        h = (h ^ (bytes(j) & 0xffL)) * 0x100000001B3L
+        j += 1
+      }
+      h
+    }
+    def hashWindow(start: Int, len: Int): Long = {
+      var h = seeded
+      var j = 0
+      while (j < len) {
+        if (j > 0) h = (h ^ 0x20L) * 0x100000001B3L
+        h = foldBytes(h, tokBytes(start + j))
+        j += 1
+      }
+      mix64(h)
+    }
+    if (n < w) new GenericArrayData(Array(hashWindow(0, n)))
+    else {
+      val set = new java.util.LinkedHashSet[java.lang.Long]()
+      var s = 0
+      while (s + w <= n) {
+        set.add(java.lang.Long.valueOf(hashWindow(s, w)))
+        s += 1
+      }
+      val out = new Array[Long](set.size)
+      val it = set.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** [[hash64]] with [[gramHashes]]' seed — the string-side twin for
+    * producers that HAVE the gram string (equality holds by the
+    * byte-identity above). */
+  def gramHash64(s: UTF8String): Long = hash64(s, GramSeed)
+
   /** 64-bit SimHash over lowercase ascii word tokens ([a-z0-9]+ runs). */
   def simhash64(text: UTF8String): Long = {
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)
@@ -271,6 +335,19 @@ case class ShingleSetExpr(child: Expression, width: Int) extends TextHashExpr {
   protected def staticCall(c: String): String =
     s"graft.functions.TextHash.shingleArray($c, $width)"
   override protected def withNewChildInternal(newChild: Expression): ShingleSetExpr =
+    copy(child = newChild)
+}
+
+/** Distinct `array<long>` gram hashes (no gram-string
+  * materialization — see [[TextHash.gramHashes]]). */
+case class GramHashesExpr(child: Expression, width: Int) extends TextHashExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+  override def nullSafeEval(input: Any): Any =
+    TextHash.gramHashes(input.asInstanceOf[UTF8String], width)
+  protected def staticCall(c: String): String =
+    s"graft.functions.TextHash.gramHashes($c, $width)"
+  override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
     copy(child = newChild)
 }
 

@@ -24,6 +24,13 @@ package object functions {
   def shingle_set(c: Column, width: Int): Column =
     Bridge.column(ShingleSetExpr(Bridge.expression(c), width))
 
+  /** Distinct 64-bit w-word gram hashes (`array<long>`) — the
+    * no-string-materialization screen for n-gram containment joins
+    * (equal grams hash equal across producers; see
+    * [[TextHash.gramHashes]]). */
+  def gram_hashes(c: Column, width: Int): Column =
+    Bridge.column(GramHashesExpr(Bridge.expression(c), width))
+
   /** 64-bit SimHash over lowercase ascii word tokens. */
   def simhash64(c: Column): Column =
     Bridge.column(SimHashExpr(Bridge.expression(c)))

@@ -28,29 +28,47 @@ object Decontaminate {
     df.select(col(idCol),
       explode(TextOps.wordShingles(lower(col(textCol)), n)).as("gram"))
 
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.gram_hashes(lower(col(textCol)), n)).as("gh"))
+
   /** Ids of corpus documents sharing at least one n-gram with `bench`.
     *
-    * The corpus-side grams pass a BLOOM of the eval gram set before
-    * the exact semi join ([[graft.operators.BloomJoin]] machinery):
-    * the bloom is ~11 MB at 10M grams where the broadcast hash
-    * relation of full gram strings runs to GBs, so the overwhelmingly
-    * non-contaminated gram stream is rejected by a cache-resident
-    * probe and only the maybe-sliver (true hits + fpp of the rest)
-    * ever touches the hash relation. False positives are removed by
-    * the exact semi join, so the result is identical — the 1000×
-    * curation probe put this stage at 52% of the q177 chain; the
-    * bloom probe is the cheap first gate. The eval side is
-    * benchmark-sized by contract, so sizing it (one count) and
-    * building the bloom (one treeAggregate pass) are cheap repeated
-    * scans of a small plan. */
+    * Three exact-preserving gates, cheapest first — the corpus side
+    * never materializes a gram STRING (the 1000× curation probe put
+    * gram-string construction at the top of this stage's cost):
+    *
+    *  1. HASHED-GRAM screen: the corpus explodes 8-byte gram hashes
+    *     (native [[graft.functions.gram_hashes]] — tokens folded
+    *     straight into the hash, no per-gram string), each probing a
+    *     BLOOM of the eval gram-hash set (~MB-scale, cache-resident),
+    *     then the survivors meet the broadcast eval hash set in an
+    *     exact semi join. Equal grams hash equal, so no true
+    *     contaminated doc can be lost; a 64-bit collision can only ADD
+    *     a candidate.
+    *  2. VERIFY on the candidates only: candidate docs (≈ truly
+    *     contaminated + ~n_grams·n_eval/2⁶⁴ collisions ≈ none)
+    *     re-explode as REAL gram strings and semi-join the broadcast
+    *     eval gram strings — the final result is exactly the
+    *     string-join answer, gram-for-gram.
+    *
+    * The eval side is benchmark-sized by contract, so its repeated
+    * small scans (count → bloom build → broadcasts) are cheap. */
   def contaminatedIds(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    val evalGrams = grams(bench, idCol, textCol, n).select("gram").distinct()
-    val nGrams = math.max(evalGrams.count(), 1L)
-    val bloom = graft.operators.BloomJoin.bloomOf(evalGrams, "gram", nGrams)
-    grams(corpus, idCol, textCol, n)
-      .filter(graft.functions.might_contain_bloom(col("gram"), bloom))
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+    val evalHashes = gramHashes(bench, idCol, textCol, n)
+      .select("gh").distinct()
+    val nHashes = math.max(evalHashes.count(), 1L)
+    val bloom = graft.operators.BloomJoin.bloomOf(evalHashes, "gh", nHashes)
+    val candidateIds = gramHashes(corpus, idCol, textCol, n)
+      .filter(graft.functions.might_contain_bloom(col("gh"), bloom))
+      .join(broadcast(evalHashes), Seq("gh"), "left_semi")
+      .select(idCol).distinct()
+    val candidates = corpus.join(candidateIds, Seq(idCol), "left_semi")
+    grams(candidates, idCol, textCol, n)
+      .join(broadcast(grams(bench, idCol, textCol, n)
+        .select("gram").distinct()), Seq("gram"), "left_semi")
       .select(idCol).distinct()
   }
 

@@ -21,6 +21,32 @@ class TextHashSpec extends AnyFunSuite {
       TextHash.shingleSet(u(""), 3)).asScala == Set(""))
   }
 
+  test("gram_hashes: byte-identity with string-gram hashes, fallback, distinct") {
+    import scala.jdk.CollectionConverters._
+    // streamed token fold must equal hashing the joined gram STRING —
+    // the equality Decontaminate's hash screen rests on (incl. a
+    // multi-whitespace separator and a non-ASCII token)
+    val text = "alpha  beta\tgamma δelta beta gamma δelta x"
+    val got = TextHash.gramHashes(u(text), 3)
+    val want = TextHash.shingleSet(u(text), 3).asScala
+      .map(g => TextHash.gramHash64(u(g))).toSet
+    assert((0 until got.numElements()).map(got.getLong).toSet === want)
+    // distinct: repeated grams hash once
+    val rep = TextHash.gramHashes(u("a b a b a b"), 2)
+    assert(rep.numElements() === 2) // "a b", "b a"
+    // short-doc fallback: single whole-join gram
+    val short = TextHash.gramHashes(u("x  y"), 3)
+    assert(short.numElements() === 1)
+    assert(short.getLong(0) === TextHash.gramHash64(u("x y")))
+    // empty text: the empty gram, same as shingleSet
+    assert(TextHash.gramHashes(u(""), 3).getLong(0) ===
+      TextHash.gramHash64(u("")))
+    // column API through a codegen projection
+    val df = Seq((1L, text)).toDF("id", "t")
+      .select(explode(gram_hashes(col("t"), 3)).as("gh"))
+    assert(df.collect().map(_.getLong(0)).toSet === want)
+  }
+
   test("minhash: equal docs equal sigs; disjoint docs disagree") {
     val a = TextHash.minhashSig(u("the quick brown fox jumps over the lazy dog"), 3, 32)
     val b = TextHash.minhashSig(u("the quick brown fox jumps over the lazy dog"), 3, 32)

@@ -38,10 +38,11 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
     "q33_fuzzy",        // probes × dim, both driver-small, broadcast
     "q104_hll_intersect", // C(types,2) sketch pairs — types-sized
     "q107_jaro_winkler",  // probes × nation dim
-    "q182_pq_topk")     // ADC scan: broadcast QUERY BATCH × codes is
+    "q182_pq_topk",     // ADC scan: broadcast QUERY BATCH × codes is
                         // the PQ design (Pq.adcTopK scaladoc) — the
                         // scan is the operator, the broadcast side is
                         // the bounded probe set
+    "q185_pq_sample")   // same ADC scan shape, sampled-fit codebooks
 
   test("every SparkEntry query passes the scale lint (allowlisted exceptions only)") {
     val spark = TestSpark.spark
