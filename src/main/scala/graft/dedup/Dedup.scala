@@ -150,7 +150,21 @@ object Dedup {
     val banded = sigs.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
     val cands = pairsFromBuckets(banded, Seq("band", "bucket"), maxBucket)
-    val sh = sigs.select(col("id"), col("sh"))
+    // verify side pruned to CANDIDATE ids before the expensive work:
+    // the LSH premise is |candidates| ≪ corpus, so the shingle arrays
+    // of non-candidates should never be computed (text path) or
+    // shuffled (stored path). The left-semi join pushes BELOW the
+    // signature projection (PushDownLeftSemiAntiJoin — the condition
+    // only needs `id`), so shingle_set runs on survivors only, and
+    // AQE turns the semi into a broadcast probe at candidate-id
+    // sizes; the candIds exchange is shared with the pair joins
+    // within the one action. 1000× measured: the full-corpus
+    // shingle-array build was the same gram-string wall the
+    // decontaminate stage hit.
+    val candIds = cands.select(col("id_a").as("id"))
+      .unionByName(cands.select(col("id_b").as("id"))).distinct()
+    val sh = sigs.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), col("sh"))
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -234,9 +248,18 @@ object Dedup {
       .join(rb.filter(col("__n") <= maxBucket).withColumnRenamed("__n", "__m"),
         Seq("band", "bucket"))
       .select(col("id_a"), col("id_b")).distinct()
-    val shL = left.select(col(leftId).as("id_a"),
-      graft.functions.shingle_set(col(leftText), shingleWidth).as("sh_a"))
-    val shR = rightSigs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // verify sides pruned to candidate ids before shingling/shuffling
+    // (the nearDupPairsFromSignatures note: non-candidates' shingle
+    // arrays are the avoidable cost when both sides are corpora)
+    val shL = left
+      .join(cands.select(col("id_a").as(leftId)).distinct(),
+        Seq(leftId), "left_semi")
+      .select(col(leftId).as("id_a"),
+        graft.functions.shingle_set(col(leftText), shingleWidth).as("sh_a"))
+    val shR = rightSigs
+      .join(cands.select(col("id_b").as("id")).distinct(), Seq("id"),
+        "left_semi")
+      .select(col("id").as("id_b"), col("sh").as("sh_b"))
     cands.join(shL, Seq("id_a")).join(shR, Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
