@@ -14,6 +14,18 @@ import org.apache.spark.sql.SparkSession
   * passes on the target scale factor, reporting the per-query minimum —
   * the standard steady-state measurement for a long-lived engine under
   * bursty host noise.
+  *
+  * Context decorrelation (round 9): with 50+ queries sharing one JVM,
+  * a query's number is partly its NEIGHBORS' — cache residue and GC
+  * debt from whatever ran just before it. Two rounds of drift triage
+  * ended with isolated re-runs overturning the shared-context numbers
+  * (q161: 6.52 in context, 3.70 isolated), so the bench now (a) runs
+  * each timed pass in a DIFFERENT deterministic order (seeded
+  * Fisher–Yates on the pass index — a query's three samples see three
+  * different predecessors, and min-of-3 discards the unlucky
+  * contexts), and (b) takes an untimed System.gc() breather before
+  * each timed query so one query's garbage is not another's pause.
+  * Orders are fixed per (name-set, pass), so runs stay reproducible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,8 +73,17 @@ object Bench {
       names.foreach(run(_, warmDir)) // untimed
     // three timed passes, per-query minimum: the host shows bursty
     // co-tenant noise (identical binaries vary 2-3×), and min-of-N is
-    // the standard steady-state estimator under asymmetric noise
-    val passes = (1 to 3).map(_ => names.map(n => n -> run(n, sfDir)).toMap)
+    // the standard steady-state estimator under asymmetric noise.
+    // Each pass runs in a different deterministic order (see object
+    // doc) so a query's min is not pinned to one fixed predecessor.
+    val passes = (1 to 3).map { pass =>
+      val order = new scala.util.Random(0x9E3779B9L * pass)
+        .shuffle(names.toVector)
+      order.map { n =>
+        System.gc() // untimed breather: don't bill one query's garbage
+        n -> run(n, sfDir)
+      }.toMap
+    }
     val results = names.map(n => n -> passes.map(_(n)).min)
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -5893,6 +5893,58 @@ object Queries {
       |SELECT doc_id, win, n_samples, energy FROM w
       |ORDER BY doc_id, win""".stripMargin
 
+  /** REAL-CODEC VIDEO FRAMES ([[graft.multimodal.Multimodal
+    * .videoFrameDHash]]): each doc's md5 hex drives a 3-frame "clip" —
+    * frame f's 9×8 grayscale pattern is the hex rotated by 7·f —
+    * encoded as a REAL concatenated-PNG container (the lossless twin
+    * of MJPEG; [[graft.multimodal.Multimodal.splitFrames]] reads
+    * both), split back into frames, decoded through the real ImageIO
+    * path per frame, and dHashed at stride 2 (frames 0 and 2 —
+    * `frame_no` is the full-sequence index, so the stride shows in
+    * the output). The oracle replays each sampled frame's 64 gradient
+    * bits from the md5 arithmetic; hash-green certifies the container
+    * split + per-frame codec round-trip — a fallback to the stub (or
+    * a mis-split) would hash garbage or emit wrong frame numbers. */
+  def q189VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("hx"))
+      .as[(Long, String)]
+      .map { case (id, hx) =>
+        val clip = (0 until 3).map { f =>
+          val px = Array.tabulate[Byte](72)(i =>
+            hx.charAt((i + 7 * f) % 32).toByte)
+          Multimodal.grayPng(px, 9, 8)
+        }.reduce(_ ++ _)
+        (id, clip)
+      }.toDF("doc_id", "media")
+    Multimodal.videoFrameDHash(media, "doc_id", "media", stride = 2)
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        col("format").as("fmt"),
+        col("width").cast("long").as("w"),
+        col("height").cast("long").as("h"),
+        lpad(bin(col("dhash")), 64, "0").as("dhash_bits"))
+      .orderBy("doc_id", "frame_no")
+  }
+
+  val q189Sql: String = {
+    def pixExpr(f: Int, y: Int, x: Int): String =
+      s"ord(substr(hx, ${((y * 9 + x) + 7 * f) % 32 + 1}, 1))"
+    def bits(f: Int) = (63 to 0 by -1).map { b =>
+      val y = b / 8
+      val x = b % 8
+      s"(CASE WHEN ${pixExpr(f, y, x)} > ${pixExpr(f, y, x + 1)} " +
+        "THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH h0 AS (SELECT doc_id, md5(text) AS hx FROM documents),
+       |f AS (SELECT doc_id, hx, unnest([0, 2]) AS fn FROM h0)
+       |SELECT doc_id, CAST(fn AS BIGINT) AS frame_no, 'png' AS fmt,
+       |  CAST(9 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+       |  CASE WHEN fn = 0 THEN ${bits(0)} ELSE ${bits(2)} END AS dhash_bits
+       |FROM f ORDER BY doc_id, frame_no""".stripMargin
+  }
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -6086,6 +6138,7 @@ object Queries {
     "q186_media_dhash_png" -> (q186MediaDhashPng _),
     "q187_signature_dedup" -> (q187SignatureDedup _),
     "q188_audio_energy" -> (q188AudioEnergy _),
+    "q189_video_frames" -> (q189VideoFrames _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6281,6 +6334,7 @@ object Queries {
     // so it shares q23's exact O(n²) Jaccard oracle verbatim
     "q187_signature_dedup" -> q23Sql,
     "q188_audio_energy" -> q188Sql,
+    "q189_video_frames" -> q189Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -6323,5 +6377,8 @@ object Queries {
     // encode/decode, WAV encode/decode riding the scan), and
     // stored-signature dedup (benched against q23's from-text form)
     "q185_pq_sample", "q186_media_dhash_png", "q187_signature_dedup",
-    "q188_audio_energy")
+    "q188_audio_energy",
+    // round-9: the concatenated-frame video face (container split +
+    // real per-frame PNG decode + dHash riding the scan)
+    "q189_video_frames")
 }

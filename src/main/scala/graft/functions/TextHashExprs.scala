@@ -44,15 +44,31 @@ object TextHash {
     mix64(h)
   }
 
-  /** Whitespace tokens of `text` (runs of non-whitespace). */
+  /** The regex `\s` class — ` \t\n\x0B\f\r` — NOT
+    * `Character.isWhitespace`. Every token-boundary producer that can
+    * feed the same join must agree on this class: the string side
+    * ([[graft.text.TextOps.tokens]]) splits on Java `\s+`, the DuckDB
+    * oracles split on RE2 `\s+` (the same six ASCII chars), and this
+    * native side must match or a Unicode-whitespace char (U+2028,
+    * U+1680, U+2000–200A, U+3000, U+001C–001F — split points under
+    * `isWhitespace`, token chars under `\s`) silently desynchronizes
+    * the hash screen from the exact verify — a contaminated doc could
+    * pass [[gramHashes]]' screen unseen and never reach the string
+    * verify (a false negative the exactness contract forbids). */
+  @inline private def isTokenSep(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
+  /** Whitespace tokens of `text` (runs of non-`\s`; see
+    * [[isTokenSep]] for why the class is the ASCII regex `\s`, not
+    * `Character.isWhitespace`). */
   def tokenize(text: String): java.util.ArrayList[String] = {
     val out = new java.util.ArrayList[String]()
     var i = 0
     val n = text.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && isTokenSep(text.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && !isTokenSep(text.charAt(i))) i += 1
       if (i > start) out.add(text.substring(start, i))
     }
     out

@@ -16,12 +16,16 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[decode]] routes through the JDK's
   * `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP readers ship with every
   * JDK — zero new dependencies), reducing to a row-major grayscale
-  * pixel buffer (grayscale rasters pass through bit-exact; color
-  * reduces by integer BT.601 luma). Payloads ImageIO does not
-  * recognize fall back to [[decodeStub]]'s deterministic fake-header
-  * format — the fixture/audio/video stand-in (this container ships no
-  * audio/video codecs; that half of the contract stays stubbed, with
-  * the Spark-side schema/batching/partitioning real and tested).
+  * pixel buffer (8-bit grayscale rasters pass through bit-exact;
+  * color reduces by integer BT.601 luma). AUDIO decode is REAL
+  * ([[decodeAudio]] via `javax.sound.sampled`, PCM16 bit-exact).
+  * VIDEO has a real concatenated-frame face — [[splitFrames]] /
+  * [[realFrames]] / [[videoFrameDHash]] read MJPEG (concatenated
+  * JPEGs) and concatenated-PNG containers through the real image
+  * codec per frame; general containers (MP4/H.264 etc.) have no JDK
+  * codec and fall back to [[decodeStub]]'s deterministic fake-header
+  * format, with the Spark-side schema/batching/partitioning real and
+  * tested ([[sampleFrames]]).
   */
 object Multimodal {
 
@@ -62,17 +66,34 @@ object Multimodal {
       Some((new String(tag, "US-ASCII").trim, w, h, payload))
     }
 
+  /** Decode refuses images whose header declares more pixels than
+    * this (a corrupt or adversarial header can claim 2G×2G and the
+    * naive `new Array[Byte](w*h)` would OOM the task before a single
+    * real pixel exists — at corpus scale one such payload per billion
+    * kills a stage). 256 MPix ≈ a 16k×16k scan, far above any
+    * training-corpus image. */
+  val MaxDecodePixels: Long = 256L * 1024 * 1024
+
   /** REAL media decode: `javax.imageio` for any payload an installed
     * reader recognizes (the JDK ships PNG/JPEG/BMP/GIF/WBMP),
     * returning (format, width, height, row-major grayscale pixels).
-    * Single-band rasters (grayscale PNG etc.) read through the raster
-    * BIT-EXACT — no colorspace math — which is what lets a SQL oracle
-    * replay a hash of the decoded pixels (q186); multi-band images
+    * 8-bit single-band rasters (grayscale PNG etc.) read through the
+    * raster BIT-EXACT — no colorspace math — which is what lets a SQL
+    * oracle replay a hash of the decoded pixels (q186); deeper
+    * single-band rasters (16-bit grayscale PNG) right-shift to their
+    * top 8 bits (a plain `.toByte` would wrap mod 256 and hand
+    * garbage gradients to every downstream hash); multi-band images
     * reduce by the integer BT.601 luma (299·R + 587·G + 114·B)/1000,
     * integer-only so the value is identical on every JVM. Unrecognized
     * payloads fall back to the fake-header [[decodeStub]] (tried
     * second: a real PNG would "parse" as a garbage fake header, so
-    * ImageIO gets first claim). Returns None for null/corrupt media. */
+    * ImageIO gets first claim). Returns None for null/corrupt media —
+    * including malformed-but-recognized payloads whose plugin throws
+    * an UNCHECKED exception (the JDK readers raise CMMException /
+    * IndexOutOfBounds / NegativeArraySize on truncated or lying
+    * streams; a corpus decode must degrade to a null row, never fail
+    * the task) and headers declaring non-positive or
+    * > [[MaxDecodePixels]] dimensions. */
   def decode(media: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
     if (media == null) return None
     val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -83,16 +104,28 @@ object Multimodal {
       val reader = readers.next()
       try {
         reader.setInput(iis, true, true)
+        // dimension sanity BEFORE the full-image read/allocation:
+        // getWidth/getHeight parse only the header
+        val wDecl = reader.getWidth(0).toLong
+        val hDecl = reader.getHeight(0).toLong
+        if (wDecl <= 0 || hDecl <= 0 || wDecl * hDecl > MaxDecodePixels)
+          return None
         val img = reader.read(0)
         val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
         val w = img.getWidth
         val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
         val px = new Array[Byte](w * h)
-        if (img.getRaster.getNumBands == 1) {
-          val samples = img.getRaster.getSamples(0, 0, w, h, 0,
+        val raster = img.getRaster
+        if (raster.getNumBands == 1) {
+          val bits = raster.getSampleModel.getSampleSize(0)
+          val shift = math.max(0, bits - 8)
+          val samples = raster.getSamples(0, 0, w, h, 0,
             null.asInstanceOf[Array[Int]])
           var i = 0
-          while (i < px.length) { px(i) = samples(i).toByte; i += 1 }
+          while (i < px.length) {
+            px(i) = (samples(i) >>> shift).toByte; i += 1
+          }
         } else {
           val rgb = img.getRGB(0, 0, w, h, null, 0, w)
           var i = 0
@@ -105,7 +138,7 @@ object Multimodal {
         }
         Some((fmt, w, h, px))
       } catch {
-        case _: java.io.IOException => None
+        case scala.util.control.NonFatal(_) => None
       } finally reader.dispose()
     } finally if (iis != null) iis.close()
   }
@@ -379,6 +412,122 @@ object Multimodal {
           case None => null
         }
         Row.fromSeq(r.toSeq.updated(idx, out))
+      }
+    }(enc)
+  }
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Split a concatenated-frame video container into per-frame
+    * payloads. Two real container shapes, detected by the leading
+    * bytes:
+    *
+    *  - MJPEG — literally concatenated JPEGs (the format IP cameras
+    *    and `ffmpeg -f mjpeg` emit): frames split at each SOI marker
+    *    run `FF D8 FF`. Entropy-coded JPEG data cannot contain a bare
+    *    `FF D8` (in-stream `FF` is stuffed as `FF 00` or is a marker,
+    *    and `D8` is not a restart/stuffing code), so the scan is exact
+    *    for camera-style streams; a frame carrying an EXIF-embedded
+    *    THUMBNAIL (a nested full JPEG inside APP1 — never present in
+    *    MJPEG) would over-split at the thumbnail's SOI.
+    *  - concatenated PNGs (the lossless twin, what the oracle fixture
+    *    uses — PNG round-trips pixels bit-exactly where JPEG is
+    *    lossy): frames split at each 8-byte PNG signature, which is
+    *    crc-protected chunk-framed and cannot collide mid-stream.
+    *
+    * Anything else (including the fake-header stub format) returns
+    * empty — callers fall back to [[sampleFrames]]' stub contract.
+    * Partition-local, allocation = one copy per frame. */
+  def splitFrames(media: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    if (media == null || media.length < 3) return Vector.empty
+    @inline def matchesAt(pos: Int, sig: Array[Byte]): Boolean = {
+      if (pos + sig.length > media.length) false
+      else {
+        var i = 0
+        while (i < sig.length && media(pos + i) == sig(i)) i += 1
+        i == sig.length
+      }
+    }
+    val jpegSoi = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte)
+    val sig =
+      if (matchesAt(0, PngSig)) PngSig
+      else if (matchesAt(0, jpegSoi)) jpegSoi
+      else return Vector.empty
+    val starts = Vector.newBuilder[Int]
+    var p = 0
+    while (p <= media.length - sig.length) {
+      if (media(p) == sig(0) && matchesAt(p, sig)) {
+        starts += p
+        p += sig.length
+      } else p += 1
+    }
+    val ss = starts.result()
+    ss.zip(ss.drop(1) :+ media.length).map { case (s, e) =>
+      java.util.Arrays.copyOfRange(media, s, e)
+    }
+  }
+
+  /** REAL frame sampling: every `stride`-th frame of a
+    * [[splitFrames]] container becomes a row (id, frame_no, frame) —
+    * frame payloads are intact single images the real [[decode]]
+    * reads. Partition-local explode, zero shuffle; non-container
+    * payloads produce no rows. `frame_no` is the index in the FULL
+    * frame sequence (stride-invariant, so downstream joins against a
+    * differently-strided sample line up). */
+  def realFrames(df: DataFrame, idCol: String, mediaCol: String,
+      stride: Int): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val schema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val enc = ExpressionEncoder(schema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = splitFrames(r.getAs[Array[Byte]](mIdx))
+        (0 until frames.length by stride).iterator.map { f =>
+          Row(r.get(idIdx), f, frames(f))
+        }
+      }
+    }(enc)
+  }
+
+  /** Per-frame perceptual hashes of a concatenated-frame video in ONE
+    * partition-local pass: [[splitFrames]] → real [[decode]] →
+    * [[dHash64]], emitting (id, frame_no, format, width, height,
+    * dhash). This is the video-dedup ingest shape — a clip's sampled
+    * frame hashes feed the same Hamming-band blocking images use
+    * ([[mediaNearDupsPerceptual]]); two re-encodes of the same clip
+    * match frame-for-frame. Frames that fail to decode yield a row
+    * with NULL format/dims/hash (observable, not dropped — a corrupt
+    * frame mid-clip is a data-quality signal). Zero shuffle. */
+  def videoFrameDHash(df: DataFrame, idCol: String, mediaCol: String,
+      stride: Int = 1): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val schema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(idCol)),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("dhash", LongType)))
+    val enc = ExpressionEncoder(schema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = splitFrames(r.getAs[Array[Byte]](mIdx))
+        (0 until frames.length by stride).iterator.map { f =>
+          decode(frames(f)) match {
+            case Some((fmt, w, h, p)) if w > 0 && h > 0 =>
+              Row(r.get(idIdx), f, fmt, w, h,
+                java.lang.Long.valueOf(dHash64(p, w, h)))
+            case _ => Row(r.get(idIdx), f, null, null, null, null)
+          }
+        }
       }
     }(enc)
   }

@@ -52,16 +52,46 @@ import graft.dedup.Dedup
   * exist, and it is the one being replayed. */
 object DocStream {
 
+  /** Manifest file inside a compacted generation directory listing the
+    * batch partitions it folded. It rides the generation's publish
+    * rename, so "gen visible" and "its sources are superseded" are ONE
+    * atomic event — a crash between publish and source deletion can
+    * never double-count (the listing skips manifested sources even
+    * while they still exist on disk). Underscore prefix keeps it
+    * invisible to the parquet reader. */
+  private val FoldedManifest = "_folded"
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Path): Set[String] = {
+    val f = new Path(gen, FoldedManifest)
+    if (!fs.exists(f)) Set.empty
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  /** Accepted data partitions: compacted `gen=K` directories plus the
+    * `batch_id=N` directories no generation has folded (each gen's
+    * [[FoldedManifest]] names its superseded sources — see there for
+    * the crash-window argument). `excludeBatchId` drops that batch's
+    * own partition — replay idempotence (see object doc); a replayable
+    * (uncommitted) batch is by construction never folded, so the
+    * exclusion only ever applies to a live `batch_id=` directory. */
   private def batchParts(spark: SparkSession, base: Path,
       excludeBatchId: Option[Long]): Seq[Path] = {
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) Seq.empty
     else {
-      val skip = excludeBatchId.map(id => s"batch_id=$id")
-      fs.listStatus(base)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-        .filter(s => !skip.contains(s.getPath.getName))
-        .map(_.getPath).toIndexedSeq
+      val dirs = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      val gens = dirs.filter(_.getName.startsWith("gen=")).toIndexedSeq
+      val folded = gens.flatMap(readManifest(fs, _)).toSet
+      val skip = excludeBatchId.map(id => s"batch_id=$id").toSet ++ folded
+      gens.sortBy(_.getName) ++ dirs.toIndexedSeq
+        .filter(p => p.getName.startsWith("batch_id=") &&
+          !skip.contains(p.getName))
     }
   }
 
@@ -108,16 +138,128 @@ object DocStream {
     }
   }
 
+  /** Fold the sink's COMMITTED `batch_id=N` partitions (data and
+    * `_sig` twins) into one compacted generation `gen=K` — the
+    * lifecycle maintenance a long-running ingest needs: every commit
+    * adds two small parquet directories, and at 10,000 batches the
+    * per-batch plan pays a many-small-files listing/union/footer tax
+    * that has nothing to do with data volume. One fold rewrites them
+    * into size-targeted files; earlier generations are left alone
+    * (folding them again would make cumulative rewrite cost quadratic
+    * in corpus size), so the live directory count after C compactions
+    * of N-batch windows is C + in-flight, not total-batches.
+    *
+    * Crash-safety protocol (all windows leave a correct corpus):
+    *  1. data+sigs are written under underscore temp dirs (invisible);
+    *  2. `_sig/gen=K` publishes by rename (an orphan sig generation is
+    *     ignored by the pairing in `acceptedSigsSoFar` and removed by
+    *     the next call's GC);
+    *  3. `gen=K` publishes by rename, CARRYING its [[FoldedManifest]]
+    *     — from this atomic instant the folded sources are superseded
+    *     in every listing even though they still exist on disk;
+    *  4. sources are deleted (a crash before this is repaired by the
+    *     next call's GC, which deletes manifested sources).
+    *
+    * Only batches whose `_applied` marker exists are folded — an
+    * uncommitted (crash-replayable) partition keeps its identity so
+    * the replay's `excludeBatchId` contract still holds; its marker
+    * short-circuit likewise survives folding, because markers are
+    * never deleted. Returns the new generation id, or None when fewer
+    * than `minBatches` committed partitions exist. */
+  def compactSink(spark: SparkSession, sinkDir: String,
+      schemaFrom: DataFrame, idCol: String, textCol: String,
+      queryName: String, minBatches: Int = 2,
+      targetFileBytes: Long = 128L * 1024 * 1024): Option[Long] = {
+    require(minBatches >= 1, "minBatches must be >= 1")
+    val base = new Path(sinkDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return None
+    val sigBase = new Path(base, "_sig")
+    def dirsIn(p: Path): Seq[Path] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toIndexedSeq
+    // GC: finish any earlier fold that crashed between publish and
+    // source deletion, drop orphan sig generations and temp debris
+    val dataGens = dirsIn(base).filter(_.getName.startsWith("gen="))
+    val dataGenNames = dataGens.map(_.getName).toSet
+    dataGens.foreach { g =>
+      readManifest(fs, g).foreach { n =>
+        fs.delete(new Path(base, n), true)
+        fs.delete(new Path(sigBase, n), true)
+      }
+    }
+    dirsIn(sigBase).filter(p => p.getName.startsWith("gen=") &&
+      !dataGenNames.contains(p.getName)).foreach(fs.delete(_, true))
+    dirsIn(base).filter(_.getName.startsWith("_tmp_gen"))
+      .foreach(fs.delete(_, true))
+    // committed = marker exists; an in-flight replayable partition is
+    // left alone by construction
+    val committed = dirsIn(base)
+      .filter(_.getName.startsWith("batch_id="))
+      .filter { p =>
+        val id = p.getName.stripPrefix("batch_id=")
+        fs.exists(new Path(base, s"_applied/$queryName/$id"))
+      }
+    if (committed.size < minBatches) return None
+    val genId = (dirsIn(base) ++ dirsIn(sigBase))
+      .map(_.getName).filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+      .foldLeft(-1L)(math.max) + 1L
+    val data = spark.read.schema(schemaFrom.schema)
+      .parquet(committed.map(_.toString): _*)
+    val totalBytes = committed.map(fs.getContentSummary(_).getLength).sum
+    val nFiles = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // signatures: union the stored sig partitions; a folded batch
+    // missing its sig twin (pre-signature layout) recomputes from its
+    // text once, here, instead of on every future batch
+    val sigNames = dirsIn(sigBase).map(_.getName).toSet
+    val (withSig, legacy) =
+      committed.partition(p => sigNames.contains(p.getName))
+    val sigRel = (
+      Option(withSig).filter(_.nonEmpty).map(ps =>
+        spark.read.parquet(ps.map(p => s"$sigBase/${p.getName}"): _*)),
+      Option(legacy).filter(_.nonEmpty).map(ps =>
+        Dedup.nearDupSignatures(spark.read.schema(schemaFrom.schema)
+          .parquet(ps.map(_.toString): _*), idCol, textCol))) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (a, b) => a.orElse(b).get
+    }
+    val tmpData = new Path(base, s"_tmp_gen_${genId}_data")
+    val tmpSig = new Path(base, s"_tmp_gen_${genId}_sig")
+    data.repartition(nFiles).write.mode("overwrite")
+      .option("compression", "snappy").parquet(tmpData.toString)
+    sigRel.repartition(nFiles).write.mode("overwrite")
+      .option("compression", "snappy").parquet(tmpSig.toString)
+    val manifest = new Path(tmpData, FoldedManifest)
+    val out = fs.create(manifest, true)
+    try out.write(committed.map(_.getName).sorted.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    fs.mkdirs(sigBase)
+    fs.rename(tmpSig, new Path(sigBase, s"gen=$genId"))
+    fs.rename(tmpData, new Path(base, s"gen=$genId"))
+    committed.foreach { p =>
+      fs.delete(p, true)
+      fs.delete(new Path(sigBase, p.getName), true)
+    }
+    Some(genId)
+  }
+
   /** One micro-batch of the ingest, idempotent under at-least-once
     * replay (exposed for direct replay testing — the stream calls
     * exactly this). Cross-corpus rejection against the accepted
     * SIGNATURES first, in-batch dedup on the survivors, then: write
     * `batch_id=N/`, write `_sig/batch_id=N/` (computed from the
     * just-written partition — one batch-sized re-read, not a
-    * recompute of the dedup plan), create the marker. */
+    * recompute of the dedup plan), create the marker. With
+    * `compactEvery > 0`, every time that many committed `batch_id=`
+    * partitions have accumulated the sink folds them into a compacted
+    * generation ([[compactSink]]) — the steady state is ≤
+    * `compactEvery` small partitions plus one generation per fold. */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, threshold: Double,
-      sinkDir: String, queryName: String): Unit = {
+      sinkDir: String, queryName: String, compactEvery: Int = 0): Unit = {
     val fs = new Path(sinkDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(s"$sinkDir/_applied/$queryName/$batchId")
@@ -147,6 +289,15 @@ object DocStream {
         .write.mode("overwrite").parquet(s"$sinkDir/_sig/batch_id=$batchId")
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
+      if (compactEvery > 0) {
+        val live = new Path(sinkDir).getFileSystem(
+          spark.sessionState.newHadoopConf())
+          .listStatus(new Path(sinkDir))
+          .count(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        if (live >= compactEvery)
+          compactSink(spark, sinkDir, batch, idCol, textCol, queryName,
+            minBatches = compactEvery)
+      }
     }
   }
 
@@ -160,7 +311,8 @@ object DocStream {
       schemaFrom: DataFrame, idCol: String, textCol: String,
       threshold: Double, sinkDir: String, queryName: String,
       checkpoint: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEvery: Int = 0): StreamingQuery = {
     val reader = spark.readStream.schema(schemaFrom.schema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
@@ -173,7 +325,7 @@ object DocStream {
     writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, idCol, textCol, threshold,
-          sinkDir, queryName)
+          sinkDir, queryName, compactEvery)
       }
       .start()
   }

@@ -14,8 +14,10 @@ object TextOps {
     * whitespace (`\s+`) — a literal-space split would fuse words across
     * tabs/newlines, undercounting tokens and skewing every quality
     * ratio on multi-line documents. Matches the native
-    * `TextHash.tokenize` (Character.isWhitespace) and the DuckDB
-    * oracles' `regexp_split_to_array(text, '\s+')`. */
+    * `TextHash.tokenize` (the same six-char ASCII `\s` class — NOT
+    * `Character.isWhitespace`, whose extra Unicode split points would
+    * desynchronize the two producers) and the DuckDB oracles'
+    * `regexp_split_to_array(text, '\s+')` (RE2 `\s` = the same six). */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 

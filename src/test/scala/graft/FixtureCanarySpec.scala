@@ -76,6 +76,51 @@ class FixtureCanarySpec extends AnyFunSuite {
     assert(mismatch == 0L, s"$mismatch rows disagree between Tables.events and eventsEpochMicros")
   }
 
+  test("signature-store canary: persisted (id, bands, sh) schema and band bits are frozen") {
+    // The `_sig` relation DocStream persists per batch/generation is a
+    // CROSS-RESTART contract: a stream stopped today rejects tomorrow's
+    // batches against signatures written with TODAY's constants. A
+    // silent change to the minhash seeds, band fold, shingle width
+    // default, or the parquet encoding would corrupt that state
+    // without any in-run test noticing — so this canary freezes (a)
+    // the persisted schema, (b) one HARD-CODED band value and shingle
+    // row, and (c) the parquet round-trip bit-identity. If a constant
+    // change here is ever intentional, it needs a signature-store
+    // migration story, not just a literal bump.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq((7L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val sig = graft.dedup.Dedup.nearDupSignatures(docs, "doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("sig_canary").toString
+    try {
+      sig.write.mode("overwrite").parquet(tmp)
+      val back = spark.read.parquet(tmp)
+      // Spark reads parquet back fully nullable — THAT is the
+      // persisted face every later stream run resolves against
+      assert(back.schema === StructType(Seq(
+        StructField("id", LongType),
+        StructField("bands", ArrayType(LongType, containsNull = true)),
+        StructField("sh", ArrayType(StringType, containsNull = true)))),
+        s"persisted signature schema drifted: ${back.schema.treeString}")
+      val r = back.head()
+      val bands = r.getSeq[Long](1)
+      val sh = r.getSeq[String](2)
+      assert(bands.length === 8, "default band count changed")
+      assert(sh === Seq("alpha beta gamma", "beta gamma delta",
+        "delta epsilon zeta", "gamma delta epsilon"),
+        "default shingle width / sort order changed")
+      // one frozen band value: minhash seeds + band fold + parquet
+      // encoding, all pinned by a single literal
+      assert(bands.head === 0x00A577D6344E6F03L,
+        f"band0 drifted: 0x${bands.head}%016X")
+      // round-trip bit-identity with the in-memory relation
+      val mem = sig.head()
+      assert(mem.getSeq[Long](1) === bands && mem.getSeq[String](2) === sh)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("media canary: JDK PNG codec present and routed, fixture magic intact") {
     import graft.multimodal.Multimodal
     // decoder presence — q186 and the real-decode path die silently

@@ -47,6 +47,33 @@ class TextHashSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSet === want)
   }
 
+  test("tokenizer boundary is the ASCII \\s class — Unicode whitespace is a TOKEN char") {
+    import scala.jdk.CollectionConverters._
+    // chars where Character.isWhitespace and regex \s DISAGREE: if the
+    // native tokenizer split on them while the string side (Java \s+
+    // split — wordShingles) kept them inside a token, a corpus doc
+    // sharing a string gram with the bench could fail the hashed-gram
+    // screen and never reach the exact verify — a silent false
+    // negative Decontaminate's exactness contract forbids
+    val uws = Seq('\u2028', '\u1680', '\u2000', '\u200A', '\u3000', '\u001C')
+    for (c <- uws) {
+      assert(Character.isWhitespace(c), s"premise: U+${c.toInt.toHexString}")
+      val text = s"foo${c}bar baz qux quux corge"
+      val strToks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val natToks = TextHash.tokenize(text).asScala.toSeq
+      assert(natToks === strToks, s"U+${c.toInt.toHexString}")
+      assert(natToks.contains(s"foo${c}bar"), s"U+${c.toInt.toHexString}")
+      // gram byte-identity holds through the Unicode-whitespace token
+      val got = TextHash.gramHashes(u(text), 2)
+      val want = TextHash.shingleSet(u(text), 2).asScala
+        .map(g => TextHash.gramHash64(u(g))).toSet
+      assert((0 until got.numElements()).map(got.getLong).toSet === want)
+    }
+    // ... while all six \s chars DO split
+    assert(TextHash.tokenize("a\tb\nc\u000Bd\fe\rf g").asScala.toSeq ===
+      Seq("a", "b", "c", "d", "e", "f", "g"))
+  }
+
   test("minhash: equal docs equal sigs; disjoint docs disagree") {
     val a = TextHash.minhashSig(u("the quick brown fox jumps over the lazy dog"), 3, 32)
     val b = TextHash.minhashSig(u("the quick brown fox jumps over the lazy dog"), 3, 32)

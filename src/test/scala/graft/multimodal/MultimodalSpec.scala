@@ -205,6 +205,120 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.getLong(2) === 8) // 4*2 payload bytes
   }
 
+  test("decode: malformed-but-recognized payloads return None, never throw") {
+    val px = Array.tabulate[Byte](72)(i => (i * 3).toByte)
+    val png = Multimodal.grayPng(px, 9, 8)
+    // truncated mid-stream: recognized by signature, read blows up
+    assert(Multimodal.decode(png.take(30)) === None)
+    assert(Multimodal.decode(png.take(9)) === None)
+    // garbage body after a valid signature+IHDR prefix
+    val garbage = png.take(40) ++ Array.fill[Byte](64)(0x5A)
+    assert(Multimodal.decode(garbage) === None)
+  }
+
+  test("decode: header declaring huge dimensions is rejected before allocation") {
+    // patch a real PNG's IHDR to claim 60000x60000 (3.6 GPix) and fix
+    // the chunk CRC so the reader believes it — the dimension guard
+    // must return None BEFORE new Array[Byte](w*h) (which would be a
+    // multi-GB allocation / negative-size overflow without it)
+    val png = Multimodal.grayPng(Array.fill[Byte](72)(9), 9, 8)
+    val patched = png.clone()
+    def putInt(off: Int, v: Int): Unit = {
+      patched(off) = (v >>> 24).toByte; patched(off + 1) = (v >>> 16).toByte
+      patched(off + 2) = (v >>> 8).toByte; patched(off + 3) = v.toByte
+    }
+    putInt(16, 60000) // IHDR width  (sig 8 + len 4 + "IHDR" 4)
+    putInt(20, 60000) // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(patched, 12, 4 + 13) // "IHDR" + 13 data bytes
+    putInt(12 + 4 + 13, crc.getValue.toInt)
+    assert(Multimodal.decode(patched) === None)
+  }
+
+  test("decode: 16-bit grayscale PNG scales to its top 8 bits, not mod-256 garbage") {
+    val img = new java.awt.image.BufferedImage(4, 1,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val samples = Array(0, 257, 0x7FFF, 0xFFFF) // 16-bit values
+    img.getRaster.setSamples(0, 0, 4, 1, 0, samples)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (fmt, w, h, px) = Multimodal.decode(bos.toByteArray).get
+    assert(fmt === "png" && w === 4 && h === 1)
+    // top byte of each 16-bit sample; a mod-256 wrap would give
+    // (0, 1, 255, 255) instead of (0, 1, 127, 255)
+    assert(px.map(_ & 0xff).toSeq === samples.map(_ >>> 8).toSeq)
+    // and 8-bit single-band stays BIT-exact (regression guard for the
+    // oracle-certified q186 path)
+    val p8 = Array.tabulate[Byte](72)(i => ((i * 37 + 11) % 256).toByte)
+    assert(Multimodal.decode(Multimodal.grayPng(p8, 9, 8)).get._4.toSeq
+      === p8.toSeq)
+  }
+
+  test("splitFrames: concatenated PNGs and MJPEG split into decodable frames") {
+    // PNG container: 3 distinct frames
+    val pats = (0 until 3).map(f =>
+      Array.tabulate[Byte](72)(i => ((i + 29 * f) % 256).toByte))
+    val clipPng = pats.map(Multimodal.grayPng(_, 9, 8)).reduce(_ ++ _)
+    val fr = Multimodal.splitFrames(clipPng)
+    assert(fr.length === 3)
+    fr.zip(pats).foreach { case (f, p) =>
+      val (fmt, w, h, px) = Multimodal.decode(f).get
+      assert(fmt === "png" && w === 9 && h === 8)
+      assert(px.toSeq === p.toSeq)
+    }
+    // MJPEG container: 2 JPEG frames of different sizes
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mjpeg = jpeg(6, 4) ++ jpeg(10, 2)
+    val jf = Multimodal.splitFrames(mjpeg)
+    assert(jf.length === 2)
+    assert(Multimodal.decode(jf(0)).get._2 === 6)
+    assert(Multimodal.decode(jf(1)).get._2 === 10)
+    // non-container payloads (fake header, null, empty) → no frames
+    assert(Multimodal.splitFrames(
+      Multimodal.fakeMedia("img", 2, 2, new Array[Byte](4))).isEmpty)
+    assert(Multimodal.splitFrames(null).isEmpty)
+    assert(Multimodal.splitFrames(Array[Byte](1, 2)).isEmpty)
+  }
+
+  test("videoFrameDHash: strided real-frame hashes; corrupt frame → null row") {
+    val pats = (0 until 4).map(f =>
+      Array.tabulate[Byte](72)(i => ((i * 7 + 13 * f) % 256).toByte))
+    val clip = pats.map(Multimodal.grayPng(_, 9, 8)).reduce(_ ++ _)
+    // clip 2: frame 1 truncated (still starts with the PNG signature,
+    // so it splits as a frame but fails to decode)
+    val good = Multimodal.grayPng(pats(0), 9, 8)
+    val clipBad = good ++ good.take(20) ++ good
+    val df = Seq((1L, clip), (2L, clipBad)).toDF("id", "media")
+    val out = Multimodal.videoFrameDHash(df, "id", "media", stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+    // stride 2 over 4 frames → frame_no 0 and 2 (full-sequence index)
+    val want1 = Set(
+      (1L, 0, Some(Multimodal.dHash64(pats(0), 9, 8))),
+      (1L, 2, Some(Multimodal.dHash64(pats(2), 9, 8))))
+    val want2 = Set(
+      (2L, 0, Some(Multimodal.dHash64(pats(0), 9, 8))),
+      (2L, 2, Some(Multimodal.dHash64(pats(0), 9, 8))))
+    assert(out === want1 ++ want2)
+    // stride 1 on the bad clip surfaces the corrupt frame as a NULL row
+    val all2 = Multimodal.videoFrameDHash(
+        Seq((2L, clipBad)).toDF("id", "media"), "id", "media")
+      .collect().map(r => (r.getInt(1), r.isNullAt(5))).toSet
+    assert(all2 === Set((0, false), (1, true), (2, false)))
+    // realFrames: same split, frames round-trip through decode
+    val rf = Multimodal.realFrames(df.filter($"id" === 1L), "id", "media",
+      stride = 3).collect()
+    assert(rf.map(_.getInt(1)).toSeq === Seq(0, 3))
+    assert(Multimodal.decode(rf(1).getAs[Array[Byte]]("frame")).get
+      ._4.toSeq === pats(3).toSeq)
+  }
+
   test("sampleFrames explodes payload into strided frame rows") {
     val out = Multimodal.sampleFrames(media, "doc_id", "media",
       frameBytes = 16, stride = 2)

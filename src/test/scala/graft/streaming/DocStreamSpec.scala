@@ -189,6 +189,101 @@ class DocStreamSpec extends AnyFunSuite {
     assert(got === Set(1L, 12L))
   }
 
+  test("compaction folds committed batches; later batches reject via gen signatures") {
+    val o1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val o2 = "one two three four five six seven eight nine ten"
+    val bA = Seq((1L, o1), (2L, o2)).toDF("doc_id", "text")
+    val bB = Seq((11L, o1), // near-dup of accepted 1 → rejected
+      (12L, "completely different words appear in this document here now"))
+      .toDF("doc_id", "text")
+    val bC = Seq((21L, o2), // near-dup of FOLDED 2 → must still reject
+      (22L, "fresh unrelated tokens arriving after the first compaction"))
+      .toDF("doc_id", "text")
+    val bD = Seq((31L, "fresh unrelated tokens arriving after the first compaction"),
+      (32L, "final wave of new material landing in the compacted sink"))
+      .toDF("doc_id", "text")
+    val sink = Files.createTempDirectory("docstream_compact").toString
+    val name = "docstream_compact"
+    def acceptedIds() = DocStream.accepted(spark, sink, bA)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dirNames() = fs.listStatus(new org.apache.hadoop.fs.Path(sink))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+
+    DocStream.processBatch(spark, bA, 0L, "doc_id", "text", 0.9, sink,
+      name, compactEvery = 2)
+    assert(dirNames().contains("batch_id=0")) // 1 < compactEvery: no fold
+    DocStream.processBatch(spark, bB, 1L, "doc_id", "text", 0.9, sink,
+      name, compactEvery = 2)
+    // fold happened: one generation, no live batch partitions
+    assert(dirNames().exists(_.startsWith("gen=")))
+    assert(!dirNames().exists(_.startsWith("batch_id=")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$sink/_sig/gen=0")))
+    assert(acceptedIds() === Set(1L, 2L, 12L))
+
+    // a batch arriving AFTER the fold must still reject near-dups of
+    // folded docs — proof the gen's signature partition is being read
+    DocStream.processBatch(spark, bC, 2L, "doc_id", "text", 0.9, sink,
+      name, compactEvery = 2)
+    assert(acceptedIds() === Set(1L, 2L, 12L, 22L))
+
+    // crash-replay exclusion survives compaction: marker gone,
+    // partition present → replay recomputes, output unchanged
+    fs.delete(new org.apache.hadoop.fs.Path(s"$sink/_applied/$name/2"), false)
+    DocStream.processBatch(spark, bC, 2L, "doc_id", "text", 0.9, sink,
+      name, compactEvery = 2)
+    assert(acceptedIds() === Set(1L, 2L, 12L, 22L))
+
+    // second fold: generations accrete (gen=1 beside gen=0), earlier
+    // generations untouched; 31 near-dups 22 (same text) → rejected
+    DocStream.processBatch(spark, bD, 3L, "doc_id", "text", 0.9, sink,
+      name, compactEvery = 2)
+    assert(dirNames().count(_.startsWith("gen=")) === 2)
+    assert(acceptedIds() === Set(1L, 2L, 12L, 22L, 32L))
+
+    // crash window between publish and source deletion: a folded
+    // source resurrected on disk is superseded by the manifest (no
+    // double count) and the next compaction GC removes it
+    Seq((1L, o1)).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$sink/batch_id=0")
+    assert(acceptedIds() === Set(1L, 2L, 12L, 22L, 32L)) // not doubled
+    assert(DocStream.accepted(spark, sink, bA)
+      .filter($"doc_id" === 1L).count() === 1L)
+    DocStream.compactSink(spark, sink, bA, "doc_id", "text", name,
+      minBatches = 99) // under threshold: GC only
+    assert(!dirNames().contains("batch_id=0"))
+  }
+
+  test("stream with compactEvery folds mid-stream and keeps rejecting") {
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "completely different words appear in this document here now"))
+      .toDF("doc_id", "text")
+    val (src, sink, cp) = freshDirs()
+    def runC(schemaFrom: org.apache.spark.sql.DataFrame): Unit = {
+      val q = DocStream.nearDupIngestStream(spark, s"$src/f", schemaFrom,
+        "doc_id", "text", 0.9, sink, "docstream_sc", Some(cp),
+        compactEvery = 1)
+      assert(q.awaitTermination(180000))
+    }
+    b1.write.mode("overwrite").parquet(s"$src/f")
+    runC(b1)
+    b2.write.mode("append").parquet(s"$src/f")
+    runC(b1)
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(sink))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(names.exists(_.startsWith("gen=")))
+    assert(!names.exists(_.startsWith("batch_id=")))
+    val got = DocStream.accepted(spark, sink, b1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 12L))
+  }
+
   test("restart with the same checkpoint reprocesses nothing") {
     val docs = TestSpark.table("documents").select("doc_id", "text").limit(100)
     val (src, sink, cp) = freshDirs()
