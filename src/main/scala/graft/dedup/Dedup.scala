@@ -139,6 +139,22 @@ object Dedup {
       nearDupSignatures(docs, idCol, textCol, shingleWidth, bands,
         rowsPerBand), threshold)
 
+  /** Relations whose Catalyst size estimate falls at or below this
+    * skip the candidate-id semi-join prune in the signature dedup
+    * paths: the prune's extra exchange + joins are a fixed plan cost
+    * that buys a saving linear in corpus size (not shingling/shuffling
+    * non-candidates — the 1000× wall), so at benchmark scale it costs
+    * more than it saves (the r8 bench drift on q23/q64/q112, isolated
+    * r9: +0.3–1.0 s each at sf0.1). Plan statistics are free; join
+    * products over-estimate, erring toward the prune — the right
+    * direction at scale — and both plans are value-identical. */
+  val SmallRelationBytes: Long = 32L * 1024 * 1024
+
+  private def isSmall(df: DataFrame): Boolean = {
+    val s = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    s.isValidLong && s.toLong <= SmallRelationBytes
+  }
+
   /** [[nearDupPairs]] over a MATERIALIZED [[nearDupSignatures]]
     * relation — the lake layout: signatures are computed once at
     * ingest (the round-8 `DocStream` persists them per batch) and
@@ -160,10 +176,12 @@ object Dedup {
     // sizes; the candIds exchange is shared with the pair joins
     // within the one action. 1000× measured: the full-corpus
     // shingle-array build was the same gram-string wall the
-    // decontaminate stage hit.
+    // decontaminate stage hit. Benchmark-sized relations skip the
+    // prune ([[SmallRelationBytes]] — same output, fewer exchanges).
     val candIds = cands.select(col("id_a").as("id"))
       .unionByName(cands.select(col("id_b").as("id"))).distinct()
-    val sh = sigs.join(candIds, Seq("id"), "left_semi")
+    val sh = (if (isSmall(sigs)) sigs
+      else sigs.join(candIds, Seq("id"), "left_semi"))
       .select(col("id"), col("sh"))
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -250,15 +268,16 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
     // verify sides pruned to candidate ids before shingling/shuffling
     // (the nearDupPairsFromSignatures note: non-candidates' shingle
-    // arrays are the avoidable cost when both sides are corpora)
-    val shL = left
-      .join(cands.select(col("id_a").as(leftId)).distinct(),
-        Seq(leftId), "left_semi")
+    // arrays are the avoidable cost when both sides are corpora);
+    // benchmark-sized sides skip the prune (SmallRelationBytes)
+    val shL = (if (isSmall(left)) left
+      else left.join(cands.select(col("id_a").as(leftId)).distinct(),
+        Seq(leftId), "left_semi"))
       .select(col(leftId).as("id_a"),
         graft.functions.shingle_set(col(leftText), shingleWidth).as("sh_a"))
-    val shR = rightSigs
-      .join(cands.select(col("id_b").as("id")).distinct(), Seq("id"),
-        "left_semi")
+    val shR = (if (isSmall(rightSigs)) rightSigs
+      else rightSigs.join(cands.select(col("id_b").as("id")).distinct(),
+        Seq("id"), "left_semi"))
       .select(col("id").as("id_b"), col("sh").as("sh_b"))
     cands.join(shL, Seq("id_a")).join(shR, Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))

@@ -33,11 +33,25 @@ object Decontaminate {
     df.select(col(idCol),
       explode(graft.functions.gram_hashes(lower(col(textCol)), n)).as("gh"))
 
+  /** Corpora whose Catalyst size estimate falls at or below this go
+    * through the DIRECT string-gram semi join — no count job, no
+    * bloom build, no second corpus pass. The hashed-gram screen's
+    * fixed costs (eval count → bloom → an extra corpus scan) buy a
+    * saving LINEAR in corpus size (measured 21.7× at the 1000×
+    * decade), so at benchmark scale they exceed the whole query
+    * (isolated sf0.1: 1.66 s screened vs ~0.8 s direct). Plan
+    * statistics are free (no job); estimates err LARGE through joins,
+    * which errs toward the screen — the correct direction at scale —
+    * and both paths are gram-for-gram exact, so the choice never
+    * changes a result. */
+  val SmallCorpusBytes: Long = 32L * 1024 * 1024
+
   /** Ids of corpus documents sharing at least one n-gram with `bench`.
     *
-    * Three exact-preserving gates, cheapest first — the corpus side
-    * never materializes a gram STRING (the 1000× curation probe put
-    * gram-string construction at the top of this stage's cost):
+    * Exact-preserving gates, cheapest first — above
+    * [[SmallCorpusBytes]] the corpus side never materializes a gram
+    * STRING (the 1000× curation probe put gram-string construction at
+    * the top of this stage's cost):
     *
     *  1. HASHED-GRAM screen: the corpus explodes 8-byte gram hashes
     *     (native [[graft.functions.gram_hashes]] — tokens folded
@@ -53,19 +67,30 @@ object Decontaminate {
     *     eval gram strings — the final result is exactly the
     *     string-join answer, gram-for-gram.
     *
-    * The eval side is benchmark-sized by contract, so its repeated
-    * small scans (count → bloom build → broadcasts) are cheap. */
+    * Benchmark-scale corpora skip straight to a whole-corpus stage 2
+    * (the [[SmallCorpusBytes]] gate). The eval side is benchmark-sized
+    * by contract, so its repeated small scans (count → bloom build →
+    * broadcasts) are cheap. */
   def contaminatedIds(corpus: DataFrame, bench: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
-    val evalHashes = gramHashes(bench, idCol, textCol, n)
-      .select("gh").distinct()
-    val nHashes = math.max(evalHashes.count(), 1L)
-    val bloom = graft.operators.BloomJoin.bloomOf(evalHashes, "gh", nHashes)
-    val candidateIds = gramHashes(corpus, idCol, textCol, n)
-      .filter(graft.functions.might_contain_bloom(col("gh"), bloom))
-      .join(broadcast(evalHashes), Seq("gh"), "left_semi")
-      .select(idCol).distinct()
-    val candidates = corpus.join(candidateIds, Seq(idCol), "left_semi")
+      idCol: String, textCol: String, n: Int,
+      smallCorpusBytes: Long = SmallCorpusBytes): DataFrame = {
+    val small = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+      .isValidLong && corpus.queryExecution.optimizedPlan.stats
+      .sizeInBytes.toLong <= smallCorpusBytes
+    val candidates =
+      if (small) corpus
+      else {
+        val evalHashes = gramHashes(bench, idCol, textCol, n)
+          .select("gh").distinct()
+        val nHashes = math.max(evalHashes.count(), 1L)
+        val bloom =
+          graft.operators.BloomJoin.bloomOf(evalHashes, "gh", nHashes)
+        val candidateIds = gramHashes(corpus, idCol, textCol, n)
+          .filter(graft.functions.might_contain_bloom(col("gh"), bloom))
+          .join(broadcast(evalHashes), Seq("gh"), "left_semi")
+          .select(idCol).distinct()
+        corpus.join(candidateIds, Seq(idCol), "left_semi")
+      }
     grams(candidates, idCol, textCol, n)
       .join(broadcast(grams(bench, idCol, textCol, n)
         .select("gram").distinct()), Seq("gram"), "left_semi")
