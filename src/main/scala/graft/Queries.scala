@@ -5945,6 +5945,71 @@ object Queries {
        |FROM f ORDER BY doc_id, frame_no""".stripMargin
   }
 
+  /** CLIP-LEVEL VIDEO NEAR-DUP ([[graft.multimodal.Multimodal
+    * .videoNearDups]]): docs sharing a group id render the SAME
+    * 2-frame clip (md5-of-group pixel patterns, q189's concatenated
+    * real-PNG container) perturbed per member (+0/1/2 on one pixel —
+    * enough to move a few dHash gradient bits, not enough to leave
+    * the Hamming radius), so each group's clips are planted
+    * re-encodes. The engine splits containers, decodes frames through
+    * the real codec, Hamming-blocks per frame index (full recall ≤
+    * maxHamming by pigeonhole), verifies exactly, and keeps pairs
+    * matching on BOTH frames; the oracle replays every pixel,
+    * gradient bit, and pairwise Hamming from the same doc_id
+    * arithmetic over ALL pairs — hash-green certifies the blocking
+    * finds exactly the all-pairs answer through the real codec path. */
+  def q190VideoDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5((col("doc_id") % 200).cast("string").cast("binary")).as("hx"))
+      .as[(Long, String)]
+      .map { case (id, hx) =>
+        val r = (id / 200).toInt
+        val pert = (r * 13) % 72
+        val clip = (0 until 2).map { f =>
+          val px = Array.tabulate[Byte](72) { i =>
+            (hx.charAt((i + 7 * f) % 32).toInt +
+              (if (i == pert) r % 3 else 0)).toByte
+          }
+          Multimodal.grayPng(px, 9, 8)
+        }.reduce(_ ++ _)
+        (id, clip)
+      }.toDF("doc_id", "media")
+    Multimodal.videoNearDups(media, "doc_id", "media",
+      stride = 1, maxHamming = 3, minMatches = 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q190Sql: String = {
+    def pixExpr(f: Int, y: Int, x: Int): String = {
+      val idx = y * 9 + x
+      s"(ord(substr(hx, ${(idx + 7 * f) % 32 + 1}, 1)) + " +
+        s"(CASE WHEN $idx = (r * 13) % 72 THEN r % 3 ELSE 0 END))"
+    }
+    def bits(f: Int) = (63 to 0 by -1).map { b =>
+      val y = b / 8
+      val x = b % 8
+      s"(CASE WHEN ${pixExpr(f, y, x)} > ${pixExpr(f, y, x + 1)} " +
+        "THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH d AS (SELECT doc_id, doc_id % 200 AS g,
+       |  CAST(doc_id // 200 AS INT) AS r FROM documents),
+       |h AS (SELECT doc_id, r, md5(CAST(g AS VARCHAR)) AS hx FROM d),
+       |b AS (SELECT doc_id, 0 AS fn, ${bits(0)} AS bits FROM h
+       |      UNION ALL SELECT doc_id, 1, ${bits(1)} FROM h),
+       |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, a.fn,
+       |  list_sum(list_transform(range(1, 65), i ->
+       |    CASE WHEN substr(a.bits, i, 1) <> substr(b2.bits, i, 1)
+       |    THEN 1 ELSE 0 END)) AS ham
+       |  FROM b a JOIN b b2 ON a.fn = b2.fn AND a.doc_id < b2.doc_id)
+       |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(sum(ham) AS BIGINT) AS sum_ham
+       |FROM p WHERE ham <= 3 GROUP BY 1, 2
+       |HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -6139,6 +6204,7 @@ object Queries {
     "q187_signature_dedup" -> (q187SignatureDedup _),
     "q188_audio_energy" -> (q188AudioEnergy _),
     "q189_video_frames" -> (q189VideoFrames _),
+    "q190_video_dedup" -> (q190VideoDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6335,6 +6401,7 @@ object Queries {
     "q187_signature_dedup" -> q23Sql,
     "q188_audio_energy" -> q188Sql,
     "q189_video_frames" -> q189Sql,
+    "q190_video_dedup" -> q190Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -6379,6 +6446,8 @@ object Queries {
     "q185_pq_sample", "q186_media_dhash_png", "q187_signature_dedup",
     "q188_audio_energy",
     // round-9: the concatenated-frame video face (container split +
-    // real per-frame PNG decode + dHash riding the scan)
-    "q189_video_frames")
+    // real per-frame PNG decode + dHash riding the scan) and
+    // clip-level video dedup (per-frame Hamming blocking + exact
+    // verify + per-pair frame counting)
+    "q189_video_frames", "q190_video_dedup")
 }

@@ -532,6 +532,66 @@ object Multimodal {
     }(enc)
   }
 
+  /** Clip-level video near-duplicates from sampled frame hashes: two
+    * clips pair when at least `minMatches` of their SAME-INDEX
+    * sampled frames are within `maxHamming` dHash bits — the standard
+    * re-encode/re-upload dedup shape (two encodes of one clip match
+    * frame-for-frame; a trailer sharing one still does not clear
+    * `minMatches`). Returns (id_a, id_b, n_frames, sum_ham).
+    *
+    * Scale shape: ONE partition-local pass decodes and hashes the
+    * sampled frames ([[videoFrameDHash]]); per (frame_no, block) the
+    * 64-bit hashes bucket by `maxHamming + 1` pigeonhole blocks (full
+    * recall within the radius — the
+    * [[graft.dedup.Dedup.simhashPairsFromSigs]] guarantee, keyed
+    * additionally by frame index so only aligned frames ever meet),
+    * exact Hamming verifies every candidate (precision exact), and
+    * the per-pair frame count is one aggregation on (id_a, id_b).
+    * Bucket sizes ride the same hash shuffle as an aggregate joined
+    * back — no wide sort — and degenerate buckets (black frames,
+    * test-pattern stills shared by thousands of clips) are dropped by
+    * `maxBucket` before they can expand quadratically. */
+  def videoNearDups(df: DataFrame, idCol: String, mediaCol: String,
+      stride: Int = 1, maxHamming: Int = 3, minMatches: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"full-recall blocking supports maxHamming in [0, 7], got $maxHamming")
+    require(minMatches >= 1, "minMatches must be >= 1")
+    val fh = videoFrameDHash(df, idCol, mediaCol, stride)
+      .filter(col("dhash").isNotNull)
+      .select(col(idCol).as("id"), col("frame_no"), col("dhash"))
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks
+    val mask = (1L << width) - 1
+    val bucketed = fh.select(col("id"), col("frame_no"), col("dhash"),
+      posexplode(array((0 until nBlocks).map(t =>
+        shiftrightunsigned(col("dhash"), t * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("block", "bucket")))
+    val keys = Seq("frame_no", "block", "bucket")
+    val sizes = bucketed.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val capped = bucketed
+      .join(sizes.filter(col("__n") >= 2 && col("__n") <= maxBucket), keys)
+      .select(col("frame_no"), col("block"), col("bucket"),
+        col("id"), col("dhash"))
+    val cands = capped
+      .select(col("frame_no"), col("block"), col("bucket"),
+        col("id").as("id_a"), col("dhash").as("h_a"))
+      .join(capped.select(col("frame_no"), col("block"), col("bucket"),
+        col("id").as("id_b"), col("dhash").as("h_b")), keys)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("frame_no"), col("id_a"), col("id_b"),
+        col("h_a"), col("h_b"))
+      .distinct() // across blocks: one row per aligned candidate frame
+    cands
+      .withColumn("ham",
+        graft.sim.Similarity.hamming64(col("h_a"), col("h_b")).cast("long"))
+      .filter(col("ham") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("ham")).as("sum_ham"))
+      .filter(col("n_frames") >= minMatches)
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th
     * `frameBytes`-sized slice becomes a row (id, frame_no, frame).
     * The explode happens partition-locally; downstream repartition

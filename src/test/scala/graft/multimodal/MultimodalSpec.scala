@@ -319,6 +319,32 @@ class MultimodalSpec extends AnyFunSuite {
       ._4.toSeq === pats(3).toSeq)
   }
 
+  test("videoNearDups: re-encoded clips pair; one shared still does not") {
+    def frame(seed: Int, nudge: Int = 0): Array[Byte] = {
+      val px = Array.tabulate[Byte](72)(i => ((i * 11 + seed * 41) % 256).toByte)
+      if (nudge != 0) px(5) = (px(5) + nudge).toByte
+      Multimodal.grayPng(px, 9, 8)
+    }
+    val clipA = frame(1) ++ frame(2) ++ frame(3)
+    val clipA2 = frame(1, nudge = 1) ++ frame(2) ++ frame(3, nudge = 1)
+    // shares ONLY frame 0 with clipA — below minMatches
+    val clipB = frame(1) ++ frame(7) ++ frame(8)
+    val clipC = frame(20) ++ frame(21) ++ frame(22)
+    val df = Seq((1L, clipA), (2L, clipA2), (3L, clipB), (4L, clipC))
+      .toDF("id", "media")
+    val got = Multimodal.videoNearDups(df, "id", "media",
+      maxHamming = 3, minMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.map(p => (p._1, p._2)) === Set((1L, 2L)))
+    assert(got.head._3 === 3L) // all three frames matched
+    // with minMatches = 1 the single shared still surfaces too
+    val loose = Multimodal.videoNearDups(df, "id", "media",
+      maxHamming = 3, minMatches = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(loose.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(loose.find(p => p._1 == 1L && p._2 == 3L).get._3 === 1L)
+  }
+
   test("sampleFrames explodes payload into strided frame rows") {
     val out = Multimodal.sampleFrames(media, "doc_id", "media",
       frameBytes = 16, stride = 2)
