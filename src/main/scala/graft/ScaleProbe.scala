@@ -358,8 +358,15 @@ object ScaleProbe {
     val weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
     val d1 = dedup.Dedup.dropExactDups(docsK, "doc_id", "text").persist(lvl)
     val r1 = t("s1_exact_dedup") { d1.count() }
+    // signatures materialized ONCE (the Curation.curate persistStages
+    // shape since round 9): the pair plan's banding and verify
+    // branches both read them, and the r9 decade probe prices the
+    // stored path 6.7× under the from-text path
+    val sigs = dedup.Dedup.nearDupSignatures(d1, "doc_id", "text")
+      .persist(lvl)
+    val r2s = t("s2s_sig_build") { sigs.count() }
     val pairs = dedup.Dedup
-      .nearDupPairs(d1, "doc_id", "text", threshold = 0.9).persist(lvl)
+      .nearDupPairsFromSignatures(sigs, threshold = 0.9).persist(lvl)
     val r2a = t("s2a_neardup_pairs") { pairs.count() }
     val d2 = dedup.Dedup.dropNearDups(d1, "doc_id", pairs).persist(lvl)
     val r2b = t("s2b_cc_drop") { d2.count() }
@@ -378,7 +385,7 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
         .count()
     }
-    println(Seq(r1, r2a, r2b, r4, r5)
+    println(Seq(r1, r2s, r2a, r2b, r4, r5)
       .mkString("[probe] {", ",", s""","replication":$k}"""))
   }
 

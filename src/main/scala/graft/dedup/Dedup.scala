@@ -30,10 +30,26 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Rows that survive exact dedup (first id per distinct text). */
+  /** Rows that survive exact dedup (first id per distinct text).
+    *
+    * Joined on the DROP list, not the keep list: real corpora dedup
+    * away a few percent, so the keep list is corpus-sized (a semi
+    * join against it shuffles every full row — the measured bulk of
+    * the q177 chain's exact-dedup stage at 1000×: ~5 GB of text
+    * moved to drop 8k rows) while the drop list is dup-sized. The
+    * LEFT ANTI against (id, keep_id) mismatches is AQE-broadcast at
+    * typical dup rates, so the full rows never shuffle at all; at
+    * pathological dup rates (drop list corpus-sized) it degrades to
+    * exactly the old semi-join cost, never worse. Same kept set by
+    * construction: id ∉ drops ⇔ id = min(id) of its fingerprint
+    * group. */
   def dropExactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
-    docs.join(keep, Seq(idCol), "left_semi")
+    val fpId = docs.select(xxhash64(col(textCol)).as("fp"), col(idCol))
+    val keeps = fpId.groupBy(col("fp")).agg(min(col(idCol)).as("__keep"))
+    val drops = fpId.join(keeps, Seq("fp"))
+      .filter(col(idCol) =!= col("__keep"))
+      .select(idCol)
+    docs.join(drops, Seq(idCol), "left_anti")
   }
 
   // MinHash signatures and LSH band buckets are native codegen'd

@@ -43,8 +43,19 @@ object Curation {
     def staged(df: DataFrame): DataFrame =
       if (persistStages) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     val d1 = staged(Dedup.dropExactDups(docs, idCol, textCol))
+    // the near-dup signature relation (bands + shingle sets) appears
+    // in BOTH the banding branch and the candidate-verify branch of
+    // the pair plan; Spark materializes no common subexpression, so
+    // an unpersisted chain computes every doc's minhash/shingles
+    // twice. With persistStages the signatures pin ONCE — the r9
+    // decade probe prices exactly this: the same corpus dedups 6.7×
+    // faster off a materialized signature relation than off text.
+    // Composition identity: nearDupPairs IS
+    // nearDupPairsFromSignatures ∘ nearDupSignatures, so results are
+    // bit-identical either way (q177 oracle path stays unpersisted).
+    val sigs = staged(Dedup.nearDupSignatures(d1, idCol, textCol))
     val d2 = staged(Dedup.dropNearDups(d1, idCol,
-      Dedup.nearDupPairs(d1, idCol, textCol, threshold)))
+      Dedup.nearDupPairsFromSignatures(sigs, threshold)))
     val d3 = d2.filter(
       round(TextOps.qualityScore(col(textCol)), 6) >= minQuality)
     // corpusPredicate carves the export corpus out AFTER the corpus-
@@ -67,7 +78,7 @@ object Curation {
       if (persistStages) {
         val pinned = d5.persist(StorageLevel.MEMORY_AND_DISK)
         pinned.count()
-        Seq(d1, d2, d4).foreach(_.unpersist())
+        Seq(d1, sigs, d2, d4).foreach(_.unpersist())
         pinned
       } else d5
     out
