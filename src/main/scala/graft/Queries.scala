@@ -6010,6 +6010,64 @@ object Queries {
        |HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** AUDIO NEAR-DUP ([[graft.multimodal.Multimodal.audioNearDups]]):
+    * docs sharing a group id render the SAME 130-sample PCM16 clip
+    * (md5-of-group arithmetic, real RIFF/WAV container — the q188
+    * fixture recipe) perturbed per member on one sample, so groups
+    * are planted re-encodes whose energy-gradient fingerprints
+    * ([[graft.multimodal.Multimodal.audioFingerprint64]] — bit b =
+    * energy(b) > energy(b+1), exact Long Σs² windows) sit 0–3
+    * Hamming bits apart. The engine decodes through the real JDK WAV
+    * parser and blocks by pigeonhole Hamming bands (full recall,
+    * exact verify); the oracle replays every sample, window energy,
+    * gradient bit, and pairwise Hamming from doc_id arithmetic over
+    * ALL pairs — hash-green certifies blocking ≡ all-pairs through
+    * the real audio codec path. */
+  def q191AudioDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5((col("doc_id") % 200).cast("string").cast("binary")).as("hx"))
+      .as[(Long, String)]
+      .map { case (id, hx) =>
+        val r = (id / 200).toInt
+        val pert = (r * 7) % 130
+        val samples = Array.tabulate[Short](130) { i =>
+          ((hx.charAt(i % 32).toInt - 80) * 257 +
+            (if (i == pert) (r % 3) * 2000 else 0)).toShort
+        }
+        (id, Multimodal.pcm16Wav(samples, 16000))
+      }.toDF("doc_id", "media")
+    Multimodal.audioNearDups(media, "doc_id", "media",
+      windowSamples = 2, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q191Sql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 200 AS g,
+      |  CAST(doc_id // 200 AS INT) AS r FROM documents),
+      |h AS (SELECT doc_id, r, md5(CAST(g AS VARCHAR)) AS hx FROM d),
+      |sm AS (SELECT doc_id, r, hx, unnest(generate_series(0, 129)) AS i FROM h),
+      |sv AS (SELECT doc_id, i, (ord(substr(hx, (i % 32) + 1, 1)) - 80) * 257
+      |  + (CASE WHEN i = (r * 7) % 130 THEN (r % 3) * 2000 ELSE 0 END) AS s
+      |  FROM sm),
+      |e AS (SELECT doc_id, CAST(i // 2 AS INT) AS win,
+      |  sum(CAST(s AS BIGINT) * s) AS en FROM sv GROUP BY 1, 2),
+      |bset AS (SELECT doc_id, win, CASE WHEN en > lead(en)
+      |  OVER (PARTITION BY doc_id ORDER BY win) THEN 1 ELSE 0 END AS bit
+      |  FROM e),
+      |bits AS (SELECT doc_id,
+      |  string_agg(CAST(bit AS VARCHAR), '' ORDER BY win DESC) AS bs
+      |  FROM bset WHERE win < 64 GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  list_sum(list_transform(range(1, 65), i ->
+      |    CASE WHEN substr(a.bs, i, 1) <> substr(b.bs, i, 1)
+      |    THEN 1 ELSE 0 END)) AS ham
+      |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(ham AS BIGINT) AS hamming FROM p
+      |WHERE ham <= 3 ORDER BY id_a, id_b""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -6205,6 +6263,7 @@ object Queries {
     "q188_audio_energy" -> (q188AudioEnergy _),
     "q189_video_frames" -> (q189VideoFrames _),
     "q190_video_dedup" -> (q190VideoDedup _),
+    "q191_audio_dedup" -> (q191AudioDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6402,6 +6461,7 @@ object Queries {
     "q188_audio_energy" -> q188Sql,
     "q189_video_frames" -> q189Sql,
     "q190_video_dedup" -> q190Sql,
+    "q191_audio_dedup" -> q191Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -6449,5 +6509,8 @@ object Queries {
     // real per-frame PNG decode + dHash riding the scan) and
     // clip-level video dedup (per-frame Hamming blocking + exact
     // verify + per-pair frame counting)
-    "q189_video_frames", "q190_video_dedup")
+    "q189_video_frames", "q190_video_dedup",
+    // round-9: audio near-dup (energy-gradient fingerprint through the
+    // real WAV codec + Hamming blocking)
+    "q191_audio_dedup")
 }

@@ -258,6 +258,75 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit audio fingerprint: the energy-gradient twin of the image
+    * [[dHash64]] — decode PCM16, fold exact integer window energies
+    * (Σ s² per `windowSamples` window, Long arithmetic), and set bit
+    * b when energy(b) > energy(b+1) over the first 65 windows
+    * (missing windows read energy 0, so any non-empty clip has a
+    * defined fingerprint). Loudness RANK between adjacent windows
+    * survives re-encoding and mild level drift where raw energies do
+    * not — the same robustness argument as dHash's gradient signs —
+    * and the integer-only pipeline lets a SQL oracle replay the hash
+    * value-for-value (q191). Returns None for undecodable media. */
+  def audioFingerprint64(media: Array[Byte],
+      windowSamples: Int): Option[Long] = {
+    require(windowSamples > 0, "windowSamples must be > 0")
+    decodeAudio(media).map { case (_, _, _, samples) =>
+      val e = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        var j = w * windowSamples
+        val end = math.min(samples.length, (w + 1) * windowSamples)
+        var s = 0L
+        while (j < end) { s += samples(j).toLong * samples(j); j += 1 }
+        e(w) = s
+        w += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (e(b) > e(b + 1)) fp |= 1L << b
+        b += 1
+      }
+      fp
+    }
+  }
+
+  /** Attach the [[audioFingerprint64]] of each media value —
+    * partition-local batch decode + fold, zero shuffle (the
+    * [[withDHash]] shape for the audio modality). Null when the media
+    * fails to decode. */
+  def withAudioFingerprint(df: DataFrame, mediaCol: String,
+      windowSamples: Int, outCol: String = "afp"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, LongType))
+    val enc = ExpressionEncoder(schema)
+    val idx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val fp = audioFingerprint64(r.getAs[Array[Byte]](idx), windowSamples)
+          .map(java.lang.Long.valueOf).orNull
+        Row.fromSeq(r.toSeq :+ fp)
+      }
+    }(enc)
+  }
+
+  /** Audio near-duplicate pairs: [[audioFingerprint64]] signatures
+    * through the full-recall Hamming-band blocking of
+    * [[graft.dedup.Dedup.simhashPairsFromSigs]] — the audio member of
+    * the per-modality dedup family (images: [[mediaNearDupsPerceptual]];
+    * video: [[videoNearDups]]). Returns (id_a, id_b, hamming);
+    * undecodable rows are excluded. */
+  def audioNearDups(df: DataFrame, idCol: String, mediaCol: String,
+      windowSamples: Int, maxHamming: Int,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = withAudioFingerprint(
+        df.select(col(idCol), col(mediaCol)), mediaCol, windowSamples)
+      .filter(col("afp").isNotNull)
+      .select(col(idCol).as("id"), col("afp").as("sig"))
+    graft.dedup.Dedup.simhashPairsFromSigs(sigs, maxHamming,
+      sigBits = 64, maxBucket = maxBucket)
+  }
+
   /** Attach a metadata struct column by decoding each payload —
     * partition-local, zero shuffle. */
   def withMeta(df: DataFrame, mediaCol: String, metaCol: String = "meta")

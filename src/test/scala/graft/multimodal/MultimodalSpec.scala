@@ -345,6 +345,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(loose.find(p => p._1 == 1L && p._2 == 3L).get._3 === 1L)
   }
 
+  test("audioFingerprint64 + audioNearDups: gradient bits, re-encode pairing") {
+    // hand-checkable: windows of 2, energies 25, 4, 100, 0... →
+    // bit0 (25>4)=1, bit1 (4>100)=0, bit2 (100>0)=1, rest 0
+    val s1 = Array[Short](3, -4, 0, 2, 10, 0)
+    val wav1 = Multimodal.pcm16Wav(s1, 8000)
+    assert(Multimodal.audioFingerprint64(wav1, 2).get === 5L)
+    assert(Multimodal.audioFingerprint64(Array[Byte](1, 2), 2) === None)
+    // near-dup: base clip, a lightly perturbed re-encode, a reversed
+    // clip (ranks inverted), an undecodable row
+    val base = Array.tabulate[Short](130)(i => ((i % 17 - 8) * 800).toShort)
+    val nudged = base.clone()
+    nudged(3) = (nudged(3) + 900).toShort
+    val other = base.reverse
+    val df = Seq(
+      (1L, Multimodal.pcm16Wav(base, 8000)),
+      (2L, Multimodal.pcm16Wav(nudged, 8000)),
+      (3L, Multimodal.pcm16Wav(other, 8000)),
+      (4L, Array[Byte](7, 7)))
+      .toDF("id", "media")
+    val pairs = Multimodal.audioNearDups(df, "id", "media",
+      windowSamples = 2, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 <= 3L)
+    val fps = Multimodal.withAudioFingerprint(df, "media", 2)
+      .filter($"afp".isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) > 3)
+  }
+
   test("sampleFrames explodes payload into strided frame rows") {
     val out = Multimodal.sampleFrames(media, "doc_id", "media",
       frameBytes = 16, stride = 2)
