@@ -274,7 +274,22 @@ object Dedup {
       df.join(sizes, Seq("band", "bucket"))
     }
     val lb = capped(lb0)
-    val rb = capped(rb0)
+    // the right side's cap needs per-bucket SIZES, and computing them
+    // over the whole stored-signature relation shuffles the accepted
+    // corpus once per call — the per-batch linear cost of the
+    // streaming steady state. Buckets that never meet the left side
+    // can't produce candidates, and a semi join on the bucket KEY
+    // keeps surviving buckets WHOLE, so per-bucket counts (and the
+    // cap decision, and the output) are identical computed after the
+    // prune. For a micro-batch left the distinct bucket set
+    // broadcasts and the accepted side never shuffles at all; for
+    // corpus × corpus it degrades to one extra shuffled semi join —
+    // which is why the benchmark-scale gate keeps the direct plan.
+    val rbBase =
+      if (isSmall(rightSigs)) rb0
+      else rb0.join(lb0.select(col("band"), col("bucket")).distinct(),
+        Seq("band", "bucket"), "left_semi")
+    val rb = capped(rbBase)
     val observed = obs.fold(lb)(o => lb.observe(o,
       sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
       max(col("__n")).as("max_bucket_size")))
