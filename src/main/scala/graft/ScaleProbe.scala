@@ -329,19 +329,28 @@ object ScaleProbe {
     val docsK = replicateTextSalted(tbl("documents"), k).persist(lvl)
     docsK.count()
     val weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
-    def chain(persist: Boolean): Long =
+    def chain(persist: Boolean, scratch: Option[String] = None): Long =
       etl.Curation.exportProfile(
         etl.Curation.curate(docsK, "doc_id", "text", "lang", "n_chars",
           threshold = 0.9, minQuality = 0.3,
           benchmark = docsK.filter(col("doc_id") < 10), decontaminateN = 4,
           weights = weights, budget = 40000L * k,
           corpusPredicate = col("doc_id") >= 10,
-          persistStages = persist),
+          persistStages = persist, scratchDir = scratch),
         "doc_id", "n_chars", 8).count()
-    val results = Seq(
-      t("curation_lineage") { chain(persist = false) },
-      t("curation_persisted") { chain(persist = true) })
-    println(results.mkString("[probe] {", ",", s""","replication":$k}"""))
+    val scratchDir = java.nio.file.Files
+      .createTempDirectory("curation_scratch").toString
+    try {
+      val results = Seq(
+        t("curation_lineage") { chain(persist = false) },
+        t("curation_persisted") { chain(persist = true) },
+        // the r9 decade probe priced pairs-from-PARQUET-sigs 4.2×
+        // under pairs-from-cached-sigs on the same corpus (39.6 vs
+        // 168.4 s at 1000×) — this entry prices that delta in-chain
+        t("curation_scratch") { chain(persist = true, Some(scratchDir)) })
+      println(results.mkString("[probe] {", ",", s""","replication":$k}"""))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(scratchDir))
   }
 
   /** Stage-level timing of the curation chain: every stage's INPUT is

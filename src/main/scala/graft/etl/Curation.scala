@@ -32,14 +32,26 @@ object Curation {
     * `threshold`, quality-score floor, n-gram decontamination of
     * `corpus` against `benchmark`, and the md5-bucketed budget
     * mixture. Column contract: docs(idCol, textCol, domainCol,
-    * costCol). */
+    * costCol).
+    *
+    * `scratchDir` routes the near-dup signature stage through a
+    * PARQUET scratch write instead of the block-store cache: the pair
+    * plan's banding branch then scans only `(id, bands)` and its
+    * verify branch only `(id, sh)` (parquet column pruning — the
+    * block cache deserializes whole rows, shingle arrays included,
+    * for both), the bytes live compressed on disk instead of
+    * occupying executor memory the rest of the chain wants, and scan
+    * parallelism follows file splits rather than cached-partition
+    * count. The caller owns the directory's lifecycle (it must
+    * outlive consumption of the returned frame). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       domainCol: String, costCol: String,
       threshold: Double, minQuality: Double,
       benchmark: DataFrame, decontaminateN: Int,
       weights: Map[String, Double], budget: Long,
       corpusPredicate: Column = lit(true),
-      persistStages: Boolean = false): DataFrame = {
+      persistStages: Boolean = false,
+      scratchDir: Option[String] = None): DataFrame = {
     def staged(df: DataFrame): DataFrame =
       if (persistStages) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     val d1 = staged(Dedup.dropExactDups(docs, idCol, textCol))
@@ -53,7 +65,14 @@ object Curation {
     // Composition identity: nearDupPairs IS
     // nearDupPairsFromSignatures ∘ nearDupSignatures, so results are
     // bit-identical either way (q177 oracle path stays unpersisted).
-    val sigs = staged(Dedup.nearDupSignatures(d1, idCol, textCol))
+    val sigs = scratchDir match {
+      case Some(dir) =>
+        val path = s"$dir/near_dup_sigs"
+        Dedup.nearDupSignatures(d1, idCol, textCol)
+          .write.mode("overwrite").parquet(path)
+        docs.sparkSession.read.parquet(path)
+      case None => staged(Dedup.nearDupSignatures(d1, idCol, textCol))
+    }
     val d2 = staged(Dedup.dropNearDups(d1, idCol,
       Dedup.nearDupPairsFromSignatures(sigs, threshold)))
     val d3 = d2.filter(

@@ -310,11 +310,18 @@ object EventStream {
     * own `batch_id=N/` partition instead of appending. A replayed
     * batch rewrites identical bytes; readers see each source row once.
     * The checkpoint carries source progress, so a restart with new
-    * source files processes ONLY the new files into new partitions. */
+    * source files processes ONLY the new files into new partitions.
+    *
+    * `compactEvery > 0` bounds the sink's directory count for a
+    * long-running stream: once that many COMMITTED (`id < batchId`,
+    * hence never-replayable) partitions accumulate, they fold into a
+    * compacted `gen=K` generation ([[SinkFold.fold]] — the DocStream
+    * lifecycle, data-only). Read a compacted sink through
+    * [[enriched]], not raw partition discovery. */
   def asOfEnrichForeachBatch(spark: SparkSession, srcDir: String,
       schemaFrom: DataFrame, right: DataFrame, key: String, ts: String,
       carry: Seq[String], rightTieBreak: String, sinkDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     spark.readStream
       .schema(schemaFrom.schema)
       .parquet(srcDir)
@@ -323,11 +330,24 @@ object EventStream {
         graft.operators.AsOfJoin
           .asOf(batch, right, key, ts, carry, rightTieBreak)
           .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+        if (compactEvery > 0)
+          SinkFold.fold(spark, sinkDir,
+            schemaFrom = spark.read.parquet(s"$sinkDir/batch_id=$batchId"),
+            beforeBatchId = batchId, minBatches = compactEvery)
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The as-of enrichment sink as one batch relation — generations
+    * plus unfolded batch partitions ([[SinkFold.read]]; a compacted
+    * sink holds both `gen=` and `batch_id=` directories, which naive
+    * partition discovery rejects). `schemaFrom` is the ENRICHED row
+    * shape (source columns + carries). */
+  def enriched(spark: SparkSession, sinkDir: String,
+      schemaFrom: DataFrame): DataFrame =
+    SinkFold.read(spark, sinkDir, schemaFrom)
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)

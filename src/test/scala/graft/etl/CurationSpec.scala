@@ -13,13 +13,13 @@ class CurationSpec extends AnyFunSuite {
   private lazy val docs = TestSpark.table("documents")
   private val weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
 
-  private def run(persist: Boolean) =
+  private def run(persist: Boolean, scratch: Option[String] = None) =
     Curation.curate(docs, "doc_id", "text", "lang", "n_chars",
       threshold = 0.9, minQuality = 0.3,
       benchmark = docs.filter(col("doc_id") < 10), decontaminateN = 4,
       weights = weights, budget = 40000L,
       corpusPredicate = col("doc_id") >= 10,
-      persistStages = persist)
+      persistStages = persist, scratchDir = scratch)
 
   test("persistStages = true is bit-identical to the lineage default") {
     val a = run(persist = false).select("doc_id").collect()
@@ -28,6 +28,21 @@ class CurationSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq
     assert(a === b)
     assert(a.nonEmpty)
+  }
+
+  test("scratchDir parquet signature stage is bit-identical too") {
+    val dir = java.nio.file.Files.createTempDirectory("cur_scratch")
+    try {
+      val a = run(persist = false).select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val c = run(persist = true, Some(dir.toString)).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(a === c)
+      assert(a.nonEmpty)
+      // the scratch stage actually wrote parquet (not the cache path)
+      assert(new java.io.File(s"$dir/near_dup_sigs").exists())
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
   test("export profile shards every accepted doc exactly once") {

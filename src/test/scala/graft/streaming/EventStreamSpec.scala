@@ -328,4 +328,69 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() === 6)
     assert(spark.read.parquet(sink).select("batch_id").distinct().count() === 2)
   }
+
+  test("as-of enrichment sink compaction folds committed partitions, reader unchanged") {
+    val tmp = Files.createTempDirectory("asof_compact").toString
+    val src = s"$tmp/src"; val sink = s"$tmp/out"; val ck = s"$tmp/ck"
+    def ev(id: Long, sec: Long, u: Long) =
+      EventStream.Event(id, new java.sql.Timestamp(sec * 1000), u, "x", 0.0)
+    val quotes = Seq((1L, 10L, 1.0), (1L, 22L, 2.0), (2L, 12L, 3.0))
+      .map { case (k, s, p) => (k, new java.sql.Timestamp(s * 1000), p, s) }
+      .toDF("user_id", "ts", "px", "seq")
+    val waves = Seq(
+      Seq(ev(1, 10, 1), ev(2, 20, 1)),
+      Seq(ev(3, 15, 2)),
+      Seq(ev(4, 25, 1), ev(5, 5, 2)),
+      Seq(ev(6, 30, 3)))
+    waves.foreach { w =>
+      w.toDS().write.mode("append").parquet(src)
+      val q = EventStream.asOfEnrichForeachBatch(spark, src,
+        waves.head.toDS().toDF(), quotes, key = "user_id", ts = "ts",
+        carry = Seq("px"), rightTieBreak = "seq", sinkDir = sink,
+        checkpointDir = ck, compactEvery = 2)
+      assert(q.awaitTermination(120000), "streaming query timed out")
+    }
+    val dirs = new java.io.File(sink).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).toSet
+    // batches 0..3: batch 2 folds {0,1} into gen=0; batch 3 sees only
+    // {2} committed (< minBatches) — steady state is bounded, not
+    // one-directory-per-batch
+    assert(dirs.exists(_.startsWith("gen=")), s"no generation in $dirs")
+    assert(dirs.count(_.startsWith("batch_id=")) <= 2, s"unfolded: $dirs")
+    val out = EventStream.enriched(spark, sink,
+      spark.read.parquet(s"$sink/${dirs.head}"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "px").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -999.0 else r.getDouble(1))).toSet
+    val batch = canon(graft.operators.AsOfJoin.asOf(
+      waves.flatten.toDS().toDF(), quotes, key = "user_id", ts = "ts",
+      carry = Seq("px"), rightTieBreak = "seq"))
+    assert(canon(out) === batch)
+    assert(out.count() === 6)
+  }
+
+  test("SinkFold: manifest supersedes a source that survived a crash-window") {
+    val tmp = Files.createTempDirectory("sinkfold_crash").toString
+    val sink = s"$tmp/out"
+    val rows = (0L until 4L).map(i => (i, s"v$i")).toDF("id", "v")
+    // three committed batch partitions
+    (0 until 3).foreach(b => rows.filter($"id" === b)
+      .write.parquet(s"$sink/batch_id=$b"))
+    val gen = SinkFold.fold(spark, sink, rows, beforeBatchId = 3,
+      minBatches = 2)
+    assert(gen === Some(0L))
+    assert(SinkFold.read(spark, sink, rows).count() === 3)
+    // crash window: a folded source reappears on disk (fold published
+    // its manifest but died before deleting sources) — the manifest
+    // must supersede it in every listing, and the next fold GCs it
+    rows.filter($"id" === 1).write.mode("overwrite")
+      .parquet(s"$sink/batch_id=1")
+    assert(SinkFold.read(spark, sink, rows).count() === 3,
+      "manifested source must not double-count")
+    SinkFold.fold(spark, sink, rows, beforeBatchId = 100, minBatches = 99)
+    assert(!new java.io.File(s"$sink/batch_id=1").exists(),
+      "GC must delete the manifested source")
+    assert(SinkFold.read(spark, sink, rows).count() === 3)
+  }
 }
