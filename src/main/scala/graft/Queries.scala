@@ -6068,6 +6068,74 @@ object Queries {
       |SELECT id_a, id_b, CAST(ham AS BIGINT) AS hamming FROM p
       |WHERE ham <= 3 ORDER BY id_a, id_b""".stripMargin
 
+  /** STREAMING AS-OF ENRICHMENT WITH SINK COMPACTION
+    * ([[graft.streaming.EventStream.asOfEnrichForeachBatch]] +
+    * [[graft.streaming.SinkFold]]): the REAL AvailableNow stream runs
+    * inside the query — clicks land as four id-ranged files drained
+    * one per micro-batch (mod time fixes arrival order), each batch
+    * as-of-joins against the static error history and overwrites its
+    * own partition, and `compactEvery = 2` folds committed partitions
+    * into manifest-carrying generations MID-STREAM. The result reads
+    * through the generation-aware reader, so hash-green certifies the
+    * whole lifecycle: batching the left side of an as-of join cannot
+    * change any row's match, and folding partitions cannot lose,
+    * duplicate, or reorder rows. Oracle = q41's DuckDB ASOF JOIN
+    * verbatim (same relations, same tie-break dedup). */
+  def q192StreamAsofCompact(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("err_id"),
+        max_by(col("value"), col("event_id")).as("err_value"))
+    val tmp = java.nio.file.Files.createTempDirectory("q192_src").toString
+    val sinkRoot = java.nio.file.Files.createTempDirectory("q192_sink").toString
+    val sink = sinkRoot + "/enriched"
+    val cp = java.nio.file.Files.createTempDirectory("q192_cp").toString
+    try {
+      val maxId = clicks.agg(max(col("event_id"))).head().getLong(0)
+      val cuts = Seq(maxId / 4, maxId / 2, 3 * maxId / 4)
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val stamped = scala.collection.mutable.Set[String]()
+      val base = 1600000000000L
+      Seq(
+        clicks.filter(col("event_id") <= cuts(0)),
+        clicks.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+        clicks.filter(col("event_id") > cuts(1) && col("event_id") <= cuts(2)),
+        clicks.filter(col("event_id") > cuts(2))
+      ).zipWithIndex.foreach { case (part, i) =>
+        part.coalesce(1).write.mode("append").parquet(tmp)
+        fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .foreach { st =>
+            if (stamped.add(st.getPath.getName))
+              fs.setTimes(st.getPath, base + i * 1000L, -1)
+          }
+      }
+      val q = graft.streaming.EventStream.asOfEnrichForeachBatch(s, tmp,
+        clicks, errors, key = "user_id", ts = "ts",
+        carry = Seq("err_id", "err_value"), rightTieBreak = "err_id",
+        sinkDir = sink, checkpointDir = cp, compactEvery = 2,
+        maxFilesPerTrigger = Some(1))
+      require(q.awaitTermination(300000), "q192 stream timed out")
+      val enrichedSchema = graft.operators.AsOfJoin.asOf(clicks.limit(0),
+        errors, "user_id", "ts", Seq("err_id", "err_value"), "err_id")
+      val out = graft.streaming.EventStream.enriched(s, sink, enrichedSchema)
+        .select("event_id", "user_id", "err_id", "err_value")
+        .orderBy("event_id")
+      // materialize before the finally deletes the sink the plan reads
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      s.createDataFrame(rows, out.schema).orderBy("event_id")
+    } finally
+      Seq(tmp, sinkRoot, cp).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
+  /** The stream + fold must land exactly the batch as-of answer. */
+  val q192Sql: String = q41Sql
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -6264,6 +6332,7 @@ object Queries {
     "q189_video_frames" -> (q189VideoFrames _),
     "q190_video_dedup" -> (q190VideoDedup _),
     "q191_audio_dedup" -> (q191AudioDedup _),
+    "q192_stream_asof_compact" -> (q192StreamAsofCompact _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6462,6 +6531,8 @@ object Queries {
     "q189_video_frames" -> q189Sql,
     "q190_video_dedup" -> q190Sql,
     "q191_audio_dedup" -> q191Sql,
+    // the compacted stream face must land exactly q41's batch answer
+    "q192_stream_asof_compact" -> q192Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

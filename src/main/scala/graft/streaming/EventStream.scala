@@ -321,9 +321,12 @@ object EventStream {
   def asOfEnrichForeachBatch(spark: SparkSession, srcDir: String,
       schemaFrom: DataFrame, right: DataFrame, key: String, ts: String,
       carry: Seq[String], rightTieBreak: String, sinkDir: String,
-      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
-    spark.readStream
-      .schema(schemaFrom.schema)
+      checkpointDir: String, compactEvery: Int = 0,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schemaFrom.schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -339,6 +342,7 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** The as-of enrichment sink as one batch relation — generations
     * plus unfolded batch partitions ([[SinkFold.read]]; a compacted
