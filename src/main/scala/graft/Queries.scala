@@ -6136,6 +6136,192 @@ object Queries {
   /** The stream + fold must land exactly the batch as-of answer. */
   val q192Sql: String = q41Sql
 
+  /** STREAMING DECONTAMINATED INGEST ([[graft.streaming.DocStream]]
+    * with `bench`): the q184 ingest with ONLINE DECONTAMINATION layered
+    * in front — every micro-batch first drops documents sharing any
+    * 4-gram with the benchmark set (docs with doc_id % 37 = 0, which
+    * are themselves in the arriving corpus and so reject themselves),
+    * then runs the cross-corpus + in-batch near-dup policy on the
+    * clean survivors. Decontamination is per-document against a static
+    * broadcast gram set, so batching cannot change any verdict; the
+    * near-dup half replays offline CC exactly as in q184 because the
+    * clean subset's dup graph is an induced subgraph of the fixture's
+    * pairs + triangle (vertex removal keeps cliques cliques). Oracle =
+    * offline decontaminate-then-CC-dedup. */
+  def q193StreamDecontamIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("q193_src").toString
+    val sinkRoot = java.nio.file.Files.createTempDirectory("q193_sink").toString
+    val sink = sinkRoot + "/accepted"
+    val cp = java.nio.file.Files.createTempDirectory("q193_cp").toString
+    try {
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val stamped = scala.collection.mutable.Set[String]()
+      val base = 1600000000000L
+      Seq(
+        docs.filter(col("doc_id") <= cut1),
+        docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+        docs.filter(col("doc_id") > cut2)
+      ).zipWithIndex.foreach { case (part, i) =>
+        part.coalesce(1).write.mode("append").parquet(tmp)
+        fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .foreach { st =>
+            if (stamped.add(st.getPath.getName))
+              fs.setTimes(st.getPath, base + i * 1000L, -1)
+          }
+      }
+      val name = "q193_ingest_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = graft.streaming.DocStream.nearDupIngestStream(s, tmp, docs,
+        "doc_id", "text", threshold = 0.9, sink, name, Some(cp),
+        maxFilesPerTrigger = Some(1), bench = Some(bench), benchGramN = 4)
+      require(q.awaitTermination(300000), "q193 ingest timed out")
+      val acc = graft.streaming.DocStream.accepted(s, sink, docs)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+      // materialize before the finally deletes the sink the plan reads
+      val rows = java.util.Arrays.asList(acc.collect(): _*)
+      s.createDataFrame(rows, acc.schema).orderBy("doc_id")
+    } finally
+      Seq(tmp, sinkRoot, cp).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
+  val q193Sql: String =
+    s"""WITH RECURSIVE ${gramCte(4)},
+      |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0),
+      |cont AS (SELECT DISTINCT doc_id FROM grams
+      |         WHERE gram IN (SELECT gram FROM bench)),
+      |clean AS (SELECT * FROM documents
+      |          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |${dupClusterCteSqlFrom("clean")},
+      |cl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+      |SELECT doc_id, lang, n_chars FROM clean
+      |WHERE doc_id NOT IN (SELECT id FROM cl WHERE cluster <> id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** FORWARD AS-OF JOIN ([[graft.operators.AsOfJoin]] `forward =
+    * true`): each click gets the EARLIEST error at-or-after it for the
+    * same user — "what broke next", the mirror of q41's point-in-time
+    * lookback. Same merge plan over reversed time: one key shuffle,
+    * one sort, no range explosion. Oracle is DuckDB's ASOF with the
+    * inequality flipped. */
+  def q194AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("err_id"),
+        max_by(col("value"), col("event_id")).as("err_value"))
+    graft.operators.AsOfJoin
+      .asOf(clicks, errors, "user_id", "ts", Seq("err_id", "err_value"),
+        "err_id", forward = true)
+      .select("event_id", "user_id", "err_id", "err_value")
+      .orderBy("event_id")
+  }
+
+  val q194Sql: String =
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |e AS (SELECT user_id, ts, max(event_id) AS err_id,
+      |        arg_max(value, event_id) AS err_value
+      |      FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, e.err_id, e.err_value
+      |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts <= e.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** TOLERANCED AS-OF JOIN ([[graft.operators.AsOfJoin]]
+    * `toleranceSec`): q41's lookback, but a match farther than 24 h
+    * from the click is rejected — the row survives with a null carry,
+    * indistinguishable from no-match (the as-of match is the NEAREST
+    * candidate, so "nearest too far" = "nothing within tolerance").
+    * The pandas merge_asof `tolerance` semantics at one-shuffle scale.
+    * Oracle: DuckDB ASOF, the carry nulled by an epoch-distance CASE
+    * — correct for exactly the nearest-match reason above. */
+  def q195AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("err_id"),
+        max_by(col("value"), col("event_id")).as("err_value"))
+    graft.operators.AsOfJoin
+      .asOf(clicks, errors, "user_id", "ts", Seq("err_id", "err_value"),
+        "err_id", toleranceSec = Some(86400.0))
+      .select("event_id", "user_id", "err_id", "err_value")
+      .orderBy("event_id")
+  }
+
+  val q195Sql: String =
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |e AS (SELECT user_id, ts, max(event_id) AS err_id,
+      |        arg_max(value, event_id) AS err_value
+      |      FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id,
+      |  CASE WHEN e.ts IS NOT NULL AND epoch(c.ts) - epoch(e.ts) <= 86400
+      |       THEN e.err_id END AS err_id,
+      |  CASE WHEN e.ts IS NOT NULL AND epoch(c.ts) - epoch(e.ts) <= 86400
+      |       THEN e.err_value END AS err_value
+      |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** LSH BAND-PLAN TUNER ([[graft.dedup.Dedup.tuneBands]]): every
+    * (bands, rowsPerBand) split of a 32-hash MinHash signature scored
+    * against the engine's own 0.9 dedup threshold — false-positive
+    * area (sub-threshold pairs that still collide → wasted exact
+    * verification) and false-negative area (true dups the blocking
+    * misses) under the S-curve 1−(1−s^r)^b. This is the math that
+    * PICKS the constants the dedup family runs on; the oracle replays
+    * the curve point-for-point on the same 99-point grid (9-decimal
+    * point rounding, DECIMAL area sums). */
+  def q196LshTune(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.tuneBands(s, sigLen = 32, threshold = 0.9)
+      .orderBy("b")
+
+  val q196Sql: String =
+    """WITH pairs AS (
+      |  SELECT b, CAST(32/b AS INT) AS r FROM unnest([1,2,4,8,16,32]) AS t(b)),
+      |grid AS (SELECT i/100.0 AS s FROM generate_series(1,99) AS g(i)),
+      |pts AS (
+      |  SELECT p.b, p.r, g.s,
+      |    round(1 - power(1 - power(g.s, p.r), p.b), 9) AS prob
+      |  FROM pairs p, grid g),
+      |agg AS (
+      |  SELECT b, r,
+      |    round(CAST(sum(CASE WHEN s < 0.9 THEN CAST(prob AS DECIMAL(38,12))
+      |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) / 100, 6) AS fp_area,
+      |    round(CAST(sum(CASE WHEN s >= 0.9 THEN CAST(1 - prob AS DECIMAL(38,12))
+      |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) / 100, 6) AS fn_area
+      |  FROM pts GROUP BY b, r)
+      |SELECT b, r, fp_area, fn_area, round(fp_area + fn_area, 6) AS cost
+      |FROM agg ORDER BY b""".stripMargin
+
+  /** SOURCE-LEVEL QUALITY GATE ([[graft.etl.Curation.sourceStats]]):
+    * the CCNet/RefinedWeb-style domain gate — curation verdicts per
+    * ORIGIN, not only per document. One row per source with its doc
+    * count, mean n_chars, and the keep verdict (mean ≥ 300, tested
+    * without decimal division — see the operator doc). The filter face
+    * ([[graft.etl.Curation.sourceFilter]]) is the anti-join application
+    * of exactly these verdicts, parity-pinned in CurationSpec. */
+  def q197SourceGate(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Curation.sourceStats(
+      t(s, dir, "documents"), "source", "n_chars", minMean = 300.0)
+      .orderBy("source")
+
+  val q197Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  round(CAST(sum(CAST(n_chars AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+      |    AS mean_metric,
+      |  CAST(sum(CAST(n_chars AS DECIMAL(38,12))) AS DOUBLE) >= 300.0 * count(*)
+      |    AS kept
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -6333,6 +6519,11 @@ object Queries {
     "q190_video_dedup" -> (q190VideoDedup _),
     "q191_audio_dedup" -> (q191AudioDedup _),
     "q192_stream_asof_compact" -> (q192StreamAsofCompact _),
+    "q193_stream_decontam" -> (q193StreamDecontamIngest _),
+    "q194_asof_forward" -> (q194AsofForward _),
+    "q195_asof_tolerance" -> (q195AsofTolerance _),
+    "q196_lsh_tune" -> (q196LshTune _),
+    "q197_source_gate" -> (q197SourceGate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6533,6 +6724,11 @@ object Queries {
     "q191_audio_dedup" -> q191Sql,
     // the compacted stream face must land exactly q41's batch answer
     "q192_stream_asof_compact" -> q192Sql,
+    "q193_stream_decontam" -> q193Sql,
+    "q194_asof_forward" -> q194Sql,
+    "q195_asof_tolerance" -> q195Sql,
+    "q196_lsh_tune" -> q196Sql,
+    "q197_source_gate" -> q197Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -6583,5 +6779,11 @@ object Queries {
     "q189_video_frames", "q190_video_dedup",
     // round-9: audio near-dup (energy-gradient fingerprint through the
     // real WAV codec + Hamming blocking)
-    "q191_audio_dedup")
+    "q191_audio_dedup",
+    // round-9: the as-of variant family (forward scan, toleranced
+    // lookback — both ride q41's merge plan) and the source-level gate
+    // (q196's tuner grid is constant-sized — not worth a bench slot;
+    // q193's stream face follows q184 out of the bench: its wall is
+    // temp-dir and trigger lifecycle, not operator cost)
+    "q194_asof_forward", "q195_asof_tolerance", "q197_source_gate")
 }

@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.text.TextOps
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication at training-data scale.
@@ -864,5 +864,52 @@ object Dedup {
         (col("n_tokens") - coalesce(col("__kept"), lit(0L)))
           .cast("long").as("n_removed"),
         coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
+  /** LSH band-plan tuner: score every (bands, rowsPerBand) split of a
+    * `sigLen`-hash MinHash signature against a target Jaccard
+    * `threshold`. A pair at similarity s collides in at least one band
+    * with probability S(s) = 1 − (1 − s^r)^b (the standard LSH
+    * S-curve, Leskovec/Rajaraman/Ullman ch. 3); the ideal filter is a
+    * step at the threshold, so each plan is charged its two error
+    * areas on a `gridCells`-point Riemann grid:
+    * fp_area = Σ_{s<t} S(s)/g (sub-threshold pairs that still become
+    * candidates — wasted verification) and fn_area = Σ_{s≥t}
+    * (1−S(s))/g (true dups the blocking misses — recall loss). `cost`
+    * ranks plans by their sum; pick the cheapest, or the cheapest with
+    * fn_area under a recall budget. At 100 TB this choice IS the dedup
+    * bill: bands multiply the exploded shuffle volume and fp_area
+    * multiplies the exact-verify work, so constants belong to this
+    * curve, not folklore. The relation is divisors(sigLen) ×
+    * (gridCells−1) rows — constant-sized by construction (the
+    * broadcast cross is the operator; nothing scales with data).
+    * Cross-engine determinism: per-point probabilities round to the
+    * 9-decimal grid before the DECIMAL(38,12) area sums, areas round
+    * to 6. */
+  def tuneBands(spark: SparkSession, sigLen: Int, threshold: Double,
+      gridCells: Int = 100): DataFrame = {
+    require(sigLen >= 1, s"sigLen must be >= 1, got $sigLen")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0, 1), got $threshold")
+    require(gridCells >= 2, s"gridCells must be >= 2, got $gridCells")
+    val dec = "decimal(38,12)"
+    val plans = spark.createDataFrame(
+      (1 to sigLen).filter(sigLen % _ == 0)
+        .map(b => (b, sigLen / b))).toDF("b", "r")
+    val grid = spark.range(1, gridCells.toLong)
+      .select((col("id").cast("double") / gridCells).as("s"))
+    plans.crossJoin(broadcast(grid))
+      .withColumn("prob",
+        round(lit(1.0) - pow(lit(1.0) - pow(col("s"), col("r")), col("b")), 9))
+      .groupBy(col("b"), col("r"))
+      .agg(
+        round(
+          sum(when(col("s") < threshold, col("prob")).otherwise(lit(0.0))
+            .cast(dec)).cast("double") / gridCells, 6).as("fp_area"),
+        round(
+          sum(when(col("s") >= threshold, lit(1.0) - col("prob"))
+            .otherwise(lit(0.0)).cast(dec)).cast("double") / gridCells, 6)
+          .as("fn_area"))
+      .withColumn("cost", round(col("fp_area") + col("fn_area"), 6))
   }
 }

@@ -112,4 +112,41 @@ object Curation {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col(costCol)).as("chars"))
       .orderBy("shard")
+
+  /** Per-source verdict table for SOURCE-LEVEL filtering (the
+    * CCNet/RefinedWeb-style domain gate: curation decisions are made
+    * per origin, not only per document, because a low-quality source
+    * predicts low quality for ALL its documents — including the ones
+    * that individually slip past a per-doc filter). One row per
+    * source: document count, the mean of `metricCol` (display only,
+    * 6dp), and the keep verdict. The verdict never divides: mean ≥
+    * minMean is tested as sum ≥ minMean × count, with the sum
+    * accumulated in DECIMAL(38,12) (order-independent under partial
+    * aggregation — a double sum would make the verdict depend on
+    * partitioning) and the comparison done in double (the decimal sum
+    * converts deterministically; decimal division and decimal×bigint
+    * widening both have engine-specific rounding/width rules, so
+    * neither crosses engines safely). Scale: one partial-aggregated
+    * groupBy shuffle of (source, sum, count) — source cardinality is
+    * domain-sized, never corpus-sized. */
+  def sourceStats(docs: DataFrame, sourceCol: String, metricCol: String,
+      minMean: Double): DataFrame =
+    docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(metricCol).cast("decimal(38,12)")).as("__sum"))
+      .select(col(sourceCol), col("n_docs"),
+        round(col("__sum").cast("double") / col("n_docs"), 6)
+          .as("mean_metric"),
+        (col("__sum").cast("double") >=
+          lit(minMean) * col("n_docs")).as("kept"))
+
+  /** The documents from kept sources only ([[sourceStats]] verdicts,
+    * applied). The verdict side is domain-sized → AQE broadcasts the
+    * semi join; the corpus never shuffles. */
+  def sourceFilter(docs: DataFrame, sourceCol: String, metricCol: String,
+      minMean: Double): DataFrame =
+    docs.join(
+      sourceStats(docs, sourceCol, metricCol, minMean)
+        .filter(col("kept")).select(sourceCol),
+      Seq(sourceCol), "left_semi")
 }

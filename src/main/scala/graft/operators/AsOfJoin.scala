@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (temporal) join: for each left row, attach the most recent
   * right row whose timestamp is at-or-before the left row's, per key.
@@ -31,14 +31,35 @@ object AsOfJoin {
     * @param rightTieBreak right column ordering simultaneous right rows
     *                 (the later one under this order wins — keeps the
     *                 result deterministic when timestamps collide)
+    * @param forward  false (default) matches the LATEST right row
+    *                 at-or-BEFORE each left row (pandas merge_asof
+    *                 'backward'); true matches the EARLIEST right row
+    *                 at-or-AFTER it ('forward') — e.g. "the next error
+    *                 a user hit after this click". Both inclusive at
+    *                 equal timestamps. Same merge formulation either
+    *                 way: the forward pass just scans time reversed,
+    *                 so the 100 TB cost is identical (one key shuffle,
+    *                 one per-partition sort, no range explosion).
+    * @param toleranceSec reject a match farther than this many seconds
+    *                 (timestamp inputs; for numeric `ts` columns the
+    *                 unit is the column's own) from the left row —
+    *                 pandas merge_asof `tolerance`. The row survives
+    *                 with a null carry, exactly like no-match: since
+    *                 the as-of match is the NEAREST candidate in the
+    *                 scan direction, "nearest is too far" is precisely
+    *                 "nothing within tolerance".
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
-      carry: Seq[String], rightTieBreak: String): DataFrame = {
-    val reserved = Set("__k", "__ts", "__side", "__tb", "__l", "__c")
+      carry: Seq[String], rightTieBreak: String,
+      forward: Boolean = false,
+      toleranceSec: Option[Double] = None): DataFrame = {
+    val reserved = Set("__k", "__ts", "__side", "__tb", "__l", "__c", "__mts")
     val clash = (left.columns ++ right.columns).filter(reserved)
     require(clash.isEmpty,
       s"asOf reserves internal column names ${reserved.mkString(", ")}; " +
         s"rename input columns: ${clash.mkString(", ")}")
+    toleranceSec.foreach(t =>
+      require(t >= 0, s"asOf tolerance must be >= 0, got $t"))
     val rSchema = right.schema
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     // the carried payload is ONE struct of all carry columns, taken
@@ -46,8 +67,11 @@ object AsOfJoin {
     // independently with last(ignoreNulls) would resurrect an older
     // row's value wherever the matched row holds a legitimate NULL,
     // emitting a mixed row that never existed (and conflating "no
-    // match" with "matched row with a NULL attribute")
-    val carryStruct = struct(carry.map(col).toIndexedSeq: _*)
+    // match" with "matched row with a NULL attribute"). The matched
+    // row's own timestamp rides along as __mts so the tolerance test
+    // compares against the row actually matched, never a neighbor.
+    val carryStruct =
+      struct((carry.map(col) :+ col(ts).as("__mts")).toIndexedSeq: _*)
 
     // Equality-join semantics for NULL keys (matches the DuckDB ASOF
     // oracle): a NULL-keyed left row matches NOTHING — it passes through
@@ -59,26 +83,56 @@ object AsOfJoin {
     val leftK = left.filter(col(key).isNotNull)
     val rightK = right.filter(col(key).isNotNull)
 
+    val carryType = StructType(carry.map(c => rSchema(c)) :+
+      StructField("__mts", rSchema(ts).dataType, nullable = true))
     val l2 = leftK.select(
       col(key).as("__k"), col(ts).as("__ts"), lit(1).as("__side"),
       lit(null).cast(rSchema(rightTieBreak).dataType).as("__tb"),
       leftStruct.as("__l"),
-      lit(null).cast(StructType(carry.map(c => rSchema(c)))).as("__c"))
+      lit(null).cast(carryType).as("__c"))
     val r2 = rightK.select(
       col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
       col(rightTieBreak).as("__tb"),
       lit(null).cast(l2.schema("__l").dataType).as("__l"),
       carryStruct.as("__c"))
 
+    // forward = the same scan over REVERSED time: at equal timestamps
+    // the side ordering still puts right rows before left (inclusive
+    // both ways), and the tie-break still makes the max-__tb right row
+    // the one last() sees — one deterministic winner rule, either
+    // direction
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"), col("__tb").asc_nulls_first)
+      .orderBy(tsOrder, col("__side"), col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l2.unionByName(r2)
+    val matched = l2.unionByName(r2)
       .select(col("__side"), col("__l"),
         last(col("__c"), ignoreNulls = true).over(w).as("__m"))
       .filter(col("__side") === 1)
-      .select((col("__l.*") +: carry.map(c => col(s"__m.$c").as(c))): _*)
+    // tolerance: null the WHOLE carry when the matched row is too far
+    // (epoch seconds for timestamps — exact micros over 1e6, matching
+    // DuckDB's epoch(); identity for numerics, where the unit is the
+    // column's own; abs covers both scan directions). A too-far match
+    // and a no-match emit identical rows — see the param doc.
+    def seconds(c: org.apache.spark.sql.Column,
+        dt: org.apache.spark.sql.types.DataType) = dt match {
+      case _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ casts through TIMESTAMP (session tz); both sides convert
+        // identically, so the DIFFERENCE is timezone-free either way
+        unix_micros(c.cast("timestamp")).cast("double") / lit(1e6)
+      case _ => c.cast("double")
+    }
+    val keep = toleranceSec match {
+      case None => col("__m").isNotNull
+      case Some(tol) => col("__m").isNotNull &&
+        abs(seconds(col(s"__l.$ts"), left.schema(ts).dataType) -
+          seconds(col("__m.__mts"), rSchema(ts).dataType)) <= tol
+    }
+    matched
+      .select((col("__l.*") +:
+        carry.map(c => when(keep, col(s"__m.$c")).as(c))): _*)
       .unionByName(nullKeyedLeft)
   }
 

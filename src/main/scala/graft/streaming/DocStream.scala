@@ -259,26 +259,39 @@ object DocStream {
     * `compactEvery` small partitions plus one generation per fold. */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, threshold: Double,
-      sinkDir: String, queryName: String, compactEvery: Int = 0): Unit = {
+      sinkDir: String, queryName: String, compactEvery: Int = 0,
+      bench: Option[DataFrame] = None, benchGramN: Int = 13): Unit = {
     val fs = new Path(sinkDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(s"$sinkDir/_applied/$queryName/$batchId")
     if (!fs.exists(marker)) {
-      // cross-corpus rejection FIRST, in-batch dedup on the
+      // decontamination FIRST of all: a benchmark-contaminated doc is
+      // dropped unconditionally — it must never act as a dup-cluster
+      // keeper, so a CLEAN near-duplicate of a contaminated doc is
+      // independently judged (and kept, if nothing else matches it).
+      // Per-doc test against the BROADCAST bench gram set, so batching
+      // cannot change any verdict and per-batch cost stays
+      // O(batch grams), independent of the accepted corpus.
+      val clean = bench match {
+        case Some(b) => graft.text.Decontaminate
+          .decontaminate(batch, b, idCol, textCol, benchGramN)
+        case None => batch
+      }
+      // cross-corpus rejection NEXT, in-batch dedup on the
       // survivors: a batch row that is doomed against the
       // accepted corpus must not act as an in-batch cluster
       // keeper and take fresh rows down with it (that would make
       // acceptance depend on batch boundaries even for non-chain
       // graphs) — cross-first matches per-document sequential
       // greedy whenever the batch's own dup graph is CC-clean
-      val survivors = acceptedSigsSoFar(spark, sinkDir, batch, idCol,
+      val survivors = acceptedSigsSoFar(spark, sinkDir, clean, idCol,
         textCol, Some(batchId)) match {
         case Some(sigs) =>
-          val hit = Dedup.crossNearDupPairsVsSignatures(batch, idCol,
+          val hit = Dedup.crossNearDupPairsVsSignatures(clean, idCol,
             textCol, sigs, threshold)
             .select(col("id_a").as(idCol)).distinct()
-          batch.join(hit, Seq(idCol), "left_anti")
-        case None => batch
+          clean.join(hit, Seq(idCol), "left_anti")
+        case None => clean
       }
       val out = Dedup.dropNearDups(survivors, idCol,
         Dedup.nearDupPairs(survivors, idCol, textCol, threshold))
@@ -306,13 +319,18 @@ object DocStream {
     * `Trigger.AvailableNow` drains what has landed and stops — re-run
     * on a schedule, or swap the trigger for continuous tailing. Reuse
     * `queryName` exactly when resuming the same checkpoint (batch ids
-    * restart at 0 per checkpoint — the marker lineage must follow). */
+    * restart at 0 per checkpoint — the marker lineage must follow).
+    * `bench` switches on ONLINE DECONTAMINATION: each batch drops
+    * documents sharing any `benchGramN`-gram with the benchmark set
+    * before any dedup runs ([[processBatch]] for the policy order). */
   def nearDupIngestStream(spark: SparkSession, srcDir: String,
       schemaFrom: DataFrame, idCol: String, textCol: String,
       threshold: Double, sinkDir: String, queryName: String,
       checkpoint: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      bench: Option[DataFrame] = None,
+      benchGramN: Int = 13): StreamingQuery = {
     val reader = spark.readStream.schema(schemaFrom.schema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
@@ -325,7 +343,7 @@ object DocStream {
     writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, idCol, textCol, threshold,
-          sinkDir, queryName, compactEvery)
+          sinkDir, queryName, compactEvery, bench, benchGramN)
       }
       .start()
   }

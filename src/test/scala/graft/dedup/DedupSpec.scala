@@ -260,4 +260,37 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.subsetOf(exact), s"semantic pairs not in exact sweep: ${got -- exact}")
   }
+
+  test("tuneBands: one row per divisor split, areas replay the S-curve") {
+    val rows = Dedup.tuneBands(spark, sigLen = 32, threshold = 0.9)
+      .collect().map(r => (r.getAs[Int]("b"), r.getAs[Int]("r"),
+        r.getAs[Double]("fp_area"), r.getAs[Double]("fn_area"),
+        r.getAs[Double]("cost")))
+    assert(rows.map(t => (t._1, t._2)).toSet ===
+      Set((1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1)))
+    // replay one plan's areas from scratch (the (4,8) point)
+    val (fpW, fnW) = {
+      val pts = (1 until 100).map { i =>
+        val s = i / 100.0
+        val p = BigDecimal(1 - math.pow(1 - math.pow(s, 8), 4))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (s, p)
+      }
+      (BigDecimal(pts.filter(_._1 < 0.9).map(_._2).sum / 100)
+         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+       BigDecimal(pts.filter(_._1 >= 0.9).map(p => 1 - p._2).sum / 100)
+         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val p48 = rows.find(t => t._1 == 4 && t._2 == 8).get
+    assert(math.abs(p48._3 - fpW) < 2e-6 && math.abs(p48._4 - fnW) < 2e-6)
+    // more bands = more candidates: fp_area strictly grows with b,
+    // fn_area shrinks — the trade the tuner exists to price
+    val byB = rows.sortBy(_._1)
+    assert(byB.map(_._3).sliding(2).forall(w => w(0) <= w(1)))
+    assert(byB.map(_._4).sliding(2).forall(w => w(0) >= w(1)))
+    // at t = 0.9: cost-argmin is (2,16); the engine's (8,4) default is
+    // the RECALL-FIRST point — essentially zero missed dups
+    assert(rows.minBy(_._5)._1 === 2)
+    assert(rows.find(t => t._1 == 8 && t._2 == 4).get._4 <= 1e-5)
+  }
 }

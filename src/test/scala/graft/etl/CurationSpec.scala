@@ -52,4 +52,30 @@ class CurationSpec extends AnyFunSuite {
     assert(profile.map(_.getLong(1)).sum === accepted.count())
     assert(profile.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet))
   }
+
+  test("sourceStats: verdict is sum-vs-threshold×count, boundary inclusive") {
+    import spark.implicits._
+    // srcA mean = exactly 10.0 (kept, inclusive); srcB mean 9.5 (dropped)
+    val docs = Seq(
+      ("srcA", 8.0), ("srcA", 12.0),
+      ("srcB", 9.0), ("srcB", 10.0)
+    ).toDF("source", "chars")
+    val got = Curation.sourceStats(docs, "source", "chars", minMean = 10.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_metric"),
+          r.getAs[Boolean]("kept"))).toMap
+    assert(got("srcA") === ((2L, 10.0, true)))
+    assert(got("srcB") === ((2L, 9.5, false)))
+  }
+
+  test("sourceFilter keeps exactly the docs of kept-verdict sources") {
+    val docs = TestSpark.table("documents")
+    val verdicts = Curation.sourceStats(docs, "source", "n_chars", 300.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("kept")).toMap
+    assert(verdicts.values.toSet === Set(true, false),
+      "fixture must exercise both verdicts at this threshold")
+    val kept = Curation.sourceFilter(docs, "source", "n_chars", 300.0)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(kept === verdicts.filter(_._2).keySet)
+  }
 }

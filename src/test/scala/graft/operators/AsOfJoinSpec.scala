@@ -99,4 +99,71 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(got(ct) === expect, s"user $u click at $ct")
     }
   }
+
+  test("forward: picks EARLIEST right row at-or-after, inclusive, null past the end") {
+    val out = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"), "rid",
+      forward = true)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getAs[String]("tag"), Option(r.getAs[Any]("rid"))))
+    assert(out.toSeq === Seq(
+      ("l1", Some(100L)), // equal timestamp inclusive, same as backward
+      ("l2", Some(101L)), // next right row after t=20 is t=25
+      ("l3", None),       // nothing after t=30
+      ("l4", Some(103L)), // t=16 is the first at-or-after 15
+      ("l5", None)))
+  }
+
+  test("forward tie-break: same winner rule as backward (max tiebreak wins)") {
+    val dupRight = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L))
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.asOf(Seq((1L, 9L, "x")).toDF("k", "t", "tag"),
+      dupRight, "k", "t", Seq("rid"), "rid", forward = true).collect()
+    assert(out.head.getAs[Long]("rid") === 9L)
+  }
+
+  test("tolerance: a match farther than the bound is nulled; the boundary is inclusive") {
+    val l = Seq((1L, 30L, "x")).toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 7L)).toDF("k", "t", "rid")
+    def rid(tol: Double) = {
+      val row = AsOfJoin.asOf(l, r, "k", "t", Seq("rid"), "rid",
+        toleranceSec = Some(tol)).collect().head
+      Option(row.getAs[Any]("rid"))
+    }
+    assert(rid(19.0) === None)      // distance 20 > 19 → rejected
+    assert(rid(20.0) === Some(7L))  // exactly at the bound → kept
+  }
+
+  test("tolerance composes with forward; rejected match equals no-match row shape") {
+    val l = Seq((1L, 20L, "x"), (1L, 100L, "y")).toDF("k", "t", "tag")
+    val r = Seq((1L, 25L, 7L)).toDF("k", "t", "rid")
+    val out = AsOfJoin.asOf(l, r, "k", "t", Seq("rid"), "rid",
+      forward = true, toleranceSec = Some(4.0))
+      .collect().map(x => (x.getAs[String]("tag"), Option(x.getAs[Any]("rid")))).toMap
+    assert(out === Map("x" -> None, "y" -> None)) // 5 > 4 rejected; no candidate at all
+    val kept = AsOfJoin.asOf(l, r, "k", "t", Seq("rid"), "rid",
+      forward = true, toleranceSec = Some(5.0))
+      .collect().map(x => (x.getAs[String]("tag"), Option(x.getAs[Any]("rid")))).toMap
+    assert(kept === Map("x" -> Some(7L), "y" -> None))
+  }
+
+  test("forward matches a brute-force reference on the events table shape") {
+    val ev = graft.Tables.eventsEpochMicros(spark, TestSpark.sf)
+    val clicks = ev.filter($"event_type" === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id".as("err_id"))
+    val joined = AsOfJoin.asOf(clicks, errors, "user_id", "ts",
+      Seq("err_id"), "err_id", forward = true)
+    assert(joined.count() === clicks.count())
+    val u = clicks.select($"user_id").limit(1).collect().head.getLong(0)
+    val uErrors = errors.filter($"user_id" === u)
+      .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Long]("err_id")))
+    val got = joined.filter($"user_id" === u).collect()
+      .map(r => r.getAs[Long]("ts") -> Option(r.getAs[Any]("err_id"))).toMap
+    clicks.filter($"user_id" === u).collect().foreach { c =>
+      val ct = c.getAs[Long]("ts")
+      val expect = uErrors.filter(_._1 >= ct).sortBy(identity).headOption.map(_._2)
+      assert(got(ct) === expect, s"user $u click at $ct (forward)")
+    }
+  }
 }

@@ -42,7 +42,9 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
                         // the PQ design (Pq.adcTopK scaladoc) — the
                         // scan is the operator, the broadcast side is
                         // the bounded probe set
-    "q185_pq_sample")   // same ADC scan shape, sampled-fit codebooks
+    "q185_pq_sample",   // same ADC scan shape, sampled-fit codebooks
+    "q196_lsh_tune")    // divisors(sigLen) × 99-point grid — both sides
+                        // constant-sized by construction (Dedup.tuneBands)
 
   test("every SparkEntry query passes the scale lint (allowlisted exceptions only)") {
     val spark = TestSpark.spark

@@ -297,4 +297,41 @@ class DocStreamSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(first === second)
   }
+
+  test("online decontamination runs FIRST: a contaminated doc is dropped " +
+    "and never acts as a dup keeper; its clean near-dup survives") {
+    // doc1 carries a benchmark 4-gram → contaminated. doc2 is doc1
+    // with the gram broken by one token edit (J(1,2) = 25/31 ≈ 0.81 ≥
+    // 0.8): if dedup ran first, doc1 (lower id) would keep and doc2
+    // would be dropped — decontamination-first means doc1 vanishes and
+    // doc2 is judged alone. The bench doc itself arrives too and
+    // rejects itself. doc3 (batch 2) is a near-dup of the ACCEPTED
+    // doc2 (J = 27/29) → rejected by the clean path's signature join.
+    val mid = (1 to 26).map(i => s"w$i").mkString(" ")
+    val doc1 = (1L, s"$mid b1 b2 b3 b4")
+    val doc2 = (2L, s"$mid b1 qq b3 b4")
+    val doc3 = (3L, s"vv ${mid.stripPrefix("w1 ")} b1 qq b3 b4")
+    val benchDoc = (99L, "b1 b2 b3 b4 b5 b6")
+    val bench = Seq(benchDoc).toDF("doc_id", "text")
+    val b1 = Seq(doc1, doc2, benchDoc).toDF("doc_id", "text")
+    val b2 = Seq(doc3).toDF("doc_id", "text")
+    val (src, sink, cp) = freshDirs()
+    def runB(schemaFrom: org.apache.spark.sql.DataFrame): Unit = {
+      val q = DocStream.nearDupIngestStream(spark, s"$src/f1", schemaFrom,
+        "doc_id", "text", threshold = 0.8, sink, "docstream_decontam",
+        Some(cp), bench = Some(bench), benchGramN = 4)
+      assert(q.awaitTermination(180000), "decontam stream timed out")
+    }
+    b1.write.mode("overwrite").parquet(s"$src/f1")
+    runB(b1)
+    val afterB1 = DocStream.accepted(spark, sink, b1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterB1 === Set(2L),
+      "doc1+bench contaminated out, doc2 judged alone and kept")
+    b2.write.mode("append").parquet(s"$src/f1")
+    runB(b1)
+    val afterB2 = DocStream.accepted(spark, sink, b1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterB2 === Set(2L), "doc3 near-dups the accepted doc2 → rejected")
+  }
 }
