@@ -6322,6 +6322,30 @@ object Queries {
       |    AS kept
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** FORWARD AS-OF THROUGH THE NATIVE PLAN NODE
+    * ([[graft.plans.AsOfJoinExec]] `forward = true`): q194's semantics
+    * through the custom physical operator — the same ascending
+    * co-clustered/co-sorted children (the planner re-sorts NOTHING for
+    * the direction flip), with the merge scan retaining the first
+    * eligible equal-timestamp run's last row instead of the last
+    * stale one. Benched beside q194 the way q173 rides beside q41. */
+  def q198AsofFwdNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("err_id"),
+        max_by(col("value"), col("event_id")).as("err_value"))
+    graft.operators.AsOfJoin
+      .asOfNative(clicks, errors, "user_id", "ts",
+        Seq("err_id", "err_value"), "err_id", forward = true)
+      .select("event_id", "user_id", "err_id", "err_value")
+      .orderBy("event_id")
+  }
+
+  val q198Sql: String = q194Sql
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -6524,6 +6548,7 @@ object Queries {
     "q195_asof_tolerance" -> (q195AsofTolerance _),
     "q196_lsh_tune" -> (q196LshTune _),
     "q197_source_gate" -> (q197SourceGate _),
+    "q198_asof_fwd_native" -> (q198AsofFwdNative _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6729,6 +6754,7 @@ object Queries {
     "q195_asof_tolerance" -> q195Sql,
     "q196_lsh_tune" -> q196Sql,
     "q197_source_gate" -> q197Sql,
+    "q198_asof_fwd_native" -> q198Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -6785,5 +6811,8 @@ object Queries {
     // (q196's tuner grid is constant-sized — not worth a bench slot;
     // q193's stream face follows q184 out of the bench: its wall is
     // temp-dir and trigger lifecycle, not operator cost)
-    "q194_asof_forward", "q195_asof_tolerance", "q197_source_gate")
+    "q194_asof_forward", "q195_asof_tolerance", "q197_source_gate",
+    // q198 vs q194 exposes the native-vs-window forward as-of gap,
+    // the way q173 rides beside q41
+    "q198_asof_fwd_native")
 }

@@ -27,6 +27,18 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object AsOfJoin {
 
+  /** Epoch seconds for timestamps (exact micros over 1e6, matching
+    * DuckDB's epoch(); NTZ casts through TIMESTAMP — both sides
+    * convert identically, so DIFFERENCES are timezone-free), identity
+    * for numeric time axes (the unit is the column's own). */
+  private def epochSeconds(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType) = dt match {
+    case _: org.apache.spark.sql.types.TimestampType |
+         _: org.apache.spark.sql.types.TimestampNTZType =>
+      unix_micros(c.cast("timestamp")).cast("double") / lit(1e6)
+    case _ => c.cast("double")
+  }
+
   /** @param carry    right-side columns to attach to each left row
     * @param rightTieBreak right column ordering simultaneous right rows
     *                 (the later one under this order wins — keeps the
@@ -115,20 +127,11 @@ object AsOfJoin {
     // DuckDB's epoch(); identity for numerics, where the unit is the
     // column's own; abs covers both scan directions). A too-far match
     // and a no-match emit identical rows — see the param doc.
-    def seconds(c: org.apache.spark.sql.Column,
-        dt: org.apache.spark.sql.types.DataType) = dt match {
-      case _: org.apache.spark.sql.types.TimestampType |
-           _: org.apache.spark.sql.types.TimestampNTZType =>
-        // NTZ casts through TIMESTAMP (session tz); both sides convert
-        // identically, so the DIFFERENCE is timezone-free either way
-        unix_micros(c.cast("timestamp")).cast("double") / lit(1e6)
-      case _ => c.cast("double")
-    }
     val keep = toleranceSec match {
       case None => col("__m").isNotNull
       case Some(tol) => col("__m").isNotNull &&
-        abs(seconds(col(s"__l.$ts"), left.schema(ts).dataType) -
-          seconds(col("__m.__mts"), rSchema(ts).dataType)) <= tol
+        abs(epochSeconds(col(s"__l.$ts"), left.schema(ts).dataType) -
+          epochSeconds(col("__m.__mts"), rSchema(ts).dataType)) <= tol
     }
     matched
       .select((col("__l.*") +:
@@ -140,11 +143,22 @@ object AsOfJoin {
     * ([[graft.plans.AsOfJoinPlan]] → `AsOfJoinStrategy` →
     * `AsOfJoinExec`) — requires a session carrying `GraftExtensions`.
     * Identical semantics and column layout to [[asOf]] (spec-enforced
-    * parity); the physical plan is one exchange + sort per side and a
-    * single forward merge scan, instead of union + window. */
+    * parity, including `forward` and `toleranceSec`); the physical
+    * plan is one exchange + sort per side and a single merge scan,
+    * instead of union + window. Tolerance rides OUTSIDE the node: the
+    * matched right timestamp travels as an extra carry column and a
+    * post-projection nulls the carry when it is too far — the merge
+    * itself is unchanged, since the nearest match being too far is
+    * exactly "no match within bound". */
   def asOfNative(left: DataFrame, right: DataFrame, key: String,
-      ts: String, carry: Seq[String], rightTieBreak: String): DataFrame = {
+      ts: String, carry: Seq[String], rightTieBreak: String,
+      forward: Boolean = false,
+      toleranceSec: Option[Double] = None): DataFrame = {
     val rSchema = right.schema
+    require(!(left.columns ++ right.columns).contains("__rts"),
+      "asOfNative reserves the internal column name __rts")
+    toleranceSec.foreach(t =>
+      require(t >= 0, s"asOfNative tolerance must be >= 0, got $t"))
     // NULL-keyed left rows match nothing; route them around the node
     // (inside the merge, natural ordering would group NULL keys)
     val nullKeyedLeft = left.filter(col(key).isNull)
@@ -156,8 +170,12 @@ object AsOfJoin {
     // relation on both sides) can't leave the node with ambiguous
     // attribute references
     val rightCols = (Seq(key, ts, rightTieBreak) ++ carry).distinct
+    val carryNames =
+      if (toleranceSec.isDefined) carry :+ "__rts" else carry
     val rightK = right.filter(col(key).isNotNull)
-      .select(rightCols.map(c => col(c).as(c)): _*)
+      .select((rightCols.map(c => col(c).as(c)) ++
+        (if (toleranceSec.isDefined) Seq(col(ts).as("__rts"))
+         else Seq.empty)): _*)
 
     val lp = leftK.queryExecution.analyzed
     val rp = rightK.queryExecution.analyzed
@@ -167,8 +185,19 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"asOfNative: no column $name"))
     val plan = graft.plans.AsOfJoinPlan(
       attr(lp, key), attr(lp, ts), attr(rp, key), attr(rp, ts),
-      attr(rp, rightTieBreak), carry.map(attr(rp, _)), lp, rp)
-    org.apache.spark.sql.graft.Bridge.ofRows(left.sparkSession, plan)
-      .unionByName(nullKeyedLeft)
+      attr(rp, rightTieBreak), carryNames.map(attr(rp, _)), lp, rp,
+      forward)
+    val joined = org.apache.spark.sql.graft.Bridge
+      .ofRows(left.sparkSession, plan)
+    val bounded = toleranceSec match {
+      case None => joined
+      case Some(tol) =>
+        val within = col("__rts").isNotNull &&
+          abs(epochSeconds(col(ts), left.schema(ts).dataType) -
+            epochSeconds(col("__rts"), rSchema(ts).dataType)) <= tol
+        joined.select((left.columns.map(col) ++
+          carry.map(c => when(within, col(c)).as(c))).toIndexedSeq: _*)
+    }
+    bounded.unionByName(nullKeyedLeft)
   }
 }

@@ -35,7 +35,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoinPlan(leftKey: Attribute, leftTs: Attribute,
     rightKey: Attribute, rightTs: Attribute, tieBreak: Attribute,
-    carry: Seq[Attribute], left: LogicalPlan, right: LogicalPlan)
+    carry: Seq[Attribute], left: LogicalPlan, right: LogicalPlan,
+    forward: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ carry.map(_.withNullability(true))
@@ -45,10 +46,20 @@ case class AsOfJoinPlan(leftKey: Attribute, leftTs: Attribute,
 }
 
 /** Physical sorted-merge as-of pass over co-clustered, co-sorted
-  * children. */
+  * children.
+  *
+  * `forward = true` flips the match rule to the EARLIEST right row
+  * at-or-after each left timestamp — over the SAME ascending child
+  * orderings (no re-sort): because left rows arrive in ascending
+  * (key, ts) too, right rows behind the current left timestamp are
+  * permanently useless and the scan stays single-pass. The forward
+  * candidate is the last row of the first eligible equal-(key, ts)
+  * run (max tie-break — the same winner rule as backward), retained
+  * while later left rows still fall at-or-before it. */
 case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
     rightKey: Attribute, rightTs: Attribute, tieBreak: Attribute,
-    carry: Seq[Attribute], left: SparkPlan, right: SparkPlan)
+    carry: Seq[Attribute], left: SparkPlan, right: SparkPlan,
+    forward: Boolean = false)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -134,6 +145,8 @@ case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
           var candSet = false
           var candKeyNull = false
           var candKeyVal = 0L
+          var candTsNull = false
+          var candTsVal = 0L
           // reusable carry buffer: copyFrom grows the backing array as
           // needed and steady-states at zero allocation per row
           val candCarry = new UnsafeRow(nCarry)
@@ -141,7 +154,56 @@ case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
           def cmp(aNull: Boolean, a: Long, bNull: Boolean, b: Long): Int =
             if (aNull && bNull) 0 else if (aNull) -1 else if (bNull) 1
             else java.lang.Long.compare(a, b)
-          lIt.map { lRow =>
+          def nextR(): Unit =
+            rHead = if (rIt.hasNext) rIt.next() else null
+          if (forward) lIt.map { lRow =>
+            val lkNull = lRow.isNullAt(lkOrdinal)
+            val lk = if (lkNull) 0L else getKey(lRow, lkOrdinal)
+            val ltNull = lRow.isNullAt(ltOrdinal)
+            val lt = if (ltNull) 0L else getTs(lRow, ltOrdinal)
+            // candidate (last row of the first eligible run) survives
+            // while this left row still falls at-or-before it
+            val candValid = candSet &&
+              cmp(candKeyNull, candKeyVal, lkNull, lk) == 0 &&
+              cmp(candTsNull, candTsVal, ltNull, lt) >= 0
+            if (!candValid) {
+              candSet = false
+              var scan = true
+              while (scan && rHead != null) {
+                val rkNull = rHead.isNullAt(rkOrdinal)
+                val rk = if (rkNull) 0L else getKey(rHead, rkOrdinal)
+                val kc = cmp(rkNull, rk, lkNull, lk)
+                if (kc < 0) nextR()
+                else if (kc > 0) scan = false
+                else {
+                  val rtNull = rHead.isNullAt(rtOrdinal)
+                  val rt = if (rtNull) 0L else getTs(rHead, rtOrdinal)
+                  if (cmp(rtNull, rt, ltNull, lt) < 0) nextR() // stale
+                  else {
+                    // first eligible run: keep its LAST row (max tb)
+                    candKeyNull = rkNull; candKeyVal = rk
+                    candTsNull = rtNull; candTsVal = rt
+                    candCarry.copyFrom(carryProj(rHead)); candSet = true
+                    nextR()
+                    var run = true
+                    while (run && rHead != null) {
+                      val kN = rHead.isNullAt(rkOrdinal)
+                      val kV = if (kN) 0L else getKey(rHead, rkOrdinal)
+                      val tN = rHead.isNullAt(rtOrdinal)
+                      val tV = if (tN) 0L else getTs(rHead, rtOrdinal)
+                      if (cmp(kN, kV, candKeyNull, candKeyVal) == 0 &&
+                          cmp(tN, tV, candTsNull, candTsVal) == 0) {
+                        candCarry.copyFrom(carryProj(rHead)); nextR()
+                      } else run = false
+                    }
+                    scan = false
+                  }
+                }
+              }
+            }
+            resultProj(joined(lRow, if (candSet) candCarry else nullCarry))
+          }
+          else lIt.map { lRow =>
             val lkNull = lRow.isNullAt(lkOrdinal)
             val lk = if (lkNull) 0L else getKey(lRow, lkOrdinal)
             val ltNull = lRow.isNullAt(ltOrdinal)
@@ -152,7 +214,7 @@ case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
               val rk = if (rkNull) 0L else getKey(rHead, rkOrdinal)
               val kc = cmp(rkNull, rk, lkNull, lk)
               if (kc < 0) {
-                rHead = if (rIt.hasNext) rIt.next() else null
+                nextR()
               } else if (kc == 0 && {
                   val rtNull = rHead.isNullAt(rtOrdinal)
                   val rt = if (rtNull) 0L else getTs(rHead, rtOrdinal)
@@ -160,7 +222,7 @@ case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
                 }) {
                 candCarry.copyFrom(carryProj(rHead))
                 candSet = true; candKeyNull = rkNull; candKeyVal = rk
-                rHead = if (rIt.hasNext) rIt.next() else null
+                nextR()
               } else {
                 advance = false
               }
@@ -179,11 +241,49 @@ case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
             RowOrdering.createNaturalAscendingOrdering(Seq(lKey.dataType))
           val tsOrd =
             RowOrdering.createNaturalAscendingOrdering(Seq(lTs.dataType))
+          def nextR(): Unit =
+            rHead = if (rIt.hasNext) rIt.next() else null
           // last right row (its carry projection) whose (key, ts)
-          // qualified, and the key it qualified under
+          // qualified, and the (key, ts) it qualified under
           var candCarry: InternalRow = null
           var candKey: InternalRow = null
-          lIt.map { lRow =>
+          var candTs: InternalRow = null
+          if (forward) lIt.map { lRow =>
+            val lk = lKeyProj(lRow)
+            val lt = lTsProj(lRow)
+            val candValid = candKey != null &&
+              keyOrd.compare(candKey, lk) == 0 &&
+              tsOrd.compare(candTs, lt) >= 0
+            if (!candValid) {
+              candKey = null
+              var scan = true
+              while (scan && rHead != null) {
+                val rk = rKeyProj(rHead)
+                val kc = keyOrd.compare(rk, lk)
+                if (kc < 0) nextR()
+                else if (kc > 0) scan = false
+                else {
+                  val rt = rTsProj(rHead)
+                  if (tsOrd.compare(rt, lt) < 0) nextR() // stale
+                  else {
+                    candKey = rk.copy(); candTs = rt.copy()
+                    candCarry = carryProj(rHead).copy()
+                    nextR()
+                    while (rHead != null &&
+                        keyOrd.compare(rKeyProj(rHead), candKey) == 0 &&
+                        tsOrd.compare(rTsProj(rHead), candTs) == 0) {
+                      candCarry = carryProj(rHead).copy()
+                      nextR()
+                    }
+                    scan = false
+                  }
+                }
+              }
+            }
+            resultProj(joined(lRow,
+              if (candKey != null) candCarry else nullCarry))
+          }
+          else lIt.map { lRow =>
             val lk = lKeyProj(lRow)
             val lt = lTsProj(lRow)
             // advance the right stream through everything at-or-before
@@ -193,11 +293,11 @@ case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
               val rk = rKeyProj(rHead)
               val kc = keyOrd.compare(rk, lk)
               if (kc < 0) {
-                rHead = if (rIt.hasNext) rIt.next() else null
+                nextR()
               } else if (kc == 0 && tsOrd.compare(rTsProj(rHead), lt) <= 0) {
                 candCarry = carryProj(rHead).copy()
                 candKey = rk.copy()
-                rHead = if (rIt.hasNext) rIt.next() else null
+                nextR()
               } else {
                 advance = false
               }
@@ -214,9 +314,9 @@ case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
 /** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(lk, lt, rk, rt, tb, carry, l, r) =>
+    case AsOfJoinPlan(lk, lt, rk, rt, tb, carry, l, r, fwd) =>
       AsOfJoinExec(lk, lt, rk, rt, tb, carry,
-        planLater(l), planLater(r)) :: Nil
+        planLater(l), planLater(r), fwd) :: Nil
     case _ => Nil
   }
 }

@@ -101,6 +101,61 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
       3L -> None))
   }
 
+  test("forward parity with the window formulation on the base fixture") {
+    val a = AsOfJoin.asOf(left, right, "k", "t", Seq("rid", "v"), "rid",
+      forward = true)
+    val b = AsOfJoin.asOfNative(left, right, "k", "t", Seq("rid", "v"),
+      "rid", forward = true)
+    assert(a.columns.toSeq === b.columns.toSeq)
+    assert(canon(a) === canon(b))
+    // and the values are the forward semantics, not backward's
+    val got = b.collect()
+      .map(r => (r.getAs[String]("tag"), Option(r.getAs[Any]("rid")))).toMap
+    assert(got === Map("l1" -> Some(100L), "l2" -> Some(101L),
+      "l3" -> None, "l4" -> Some(103L), "l5" -> None))
+  }
+
+  test("forward: equal-timestamp run resolved to max tiebreak, same as backward") {
+    val l = Seq((1L, 9L, "x")).toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L))
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.asOfNative(l, r, "k", "t", Seq("rid"), "rid",
+      forward = true).collect()
+    assert(out.head.getAs[Long]("rid") === 9L)
+  }
+
+  test("randomized forward parity across many keys, ties, and partitions") {
+    val rnd = new scala.util.Random(43)
+    val l = Seq.tabulate(400)(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(50).toLong, s"l$i"))
+      .toDF("k", "t", "tag").repartition(7)
+    val r = Seq.tabulate(300)(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(50).toLong, i.toLong, rnd.nextDouble()))
+      .toDF("k", "t", "rid", "v").repartition(5)
+    val a = AsOfJoin.asOf(l, r, "k", "t", Seq("rid", "v"), "rid",
+      forward = true)
+    val b = AsOfJoin.asOfNative(l, r, "k", "t", Seq("rid", "v"), "rid",
+      forward = true)
+    assert(canon(a) === canon(b))
+  }
+
+  test("tolerance parity: native post-projection equals the window face") {
+    for (fwd <- Seq(false, true); tol <- Seq(4.0, 5.0, 20.0)) {
+      val a = AsOfJoin.asOf(left, right, "k", "t", Seq("rid", "v"), "rid",
+        forward = fwd, toleranceSec = Some(tol))
+      val b = AsOfJoin.asOfNative(left, right, "k", "t", Seq("rid", "v"),
+        "rid", forward = fwd, toleranceSec = Some(tol))
+      assert(a.columns.toSeq === b.columns.toSeq, s"fwd=$fwd tol=$tol")
+      assert(canon(a) === canon(b), s"fwd=$fwd tol=$tol")
+    }
+    // spot value: backward tol=5 keeps only matches within 5 ticks
+    val out = AsOfJoin.asOfNative(left, right, "k", "t", Seq("rid"), "rid",
+      toleranceSec = Some(5.0))
+      .collect().map(r => (r.getAs[String]("tag"), Option(r.getAs[Any]("rid")))).toMap
+    assert(out === Map("l1" -> Some(100L), "l2" -> None, "l3" -> Some(101L),
+      "l4" -> Some(102L), "l5" -> None))
+  }
+
   test("physical plan: one exchange per side, merge preserves left clustering") {
     val out = AsOfJoin.asOfNative(left, right, "k", "t", Seq("v"), "rid")
     // AdaptiveSparkPlanExec is a leaf to collect(); assert on the plan
