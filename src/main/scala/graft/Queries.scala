@@ -6346,6 +6346,40 @@ object Queries {
 
   val q198Sql: String = q194Sql
 
+  /** Z-ORDER CLUSTERING STATS ([[graft.operators.ZOrder]]): lineitem
+    * laid out along the Morton curve of (l_partkey, l_suppkey), read
+    * back as 16 equal z-range buckets with their (x, y) bounding
+    * boxes — the rectangles a z-clustered file's min-max stats would
+    * declare, i.e. the scan-pruning story made oracle-checkable. All
+    * arithmetic exact BIGINT (integer-division normalize, shift/mask
+    * interleave), replayed bit-for-bit by the oracle's CTE ladder. */
+  def q199Zorder(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ZOrder.zBucketStats(
+      t(s, dir, "lineitem"), "l_partkey", "l_suppkey", buckets = 16)
+      .orderBy("bucket")
+
+  val q199Sql: String =
+    """WITH b AS (SELECT min(l_partkey) xmin, max(l_partkey) xmax,
+      |                  min(l_suppkey) ymin, max(l_suppkey) ymax FROM lineitem),
+      |n AS (SELECT l_partkey x, l_suppkey y,
+      |  ((l_partkey - (SELECT xmin FROM b)) * 65536)
+      |    // ((SELECT xmax FROM b) - (SELECT xmin FROM b) + 1) AS xn,
+      |  ((l_suppkey - (SELECT ymin FROM b)) * 65536)
+      |    // ((SELECT ymax FROM b) - (SELECT ymin FROM b) + 1) AS yn
+      |  FROM lineitem),
+      |s1 AS (SELECT x, y, (xn | (xn << 8)) & 16711935 AS xa,
+      |                    (yn | (yn << 8)) & 16711935 AS ya FROM n),
+      |s2 AS (SELECT x, y, (xa | (xa << 4)) & 252645135 AS xb,
+      |                    (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+      |s3 AS (SELECT x, y, (xb | (xb << 2)) & 858993459 AS xc,
+      |                    (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+      |s4 AS (SELECT x, y, (xc | (xc << 1)) & 1431655765 AS xd,
+      |                    (yc | (yc << 1)) & 1431655765 AS yd FROM s3),
+      |z AS (SELECT x, y, (xd | (yd << 1)) AS zv FROM s4)
+      |SELECT (zv * 16) // 4294967296 AS bucket, count(*) AS n,
+      |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -6549,6 +6583,7 @@ object Queries {
     "q196_lsh_tune" -> (q196LshTune _),
     "q197_source_gate" -> (q197SourceGate _),
     "q198_asof_fwd_native" -> (q198AsofFwdNative _),
+    "q199_zorder" -> (q199Zorder _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6755,6 +6790,7 @@ object Queries {
     "q196_lsh_tune" -> q196Sql,
     "q197_source_gate" -> q197Sql,
     "q198_asof_fwd_native" -> q198Sql,
+    "q199_zorder" -> q199Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -6814,5 +6850,9 @@ object Queries {
     "q194_asof_forward", "q195_asof_tolerance", "q197_source_gate",
     // q198 vs q194 exposes the native-vs-window forward as-of gap,
     // the way q173 rides beside q41
-    "q198_asof_fwd_native")
+    "q198_asof_fwd_native",
+    // round-9: z-order layout stats over the biggest fixture table —
+    // one range exchange + a grouped pass; benched so the clustering
+    // path's cost stays visible
+    "q199_zorder")
 }
