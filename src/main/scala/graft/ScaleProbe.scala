@@ -63,6 +63,7 @@ object ScaleProbe {
     else if (set == "curationcmp") curationCmpProbes(spark, dir, k)
     else if (set == "curationstages") curationStageProbes(spark, dir, k)
     else if (set == "asof") asofProbes(spark, dir, k)
+    else if (set == "zorder") zorderProbes(spark, dir, k)
     else if (set == "events") eventsProbes(spark, dir, k)
     else if (set == "streams") streamProbes(spark, dir, k)
     else if (set == "streamcompact") streamCompactProbes(spark, dir, k)
@@ -659,8 +660,50 @@ object ScaleProbe {
       t("asof_native") {
         full(operators.AsOfJoin.asOfNative(clicks, errors, "user_id", "ts",
           Seq("err_id", "err_value"), "err_id"))
+      },
+      // the round-9 direction flip, same fixture: the forward scan
+      // must track its backward twin decade-for-decade on both faces
+      t("asof_window_fwd") {
+        full(operators.AsOfJoin.asOf(clicks, errors, "user_id", "ts",
+          Seq("err_id", "err_value"), "err_id", forward = true))
+      },
+      t("asof_native_fwd") {
+        full(operators.AsOfJoin.asOfNative(clicks, errors, "user_id", "ts",
+          Seq("err_id", "err_value"), "err_id", forward = true))
       })
 
+    val json = results.map { case (n, sec, rows) =>
+      f""""$n":{"sec":$sec%.2f,"rows":$rows}"""
+    }.mkString("{", ",", s""","replication":$k}""")
+    println(s"[probe] $json")
+  }
+
+  /** Z-order layout at arbitrary replication: volume grows with k
+    * (replicas offset l_orderkey; the clustered key domain stays
+    * fixed, the realistic growth mode for re-layout jobs). Both
+    * entries are one pass + one exchange — the decade ratio per row
+    * must stay ~flat. */
+  private def zorderProbes(spark: SparkSession, dir: String, k: Int): Unit = {
+    def t(name: String)(f: => Long): (String, Double, Long) = {
+      val s = System.nanoTime(); val n = f
+      (name, (System.nanoTime() - s) / 1e9, n)
+    }
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val li = replicate(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey"),
+      Seq("l_orderkey"), k).persist(lvl)
+    li.count()
+    val results = Seq(
+      t("zorder_stats") {
+        operators.ZOrder.zBucketStats(li, "l_partkey", "l_suppkey", 64)
+          .write.format("noop").mode("overwrite").save(); 0L
+      },
+      t("zorder_cluster") {
+        operators.ZOrder.cluster(li, "l_partkey", "l_suppkey", 64)
+          .write.format("noop").mode("overwrite").save(); 0L
+      })
+    li.unpersist()
     val json = results.map { case (n, sec, rows) =>
       f""""$n":{"sec":$sec%.2f,"rows":$rows}"""
     }.mkString("{", ",", s""","replication":$k}""")
@@ -1031,6 +1074,18 @@ object ScaleProbe {
       "doc_id", "text", 0.9, dsSink, "probe_docstream", Some(dsCp),
       maxFilesPerTrigger = Some(1)).awaitTermination()
     val accepted = streaming.DocStream.accepted(spark, dsSink, docs).count()
+
+    // --- the same ingest with ONLINE DECONTAMINATION ------------------
+    // (q193 family): per batch adds batch-gram hashing + a broadcast
+    // join against the constant bench set — the per-batch wall must
+    // stay as flat as the plain ingest's
+    val dcSink = tmp("probe_docstream_dc_sink") + "/accepted"
+    val dcCp = tmp("probe_docstream_dc_cp")
+    streaming.DocStream.nearDupIngestStream(spark, dsSrc, docs,
+      "doc_id", "text", 0.9, dcSink, "probe_docstream_dc", Some(dcCp),
+      maxFilesPerTrigger = Some(1),
+      bench = Some(docs.filter(col("doc_id") % 97 === 0)),
+      benchGramN = 13).awaitTermination()
 
     // --- stateless SCD2 enrichment (q179 family) ----------------------
     val ordSrc = tbl("orders").filter(col("o_custkey") < 5000)

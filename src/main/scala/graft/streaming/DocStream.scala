@@ -272,9 +272,30 @@ object DocStream {
       // Per-doc test against the BROADCAST bench gram set, so batching
       // cannot change any verdict and per-batch cost stays
       // O(batch grams), independent of the accepted corpus.
-      val clean = bench match {
-        case Some(b) => graft.text.Decontaminate
-          .decontaminate(batch, b, idCol, textCol, benchGramN)
+      // the batch relation is consumed by SEVERAL plan branches below
+      // (the cross-rejection hit list, its anti join, the in-batch
+      // pair plan's band and verify sides) and Spark re-derives an
+      // unpersisted lineage once per branch. For a raw file batch the
+      // recompute is a cheap re-scan; once decontamination prefixes
+      // the lineage it is a full gram pass PER BRANCH (the r9 streams
+      // probe measured the decontaminated ingest at ~4× the plain
+      // one's per-batch wall for exactly this reason) — so pin the
+      // decontaminated batch for the micro-batch's lifetime.
+      // pin the CONTAMINATED ID LIST, not the decontaminated text
+      // relation: the ids are tiny (they broadcast into the anti
+      // join), while caching 50k text rows per batch costs more than
+      // it saves. Materialize BEFORE the consumers — a lazily
+      // populated cache read by two branches of one job races, each
+      // branch computing its own copy before either publishes blocks.
+      val contaminated = bench.map { b =>
+        val ids = graft.text.Decontaminate
+          .contaminatedIds(batch, b, idCol, textCol, benchGramN)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ids.count()
+        ids
+      }
+      val clean = contaminated match {
+        case Some(ids) => batch.join(ids, Seq(idCol), "left_anti")
         case None => batch
       }
       // cross-corpus rejection NEXT, in-batch dedup on the
@@ -284,7 +305,7 @@ object DocStream {
       // acceptance depend on batch boundaries even for non-chain
       // graphs) — cross-first matches per-document sequential
       // greedy whenever the batch's own dup graph is CC-clean
-      val survivors = acceptedSigsSoFar(spark, sinkDir, clean, idCol,
+      val survivorsRaw = acceptedSigsSoFar(spark, sinkDir, clean, idCol,
         textCol, Some(batchId)) match {
         case Some(sigs) =>
           val hit = Dedup.crossNearDupPairsVsSignatures(clean, idCol,
@@ -293,9 +314,20 @@ object DocStream {
           clean.join(hit, Seq(idCol), "left_anti")
         case None => clean
       }
-      val out = Dedup.dropNearDups(survivors, idCol,
-        Dedup.nearDupPairs(survivors, idCol, textCol, threshold))
-      out.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+      // same argument one stage later: survivors feed the pair plan
+      // AND the drop anti join — unpinned, the cross-corpus signature
+      // join above would run once per consumer
+      val survivors = survivorsRaw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      survivors.count() // materialize before the pair plan's branches
+      try {
+        val out = Dedup.dropNearDups(survivors, idCol,
+          Dedup.nearDupPairs(survivors, idCol, textCol, threshold))
+        out.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+      } finally {
+        survivors.unpersist()
+        contaminated.foreach(_.unpersist())
+      }
       val written = spark.read.schema(batch.schema)
         .parquet(s"$sinkDir/batch_id=$batchId")
       Dedup.nearDupSignatures(written, idCol, textCol)
