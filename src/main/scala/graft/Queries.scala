@@ -6322,6 +6322,43 @@ object Queries {
       |    AS kept
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** THREE-DIMENSIONAL Z-ORDER ([[graft.operators.ZOrder.zValueN]] —
+    * the general bit-by-bit Morton build, dimension i on bit positions
+    * b·k+i): lineitem clustered on (l_partkey, l_suppkey, l_quantity),
+    * read back as 32 equal z-range buckets with full 3-D bounding
+    * boxes. The oracle replays all 48 OR-terms of the interleave
+    * verbatim — bucket boxes bit-identical or nothing. */
+  def q200Zorder3(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ZOrder.zBucketStatsN(
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("l_qty")),
+      Seq("l_partkey", "l_suppkey", "l_qty"), buckets = 32)
+      .orderBy("bucket")
+
+  val q200Sql: String = {
+    val dims = Seq("xn", "yn", "qn")
+    val z = (for { b <- 0 until 16; i <- dims.indices }
+      yield s"(((${dims(i)} >> $b) & 1) << ${b * 3 + i})").mkString(" | ")
+    s"""WITH b AS (SELECT min(l_partkey) xmin, max(l_partkey) xmax,
+      |  min(l_suppkey) ymin, max(l_suppkey) ymax,
+      |  min(CAST(l_quantity AS BIGINT)) qmin,
+      |  max(CAST(l_quantity AS BIGINT)) qmax FROM lineitem),
+      |n AS (SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS l_qty,
+      |  ((l_partkey - (SELECT xmin FROM b)) * 65536)
+      |    // ((SELECT xmax FROM b) - (SELECT xmin FROM b) + 1) AS xn,
+      |  ((l_suppkey - (SELECT ymin FROM b)) * 65536)
+      |    // ((SELECT ymax FROM b) - (SELECT ymin FROM b) + 1) AS yn,
+      |  ((CAST(l_quantity AS BIGINT) - (SELECT qmin FROM b)) * 65536)
+      |    // ((SELECT qmax FROM b) - (SELECT qmin FROM b) + 1) AS qn
+      |  FROM lineitem),
+      |z AS (SELECT l_partkey, l_suppkey, l_qty, ($z) AS zv FROM n)
+      |SELECT (zv * 32) // ${1L << 48} AS bucket, count(*) AS n,
+      |  min(l_partkey) AS l_partkey_min, max(l_partkey) AS l_partkey_max,
+      |  min(l_suppkey) AS l_suppkey_min, max(l_suppkey) AS l_suppkey_max,
+      |  min(l_qty) AS l_qty_min, max(l_qty) AS l_qty_max
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** FORWARD AS-OF THROUGH THE NATIVE PLAN NODE
     * ([[graft.plans.AsOfJoinExec]] `forward = true`): q194's semantics
     * through the custom physical operator — the same ascending
@@ -6584,6 +6621,7 @@ object Queries {
     "q197_source_gate" -> (q197SourceGate _),
     "q198_asof_fwd_native" -> (q198AsofFwdNative _),
     "q199_zorder" -> (q199Zorder _),
+    "q200_zorder3" -> (q200Zorder3 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6791,6 +6829,7 @@ object Queries {
     "q197_source_gate" -> q197Sql,
     "q198_asof_fwd_native" -> q198Sql,
     "q199_zorder" -> q199Sql,
+    "q200_zorder3" -> q200Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -49,6 +49,22 @@ object ZOrder {
       shiftleft((v - minV).cast("long"), 16),
       (maxV - minV + lit(1)).cast("long"))
 
+  /** Morton interleave of k 16-bit normalized coordinates: dimension
+    * i owns bit positions b·k + i — the general bit-by-bit build
+    * (16·k OR-terms, all inside whole-stage codegen). For k = 2 it
+    * equals [[interleave2]]'s mask-ladder bit-for-bit (spec-pinned);
+    * the ladder stays as the documented fast form. */
+  def interleaveN(dims16: Seq[Column]): Column = {
+    require(dims16.nonEmpty, "interleaveN needs at least one dimension")
+    val k = dims16.length
+    require(16L * k <= 62, s"interleaveN supports up to 3 dimensions of 16 bits, got $k")
+    val terms = for {
+      b <- 0 until 16
+      (d, i) <- dims16.zipWithIndex
+    } yield shiftleft(shiftright(d, b).bitwiseAND(lit(1L)), b * k + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
   /** The z-value of two integer dimensions with data-derived bounds
     * (one aggregate-only pass — the bounded-probe pattern). */
   def zValue2(df: DataFrame, xCol: String, yCol: String): Column = {
@@ -57,6 +73,16 @@ object ZOrder {
     interleave2(
       normalize16(col(xCol), lit(r.get(0)), lit(r.get(1))),
       normalize16(col(yCol), lit(r.get(2)), lit(r.get(3))))
+  }
+
+  /** The z-value of k integer dimensions (k ≤ 3) with data-derived
+    * bounds — one aggregate-only pass for all 2k extrema. */
+  def zValueN(df: DataFrame, cols: Seq[String]): Column = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    interleaveN(cols.zipWithIndex.map { case (c, i) =>
+      normalize16(col(c), lit(r.get(2 * i)), lit(r.get(2 * i + 1)))
+    })
   }
 
   /** Cluster the frame along the z-curve: one range exchange on the
@@ -95,5 +121,22 @@ object ZOrder {
       .agg(count(lit(1)).as("n"),
         min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
         min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
+  }
+
+  /** [[zBucketStats]] for k dimensions (k ≤ 3): per-bucket counts and
+    * each dimension's `<col>_min`/`<col>_max` — the k-dimensional
+    * bounding BOX a z-clustered file's stats would declare. */
+  def zBucketStatsN(df: DataFrame, cols: Seq[String],
+      buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20], got $buckets")
+    val zSpan = 1L << (16 * cols.length)
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    df.withColumn("__z", zValueN(df, cols))
+      .select((call_function("div", col("__z") * lit(buckets.toLong),
+        lit(zSpan)).as("bucket") +: cols.map(col)): _*)
+      .groupBy(col("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -88,6 +88,24 @@ class ZOrderSpec extends AnyFunSuite {
     assert(linTouched === 16, s"linear buckets touched: $linTouched")
   }
 
+  test("interleaveN(k=2) equals the mask-ladder interleave2 bit-for-bit") {
+    val cases = Seq((0L, 0L), (5L, 3L), (65535L, 65535L), (12345L, 54321L))
+    val rows = cases.toDF("x", "y")
+      .select(ZOrder.interleave2(col("x"), col("y")).as("a"),
+        ZOrder.interleaveN(Seq(col("x"), col("y"))).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("interleaveN(k=3): dimension i owns bit positions 3b+i") {
+    // x=1 (bit 0), y=1, q=1 → z = 0b111 = 7; x=2 (bit 1) alone → bit 3
+    val got = Seq((1L, 1L, 1L), (2L, 0L, 0L), (0L, 2L, 0L), (0L, 0L, 2L))
+      .toDF("x", "y", "q")
+      .select(ZOrder.interleaveN(Seq(col("x"), col("y"), col("q"))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(7L, 8L, 16L, 32L))
+  }
+
   test("cluster: partitions carry disjoint z-ranges, sorted within") {
     val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
       .toDF("x", "y")
