@@ -41,8 +41,12 @@ object Dedup {
     * typical dup rates, so the full rows never shuffle at all; at
     * pathological dup rates (drop list corpus-sized) it degrades to
     * exactly the old semi-join cost, never worse. Same kept set by
-    * construction: id ∉ drops ⇔ id = min(id) of its fingerprint
-    * group. */
+    * construction for NON-NULL ids: id ∉ drops ⇔ id = min(id) of its
+    * fingerprint group. NULL-id rows PASS THROUGH undeduplicated (an
+    * anti join never matches a NULL key) — the defined semantics,
+    * spec-pinned: a row without an identity cannot be a dedup keeper
+    * or victim. (The pre-r9 keep-list semi join silently DROPPED
+    * every NULL-id row — worse than either alternative.) */
   def dropExactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fpId = docs.select(xxhash64(col(textCol)).as("fp"), col(idCol))
     val keeps = fpId.groupBy(col("fp")).agg(min(col(idCol)).as("__keep"))

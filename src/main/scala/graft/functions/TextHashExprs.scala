@@ -44,19 +44,22 @@ object TextHash {
     mix64(h)
   }
 
-  /** The regex `\s` class — ` \t\n\x0B\f\r` — NOT
-    * `Character.isWhitespace`. Every token-boundary producer that can
-    * feed the same join must agree on this class: the string side
-    * ([[graft.text.TextOps.tokens]]) splits on Java `\s+`, the DuckDB
-    * oracles split on RE2 `\s+` (the same six ASCII chars), and this
-    * native side must match or a Unicode-whitespace char (U+2028,
-    * U+1680, U+2000–200A, U+3000, U+001C–001F — split points under
-    * `isWhitespace`, token chars under `\s`) silently desynchronizes
-    * the hash screen from the exact verify — a contaminated doc could
-    * pass [[gramHashes]]' screen unseen and never reach the string
-    * verify (a false negative the exactness contract forbids). */
+  /** The RE2 `\s` class — ` \t\n\f\r`, FIVE chars — NOT Java's `\s`
+    * (which adds U+000B vertical tab) and NOT
+    * `Character.isWhitespace` (which adds a dozen Unicode points).
+    * Every token-boundary producer that can feed the same join must
+    * agree on ONE class, and the DuckDB oracles' RE2 `\s+` is the
+    * narrowest of the three — so it is the reference: the string side
+    * ([[graft.text.TextOps.tokens]]) splits on an explicit
+    * `[ \t\n\f\r]+`, and this native side matches it. A char in the
+    * wider classes but not RE2's (U+000B; or under `isWhitespace`
+    * also U+2028, U+1680, U+2000–200A, U+3000, U+001C–001F) would
+    * silently desynchronize the hash screen from the exact verify —
+    * a contaminated doc could pass [[gramHashes]]' screen unseen and
+    * never reach the string verify (a false negative the exactness
+    * contract forbids). */
   @inline private def isTokenSep(c: Char): Boolean =
-    c == ' ' || (c >= '\t' && c <= '\r')
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** Whitespace tokens of `text` (runs of non-`\s`; see
     * [[isTokenSep]] for why the class is the ASCII regex `\s`, not

@@ -27,14 +27,19 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object AsOfJoin {
 
-  /** Epoch seconds for timestamps (exact micros over 1e6, matching
-    * DuckDB's epoch(); NTZ casts through TIMESTAMP — both sides
-    * convert identically, so DIFFERENCES are timezone-free), identity
-    * for numeric time axes (the unit is the column's own). */
+  /** Epoch seconds for time axes (matching DuckDB's epoch()):
+    * timestamps as exact micros over 1e6 (NTZ casts through
+    * TIMESTAMP — both sides convert identically, so DIFFERENCES are
+    * timezone-free); DATE as midnight epoch seconds (a date column is
+    * a valid as-of axis — the native merge's longGetter handles it —
+    * so tolerance must too, and `CAST(date AS DOUBLE)` is an analysis
+    * error); identity for numeric axes (the unit is the column's
+    * own). */
   private def epochSeconds(c: org.apache.spark.sql.Column,
       dt: org.apache.spark.sql.types.DataType) = dt match {
     case _: org.apache.spark.sql.types.TimestampType |
-         _: org.apache.spark.sql.types.TimestampNTZType =>
+         _: org.apache.spark.sql.types.TimestampNTZType |
+         _: org.apache.spark.sql.types.DateType =>
       unix_micros(c.cast("timestamp")).cast("double") / lit(1e6)
     case _ => c.cast("double")
   }

@@ -128,9 +128,15 @@ object ZOrder {
     * bounding BOX a z-clustered file's stats would declare. */
   def zBucketStatsN(df: DataFrame, cols: Seq[String],
       buckets: Int): DataFrame = {
-    require(buckets >= 1 && buckets <= (1 << 20),
-      s"buckets must be in [1, 2^20], got $buckets")
     val zSpan = 1L << (16 * cols.length)
+    // z < zSpan, so the bucket arithmetic computes z·buckets — cap
+    // buckets where that product stays inside a Long (2-D: ≤ 2^20
+    // as before; 3-D: ≤ 2^14). An uncapped 3-D call with 2^20
+    // buckets would WRAP under non-ANSI semantics: garbage bucket
+    // ids, silently.
+    val maxBuckets = math.min(1L << 20, Long.MaxValue / zSpan)
+    require(buckets >= 1 && buckets <= maxBuckets,
+      s"buckets must be in [1, $maxBuckets] for ${cols.length} dims, got $buckets")
     val aggs = count(lit(1)).as("n") +: cols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
     df.withColumn("__z", zValueN(df, cols))

@@ -52,30 +52,14 @@ import graft.dedup.Dedup
   * exist, and it is the one being replayed. */
 object DocStream {
 
-  /** Manifest file inside a compacted generation directory listing the
-    * batch partitions it folded. It rides the generation's publish
-    * rename, so "gen visible" and "its sources are superseded" are ONE
-    * atomic event — a crash between publish and source deletion can
-    * never double-count (the listing skips manifested sources even
-    * while they still exist on disk). Underscore prefix keeps it
-    * invisible to the parquet reader. */
-  private val FoldedManifest = "_folded"
-
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      gen: Path): Set[String] = {
-    val f = new Path(gen, FoldedManifest)
-    if (!fs.exists(f)) Set.empty
-    else {
-      val in = fs.open(f)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().map(_.trim).filter(_.nonEmpty).toSet
-      finally in.close()
-    }
-  }
+  // manifest format, reader/writer, listing, and the checked publish
+  // rename are shared with SinkFold — see Manifests (one
+  // implementation; the fold POLICIES differ and stay here)
+  import Manifests.readManifest
 
   /** Accepted data partitions: compacted `gen=K` directories plus the
     * `batch_id=N` directories no generation has folded (each gen's
-    * [[FoldedManifest]] names its superseded sources — see there for
+    * [[Manifests.FoldedManifest]] names its superseded sources — see there for
     * the crash-window argument). `excludeBatchId` drops that batch's
     * own partition — replay idempotence (see object doc); a replayable
     * (uncommitted) batch is by construction never folded, so the
@@ -154,7 +138,7 @@ object DocStream {
     *  2. `_sig/gen=K` publishes by rename (an orphan sig generation is
     *     ignored by the pairing in `acceptedSigsSoFar` and removed by
     *     the next call's GC);
-    *  3. `gen=K` publishes by rename, CARRYING its [[FoldedManifest]]
+    *  3. `gen=K` publishes by rename, CARRYING its [[Manifests.FoldedManifest]]
     *     — from this atomic instant the folded sources are superseded
     *     in every listing even though they still exist on disk;
     *  4. sources are deleted (a crash before this is repaired by the
@@ -231,14 +215,16 @@ object DocStream {
       .option("compression", "snappy").parquet(tmpData.toString)
     sigRel.repartition(nFiles).write.mode("overwrite")
       .option("compression", "snappy").parquet(tmpSig.toString)
-    val manifest = new Path(tmpData, FoldedManifest)
-    val out = fs.create(manifest, true)
-    try out.write(committed.map(_.getName).sorted.mkString("\n")
-      .getBytes("UTF-8"))
-    finally out.close()
+    Manifests.writeManifest(fs, tmpData, committed.map(_.getName))
     fs.mkdirs(sigBase)
-    fs.rename(tmpSig, new Path(sigBase, s"gen=$genId"))
-    fs.rename(tmpData, new Path(base, s"gen=$genId"))
+    // checked publishes (Manifests.renameOrFail): a false-returning
+    // rename followed by the source deletes below would lose the
+    // folded batches with no generation published — and the GC can
+    // only repair from a PUBLISHED manifest. If the data publish
+    // throws after the sig publish landed, the orphan sig generation
+    // is exactly what the next call's GC removes.
+    Manifests.renameOrFail(fs, tmpSig, new Path(sigBase, s"gen=$genId"))
+    Manifests.renameOrFail(fs, tmpData, new Path(base, s"gen=$genId"))
     committed.foreach { p =>
       fs.delete(p, true)
       fs.delete(new Path(sigBase, p.getName), true)

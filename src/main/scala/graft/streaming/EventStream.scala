@@ -330,12 +330,15 @@ object EventStream {
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.AsOfJoin
+        val enrichedBatch = graft.operators.AsOfJoin
           .asOf(batch, right, key, ts, carry, rightTieBreak)
-          .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+        enrichedBatch.write.mode("overwrite")
+          .parquet(s"$sinkDir/batch_id=$batchId")
         if (compactEvery > 0)
-          SinkFold.fold(spark, sinkDir,
-            schemaFrom = spark.read.parquet(s"$sinkDir/batch_id=$batchId"),
+          // the enriched frame IS the sink row shape — re-reading the
+          // just-written partition for its schema would add a listing
+          // + footer read per micro-batch for nothing
+          SinkFold.fold(spark, sinkDir, schemaFrom = enrichedBatch,
             beforeBatchId = batchId, minBatches = compactEvery)
         ()
       }

@@ -35,22 +35,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the overwrite-own-partition replay contract intact. */
 object SinkFold {
 
-  private val FoldedManifest = "_folded"
-
-  private def readManifest(fs: FileSystem, gen: Path): Set[String] = {
-    val f = new Path(gen, FoldedManifest)
-    if (!fs.exists(f)) Set.empty
-    else {
-      val in = fs.open(f)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().map(_.trim).filter(_.nonEmpty).toSet
-      finally in.close()
-    }
-  }
-
-  private def dirsIn(fs: FileSystem, p: Path): Seq[Path] =
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toIndexedSeq
+  import Manifests.{readManifest, dirsIn}
 
   /** Live partitions: `gen=K` generations plus the `batch_id=N`
     * directories no generation's manifest has superseded. */
@@ -114,11 +99,10 @@ object SinkFold {
       .parquet(committed.map(_.toString): _*)
       .repartition(nFiles).write.mode("overwrite")
       .option("compression", "snappy").parquet(tmp.toString)
-    val out = fs.create(new Path(tmp, FoldedManifest), true)
-    try out.write(committed.map(_.getName).sorted.mkString("\n")
-      .getBytes("UTF-8"))
-    finally out.close()
-    fs.rename(tmp, new Path(base, s"gen=$genId"))
+    Manifests.writeManifest(fs, tmp, committed.map(_.getName))
+    // checked publish: a false-returning rename followed by the source
+    // deletes below would be silent data loss (Manifests.renameOrFail)
+    Manifests.renameOrFail(fs, tmp, new Path(base, s"gen=$genId"))
     committed.foreach(fs.delete(_, true))
     Some(genId)
   }

@@ -11,15 +11,17 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace tokens, empties removed. Splits on runs of ANY
-    * whitespace (`\s+`) — a literal-space split would fuse words across
+    * whitespace — a literal-space split would fuse words across
     * tabs/newlines, undercounting tokens and skewing every quality
-    * ratio on multi-line documents. Matches the native
-    * `TextHash.tokenize` (the same six-char ASCII `\s` class — NOT
-    * `Character.isWhitespace`, whose extra Unicode split points would
-    * desynchronize the two producers) and the DuckDB oracles'
-    * `regexp_split_to_array(text, '\s+')` (RE2 `\s` = the same six). */
+    * ratio on multi-line documents. The split class is the EXPLICIT
+    * five chars `[ \t\n\f\r]` — RE2's `\s`, which the DuckDB oracles
+    * use and which is the narrowest of the three candidate classes
+    * (Java `\s` adds U+000B vertical tab; `Character.isWhitespace`
+    * adds a dozen Unicode points) — matching the native
+    * `TextHash.isTokenSep` exactly. Writing Java `\s` here would
+    * silently split on U+000B where the oracle doesn't. */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    filter(split(text, "[ \\t\\n\\f\\r]+"), t => t =!= "")
 
   /** Distinct token set (order-normalized for set operations). */
   def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))

@@ -261,6 +261,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got.subsetOf(exact), s"semantic pairs not in exact sweep: ${got -- exact}")
   }
 
+  test("dropExactDups: NULL-id rows pass through undeduplicated (pinned semantics)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), "same text"), (Some(2L), "same text"),
+      (Option.empty[Long], "same text"), (Option.empty[Long], "same text"),
+      (Some(3L), "other text")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropExactDups(df, "doc_id", "text")
+      .collect().map(r => Option(r.getAs[Any]("doc_id"))).toSeq
+    // id 2 is the only victim; BOTH null-id rows survive — a row
+    // without an identity can be neither keeper nor victim
+    assert(kept.count(_.isEmpty) === 2)
+    assert(kept.flatten.map(_.asInstanceOf[Long]).sorted === Seq(1L, 3L))
+  }
+
   test("tuneBands: one row per divisor split, areas replay the S-curve") {
     val rows = Dedup.tuneBands(spark, sigLen = 32, threshold = 0.9)
       .collect().map(r => (r.getAs[Int]("b"), r.getAs[Int]("r"),

@@ -47,31 +47,35 @@ class TextHashSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSet === want)
   }
 
-  test("tokenizer boundary is the ASCII \\s class — Unicode whitespace is a TOKEN char") {
+  test("tokenizer boundary is RE2's \\s (5 chars) — wider-class whitespace is a TOKEN char") {
     import scala.jdk.CollectionConverters._
-    // chars where Character.isWhitespace and regex \s DISAGREE: if the
-    // native tokenizer split on them while the string side (Java \s+
-    // split — wordShingles) kept them inside a token, a corpus doc
-    // sharing a string gram with the bench could fail the hashed-gram
-    // screen and never reach the exact verify — a silent false
-    // negative Decontaminate's exactness contract forbids
-    val uws = Seq('\u2028', '\u1680', '\u2000', '\u200A', '\u3000', '\u001C')
-    for (c <- uws) {
-      assert(Character.isWhitespace(c), s"premise: U+${c.toInt.toHexString}")
+    // chars where a WIDER whitespace class disagrees with RE2's \s
+    // (the DuckDB oracles' class, hence the REFERENCE): U+000B
+    // vertical tab is whitespace under Java \s and isWhitespace but
+    // NOT under RE2; the Unicode points only under isWhitespace. If
+    // any engine producer split on one of these while the oracle kept
+    // it inside a token, a corpus doc sharing a string gram with the
+    // bench could fail the hashed-gram screen and never reach the
+    // exact verify — a silent false negative Decontaminate's
+    // exactness contract forbids.
+    val wider = Seq('\u000B', '\u2028', '\u1680', '\u2000', '\u200A',
+      '\u3000', '\u001C')
+    for (c <- wider) {
       val text = s"foo${c}bar baz qux quux corge"
-      val strToks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val strToks = text.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty).toSeq
       val natToks = TextHash.tokenize(text).asScala.toSeq
       assert(natToks === strToks, s"U+${c.toInt.toHexString}")
       assert(natToks.contains(s"foo${c}bar"), s"U+${c.toInt.toHexString}")
-      // gram byte-identity holds through the Unicode-whitespace token
+      // gram byte-identity holds through the non-splitting char
       val got = TextHash.gramHashes(u(text), 2)
       val want = TextHash.shingleSet(u(text), 2).asScala
         .map(g => TextHash.gramHash64(u(g))).toSet
       assert((0 until got.numElements()).map(got.getLong).toSet === want)
     }
-    // ... while all six \s chars DO split
-    assert(TextHash.tokenize("a\tb\nc\u000Bd\fe\rf g").asScala.toSeq ===
-      Seq("a", "b", "c", "d", "e", "f", "g"))
+    // ... while the five RE2 \s chars DO split (and U+000B does NOT)
+    assert(TextHash.tokenize("a\tb\nc\fd\re f").asScala.toSeq ===
+      Seq("a", "b", "c", "d", "e", "f"))
+    assert(TextHash.tokenize("c\u000Bd").asScala.toSeq === Seq("c\u000Bd"))
   }
 
   test("minhash: equal docs equal sigs; disjoint docs disagree") {

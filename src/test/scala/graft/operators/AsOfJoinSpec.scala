@@ -146,6 +146,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(kept === Map("x" -> Some(7L), "y" -> None))
   }
 
+  test("tolerance on a DATE time axis: epoch-days arithmetic, no cast crash") {
+    val l = Seq((1L, java.sql.Date.valueOf("2024-01-10"), "x"))
+      .toDF("k", "d", "tag")
+    val r = Seq((1L, java.sql.Date.valueOf("2024-01-03"), 7L))
+      .toDF("k", "d", "rid")
+    def rid(tolSec: Double) = {
+      val row = AsOfJoin.asOf(l, r, "k", "d", Seq("rid"), "rid",
+        toleranceSec = Some(tolSec)).collect().head
+      Option(row.getAs[Any]("rid"))
+    }
+    assert(rid(7 * 86400.0) === Some(7L)) // 7 days apart, inclusive
+    assert(rid(6 * 86400.0) === None)
+  }
+
   test("forward matches a brute-force reference on the events table shape") {
     val ev = graft.Tables.eventsEpochMicros(spark, TestSpark.sf)
     val clicks = ev.filter($"event_type" === "click")
