@@ -6892,6 +6892,6 @@ object Queries {
     "q198_asof_fwd_native",
     // round-9: z-order layout stats over the biggest fixture table —
     // one range exchange + a grouped pass; benched so the clustering
-    // path's cost stays visible
-    "q199_zorder")
+    // path's cost stays visible (2-D mask ladder and 3-D bit build)
+    "q199_zorder", "q200_zorder3")
 }
