@@ -106,6 +106,28 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got === Seq(7L, 8L, 16L, 32L))
   }
 
+  test("written z-clustered parquet: a one-dimension predicate touches few files") {
+    // the end-to-end layout claim, against REAL files: write the grid
+    // z-clustered into 16 files and x-major into 16 files; the rows
+    // matching y <= 15 live in 4 of the z files but ALL 16 x-major
+    // files — the file set a min-max-stats pruner would have to scan
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder_files")
+    try {
+      ZOrder.cluster(grid, "x", "y", 16)
+        .write.mode("overwrite").parquet(s"$dir/z")
+      grid.repartitionByRange(16, col("x") * 64 + col("y"))
+        .write.mode("overwrite").parquet(s"$dir/linear")
+      def filesTouched(path: String): Long =
+        spark.read.parquet(path).filter(col("y") <= 15)
+          .select(input_file_name()).distinct().count()
+      assert(filesTouched(s"$dir/z") === 4L)
+      assert(filesTouched(s"$dir/linear") === 16L)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("cluster: partitions carry disjoint z-ranges, sorted within") {
     val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
       .toDF("x", "y")
