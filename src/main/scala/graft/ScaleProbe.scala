@@ -342,13 +342,31 @@ object ScaleProbe {
     val scratchDir = java.nio.file.Files
       .createTempDirectory("curation_scratch").toString
     try {
-      val results = Seq(
-        t("curation_lineage") { chain(persist = false) },
-        t("curation_persisted") { chain(persist = true) },
-        // the r9 decade probe priced pairs-from-PARQUET-sigs 4.2×
-        // under pairs-from-cached-sigs on the same corpus (39.6 vs
-        // 168.4 s at 1000×) — this entry prices that delta in-chain
-        t("curation_scratch") { chain(persist = true, Some(scratchDir)) })
+      // SPARK_GRAFT_CURATION_MODE selects ONE mode so each can run in
+      // its own fresh JVM: the original three-in-one-JVM sequence had
+      // ORDERING BIAS — the first mode paid the whole JVM/JIT/codegen
+      // warmup and the third ran hottest, overstating the later
+      // modes' advantage (r9 re-shots: scratch measured 129.7 s in
+      // third position but 377–627 s cold). One JVM per mode is the
+      // honest comparator; legacy all-three behavior when unset.
+      // SPARK_GRAFT_SCRATCH_ONLY=1 is the older scratch-only switch.
+      val mode = sys.env.get("SPARK_GRAFT_CURATION_MODE")
+        .orElse(if (sys.env.get("SPARK_GRAFT_SCRATCH_ONLY")
+          .contains("1")) Some("scratch") else None)
+      def want(m: String) = mode.forall(_ == m)
+      val results =
+        (if (want("lineage"))
+          Seq(t("curation_lineage") { chain(persist = false) })
+         else Seq.empty) ++
+        (if (want("persisted"))
+          Seq(t("curation_persisted") { chain(persist = true) })
+         else Seq.empty) ++
+        (if (want("scratch"))
+          // the r9 decade probe priced pairs-from-PARQUET-sigs 4.2×
+          // under pairs-from-cached-sigs on the same corpus (39.6 vs
+          // 168.4 s at 1000×) — this entry prices that delta in-chain
+          Seq(t("curation_scratch") { chain(persist = true, Some(scratchDir)) })
+         else Seq.empty)
       println(results.mkString("[probe] {", ",", s""","replication":$k}"""))
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(scratchDir))
