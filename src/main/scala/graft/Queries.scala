@@ -5977,8 +5977,13 @@ object Queries {
         }.reduce(_ ++ _)
         (id, clip)
       }.toDF("doc_id", "media")
+    // maxBucket effectively unbounded: the oracle computes ALL pairs,
+    // so parity must not depend on fixture scale staying under the
+    // default recall cap (the cap is a knob for real corpora, where
+    // drops are surfaced via the Observation parameter)
     Multimodal.videoNearDups(media, "doc_id", "media",
-      stride = 1, maxHamming = 3, minMatches = 2)
+      stride = 1, maxHamming = 3, minMatches = 2,
+      maxBucket = Int.MaxValue)
       .orderBy("id_a", "id_b")
   }
 

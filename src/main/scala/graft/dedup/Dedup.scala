@@ -46,7 +46,14 @@ object Dedup {
     * anti join never matches a NULL key) — the defined semantics,
     * spec-pinned: a row without an identity cannot be a dedup keeper
     * or victim. (The pre-r9 keep-list semi join silently DROPPED
-    * every NULL-id row — worse than either alternative.) */
+    * every NULL-id row — worse than either alternative.)
+    *
+    * PRECONDITION: non-NULL ids are UNIQUE (idCol is a row identity).
+    * Under duplicate ids the drop-list formulation drops EVERY row
+    * sharing an id with any non-keeper (the keep-list semi join would
+    * instead keep every row sharing a keeper id) — neither is a
+    * meaningful dedup when "id" does not identify a row, so the
+    * contract is explicit rather than an accident of join shape. */
   def dropExactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fpId = docs.select(xxhash64(col(textCol)).as("fp"), col(idCol))
     val keeps = fpId.groupBy(col("fp")).agg(min(col(idCol)).as("__keep"))

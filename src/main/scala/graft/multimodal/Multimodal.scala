@@ -619,10 +619,19 @@ object Multimodal {
     * Bucket sizes ride the same hash shuffle as an aggregate joined
     * back — no wide sort — and degenerate buckets (black frames,
     * test-pattern stills shared by thousands of clips) are dropped by
-    * `maxBucket` before they can expand quadratically. */
+    * `maxBucket` before they can expand quadratically.
+    *
+    * `maxBucket` is a RECALL knob and its drops are observable, not
+    * silent (the [[graft.dedup.Dedup.pairsFromBuckets]] contract):
+    * pass an [[org.apache.spark.sql.Observation]] and read
+    * `dropped_rows` (frame-hash rows in over-cap buckets) and
+    * `max_bucket_size` after the action — a nonzero counter means
+    * some aligned-frame candidates were never generated, so a missing
+    * pair at scale is the knob, not a bug. */
   def videoNearDups(df: DataFrame, idCol: String, mediaCol: String,
       stride: Int = 1, maxHamming: Int = 3, minMatches: Int = 2,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"full-recall blocking supports maxHamming in [0, 7], got $maxHamming")
     require(minMatches >= 1, "minMatches must be >= 1")
@@ -639,8 +648,12 @@ object Multimodal {
     val keys = Seq("frame_no", "block", "bucket")
     val sizes = bucketed.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"))
+    val observed = obs.fold(sizes)(o => sizes.observe(o,
+      sum(when(col("__n") > maxBucket, col("__n")).otherwise(0L))
+        .as("dropped_rows"),
+      max(col("__n")).as("max_bucket_size")))
     val capped = bucketed
-      .join(sizes.filter(col("__n") >= 2 && col("__n") <= maxBucket), keys)
+      .join(observed.filter(col("__n") >= 2 && col("__n") <= maxBucket), keys)
       .select(col("frame_no"), col("block"), col("bucket"),
         col("id"), col("dhash"))
     val cands = capped

@@ -43,11 +43,61 @@ object ZOrder {
   /** Min-max normalize an integer column onto [0, 2^16): exact
     * integer division `((v − min) · 2^16) div (max − min + 1)` — the
     * max lands at 65535, never 65536, and every engine's integer
-    * division agrees bit-for-bit (no doubles). */
+    * division agrees bit-for-bit (no doubles).
+    *
+    * PRECONDITION: `max − min < 2^47`, so `(v − min) << 16` fits a
+    * BIGINT. Callers with data-derived bounds should use
+    * [[zValue2]]/[[zValueN]], which check the span and switch to a
+    * pre-shifted form for wide domains instead of wrapping silently
+    * under non-ANSI arithmetic. */
   def normalize16(v: Column, minV: Column, maxV: Column): Column =
     call_function("div",
       shiftleft((v - minV).cast("long"), 16),
       (maxV - minV + lit(1)).cast("long"))
+
+  /** `max − min` may reach up to this many bits before `(v − min) <<
+    * 16` stops fitting a BIGINT (63 data bits − 16 shifted bits). */
+  private val MaxExactSpanBits = 47
+
+  /** [[normalize16]] with DRIVER-KNOWN bounds and an overflow-proof
+    * wide-range regime. Spans under 2^47 use the exact formula
+    * bit-for-bit (so existing oracles replaying the ladder in SQL are
+    * unchanged); wider spans — epoch-micros timestamps spanning
+    * years, sparse ids — are first arithmetic-shifted right by the
+    * excess bits (`v >> s` as a column, `min >> s` and `span >> s`
+    * computed exactly on the driver in BigInt), which keeps every
+    * intermediate inside a BIGINT at the cost of quantization the
+    * 16-bit grid below cannot see anyway. Monotone in `v` in both
+    * regimes; never wraps. */
+  private def normalizeBounded(v: Column, minL: Long, maxL: Long): Column = {
+    require(maxL >= minL, s"z-order bounds inverted: min=$minL max=$maxL")
+    val span = BigInt(maxL) - BigInt(minL)
+    if (span.bitLength <= MaxExactSpanBits)
+      normalize16(v, lit(minL), lit(maxL))
+    else {
+      val s = span.bitLength - MaxExactSpanBits
+      // (v >> s) − (min >> s) ∈ [0, (span >> s) + 1]: at most one off
+      // the exact (v − min) >> s, so the divisor gets +2 headroom to
+      // keep the result strictly under 2^16. All driver-side values
+      // exact via BigInt; the column side only ever shifts right.
+      val shiftedMin = BigInt(minL) >> s
+      val divisor = ((span >> s) + 2).toLong
+      call_function("div",
+        shiftleft(shiftright(v.cast("long"), s) - lit(shiftedMin.toLong), 16),
+        lit(divisor))
+    }
+  }
+
+  /** Null-safe bridge from an aggregate row bound to a Long (an
+    * all-NULL or empty dimension has no usable bounds). */
+  private def boundAsLong(v: Any, what: String): Long = v match {
+    case null => throw new IllegalArgumentException(
+      s"z-order $what bound is NULL: the dimension is empty or all-NULL")
+    case n: java.lang.Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"z-order dimensions must be integral, got $what = $other " +
+        s"(${other.getClass.getName})")
+  }
 
   /** Morton interleave of k 16-bit normalized coordinates: dimension
     * i owns bit positions b·k + i — the general bit-by-bit build
@@ -70,9 +120,17 @@ object ZOrder {
   def zValue2(df: DataFrame, xCol: String, yCol: String): Column = {
     val r = df.agg(min(col(xCol)), max(col(xCol)),
       min(col(yCol)), max(col(yCol))).head()
-    interleave2(
-      normalize16(col(xCol), lit(r.get(0)), lit(r.get(1))),
-      normalize16(col(yCol), lit(r.get(2)), lit(r.get(3))))
+    if (r.isNullAt(0) || r.isNullAt(2))
+      // empty input (or all-NULL dimension): no row ever evaluates
+      // the expression, so the legacy null-propagating form is fine
+      interleave2(
+        normalize16(col(xCol), lit(r.get(0)), lit(r.get(1))),
+        normalize16(col(yCol), lit(r.get(2)), lit(r.get(3))))
+    else interleave2(
+      normalizeBounded(col(xCol), boundAsLong(r.get(0), s"min($xCol)"),
+        boundAsLong(r.get(1), s"max($xCol)")),
+      normalizeBounded(col(yCol), boundAsLong(r.get(2), s"min($yCol)"),
+        boundAsLong(r.get(3), s"max($yCol)")))
   }
 
   /** The z-value of k integer dimensions (k ≤ 3) with data-derived
@@ -80,8 +138,13 @@ object ZOrder {
   def zValueN(df: DataFrame, cols: Seq[String]): Column = {
     val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    interleaveN(cols.zipWithIndex.map { case (c, i) =>
-      normalize16(col(c), lit(r.get(2 * i)), lit(r.get(2 * i + 1)))
+    if (cols.indices.exists(i => r.isNullAt(2 * i)))
+      interleaveN(cols.zipWithIndex.map { case (c, i) =>
+        normalize16(col(c), lit(r.get(2 * i)), lit(r.get(2 * i + 1)))
+      })
+    else interleaveN(cols.zipWithIndex.map { case (c, i) =>
+      normalizeBounded(col(c), boundAsLong(r.get(2 * i), s"min($c)"),
+        boundAsLong(r.get(2 * i + 1), s"max($c)"))
     })
   }
 

@@ -55,7 +55,7 @@ object DocStream {
   // manifest format, reader/writer, listing, and the checked publish
   // rename are shared with SinkFold — see Manifests (one
   // implementation; the fold POLICIES differ and stay here)
-  import Manifests.readManifest
+  import Manifests.{readManifest, partId}
 
   /** Accepted data partitions: compacted `gen=K` directories plus the
     * `batch_id=N` directories no generation has folded (each gen's
@@ -70,11 +70,12 @@ object DocStream {
     if (!fs.exists(base)) Seq.empty
     else {
       val dirs = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
-      val gens = dirs.filter(_.getName.startsWith("gen=")).toIndexedSeq
+      val gens = dirs.filter(p =>
+        partId(p.getName, "gen=").isDefined).toIndexedSeq
       val folded = gens.flatMap(readManifest(fs, _)).toSet
       val skip = excludeBatchId.map(id => s"batch_id=$id").toSet ++ folded
       gens.sortBy(_.getName) ++ dirs.toIndexedSeq
-        .filter(p => p.getName.startsWith("batch_id=") &&
+        .filter(p => partId(p.getName, "batch_id=").isDefined &&
           !skip.contains(p.getName))
     }
   }
@@ -163,31 +164,46 @@ object DocStream {
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toIndexedSeq
     // GC: finish any earlier fold that crashed between publish and
-    // source deletion, drop orphan sig generations and temp debris
-    val dataGens = dirsIn(base).filter(_.getName.startsWith("gen="))
+    // source deletion, drop orphan sig generations and temp debris.
+    // Manifested sources are deleted only when their modification
+    // time predates the generation's (same guard and rationale as
+    // SinkFold.fold): genuine crash debris always predates its gen,
+    // while a batch_id=N rewritten by a WRONGLY reused fresh
+    // checkpoint postdates it and must not be reaped as debris.
+    val dataGens = dirsIn(base).filter(p =>
+      partId(p.getName, "gen=").isDefined)
     val dataGenNames = dataGens.map(_.getName).toSet
     dataGens.foreach { g =>
+      val genMtime = fs.getFileStatus(g).getModificationTime
       readManifest(fs, g).foreach { n =>
-        fs.delete(new Path(base, n), true)
-        fs.delete(new Path(sigBase, n), true)
+        val src = new Path(base, n)
+        if (fs.exists(src) &&
+            fs.getFileStatus(src).getModificationTime <= genMtime)
+          fs.delete(src, true)
+        val sig = new Path(sigBase, n)
+        if (fs.exists(sig) &&
+            fs.getFileStatus(sig).getModificationTime <= genMtime)
+          fs.delete(sig, true)
       }
     }
-    dirsIn(sigBase).filter(p => p.getName.startsWith("gen=") &&
+    dirsIn(sigBase).filter(p => partId(p.getName, "gen=").isDefined &&
       !dataGenNames.contains(p.getName)).foreach(fs.delete(_, true))
     dirsIn(base).filter(_.getName.startsWith("_tmp_gen"))
       .foreach(fs.delete(_, true))
     // committed = marker exists; an in-flight replayable partition is
-    // left alone by construction
+    // left alone by construction. Never re-fold an (mtime-protected)
+    // already-manifested source.
+    val folded = dataGens.flatMap(readManifest(fs, _)).toSet
     val committed = dirsIn(base)
-      .filter(_.getName.startsWith("batch_id="))
+      .filter(p => partId(p.getName, "batch_id=").isDefined &&
+        !folded.contains(p.getName))
       .filter { p =>
         val id = p.getName.stripPrefix("batch_id=")
         fs.exists(new Path(base, s"_applied/$queryName/$id"))
       }
     if (committed.size < minBatches) return None
     val genId = (dirsIn(base) ++ dirsIn(sigBase))
-      .map(_.getName).filter(_.startsWith("gen="))
-      .map(_.stripPrefix("gen=").toLong)
+      .flatMap(p => partId(p.getName, "gen="))
       .foldLeft(-1L)(math.max) + 1L
     val data = spark.read.schema(schemaFrom.schema)
       .parquet(committed.map(_.toString): _*)
@@ -324,7 +340,8 @@ object DocStream {
         val live = new Path(sinkDir).getFileSystem(
           spark.sessionState.newHadoopConf())
           .listStatus(new Path(sinkDir))
-          .count(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+          .count(s => s.isDirectory &&
+            partId(s.getPath.getName, "batch_id=").isDefined)
         if (live >= compactEvery)
           compactSink(spark, sinkDir, batch, idCol, textCol, queryName,
             minBatches = compactEvery)
@@ -338,6 +355,12 @@ object DocStream {
     * on a schedule, or swap the trigger for continuous tailing. Reuse
     * `queryName` exactly when resuming the same checkpoint (batch ids
     * restart at 0 per checkpoint — the marker lineage must follow).
+    * A sink that has COMPACTED must never be pointed at by a NEW
+    * checkpoint: restarted batch ids collide with names in published
+    * fold manifests, so the rewritten partitions read as superseded.
+    * The folds' mtime GC guard keeps such fresh data from being
+    * deleted as crash debris, but the pairing is still wrong — use a
+    * fresh sink directory with a fresh checkpoint.
     * `bench` switches on ONLINE DECONTAMINATION: each batch drops
     * documents sharing any `benchGramN`-gram with the benchmark set
     * before any dedup runs ([[processBatch]] for the policy order). */

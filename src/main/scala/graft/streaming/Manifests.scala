@@ -37,6 +37,23 @@ private[streaming] object Manifests {
     finally out.close()
   }
 
+  /** Strict `prefix<digits>` partition-name parse: the id, or None
+    * for any non-conforming name. Both sinks list directories by
+    * prefix and parse the rest as a Long — an unguarded
+    * `stripPrefix(...).toLong` turns ONE stray directory (a manual
+    * `batch_id=3.bak` copy) into a NumberFormatException that
+    * permanently fails every subsequent fold. ASCII digits only,
+    * length-capped so the parse itself can never throw; anything
+    * non-conforming is simply not a partition. */
+  def partId(name: String, prefix: String): Option[Long] =
+    if (!name.startsWith(prefix)) None
+    else {
+      val rest = name.substring(prefix.length)
+      if (rest.nonEmpty && rest.length <= 18 &&
+          rest.forall(c => c >= '0' && c <= '9')) Some(rest.toLong)
+      else None
+    }
+
   def dirsIn(fs: FileSystem, p: Path): Seq[Path] =
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toIndexedSeq

@@ -35,18 +35,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the overwrite-own-partition replay contract intact. */
 object SinkFold {
 
-  import Manifests.{readManifest, dirsIn}
+  import Manifests.{readManifest, dirsIn, partId}
 
   /** Live partitions: `gen=K` generations plus the `batch_id=N`
-    * directories no generation's manifest has superseded. */
+    * directories no generation's manifest has superseded. Names are
+    * matched STRICTLY (`batch_id=<digits>` / `gen=<digits>`): a stray
+    * `batch_id=3.bak` copy is not a partition and must neither be
+    * read nor crash a fold's id parse. */
   def parts(spark: SparkSession, sinkDir: String): Seq[Path] = {
     val base = new Path(sinkDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     val dirs = dirsIn(fs, base)
-    val gens = dirs.filter(_.getName.startsWith("gen="))
+    val gens = dirs.filter(p => partId(p.getName, "gen=").isDefined)
     val folded = gens.flatMap(readManifest(fs, _)).toSet
     gens.sortBy(_.getName) ++ dirs
-      .filter(p => p.getName.startsWith("batch_id=") &&
+      .filter(p => partId(p.getName, "batch_id=").isDefined &&
         !folded.contains(p.getName))
   }
 
@@ -76,20 +79,35 @@ object SinkFold {
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) return None
     // GC: finish any fold that crashed between publish and source
-    // deletion, drop temp debris
-    val gens = dirsIn(fs, base).filter(_.getName.startsWith("gen="))
-    gens.foreach(g =>
-      readManifest(fs, g).foreach(n => fs.delete(new Path(base, n), true)))
+    // deletion, drop temp debris. A manifested source is deleted ONLY
+    // if its modification time predates its generation's — a fold
+    // writes the generation AFTER reading its sources, so genuine
+    // crash debris always satisfies this, while a `batch_id=N`
+    // directory REWRITTEN after the fold (a sink wrongly reused with
+    // a fresh checkpoint, whose batch ids restart at 0) holds fresh
+    // data the old manifest must not reap. That misuse is still
+    // outside the contract — reads would hide the colliding names as
+    // superseded — a compacted sink must never be paired with a new
+    // checkpoint; the guard just downgrades the failure from silent
+    // data DELETION to a visible stale read.
+    val gens = dirsIn(fs, base).filter(p => partId(p.getName, "gen=").isDefined)
+    gens.foreach { g =>
+      val genMtime = fs.getFileStatus(g).getModificationTime
+      readManifest(fs, g).foreach { n =>
+        val src = new Path(base, n)
+        if (fs.exists(src) &&
+            fs.getFileStatus(src).getModificationTime <= genMtime)
+          fs.delete(src, true)
+      }
+    }
     dirsIn(fs, base).filter(_.getName.startsWith("_tmp_gen"))
       .foreach(fs.delete(_, true))
+    val folded = gens.flatMap(readManifest(fs, _)).toSet
     val committed = dirsIn(fs, base)
-      .filter { p =>
-        val n = p.getName
-        n.startsWith("batch_id=") &&
-          n.stripPrefix("batch_id=").toLong < beforeBatchId
-      }
+      .filter(p => !folded.contains(p.getName) &&
+        partId(p.getName, "batch_id=").exists(_ < beforeBatchId))
     if (committed.size < minBatches) return None
-    val genId = gens.map(_.getName.stripPrefix("gen=").toLong)
+    val genId = gens.flatMap(p => partId(p.getName, "gen="))
       .foldLeft(-1L)(math.max) + 1L
     val totalBytes = committed.map(fs.getContentSummary(_).getLength).sum
     val nFiles = math.max(1L,

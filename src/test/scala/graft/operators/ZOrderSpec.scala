@@ -128,6 +128,42 @@ class ZOrderSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("wide-span dimensions (>= 2^47) never wrap: epoch-micros z-values " +
+      "stay in range and monotone") {
+    // a timestamp dimension spanning ~36 years of epoch-MICROS
+    // (span ≈ 2^60): the unguarded (v − min) << 16 would overflow a
+    // BIGINT and wrap to garbage under non-ANSI semantics. The
+    // pre-shift regime must keep every z-value inside [0, 2^32) and
+    // preserve per-dimension monotonicity.
+    val base = 1_100_000_000_000_000L // ~2004 in epoch micros
+    val span = 1L << 60
+    val ts = (0 until 64).map(i => base + (span / 64) * i)
+    val df = ts.flatMap(t => Seq(0L, 500L).map(y => (t, y))).toDF("t", "y")
+    val z = df.select(col("t"), col("y"),
+      ZOrder.zValue2(df, "t", "y").as("z")).collect()
+    z.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) < (1L << 32),
+      s"z out of 32-bit range for ${r.getLong(0)}"))
+    // holding y fixed, z restricted to y's bucket is monotone in t at
+    // the 16-bit grid (equal cells allowed, never decreasing order of
+    // the normalized coordinate — extract t's even bits to compare)
+    def evenBits(v: Long): Long =
+      (0 until 16).map(b => ((v >> (2 * b)) & 1L) << b).sum
+    val byY = z.filter(_.getLong(1) == 0L).sortBy(_.getLong(0))
+      .map(r => evenBits(r.getLong(2)))
+    byY.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "normalized t must be monotone")
+      case _ =>
+    }
+    // the full 16-bit grid is still used: max normalized cell is high
+    assert(byY.last > 60000L, s"grid under-used: max cell ${byY.last}")
+    // k = 3 with one wide dimension composes the same way
+    val df3 = ts.take(16).flatMap(t =>
+      Seq((t, 1L, 2L), (t, 3L, 4L))).toDF("t", "a", "b")
+    val z3 = df3.select(ZOrder.zValueN(df3, Seq("t", "a", "b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z3.forall(v => v >= 0L && v < (1L << 48)))
+  }
+
   test("cluster: partitions carry disjoint z-ranges, sorted within") {
     val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
       .toDF("x", "y")

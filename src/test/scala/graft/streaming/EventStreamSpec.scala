@@ -383,14 +383,59 @@ class EventStreamSpec extends AnyFunSuite {
     assert(SinkFold.read(spark, sink, rows).count() === 3)
     // crash window: a folded source reappears on disk (fold published
     // its manifest but died before deleting sources) — the manifest
-    // must supersede it in every listing, and the next fold GCs it
+    // must supersede it in every listing, and the next fold GCs it.
+    // In a real crash the source PREDATES its generation (the fold
+    // reads sources before publishing), so backdate the recreated
+    // directory to the real ordering — the GC's mtime guard only
+    // reaps sources older than their generation.
     rows.filter($"id" === 1).write.mode("overwrite")
       .parquet(s"$sink/batch_id=1")
+    val genMtime = new java.io.File(s"$sink/gen=0").lastModified()
+    assert(new java.io.File(s"$sink/batch_id=1")
+      .setLastModified(genMtime - 60000))
     assert(SinkFold.read(spark, sink, rows).count() === 3,
       "manifested source must not double-count")
     SinkFold.fold(spark, sink, rows, beforeBatchId = 100, minBatches = 99)
     assert(!new java.io.File(s"$sink/batch_id=1").exists(),
       "GC must delete the manifested source")
     assert(SinkFold.read(spark, sink, rows).count() === 3)
+  }
+
+  test("SinkFold: GC never reaps a source NEWER than its generation " +
+      "(fresh-checkpoint misuse loses no data)") {
+    val tmp = Files.createTempDirectory("sinkfold_fresh").toString
+    val sink = s"$tmp/out"
+    val rows = (0L until 4L).map(i => (i, s"v$i")).toDF("id", "v")
+    (0 until 3).foreach(b => rows.filter($"id" === b)
+      .write.parquet(s"$sink/batch_id=$b"))
+    assert(SinkFold.fold(spark, sink, rows, beforeBatchId = 3,
+      minBatches = 2) === Some(0L))
+    // a sink wrongly reused with a NEW checkpoint: batch ids restart
+    // at 0 and a fresh batch_id=1 lands with a POST-generation mtime.
+    // The old manifest names it, but GC must not delete fresh data —
+    // and a later fold must not re-fold the manifested name either.
+    rows.filter($"id" === 3).write.mode("overwrite")
+      .parquet(s"$sink/batch_id=1")
+    SinkFold.fold(spark, sink, rows, beforeBatchId = 100, minBatches = 99)
+    assert(new java.io.File(s"$sink/batch_id=1").exists(),
+      "GC reaped a source newer than its generation")
+  }
+
+  test("SinkFold: non-conforming directory names are ignored, not parsed") {
+    val tmp = Files.createTempDirectory("sinkfold_stray").toString
+    val sink = s"$tmp/out"
+    val rows = (0L until 4L).map(i => (i, s"v$i")).toDF("id", "v")
+    (0 until 2).foreach(b => rows.filter($"id" === b)
+      .write.parquet(s"$sink/batch_id=$b"))
+    // a manual backup copy must neither crash the id parse nor be
+    // read as a partition
+    rows.filter($"id" === 2).write.parquet(s"$sink/batch_id=1.bak")
+    assert(SinkFold.read(spark, sink, rows).count() === 2,
+      "stray dir must not be read as a partition")
+    assert(SinkFold.fold(spark, sink, rows, beforeBatchId = 2,
+      minBatches = 2) === Some(0L))
+    assert(SinkFold.read(spark, sink, rows).count() === 2)
+    assert(new java.io.File(s"$sink/batch_id=1.bak").exists(),
+      "stray dir must be left alone")
   }
 }
