@@ -89,8 +89,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // self-diagnosing drift telemetry: per-query max/min across the
+    // timed passes (a large spread marks a context-noisy number — its
+    // min is still the estimate, but a reader comparing rounds can see
+    // WHICH entries were unstable without a forensic re-run), plus the
+    // JVM shape so two benches are comparable or visibly not
+    val spread = names.map { n =>
+      val v = passes.map(_(n))
+      s"\"" + n + "\":" + BigDecimal(v.max / math.max(v.min, 1e-9))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""spread":$spread,"heap_mb":$heapMb,"passes":3,"sf":"$sfDir"}"""
     // the authoritative JSON line must be the LAST thing on the
     // combined stream: a tail-capture harness greps it from the end,
     // and Spark's stop() writes shutdown INFO lines AFTER anything

@@ -55,6 +55,7 @@ object ScaleProbe {
       .withExtensions(new GraftExtensions) // native plan strategies (as-of, skyline)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Telemetry.ensure(spark)
     if (set == "flagship") flagship(spark, dir, k)
     else if (set == "r5") r5Probes(spark, dir, k)
     else if (set == "r6") r6Probes(spark, dir, k)
@@ -330,14 +331,20 @@ object ScaleProbe {
     val docsK = replicateTextSalted(tbl("documents"), k).persist(lvl)
     docsK.count()
     val weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
-    def chain(persist: Boolean, scratch: Option[String] = None): Long =
+    // autoBytes: the pure-mode entries (lineage/persisted) disable
+    // the round-10 stats gate so each mode prices ITS OWN storage
+    // strategy; the "auto" entry runs knob-free to verify the gate
+    // picks the scratch path (and matches its time) at probe scale
+    def chain(persist: Boolean, scratch: Option[String] = None,
+        autoBytes: Long = Long.MaxValue): Long =
       etl.Curation.exportProfile(
         etl.Curation.curate(docsK, "doc_id", "text", "lang", "n_chars",
           threshold = 0.9, minQuality = 0.3,
           benchmark = docsK.filter(col("doc_id") < 10), decontaminateN = 4,
           weights = weights, budget = 40000L * k,
           corpusPredicate = col("doc_id") >= 10,
-          persistStages = persist, scratchDir = scratch),
+          persistStages = persist, scratchDir = scratch,
+          scratchAutoBytes = autoBytes),
         "doc_id", "n_chars", 8).count()
     val scratchDir = java.nio.file.Files
       .createTempDirectory("curation_scratch").toString
@@ -366,7 +373,34 @@ object ScaleProbe {
           // under pairs-from-cached-sigs on the same corpus (39.6 vs
           // 168.4 s at 1000×) — this entry prices that delta in-chain
           Seq(t("curation_scratch") { chain(persist = true, Some(scratchDir)) })
-         else Seq.empty)
+         else Seq.empty) ++
+        (if (want("auto")) {
+          // knob-free: the ScratchAutoBytes stats gate must route the
+          // chain through its own warehouse scratch at probe scale —
+          // the r10 default-mode verification (expect ≈
+          // curation_scratch). A poll thread records whether the
+          // scratch directory actually appeared (it is deleted in the
+          // chain's own finally, so only a live watch can see it).
+          @volatile var sawScratch = false
+          @volatile var chainDone = false
+          val wh = new java.io.File(new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath)
+          val watcher = new Thread(() => {
+            while (!chainDone) {
+              val ls = Option(wh.list()).getOrElse(Array.empty[String])
+              if (ls.exists(_.startsWith("_graft_curation_scratch_")))
+                sawScratch = true
+              Thread.sleep(250)
+            }
+          })
+          watcher.setDaemon(true)
+          watcher.start()
+          val frag = t("curation_auto") {
+            chain(persist = false,
+              autoBytes = etl.Curation.ScratchAutoBytes) }
+          chainDone = true
+          Seq(frag, s""""auto_scratch_path_taken":$sawScratch""")
+        } else Seq.empty)
       println(results.mkString("[probe] {", ",", s""","replication":$k}"""))
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(scratchDir))
@@ -417,18 +451,63 @@ object ScaleProbe {
       .mkString("[probe] {", ",", s""","replication":$k}"""))
   }
 
+  /** Task-metrics telemetry for the probe entries: cumulative spill
+    * counters plus a per-window max of task peak execution memory.
+    * The r9 curation-chain cold shots spanned 2.2× on the documented
+    * memory-occupancy band with no data attributing WHERE the memory
+    * pressure lands — these columns attribute it per stage (the
+    * VERDICT r9 "chain-variance attribution" ask). Listener-based, so
+    * the timed work is untouched. */
+  private object Telemetry
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    val windowPeakTaskMem = new AtomicLong
+    @volatile private var registered = false
+    def ensure(spark: SparkSession): Unit = synchronized {
+      if (!registered) {
+        spark.sparkContext.addSparkListener(this)
+        registered = true
+      }
+    }
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        windowPeakTaskMem.accumulateAndGet(m.peakExecutionMemory,
+          math.max(_, _))
+      }
+    }
+  }
+
   /** Per-entry timer that PRINTS each fragment as it lands and turns
     * an entry's failure into an "err" fragment instead of losing the
     * whole set — a probe decade whose last entry exhausts this box's
     * shuffle disk (containment at 1000×) must still report the
-    * entries that finished. */
+    * entries that finished. Each fragment carries the window's spill
+    * deltas and max task-peak memory (see [[Telemetry]]). */
   private def timeEntry(name: String)(f: => Long): String = {
+    val mem0 = Telemetry.memSpill.get()
+    val disk0 = Telemetry.diskSpill.get()
+    Telemetry.windowPeakTaskMem.set(0L)
     val s = System.nanoTime()
+    def mb(b: Long): Long = b / (1024 * 1024)
+    def tele: String = {
+      // listener events drain asynchronously — give the bus a moment
+      // so the window's last tasks land in the counters
+      Thread.sleep(300)
+      s""""spill_mb":${mb(Telemetry.memSpill.get() - mem0)},""" +
+        s""""disk_spill_mb":${mb(Telemetry.diskSpill.get() - disk0)},""" +
+        s""""peak_task_mem_mb":${mb(Telemetry.windowPeakTaskMem.get())}"""
+    }
     val frag = try {
       val n = f
-      f""""$name":{"sec":${(System.nanoTime() - s) / 1e9}%.2f,"rows":$n}"""
+      f""""$name":{"sec":${(System.nanoTime() - s) / 1e9}%.2f,"rows":$n,$tele}"""
     } catch { case e: Throwable =>
-      f""""$name":{"sec":${(System.nanoTime() - s) / 1e9}%.2f,"err":"${e.getClass.getSimpleName}"}"""
+      f""""$name":{"sec":${(System.nanoTime() - s) / 1e9}%.2f,"err":"${e.getClass.getSimpleName}",$tele}"""
     }
     println(s"[probe-entry] $frag")
     System.gc()

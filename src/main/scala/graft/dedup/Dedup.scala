@@ -35,8 +35,9 @@ object Dedup {
     * Joined on the DROP list, not the keep list: real corpora dedup
     * away a few percent, so the keep list is corpus-sized (a semi
     * join against it shuffles every full row — the measured bulk of
-    * the q177 chain's exact-dedup stage at 1000×: ~5 GB of text
-    * moved to drop 8k rows) while the drop list is dup-sized. The
+    * the q177 chain's exact-dedup stage at 1000×: the whole full-row
+    * corpus moved to drop a few thousand rows) while the drop list
+    * is dup-sized. The
     * LEFT ANTI against (id, keep_id) mismatches is AQE-broadcast at
     * typical dup rates, so the full rows never shuffle at all; at
     * pathological dup rates (drop list corpus-sized) it degrades to
@@ -269,7 +270,12 @@ object Dedup {
       leftText: String, rightSigs: DataFrame, threshold: Double,
       shingleWidth: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       maxBucket: Int = 1000,
-      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      obs: Option[org.apache.spark.sql.Observation] = None,
+      smallRelationBytes: Long = SmallRelationBytes): DataFrame = {
+    def small(df: DataFrame): Boolean = {
+      val s = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      s.isValidLong && s.toLong <= smallRelationBytes
+    }
     val lb0 = left.select(col(leftId).as("id_a"),
       posexplode(graft.functions.minhash_bands(col(leftText), shingleWidth,
         bands, rowsPerBand)).as(Seq("band", "bucket")))
@@ -297,7 +303,7 @@ object Dedup {
     // corpus × corpus it degrades to one extra shuffled semi join —
     // which is why the benchmark-scale gate keeps the direct plan.
     val rbBase =
-      if (isSmall(rightSigs)) rb0
+      if (small(rightSigs)) rb0
       else rb0.join(lb0.select(col("band"), col("bucket")).distinct(),
         Seq("band", "bucket"), "left_semi")
     val rb = capped(rbBase)
@@ -312,12 +318,12 @@ object Dedup {
     // (the nearDupPairsFromSignatures note: non-candidates' shingle
     // arrays are the avoidable cost when both sides are corpora);
     // benchmark-sized sides skip the prune (SmallRelationBytes)
-    val shL = (if (isSmall(left)) left
+    val shL = (if (small(left)) left
       else left.join(cands.select(col("id_a").as(leftId)).distinct(),
         Seq(leftId), "left_semi"))
       .select(col(leftId).as("id_a"),
         graft.functions.shingle_set(col(leftText), shingleWidth).as("sh_a"))
-    val shR = (if (isSmall(rightSigs)) rightSigs
+    val shR = (if (small(rightSigs)) rightSigs
       else rightSigs.join(cands.select(col("id_b").as("id")).distinct(),
         Seq("id"), "left_semi"))
       .select(col("id").as("id_b"), col("sh").as("sh_b"))

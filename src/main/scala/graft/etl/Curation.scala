@@ -27,6 +27,26 @@ import graft.text.{Decontaminate, TextOps}
   */
 object Curation {
 
+  /** Corpora whose Catalyst size estimate reaches this make [[curate]]
+    * route the near-dup signature stage through a PARQUET SCRATCH
+    * automatically when the caller set no storage knob — the engine's
+    * stats-gate pattern ([[graft.text.Decontaminate.SmallCorpusBytes]]):
+    * plan statistics are free (no job), estimates err LARGE through
+    * joins — which errs toward scratch, the correct direction at scale
+    * — and the chain is bit-identical on every path, so the choice
+    * never changes a result. Measured one JVM per mode at the 1000×
+    * probe scale (500k docs, ~150 MB raw text — cached-corpus stats
+    * ~200 MB): scratch+pins 42–69 s vs lineage 98–119 s same-day
+    * (r9's table on a busier box: 377 vs 774 vs 1269 s, same
+    * ordering) — scratch wins because parquet column-prunes each
+    * consumer's branch where the block cache feeds whole rows, and
+    * the signature bytes live compressed on disk instead of squatting
+    * on executor memory the rest of the chain wants. The threshold
+    * sits well under that corpus (which already enjoys the full win)
+    * and well over the benchmark fixtures' single-digit-MB estimates,
+    * where the scratch write's fixed cost exceeds what it saves. */
+  val ScratchAutoBytes: Long = 64L * 1024 * 1024
+
   /** Accepted documents after the full gate chain (before sharding):
     * exact dedup (keep-min fingerprint group), near-dup CC drop at
     * `threshold`, quality-score floor, n-gram decontamination of
@@ -43,7 +63,15 @@ object Curation {
     * occupying executor memory the rest of the chain wants, and scan
     * parallelism follows file splits rather than cached-partition
     * count. The caller owns the directory's lifecycle (it must
-    * outlive consumption of the returned frame). */
+    * outlive consumption of the returned frame).
+    *
+    * With NO storage knob set, the chain picks for itself: a corpus
+    * whose Catalyst size estimate reaches `scratchAutoBytes`
+    * ([[ScratchAutoBytes]]) takes the scratch path through a TEMP
+    * directory the chain owns — the final selection is materialized
+    * (pinned at MEMORY_AND_DISK, like `persistStages`' return) and
+    * the scratch deleted before returning, so the caller sees only
+    * the accepted frame. Results are bit-identical on every path. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       domainCol: String, costCol: String,
       threshold: Double, minQuality: Double,
@@ -51,9 +79,31 @@ object Curation {
       weights: Map[String, Double], budget: Long,
       corpusPredicate: Column = lit(true),
       persistStages: Boolean = false,
-      scratchDir: Option[String] = None): DataFrame = {
+      scratchDir: Option[String] = None,
+      scratchAutoBytes: Long = ScratchAutoBytes): DataFrame = {
+    val autoDir: Option[String] =
+      if (persistStages || scratchDir.nonEmpty) None
+      else {
+        val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        val big = !est.isValidLong || est.toLong >= scratchAutoBytes
+        if (big) {
+          // under the WAREHOUSE dir, not a driver-local tempdir: on a
+          // real cluster every executor must reach the scratch, and
+          // the warehouse is the one path the session already
+          // guarantees is shared storage
+          val base = docs.sparkSession.conf.get("spark.sql.warehouse.dir")
+          Some(s"$base/_graft_curation_scratch_${java.util.UUID.randomUUID}")
+        } else None
+      }
+    // the auto path adopts the FULL scale posture, not just the
+    // scratch half: stage boundaries feed multiple consumers each, so
+    // they pin too (measured in isolation this round: scratch+pins
+    // 42 s vs scratch-sigs-over-lineage 119 s at 1000×)
+    val effPersist = persistStages || autoDir.isDefined
     def staged(df: DataFrame): DataFrame =
-      if (persistStages) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+      if (effPersist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    val effScratch = scratchDir.orElse(autoDir)
+    try {
     val d1 = staged(Dedup.dropExactDups(docs, idCol, textCol))
     // the near-dup signature relation (bands + shingle sets) appears
     // in BOTH the banding branch and the candidate-verify branch of
@@ -65,7 +115,7 @@ object Curation {
     // Composition identity: nearDupPairs IS
     // nearDupPairsFromSignatures ∘ nearDupSignatures, so results are
     // bit-identical either way (q177 oracle path stays unpersisted).
-    val sigs = scratchDir match {
+    val sigs = effScratch match {
       case Some(dir) =>
         val path = s"$dir/near_dup_sigs"
         Dedup.nearDupSignatures(d1, idCol, textCol)
@@ -89,18 +139,23 @@ object Curation {
       d4.select(col(idCol), col(domainCol), col(costCol)),
       domainCol = domainCol, keyCol = idCol, costCol = costCol,
       weights = weights, budget = budget)
-    // materialize the selection before releasing the pinned stages —
-    // unpersisting first would force the final action to recompute
-    // the whole chain from the source (exactly the cost the knob is
-    // buying out)
+    // materialize the selection before releasing the pinned stages
+    // (unpersisting first would recompute the whole chain) and, on
+    // the auto path, before the finally deletes the scratch — the
+    // accepted set is budget-sized, a pin the caller wants anyway
     val out =
-      if (persistStages) {
+      if (effPersist) {
         val pinned = d5.persist(StorageLevel.MEMORY_AND_DISK)
         pinned.count()
         Seq(d1, sigs, d2, d4).foreach(_.unpersist())
         pinned
       } else d5
     out
+    } finally autoDir.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+        .delete(p, true)
+    }
   }
 
   /** [[curate]] + 8-shard export profile — the manifest a training

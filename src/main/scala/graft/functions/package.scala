@@ -81,21 +81,8 @@ package object functions {
     Bridge.column(BloomMightContain(Bridge.expression(c), bytes.toByteArray))
   }
 
-  /** Morton/Z-order key: interleave the low `bits` bits of two
-    * non-negative longs (a's bit i lands at 2i+1, b's at 2i), so
-    * 1-D-range-partitioning the key tiles the (a, b) plane into
-    * rectangles — 2-D data skipping from 1-D clustering (see
-    * [[graft.sources.Warehouse.writeZOrdered]]). Composed from
-    * builtin shift/mask ops — the whole key stays inside whole-stage
-    * codegen without a custom expression. Callers normalize inputs to
-    * [0, 2^bits) first; out-of-range bits are masked off here. */
-  def interleave_bits(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
-    val one = lit(1L)
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(one), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(one), 2 * i))
-    }.reduce(_ bitwiseOR _)
-  }
+  // Morton/Z-order keys live in graft.operators.ZOrder (interleave2 /
+  // interleaveN / zValueN) — the engine's single Morton
+  // implementation, oracle-covered by q199/q200. The former
+  // `interleave_bits` duplicate was removed in round 10.
 }

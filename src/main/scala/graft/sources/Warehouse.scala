@@ -64,47 +64,44 @@ object Warehouse {
       .option("compression", "snappy").parquet(path)
   }
 
-  /** Z-ordered parquet layout — [[writeClustered]]'s two-key sibling
-    * for workloads where EITHER of two columns appears in scan
-    * predicates. Each column is linearly scaled to [0, 2^bits) from
-    * its exact min/max (one aggregate, four scalars to the driver — a
-    * k-row stat), the scaled values interleave into a Morton key
-    * ([[graft.functions.interleave_bits]]), and range-partitioning
-    * that 1-D key tiles the 2-D value plane: every output file covers
-    * a rectangle, so its parquet min/max stats are tight on BOTH
-    * columns and a range predicate on either one skips most files.
-    * 1-D clustering gives ~no skipping on the second column — the
-    * measured contrast is in WarehouseSpec.
+  /** Z-ordered parquet layout — [[writeClustered]]'s multi-key
+    * sibling for workloads where ANY of 2–3 columns appears in scan
+    * predicates. The Morton key build is
+    * [[graft.operators.ZOrder.zValueN]] — the ONE Morton
+    * implementation in the engine (exact-BIGINT 16-bit normalize +
+    * bit interleave, oracle-covered by q199/q200, overflow-guarded
+    * for wide domains) — and range-partitioning that 1-D key tiles
+    * the k-D value space: every output file covers a box, so its
+    * parquet min/max stats are tight on EVERY key and a range
+    * predicate on any one of them skips most files. 1-D clustering
+    * gives ~no skipping beyond its own key — the measured contrast
+    * is in WarehouseSpec.
     *
-    * Linear scaling (vs Delta/Iceberg's range-id pass) is the
-    * one-aggregate variant: right when key values are roughly
-    * uniform, one full extra shuffle cheaper when they are. The
-    * Morton key is dropped before writing — skipping reads the data
-    * columns' own stats, so readers need no knowledge of the layout. */
-  def writeZOrdered(df: DataFrame, path: String, colA: String,
-      colB: String, files: Int, bits: Int = 16): Unit = {
+    * Keys must be integral (or integral-derived — epoch ints for
+    * timestamps, same caveat as [[writeClustered]]'s NTZ note): the
+    * normalization is exact integer arithmetic, reproducible in any
+    * engine. The Morton key is dropped before writing — skipping
+    * reads the data columns' own stats, so readers need no knowledge
+    * of the layout. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+      files: Int): Unit = {
     require(files > 0, "need at least one output file")
-    import org.apache.spark.sql.functions._
-    val mm = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-    require(!mm.isNullAt(0) && !mm.isNullAt(2),
-      s"writeZOrdered: no non-null values in $colA/$colB")
-    val top = (1L << bits) - 1
-    def scaled(c: String, lo: Double, hi: Double) =
-      if (hi == lo) lit(0L)
-      else least(lit(top), greatest(lit(0L),
-        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(top.toDouble))))
-    val z = graft.functions.interleave_bits(
-      scaled(colA, mm.getDouble(0), mm.getDouble(1)),
-      scaled(colB, mm.getDouble(2), mm.getDouble(3)), bits)
-    df.withColumn("__z", z)
+    require(cols.size >= 2 && cols.size <= 3,
+      s"z-order needs 2-3 key columns, got ${cols.size} (use " +
+        "writeClustered for one key)")
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", graft.operators.ZOrder.zValueN(df, cols))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite")
       .option("compression", "snappy").parquet(path)
   }
+
+  /** Two-key convenience overload. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, files: Int): Unit =
+    writeZOrdered(df, path, Seq(colA, colB), files)
 
   /** Compact a parquet directory's small files in place — the
     * maintenance half of any incremental-append story (streaming

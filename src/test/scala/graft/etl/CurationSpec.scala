@@ -45,6 +45,41 @@ class CurationSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("auto scratch: stats-gated, bit-identical, temp dir cleaned up") {
+    // knob-free default on the benchmark-sized fixture: the Catalyst
+    // estimate sits far under ScratchAutoBytes, so the chain stays on
+    // lineage — no temp scratch directory is ever created
+    val before = tempScratchDirs()
+    val a = run(persist = false).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(tempScratchDirs() === before,
+      "small chain must not take the auto-scratch path")
+    // force the gate (threshold 0): the chain must route through its
+    // own temp scratch, return the identical accepted set, and delete
+    // the scratch before returning
+    val b = Curation.curate(docs, "doc_id", "text", "lang", "n_chars",
+      threshold = 0.9, minQuality = 0.3,
+      benchmark = docs.filter(col("doc_id") < 10), decontaminateN = 4,
+      weights = weights, budget = 40000L,
+      corpusPredicate = col("doc_id") >= 10,
+      scratchAutoBytes = 0L)
+    assert(b.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === a)
+    assert(tempScratchDirs() === before,
+      "auto scratch must be deleted before curate returns")
+    b.unpersist()
+  }
+
+  private def tempScratchDirs(): Set[String] = {
+    // the auto scratch lives under the session warehouse dir (shared
+    // storage on a real cluster), never under driver-local /tmp
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(wh)) Set.empty
+    else fs.listStatus(wh).map(_.getPath.getName)
+      .filter(_.startsWith("_graft_curation_scratch_")).toSet
+  }
+
   test("export profile shards every accepted doc exactly once") {
     val accepted = run(persist = false)
     val profile = Curation.exportProfile(accepted, "doc_id", "n_chars", 8)

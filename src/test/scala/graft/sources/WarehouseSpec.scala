@@ -98,21 +98,60 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got === matching)
   }
 
-  test("interleave_bits matches a reference Morton implementation") {
-    import spark.implicits._
-    def morton(a: Long, b: Long, bits: Int): Long =
-      (0 until bits).map(i =>
-        (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i)))
-        .reduce(_ | _)
-    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L), (255L, 255L),
-      (65535L, 1L), (12345L, 54321L))
-    val got = pairs.toDF("a", "b")
-      .select(graft.functions.interleave_bits(col("a"), col("b"), 16))
-      .collect().map(_.getLong(0)).toSeq
-    assert(got === pairs.map { case (a, b) => morton(a, b, 16) })
-    // order preservation along each axis inside the same other-value:
-    // z(a1,b) < z(a2,b) iff a1 < a2 (masked to 16 bits)
-    assert(morton(3, 7, 16) < morton(4, 7, 16))
+  // Morton bit-parity against a driver-side reference is pinned in
+  // ZOrderSpec (interleave2 / interleaveN) — the engine's single
+  // Morton implementation, which writeZOrdered now routes through.
+
+  test("writeZOrdered (3 keys): a range predicate on ANY dimension skips " +
+      "files; layoutReport shows per-file boxes") {
+    val tmp = java.nio.file.Files.createTempDirectory("zo3").toString
+    val li = TestSpark.table("lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val total = li.count()
+    Warehouse.writeZOrdered(li,
+      s"$tmp/z3", Seq("l_orderkey", "l_partkey", "l_suppkey"), files = 16)
+    Warehouse.writeClustered(li, s"$tmp/c1", Seq("l_orderkey"), files = 16)
+    // narrow ranges (~1/16 of each key's span, inside one top-bit
+    // octant) on each of the three dimensions
+    val bounds = li.agg(
+      min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    def narrow(c: String, lo: Long, hi: Long) = {
+      val span = hi - lo + 1
+      // tiny-cardinality keys (l_suppkey has ~10 values at this SF)
+      // degrade to a one-value predicate instead of an empty range
+      val width = math.max(1L, span / 16)
+      col(c).between(lo + span / 16, lo + span / 16 + width - 1)
+    }
+    def asL(i: Int) = bounds.get(i) match {
+      case n: Number => n.longValue()
+    }
+    val preds = Seq(
+      narrow("l_orderkey", asL(0), asL(1)),
+      narrow("l_partkey", asL(2), asL(3)),
+      narrow("l_suppkey", asL(4), asL(5)))
+    def scanned(path: String, pred: org.apache.spark.sql.Column): Long =
+      rowsScanned(spark.read.parquet(path).filter(pred))
+    // 16 files in 3-D ≈ a 2-3 split per axis: a 1/16 slab on one axis
+    // still touches a strict subset of files on EVERY axis, where the
+    // 1-D layout skips only on its own key
+    preds.foreach { p =>
+      assert(scanned(s"$tmp/z3", p) < total * 7 / 10,
+        s"3-D z-layout no skip on $p")
+    }
+    assert(scanned(s"$tmp/z3", preds(1)) < scanned(s"$tmp/c1", preds(1)),
+      "3-D z-layout should beat 1-D clustering on a non-leading key")
+    assert(scanned(s"$tmp/z3", preds(2)) < scanned(s"$tmp/c1", preds(2)),
+      "3-D z-layout should beat 1-D clustering on the third key")
+    // values intact, and the per-file boxes are visible to the report
+    assert(spark.read.parquet(s"$tmp/z3").count() === total)
+    val rep = Warehouse.layoutReport(spark, s"$tmp/z3",
+      Seq("l_orderkey", "l_partkey", "l_suppkey")).collect()
+    // repartitionByRange samples its bounds — allow a straggler-free
+    // lower count, never more files than partitions
+    assert(rep.length >= 12 && rep.length <= 16,
+      s"expected ~16 files, got ${rep.length}")
   }
 
   test("writeZOrdered: range predicates on EITHER column skip files; 1-D clustering only helps its own key") {

@@ -244,15 +244,66 @@ class DocStreamSpec extends AnyFunSuite {
 
     // crash window between publish and source deletion: a folded
     // source resurrected on disk is superseded by the manifest (no
-    // double count) and the next compaction GC removes it
+    // double count) and the next compaction GC removes it. Real crash
+    // debris PREDATES its generation (the fold read it before
+    // publishing) — backdate the simulation to match, since the GC's
+    // mtime guard deliberately refuses post-generation rewrites.
     Seq((1L, o1)).toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$sink/batch_id=0")
+    assert(new java.io.File(s"$sink/batch_id=0").setLastModified(
+      new java.io.File(s"$sink/gen=0").lastModified() - 60000))
     assert(acceptedIds() === Set(1L, 2L, 12L, 22L, 32L)) // not doubled
     assert(DocStream.accepted(spark, sink, bA)
       .filter($"doc_id" === 1L).count() === 1L)
     DocStream.compactSink(spark, sink, bA, "doc_id", "text", name,
       minBatches = 99) // under threshold: GC only
     assert(!dirNames().contains("batch_id=0"))
+  }
+
+  test("post-fold gen=K signatures still take the band-bucket prune: " +
+      "plan-asserted, value-identical") {
+    // the scale path's core claim: when the stored signatures live in
+    // a compacted generation (a fold REWRITES the partition layout),
+    // the cross-corpus join must still prune the stored side to the
+    // batch's band buckets — the semi join is logical, not layout-
+    // bound, but only a plan assert over the folded parquet proves it
+    val o1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val o2 = "one two three four five six seven eight nine ten"
+    val sink = Files.createTempDirectory("docstream_prune").toString
+    val name = "docstream_prune"
+    val bA = Seq((1L, o1), (2L, o2)).toDF("doc_id", "text")
+    DocStream.processBatch(spark, bA, 0L, "doc_id", "text", 0.9, sink,
+      name, compactEvery = 2)
+    DocStream.processBatch(spark,
+      Seq((11L, "totally different content for the second batch here"))
+        .toDF("doc_id", "text"),
+      1L, "doc_id", "text", 0.9, sink, name, compactEvery = 2)
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$sink/_sig/gen=0")))
+    val genSigs = spark.read.parquet(s"$sink/_sig/gen=0")
+    val batch = Seq((100L, o1), // near-dup of folded doc 1
+      (101L, "nothing resembling any accepted document at all"))
+      .toDF("doc_id", "text")
+    def pairs(smallBytes: Long) =
+      graft.dedup.Dedup.crossNearDupPairsVsSignatures(
+        batch, "doc_id", "text", genSigs, threshold = 0.9,
+        smallRelationBytes = smallBytes)
+    val pruned = pairs(smallBytes = -1L) // force every scale-path prune
+    val direct = pairs(smallBytes = Long.MaxValue)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(canon(pruned) === canon(direct))
+    assert(canon(pruned) === Set((100L, 1L)),
+      "the folded signature must still match its near-dup")
+    // the stored side is semi-joined on the batch's (band, bucket)
+    // set BEFORE any shingle work — the prune that keeps per-batch
+    // cost independent of accepted-corpus size
+    val plan = pruned.queryExecution.optimizedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("LeftSemi") &&
+      l.contains("band") && l.contains("bucket")),
+      s"no band-bucket LeftSemi prune in:\n$plan")
   }
 
   test("stream with compactEvery folds mid-stream and keeps rejecting") {
