@@ -6422,6 +6422,61 @@ object Queries {
       |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** WIDE-SPAN Z-ORDER ([[graft.operators.ZOrder]]'s overflow-guarded
+    * regime): the clustered dimension is an epoch-micros-style BIGINT
+    * spanning ~2^56 (l_orderkey stretched by 2^40 onto a 2004 epoch
+    * base) — wide enough that the exact `(v − min) << 16` normalize
+    * would WRAP a BIGINT, so the engine pre-shifts the dimension by
+    * its excess bits (`s = bitLength(span) − 47`) and divides by
+    * `(span >> s) + 2`, exactly. The oracle replays the whole
+    * decision: the bit-length CASE ladder picking `s`, the shifted
+    * normalize on the wide dimension, the exact normalize on the
+    * narrow one, the 16-bit Morton spread, and the bucket split —
+    * hash-green certifies the guard's arithmetic cross-engine, not
+    * just spec-side. */
+  def q201ZorderWide(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "lineitem").select(
+      (col("l_orderkey").cast("long") * lit(1099511627776L) + // 2^40
+        lit(1_100_000_000_000_000L)).as("ts"),
+      col("l_suppkey").cast("long").as("y"))
+    graft.operators.ZOrder.zBucketStats(d, "ts", "y", buckets = 16)
+      .orderBy("bucket")
+  }
+
+  val q201Sql: String = {
+    // s = max(0, bitLength(span) − 47) as an exact integer CASE ladder
+    val arms = (47 to 62).zipWithIndex.map { case (bits, i) =>
+      s"WHEN tspan < ${1L << bits} THEN $i"
+    }.mkString(" ")
+    s"""WITH d AS (SELECT CAST(l_orderkey AS BIGINT) * 1099511627776
+       |    + 1100000000000000 AS ts, CAST(l_suppkey AS BIGINT) AS y
+       |  FROM lineitem),
+       |b AS (SELECT min(ts) tmin, max(ts) tmax,
+       |             min(y) ymin, max(y) ymax FROM d),
+       |j AS (SELECT d.ts, d.y, b.tmin, b.ymin,
+       |             b.tmax - b.tmin AS tspan, b.ymax - b.ymin AS yspan
+       |      FROM d, b),
+       |sh AS (SELECT *, CASE $arms ELSE 16 END AS s FROM j),
+       |n AS (SELECT ts, y,
+       |  CASE WHEN s = 0 THEN ((ts - tmin) * 65536) // (tspan + 1)
+       |       ELSE (((ts >> s) - (tmin >> s)) * 65536) // ((tspan >> s) + 2)
+       |  END AS xn,
+       |  ((y - ymin) * 65536) // (yspan + 1) AS yn FROM sh),
+       |s1 AS (SELECT ts, y, (xn | (xn << 8)) & 16711935 AS xa,
+       |                     (yn | (yn << 8)) & 16711935 AS ya FROM n),
+       |s2 AS (SELECT ts, y, (xa | (xa << 4)) & 252645135 AS xb,
+       |                     (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+       |s3 AS (SELECT ts, y, (xb | (xb << 2)) & 858993459 AS xc,
+       |                     (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+       |s4 AS (SELECT ts, y, (xc | (xc << 1)) & 1431655765 AS xd,
+       |                     (yc | (yc << 1)) & 1431655765 AS yd FROM s3),
+       |z AS (SELECT ts, y, (xd | (yd << 1)) AS zv FROM s4)
+       |SELECT (zv * 16) // 4294967296 AS bucket, count(*) AS n,
+       |  min(ts) AS x_min, max(ts) AS x_max,
+       |  min(y) AS y_min, max(y) AS y_max
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -6627,6 +6682,7 @@ object Queries {
     "q198_asof_fwd_native" -> (q198AsofFwdNative _),
     "q199_zorder" -> (q199Zorder _),
     "q200_zorder3" -> (q200Zorder3 _),
+    "q201_zorder_wide" -> (q201ZorderWide _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6835,6 +6891,7 @@ object Queries {
     "q198_asof_fwd_native" -> q198Sql,
     "q199_zorder" -> q199Sql,
     "q200_zorder3" -> q200Sql,
+    "q201_zorder_wide" -> q201Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -6898,5 +6955,9 @@ object Queries {
     // round-9: z-order layout stats over the biggest fixture table —
     // one range exchange + a grouped pass; benched so the clustering
     // path's cost stays visible (2-D mask ladder and 3-D bit build)
-    "q199_zorder", "q200_zorder3")
+    "q199_zorder", "q200_zorder3",
+    // round-10: the wide-span (overflow-guarded pre-shift) z-order
+    // regime — benched so the guard's extra shift arithmetic stays
+    // visibly free
+    "q201_zorder_wide")
 }
