@@ -23,19 +23,25 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// PINNED bench/run JVM (round 10): the driver's bench numbers drifted
-// 1.22× vs an identical-binary idle-box 1.05× in r9, with only
-// sub-second queries moving — JVM context, not plan decay. Forked run
-// JVMs get a FIXED heap (-Xms = -Xmx so the heap never grows
-// mid-bench), an explicit collector, and pre-touched pages (first-touch
-// page faults otherwise bill to whichever query runs first), so a
-// bench is the same JVM wherever it runs. SPARK_DRIVER_MEM stays a
-// knob for big offline probes only.
 val pinnedHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx$pinnedHeap", s"-Xms$pinnedHeap",
+  s"-Xmx$pinnedHeap",
+)
+// PINNED bench/run JVM (round 10): the driver's bench numbers drifted
+// 1.22× vs an identical-binary idle-box 1.05× in r9, with only
+// sub-second queries moving — JVM context, not plan decay. The RUN
+// fork (the bench/Verify surface) gets a FIXED heap (-Xms = -Xmx so
+// the heap never grows mid-bench), an explicit collector, and
+// pre-touched pages (first-touch page faults otherwise bill to
+// whichever query runs first), so a bench is the same JVM wherever it
+// runs. Scoped to run ONLY: test JVMs keep the uncommitted -Xmx
+// reservation (a 16 GB -Xms+AlwaysPreTouch would fail `sbt test`
+// outright on a smaller box and adds pre-touch startup for zero test
+// benefit). SPARK_DRIVER_MEM stays a knob for big offline probes.
+run / javaOptions ++= Seq(
+  s"-Xms$pinnedHeap",
   "-XX:+UseG1GC",
   "-XX:+AlwaysPreTouch",
 )

@@ -6427,7 +6427,7 @@ object Queries {
     * spanning ~2^56 (l_orderkey stretched by 2^40 onto a 2004 epoch
     * base) — wide enough that the exact `(v − min) << 16` normalize
     * would WRAP a BIGINT, so the engine pre-shifts the dimension by
-    * its excess bits (`s = bitLength(span) − 47`) and divides by
+    * its excess bits (`s = bitLength(span) − 46`) and divides by
     * `(span >> s) + 2`, exactly. The oracle replays the whole
     * decision: the bit-length CASE ladder picking `s`, the shifted
     * normalize on the wide dimension, the exact normalize on the
@@ -6444,10 +6444,13 @@ object Queries {
   }
 
   val q201Sql: String = {
-    // s = max(0, bitLength(span) − 47) as an exact integer CASE ladder
-    val arms = (47 to 62).zipWithIndex.map { case (bits, i) =>
-      s"WHEN tspan < ${1L << bits} THEN $i"
-    }.mkString(" ")
+    // the engine's shift decision as an exact integer CASE ladder:
+    // spans under 2^47 take the exact path (s = 0); wider spans shift
+    // by bitLength(span) − 46 (one spare bit absorbs the floor-shift
+    // carry — see ZOrder.normalizeBounded)
+    val arms = (s"WHEN tspan < ${1L << 47} THEN 0" +:
+      (48 to 62).map(b => s"WHEN tspan < ${1L << b} THEN ${b - 46}"))
+      .mkString(" ")
     s"""WITH d AS (SELECT CAST(l_orderkey AS BIGINT) * 1099511627776
        |    + 1100000000000000 AS ts, CAST(l_suppkey AS BIGINT) AS y
        |  FROM lineitem),
@@ -6456,7 +6459,7 @@ object Queries {
        |j AS (SELECT d.ts, d.y, b.tmin, b.ymin,
        |             b.tmax - b.tmin AS tspan, b.ymax - b.ymin AS yspan
        |      FROM d, b),
-       |sh AS (SELECT *, CASE $arms ELSE 16 END AS s FROM j),
+       |sh AS (SELECT *, CASE $arms ELSE 17 END AS s FROM j),
        |n AS (SELECT ts, y,
        |  CASE WHEN s = 0 THEN ((ts - tmin) * 65536) // (tspan + 1)
        |       ELSE (((ts >> s) - (tmin >> s)) * 65536) // ((tspan >> s) + 2)

@@ -374,7 +374,11 @@ object ScaleProbe {
           // 168.4 s at 1000×) — this entry prices that delta in-chain
           Seq(t("curation_scratch") { chain(persist = true, Some(scratchDir)) })
          else Seq.empty) ++
-        (if (want("auto")) {
+        (if (mode.contains("auto")) {
+          // OPT-IN only (never part of the legacy all-modes-unset
+          // sequence): a fourth same-JVM mode would run hottest and
+          // re-introduce exactly the ordering bias the per-mode
+          // protocol removed.
           // knob-free: the ScratchAutoBytes stats gate must route the
           // chain through its own warehouse scratch at probe scale —
           // the r10 default-mode verification (expect ≈

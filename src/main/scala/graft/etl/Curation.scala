@@ -145,8 +145,26 @@ object Curation {
     // accepted set is budget-sized, a pin the caller wants anyway
     val out =
       if (effPersist) {
-        val pinned = d5.persist(StorageLevel.MEMORY_AND_DISK)
-        pinned.count()
+        val pinned =
+          if (autoDir.isDefined) {
+            // the auto path deletes its scratch below, so the
+            // returned frame's LINEAGE must not survive past that
+            // deletion (a persist alone keeps the full lineage — any
+            // later cache-block loss would recompute through the
+            // deleted path and fail with a mystery FileNotFound).
+            // Checkpointing truncates the lineage: reliably when the
+            // session has a checkpoint dir, locally otherwise (the
+            // local form is executor-resident — documented
+            // non-fault-tolerant; callers needing a durable handle
+            // pass an explicit scratchDir and own its lifecycle).
+            val sc = docs.sparkSession.sparkContext
+            if (sc.getCheckpointDir.isDefined) d5.checkpoint()
+            else d5.localCheckpoint()
+          } else {
+            val p = d5.persist(StorageLevel.MEMORY_AND_DISK)
+            p.count()
+            p
+          }
         Seq(d1, sigs, d2, d4).foreach(_.unpersist())
         pinned
       } else d5

@@ -63,23 +63,30 @@ object ZOrder {
     * wide-range regime. Spans under 2^47 use the exact formula
     * bit-for-bit (so existing oracles replaying the ladder in SQL are
     * unchanged); wider spans — epoch-micros timestamps spanning
-    * years, sparse ids — are first arithmetic-shifted right by the
-    * excess bits (`v >> s` as a column, `min >> s` and `span >> s`
-    * computed exactly on the driver in BigInt), which keeps every
-    * intermediate inside a BIGINT at the cost of quantization the
-    * 16-bit grid below cannot see anyway. Monotone in `v` in both
-    * regimes; never wraps. */
+    * years, sparse ids — are first arithmetic-shifted right by
+    * `s = bitLength(span) − 46` (`v >> s` as a column, `min >> s` and
+    * `span >> s` computed exactly on the driver in BigInt), which
+    * keeps every intermediate inside a BIGINT at the cost of
+    * quantization the 16-bit grid below cannot see anyway. The shift
+    * targets 46 bits, one below the exact regime's 47: the shifted
+    * coordinate `(v >> s) − (min >> s)` can exceed the shifted span
+    * by 1 (floor-shift carry), so `(span >> s) + 1` must itself stay
+    * under 2^47 for the `<< 16` to fit — shifting to exactly 47 bits
+    * would wrap on that carry at the very top of the domain.
+    * Monotone in `v` in both regimes; never wraps. */
   private def normalizeBounded(v: Column, minL: Long, maxL: Long): Column = {
     require(maxL >= minL, s"z-order bounds inverted: min=$minL max=$maxL")
     val span = BigInt(maxL) - BigInt(minL)
     if (span.bitLength <= MaxExactSpanBits)
       normalize16(v, lit(minL), lit(maxL))
     else {
-      val s = span.bitLength - MaxExactSpanBits
+      val s = span.bitLength - (MaxExactSpanBits - 1)
       // (v >> s) − (min >> s) ∈ [0, (span >> s) + 1]: at most one off
       // the exact (v − min) >> s, so the divisor gets +2 headroom to
-      // keep the result strictly under 2^16. All driver-side values
-      // exact via BigInt; the column side only ever shifts right.
+      // keep the result strictly under 2^16, and the +1 carry keeps
+      // the numerator under 2^46 + 1 — shifted left 16 that is
+      // ≤ 2^62, never wrapping. All driver-side values exact via
+      // BigInt; the column side only ever shifts right.
       val shiftedMin = BigInt(minL) >> s
       val divisor = ((span >> s) + 2).toLong
       call_function("div",
@@ -88,15 +95,25 @@ object ZOrder {
     }
   }
 
-  /** Null-safe bridge from an aggregate row bound to a Long (an
-    * all-NULL or empty dimension has no usable bounds). */
+  /** Bridge from an aggregate row bound to a Long — INTEGRAL types
+    * only. Fractional bounds must fail, not truncate: a Double key in
+    * [0, 1) would silently normalize every row to cell 0 and the
+    * dimension would contribute nothing to the layout. Callers with
+    * fractional keys should derive an integral surrogate (scaled
+    * long, epoch int) explicitly. */
   private def boundAsLong(v: Any, what: String): Long = v match {
     case null => throw new IllegalArgumentException(
       s"z-order $what bound is NULL: the dimension is empty or all-NULL")
-    case n: java.lang.Number => n.longValue()
+    case n: java.lang.Byte => n.longValue()
+    case n: java.lang.Short => n.longValue()
+    case n: java.lang.Integer => n.longValue()
+    case n: java.lang.Long => n.longValue()
+    case n: java.math.BigDecimal if n.stripTrailingZeros.scale <= 0 =>
+      n.longValueExact()
     case other => throw new IllegalArgumentException(
       s"z-order dimensions must be integral, got $what = $other " +
-        s"(${other.getClass.getName})")
+        s"(${other.getClass.getName}); derive an integral surrogate " +
+        "(scaled long, epoch int) for fractional keys")
   }
 
   /** Morton interleave of k 16-bit normalized coordinates: dimension
@@ -118,33 +135,37 @@ object ZOrder {
   /** The z-value of two integer dimensions with data-derived bounds
     * (one aggregate-only pass — the bounded-probe pattern). */
   def zValue2(df: DataFrame, xCol: String, yCol: String): Column = {
-    val r = df.agg(min(col(xCol)), max(col(xCol)),
+    val r = df.agg(count(lit(1)), min(col(xCol)), max(col(xCol)),
       min(col(yCol)), max(col(yCol))).head()
-    if (r.isNullAt(0) || r.isNullAt(2))
-      // empty input (or all-NULL dimension): no row ever evaluates
-      // the expression, so the legacy null-propagating form is fine
+    if (r.getLong(0) == 0L)
+      // empty input: no row ever evaluates the expression, so the
+      // null-propagating form is fine (and cluster of an empty frame
+      // stays legal)
       interleave2(
-        normalize16(col(xCol), lit(r.get(0)), lit(r.get(1))),
-        normalize16(col(yCol), lit(r.get(2)), lit(r.get(3))))
+        normalize16(col(xCol), lit(r.get(1)), lit(r.get(2))),
+        normalize16(col(yCol), lit(r.get(3)), lit(r.get(4))))
+    // non-empty: an all-NULL dimension has no usable bounds and would
+    // silently zero the layout — boundAsLong fails loudly on it
     else interleave2(
-      normalizeBounded(col(xCol), boundAsLong(r.get(0), s"min($xCol)"),
-        boundAsLong(r.get(1), s"max($xCol)")),
-      normalizeBounded(col(yCol), boundAsLong(r.get(2), s"min($yCol)"),
-        boundAsLong(r.get(3), s"max($yCol)")))
+      normalizeBounded(col(xCol), boundAsLong(r.get(1), s"min($xCol)"),
+        boundAsLong(r.get(2), s"max($xCol)")),
+      normalizeBounded(col(yCol), boundAsLong(r.get(3), s"min($yCol)"),
+        boundAsLong(r.get(4), s"max($yCol)")))
   }
 
   /** The z-value of k integer dimensions (k ≤ 3) with data-derived
     * bounds — one aggregate-only pass for all 2k extrema. */
   def zValueN(df: DataFrame, cols: Seq[String]): Column = {
-    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val aggs = count(lit(1)) +: cols.flatMap(c =>
+      Seq(min(col(c)), max(col(c))))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    if (cols.indices.exists(i => r.isNullAt(2 * i)))
+    if (r.getLong(0) == 0L) // empty input — see zValue2
       interleaveN(cols.zipWithIndex.map { case (c, i) =>
-        normalize16(col(c), lit(r.get(2 * i)), lit(r.get(2 * i + 1)))
+        normalize16(col(c), lit(r.get(2 * i + 1)), lit(r.get(2 * i + 2)))
       })
     else interleaveN(cols.zipWithIndex.map { case (c, i) =>
-      normalizeBounded(col(c), boundAsLong(r.get(2 * i), s"min($c)"),
-        boundAsLong(r.get(2 * i + 1), s"max($c)"))
+      normalizeBounded(col(c), boundAsLong(r.get(2 * i + 1), s"min($c)"),
+        boundAsLong(r.get(2 * i + 2), s"max($c)"))
     })
   }
 

@@ -173,9 +173,12 @@ object DocStream {
     val dataGens = dirsIn(base).filter(p =>
       partId(p.getName, "gen=").isDefined)
     val dataGenNames = dataGens.map(_.getName).toSet
-    dataGens.foreach { g =>
+    // one manifest read per generation, shared with the folded set
+    // below (object-store round trips)
+    val manifests = dataGens.map(g => g -> readManifest(fs, g))
+    manifests.foreach { case (g, names) =>
       val genMtime = fs.getFileStatus(g).getModificationTime
-      readManifest(fs, g).foreach { n =>
+      names.foreach { n =>
         val src = new Path(base, n)
         if (fs.exists(src) &&
             fs.getFileStatus(src).getModificationTime <= genMtime)
@@ -193,7 +196,7 @@ object DocStream {
     // committed = marker exists; an in-flight replayable partition is
     // left alone by construction. Never re-fold an (mtime-protected)
     // already-manifested source.
-    val folded = dataGens.flatMap(readManifest(fs, _)).toSet
+    val folded = manifests.iterator.flatMap(_._2).toSet
     val committed = dirsIn(base)
       .filter(p => partId(p.getName, "batch_id=").isDefined &&
         !folded.contains(p.getName))

@@ -91,9 +91,13 @@ object SinkFold {
     // checkpoint; the guard just downgrades the failure from silent
     // data DELETION to a visible stale read.
     val gens = dirsIn(fs, base).filter(p => partId(p.getName, "gen=").isDefined)
-    gens.foreach { g =>
+    // each generation's manifest is read ONCE and reused for both the
+    // GC worklist and the folded-exclusion set (on object-store sinks
+    // every manifest open is a round trip)
+    val manifests = gens.map(g => g -> readManifest(fs, g))
+    manifests.foreach { case (g, names) =>
       val genMtime = fs.getFileStatus(g).getModificationTime
-      readManifest(fs, g).foreach { n =>
+      names.foreach { n =>
         val src = new Path(base, n)
         if (fs.exists(src) &&
             fs.getFileStatus(src).getModificationTime <= genMtime)
@@ -102,7 +106,7 @@ object SinkFold {
     }
     dirsIn(fs, base).filter(_.getName.startsWith("_tmp_gen"))
       .foreach(fs.delete(_, true))
-    val folded = gens.flatMap(readManifest(fs, _)).toSet
+    val folded = manifests.iterator.flatMap(_._2).toSet
     val committed = dirsIn(fs, base)
       .filter(p => !folded.contains(p.getName) &&
         partId(p.getName, "batch_id=").exists(_ < beforeBatchId))

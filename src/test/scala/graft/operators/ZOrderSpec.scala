@@ -164,6 +164,44 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z3.forall(v => v >= 0L && v < (1L << 48)))
   }
 
+  test("wide-span carry case: top-of-domain rows never wrap (span with " +
+      "a floor-shift carry)") {
+    // min = 1, max = 2^48: span = 2^48 − 1 (bitLength 48). Shifting to
+    // 47 bits would leave (v >> s) − (min >> s) able to reach 2^47 at
+    // the top of the domain, and << 16 would wrap a BIGINT; the
+    // one-spare-bit shift (to 46) must keep every z-value valid.
+    val xs = Seq(1L, 2L, (1L << 47) - 1, 1L << 47, (1L << 48) - 1, 1L << 48)
+    val df = xs.map(x => (x, 0L)).toDF("x", "y")
+    val z = df.select(col("x"), ZOrder.zValue2(df, "x", "y").as("z"))
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1))
+    z.foreach(v => assert(v >= 0L && v < (1L << 32), s"wrapped: $v"))
+    z.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "monotone in x (y fixed at 0)")
+      case _ =>
+    }
+    assert(z.last > z.head, "domain must actually spread on the grid")
+  }
+
+  test("non-empty all-NULL dimension fails loudly; empty input stays legal") {
+    val allNull = Seq((1L, null.asInstanceOf[java.lang.Long]),
+      (2L, null.asInstanceOf[java.lang.Long])).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zValue2(allNull, "x", "y")
+    }
+    assert(e.getMessage.contains("all-NULL"))
+    // a fractional key must be rejected, not silently truncated to a
+    // zero-contribution dimension
+    val dbl = Seq((1L, 0.25), (2L, 0.75)).toDF("x", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrder.zValue2(dbl, "x", "y")
+    }
+    assert(e2.getMessage.contains("integral"))
+    // empty input: zValue2 and cluster remain callable (zero rows
+    // evaluate the expression)
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(ZOrder.cluster(empty, "x", "y", 4).count() === 0L)
+  }
+
   test("cluster: partitions carry disjoint z-ranges, sorted within") {
     val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
       .toDF("x", "y")
