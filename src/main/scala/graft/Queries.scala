@@ -6480,6 +6480,35 @@ object Queries {
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** SIGNATURE-STORE FETCH DEDUP
+    * ([[graft.dedup.Dedup.writeSignatures]] +
+    * [[graft.dedup.Dedup.crossNearDupPairsVsSignaturesFetched]]): the
+    * ingest stream's steady-state scan shape, as a batch query — the
+    * corpus's signatures are written in the signature-STORE layout
+    * (bloom filter on id, id-sorted row groups), read back, and the
+    * corpus cross-dedups against that store with the exact-verify
+    * fetch PUSHED INTO the scan as a collected `IN(id)` predicate
+    * (`smallRelationBytes = 0` forces the scale path the fixture's
+    * size would otherwise gate away, exactly like the DocStreamSpec
+    * prune pins). Self-cross emits both directions; `id_a < id_b`
+    * keeps each unordered pair once, which is q23's exact O(n²)
+    * Jaccard oracle — hash-green certifies the pushdown fetch returns
+    * bit-identical pairs to the lazy semi-join plan. */
+  def q202SigFetchDedup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("q202_sigs").toString
+    try {
+      Dedup.writeSignatures(
+        Dedup.nearDupSignatures(t(s, dir, "documents"), "doc_id", "text"),
+        tmp)
+      Dedup.crossNearDupPairsVsSignaturesFetched(
+        t(s, dir, "documents"), "doc_id", "text",
+        s.read.parquet(tmp), threshold = 0.9, smallRelationBytes = 0L)
+        .filter(col("id_a") < col("id_b"))
+        .orderBy("id_a", "id_b")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -6686,6 +6715,7 @@ object Queries {
     "q199_zorder" -> (q199Zorder _),
     "q200_zorder3" -> (q200Zorder3 _),
     "q201_zorder_wide" -> (q201ZorderWide _),
+    "q202_sigfetch_dedup" -> (q202SigFetchDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6895,6 +6925,7 @@ object Queries {
     "q199_zorder" -> q199Sql,
     "q200_zorder3" -> q200Sql,
     "q201_zorder_wide" -> q201Sql,
+    "q202_sigfetch_dedup" -> q23Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -6962,5 +6993,12 @@ object Queries {
     // round-10: the wide-span (overflow-guarded pre-shift) z-order
     // regime — benched so the guard's extra shift arithmetic stays
     // visibly free
-    "q201_zorder_wide")
+    "q201_zorder_wide",
+    // round-10: the signature-store fetch path (bloom + id-sorted
+    // store, collected-IN pushdown verify fetch) benched beside q187's
+    // semi-join form and q23's from-text form — the three ways the
+    // same pairs can be produced, so the fetch's fixed costs (candidate
+    // materialization, the collect) stay visible against the scan it
+    // saves
+    "q202_sigfetch_dedup")
 }

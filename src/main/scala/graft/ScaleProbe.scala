@@ -68,6 +68,7 @@ object ScaleProbe {
     else if (set == "events") eventsProbes(spark, dir, k)
     else if (set == "streams") streamProbes(spark, dir, k)
     else if (set == "streamcompact") streamCompactProbes(spark, dir, k)
+    else if (set == "sigfetch") sigFetchProbes(spark, dir, k)
     else if (set == "r8") r8Probes(spark, dir, k)
     else if (set == "r9") r9Probes(spark, dir, k)
     else r3Probes(spark, dir, k)
@@ -468,6 +469,7 @@ object ScaleProbe {
     val memSpill = new AtomicLong
     val diskSpill = new AtomicLong
     val windowPeakTaskMem = new AtomicLong
+    val inputBytes = new AtomicLong
     @volatile private var registered = false
     def ensure(spark: SparkSession): Unit = synchronized {
       if (!registered) {
@@ -483,6 +485,7 @@ object ScaleProbe {
         diskSpill.addAndGet(m.diskBytesSpilled)
         windowPeakTaskMem.accumulateAndGet(m.peakExecutionMemory,
           math.max(_, _))
+        inputBytes.addAndGet(m.inputMetrics.bytesRead)
       }
     }
   }
@@ -1068,6 +1071,115 @@ object ScaleProbe {
     * per-batch walls, flatness, the final live directory count, and
     * the accepted row count (which must match the uncompacted
     * semantics — compaction moves bytes, never changes the corpus). */
+  /** Round-10: the signature-store FETCH path vs the lazy semi-join
+    * plan at the ingest stream's steady-state scale. Stored side =
+    * signatures of k salted replicas, written in BOTH layouts: plain
+    * parquet (the pre-r10 `_sig` shape — no bloom, unsorted) and the
+    * `Dedup.writeSignatures` store layout (bloom on id, id-sorted row
+    * groups). One batch carrying replica-3's salt (every batch doc
+    * exact-matches its stored replica-3 twin and is a mere LSH
+    * candidate elsewhere) cross-dedups against each store via the
+    * lazy plan and the fetched pushdown plan — min-of-3 wall plus
+    * per-shot INPUT BYTES, after one warm-up scan per store so all
+    * modes are measured against a warm page cache (the comparison is
+    * decode work saved by row-group skipping, not cold IO). The four
+    * modes must agree on the matched-pair count: fetched_plain
+    * isolates the PLAN change (pushdown without the layout's indexes
+    * — bloom absent, min/max useless), fetched_store adds the layout,
+    * which is where the bytes collapse to O(candidates). */
+  private def sigFetchProbes(spark: SparkSession, dir: String,
+      k: Int): Unit = {
+    def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val plainDir = tmp("sigprobe_plain")
+    val storeDir = tmp("sigprobe_store")
+    try {
+      val docsK = replicateTextSalted(tbl("documents")
+        .select("doc_id", "text"), k)
+      dedup.Dedup.nearDupSignatures(docsK, "doc_id", "text")
+        .write.mode("overwrite").parquet(plainDir)
+      // size files the way compactSink does (128 MB targets), so the
+      // store is the folded-generation layout, not a 32-way shard of
+      // a batch-sized write
+      val plainPath = new org.apache.hadoop.fs.Path(plainDir)
+      val plainBytes = plainPath.getFileSystem(
+        spark.sessionState.newHadoopConf())
+        .getContentSummary(plainPath).getLength
+      val nFiles = math.max(1L,
+        (plainBytes + (128L << 20) - 1) / (128L << 20)).toInt
+      dedup.Dedup.writeSignatures(spark.read.parquet(plainDir), storeDir,
+        nFiles)
+      val batch = tbl("documents").select("doc_id", "text").limit(2000)
+        .withColumn("doc_id", col("doc_id") + lit(7700000000L))
+        .withColumn("text", regexp_replace(col("text"),
+          "((\\S+\\s+){2})", "$1zzr3 ")).persist(lvl)
+      batch.count()
+      val storedDocs = spark.read.parquet(plainDir).count()
+      val fsConf = spark.sessionState.newHadoopConf()
+      def diskMb(d: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(fsConf).getContentSummary(p).getLength / (1024 * 1024)
+      }
+      // warm the page cache over both stores so shot 1 of mode 1
+      // doesn't pay the only cold read (TaskMetrics input bytes read 0
+      // for these file:// scans — decode work is evidenced by the scan
+      // node's numOutputRows below, not by a byte counter)
+      Seq(plainDir, storeDir).foreach { d =>
+        spark.read.parquet(d).agg(sum(size(col("sh")))).collect()
+      }
+      println(s"[probe-entry] store sizes: plain=${diskMb(plainDir)}MB, " +
+        s"store=${diskMb(storeDir)}MB")
+      // decode-work evidence: rows the sh-face scan DECODES for a
+      // 2000-id fetch (the batch docs' stored replica-3 twins) — on
+      // the plain layout random id spread defeats row-group stats; on
+      // the store layout bloom + sorted min/max skip everything else
+      val twinIds = batch.select((col("doc_id") - lit(7700000000L)
+        + lit(300000000L)).as("id")).collect().map(_.getLong(0)).toSeq
+      Seq("plain" -> plainDir, "store" -> storeDir).foreach { case (n, d) =>
+        val q = spark.read.parquet(d)
+          .filter(col("id").isin(twinIds: _*)).select("id", "sh")
+        val hit = q.collect().length
+        val decoded = q.queryExecution.executedPlan.collectLeaves()
+          .head.metrics("numOutputRows").value
+        println(s"""[probe-entry] "fetch_scan_$n":{"fetch_ids":${twinIds.length},""" +
+          s""""hit":$hit,"rows_decoded":$decoded,"rows_stored":$storedDocs}""")
+      }
+      def mode(name: String, store: String,
+          f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+          : (String, Long) = {
+        val shots = (1 to 3).map { _ =>
+          val s = System.nanoTime()
+          val n = f(spark.read.parquet(store)).count()
+          ((System.nanoTime() - s) / 1e9, n)
+        }
+        val frag = f""""$name":{"sec":${shots.map(_._1).min}%.2f,""" +
+          shots.map(s => f"${s._1}%.2f").mkString(""""shots":[""", ",", "],") +
+          s""""pairs":${shots.head._2}}"""
+        println(s"[probe-entry] $frag")
+        (frag, shots.head._2)
+      }
+      val results = Seq(
+        mode("semi_plain", plainDir, sigs =>
+          dedup.Dedup.crossNearDupPairsVsSignatures(batch, "doc_id", "text",
+            sigs, 0.9, smallRelationBytes = 0L)),
+        mode("fetched_plain", plainDir, sigs =>
+          dedup.Dedup.crossNearDupPairsVsSignaturesFetched(batch, "doc_id", "text",
+            sigs, 0.9, smallRelationBytes = 0L)),
+        mode("semi_store", storeDir, sigs =>
+          dedup.Dedup.crossNearDupPairsVsSignatures(batch, "doc_id", "text",
+            sigs, 0.9, smallRelationBytes = 0L)),
+        mode("fetched_store", storeDir, sigs =>
+          dedup.Dedup.crossNearDupPairsVsSignaturesFetched(batch, "doc_id", "text",
+            sigs, 0.9, smallRelationBytes = 0L)))
+      val counts = results.map(_._2).distinct
+      println(results.map(_._1).mkString("[probe] {", ",",
+        s""","pair_counts_agree":${counts.size == 1},""" +
+          s""""stored_docs":$storedDocs,"replication":$k}"""))
+    } finally Seq(plainDir, storeDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
   private def streamCompactProbes(spark: SparkSession, dir: String,
       k: Int): Unit = {
     import org.apache.spark.sql.streaming.StreamingQueryListener

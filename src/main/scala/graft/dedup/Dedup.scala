@@ -272,10 +272,38 @@ object Dedup {
       maxBucket: Int = 1000,
       obs: Option[org.apache.spark.sql.Observation] = None,
       smallRelationBytes: Long = SmallRelationBytes): DataFrame = {
-    def small(df: DataFrame): Boolean = {
-      val s = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      s.isValidLong && s.toLong <= smallRelationBytes
-    }
+    def small(df: DataFrame): Boolean =
+      smallUnder(df, smallRelationBytes)
+    val cands = crossBandCandidates(left, leftId, leftText, rightSigs,
+      shingleWidth, bands, rowsPerBand, maxBucket, obs, small)
+    // verify sides pruned to candidate ids before shingling/shuffling
+    // (the nearDupPairsFromSignatures note: non-candidates' shingle
+    // arrays are the avoidable cost when both sides are corpora);
+    // benchmark-sized sides skip the prune (SmallRelationBytes)
+    val shR = (if (small(rightSigs)) rightSigs
+      else rightSigs.join(cands.select(col("id_b").as("id")).distinct(),
+        Seq("id"), "left_semi"))
+      .select(col("id").as("id_b"), col("sh").as("sh_b"))
+    verifyCandidates(cands, left, leftId, leftText, shR, threshold,
+      shingleWidth, small)
+  }
+
+  private def smallUnder(df: DataFrame, bytes: Long): Boolean = {
+    val s = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    s.isValidLong && s.toLong <= bytes
+  }
+
+  /** Banded LSH candidate pairs of the signature cross-dedup — shared
+    * verbatim by [[crossNearDupPairsVsSignatures]] (lazy semi-join
+    * verify fetch) and [[crossNearDupPairsVsSignaturesFetched]]
+    * (collected-id pushdown fetch), so the two variants can only
+    * differ in HOW candidate shingle sets reach the verify join,
+    * never in which pairs are candidates. */
+  private def crossBandCandidates(left: DataFrame, leftId: String,
+      leftText: String, rightSigs: DataFrame,
+      shingleWidth: Int, bands: Int, rowsPerBand: Int, maxBucket: Int,
+      obs: Option[org.apache.spark.sql.Observation],
+      small: DataFrame => Boolean): DataFrame = {
     val lb0 = left.select(col(leftId).as("id_a"),
       posexplode(graft.functions.minhash_bands(col(leftText), shingleWidth,
         bands, rowsPerBand)).as(Seq("band", "bucket")))
@@ -310,27 +338,150 @@ object Dedup {
     val observed = obs.fold(lb)(o => lb.observe(o,
       sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
       max(col("__n")).as("max_bucket_size")))
-    val cands = observed.filter(col("__n") <= maxBucket)
+    observed.filter(col("__n") <= maxBucket)
       .join(rb.filter(col("__n") <= maxBucket).withColumnRenamed("__n", "__m"),
         Seq("band", "bucket"))
       .select(col("id_a"), col("id_b")).distinct()
-    // verify sides pruned to candidate ids before shingling/shuffling
-    // (the nearDupPairsFromSignatures note: non-candidates' shingle
-    // arrays are the avoidable cost when both sides are corpora);
-    // benchmark-sized sides skip the prune (SmallRelationBytes)
+  }
+
+  /** Exact-Jaccard verify over candidate pairs: left shingle sets from
+    * the batch text (pruned to candidates on the scale path), right
+    * shingle sets from whatever fetch the caller chose. */
+  private def verifyCandidates(cands: DataFrame, left: DataFrame,
+      leftId: String, leftText: String, shR: DataFrame, threshold: Double,
+      shingleWidth: Int, small: DataFrame => Boolean): DataFrame = {
     val shL = (if (small(left)) left
       else left.join(cands.select(col("id_a").as(leftId)).distinct(),
         Seq(leftId), "left_semi"))
       .select(col(leftId).as("id_a"),
         graft.functions.shingle_set(col(leftText), shingleWidth).as("sh_a"))
-    val shR = (if (small(rightSigs)) rightSigs
-      else rightSigs.join(cands.select(col("id_b").as("id")).distinct(),
-        Seq("id"), "left_semi"))
-      .select(col("id").as("id_b"), col("sh").as("sh_b"))
     cands.join(shL, Seq("id_a")).join(shR, Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Row-group size for [[writeSignatures]]: smaller groups than the
+    * parquet default (128 MB) make bloom/min-max skipping on the
+    * fetch path proportionally finer — a candidate fetch decodes only
+    * the groups that MIGHT hold a candidate id, so the unit of wasted
+    * decode is one group. The full-scan faces (the banded candidate
+    * join projects `(id, bands)`) pay only a few extra footer entries
+    * per file. */
+  val SigRowGroupBytes: Long = 16L * 1024 * 1024
+
+  /** How many distinct candidate ids
+    * [[crossNearDupPairsVsSignaturesFetched]] will collect to the
+    * driver and push into the stored-signature scan as an `IN(id)`
+    * predicate. Above the cap it falls back to the lazy semi-join
+    * fetch — correctness never depends on the cap, only the scan
+    * shape does. 100k ids ≈ single-digit MB on the driver, and the
+    * parquet reader probes each row group's bloom filter with the
+    * set, so the cap bounds both driver memory and per-row-group
+    * filter work. */
+  val MaxFetchIds: Int = 100000
+
+  /** Write a [[nearDupSignatures]] relation as the engine's SIGNATURE
+    * STORE layout: snappy parquet with a parquet BLOOM FILTER on `id`
+    * and rows id-sorted within each file (row-group min/max on `id`
+    * become tight, disjoint ranges). Both indexes serve the
+    * candidate-id fetch ([[crossNearDupPairsVsSignaturesFetched]]):
+    * the pushed `IN(id)` predicate skips every row group whose bloom
+    * filter and id-range exclude all candidates, so the bytes DECODED
+    * per fetch scale with the candidate count, not the store — the
+    * lever that turns the ingest stream's per-batch linear
+    * stored-`sh` scan into an indexed point lookup. Plain parquet
+    * written elsewhere stays readable by every consumer; the extra
+    * indexes only change what a FILTERED scan has to touch. */
+  def writeSignatures(sigs: DataFrame, path: String, numFiles: Int = 0): Unit = {
+    // resharding (the fold path) range-partitions on id so FILE and
+    // row-group id ranges are disjoint and tight — min/max and the
+    // page-level column index then skip deterministically, with the
+    // bloom filter catching in-range misses. numFiles = 0 (the
+    // per-batch write: one small file) keeps the input partitioning
+    // and only sorts locally — a batch file's footer min/max still
+    // brackets its ids, and folding rewrites it into the ranged
+    // layout anyway
+    val part =
+      if (numFiles > 0) sigs.repartitionByRange(numFiles, col("id"))
+      else sigs
+    part.sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .option("parquet.bloom.filter.enabled#id", "true")
+      // bloom sized for the ids one 16 MB row group can actually hold
+      // (≥ ~100 B/row → ≤ ~160k ids); the parquet default otherwise
+      // pads every row group's bloom to the 1 MB cap, which at small
+      // row groups costs more read bytes than the skipped data saves
+      .option("parquet.bloom.filter.expected.ndv#id", "200000")
+      .option("parquet.block.size", SigRowGroupBytes.toString)
+      .parquet(path)
+  }
+
+  /** [[crossNearDupPairsVsSignatures]] for a BATCH-sized left side
+    * against a LARGE stored signature relation — the ingest stream's
+    * steady-state shape — with the exact-verify fetch PUSHED INTO the
+    * stored parquet scan instead of semi-joined above it. The lazy
+    * variant's semi join never shuffles the stored side, but it still
+    * SCANS the whole stored `sh` column every batch (the measured
+    * ~0.16 s per 100k accepted docs linear floor of the 200-batch
+    * probe); here the distinct candidate ids (bounded by
+    * `maxFetchIds`, the LSH premise says few) are collected and
+    * pushed as an `IN(id)` filter, which the parquet reader evaluates
+    * against each row group's bloom filter and id min/max
+    * ([[writeSignatures]] layout) — row groups holding no candidate
+    * are never decoded, so per-batch stored-side bytes become
+    * O(candidates), not O(accepted corpus).
+    *
+    * EAGER: candidates are materialized once (the collect that feeds
+    * the pushdown), and the verified pairs — bounded by the candidate
+    * set, itself bounded by batch × bands × maxBucket — are returned
+    * as a driver-local relation, which downstream anti joins
+    * broadcast for free. Over-cap candidate sets (a pathological
+    * batch) fall back to the lazy semi-join fetch on the SAME
+    * materialized candidates: identical output, linear-scan cost.
+    * Output is value-identical to [[crossNearDupPairsVsSignatures]]
+    * under the same parameters. */
+  def crossNearDupPairsVsSignaturesFetched(left: DataFrame, leftId: String,
+      leftText: String, rightSigs: DataFrame, threshold: Double,
+      shingleWidth: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      maxBucket: Int = 1000,
+      obs: Option[org.apache.spark.sql.Observation] = None,
+      smallRelationBytes: Long = SmallRelationBytes,
+      maxFetchIds: Int = MaxFetchIds): DataFrame = {
+    def small(df: DataFrame): Boolean =
+      smallUnder(df, smallRelationBytes)
+    def localize(df: DataFrame): DataFrame = {
+      val rows = java.util.Arrays.asList(df.collect(): _*)
+      df.sparkSession.createDataFrame(rows, df.schema)
+    }
+    // a benchmark-sized store: the lazy plan reads it whole anyway —
+    // one action, no candidate materialization, same values
+    if (small(rightSigs))
+      return localize(crossNearDupPairsVsSignatures(left, leftId, leftText,
+        rightSigs, threshold, shingleWidth, bands, rowsPerBand, maxBucket,
+        obs, smallRelationBytes))
+    val cands = crossBandCandidates(left, leftId, leftText, rightSigs,
+      shingleWidth, bands, rowsPerBand, maxBucket, obs, small)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fetchIds = cands.select(col("id_b")).distinct()
+        .limit(maxFetchIds + 1).collect()
+      // no candidates → no pairs, and isin() over an empty id set
+      // shouldn't have to reach the scan at all
+      if (fetchIds.isEmpty)
+        return localize(verifyCandidates(cands, left, leftId, leftText,
+          rightSigs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+            .limit(0), threshold, shingleWidth, small))
+      val shR = (
+        if (fetchIds.length <= maxFetchIds)
+          rightSigs.filter(col("id").isin(fetchIds.map(_.get(0)).toSeq: _*))
+        else rightSigs.join(cands.select(col("id_b").as("id")).distinct(),
+          Seq("id"), "left_semi"))
+        .select(col("id").as("id_b"), col("sh").as("sh_b"))
+      localize(verifyCandidates(cands, left, leftId, leftText, shR,
+        threshold, shingleWidth, small))
+    } finally cands.unpersist()
   }
 
   /** Directional shingle CONTAINMENT pairs — the sub-document dedup

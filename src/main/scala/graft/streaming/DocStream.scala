@@ -232,8 +232,10 @@ object DocStream {
     val tmpSig = new Path(base, s"_tmp_gen_${genId}_sig")
     data.repartition(nFiles).write.mode("overwrite")
       .option("compression", "snappy").parquet(tmpData.toString)
-    sigRel.repartition(nFiles).write.mode("overwrite")
-      .option("compression", "snappy").parquet(tmpSig.toString)
+    // generations carry the signature-store indexes (bloom on id,
+    // id-sorted row groups) so the per-batch candidate fetch keeps its
+    // pushdown after folding — see Dedup.writeSignatures
+    Dedup.writeSignatures(sigRel, tmpSig.toString, nFiles)
     Manifests.writeManifest(fs, tmpData, committed.map(_.getName))
     fs.mkdirs(sigBase)
     // checked publishes (Manifests.renameOrFail): a false-returning
@@ -310,10 +312,17 @@ object DocStream {
       // acceptance depend on batch boundaries even for non-chain
       // graphs) — cross-first matches per-document sequential
       // greedy whenever the batch's own dup graph is CC-clean
+      // the FETCHED variant: candidate ids are collected (bounded) and
+      // pushed into the stored-signature scan as IN(id), so the stored
+      // `sh` bytes decoded per batch follow the candidate count, not
+      // the accepted-corpus size (writeSignatures' bloom + id-sorted
+      // layout below is what makes the pushdown skip row groups). The
+      // result is a driver-local pair relation, so the anti join
+      // broadcasts it for free.
       val survivorsRaw = acceptedSigsSoFar(spark, sinkDir, clean, idCol,
         textCol, Some(batchId)) match {
         case Some(sigs) =>
-          val hit = Dedup.crossNearDupPairsVsSignatures(clean, idCol,
+          val hit = Dedup.crossNearDupPairsVsSignaturesFetched(clean, idCol,
             textCol, sigs, threshold)
             .select(col("id_a").as(idCol)).distinct()
           clean.join(hit, Seq(idCol), "left_anti")
@@ -335,8 +344,9 @@ object DocStream {
       }
       val written = spark.read.schema(batch.schema)
         .parquet(s"$sinkDir/batch_id=$batchId")
-      Dedup.nearDupSignatures(written, idCol, textCol)
-        .write.mode("overwrite").parquet(s"$sinkDir/_sig/batch_id=$batchId")
+      Dedup.writeSignatures(
+        Dedup.nearDupSignatures(written, idCol, textCol),
+        s"$sinkDir/_sig/batch_id=$batchId")
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
       if (compactEvery > 0) {
