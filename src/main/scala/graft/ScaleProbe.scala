@@ -469,7 +469,6 @@ object ScaleProbe {
     val memSpill = new AtomicLong
     val diskSpill = new AtomicLong
     val windowPeakTaskMem = new AtomicLong
-    val inputBytes = new AtomicLong
     @volatile private var registered = false
     def ensure(spark: SparkSession): Unit = synchronized {
       if (!registered) {
@@ -485,7 +484,6 @@ object ScaleProbe {
         diskSpill.addAndGet(m.diskBytesSpilled)
         windowPeakTaskMem.accumulateAndGet(m.peakExecutionMemory,
           math.max(_, _))
-        inputBytes.addAndGet(m.inputMetrics.bytesRead)
       }
     }
   }
@@ -1079,14 +1077,16 @@ object ScaleProbe {
     * groups). One batch carrying replica-3's salt (every batch doc
     * exact-matches its stored replica-3 twin and is a mere LSH
     * candidate elsewhere) cross-dedups against each store via the
-    * lazy plan and the fetched pushdown plan — min-of-3 wall plus
-    * per-shot INPUT BYTES, after one warm-up scan per store so all
-    * modes are measured against a warm page cache (the comparison is
-    * decode work saved by row-group skipping, not cold IO). The four
-    * modes must agree on the matched-pair count: fetched_plain
-    * isolates the PLAN change (pushdown without the layout's indexes
-    * — bloom absent, min/max useless), fetched_store adds the layout,
-    * which is where the bytes collapse to O(candidates). */
+    * lazy plan and the fetched pushdown plan — min-of-3 wall, after
+    * one warm-up scan per store so all modes are measured against a
+    * warm page cache (the comparison is decode work saved by
+    * row-group skipping, not cold IO; TaskMetrics input bytes read 0
+    * for these `file://` scans, so decode work is evidenced by the
+    * fetch scan's numOutputRows entries instead). The four modes must
+    * agree on the matched-pair count: fetched_plain isolates the PLAN
+    * change (pushdown without the layout's indexes — bloom absent,
+    * min/max useless), fetched_store adds the layout, which is where
+    * the decoded rows collapse to O(candidates). */
   private def sigFetchProbes(spark: SparkSession, dir: String,
       k: Int): Unit = {
     def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")

@@ -381,6 +381,15 @@ object Dedup {
     * filter work. */
   val MaxFetchIds: Int = 100000
 
+  /** How many VERIFIED pairs [[crossNearDupPairsVsSignaturesFetched]]
+    * will hold on the driver as its local-relation result. The id cap
+    * above bounds the fetch, not the pair count (a dup-heavy batch can
+    * verify far more pairs than it has distinct stored matches), so
+    * the localization is bounded separately: past this many pairs the
+    * call returns the DISTRIBUTED verify plan instead — identical
+    * rows, no driver materialization. ~1M pair rows ≈ tens of MB. */
+  val MaxLocalPairs: Int = 1000000
+
   /** Write a [[nearDupSignatures]] relation as the engine's SIGNATURE
     * STORE layout: snappy parquet with a parquet BLOOM FILTER on `id`
     * and rows id-sorted within each file (row-group min/max on `id`
@@ -433,34 +442,44 @@ object Dedup {
     * are never decoded, so per-batch stored-side bytes become
     * O(candidates), not O(accepted corpus).
     *
-    * EAGER: candidates are materialized once (the collect that feeds
-    * the pushdown), and the verified pairs — bounded by the candidate
-    * set, itself bounded by batch × bands × maxBucket — are returned
-    * as a driver-local relation, which downstream anti joins
-    * broadcast for free. Over-cap candidate sets (a pathological
-    * batch) fall back to the lazy semi-join fetch on the SAME
-    * materialized candidates: identical output, linear-scan cost.
+    * EAGER up to [[MaxLocalPairs]]: candidates are materialized once
+    * (the collect that feeds the pushdown), and the verified pairs are
+    * returned as a driver-local relation, which downstream anti joins
+    * broadcast for free. Both bounds have distributed fallbacks, so
+    * no input shape can overload the driver: past `maxFetchIds`
+    * distinct candidate ids the verify fetch falls back to the lazy
+    * semi join on the same materialized candidates, and past
+    * [[MaxLocalPairs]] verified pairs (a dup-heavy batch) the call
+    * returns the distributed verify plan instead of collecting it.
     * Output is value-identical to [[crossNearDupPairsVsSignatures]]
-    * under the same parameters. */
+    * under the same parameters on every path. */
   def crossNearDupPairsVsSignaturesFetched(left: DataFrame, leftId: String,
       leftText: String, rightSigs: DataFrame, threshold: Double,
       shingleWidth: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       maxBucket: Int = 1000,
       obs: Option[org.apache.spark.sql.Observation] = None,
       smallRelationBytes: Long = SmallRelationBytes,
-      maxFetchIds: Int = MaxFetchIds): DataFrame = {
+      maxFetchIds: Int = MaxFetchIds,
+      maxLocalPairs: Int = MaxLocalPairs): DataFrame = {
     def small(df: DataFrame): Boolean =
       smallUnder(df, smallRelationBytes)
-    def localize(df: DataFrame): DataFrame = {
-      val rows = java.util.Arrays.asList(df.collect(): _*)
-      df.sparkSession.createDataFrame(rows, df.schema)
+    // localize at most maxLocalPairs rows; past the bound, return the
+    // distributed plan itself — same rows, no driver materialization
+    // (a later action recomputes candidates without the cache, which
+    // is the documented price of the pathological path)
+    def boundedLocal(df: DataFrame): DataFrame = {
+      val rows = df.limit(maxLocalPairs + 1).collect()
+      if (rows.length <= maxLocalPairs)
+        df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema)
+      else df
     }
     // a benchmark-sized store: the lazy plan reads it whole anyway —
     // one action, no candidate materialization, same values
     if (small(rightSigs))
-      return localize(crossNearDupPairsVsSignatures(left, leftId, leftText,
-        rightSigs, threshold, shingleWidth, bands, rowsPerBand, maxBucket,
-        obs, smallRelationBytes))
+      return boundedLocal(crossNearDupPairsVsSignatures(left, leftId,
+        leftText, rightSigs, threshold, shingleWidth, bands, rowsPerBand,
+        maxBucket, obs, smallRelationBytes))
     val cands = crossBandCandidates(left, leftId, leftText, rightSigs,
       shingleWidth, bands, rowsPerBand, maxBucket, obs, small)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -470,7 +489,7 @@ object Dedup {
       // no candidates → no pairs, and isin() over an empty id set
       // shouldn't have to reach the scan at all
       if (fetchIds.isEmpty)
-        return localize(verifyCandidates(cands, left, leftId, leftText,
+        return boundedLocal(verifyCandidates(cands, left, leftId, leftText,
           rightSigs.select(col("id").as("id_b"), col("sh").as("sh_b"))
             .limit(0), threshold, shingleWidth, small))
       val shR = (
@@ -479,7 +498,7 @@ object Dedup {
         else rightSigs.join(cands.select(col("id_b").as("id")).distinct(),
           Seq("id"), "left_semi"))
         .select(col("id").as("id_b"), col("sh").as("sh_b"))
-      localize(verifyCandidates(cands, left, leftId, leftText, shR,
+      boundedLocal(verifyCandidates(cands, left, leftId, leftText, shR,
         threshold, shingleWidth, small))
     } finally cands.unpersist()
   }

@@ -33,6 +33,39 @@ class SigStoreSpec extends AnyFunSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
+  /** Recursive scan collector that sees through AQE stages and reused
+    * exchanges — plain SparkPlan.collect stops at query-stage
+    * boundaries, which would silently miss the scans under test. */
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    val here = p match {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case _ => Seq.empty
+    }
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(c.relation.cachedPlan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(allScans)
+  }
+
+  /** Rows the dataset's OWN execution decoded from its file scans —
+    * collect() first, then read the same QueryExecution's metrics (a
+    * fresh count() would plan a separate, never-executed tree whose
+    * metrics read 0, passing any `<` assert vacuously). */
+  private def rowsScanned(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    allScans(df.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).sum
+  }
+
   test("store files carry a bloom filter on id") {
     withStore() { dir =>
       val conf = spark.sessionState.newHadoopConf()
@@ -89,6 +122,23 @@ class SigStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("past the local-pair bound the result stays distributed, same output") {
+    withStore() { dir =>
+      val sigs = spark.read.parquet(dir)
+      val want = pairSet(Dedup.crossNearDupPairsVsSignatures(
+        docs, "doc_id", "text", sigs, 0.9, smallRelationBytes = 0L))
+      assert(want.size > 1, "fixture must verify more pairs than the bound")
+      val got = Dedup.crossNearDupPairsVsSignaturesFetched(
+        docs, "doc_id", "text", sigs, 0.9, smallRelationBytes = 0L,
+        maxLocalPairs = 1)
+      // over the bound the call must NOT have collected the pairs —
+      // the returned plan is the distributed verify, not a local copy
+      assert(!got.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      assert(pairSet(got) === want)
+    }
+  }
+
   test("small stores delegate to the lazy plan, localized, same output") {
     withStore() { dir =>
       val sigs = spark.read.parquet(dir)
@@ -104,13 +154,33 @@ class SigStoreSpec extends AnyFunSuite {
     }
   }
 
-  test("a disjoint batch yields no pairs and touches no store bytes") {
+  test("a disjoint batch yields no pairs without evaluating stored shingles") {
     withStore() { dir =>
-      val sigs = spark.read.parquet(dir)
+      // poison the store's sh column: any row whose shingle set the
+      // fetch actually evaluates blows up the job. Plan-level asserts
+      // can't pin this (AQE empty-propagation collapses the no-match
+      // plan to EmptyRelation, hiding the scans it skipped), but the
+      // poison is execution-level truth: the candidate face reads
+      // only (id, bands) — Catalyst prunes the unused sh projection —
+      // so the call survives iff no shingle fetch happened
+      // assert_true on a column-dependent, always-false condition:
+      // throws whenever a row's sh is evaluated, can't constant-fold
+      // (it references id), prunes away with the column when unused
+      val poisoned = spark.read.parquet(dir).withColumn("sh",
+        when(assert_true(col("id") < lit(Long.MinValue),
+          lit("stored sh evaluated")).isNull, col("sh")))
+      // vacuity guard: a batch WITH matches must trip the poison —
+      // proving the poison survives pruning on the path under test
+      val matching = docs.select($"doc_id", $"text").limit(5)
+        .withColumn("doc_id", $"doc_id" + 900000L)
+      intercept[Exception] {
+        Dedup.crossNearDupPairsVsSignaturesFetched(matching, "doc_id",
+          "text", poisoned, 0.9, smallRelationBytes = 0L)
+      }
       val batch = Seq((900001L, "zq xv wk pj nm"), (900002L, "aa bb cc dd ee"))
         .toDF("doc_id", "text")
       val got = Dedup.crossNearDupPairsVsSignaturesFetched(
-        batch, "doc_id", "text", sigs, 0.9, smallRelationBytes = 0L)
+        batch, "doc_id", "text", poisoned, 0.9, smallRelationBytes = 0L)
       assert(got.count() === 0)
     }
   }
@@ -125,13 +195,16 @@ class SigStoreSpec extends AnyFunSuite {
       val ids = store.select("id").orderBy("id").limit(5)
         .collect().map(_.getLong(0)).toSeq
       val q = store.filter(col("id").isin(ids: _*))
-      assert(q.count() === 5)
-      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      assert(q.collect().length === 5)
+      val scan = allScans(q.queryExecution.executedPlan).head
       val pushed = scan.toString.linesIterator
         .find(_.contains("PushedFilters")).getOrElse("")
       assert(pushed.contains("In(id"),
         s"expected In(id, ...) in PushedFilters, got: $pushed")
+      // read the metric from the SAME execution that just ran — a
+      // fresh action would plan a new tree whose metrics are all 0
       val scanned = scan.metrics("numOutputRows").value
+      assert(scanned > 0, "the executed scan must have decoded the hits")
       assert(scanned < total / 2,
         s"scan decoded $scanned of $total rows — no row-group skipping")
     }
