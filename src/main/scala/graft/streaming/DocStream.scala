@@ -74,7 +74,11 @@ object DocStream {
         partId(p.getName, "gen=").isDefined).toIndexedSeq
       val folded = gens.flatMap(readManifest(fs, _)).toSet
       val skip = excludeBatchId.map(id => s"batch_id=$id").toSet ++ folded
-      gens.sortBy(_.getName) ++ dirs.toIndexedSeq
+      // a generation can itself be superseded (tiered folding names
+      // source GENERATIONS in the new generation's manifest) — the
+      // same exclusion that hides folded batches hides folded gens
+      gens.filter(g => !folded.contains(g.getName))
+        .sortBy(p => partId(p.getName, "gen=").get) ++ dirs.toIndexedSeq
         .filter(p => partId(p.getName, "batch_id=").isDefined &&
           !skip.contains(p.getName))
     }
@@ -129,10 +133,21 @@ object DocStream {
     * adds two small parquet directories, and at 10,000 batches the
     * per-batch plan pays a many-small-files listing/union/footer tax
     * that has nothing to do with data volume. One fold rewrites them
-    * into size-targeted files; earlier generations are left alone
-    * (folding them again would make cumulative rewrite cost quadratic
-    * in corpus size), so the live directory count after C compactions
-    * of N-batch windows is C + in-flight, not total-batches.
+    * into size-targeted files. Generations themselves fold
+    * SIZE-TIERED: once the live-generation count would exceed
+    * `maxGenerations`, the fold also absorbs the SMALLEST
+    * ⌈maxGenerations/2⌉ live generations by content bytes (a 10k-batch
+    * sink would otherwise hold ~10k/compactEvery generation dirs).
+    * Absorbing the smallest half — never everything — is what keeps
+    * the rewrite amortized: generation sizes stratify geometrically
+    * (fresh batch-fold gens merge into mediums, mediums into larges
+    * once they are the smallest on the floor), so each doc is
+    * rewritten O(log N) times over the sink's lifetime, where
+    * absorbing ALL live gens each trigger would be a full-corpus
+    * rewrite every maxGenerations folds — quadratic with a small
+    * constant. A source generation is superseded by the new
+    * generation's manifest exactly like a source batch, and the GC /
+    * crash protocol below treats both identically.
     *
     * Crash-safety protocol (all windows leave a correct corpus):
     *  1. data+sigs are written under underscore temp dirs (invisible);
@@ -154,8 +169,10 @@ object DocStream {
   def compactSink(spark: SparkSession, sinkDir: String,
       schemaFrom: DataFrame, idCol: String, textCol: String,
       queryName: String, minBatches: Int = 2,
-      targetFileBytes: Long = 128L * 1024 * 1024): Option[Long] = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxGenerations: Int = 8): Option[Long] = {
     require(minBatches >= 1, "minBatches must be >= 1")
+    require(maxGenerations >= 1, "maxGenerations must be >= 1")
     val base = new Path(sinkDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) return None
@@ -205,20 +222,34 @@ object DocStream {
         fs.exists(new Path(base, s"_applied/$queryName/$id"))
       }
     if (committed.size < minBatches) return None
+    // size-tiered trigger: if publishing one more generation would
+    // push the live count past the bound, this fold absorbs the
+    // SMALLEST ⌈maxGenerations/2⌉ live generations by bytes (see the
+    // scaladoc's amortization argument; id breaks byte ties so the
+    // choice is deterministic)
+    val liveGens = dataGens.filterNot(g => folded.contains(g.getName))
+    val genSources =
+      if (liveGens.size + 1 > maxGenerations)
+        liveGens.map(g => (fs.getContentSummary(g).getLength,
+            partId(g.getName, "gen=").get, g))
+          .sortBy(t => (t._1, t._2))
+          .take((maxGenerations + 1) / 2).map(_._3)
+      else Seq.empty
+    val sources = committed ++ genSources
     val genId = (dirsIn(base) ++ dirsIn(sigBase))
       .flatMap(p => partId(p.getName, "gen="))
       .foldLeft(-1L)(math.max) + 1L
     val data = spark.read.schema(schemaFrom.schema)
-      .parquet(committed.map(_.toString): _*)
-    val totalBytes = committed.map(fs.getContentSummary(_).getLength).sum
+      .parquet(sources.map(_.toString): _*)
+    val totalBytes = sources.map(fs.getContentSummary(_).getLength).sum
     val nFiles = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    // signatures: union the stored sig partitions; a folded batch
+    // signatures: union the stored sig partitions; a folded source
     // missing its sig twin (pre-signature layout) recomputes from its
     // text once, here, instead of on every future batch
     val sigNames = dirsIn(sigBase).map(_.getName).toSet
     val (withSig, legacy) =
-      committed.partition(p => sigNames.contains(p.getName))
+      sources.partition(p => sigNames.contains(p.getName))
     val sigRel = (
       Option(withSig).filter(_.nonEmpty).map(ps =>
         spark.read.parquet(ps.map(p => s"$sigBase/${p.getName}"): _*)),
@@ -236,7 +267,7 @@ object DocStream {
     // id-sorted row groups) so the per-batch candidate fetch keeps its
     // pushdown after folding — see Dedup.writeSignatures
     Dedup.writeSignatures(sigRel, tmpSig.toString, nFiles)
-    Manifests.writeManifest(fs, tmpData, committed.map(_.getName))
+    Manifests.writeManifest(fs, tmpData, sources.map(_.getName))
     fs.mkdirs(sigBase)
     // checked publishes (Manifests.renameOrFail): a false-returning
     // rename followed by the source deletes below would lose the
@@ -246,7 +277,7 @@ object DocStream {
     // is exactly what the next call's GC removes.
     Manifests.renameOrFail(fs, tmpSig, new Path(sigBase, s"gen=$genId"))
     Manifests.renameOrFail(fs, tmpData, new Path(base, s"gen=$genId"))
-    committed.foreach { p =>
+    sources.foreach { p =>
       fs.delete(p, true)
       fs.delete(new Path(sigBase, p.getName), true)
     }
@@ -263,7 +294,9 @@ object DocStream {
     * `compactEvery > 0`, every time that many committed `batch_id=`
     * partitions have accumulated the sink folds them into a compacted
     * generation ([[compactSink]]) — the steady state is ≤
-    * `compactEvery` small partitions plus one generation per fold. */
+    * `compactEvery` small partitions plus at most `maxGenerations`
+    * generations (tiered folding bounds the generation count for the
+    * sink's whole lifetime). */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, threshold: Double,
       sinkDir: String, queryName: String, compactEvery: Int = 0,

@@ -9,11 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * commit adds one small parquet directory; after 10,000 micro-batches
   * a downstream reader pays a many-small-files listing/footer tax that
   * has nothing to do with data volume. [[fold]] rewrites committed
-  * batch partitions into one size-targeted `gen=K` generation; earlier
-  * generations are never re-folded (re-folding would make cumulative
-  * rewrite cost quadratic in sink size), so the live directory count
-  * after C folds of N-batch windows is C + in-flight, not
-  * total-batches.
+  * batch partitions into one size-targeted `gen=K` generation, and
+  * generations themselves fold SIZE-TIERED: once the live-generation
+  * count would exceed `maxGenerations`, the fold absorbs the SMALLEST
+  * ⌈maxGenerations/2⌉ live generations by content bytes, so live
+  * directories stay bounded by `maxGenerations` + in-flight for the
+  * sink's whole lifetime while each row is rewritten only O(log N)
+  * times — generation sizes stratify geometrically, exactly like
+  * LSM size-tiered compaction (the alternative extremes are unbounded
+  * directory accretion and the quadratic absorb-everything shape).
   *
   * This is [[DocStream.compactSink]]'s crash-safety protocol minus the
   * signature twin and minus markers (kept separate because the paired
@@ -48,7 +52,10 @@ object SinkFold {
     val dirs = dirsIn(fs, base)
     val gens = dirs.filter(p => partId(p.getName, "gen=").isDefined)
     val folded = gens.flatMap(readManifest(fs, _)).toSet
-    gens.sortBy(_.getName) ++ dirs
+    // a generation superseded by a tiered fold is excluded exactly
+    // like a folded batch — its rows live in the newer generation
+    gens.filter(g => !folded.contains(g.getName))
+      .sortBy(p => partId(p.getName, "gen=").get) ++ dirs
       .filter(p => partId(p.getName, "batch_id=").isDefined &&
         !folded.contains(p.getName))
   }
@@ -73,8 +80,10 @@ object SinkFold {
     * is always safe. */
   def fold(spark: SparkSession, sinkDir: String, schemaFrom: DataFrame,
       beforeBatchId: Long, minBatches: Int = 2,
-      targetFileBytes: Long = 128L * 1024 * 1024): Option[Long] = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxGenerations: Int = 8): Option[Long] = {
     require(minBatches >= 1, "minBatches must be >= 1")
+    require(maxGenerations >= 1, "maxGenerations must be >= 1")
     val base = new Path(sinkDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) return None
@@ -111,21 +120,32 @@ object SinkFold {
       .filter(p => !folded.contains(p.getName) &&
         partId(p.getName, "batch_id=").exists(_ < beforeBatchId))
     if (committed.size < minBatches) return None
+    // size-tiered trigger: publishing one more generation past the
+    // bound absorbs the smallest ⌈maxGenerations/2⌉ live generations
+    // by bytes into this fold (object scaladoc; id breaks ties)
+    val liveGens = gens.filterNot(g => folded.contains(g.getName))
+    val sources = committed ++
+      (if (liveGens.size + 1 > maxGenerations)
+        liveGens.map(g => (fs.getContentSummary(g).getLength,
+            partId(g.getName, "gen=").get, g))
+          .sortBy(t => (t._1, t._2))
+          .take((maxGenerations + 1) / 2).map(_._3)
+      else Seq.empty)
     val genId = gens.flatMap(p => partId(p.getName, "gen="))
       .foldLeft(-1L)(math.max) + 1L
-    val totalBytes = committed.map(fs.getContentSummary(_).getLength).sum
+    val totalBytes = sources.map(fs.getContentSummary(_).getLength).sum
     val nFiles = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new Path(base, s"_tmp_gen_$genId")
     spark.read.schema(schemaFrom.schema)
-      .parquet(committed.map(_.toString): _*)
+      .parquet(sources.map(_.toString): _*)
       .repartition(nFiles).write.mode("overwrite")
       .option("compression", "snappy").parquet(tmp.toString)
-    Manifests.writeManifest(fs, tmp, committed.map(_.getName))
+    Manifests.writeManifest(fs, tmp, sources.map(_.getName))
     // checked publish: a false-returning rename followed by the source
     // deletes below would be silent data loss (Manifests.renameOrFail)
     Manifests.renameOrFail(fs, tmp, new Path(base, s"gen=$genId"))
-    committed.foreach(fs.delete(_, true))
+    sources.foreach(fs.delete(_, true))
     Some(genId)
   }
 }

@@ -260,6 +260,75 @@ class DocStreamSpec extends AnyFunSuite {
     assert(!dirNames().contains("batch_id=0"))
   }
 
+  test("tiered folding bounds live generations; rejection, replay and GC hold") {
+    val sink = Files.createTempDirectory("docstream_tiered").toString
+    val name = "docstream_tiered"
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dirNames() = fs.listStatus(new org.apache.hadoop.fs.Path(sink))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    // fully disjoint token sets per doc — no accidental near-dups;
+    // token count grows with the wave so generation SIZES are strictly
+    // ordered and the smallest-half pick is deterministic
+    def txt(w: Int, i: Int) =
+      (0 until 6 + 2 * w).map(j => s"w${w}d${i}t$j").mkString(" ")
+    def wave(w: Int) =
+      Seq((w * 10 + 1L, txt(w, 1)), (w * 10 + 2L, txt(w, 2)))
+        .toDF("doc_id", "text")
+    val schemaFrom = wave(0)
+    def acceptedIds() = DocStream.accepted(spark, sink, schemaFrom)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // four waves, fold after each with maxGenerations = 2: fold 0 →
+    // gen=0; fold 1 → gen=1 (2 live); fold 2 would make 3 live →
+    // absorbs the SMALLEST (gen=0) into gen=2; fold 3 likewise
+    // absorbs gen=1 (smaller than gen=2) into gen=3
+    (0 until 4).foreach { w =>
+      DocStream.processBatch(spark, wave(w), w.toLong, "doc_id", "text",
+        0.9, sink, name)
+      DocStream.compactSink(spark, sink, schemaFrom, "doc_id", "text",
+        name, minBatches = 1, maxGenerations = 2)
+    }
+    assert(dirNames().filter(_.startsWith("gen=")) === Set("gen=2", "gen=3"))
+    assert(!dirNames().exists(_.startsWith("batch_id=")))
+    def manifest(g: String) = Manifests.readManifest(fs,
+      new org.apache.hadoop.fs.Path(s"$sink/$g"))
+    assert(manifest("gen=2") === Set("gen=0", "batch_id=2"))
+    assert(manifest("gen=3") === Set("gen=1", "batch_id=3"))
+    // sig twins follow: exactly the live generations' stores remain
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$sink/_sig"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+      === Set("gen=2", "gen=3"))
+    assert(acceptedIds() === Set(1L, 2L, 11L, 12L, 21L, 22L, 31L, 32L))
+
+    // a near-dup of a WAVE-0 doc (folded through two levels) must
+    // still reject via the tiered generation's signatures
+    val probe = Seq((91L, txt(0, 1)), (92L, txt(9, 9)))
+      .toDF("doc_id", "text")
+    DocStream.processBatch(spark, probe, 4L, "doc_id", "text", 0.9,
+      sink, name)
+    assert(acceptedIds() === Set(1L, 2L, 11L, 12L, 21L, 22L, 31L, 32L, 92L))
+    // replay contract unchanged by tiered gens
+    fs.delete(new org.apache.hadoop.fs.Path(s"$sink/_applied/$name/4"), false)
+    DocStream.processBatch(spark, probe, 4L, "doc_id", "text", 0.9,
+      sink, name)
+    assert(acceptedIds() === Set(1L, 2L, 11L, 12L, 21L, 22L, 31L, 32L, 92L))
+
+    // crash window: a superseded GENERATION resurrected on disk is
+    // hidden by gen=2's manifest (no double count) and reaped by the
+    // next call's GC — backdated, because real crash debris always
+    // predates the generation that folded it
+    Seq((1L, txt(0, 1))).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$sink/gen=0")
+    assert(new java.io.File(s"$sink/gen=0").setLastModified(
+      new java.io.File(s"$sink/gen=2").lastModified() - 60000))
+    assert(acceptedIds()
+      === Set(1L, 2L, 11L, 12L, 21L, 22L, 31L, 32L, 92L))
+    DocStream.compactSink(spark, sink, schemaFrom, "doc_id", "text",
+      name, minBatches = 99) // under threshold: GC only
+    assert(!dirNames().contains("gen=0"))
+  }
+
   test("post-fold gen=K signatures still take the band-bucket prune: " +
       "plan-asserted, value-identical") {
     // the scale path's core claim: when the stored signatures live in

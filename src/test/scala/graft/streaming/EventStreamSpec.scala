@@ -370,6 +370,32 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out.count() === 6)
   }
 
+  test("SinkFold: tiered folding bounds live generations, rows conserved") {
+    val tmp = Files.createTempDirectory("sinkfold_tiered").toString
+    val sink = s"$tmp/out"
+    val rows = (0L until 6L).map(i => (i, s"v$i")).toDF("id", "v")
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dirNames() = fs.listStatus(new org.apache.hadoop.fs.Path(sink))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    // three batch→fold rounds at maxGenerations = 2: the third fold
+    // must absorb the smallest live generation (byte tie between
+    // gen=0 and gen=1 → the id tiebreak picks gen=0) into gen=2
+    (0 until 3).foreach { b =>
+      rows.filter($"id" === 2 * b || $"id" === 2 * b + 1)
+        .write.parquet(s"$sink/batch_id=$b")
+      SinkFold.fold(spark, sink, rows, beforeBatchId = b + 1L,
+        minBatches = 1, maxGenerations = 2)
+    }
+    assert(dirNames().filter(_.startsWith("gen=")) === Set("gen=1", "gen=2"))
+    assert(!dirNames().exists(_.startsWith("batch_id=")))
+    assert(Manifests.readManifest(fs,
+        new org.apache.hadoop.fs.Path(s"$sink/gen=2"))
+      === Set("gen=0", "batch_id=2"))
+    assert(SinkFold.read(spark, sink, rows).select("id").collect()
+      .map(_.getLong(0)).toSet === (0L until 6L).toSet)
+  }
+
   test("SinkFold: manifest supersedes a source that survived a crash-window") {
     val tmp = Files.createTempDirectory("sinkfold_crash").toString
     val sink = s"$tmp/out"
