@@ -225,23 +225,18 @@ object DocStream {
     // size-tiered trigger: if publishing one more generation would
     // push the live count past the bound, this fold absorbs the
     // SMALLEST ⌈maxGenerations/2⌉ live generations by bytes (see the
-    // scaladoc's amortization argument; id breaks byte ties so the
-    // choice is deterministic)
+    // scaladoc's amortization argument; Manifests.tierSources — one
+    // policy implementation for both sinks)
     val liveGens = dataGens.filterNot(g => folded.contains(g.getName))
-    val genSources =
-      if (liveGens.size + 1 > maxGenerations)
-        liveGens.map(g => (fs.getContentSummary(g).getLength,
-            partId(g.getName, "gen=").get, g))
-          .sortBy(t => (t._1, t._2))
-          .take((maxGenerations + 1) / 2).map(_._3)
-      else Seq.empty
-    val sources = committed ++ genSources
+    val tiered = Manifests.tierSources(fs, liveGens, maxGenerations)
+    val sources = committed ++ tiered.map(_._1)
     val genId = (dirsIn(base) ++ dirsIn(sigBase))
       .flatMap(p => partId(p.getName, "gen="))
       .foldLeft(-1L)(math.max) + 1L
     val data = spark.read.schema(schemaFrom.schema)
       .parquet(sources.map(_.toString): _*)
-    val totalBytes = sources.map(fs.getContentSummary(_).getLength).sum
+    val totalBytes = committed.map(fs.getContentSummary(_).getLength).sum +
+      tiered.map(_._2).sum
     val nFiles = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     // signatures: union the stored sig partitions; a folded source
@@ -300,7 +295,8 @@ object DocStream {
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, threshold: Double,
       sinkDir: String, queryName: String, compactEvery: Int = 0,
-      bench: Option[DataFrame] = None, benchGramN: Int = 13): Unit = {
+      bench: Option[DataFrame] = None, benchGramN: Int = 13,
+      maxGenerations: Int = 8): Unit = {
     val fs = new Path(sinkDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(s"$sinkDir/_applied/$queryName/$batchId")
@@ -390,7 +386,7 @@ object DocStream {
             partId(s.getPath.getName, "batch_id=").isDefined)
         if (live >= compactEvery)
           compactSink(spark, sinkDir, batch, idCol, textCol, queryName,
-            minBatches = compactEvery)
+            minBatches = compactEvery, maxGenerations = maxGenerations)
       }
     }
   }
@@ -417,7 +413,8 @@ object DocStream {
       maxFilesPerTrigger: Option[Int] = None,
       compactEvery: Int = 0,
       bench: Option[DataFrame] = None,
-      benchGramN: Int = 13): StreamingQuery = {
+      benchGramN: Int = 13,
+      maxGenerations: Int = 8): StreamingQuery = {
     val reader = spark.readStream.schema(schemaFrom.schema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
@@ -430,7 +427,8 @@ object DocStream {
     writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, idCol, textCol, threshold,
-          sinkDir, queryName, compactEvery, bench, benchGramN)
+          sinkDir, queryName, compactEvery, bench, benchGramN,
+          maxGenerations)
       }
       .start()
   }

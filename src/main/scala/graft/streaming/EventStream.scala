@@ -322,7 +322,8 @@ object EventStream {
       schemaFrom: DataFrame, right: DataFrame, key: String, ts: String,
       carry: Seq[String], rightTieBreak: String, sinkDir: String,
       checkpointDir: String, compactEvery: Int = 0,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      maxGenerations: Int = 8): StreamingQuery = {
     val reader = spark.readStream.schema(schemaFrom.schema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
@@ -339,7 +340,8 @@ object EventStream {
           // just-written partition for its schema would add a listing
           // + footer read per micro-batch for nothing
           SinkFold.fold(spark, sinkDir, schemaFrom = enrichedBatch,
-            beforeBatchId = batchId, minBatches = compactEvery)
+            beforeBatchId = batchId, minBatches = compactEvery,
+            maxGenerations = maxGenerations)
         ()
       }
       .option("checkpointLocation", checkpointDir)

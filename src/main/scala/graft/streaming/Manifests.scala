@@ -54,6 +54,19 @@ private[streaming] object Manifests {
       else None
     }
 
+  /** Size-tiered absorb set shared by both folds: when publishing one
+    * more generation would push the live count past `maxGenerations`,
+    * the ⌈maxGenerations/2⌉ SMALLEST live generations by content bytes
+    * (generation id breaks ties — deterministic); empty otherwise.
+    * Returns (path, bytes) so callers reuse the recursive listing they
+    * already paid for in their size-targeted file count. */
+  def tierSources(fs: FileSystem, liveGens: Seq[Path],
+      maxGenerations: Int): Seq[(Path, Long)] =
+    if (liveGens.size + 1 <= maxGenerations) Seq.empty
+    else liveGens.map(g => (g, fs.getContentSummary(g).getLength))
+      .sortBy { case (g, b) => (b, partId(g.getName, "gen=").get) }
+      .take((maxGenerations + 1) / 2)
+
   def dirsIn(fs: FileSystem, p: Path): Seq[Path] =
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toIndexedSeq

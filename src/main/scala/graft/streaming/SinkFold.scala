@@ -122,18 +122,15 @@ object SinkFold {
     if (committed.size < minBatches) return None
     // size-tiered trigger: publishing one more generation past the
     // bound absorbs the smallest ⌈maxGenerations/2⌉ live generations
-    // by bytes into this fold (object scaladoc; id breaks ties)
+    // by bytes into this fold (Manifests.tierSources — one policy
+    // implementation for both sinks)
     val liveGens = gens.filterNot(g => folded.contains(g.getName))
-    val sources = committed ++
-      (if (liveGens.size + 1 > maxGenerations)
-        liveGens.map(g => (fs.getContentSummary(g).getLength,
-            partId(g.getName, "gen=").get, g))
-          .sortBy(t => (t._1, t._2))
-          .take((maxGenerations + 1) / 2).map(_._3)
-      else Seq.empty)
+    val tiered = Manifests.tierSources(fs, liveGens, maxGenerations)
+    val sources = committed ++ tiered.map(_._1)
     val genId = gens.flatMap(p => partId(p.getName, "gen="))
       .foldLeft(-1L)(math.max) + 1L
-    val totalBytes = sources.map(fs.getContentSummary(_).getLength).sum
+    val totalBytes = committed.map(fs.getContentSummary(_).getLength).sum +
+      tiered.map(_._2).sum
     val nFiles = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new Path(base, s"_tmp_gen_$genId")
