@@ -6500,10 +6500,20 @@ object Queries {
       Dedup.writeSignatures(
         Dedup.nearDupSignatures(t(s, dir, "documents"), "doc_id", "text"),
         tmp)
-      Dedup.crossNearDupPairsVsSignaturesFetched(
+      val pairs = Dedup.crossNearDupPairsVsSignaturesFetched(
         t(s, dir, "documents"), "doc_id", "text",
         s.read.parquet(tmp), threshold = 0.9, smallRelationBytes = 0L)
-        .filter(col("id_a") < col("id_b"))
+      // the finally below deletes the store, so only the LOCALIZED
+      // result (the contract under MaxLocalPairs) may leave this scope
+      // — if fixture growth ever pushes past the bound, the call
+      // returns the DISTRIBUTED verify plan, whose later execution
+      // would read the deleted directory; fail fast here instead
+      require(pairs.queryExecution.logical.collectLeaves().forall(
+        _.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "q202 needs a localized fetch result: its signature store is " +
+          "deleted before the plan runs")
+      pairs.filter(col("id_a") < col("id_b"))
         .orderBy("id_a", "id_b")
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))

@@ -463,44 +463,73 @@ object Dedup {
       maxLocalPairs: Int = MaxLocalPairs): DataFrame = {
     def small(df: DataFrame): Boolean =
       smallUnder(df, smallRelationBytes)
-    // localize at most maxLocalPairs rows; past the bound, return the
-    // distributed plan itself — same rows, no driver materialization
-    // (a later action recomputes candidates without the cache, which
-    // is the documented price of the pathological path)
-    def boundedLocal(df: DataFrame): DataFrame = {
-      val rows = df.limit(maxLocalPairs + 1).collect()
-      if (rows.length <= maxLocalPairs)
-        df.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), df.schema)
-      else df
-    }
     // a benchmark-sized store: the lazy plan reads it whole anyway —
     // one action, no candidate materialization, same values
-    if (small(rightSigs))
-      return boundedLocal(crossNearDupPairsVsSignatures(left, leftId,
+    if (small(rightSigs)) {
+      val direct = crossNearDupPairsVsSignatures(left, leftId,
         leftText, rightSigs, threshold, shingleWidth, bands, rowsPerBand,
-        maxBucket, obs, smallRelationBytes))
+        maxBucket, obs, smallRelationBytes)
+      return localizedUnder(direct, maxLocalPairs).getOrElse(direct)
+    }
     val cands = crossBandCandidates(left, leftId, leftText, rightSigs,
       shingleWidth, bands, rowsPerBand, maxBucket, obs, small)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val fetchIds = cands.select(col("id_b")).distinct()
-        .limit(maxFetchIds + 1).collect()
-      // no candidates → no pairs, and isin() over an empty id set
-      // shouldn't have to reach the scan at all
-      if (fetchIds.isEmpty)
-        return boundedLocal(verifyCandidates(cands, left, leftId, leftText,
-          rightSigs.select(col("id").as("id_b"), col("sh").as("sh_b"))
-            .limit(0), threshold, shingleWidth, small))
-      val shR = (
-        if (fetchIds.length <= maxFetchIds)
-          rightSigs.filter(col("id").isin(fetchIds.map(_.get(0)).toSeq: _*))
-        else rightSigs.join(cands.select(col("id_b").as("id")).distinct(),
-          Seq("id"), "left_semi"))
-        .select(col("id").as("id_b"), col("sh").as("sh_b"))
-      boundedLocal(verifyCandidates(cands, left, leftId, leftText, shR,
-        threshold, shingleWidth, small))
-    } finally cands.unpersist()
+    fetchVerifyLocalize(cands, left, leftId, leftText, rightSigs,
+      threshold, shingleWidth, small, maxFetchIds, maxLocalPairs)
+  }
+
+  /** Localize `df` as a driver-local relation iff it holds at most
+    * `maxLocalPairs` rows (downstream anti joins then broadcast it for
+    * free); None past the bound. */
+  private def localizedUnder(df: DataFrame,
+      maxLocalPairs: Int): Option[DataFrame] = {
+    val rows = df.limit(maxLocalPairs + 1).collect()
+    if (rows.length <= maxLocalPairs)
+      Some(df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema))
+    else None
+  }
+
+  /** Shared tail of the indexed fetch variants: collect the distinct
+    * candidate ids (bounded), push them into the stored scan as
+    * `IN(id)` (falling back to the lazy semi join past the bound),
+    * exact-verify, and localize the result. `cands` arrives PERSISTED;
+    * it is unpersisted on the localized (normal) path, but stays
+    * persisted when the over-[[MaxLocalPairs]] fallback returns the
+    * DISTRIBUTED verify plan — otherwise every downstream action on
+    * that plan would recompute the banded candidate join from scratch,
+    * so the dup-heavy pathological batch would pay the whole pipeline
+    * at least twice. Spark's ContextCleaner releases the cached blocks
+    * once the returned plan becomes unreachable. */
+  private def fetchVerifyLocalize(cands: DataFrame, left: DataFrame,
+      leftId: String, leftText: String, rightSigs: DataFrame,
+      threshold: Double, shingleWidth: Int, small: DataFrame => Boolean,
+      maxFetchIds: Int, maxLocalPairs: Int): DataFrame = {
+    val verified =
+      try {
+        val fetchIds = cands.select(col("id_b")).distinct()
+          .limit(maxFetchIds + 1).collect()
+        // no candidates → no pairs, and isin() over an empty id set
+        // shouldn't have to reach the scan at all
+        if (fetchIds.isEmpty)
+          verifyCandidates(cands, left, leftId, leftText,
+            rightSigs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+              .limit(0), threshold, shingleWidth, small)
+        else {
+          val shR = (
+            if (fetchIds.length <= maxFetchIds)
+              rightSigs.filter(col("id").isin(fetchIds.map(_.get(0)).toSeq: _*))
+            else rightSigs.join(cands.select(col("id_b").as("id")).distinct(),
+              Seq("id"), "left_semi"))
+            .select(col("id").as("id_b"), col("sh").as("sh_b"))
+          verifyCandidates(cands, left, leftId, leftText, shR,
+            threshold, shingleWidth, small)
+        }
+      } catch { case e: Throwable => cands.unpersist(); throw e }
+    localizedUnder(verified, maxLocalPairs) match {
+      case Some(local) => cands.unpersist(); local
+      case None => verified
+    }
   }
 
   /** Directional shingle CONTAINMENT pairs — the sub-document dedup

@@ -58,14 +58,25 @@ private[streaming] object Manifests {
     * more generation would push the live count past `maxGenerations`,
     * the ⌈maxGenerations/2⌉ SMALLEST live generations by content bytes
     * (generation id breaks ties — deterministic); empty otherwise.
-    * Returns (path, bytes) so callers reuse the recursive listing they
-    * already paid for in their size-targeted file count. */
+    * A sink that STARTS far over the bound (a legacy unbounded sink
+    * adopting tiering, or `maxGenerations` lowered between runs)
+    * absorbs however many extra smallest generations it takes for ONE
+    * fold to restore the invariant — `live − k + 1 ≤ maxGenerations`
+    * needs `k ≥ live + 1 − maxGenerations` — instead of converging by
+    * ~⌈max/2⌉−1 per fold. Returns (path, bytes) so callers reuse the
+    * recursive listing they already paid for in their size-targeted
+    * file count. */
   def tierSources(fs: FileSystem, liveGens: Seq[Path],
       maxGenerations: Int): Seq[(Path, Long)] =
     if (liveGens.size + 1 <= maxGenerations) Seq.empty
-    else liveGens.map(g => (g, fs.getContentSummary(g).getLength))
-      .sortBy { case (g, b) => (b, partId(g.getName, "gen=").get) }
-      .take((maxGenerations + 1) / 2)
+    else {
+      val k = math.min(liveGens.size,
+        math.max((maxGenerations + 1) / 2,
+          liveGens.size + 1 - maxGenerations))
+      liveGens.map(g => (g, fs.getContentSummary(g).getLength))
+        .sortBy { case (g, b) => (b, partId(g.getName, "gen=").get) }
+        .take(k)
+    }
 
   def dirsIn(fs: FileSystem, p: Path): Seq[Path] =
     if (!fs.exists(p)) Seq.empty

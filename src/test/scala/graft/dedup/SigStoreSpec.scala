@@ -56,16 +56,6 @@ class SigStoreSpec extends AnyFunSuite {
     here ++ kids.flatMap(allScans)
   }
 
-  /** Rows the dataset's OWN execution decoded from its file scans —
-    * collect() first, then read the same QueryExecution's metrics (a
-    * fresh count() would plan a separate, never-executed tree whose
-    * metrics read 0, passing any `<` assert vacuously). */
-  private def rowsScanned(df: org.apache.spark.sql.DataFrame): Long = {
-    df.collect()
-    allScans(df.queryExecution.executedPlan)
-      .map(_.metrics("numOutputRows").value).sum
-  }
-
   test("store files carry a bloom filter on id") {
     withStore() { dir =>
       val conf = spark.sessionState.newHadoopConf()
@@ -183,6 +173,17 @@ class SigStoreSpec extends AnyFunSuite {
         batch, "doc_id", "text", poisoned, 0.9, smallRelationBytes = 0L)
       assert(got.count() === 0)
     }
+  }
+
+  test("the q202 face localizes — its finally deletes the store the " +
+      "distributed fallback plan would still need") {
+    val out = graft.Queries.all("q202_sigfetch_dedup")(spark, TestSpark.sf)
+    assert(out.queryExecution.logical.collectLeaves().forall(
+      _.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "q202 returned a plan with non-local leaves; executing it would " +
+        "read the already-deleted temp signature store")
+    assert(out.count() > 0)
   }
 
   test("IN(id) reaches the store scan pushed, and skips row groups") {
