@@ -9,11 +9,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Protocol: one untimed warmup pass on the smallest scale factor pays
   * the per-plan one-time costs (whole-stage codegen compilation, JIT of
-  * the generated classes, parquet footer caches) that would otherwise
-  * be charged entirely to whichever query runs first; then three timed
-  * passes on the target scale factor, reporting the per-query minimum —
-  * the standard steady-state measurement for a long-lived engine under
-  * bursty host noise.
+  * the generated classes), one more untimed pass on the TARGET scale
+  * factor pays its page-cache first touch and footer reads; then three
+  * timed passes on the target scale factor, reporting the per-query
+  * minimum — the standard steady-state measurement for a long-lived
+  * engine under bursty host noise.
   *
   * Context decorrelation (round 9): with 50+ queries sharing one JVM,
   * a query's number is partly its NEIGHBORS' — cache residue and GC
@@ -71,6 +71,14 @@ object Bench {
     }
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       names.foreach(run(_, warmDir)) // untimed
+    // one untimed pass on the TARGET dir too: codegen/JIT warm on the
+    // small dir above, but the target files' page-cache first touch
+    // and footer reads still landed on pass 1 of whichever query ran
+    // first — the r10 artifact showed eight entries with pass spreads
+    // ≥5 on sub-2s minimums for exactly that reason. One target-dir
+    // execution per query moves the first-touch cost out of the timed
+    // window entirely.
+    names.foreach(run(_, sfDir)) // untimed
     // three timed passes, per-query minimum: the host shows bursty
     // co-tenant noise (identical binaries vary 2-3×), and min-of-N is
     // the standard steady-state estimator under asymmetric noise.
@@ -86,7 +94,9 @@ object Bench {
     }
     val results = names.map(n => n -> passes.map(_(n)).min)
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def d3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // self-diagnosing drift telemetry: per-query max/min across the
@@ -100,18 +110,34 @@ object Bench {
         .setScale(2, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    // two layers of capture-proofing (the r10 driver artifact kept
+    // only the LAST 2000 chars of output, which cut the head off a
+    // ~3.3k-char single-line JSON — 50 of 64 medians lost):
+    //  * the AUTHORITATIVE final line is kept COMPACT — 3-decimal
+    //    per-query values, no spread map — so the whole queries map
+    //    fits a 2000-char tail;
+    //  * the full record (spread, full-precision values) goes to the
+    //    earlier "provisional" line, and to SPARK_GRAFT_BENCH_OUT as a
+    //    file when set (the committed BENCH_LOCAL_r*.json runs).
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""spread":$spread,"heap_mb":$heapMb,"passes":3,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
+        s""""queries":$qs,"heap_mb":$heapMb,"passes":3,"sf":"$sfDir"}"""
+    val full = json.patch(json.length - 1,
+      s""","spread":$spread,"estimator":"min-of-3 after untimed target-dir warmup"}""",
+      1)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (full + "\n").getBytes("UTF-8"))
+    }
     // the authoritative JSON line must be the LAST thing on the
     // combined stream: a tail-capture harness greps it from the end,
     // and Spark's stop() writes shutdown INFO lines AFTER anything
     // printed before it — every earlier round's driver capture lost
     // the line exactly that way (BENCH_r*.json: parsed null, tail full
     // of BlockManager logs). The pre-stop safety copy (in case stop()
-    // hangs) is marked "provisional" so a parse-every-line consumer
-    // can dedupe instead of double-counting the run.
-    println(json.patch(1, "\"provisional\":true,", 0))
+    // hangs) carries the full record and is marked "provisional" so a
+    // parse-every-line consumer can dedupe instead of double-counting.
+    println(full.patch(1, "\"provisional\":true,", 0))
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(json)
