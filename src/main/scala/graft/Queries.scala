@@ -6519,6 +6519,89 @@ object Queries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
+  /** THE MONDRIAN SERVING SURFACE IN ONE PASS (E2+E3+E4,
+    * `Schema_Trabajo_Final.xml:56-91`): both cubes (fact_inmigrante /
+    * fact_emigrante as the always-grouped `fact` tag), every
+    * drill-down prefix of every hierarchy — Fecha Anio>Mes>Dia
+    * (xml:6-11), Frontera Provincia>Canton>Jefatura (xml:18-23),
+    * Transporte Via (xml:30), Persona's two hierarchies Nacionalidad
+    * and Sexo (xml:35-46), Ocupacion (xml:52) — plus the hasAll grand
+    * total, with BOTH measures (count + avg edad, xml:69-71,87-89), as
+    * ONE GROUPING SETS aggregate keyed by grouping_id
+    * ([[graft.olap.Cube.memberSets]]). Mondrian answers each MDX drill
+    * with its own generated SQL (one scan + shuffle per slice); this
+    * face materializes the entire member space of both cubes in one
+    * scan + one partial/final aggregate. The warehouse build and star
+    * join are q36's; the oracle replays the same semantics on natural
+    * keys, so the surrogate machinery must cancel out exactly. */
+  def q203CubeServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.EsiEtl
+    val wh = EsiEtl.buildWarehouse(EsiEtl.clean(q36Raw(s, dir)))
+    val facts = wh.factInmigrante.withColumn("fact", lit("inmigrante"))
+      .unionByName(wh.factEmigrante.withColumn("fact", lit("emigrante")))
+    val wide = EsiEtl.dimSpecs.foldLeft(facts) { case (acc, (name, _, id)) =>
+      acc.join(broadcast(wh.dims(name)), Seq(id))
+    }
+    val levelCols = Seq("anio_movi", "mes_movi", "dia_movi", "pro_jefm",
+      "can_jefm", "jef_migr", "via_tran", "nac_migr", "sex_migr", "ocu_migr")
+    Cube.memberSets(wide,
+      Seq(Cube.Hierarchy("fecha", Seq("anio_movi", "mes_movi", "dia_movi")),
+        Cube.Hierarchy("frontera", Seq("pro_jefm", "can_jefm", "jef_migr")),
+        Cube.Hierarchy("transporte", Seq("via_tran")),
+        Cube.Hierarchy("nacionalidad", Seq("nac_migr")),
+        Cube.Hierarchy("sexo", Seq("sex_migr")),
+        Cube.Hierarchy("ocupacion", Seq("ocu_migr"))),
+      Seq(count(col("id_persona")).as("cantidad_movimientos"),
+        round(dmean(col("edad")), 6).as("promedio_edades")),
+      always = Seq("fact"))
+      .orderBy(col("gid") +: (col("fact") +:
+        levelCols.map(c => col(c).asc_nulls_first)): _*)
+  }
+
+  val q203Sql: String =
+    """WITH raw AS (SELECT
+      |  CASE WHEN o_orderstatus = 'O' THEN ' Entrada ' ELSE 'salida' END AS tip_movi,
+      |  CAST(year(o_orderdate) AS INT) AS anio_movi,
+      |  CAST(month(o_orderdate) AS INT) AS mes_movi,
+      |  CAST(day(o_orderdate) AS INT) AS dia_movi,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE 'F' END AS sex_migr,
+      |  o_orderpriority AS nac_migr,
+      |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'aerea'
+      |       WHEN o_orderpriority = '3-MEDIUM' THEN 'terrestre'
+      |       ELSE 'maritima' END AS via_tran,
+      |  'jef-' || CAST(o_custkey % 5 AS VARCHAR) AS jef_migr,
+      |  'pro-' || CAST(o_custkey % 3 AS VARCHAR) AS pro_jefm,
+      |  'can-' || CAST(o_custkey % 4 AS VARCHAR) AS can_jefm,
+      |  CASE WHEN o_orderkey % 11 = 0 THEN 'Estudiante'
+      |       WHEN o_orderkey % 11 = 1 THEN 'INGENIERO'
+      |       ELSE 'viajero frecuente' END AS ocu_migr,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE CAST(o_custkey % 80 + 1 AS INT) END AS edad
+      | FROM orders),
+      |f AS (SELECT CASE WHEN lower(trim(tip_movi)) = 'entrada'
+      |             THEN 'inmigrante' ELSE 'emigrante' END AS fact, * FROM raw)
+      |SELECT fact, anio_movi, mes_movi, dia_movi, pro_jefm, can_jefm,
+      | jef_migr, via_tran, nac_migr, sex_migr, ocu_migr,
+      | CAST(512*GROUPING(anio_movi) + 256*GROUPING(mes_movi)
+      |  + 128*GROUPING(dia_movi) + 64*GROUPING(pro_jefm)
+      |  + 32*GROUPING(can_jefm) + 16*GROUPING(jef_migr)
+      |  + 8*GROUPING(via_tran) + 4*GROUPING(nac_migr)
+      |  + 2*GROUPING(sex_migr) + GROUPING(ocu_migr) AS BIGINT) AS gid,
+      | count(*) AS cantidad_movimientos,
+      | round(CAST(sum(CAST(edad AS DECIMAL(18,2))) AS DOUBLE) / count(edad), 6)
+      |   AS promedio_edades
+      |FROM f
+      |GROUP BY GROUPING SETS ((fact),
+      | (fact, anio_movi), (fact, anio_movi, mes_movi),
+      | (fact, anio_movi, mes_movi, dia_movi),
+      | (fact, pro_jefm), (fact, pro_jefm, can_jefm),
+      | (fact, pro_jefm, can_jefm, jef_migr),
+      | (fact, via_tran), (fact, nac_migr), (fact, sex_migr), (fact, ocu_migr))
+      |ORDER BY gid, fact, anio_movi NULLS FIRST, mes_movi NULLS FIRST,
+      | dia_movi NULLS FIRST, pro_jefm NULLS FIRST, can_jefm NULLS FIRST,
+      | jef_migr NULLS FIRST, via_tran NULLS FIRST, nac_migr NULLS FIRST,
+      | sex_migr NULLS FIRST, ocu_migr NULLS FIRST""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -6726,6 +6809,7 @@ object Queries {
     "q200_zorder3" -> (q200Zorder3 _),
     "q201_zorder_wide" -> (q201ZorderWide _),
     "q202_sigfetch_dedup" -> (q202SigFetchDedup _),
+    "q203_cube_serve" -> (q203CubeServe _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6936,6 +7020,7 @@ object Queries {
     "q200_zorder3" -> q200Sql,
     "q201_zorder_wide" -> q201Sql,
     "q202_sigfetch_dedup" -> q23Sql,
+    "q203_cube_serve" -> q203Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -7010,5 +7095,10 @@ object Queries {
     // same pairs can be produced, so the fetch's fixed costs (candidate
     // materialization, the collect) stay visible against the scan it
     // saves
-    "q202_sigfetch_dedup")
+    "q202_sigfetch_dedup",
+    // round-11: the whole Mondrian member space (both cubes, every
+    // hierarchy prefix, both measures) in ONE grouping-sets pass —
+    // benched so the Expand+partial-agg trade stays visible beside
+    // q36's single-slice form
+    "q203_cube_serve")
 }

@@ -47,4 +47,32 @@ object Cube {
   /** The two reference measures (`Schema_Trabajo_Final.xml:69-71,87-89`). */
   def countMovements(key: String): Column = count(col(key)).as("cantidad_movimientos")
   def avgAge(ageCol: String): Column = avg(col(ageCol)).as("promedio_edades")
+
+  /** The WHOLE Mondrian serving surface in one pass: every prefix of
+    * every hierarchy (each drill-down's member set) plus the `hasAll`
+    * grand total, as a single GROUPING SETS aggregate keyed by
+    * `grouping_id()` (`gid`). `always` columns (the cube/fact tag) are
+    * grouped in EVERY set, so one call serves several cubes
+    * member-for-member. Mondrian answers each MDX drill with its own
+    * generated SQL — one scan and one shuffle per slice; this
+    * materializes the entire member space with ONE scan + ONE
+    * partial/final aggregate. The Expand replicates each fact row once
+    * per grouping set map-side, but partial aggregation collapses to
+    * member cardinality before the exchange, so shuffle bytes stay
+    * dim-sized at any fact scale — the same argument as
+    * [[graft.etl.EsiEtl.buildWarehouse]]'s five-distincts-in-one-pass.
+    * `gid` bit order: `always ++ hierarchy levels` left-to-right, most
+    * significant bit first (Spark's grouping_id contract), `always`
+    * bits always 0. */
+  def memberSets(wide: DataFrame, hierarchies: Seq[Hierarchy],
+      measures: Seq[Column], always: Seq[String] = Nil): DataFrame = {
+    val prefixes: Seq[Seq[String]] =
+      Seq.empty[String] +: hierarchies.flatMap(h =>
+        (1 to h.levels.size).map(h.levels.take(_)))
+    val groupCols = (always ++ hierarchies.flatMap(_.levels)).distinct
+    val sets = prefixes.map(p => (always ++ p).map(col))
+    val aggs = measures :+ grouping_id().cast("long").as("gid")
+    wide.groupingSets(sets, groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -56,4 +56,34 @@ class CubeSpec extends AnyFunSuite {
     val plan = wide.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("memberSets: one pass equals every per-prefix slice, gid-keyed") {
+    val hs = Seq(Cube.Hierarchy("fecha", Seq("y", "m")),
+      Cube.Hierarchy("status", Seq("o_orderstatus")))
+    val wide = orders.withColumn("src", lit("orders"))
+    val outM = Cube.memberSets(wide, hs, Seq(count(lit(1)).as("n")),
+      always = Seq("src")).persist()
+    // gid bit order: (src, y, m, o_orderstatus), src grouped in every
+    // set → MSB 0. All-member gid = 0b0111 = 7; (y) = 0b0011 = 3;
+    // (y,m) = 0b0001 = 1; (o_orderstatus) = 0b0110 = 6.
+    def slice(gid: Long, cols: String*) = {
+      val got = outM.filter(col("gid") === gid)
+        .select((Seq("src") ++ cols :+ "n").map(col): _*)
+        .collect().map(_.toSeq).toSet
+      val want = wide.groupBy((Seq("src") ++ cols).map(col): _*)
+        .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet
+      assert(got === want, s"gid=$gid cols=$cols")
+    }
+    try {
+      slice(3, "y")
+      slice(1, "y", "m")
+      slice(6, "o_orderstatus")
+      assert(outM.filter(col("gid") === 7).count() === 1)
+      assert(outM.filter(col("gid") === 7).head.getAs[Long]("n") ===
+        orders.count())
+      // exactly the prefix sets, nothing else (no full cube explosion)
+      assert(outM.select("gid").distinct().collect().map(_.getLong(0))
+        .toSet === Set(1L, 3L, 6L, 7L))
+    } finally outM.unpersist()
+  }
 }
