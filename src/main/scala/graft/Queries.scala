@@ -6519,6 +6519,36 @@ object Queries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
+  /** INDEXED-FACE SIGNATURE DEDUP ([[graft.dedup.BandIndex]] +
+    * [[graft.dedup.Dedup.crossNearDupPairsVsSignaturesIndexed]]): the
+    * ingest stream's steady-state CANDIDATE shape — the stored banded
+    * face answered by the executor-resident point-lookup index
+    * instead of a scan (built here every run, as the fold-epoch build
+    * would be), fresh face absent, exact-verify unchanged. Scale path
+    * FORCED (`smallRelationBytes = 0`); q23's exact O(n²) Jaccard
+    * oracle — hash-green certifies the index returns bit-identical
+    * pairs to the scan plans it replaces. */
+  def q204SigIndexDedup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.nearDupSignatures(
+      t(s, dir, "documents"), "doc_id", "text")
+    val idx = graft.dedup.BandIndex.build(sigs)
+    try {
+      val pairs = Dedup.crossNearDupPairsVsSignaturesIndexed(
+        t(s, dir, "documents"), "doc_id", "text", sigs, idx, None,
+        threshold = 0.9, smallRelationBytes = 0L)
+      // the finally below unpersists the index the distributed
+      // fallback plan would still probe — only the localized result
+      // (the contract under MaxLocalPairs) may leave this scope
+      require(pairs.queryExecution.logical.collectLeaves().forall(
+        _.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "q204 needs a localized result: its band index is unpersisted " +
+          "before the plan runs")
+      pairs.filter(col("id_a") < col("id_b"))
+        .orderBy("id_a", "id_b")
+    } finally idx.unpersist()
+  }
+
   /** THE MONDRIAN SERVING SURFACE IN ONE PASS (E2+E3+E4,
     * `Schema_Trabajo_Final.xml:56-91`): both cubes (fact_inmigrante /
     * fact_emigrante as the always-grouped `fact` tag), every
@@ -6810,6 +6840,7 @@ object Queries {
     "q201_zorder_wide" -> (q201ZorderWide _),
     "q202_sigfetch_dedup" -> (q202SigFetchDedup _),
     "q203_cube_serve" -> (q203CubeServe _),
+    "q204_sigindex_dedup" -> (q204SigIndexDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -7021,6 +7052,7 @@ object Queries {
     "q201_zorder_wide" -> q201Sql,
     "q202_sigfetch_dedup" -> q23Sql,
     "q203_cube_serve" -> q203Sql,
+    "q204_sigindex_dedup" -> q23Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -7100,5 +7132,10 @@ object Queries {
     // hierarchy prefix, both measures) in ONE grouping-sets pass —
     // benched so the Expand+partial-agg trade stays visible beside
     // q36's single-slice form
-    "q203_cube_serve")
+    "q203_cube_serve",
+    // round-11: the banded candidate face answered by the executor-
+    // resident point-lookup index (BandIndex) — benched beside q202's
+    // scan-candidate form so the index's build+probe fixed costs stay
+    // visible against the face scan they remove
+    "q204_sigindex_dedup")
 }

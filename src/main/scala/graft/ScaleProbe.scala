@@ -68,6 +68,7 @@ object ScaleProbe {
     else if (set == "events") eventsProbes(spark, dir, k)
     else if (set == "streams") streamProbes(spark, dir, k)
     else if (set == "streamcompact") streamCompactProbes(spark, dir, k)
+    else if (set == "eventcompact") eventCompactProbes(spark, dir, k)
     else if (set == "sigfetch") sigFetchProbes(spark, dir, k)
     else if (set == "r8") r8Probes(spark, dir, k)
     else if (set == "r9") r9Probes(spark, dir, k)
@@ -1235,6 +1236,83 @@ object ScaleProbe {
       else ts.takeRight(third).sum / third / (mid.sum / mid.length)
     val arr = ts.map(t => f"$t%.2f").mkString("[", ",", "]")
     println(f"""[probe] {"near_dup_ingest_compacting":{"batches":$arr,"flatness":$flat%.2f},"live_dirs":$liveDirs,"accepted":$accepted,"replication":$k}""")
+  }
+
+  /** The EVENT sink's 200-batch lifecycle probe — the DocStream
+    * streamcompact protocol on [[streaming.EventStream]]'s as-of
+    * enrichment sink ([[streaming.SinkFold]]): k waves of the events
+    * table land as one file each (stamped mtimes fix arrival order,
+    * maxFilesPerTrigger=1 makes each file one micro-batch), every
+    * batch as-of enriches against a static error dimension and writes
+    * its own partition, the sink folds every 8 committed batches and
+    * tiers generations past the bound. This sink pays a DIFFERENT
+    * per-batch shape than DocStream's (windowless as-of join, no
+    * signatures, no cross-corpus dedup), so its long-horizon flatness
+    * is evidence the tiered fold policy — not the dedup stack — keeps
+    * batch cost bounded. Reports per-batch walls, last-third /
+    * mid-third flatness, live dirs, and the conserved row count. */
+  private def eventCompactProbes(spark: SparkSession, dir: String,
+      k: Int): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val fsConf = spark.sessionState.newHadoopConf()
+    val times = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        times.synchronized {
+          times += ((e.progress.batchId,
+            e.progress.durationMs.get("triggerExecution").toDouble / 1000.0))
+        }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val right = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("err_id"),
+        max_by(col("value"), col("event_id")).as("err_value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    right.count()
+    val src = tmp("probe_evc_src")
+    val sink = tmp("probe_evc_sink") + "/enriched"
+    val cp = tmp("probe_evc_cp")
+    val stamped = scala.collection.mutable.Set[String]()
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(fsConf)
+    (0 until k).foreach { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        .coalesce(1).write.mode("append").parquet(src)
+      fs.listStatus(p)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .foreach(s => if (stamped.add(s.getPath.getName))
+          fs.setTimes(s.getPath, 1600000000000L + i * 1000L, -1))
+    }
+    streaming.EventStream.asOfEnrichForeachBatch(spark, src, ev, right,
+      "user_id", "ts", Seq("err_id", "err_value"), "err_id", sink, cp,
+      compactEvery = 8, maxFilesPerTrigger = Some(1)).awaitTermination()
+    val enrichedSchema = graft.operators.AsOfJoin.asOf(ev, right,
+      "user_id", "ts", Seq("err_id", "err_value"), "err_id")
+    val rows = streaming.EventStream.enriched(spark, sink, enrichedSchema)
+      .count()
+    val sinkPath = new org.apache.hadoop.fs.Path(sink)
+    val liveDirs = fs.listStatus(sinkPath).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .count(n => n.startsWith("batch_id=") || n.startsWith("gen="))
+    Thread.sleep(2000)
+    spark.streams.removeListener(listener)
+    val ts = times.synchronized { times.toSeq }.sortBy(_._1).map(_._2)
+    val third = math.max(ts.length / 3, 1)
+    val mid = ts.slice(third, 2 * third)
+    val flat = if (mid.isEmpty || mid.sum == 0) -1.0
+      else ts.takeRight(third).sum / third / (mid.sum / mid.length)
+    val arr = ts.map(t => f"$t%.2f").mkString("[", ",", "]")
+    println(f"""[probe] {"asof_enrich_compacting":{"batches":$arr,"flatness":$flat%.2f},"live_dirs":$liveDirs,"rows":$rows,"replication":$k}""")
   }
 
   private def streamProbes(spark: SparkSession, dir: String, k: Int): Unit = {

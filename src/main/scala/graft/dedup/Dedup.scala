@@ -304,21 +304,10 @@ object Dedup {
       shingleWidth: Int, bands: Int, rowsPerBand: Int, maxBucket: Int,
       obs: Option[org.apache.spark.sql.Observation],
       small: DataFrame => Boolean): DataFrame = {
-    val lb0 = left.select(col(leftId).as("id_a"),
-      posexplode(graft.functions.minhash_bands(col(leftText), shingleWidth,
-        bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val lb0 = leftBandFace(left, leftId, leftText, shingleWidth, bands,
+      rowsPerBand)
     val rb0 = rightSigs.select(col("id").as("id_b"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
-    // per-side bucket sizes as an aggregate joined back (not a window
-    // — see pairsFromBuckets: the window's full-relation sort is the
-    // third-decade wall); the join key is the same (band, bucket) the
-    // candidate join uses next, so the exchange is shared
-    def capped(df: DataFrame) = {
-      val sizes = df.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("__n"))
-      df.join(sizes, Seq("band", "bucket"))
-    }
-    val lb = capped(lb0)
     // the right side's cap needs per-bucket SIZES, and computing them
     // over the whole stored-signature relation shuffles the accepted
     // corpus once per call — the per-batch linear cost of the
@@ -334,12 +323,43 @@ object Dedup {
       if (small(rightSigs)) rb0
       else rb0.join(lb0.select(col("band"), col("bucket")).distinct(),
         Seq("band", "bucket"), "left_semi")
-    val rb = capped(rbBase)
+    bandJoinCandidates(lb0, rbBase, maxBucket, obs)
+  }
+
+  /** The batch side of the banded candidate join — `(id_a, band,
+    * bucket)`, one row per (doc, band). */
+  private def leftBandFace(left: DataFrame, leftId: String,
+      leftText: String, shingleWidth: Int, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    left.select(col(leftId).as("id_a"),
+      posexplode(graft.functions.minhash_bands(col(leftText), shingleWidth,
+        bands, rowsPerBand)).as(Seq("band", "bucket")))
+
+  /** Shared tail of every candidate variant: cap degenerate buckets on
+    * BOTH sides, join on (band, bucket), distinct pairs. `rb` arrives
+    * already pruned (semi join, index lookup, or whole for small
+    * stores) — bucket-key pruning keeps buckets WHOLE, so the per-
+    * bucket counts (and the cap decision, and the output) are
+    * identical across variants by construction. Per-side bucket sizes
+    * come from an aggregate joined back (not a window — see
+    * pairsFromBuckets: the window's full-relation sort is the
+    * third-decade wall); the join key is the same (band, bucket) the
+    * candidate join uses next, so the exchange is shared. */
+  private def bandJoinCandidates(lb0: DataFrame, rb: DataFrame,
+      maxBucket: Int,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    def capped(df: DataFrame) = {
+      val sizes = df.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__n"))
+      df.join(sizes, Seq("band", "bucket"))
+    }
+    val lb = capped(lb0)
+    val rbc = capped(rb.select(col("id_b"), col("band"), col("bucket")))
     val observed = obs.fold(lb)(o => lb.observe(o,
       sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
       max(col("__n")).as("max_bucket_size")))
     observed.filter(col("__n") <= maxBucket)
-      .join(rb.filter(col("__n") <= maxBucket).withColumnRenamed("__n", "__m"),
+      .join(rbc.filter(col("__n") <= maxBucket).withColumnRenamed("__n", "__m"),
         Seq("band", "bucket"))
       .select(col("id_a"), col("id_b")).distinct()
   }
@@ -389,6 +409,16 @@ object Dedup {
     * call returns the DISTRIBUTED verify plan instead — identical
     * rows, no driver materialization. ~1M pair rows ≈ tens of MB. */
   val MaxLocalPairs: Int = 1000000
+
+  /** How many distinct (band, bucket) keys
+    * [[crossNearDupPairsVsSignaturesIndexed]] will collect and
+    * broadcast as a [[BandIndex]] probe set — |batch| × bands keys at
+    * ~12 B each, so the default admits ~250k-doc batches at ~24 MB
+    * broadcast. Past the cap the call falls back to the lazy-scan
+    * variant ([[crossNearDupPairsVsSignaturesFetched]]) — identical
+    * output, no driver materialization of the key set; a batch that
+    * large amortizes a full face scan anyway. */
+  val MaxLookupKeys: Int = 2000000
 
   /** Write a [[nearDupSignatures]] relation as the engine's SIGNATURE
     * STORE layout: snappy parquet with a parquet BLOOM FILTER on `id`
@@ -530,6 +560,80 @@ object Dedup {
       case Some(local) => cands.unpersist(); local
       case None => verified
     }
+  }
+
+  /** [[crossNearDupPairsVsSignaturesFetched]] with the stored BANDED
+    * CANDIDATE FACE answered by a [[BandIndex]] instead of a scan —
+    * the ingest stream's steady-state candidate path. The fetched
+    * variant indexed the exact-verify face (`sh`: bloom + ranged row
+    * groups + `IN(id)` pushdown — decode O(candidates)), but its
+    * candidate join still SCANNED the stored `(id, bands)` projection
+    * whole every batch, the measured residual linear term of the
+    * 200-batch probe (~40 B/doc ≈ 400 MB warm at 10M accepted docs).
+    * Storage-side pruning cannot remove that term — minhash buckets
+    * are uniform, so a batch's ~|batch|×bands keys hit every block of
+    * any scan-oriented layout (see [[BandIndex]]) — so the face moves
+    * to an executor-resident sorted index built once per immutable
+    * store snapshot: per-batch stored-side work becomes
+    * O(batch keys × log + matched rows).
+    *
+    * Faces: `allSigs` is the WHOLE stored relation (exact-verify
+    * fetch, and the fallback paths); `index` covers an immutable
+    * SUBSET of it (the ingest sink's folded generations); `freshSigs`
+    * is the remainder (not-yet-folded batch partitions — bounded by
+    * compactEvery, so its per-batch explode+semi-join is O(recent
+    * batches), not O(corpus)). The caller owns the invariant
+    * `allSigs rows = indexed rows ∪ freshSigs rows` (disjoint);
+    * under it the output is value-identical to
+    * [[crossNearDupPairsVsSignatures]] on `allSigs`: the index lookup
+    * returns exactly the rows the lazy bucket-semi-join keeps, fresh
+    * rows take the same semi join against the same key set, and the
+    * union feeds the same capped band join
+    * ([[bandJoinCandidates]] — buckets stay whole across the split,
+    * so per-bucket counts match by construction).
+    *
+    * Driver bounds, each with a distributed/lazy fallback: the probe
+    * key set collects up to `maxLookupKeys` (past it: the fetched
+    * variant, whole-face scan, same values), candidate ids up to
+    * `maxFetchIds`, verified pairs localize up to `maxLocalPairs`
+    * (both as in the fetched variant). */
+  def crossNearDupPairsVsSignaturesIndexed(left: DataFrame, leftId: String,
+      leftText: String, allSigs: DataFrame, index: BandIndex,
+      freshSigs: Option[DataFrame], threshold: Double,
+      shingleWidth: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      maxBucket: Int = 1000,
+      obs: Option[org.apache.spark.sql.Observation] = None,
+      smallRelationBytes: Long = SmallRelationBytes,
+      maxFetchIds: Int = MaxFetchIds,
+      maxLocalPairs: Int = MaxLocalPairs,
+      maxLookupKeys: Int = MaxLookupKeys): DataFrame = {
+    def small(df: DataFrame): Boolean =
+      smallUnder(df, smallRelationBytes)
+    val spark = left.sparkSession
+    val lb0 = leftBandFace(left, leftId, leftText, shingleWidth, bands,
+      rowsPerBand)
+    val keyFace = lb0.select(col("band"), col("bucket"))
+    val keyRows = keyFace.distinct().limit(maxLookupKeys + 1).collect()
+    if (keyRows.length > maxLookupKeys)
+      return crossNearDupPairsVsSignaturesFetched(left, leftId, leftText,
+        allSigs, threshold, shingleWidth, bands, rowsPerBand, maxBucket,
+        obs, smallRelationBytes, maxFetchIds, maxLocalPairs)
+    val rbIdx = index.lookup(spark,
+      keyRows.map(r => (r.getInt(0), r.getLong(1))))
+    val rb = freshSigs match {
+      case None => rbIdx
+      case Some(fresh) =>
+        val keysRel = spark.createDataFrame(
+          java.util.Arrays.asList(keyRows: _*), keyFace.schema)
+        rbIdx.unionByName(
+          fresh.select(col("id").cast("long").as("id_b"),
+            posexplode(col("bands")).as(Seq("band", "bucket")))
+            .join(keysRel, Seq("band", "bucket"), "left_semi"))
+    }
+    val cands = bandJoinCandidates(lb0, rb, maxBucket, obs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fetchVerifyLocalize(cands, left, leftId, leftText, allSigs,
+      threshold, shingleWidth, small, maxFetchIds, maxLocalPairs)
   }
 
   /** Directional shingle CONTAINMENT pairs — the sub-document dedup

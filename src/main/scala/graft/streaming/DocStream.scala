@@ -97,15 +97,25 @@ object DocStream {
       .parquet(parts.map(_.toString): _*))
   }
 
-  /** Accepted-corpus SIGNATURES so far: the union of the per-batch
-    * `_sig/batch_id=N/` relations. Any accepted partition missing its
-    * signature partition (a sink written by an older layout) falls
-    * back to recomputing signatures from that partition's text — a
-    * one-time migration cost per legacy partition, not the steady
-    * state. */
-  private def acceptedSigsSoFar(spark: SparkSession, sinkDir: String,
+  /** The accepted corpus's signature relation, split along the index
+    * boundary: `all` is the whole store (the exact-verify fetch face,
+    * and everything the non-indexed paths need); `genSigDirs` are the
+    * live folded-generation `_sig/gen=K` directories — the IMMUTABLE
+    * majority a [[graft.dedup.BandIndex]] is built over (they change
+    * only at folds, so the build amortizes across a fold epoch);
+    * `fresh` is the remainder the index does not cover — per-batch
+    * `_sig/batch_id=N` partitions (bounded by compactEvery) plus any
+    * legacy partition missing its signature twin, whose signatures are
+    * recomputed from text once here (a migration cost, not steady
+    * state). Invariant: `all` rows = generation rows ∪ `fresh` rows,
+    * disjoint — exactly the contract
+    * [[Dedup.crossNearDupPairsVsSignaturesIndexed]] requires. */
+  private final case class SigFaces(all: DataFrame, genSigDirs: Seq[Path],
+      fresh: Option[DataFrame])
+
+  private def acceptedSigFaces(spark: SparkSession, sinkDir: String,
       schemaFrom: DataFrame, idCol: String, textCol: String,
-      excludeBatchId: Option[Long]): Option[DataFrame] = {
+      excludeBatchId: Option[Long]): Option[SigFaces] = {
     val accParts = batchParts(spark, new Path(sinkDir), excludeBatchId)
     if (accParts.isEmpty) None
     else {
@@ -114,16 +124,77 @@ object DocStream {
         .map(_.getName).toSet
       val (withSig, legacy) =
         accParts.partition(p => sigNames.contains(p.getName))
-      val sigRel = Option(withSig).filter(_.nonEmpty).map(ps =>
+      val (genWithSig, batchWithSig) =
+        withSig.partition(p => partId(p.getName, "gen=").isDefined)
+      val genSigDirs = genWithSig.map(p => new Path(sigBase, p.getName))
+      val genRel = Option(genSigDirs).filter(_.nonEmpty).map(ps =>
+        spark.read.parquet(ps.map(_.toString): _*))
+      val batchRel = Option(batchWithSig).filter(_.nonEmpty).map(ps =>
         spark.read.parquet(ps.map(p => s"$sigBase/${p.getName}"): _*))
       val legacyRel = Option(legacy).filter(_.nonEmpty).map(ps =>
         Dedup.nearDupSignatures(
           spark.read.schema(schemaFrom.schema).parquet(ps.map(_.toString): _*),
           idCol, textCol))
-      (sigRel, legacyRel) match {
+      val fresh = (batchRel, legacyRel) match {
         case (Some(a), Some(b)) => Some(a.unionByName(b))
         case (a, b) => a.orElse(b)
       }
+      val all = (genRel, fresh) match {
+        case (Some(a), Some(b)) => a.unionByName(b)
+        case (a, b) => a.orElse(b).get
+      }
+      Some(SigFaces(all, genSigDirs, fresh))
+    }
+  }
+
+  /** Default byte gate for building the generation-face band index:
+    * under it the whole-face scan is already cheap (and the fetched
+    * path's own small gate delegates to the direct plan anyway), so
+    * executor memory isn't spent where it buys nothing. */
+  val BandIndexMinBytes: Long = 64L * 1024 * 1024
+
+  /** Per-sink cache of the generation-face [[graft.dedup.BandIndex]],
+    * keyed by the live generation-name set — folds (the only event
+    * that changes it) invalidate naturally, and generation ids are
+    * never reused. One entry per live sink; an entry's executor
+    * memory is released when its snapshot is superseded or via
+    * [[invalidateIndex]]. */
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, graft.dedup.BandIndex)]
+
+  /** The cached index's snapshot key (test/telemetry visibility). */
+  private[graft] def cachedIndexKey(sinkDir: String): Option[String] =
+    Option(indexCache.get(sinkDir)).map(_._1)
+
+  /** Drop (and unpersist) a sink's cached index. */
+  def invalidateIndex(sinkDir: String): Unit = {
+    val old = indexCache.remove(sinkDir)
+    if (old != null) old._2.unpersist()
+  }
+
+  /** The generation-face index for this batch, rebuilt iff the live
+    * generation set changed since the cached snapshot (i.e. a fold
+    * landed). Returns None — and drops any stale entry — when there
+    * are no generations yet or the face is under `minBytes`. */
+  private def genIndexFor(spark: SparkSession, sinkDir: String,
+      genSigDirs: Seq[Path], minBytes: Long)
+      : Option[graft.dedup.BandIndex] = {
+    if (genSigDirs.isEmpty) { invalidateIndex(sinkDir); return None }
+    val key = genSigDirs.map(_.getName).sorted.mkString(",")
+    Option(indexCache.get(sinkDir)) match {
+      case Some((k, idx)) if k == key => Some(idx)
+      case cached =>
+        val rel = spark.read.parquet(genSigDirs.map(_.toString): _*)
+        val stats = rel.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (stats.isValidLong && stats.toLong < minBytes) {
+          invalidateIndex(sinkDir)
+          None
+        } else {
+          val idx = graft.dedup.BandIndex.build(rel)
+          cached.foreach(_._2.unpersist())
+          indexCache.put(sinkDir, (key, idx))
+          Some(idx)
+        }
     }
   }
 
@@ -296,7 +367,8 @@ object DocStream {
       idCol: String, textCol: String, threshold: Double,
       sinkDir: String, queryName: String, compactEvery: Int = 0,
       bench: Option[DataFrame] = None, benchGramN: Int = 13,
-      maxGenerations: Int = 8): Unit = {
+      maxGenerations: Int = 8,
+      bandIndexBytes: Long = BandIndexMinBytes): Unit = {
     val fs = new Path(sinkDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(s"$sinkDir/_applied/$queryName/$batchId")
@@ -341,19 +413,32 @@ object DocStream {
       // acceptance depend on batch boundaries even for non-chain
       // graphs) — cross-first matches per-document sequential
       // greedy whenever the batch's own dup graph is CC-clean
-      // the FETCHED variant: candidate ids are collected (bounded) and
-      // pushed into the stored-signature scan as IN(id), so the stored
-      // `sh` bytes decoded per batch follow the candidate count, not
-      // the accepted-corpus size (writeSignatures' bloom + id-sorted
-      // layout below is what makes the pushdown skip row groups). The
-      // result is a driver-local pair relation, so the anti join
-      // broadcasts it for free.
-      val survivorsRaw = acceptedSigsSoFar(spark, sinkDir, clean, idCol,
+      // the INDEXED variant: the folded generations' banded candidate
+      // face is answered by an executor-resident BandIndex (built once
+      // per fold epoch — per-batch stored-side work O(batch keys +
+      // matches), the last O(accepted) per-batch term removed), fresh
+      // batch partitions (≤ compactEvery) are semi-joined lazily, and
+      // the exact-verify fetch stays the collected-IN pushdown into
+      // the bloom + id-sorted store (writeSignatures layout). Falls
+      // back to the FETCHED whole-face-scan variant when there are no
+      // generations yet, the face is under bandIndexBytes, or the id
+      // column isn't long. The result is a driver-local pair relation,
+      // so the anti join broadcasts it for free.
+      val survivorsRaw = acceptedSigFaces(spark, sinkDir, clean, idCol,
         textCol, Some(batchId)) match {
-        case Some(sigs) =>
-          val hit = Dedup.crossNearDupPairsVsSignaturesFetched(clean, idCol,
-            textCol, sigs, threshold)
-            .select(col("id_a").as(idCol)).distinct()
+        case Some(faces) =>
+          val idx =
+            if (clean.schema(idCol).dataType ==
+                org.apache.spark.sql.types.LongType)
+              genIndexFor(spark, sinkDir, faces.genSigDirs, bandIndexBytes)
+            else None
+          val pairs = idx match {
+            case Some(i) => Dedup.crossNearDupPairsVsSignaturesIndexed(
+              clean, idCol, textCol, faces.all, i, faces.fresh, threshold)
+            case None => Dedup.crossNearDupPairsVsSignaturesFetched(
+              clean, idCol, textCol, faces.all, threshold)
+          }
+          val hit = pairs.select(col("id_a").as(idCol)).distinct()
           clean.join(hit, Seq(idCol), "left_anti")
         case None => clean
       }
@@ -414,7 +499,8 @@ object DocStream {
       compactEvery: Int = 0,
       bench: Option[DataFrame] = None,
       benchGramN: Int = 13,
-      maxGenerations: Int = 8): StreamingQuery = {
+      maxGenerations: Int = 8,
+      bandIndexBytes: Long = BandIndexMinBytes): StreamingQuery = {
     val reader = spark.readStream.schema(schemaFrom.schema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
@@ -428,7 +514,7 @@ object DocStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, idCol, textCol, threshold,
           sinkDir, queryName, compactEvery, bench, benchGramN,
-          maxGenerations)
+          maxGenerations, bandIndexBytes)
       }
       .start()
   }

@@ -1,0 +1,122 @@
+package graft.dedup
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The executor-resident banded-candidate index ([[BandIndex]]) and
+  * the indexed cross-dedup variant
+  * ([[Dedup.crossNearDupPairsVsSignaturesIndexed]]): lookup parity
+  * with the bucket-semi-join it replaces, pair parity with the lazy
+  * plan on whole and SPLIT faces, the over-cap fallback, and the
+  * execution-level pin that the indexed per-batch path never
+  * evaluates the stored generations' `bands` column — the whole point
+  * of the index is that the face scan is gone. */
+class BandIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = TestSpark.table("documents")
+  private lazy val sigs =
+    Dedup.nearDupSignatures(docs, "doc_id", "text")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("lookup returns exactly the bucket-semi-join rows") {
+    val idx = BandIndex.build(sigs)
+    try {
+      assert(idx.indexedRows === sigs.count() * 8)
+      val batch = docs.limit(50)
+      val lb = batch.select(
+        posexplode(graft.functions.minhash_bands(col("text"), 3, 8, 4))
+          .as(Seq("band", "bucket")))
+      val keys = lb.distinct().collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      val got = idx.lookup(spark, keys).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val want = sigs
+        .select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+        .join(lb.distinct(), Seq("band", "bucket"), "left_semi")
+        .select(col("band"), col("bucket"), col("id"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(want.nonEmpty, "the probe batch must touch stored buckets")
+      assert(got === want)
+      // a probe of unseen buckets finds nothing
+      assert(idx.lookup(spark, Array((0, 12345L))).count() === 0)
+    } finally idx.unpersist()
+  }
+
+  test("indexed pairs equal the lazy plan when the index covers the store") {
+    val idx = BandIndex.build(sigs)
+    try {
+      val want = pairSet(Dedup.crossNearDupPairsVsSignatures(
+        docs, "doc_id", "text", sigs, 0.9, smallRelationBytes = 0L))
+      val got = pairSet(Dedup.crossNearDupPairsVsSignaturesIndexed(
+        docs, "doc_id", "text", sigs, idx, None, 0.9,
+        smallRelationBytes = 0L))
+      assert(want.nonEmpty)
+      assert(got === want)
+    } finally idx.unpersist()
+  }
+
+  test("split faces (indexed generations + fresh batches) equal the lazy " +
+      "plan over the union") {
+    // mirror the ingest layout: the index covers an immutable majority,
+    // fresh rows ride beside it un-indexed
+    val gen = sigs.filter(col("id") % 3 =!= 0)
+    val fresh = sigs.filter(col("id") % 3 === 0)
+    val idx = BandIndex.build(gen)
+    try {
+      val want = pairSet(Dedup.crossNearDupPairsVsSignatures(
+        docs, "doc_id", "text", sigs, 0.9, smallRelationBytes = 0L))
+      val got = pairSet(Dedup.crossNearDupPairsVsSignaturesIndexed(
+        docs, "doc_id", "text", gen.unionByName(fresh), idx, Some(fresh),
+        0.9, smallRelationBytes = 0L))
+      assert(got === want)
+    } finally idx.unpersist()
+  }
+
+  test("over the key cap the call falls back to the fetched scan, " +
+      "same output") {
+    val idx = BandIndex.build(sigs)
+    try {
+      val want = pairSet(Dedup.crossNearDupPairsVsSignatures(
+        docs, "doc_id", "text", sigs, 0.9, smallRelationBytes = 0L))
+      val got = pairSet(Dedup.crossNearDupPairsVsSignaturesIndexed(
+        docs, "doc_id", "text", sigs, idx, None, 0.9,
+        smallRelationBytes = 0L, maxLookupKeys = 1))
+      assert(got === want)
+    } finally idx.unpersist()
+  }
+
+  test("the indexed per-batch path never evaluates stored `bands` — " +
+      "the face scan is gone, not just pruned") {
+    // poison the store's bands column: any row whose band array the
+    // per-batch plan evaluates blows up the job (the SigStoreSpec
+    // poison idiom — execution-level truth, AQE-proof). The index is
+    // built BEFORE poisoning (the fold-epoch build is allowed to read
+    // bands; the claim is about every batch after it).
+    val idx = BandIndex.build(sigs)
+    try {
+      val poisoned = sigs.withColumn("bands",
+        when(assert_true(col("id") < lit(Long.MinValue),
+          lit("stored bands evaluated")).isNull, col("bands")))
+      // vacuity guard: the same poisoned store on the FETCHED path
+      // (whole-face candidate scan) must trip
+      intercept[Exception] {
+        Dedup.crossNearDupPairsVsSignaturesFetched(docs.limit(5), "doc_id",
+          "text", poisoned, 0.9, smallRelationBytes = 0L).count()
+      }
+      // a matching batch through the INDEX survives and still pairs
+      val batch = docs.limit(5)
+      val got = pairSet(Dedup.crossNearDupPairsVsSignaturesIndexed(
+        batch, "doc_id", "text", poisoned, idx, None, 0.9,
+        smallRelationBytes = 0L))
+      val want = pairSet(Dedup.crossNearDupPairsVsSignatures(
+        batch, "doc_id", "text", sigs, 0.9, smallRelationBytes = 0L))
+      assert(want.nonEmpty, "the batch must match itself in the store")
+      assert(got === want)
+    } finally idx.unpersist()
+  }
+}

@@ -375,6 +375,50 @@ class DocStreamSpec extends AnyFunSuite {
       s"no band-bucket LeftSemi prune in:\n$plan")
   }
 
+  test("forced band index: rejects via the indexed face, rebuilds on " +
+      "fold, and matches the scan path end-to-end") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    val t3 = "red orange yellow green blue indigo violet colors rainbow sky"
+    val t4 = "north south east west compass direction map travel journey path"
+    val batches = Seq(
+      Seq((1L, t1), (2L, t2)),
+      Seq((11L, t3)),
+      // 21 near-dups the FOLDED doc 1 — rejected via the index
+      Seq((21L, t1), (22L, t4)),
+      // post-fold dups of docs now in gen=0 (11, 2)
+      Seq((31L, t3), (32L, t2)),
+      // 41 dups 22, which folded into gen=1 — only a REBUILT index
+      // (the generation set changed) can reject it
+      Seq((41L, t4)))
+    def runAll(sink: String, name: String, bytes: Long): Set[Long] = {
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        DocStream.processBatch(spark, rows.toDF("doc_id", "text"),
+          i.toLong, "doc_id", "text", 0.9, sink, name, compactEvery = 2,
+          bandIndexBytes = bytes)
+      }
+      DocStream.accepted(spark, sink, batches.head.toDF("doc_id", "text"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val sinkA = Files.createTempDirectory("ds_bidx_on").toString
+    val sinkB = Files.createTempDirectory("ds_bidx_off").toString
+    try {
+      val gotIdx = runAll(sinkA, "ds_bidx_on", 0L)
+      val gotScan = runAll(sinkB, "ds_bidx_off", Long.MaxValue)
+      assert(gotIdx === gotScan)
+      assert(gotIdx === Set(1L, 2L, 11L, 22L))
+      // the index tracked the fold lifecycle: rebuilt over BOTH live
+      // generations after the second fold (gen=1 landed with batch 3,
+      // so batch 4's reject of 41 proves the rebuild, not the cache)
+      assert(DocStream.cachedIndexKey(sinkA) === Some("gen=0,gen=1"))
+      // the byte gate kept the scan-path sink index-free
+      assert(DocStream.cachedIndexKey(sinkB).isEmpty)
+    } finally {
+      DocStream.invalidateIndex(sinkA)
+      DocStream.invalidateIndex(sinkB)
+    }
+  }
+
   test("stream with compactEvery folds mid-stream and keeps rejecting") {
     val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (2L, "one two three four five six seven eight nine ten"))
