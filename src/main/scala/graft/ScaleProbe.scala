@@ -1160,6 +1160,16 @@ object ScaleProbe {
         println(s"[probe-entry] $frag")
         (frag, shots.head._2)
       }
+      // the indexed candidate face: the BandIndex build is a FOLD-EPOCH
+      // cost (paid once per immutable store snapshot, amortized over
+      // compactEvery batches), so it is timed separately and the
+      // per-shot measurements probe the BUILT index — the ingest
+      // steady-state shape
+      val tIdx = System.nanoTime()
+      val bandIdx = dedup.BandIndex.build(spark.read.parquet(storeDir))
+      val idxBuildSec = (System.nanoTime() - tIdx) / 1e9
+      println(f"""[probe-entry] "index_build":{"sec":$idxBuildSec%.2f,""" +
+        s""""rows":${bandIdx.indexedRows}}""")
       val results = Seq(
         mode("semi_plain", plainDir, sigs =>
           dedup.Dedup.crossNearDupPairsVsSignatures(batch, "doc_id", "text",
@@ -1172,10 +1182,15 @@ object ScaleProbe {
             sigs, 0.9, smallRelationBytes = 0L)),
         mode("fetched_store", storeDir, sigs =>
           dedup.Dedup.crossNearDupPairsVsSignaturesFetched(batch, "doc_id", "text",
-            sigs, 0.9, smallRelationBytes = 0L)))
+            sigs, 0.9, smallRelationBytes = 0L)),
+        mode("indexed_store", storeDir, sigs =>
+          dedup.Dedup.crossNearDupPairsVsSignaturesIndexed(batch, "doc_id",
+            "text", sigs, bandIdx, None, 0.9, smallRelationBytes = 0L)))
+      bandIdx.unpersist()
       val counts = results.map(_._2).distinct
       println(results.map(_._1).mkString("[probe] {", ",",
-        s""","pair_counts_agree":${counts.size == 1},""" +
+        f""","index_build_sec":$idxBuildSec%.2f""" +
+          s""","pair_counts_agree":${counts.size == 1},""" +
           s""""stored_docs":$storedDocs,"replication":$k}"""))
     } finally Seq(plainDir, storeDir).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))

@@ -32,12 +32,17 @@ import graft.dedup.Dedup
   * (shuffle = batch × bands sketches), then ONE cross-corpus LSH join
   * batch × accepted SIGNATURES: each committed batch persists its
   * banded MinHash buckets and shingle sets under `_sig/batch_id=N/`
-  * ([[Dedup.nearDupSignatures]]), and the cross-corpus rejection
-  * joins batch text against those stored signatures
-  * ([[Dedup.crossNearDupPairsVsSignatures]]) — the accepted TEXT is
-  * never re-read and never re-shingled, so per-batch cost is
-  * O(batch × bands + matched candidates), not O(accepted). State is
-  * the accepted PARQUET, not a state store — restarts are free.
+  * ([[Dedup.nearDupSignatures]]); the folded generations' candidate
+  * face is answered by an executor-resident [[graft.dedup.BandIndex]]
+  * built once per fold epoch, fresh batch partitions (≤ compactEvery)
+  * ride beside it lazily, and the exact-verify fetch is a collected
+  * `IN(id)` pushed into the bloom + id-sorted signature store
+  * ([[Dedup.crossNearDupPairsVsSignaturesIndexed]]) — the accepted
+  * TEXT is never re-read, never re-shingled, and the stored face is
+  * never SCANNED per batch, so per-batch cost is O(batch × bands +
+  * matched candidates), not O(accepted). State is the accepted
+  * PARQUET (plus the rebuildable in-memory index), not a state store
+  * — restarts are free.
   *
   * Exactly-once: foreachBatch is at-least-once, so each batch writes
   * its own `batch_id=N/` partition (then its `_sig/batch_id=N/`

@@ -148,4 +148,22 @@ class FixtureCanarySpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio(wav).get._4.toSeq === Seq[Short](1, -2, 3),
       "JDK javax.sound WAV parser missing or PCM16 round-trip broke")
   }
+
+  test("README's advertised query count tracks SparkEntry.queries") {
+    // the README is the capability contract, and its count line has
+    // drifted twice (r10: said 200 while shipping 201; r11 review:
+    // said 201 while shipping 202) — pin it to the source of truth
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val n = SparkEntry.queries.size
+    val advertised = "(\\d+) hash-verified quer".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toSeq
+    val layout = "the (\\d+)-query surface".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toSeq
+    assert(advertised.nonEmpty && layout.nonEmpty,
+      "README no longer carries the advertised-count lines")
+    assert((advertised ++ layout).forall(_ == n),
+      s"README advertises ${(advertised ++ layout).distinct.sorted} but " +
+        s"the surface is $n queries — update README.md's count lines")
+  }
 }
