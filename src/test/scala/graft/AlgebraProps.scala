@@ -232,6 +232,35 @@ object AlgebraProps extends Properties("EngineAlgebra") {
       }
     }
 
+  property("band-index lookup equals the exploded semi join for ALL corpora") =
+    Prop.forAll(
+      Gen.listOfN(25, Gen.listOfN(8,
+        Gen.oneOf("red", "blue", "fast", "slow", "cat", "dog", "sun")))) { texts =>
+      texts.isEmpty || {
+        val docs = texts.zipWithIndex
+          .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+          .toDF("id0", "text")
+        val sigs = graft.dedup.Dedup.nearDupSignatures(docs, "id0", "text")
+        val idx = graft.dedup.BandIndex.build(sigs)
+        try {
+          // probe with HALF the corpus's own keys (the other half's
+          // buckets are the misses; BandIndexSpec pins a pure miss)
+          val lb = docs.filter($"id0" % 2 === 0).select(
+            posexplode(graft.functions.minhash_bands($"text", 3, 8, 4))
+              .as(Seq("band", "bucket"))).distinct()
+          val keys = lb.collect().map(r => (r.getInt(0), r.getLong(1)))
+          val got = idx.lookup(spark, keys).collect()
+            .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+          val want = sigs
+            .select($"id", posexplode($"bands").as(Seq("band", "bucket")))
+            .join(lb, Seq("band", "bucket"), "left_semi")
+            .select($"band", $"bucket", $"id").collect()
+            .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+          got == want
+        } finally idx.unpersist()
+      }
+    }
+
   property("as-of join preserves every left row exactly once") =
     Prop.forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L))),
       Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))) { (l, r) =>
