@@ -16,9 +16,10 @@ object Scratch {
     val name = if (args.length > 1) args(1) else "q01_pricing"
     val df = Queries.all(name)(spark, dir)
     if (args.length > 2 && args(2) == "explain") df.explain("formatted")
-    else if (args.length > 3 && args(2) == "dump")
+    else if (args.length > 2 && args(2) == "dump") {
+      require(args.length > 3, "dump mode needs an output path argument")
       df.write.mode("overwrite").parquet(args(3))
-    else df.show(10, truncate = false)
+    } else df.show(10, truncate = false)
     spark.stop()
   }
 }

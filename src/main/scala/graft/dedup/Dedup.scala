@@ -503,7 +503,6 @@ object Dedup {
     }
     val cands = crossBandCandidates(left, leftId, leftText, rightSigs,
       shingleWidth, bands, rowsPerBand, maxBucket, obs, small)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fetchVerifyLocalize(cands, left, leftId, leftText, rightSigs,
       threshold, shingleWidth, small, maxFetchIds, maxLocalPairs)
   }
@@ -520,27 +519,35 @@ object Dedup {
     else None
   }
 
-  /** Shared tail of the indexed fetch variants: collect the distinct
-    * candidate ids (bounded), push them into the stored scan as
-    * `IN(id)` (falling back to the lazy semi join past the bound),
-    * exact-verify, and localize the result. `cands` arrives PERSISTED;
-    * it is unpersisted on the localized (normal) path, but stays
-    * persisted when the over-[[MaxLocalPairs]] fallback returns the
-    * DISTRIBUTED verify plan — otherwise every downstream action on
-    * that plan would recompute the banded candidate join from scratch,
-    * so the dup-heavy pathological batch would pay the whole pipeline
-    * at least twice. Spark's ContextCleaner releases the cached blocks
-    * once the returned plan becomes unreachable. */
-  private def fetchVerifyLocalize(cands: DataFrame, left: DataFrame,
+  /** Shared tail of the indexed fetch variants: pin the candidate
+    * relation, collect the distinct candidate ids (bounded), push them
+    * into the stored scan as `IN(id)` (falling back to the lazy semi
+    * join past the bound), exact-verify, and localize the result.
+    *
+    * Candidates are pinned as a persisted RDD, NOT a Dataset cache:
+    * the over-[[MaxLocalPairs]] fallback RETURNS a distributed plan
+    * that still reads the pinned rows (so the dup-heavy pathological
+    * batch never recomputes the banded join), and only an RDD persist
+    * is safe to hand off that way — Dataset caches live in the SQL
+    * CacheManager behind a strong reference that nothing ever
+    * releases, while an RDD persist is weak-referenced by the
+    * ContextCleaner and its blocks are freed once the returned plan
+    * becomes unreachable. The localized (normal) path and every error
+    * path unpersist eagerly. */
+  private def fetchVerifyLocalize(candsPlan: DataFrame, left: DataFrame,
       leftId: String, leftText: String, rightSigs: DataFrame,
       threshold: Double, shingleWidth: Int, small: DataFrame => Boolean,
       maxFetchIds: Int, maxLocalPairs: Int): DataFrame = {
-    val verified =
-      try {
-        val fetchIds = cands.select(col("id_b")).distinct()
-          .limit(maxFetchIds + 1).collect()
-        // no candidates → no pairs, and isin() over an empty id set
-        // shouldn't have to reach the scan at all
+    val candsRdd = candsPlan.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = candsPlan.sparkSession
+        .createDataFrame(candsRdd, candsPlan.schema)
+      val fetchIds = cands.select(col("id_b")).distinct()
+        .limit(maxFetchIds + 1).collect()
+      // no candidates → no pairs, and isin() over an empty id set
+      // shouldn't have to reach the scan at all
+      val verified =
         if (fetchIds.isEmpty)
           verifyCandidates(cands, left, leftId, leftText,
             rightSigs.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -555,10 +562,12 @@ object Dedup {
           verifyCandidates(cands, left, leftId, leftText, shR,
             threshold, shingleWidth, small)
         }
-      } catch { case e: Throwable => cands.unpersist(); throw e }
-    localizedUnder(verified, maxLocalPairs) match {
-      case Some(local) => cands.unpersist(); local
-      case None => verified
+      localizedUnder(verified, maxLocalPairs) match {
+        case Some(local) => candsRdd.unpersist(blocking = false); local
+        case None => verified
+      }
+    } catch {
+      case e: Throwable => candsRdd.unpersist(blocking = false); throw e
     }
   }
 
@@ -631,7 +640,6 @@ object Dedup {
             .join(keysRel, Seq("band", "bucket"), "left_semi"))
     }
     val cands = bandJoinCandidates(lb0, rb, maxBucket, obs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fetchVerifyLocalize(cands, left, leftId, leftText, allSigs,
       threshold, shingleWidth, small, maxFetchIds, maxLocalPairs)
   }

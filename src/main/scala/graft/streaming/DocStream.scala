@@ -116,7 +116,7 @@ object DocStream {
     * disjoint — exactly the contract
     * [[Dedup.crossNearDupPairsVsSignaturesIndexed]] requires. */
   private final case class SigFaces(all: DataFrame, genSigDirs: Seq[Path],
-      fresh: Option[DataFrame])
+      genRel: Option[DataFrame], fresh: Option[DataFrame])
 
   private def acceptedSigFaces(spark: SparkSession, sinkDir: String,
       schemaFrom: DataFrame, idCol: String, textCol: String,
@@ -148,7 +148,7 @@ object DocStream {
         case (Some(a), Some(b)) => a.unionByName(b)
         case (a, b) => a.orElse(b).get
       }
-      Some(SigFaces(all, genSigDirs, fresh))
+      Some(SigFaces(all, genSigDirs, genRel, fresh))
     }
   }
 
@@ -158,48 +158,72 @@ object DocStream {
     * executor memory isn't spent where it buys nothing. */
   val BandIndexMinBytes: Long = 64L * 1024 * 1024
 
-  /** Per-sink cache of the generation-face [[graft.dedup.BandIndex]],
-    * keyed by the live generation-name set — folds (the only event
-    * that changes it) invalidate naturally, and generation ids are
-    * never reused. One entry per live sink; an entry's executor
-    * memory is released when its snapshot is superseded or via
-    * [[invalidateIndex]]. */
-  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, graft.dedup.BandIndex)]
+  /** How many sinks' generation-face verdicts (index or under-gate)
+    * stay cached at once. A production driver runs one or a few
+    * long-lived ingest streams, so the bound never binds there; it
+    * exists so short-lived sinks (test suites, exploratory notebooks)
+    * cannot pin an unbounded number of persisted executor-memory
+    * indexes — the evicted entry's index is unpersisted on the way
+    * out. */
+  val MaxCachedSinkIndexes: Int = 4
 
-  /** The cached index's snapshot key (test/telemetry visibility). */
+  /** Per-sink cache of the generation-face verdict, keyed by the live
+    * generation-name set — folds (the only event that changes it)
+    * invalidate naturally, and generation ids are never reused. The
+    * value is `Some(index)` or `None` for an under-[[BandIndexMinBytes]]
+    * face, so the under-gate decision is also one-per-snapshot instead
+    * of one-per-batch (generations are immutable, the verdict cannot
+    * change between folds). Access-ordered LRU bounded at
+    * [[MaxCachedSinkIndexes]]; eviction unpersists. */
+  private val indexCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        String, (String, Option[graft.dedup.BandIndex])](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          String, (String, Option[graft.dedup.BandIndex])]): Boolean = {
+        val evict = size() > MaxCachedSinkIndexes
+        if (evict) e.getValue._2.foreach(_.unpersist())
+        evict
+      }
+    })
+
+  /** The cached index's snapshot key, present only when an index is
+    * actually held (test/telemetry visibility; an under-gate verdict
+    * is invisible here). */
   private[graft] def cachedIndexKey(sinkDir: String): Option[String] =
-    Option(indexCache.get(sinkDir)).map(_._1)
+    Option(indexCache.get(sinkDir)).collect { case (k, Some(_)) => k }
 
-  /** Drop (and unpersist) a sink's cached index. */
+  /** Drop (and unpersist) a sink's cached index — call when a sink is
+    * finished if the driver outlives the stream. */
   def invalidateIndex(sinkDir: String): Unit = {
     val old = indexCache.remove(sinkDir)
-    if (old != null) old._2.unpersist()
+    if (old != null) old._2.foreach(_.unpersist())
   }
 
   /** The generation-face index for this batch, rebuilt iff the live
     * generation set changed since the cached snapshot (i.e. a fold
-    * landed). Returns None — and drops any stale entry — when there
-    * are no generations yet or the face is under `minBytes`. */
-  private def genIndexFor(spark: SparkSession, sinkDir: String,
-      genSigDirs: Seq[Path], minBytes: Long)
+    * landed). `genRel` is the face relation `acceptedSigFaces` already
+    * built — reused here so the gate consult never pays a second
+    * listing + footer read. None when there are no generations yet or
+    * the face is under `minBytes` (a verdict that is itself cached per
+    * snapshot). */
+  private def genIndexFor(sinkDir: String, genSigDirs: Seq[Path],
+      genRel: Option[DataFrame], minBytes: Long)
       : Option[graft.dedup.BandIndex] = {
-    if (genSigDirs.isEmpty) { invalidateIndex(sinkDir); return None }
+    if (genSigDirs.isEmpty || genRel.isEmpty) {
+      invalidateIndex(sinkDir); return None
+    }
     val key = genSigDirs.map(_.getName).sorted.mkString(",")
     Option(indexCache.get(sinkDir)) match {
-      case Some((k, idx)) if k == key => Some(idx)
-      case cached =>
-        val rel = spark.read.parquet(genSigDirs.map(_.toString): _*)
-        val stats = rel.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (stats.isValidLong && stats.toLong < minBytes) {
-          invalidateIndex(sinkDir)
-          None
-        } else {
-          val idx = graft.dedup.BandIndex.build(rel)
-          cached.foreach(_._2.unpersist())
-          indexCache.put(sinkDir, (key, idx))
-          Some(idx)
-        }
+      case Some((k, verdict)) if k == key => verdict
+      case prior =>
+        val stats = genRel.get.queryExecution.optimizedPlan
+          .stats.sizeInBytes
+        val built =
+          if (stats.isValidLong && stats.toLong < minBytes) None
+          else Some(graft.dedup.BandIndex.build(genRel.get))
+        prior.foreach(_._2.foreach(_.unpersist()))
+        indexCache.put(sinkDir, (key, built))
+        built
     }
   }
 
@@ -435,7 +459,8 @@ object DocStream {
           val idx =
             if (clean.schema(idCol).dataType ==
                 org.apache.spark.sql.types.LongType)
-              genIndexFor(spark, sinkDir, faces.genSigDirs, bandIndexBytes)
+              genIndexFor(sinkDir, faces.genSigDirs, faces.genRel,
+                bandIndexBytes)
             else None
           val pairs = idx match {
             case Some(i) => Dedup.crossNearDupPairsVsSignaturesIndexed(
