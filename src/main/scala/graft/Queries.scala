@@ -6632,6 +6632,138 @@ object Queries {
       | jef_migr NULLS FIRST, via_tran NULLS FIRST, nac_migr NULLS FIRST,
       | sex_migr NULLS FIRST, ocu_migr NULLS FIRST""".stripMargin
 
+  /** MULTI-TOUCH ATTRIBUTION — the standard marketing-warehouse
+    * analytic the surface lacked: every purchase credits the user's
+    * clicks inside a 7-day lookback under three models at once —
+    * first-touch, last-touch, linear — aggregated per channel
+    * (derived from the JSON props). Shape: an equi join on user_id
+    * with a range predicate (sort-merge, never a cartesian), then
+    * per-conversion windows for ordinal position and touch count —
+    * partitioned by conversion id, so no global window. Linear credit
+    * is summed in integer MICRO-UNITS (floor(value·10⁶/n)) so the
+    * cross-engine sum is exact — the one per-row division happens in
+    * identical IEEE doubles on both engines. */
+  def q205Attribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        col("event_id").as("cid"),
+        concat(lit("ch"),
+          get_json_object(col("props"), "$.k").cast("long") % 3)
+          .as("channel"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("event_id").as("pid"), col("value"))
+    val joined = conv.join(clicks, Seq("user_id"))
+      .filter(col("cts") <= col("pts") &&
+        col("cts") > col("pts") - expr("INTERVAL 7 DAYS"))
+    val byConv = Window.partitionBy(col("pid"))
+    val w = joined
+      .withColumn("n", count(lit(1)).over(byConv))
+      .withColumn("rf", row_number().over(
+        byConv.orderBy(col("cts").asc, col("cid").asc)))
+      .withColumn("rl", row_number().over(
+        byConv.orderBy(col("cts").desc, col("cid").desc)))
+    w.groupBy(col("channel"))
+      .agg(count(lit(1)).as("touches"),
+        round(dsum(when(col("rf") === 1, col("value")).otherwise(0.0))
+          .cast("double"), 6).as("first_credit"),
+        round(dsum(when(col("rl") === 1, col("value")).otherwise(0.0))
+          .cast("double"), 6).as("last_credit"),
+        round(sum(floor(col("value") * 1000000L / col("n")).cast("long"))
+          .cast("double") / 1000000L, 6).as("linear_credit"))
+      .orderBy("channel")
+  }
+
+  val q205Sql: String =
+    """WITH clicks AS (SELECT user_id, ts AS cts, event_id AS cid,
+      |  'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 3
+      |    AS VARCHAR) AS channel
+      | FROM events WHERE event_type = 'click'),
+      |conv AS (SELECT user_id, ts AS pts, event_id AS pid, value
+      | FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT c.pid, c.value, k.cts, k.cid, k.channel
+      | FROM conv c JOIN clicks k USING (user_id)
+      | WHERE k.cts <= c.pts AND k.cts > c.pts - INTERVAL 7 DAY),
+      |w AS (SELECT *, count(*) OVER (PARTITION BY pid) AS n,
+      |  row_number() OVER (PARTITION BY pid ORDER BY cts, cid) AS rf,
+      |  row_number() OVER (PARTITION BY pid ORDER BY cts DESC, cid DESC) AS rl
+      | FROM j)
+      |SELECT channel, count(*) AS touches,
+      | round(CAST(sum(CASE WHEN rf = 1 THEN CAST(value AS DECIMAL(18,2))
+      |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 6) AS first_credit,
+      | round(CAST(sum(CASE WHEN rl = 1 THEN CAST(value AS DECIMAL(18,2))
+      |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 6) AS last_credit,
+      | round(CAST(sum(CAST(floor(value * 1000000 / n) AS BIGINT)) AS DOUBLE)
+      |   / 1000000, 6) AS linear_credit
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** WELCH A/B TEST — the experiment-readout aggregate: two groups
+    * (deterministic user-id split), purchase value as the metric, one
+    * pass computing n / mean / sample variance per arm and the Welch
+    * t statistic with Welch–Satterthwaite degrees of freedom. All
+    * sums run in integer CENTS (floor(value·100)) so the cross-engine
+    * aggregates are exact; the t/df arithmetic then runs on identical
+    * doubles. At 100 TB this is one partial/final hash aggregate —
+    * the entire readout costs one scan. */
+  def q206AbWelch(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2 === 0).as("is_a"),
+        floor(col("value") * 100).cast("long").as("c"))
+    val agg = p.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("is_a"), col("c")).otherwise(0L)).as("s_a"),
+      sum(when(!col("is_a"), col("c")).otherwise(0L)).as("s_b"),
+      sum(when(col("is_a"), col("c") * col("c")).otherwise(0L)).as("ss_a"),
+      sum(when(!col("is_a"), col("c") * col("c")).otherwise(0L)).as("ss_b"))
+    val mA = col("s_a").cast("double") / col("n_a") / 100.0
+    val mB = col("s_b").cast("double") / col("n_b") / 100.0
+    val vA = (col("ss_a").cast("double") -
+      col("s_a").cast("double") * col("s_a") / col("n_a")) /
+      (col("n_a") - 1) / 10000.0
+    val vB = (col("ss_b").cast("double") -
+      col("s_b").cast("double") * col("s_b") / col("n_b")) /
+      (col("n_b") - 1) / 10000.0
+    val se2 = vA / col("n_a") + vB / col("n_b")
+    val df = se2 * se2 /
+      (vA * vA / col("n_a") / col("n_a") / (col("n_a") - 1) +
+        vB * vB / col("n_b") / col("n_b") / (col("n_b") - 1))
+    agg.select(col("n_a"), col("n_b"),
+      round(mA, 6).as("mean_a"), round(mB, 6).as("mean_b"),
+      round((mA - mB) / sqrt(se2), 6).as("t_stat"),
+      round(df, 6).as("welch_df"))
+  }
+
+  val q206Sql: String =
+    """WITH p AS (SELECT user_id % 2 = 0 AS is_a,
+      |  CAST(floor(value * 100) AS BIGINT) AS c
+      | FROM events WHERE event_type = 'purchase'),
+      |a AS (SELECT
+      |  sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+      |  sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n_b,
+      |  sum(CASE WHEN is_a THEN c ELSE 0 END) AS s_a,
+      |  sum(CASE WHEN NOT is_a THEN c ELSE 0 END) AS s_b,
+      |  sum(CASE WHEN is_a THEN c * c ELSE 0 END) AS ss_a,
+      |  sum(CASE WHEN NOT is_a THEN c * c ELSE 0 END) AS ss_b
+      | FROM p),
+      |m AS (SELECT n_a, n_b,
+      |  CAST(s_a AS DOUBLE) / n_a / 100.0 AS m_a,
+      |  CAST(s_b AS DOUBLE) / n_b / 100.0 AS m_b,
+      |  (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+      |    / (n_a - 1) / 10000.0 AS v_a,
+      |  (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b)
+      |    / (n_b - 1) / 10000.0 AS v_b
+      | FROM a)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      | round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+      | round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+      | round((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
+      |  / (v_a * v_a / n_a / n_a / (n_a - 1)
+      |   + v_b * v_b / n_b / n_b / (n_b - 1)), 6) AS welch_df
+      |FROM m""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -6841,6 +6973,8 @@ object Queries {
     "q202_sigfetch_dedup" -> (q202SigFetchDedup _),
     "q203_cube_serve" -> (q203CubeServe _),
     "q204_sigindex_dedup" -> (q204SigIndexDedup _),
+    "q205_attribution" -> (q205Attribution _),
+    "q206_ab_welch" -> (q206AbWelch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -7053,6 +7187,8 @@ object Queries {
     "q202_sigfetch_dedup" -> q23Sql,
     "q203_cube_serve" -> q203Sql,
     "q204_sigindex_dedup" -> q23Sql,
+    "q205_attribution" -> q205Sql,
+    "q206_ab_welch" -> q206Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes

@@ -103,11 +103,24 @@ object BandIndex {
     * the [[Dedup.nearDupSignatures]] schema) — one exploded pass,
     * hash-shuffled by bucket, sorted per partition, pinned with
     * MEMORY_AND_DISK. Cost O(rows log rows/part), paid once per store
-    * snapshot. */
+    * snapshot. With `numParts = 0` the partition count is sized from
+    * the relation's Catalyst stats, never below the default
+    * parallelism: one fixed count cannot serve both a 1M-doc sink and
+    * a 1B-doc corpus (8B face rows over 32 partitions would build
+    * 5 GB sort arrays per partition); ~256 MB of stats bytes per
+    * partition keeps each partition's build array and resident face
+    * in the tens of MB at any corpus size, and over-partitioning only
+    * costs extra O(log) probes. */
   def build(sigs: DataFrame, numParts: Int = 0): BandIndex = {
     val spark = sigs.sparkSession
     val p =
-      if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
+      if (numParts > 0) numParts
+      else {
+        val stats = sigs.queryExecution.optimizedPlan.stats.sizeInBytes
+        val byStats =
+          if (stats.isValidLong) (stats.toLong / (256L << 20)).toInt else 0
+        math.max(spark.sparkContext.defaultParallelism, byStats)
+      }
     val exploded = sigs
       .select(col("id").cast(LongType).as("id"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
