@@ -7273,5 +7273,9 @@ object Queries {
     // resident point-lookup index (BandIndex) — benched beside q202's
     // scan-candidate form so the index's build+probe fixed costs stay
     // visible against the face scan they remove
-    "q204_sigindex_dedup")
+    "q204_sigindex_dedup",
+    // round-11: the one-pass Mondrian member space and the analytics
+    // sweep's two additions — cheap aggregates, benched from birth so
+    // regressions stay visible
+    "q205_attribution", "q206_ab_welch")
 }

@@ -401,7 +401,7 @@ object DocStream {
     val fs = new Path(sinkDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(s"$sinkDir/_applied/$queryName/$batchId")
-    if (!fs.exists(marker)) {
+    if (!fs.exists(marker)) try {
       // decontamination FIRST of all: a benchmark-contaminated doc is
       // dropped unconditionally — it must never act as a dup-cluster
       // keeper, so a CLEAN near-duplicate of a contaminated doc is
@@ -503,6 +503,19 @@ object DocStream {
           compactSink(spark, sinkDir, batch, idCol, textCol, queryName,
             minBatches = compactEvery, maxGenerations = maxGenerations)
       }
+    } catch {
+      case e: Throwable =>
+        // a failed batch drops the sink's cached index before the
+        // at-least-once replay: the index's RDD lineage reads the
+        // generation dirs it was built from, and if an EXECUTOR LOSS
+        // forces block recompute after a fold already deleted those
+        // sources, the cached index is permanently broken — replaying
+        // against it would fail every retry, while a rebuild from the
+        // CURRENT generation set (same rows, folded layout) is always
+        // valid. Worst case is one redundant rebuild on an unrelated
+        // failure.
+        invalidateIndex(sinkDir)
+        throw e
     }
   }
 
