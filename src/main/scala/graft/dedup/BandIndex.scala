@@ -43,7 +43,7 @@ import org.apache.spark.storage.StorageLevel
   * drops to O(batch keys + matched rows)); `unpersist()` releases the
   * executor memory when the snapshot is superseded. */
 final class BandIndex private (
-    private val parts: RDD[BandIndex.Part],
+    private[dedup] val parts: RDD[BandIndex.Part],
     /** Total rows indexed (= stored docs × bands) — telemetry/gating. */
     val indexedRows: Long) {
 
@@ -99,27 +99,57 @@ object BandIndex {
     lo
   }
 
+  /** Compose sub-indexes into one probe-able index WITHOUT copying or
+    * re-persisting anything: the composed `parts` is an RDD union of
+    * the members' persisted partitions, so a lookup probes every
+    * member's partitions in one job and unions the matches — exactly
+    * the rows a single index over the concatenated relations would
+    * return (each member's partitioning is internally consistent, and
+    * a probe key is binary-searched in EVERY partition anyway, so
+    * cross-member partition alignment is irrelevant). This is what
+    * makes the ingest sink's index INCREMENTAL: one sub-index per
+    * immutable generation, a fold builds only the NEW generation's
+    * sub-index (O(new gen), not O(corpus)) and drops the absorbed
+    * ones', and the per-batch probe composes the survivors. The
+    * composed wrapper owns nothing: unpersisting it is a no-op on the
+    * members, which the caller's lifecycle (cache eviction /
+    * invalidate) releases individually. */
+  def union(indexes: Seq[BandIndex]): BandIndex = {
+    require(indexes.nonEmpty, "union of zero band indexes")
+    if (indexes.size == 1) indexes.head
+    else new BandIndex(
+      indexes.head.parts.sparkContext.union(indexes.map(_.parts)),
+      indexes.map(_.indexedRows).sum)
+  }
+
   /** Build from a signature relation (`id: long, bands: array<long>`,
     * the [[Dedup.nearDupSignatures]] schema) — one exploded pass,
     * hash-shuffled by bucket, sorted per partition, pinned with
     * MEMORY_AND_DISK. Cost O(rows log rows/part), paid once per store
     * snapshot. With `numParts = 0` the partition count is sized from
-    * the relation's Catalyst stats, never below the default
-    * parallelism: one fixed count cannot serve both a 1M-doc sink and
-    * a 1B-doc corpus (8B face rows over 32 partitions would build
-    * 5 GB sort arrays per partition); ~256 MB of stats bytes per
-    * partition keeps each partition's build array and resident face
-    * in the tens of MB at any corpus size, and over-partitioning only
-    * costs extra O(log) probes. */
+    * the relation's Catalyst stats at ~64 MB of stats bytes per
+    * partition, with NO parallelism floor: every partition of every
+    * live sub-index is probed by EVERY per-batch lookup job, so idle
+    * width is a recurring per-batch task-overhead tax (measured +0.3 s
+    * per batch on the 200-batch probe when each small generation
+    * carried a 32-partition floor), while build-time width is paid
+    * once per fold. Data-proportional sizing keeps the composed
+    * probe's task count ≈ corpus bytes / 64 MB regardless of how many
+    * generations the corpus is split into, and one fixed count could
+    * never serve both a 1M-doc sink and a 1B-doc corpus anyway (8B
+    * face rows over 32 partitions would build 5 GB sort arrays per
+    * partition). */
   def build(sigs: DataFrame, numParts: Int = 0): BandIndex = {
     val spark = sigs.sparkSession
     val p =
       if (numParts > 0) numParts
       else {
         val stats = sigs.queryExecution.optimizedPlan.stats.sizeInBytes
-        val byStats =
-          if (stats.isValidLong) (stats.toLong / (256L << 20)).toInt else 0
-        math.max(spark.sparkContext.defaultParallelism, byStats)
+        if (stats.isValidLong)
+          math.min(Int.MaxValue.toLong,
+            math.max(1L, (stats.toLong + (64L << 20) - 1) / (64L << 20)))
+            .toInt
+        else spark.sparkContext.defaultParallelism
       }
     val exploded = sigs
       .select(col("id").cast(LongType).as("id"),

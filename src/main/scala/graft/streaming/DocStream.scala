@@ -170,60 +170,91 @@ object DocStream {
   /** Per-sink cache of the generation-face verdict, keyed by the live
     * generation-name set — folds (the only event that changes it)
     * invalidate naturally, and generation ids are never reused. The
-    * value is `Some(index)` or `None` for an under-[[BandIndexMinBytes]]
-    * face, so the under-gate decision is also one-per-snapshot instead
-    * of one-per-batch (generations are immutable, the verdict cannot
-    * change between folds). Access-ordered LRU bounded at
-    * [[MaxCachedSinkIndexes]]; eviction unpersists. */
+    * value holds one sub-index PER GENERATION (`None` for an
+    * under-[[BandIndexMinBytes]] face, so the under-gate decision is
+    * also one-per-snapshot instead of one-per-batch — generations are
+    * immutable, the verdict cannot change between folds): a fold then
+    * builds only the NEW generation's sub-index and drops the absorbed
+    * generations' — O(new gen) per fold instead of an O(corpus)
+    * rebuild, which is the difference between a bounded fold spike
+    * and minutes of re-indexing at a 100M-doc sink. The per-batch
+    * probe composes the survivors ([[graft.dedup.BandIndex.union]] —
+    * an RDD union of persisted partitions, nothing copied).
+    * Access-ordered LRU bounded at [[MaxCachedSinkIndexes]]; eviction
+    * unpersists every sub-index. */
   private val indexCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[
-        String, (String, Option[graft.dedup.BandIndex])](16, 0.75f, true) {
+        String,
+        (String, Option[Map[String, graft.dedup.BandIndex]])](
+        16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[
-          String, (String, Option[graft.dedup.BandIndex])]): Boolean = {
+          String,
+          (String, Option[Map[String, graft.dedup.BandIndex]])]): Boolean = {
         val evict = size() > MaxCachedSinkIndexes
-        if (evict) e.getValue._2.foreach(_.unpersist())
+        if (evict) e.getValue._2.foreach(_.values.foreach(_.unpersist()))
         evict
       }
     })
 
-  /** The cached index's snapshot key, present only when an index is
-    * actually held (test/telemetry visibility; an under-gate verdict
-    * is invisible here). */
+  /** The cached index's snapshot key, present only when sub-indexes
+    * are actually held (test/telemetry visibility; an under-gate
+    * verdict is invisible here). */
   private[graft] def cachedIndexKey(sinkDir: String): Option[String] =
     Option(indexCache.get(sinkDir)).collect { case (k, Some(_)) => k }
 
-  /** Drop (and unpersist) a sink's cached index — call when a sink is
-    * finished if the driver outlives the stream. */
+  /** The cached per-generation sub-indexes (test visibility — the
+    * incremental-build contract is that a fold REUSES surviving
+    * generations' instances). */
+  private[graft] def cachedGenIndexes(
+      sinkDir: String): Map[String, graft.dedup.BandIndex] =
+    Option(indexCache.get(sinkDir)).flatMap(_._2).getOrElse(Map.empty)
+
+  /** Drop (and unpersist) a sink's cached sub-indexes — call when a
+    * sink is finished if the driver outlives the stream. */
   def invalidateIndex(sinkDir: String): Unit = {
     val old = indexCache.remove(sinkDir)
-    if (old != null) old._2.foreach(_.unpersist())
+    if (old != null) old._2.foreach(_.values.foreach(_.unpersist()))
   }
 
-  /** The generation-face index for this batch, rebuilt iff the live
+  /** The generation-face index for this batch, refreshed iff the live
     * generation set changed since the cached snapshot (i.e. a fold
-    * landed). `genRel` is the face relation `acceptedSigFaces` already
-    * built — reused here so the gate consult never pays a second
-    * listing + footer read. None when there are no generations yet or
-    * the face is under `minBytes` (a verdict that is itself cached per
-    * snapshot). */
-  private def genIndexFor(sinkDir: String, genSigDirs: Seq[Path],
-      genRel: Option[DataFrame], minBytes: Long)
+    * landed) — and then INCREMENTALLY: surviving generations keep
+    * their sub-indexes, absorbed ones are unpersisted, only new
+    * generations are built (each from its own directory — one listing
+    * per NEW generation, nothing per batch). `genRel` is the face
+    * relation `acceptedSigFaces` already built — reused for the byte
+    * gate so the consult never pays a second listing + footer read.
+    * None when there are no generations yet or the face is under
+    * `minBytes`. */
+  private def genIndexFor(spark: SparkSession, sinkDir: String,
+      genSigDirs: Seq[Path], genRel: Option[DataFrame], minBytes: Long)
       : Option[graft.dedup.BandIndex] = {
     if (genSigDirs.isEmpty || genRel.isEmpty) {
       invalidateIndex(sinkDir); return None
     }
-    val key = genSigDirs.map(_.getName).sorted.mkString(",")
+    val names = genSigDirs.map(_.getName)
+    val key = names.sorted.mkString(",")
     Option(indexCache.get(sinkDir)) match {
-      case Some((k, verdict)) if k == key => verdict
+      case Some((k, verdict)) if k == key =>
+        verdict.map(m => graft.dedup.BandIndex.union(m.values.toSeq))
       case prior =>
+        val priorGens = prior.flatMap(_._2).getOrElse(
+          Map.empty[String, graft.dedup.BandIndex])
         val stats = genRel.get.queryExecution.optimizedPlan
           .stats.sizeInBytes
-        val built =
+        val built: Option[Map[String, graft.dedup.BandIndex]] =
           if (stats.isValidLong && stats.toLong < minBytes) None
-          else Some(graft.dedup.BandIndex.build(genRel.get))
-        prior.foreach(_._2.foreach(_.unpersist()))
+          else Some(names.zip(genSigDirs).map { case (n, dir) =>
+            n -> priorGens.getOrElse(n,
+              graft.dedup.BandIndex.build(
+                spark.read.parquet(dir.toString)))
+          }.toMap)
+        val kept = built.getOrElse(Map.empty).keySet
+        priorGens.foreach { case (n, idx) =>
+          if (!kept.contains(n)) idx.unpersist()
+        }
         indexCache.put(sinkDir, (key, built))
-        built
+        built.map(m => graft.dedup.BandIndex.union(m.values.toSeq))
     }
   }
 
@@ -459,7 +490,7 @@ object DocStream {
           val idx =
             if (clean.schema(idCol).dataType ==
                 org.apache.spark.sql.types.LongType)
-              genIndexFor(sinkDir, faces.genSigDirs, faces.genRel,
+              genIndexFor(spark, sinkDir, faces.genSigDirs, faces.genRel,
                 bandIndexBytes)
             else None
           val pairs = idx match {

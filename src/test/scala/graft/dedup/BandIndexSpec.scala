@@ -77,6 +77,30 @@ class BandIndexSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("a union of per-generation sub-indexes equals one index over " +
+      "the whole store") {
+    val genA = sigs.filter(col("id") % 3 === 0)
+    val genB = sigs.filter(col("id") % 3 === 1)
+    val genC = sigs.filter(col("id") % 3 === 2)
+    val subs = Seq(genA, genB, genC).map(BandIndex.build(_))
+    val whole = BandIndex.build(sigs)
+    try {
+      val composed = BandIndex.union(subs)
+      assert(composed.indexedRows === whole.indexedRows)
+      val keys = docs.limit(40).select(
+        posexplode(graft.functions.minhash_bands(col("text"), 3, 8, 4))
+          .as(Seq("band", "bucket"))).distinct()
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      def rows(i: BandIndex) = i.lookup(spark, keys).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val got = rows(composed)
+      assert(got.nonEmpty)
+      assert(got === rows(whole))
+      // single-member union is the member itself (no wrapper layers)
+      assert(BandIndex.union(Seq(whole)) eq whole)
+    } finally (subs :+ whole).foreach(_.unpersist())
+  }
+
   test("over the key cap the call falls back to the fetched scan, " +
       "same output") {
     val idx = BandIndex.build(sigs)

@@ -413,6 +413,23 @@ class DocStreamSpec extends AnyFunSuite {
       assert(DocStream.cachedIndexKey(sinkA) === Some("gen=0,gen=1"))
       // the byte gate kept the scan-path sink index-free
       assert(DocStream.cachedIndexKey(sinkB).isEmpty)
+      // INCREMENTAL refresh: push one more fold (gen=2) and probe once
+      // more — the surviving generations' sub-indexes must be the SAME
+      // INSTANCES (reused, not rebuilt), only gen=2's is new
+      val before = DocStream.cachedGenIndexes(sinkA)
+      assert(before.keySet === Set("gen=0", "gen=1"))
+      val extra = Seq(
+        (51L, "quiet rivers flow beneath ancient stone bridges tonight"),
+        (61L, "seven silver ships sail slowly toward southern shores"))
+      extra.zipWithIndex.foreach { case ((id, txt), i) =>
+        DocStream.processBatch(spark, Seq((id, txt)).toDF("doc_id", "text"),
+          (5 + i).toLong, "doc_id", "text", 0.9, sinkA, "ds_bidx_on",
+          compactEvery = 2, bandIndexBytes = 0L)
+      }
+      val after = DocStream.cachedGenIndexes(sinkA)
+      assert(after.keySet === Set("gen=0", "gen=1", "gen=2"))
+      assert(after("gen=0") eq before("gen=0"))
+      assert(after("gen=1") eq before("gen=1"))
     } finally {
       DocStream.invalidateIndex(sinkA)
       DocStream.invalidateIndex(sinkB)
