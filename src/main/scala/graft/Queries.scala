@@ -6649,9 +6649,13 @@ object Queries {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("cts"),
         col("event_id").as("cid"),
-        concat(lit("ch"),
-          get_json_object(col("props"), "$.k").cast("long") % 3)
-          .as("channel"))
+        // a props row without '$.k' would otherwise yield a NULL
+        // channel, and the final ORDER BY's null placement differs
+        // across engines (Spark NULLS FIRST, DuckDB NULLS LAST) —
+        // coalesce to a sentinel so the contract is engine-free
+        coalesce(concat(lit("ch"),
+          get_json_object(col("props"), "$.k").cast("long") % 3),
+          lit("ch?")).as("channel"))
     val conv = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("pts"),
         col("event_id").as("pid"), col("value"))
@@ -6678,8 +6682,8 @@ object Queries {
 
   val q205Sql: String =
     """WITH clicks AS (SELECT user_id, ts AS cts, event_id AS cid,
-      |  'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 3
-      |    AS VARCHAR) AS channel
+      |  coalesce('ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 3
+      |    AS VARCHAR), 'ch?') AS channel
       | FROM events WHERE event_type = 'click'),
       |conv AS (SELECT user_id, ts AS pts, event_id AS pid, value
       | FROM events WHERE event_type = 'purchase'),
@@ -6711,13 +6715,20 @@ object Queries {
     val p = t(s, dir, "events").filter(col("event_type") === "purchase")
       .select((col("user_id") % 2 === 0).as("is_a"),
         floor(col("value") * 100).cast("long").as("c"))
+    // squares accumulate in DECIMAL(38,0), not LONG: c*c alone
+    // overflows a long at |value| ≳ 3e7, and the two engines diverge
+    // there (Spark wraps, DuckDB raises) — decimal keeps the sums
+    // exact to 1e38 on BOTH, the same dsum idiom every exact-grid
+    // query uses; the t/df arithmetic divides once in double below
+    val cd = col("c").cast("decimal(19,0)")
+    val dz = lit(0).cast("decimal(38,0)")
     val agg = p.agg(
       sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
       sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
       sum(when(col("is_a"), col("c")).otherwise(0L)).as("s_a"),
       sum(when(!col("is_a"), col("c")).otherwise(0L)).as("s_b"),
-      sum(when(col("is_a"), col("c") * col("c")).otherwise(0L)).as("ss_a"),
-      sum(when(!col("is_a"), col("c") * col("c")).otherwise(0L)).as("ss_b"))
+      sum(when(col("is_a"), cd * cd).otherwise(dz)).as("ss_a"),
+      sum(when(!col("is_a"), cd * cd).otherwise(dz)).as("ss_b"))
     val mA = col("s_a").cast("double") / col("n_a") / 100.0
     val mB = col("s_b").cast("double") / col("n_b") / 100.0
     val vA = (col("ss_a").cast("double") -
@@ -6745,8 +6756,10 @@ object Queries {
       |  sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n_b,
       |  sum(CASE WHEN is_a THEN c ELSE 0 END) AS s_a,
       |  sum(CASE WHEN NOT is_a THEN c ELSE 0 END) AS s_b,
-      |  sum(CASE WHEN is_a THEN c * c ELSE 0 END) AS ss_a,
-      |  sum(CASE WHEN NOT is_a THEN c * c ELSE 0 END) AS ss_b
+      |  sum(CASE WHEN is_a THEN CAST(c AS DECIMAL(19,0)) * c
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_a,
+      |  sum(CASE WHEN NOT is_a THEN CAST(c AS DECIMAL(19,0)) * c
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_b
       | FROM p),
       |m AS (SELECT n_a, n_b,
       |  CAST(s_a AS DOUBLE) / n_a / 100.0 AS m_a,
