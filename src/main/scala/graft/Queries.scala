@@ -6652,7 +6652,10 @@ object Queries {
         // a props row without '$.k' would otherwise yield a NULL
         // channel, and the final ORDER BY's null placement differs
         // across engines (Spark NULLS FIRST, DuckDB NULLS LAST) —
-        // coalesce to a sentinel so the contract is engine-free
+        // coalesce to a sentinel so the contract is engine-free.
+        // MALFORMED (non-numeric) keys take the same sentinel: this
+        // cast is Spark's non-ANSI (TRY_CAST-like) cast, and the
+        // oracle SQL mirrors it with an explicit TRY_CAST
         coalesce(concat(lit("ch"),
           get_json_object(col("props"), "$.k").cast("long") % 3),
           lit("ch?")).as("channel"))
@@ -6682,7 +6685,7 @@ object Queries {
 
   val q205Sql: String =
     """WITH clicks AS (SELECT user_id, ts AS cts, event_id AS cid,
-      |  coalesce('ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 3
+      |  coalesce('ch' || CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 3
       |    AS VARCHAR), 'ch?') AS channel
       | FROM events WHERE event_type = 'click'),
       |conv AS (SELECT user_id, ts AS pts, event_id AS pid, value
@@ -6719,7 +6722,12 @@ object Queries {
     // overflows a long at |value| ≳ 3e7, and the two engines diverge
     // there (Spark wraps, DuckDB raises) — decimal keeps the sums
     // exact to 1e38 on BOTH, the same dsum idiom every exact-grid
-    // query uses; the t/df arithmetic divides once in double below
+    // query uses; the t/df arithmetic divides once in double below.
+    // Residual divergence PAST 1e38 total sum-of-squares: non-ANSI
+    // Spark returns NULL silently while DuckDB raises — practically
+    // unreachable (needs ~1e24 purchases at $10^7 each), and the
+    // ss-non-null asserts below turn the silent NULL into a loud
+    // failure if it ever happens
     val cd = col("c").cast("decimal(19,0)")
     val dz = lit(0).cast("decimal(38,0)")
     val agg = p.agg(
@@ -6741,10 +6749,18 @@ object Queries {
     val df = se2 * se2 /
       (vA * vA / col("n_a") / col("n_a") / (col("n_a") - 1) +
         vB * vB / col("n_b") / col("n_b") / (col("n_b") - 1))
+    // execution-level overflow trap: a NULL ss means the decimal sum
+    // overflowed — fail loudly instead of propagating NULL stats
+    // (adds +0.0 when healthy, so the oracle hash is untouched)
+    val ssOk = coalesce(
+      assert_true(col("ss_a").isNotNull && col("ss_b").isNotNull,
+        lit("q206: sum-of-squares overflowed DECIMAL(38,0)"))
+        .cast("double"),
+      lit(0.0))
     agg.select(col("n_a"), col("n_b"),
       round(mA, 6).as("mean_a"), round(mB, 6).as("mean_b"),
       round((mA - mB) / sqrt(se2), 6).as("t_stat"),
-      round(df, 6).as("welch_df"))
+      round(df + ssOk, 6).as("welch_df"))
   }
 
   val q206Sql: String =

@@ -533,11 +533,23 @@ object Dedup {
     * releases, while an RDD persist is weak-referenced by the
     * ContextCleaner and its blocks are freed once the returned plan
     * becomes unreachable. The localized (normal) path and every error
-    * path unpersist eagerly. */
+    * path unpersist eagerly.
+    *
+    * `release` frees per-call upstream state the candidate plan's
+    * LINEAGE still references (the indexed variant's lookup
+    * broadcast): it is invoked exactly on the paths where no returned
+    * plan can re-execute that lineage — the localized (normal) path
+    * and every error path — and deliberately NOT on the
+    * over-[[MaxLocalPairs]] distributed fallback, whose returned plan
+    * may recompute lost candidate blocks through it (there the
+    * broadcast's lifetime is tied to the plan's reachability and the
+    * ContextCleaner reclaims it — one outstanding plan's worth, not a
+    * per-batch accumulation). */
   private def fetchVerifyLocalize(candsPlan: DataFrame, left: DataFrame,
       leftId: String, leftText: String, rightSigs: DataFrame,
       threshold: Double, shingleWidth: Int, small: DataFrame => Boolean,
-      maxFetchIds: Int, maxLocalPairs: Int): DataFrame = {
+      maxFetchIds: Int, maxLocalPairs: Int,
+      release: () => Unit = () => ()): DataFrame = {
     val candsRdd = candsPlan.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -563,11 +575,15 @@ object Dedup {
             threshold, shingleWidth, small)
         }
       localizedUnder(verified, maxLocalPairs) match {
-        case Some(local) => candsRdd.unpersist(blocking = false); local
+        case Some(local) =>
+          candsRdd.unpersist(blocking = false); release(); local
         case None => verified
       }
     } catch {
-      case e: Throwable => candsRdd.unpersist(blocking = false); throw e
+      case e: Throwable =>
+        candsRdd.unpersist(blocking = false)
+        try release() catch { case _: Throwable => () }
+        throw e
     }
   }
 
@@ -627,21 +643,33 @@ object Dedup {
       return crossNearDupPairsVsSignaturesFetched(left, leftId, leftText,
         allSigs, threshold, shingleWidth, bands, rowsPerBand, maxBucket,
         obs, smallRelationBytes, maxFetchIds, maxLocalPairs)
-    val rbIdx = index.lookup(spark,
+    val (rbIdx, releaseRaw) = index.lookupReleasable(spark,
       keyRows.map(r => (r.getInt(0), r.getLong(1))))
-    val rb = freshSigs match {
-      case None => rbIdx
-      case Some(fresh) =>
-        val keysRel = spark.createDataFrame(
-          java.util.Arrays.asList(keyRows: _*), keyFace.schema)
-        rbIdx.unionByName(
-          fresh.select(col("id").cast("long").as("id_b"),
-            posexplode(col("bands")).as(Seq("band", "bucket")))
-            .join(keysRel, Seq("band", "bucket"), "left_semi"))
+    // destroy-once guard: every exit path below calls release exactly
+    // once, but a destroyed broadcast throws on a second destroy —
+    // make the handle idempotent so error paths can't double-fire
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val release = () => if (released.compareAndSet(false, true)) releaseRaw()
+    try {
+      val rb = freshSigs match {
+        case None => rbIdx
+        case Some(fresh) =>
+          val keysRel = spark.createDataFrame(
+            java.util.Arrays.asList(keyRows: _*), keyFace.schema)
+          rbIdx.unionByName(
+            fresh.select(col("id").cast("long").as("id_b"),
+              posexplode(col("bands")).as(Seq("band", "bucket")))
+              .join(keysRel, Seq("band", "bucket"), "left_semi"))
+      }
+      val cands = bandJoinCandidates(lb0, rb, maxBucket, obs)
+      fetchVerifyLocalize(cands, left, leftId, leftText, allSigs,
+        threshold, shingleWidth, small, maxFetchIds, maxLocalPairs,
+        release)
+    } catch {
+      case e: Throwable =>
+        try release() catch { case _: Throwable => () }
+        throw e
     }
-    val cands = bandJoinCandidates(lb0, rb, maxBucket, obs)
-    fetchVerifyLocalize(cands, left, leftId, leftText, allSigs,
-      threshold, shingleWidth, small, maxFetchIds, maxLocalPairs)
   }
 
   /** Directional shingle CONTAINMENT pairs — the sub-document dedup

@@ -158,6 +158,37 @@ object DocStream {
     * executor memory isn't spent where it buys nothing. */
   val BandIndexMinBytes: Long = 64L * 1024 * 1024
 
+  /** What fraction of the cluster's total block-manager storage
+    * memory the generation-face index may claim before the sink
+    * falls back to the FETCHED path (whole-face scan + bloom/id
+    * pushdown verify — same output). MEMORY_AND_DISK past cluster
+    * memory doesn't crash, but it spills partitions whole and every
+    * per-batch lookup then re-reads spilled partitions from disk —
+    * quietly reintroducing the O(accepted)/batch term the index
+    * exists to remove, while ALSO evicting whatever else wanted that
+    * storage memory. Half leaves the other half for the per-batch
+    * working set (pinned survivors, shuffle blocks, other caches). */
+  val BandIndexMaxMemFraction: Double = 0.5
+
+  /** In-memory bytes of a built index per byte of the face relation's
+    * `(id, bands)` Catalyst stats estimate: the index holds each
+    * exploded (bucket, band, id) row as 20 B of primitive arrays
+    * (8+4+8), ≈ 160 B/doc at 8 bands, vs the projected stats'
+    * ≈ 90 B/doc (8 B id + array-of-8-longs estimate) — call it 2×,
+    * conservative (gating too early costs a scan, too late costs the
+    * spill regression). */
+  val BandIndexBytesPerFaceStatByte: Double = 2.0
+
+  /** The auto ceiling for [[genIndexFor]]'s max-bytes gate: the
+    * cluster's summed block-manager storage capacity ×
+    * [[BandIndexMaxMemFraction]]. Computed per consult (executors
+    * come and go on a dynamic-allocation cluster). */
+  private[graft] def bandIndexMaxBytesAuto(spark: SparkSession): Long = {
+    val total = spark.sparkContext.getExecutorMemoryStatus
+      .values.map(_._1).sum
+    (total * BandIndexMaxMemFraction).toLong
+  }
+
   /** How many sinks' generation-face verdicts (index or under-gate)
     * stay cached at once. A production driver runs one or a few
     * long-lived ingest streams, so the bound never binds there; it
@@ -196,6 +227,22 @@ object DocStream {
       }
     })
 
+  /** Per-sink build locks: [[genIndexFor]]'s miss path is
+    * check-then-act (read cache → build sub-indexes → put), and two
+    * streams (or a replayed batch racing a live one) on the SAME
+    * sinkDir could both miss, both build, and the losing put would
+    * overwrite without unpersisting — leaked executor memory until
+    * JVM exit. Serializing per sink closes the race at zero cost to
+    * the steady state (one ingest stream per sink; batches within a
+    * stream are serial anyway) and never blocks ACROSS sinks. Entries
+    * are one bare Object per sink directory ever touched — bounded by
+    * the same argument as [[MaxCachedSinkIndexes]], and ~32 B each. */
+  private val sinkLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(sinkDir: String): Object =
+    sinkLocks.computeIfAbsent(sinkDir, _ => new Object)
+
   /** The cached index's snapshot key, present only when sub-indexes
     * are actually held (test/telemetry visibility; an under-gate
     * verdict is invisible here). */
@@ -210,11 +257,15 @@ object DocStream {
     Option(indexCache.get(sinkDir)).flatMap(_._2).getOrElse(Map.empty)
 
   /** Drop (and unpersist) a sink's cached sub-indexes — call when a
-    * sink is finished if the driver outlives the stream. */
-  def invalidateIndex(sinkDir: String): Unit = {
-    val old = indexCache.remove(sinkDir)
-    if (old != null) old._2.foreach(_.values.foreach(_.unpersist()))
-  }
+    * sink is finished if the driver outlives the stream. Takes the
+    * sink's build lock so it can't unpersist sub-indexes a concurrent
+    * [[genIndexFor]] is about to hand out (monitors are reentrant, so
+    * genIndexFor's own internal call is fine). */
+  def invalidateIndex(sinkDir: String): Unit =
+    lockFor(sinkDir).synchronized {
+      val old = indexCache.remove(sinkDir)
+      if (old != null) old._2.foreach(_.values.foreach(_.unpersist()))
+    }
 
   /** The generation-face index for this batch, refreshed iff the live
     * generation set changed since the cached snapshot (i.e. a fold
@@ -227,36 +278,65 @@ object DocStream {
     * None when there are no generations yet or the face is under
     * `minBytes`. */
   private def genIndexFor(spark: SparkSession, sinkDir: String,
-      genSigDirs: Seq[Path], genRel: Option[DataFrame], minBytes: Long)
-      : Option[graft.dedup.BandIndex] = {
-    if (genSigDirs.isEmpty || genRel.isEmpty) {
-      invalidateIndex(sinkDir); return None
+      genSigDirs: Seq[Path], genRel: Option[DataFrame], minBytes: Long,
+      maxBytes: Long = 0L): Option[graft.dedup.BandIndex] =
+    lockFor(sinkDir).synchronized {
+      if (genSigDirs.isEmpty || genRel.isEmpty) {
+        invalidateIndex(sinkDir); return None
+      }
+      val names = genSigDirs.map(_.getName)
+      val key = names.sorted.mkString(",")
+      Option(indexCache.get(sinkDir)) match {
+        case Some((k, verdict)) if k == key =>
+          verdict.map(m => graft.dedup.BandIndex.union(m.values.toSeq))
+        case prior =>
+          val priorGens = prior.flatMap(_._2).getOrElse(
+            Map.empty[String, graft.dedup.BandIndex])
+          val stats = genRel.get.queryExecution.optimizedPlan
+            .stats.sizeInBytes
+          // ceiling gate: the index must FIT in cluster storage
+          // memory, or its MEMORY_AND_DISK partitions spill and every
+          // per-batch lookup re-reads them from disk — worse than the
+          // fetched path it would replace. Estimated from the
+          // projected (id, bands) face stats (the `sh` column never
+          // enters the index) × the measured bytes ratio; verdict is
+          // per store snapshot like the min gate, folds re-decide.
+          val ceiling =
+            if (maxBytes > 0) maxBytes else bandIndexMaxBytesAuto(spark)
+          val faceStats = genRel.get.select(col("id"), col("bands"))
+            .queryExecution.optimizedPlan.stats.sizeInBytes
+          val estIndexBytes =
+            if (faceStats.isValidLong)
+              (faceStats.toLong * BandIndexBytesPerFaceStatByte).toLong
+            else Long.MaxValue
+          val built: Option[Map[String, graft.dedup.BandIndex]] =
+            if (stats.isValidLong && stats.toLong < minBytes) None
+            else if (estIndexBytes > ceiling) None
+            else Some(names.zip(genSigDirs).map { case (n, dir) =>
+              n -> priorGens.getOrElse(n,
+                graft.dedup.BandIndex.build(
+                  spark.read.parquet(dir.toString)))
+            }.toMap)
+          val kept = built.getOrElse(Map.empty).keySet
+          priorGens.foreach { case (n, idx) =>
+            if (!kept.contains(n)) idx.unpersist()
+          }
+          indexCache.put(sinkDir, (key, built))
+          built.map(m => graft.dedup.BandIndex.union(m.values.toSeq))
+      }
     }
-    val names = genSigDirs.map(_.getName)
-    val key = names.sorted.mkString(",")
-    Option(indexCache.get(sinkDir)) match {
-      case Some((k, verdict)) if k == key =>
-        verdict.map(m => graft.dedup.BandIndex.union(m.values.toSeq))
-      case prior =>
-        val priorGens = prior.flatMap(_._2).getOrElse(
-          Map.empty[String, graft.dedup.BandIndex])
-        val stats = genRel.get.queryExecution.optimizedPlan
-          .stats.sizeInBytes
-        val built: Option[Map[String, graft.dedup.BandIndex]] =
-          if (stats.isValidLong && stats.toLong < minBytes) None
-          else Some(names.zip(genSigDirs).map { case (n, dir) =>
-            n -> priorGens.getOrElse(n,
-              graft.dedup.BandIndex.build(
-                spark.read.parquet(dir.toString)))
-          }.toMap)
-        val kept = built.getOrElse(Map.empty).keySet
-        priorGens.foreach { case (n, idx) =>
-          if (!kept.contains(n)) idx.unpersist()
-        }
-        indexCache.put(sinkDir, (key, built))
-        built.map(m => graft.dedup.BandIndex.union(m.values.toSeq))
-    }
-  }
+
+  /** [[genIndexFor]] over the sink's CURRENT signature faces — the
+    * exact consult [[processBatch]] makes, exposed so specs can race
+    * two concurrent consults (the cache's check-then-act window) and
+    * exercise the byte gates without a full batch around them. */
+  private[graft] def consultIndex(spark: SparkSession, sinkDir: String,
+      schemaFrom: DataFrame, idCol: String, textCol: String,
+      minBytes: Long = BandIndexMinBytes, maxBytes: Long = 0L)
+      : Option[graft.dedup.BandIndex] =
+    acceptedSigFaces(spark, sinkDir, schemaFrom, idCol, textCol, None)
+      .flatMap(faces => genIndexFor(spark, sinkDir, faces.genSigDirs,
+        faces.genRel, minBytes, maxBytes))
 
   /** Fold the sink's COMMITTED `batch_id=N` partitions (data and
     * `_sig` twins) into one compacted generation `gen=K` — the
@@ -428,7 +508,8 @@ object DocStream {
       sinkDir: String, queryName: String, compactEvery: Int = 0,
       bench: Option[DataFrame] = None, benchGramN: Int = 13,
       maxGenerations: Int = 8,
-      bandIndexBytes: Long = BandIndexMinBytes): Unit = {
+      bandIndexBytes: Long = BandIndexMinBytes,
+      bandIndexMaxBytes: Long = 0L): Unit = {
     val fs = new Path(sinkDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(s"$sinkDir/_applied/$queryName/$batchId")
@@ -491,7 +572,7 @@ object DocStream {
             if (clean.schema(idCol).dataType ==
                 org.apache.spark.sql.types.LongType)
               genIndexFor(spark, sinkDir, faces.genSigDirs, faces.genRel,
-                bandIndexBytes)
+                bandIndexBytes, bandIndexMaxBytes)
             else None
           val pairs = idx match {
             case Some(i) => Dedup.crossNearDupPairsVsSignaturesIndexed(
@@ -574,7 +655,8 @@ object DocStream {
       bench: Option[DataFrame] = None,
       benchGramN: Int = 13,
       maxGenerations: Int = 8,
-      bandIndexBytes: Long = BandIndexMinBytes): StreamingQuery = {
+      bandIndexBytes: Long = BandIndexMinBytes,
+      bandIndexMaxBytes: Long = 0L): StreamingQuery = {
     val reader = spark.readStream.schema(schemaFrom.schema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
@@ -588,7 +670,7 @@ object DocStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, idCol, textCol, threshold,
           sinkDir, queryName, compactEvery, bench, benchGramN,
-          maxGenerations, bandIndexBytes)
+          maxGenerations, bandIndexBytes, bandIndexMaxBytes)
       }
       .start()
   }

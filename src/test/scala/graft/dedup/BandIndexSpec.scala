@@ -47,6 +47,57 @@ class BandIndexSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("multi-partition build verifies hash alignment; pruned lookup " +
+      "equals the semi join") {
+    // force several partitions so per-partition key pruning actually
+    // prunes (stats-sized test builds collapse to 1 partition, where
+    // every key trivially belongs). alignedParts == numParts for every
+    // partition is the REAL check that partitionOf reproduces Spark's
+    // HashPartitioning — build flips it to 0 on any mismatch.
+    val idx = BandIndex.build(sigs, numParts = 5)
+    try {
+      val parts = idx.parts.collect()
+      assert(parts.length === 5)
+      assert(parts.forall(_.alignedParts === 5),
+        "a partition failed the build-time hash-alignment check")
+      assert(parts.map(_.partIdx).sorted.toSeq === (0 until 5))
+      parts.foreach { p =>
+        assert(p.bucket.forall(b =>
+          BandIndex.partitionOf(b, 5) == p.partIdx))
+      }
+      val lb = docs.limit(50).select(
+        posexplode(graft.functions.minhash_bands(col("text"), 3, 8, 4))
+          .as(Seq("band", "bucket"))).distinct()
+      val keys = lb.collect().map(r => (r.getInt(0), r.getLong(1)))
+      val got = idx.lookup(spark, keys).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val want = sigs
+        .select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+        .join(lb, Seq("band", "bucket"), "left_semi")
+        .select(col("band"), col("bucket"), col("id"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(want.nonEmpty)
+      assert(got === want)
+    } finally idx.unpersist()
+  }
+
+  test("lookupReleasable's handle destroys the key broadcast") {
+    val idx = BandIndex.build(sigs)
+    try {
+      val keys = docs.limit(20).select(
+        posexplode(graft.functions.minhash_bands(col("text"), 3, 8, 4))
+          .as(Seq("band", "bucket"))).distinct()
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val (df, release) = idx.lookupReleasable(spark, keys)
+      assert(df.collect().nonEmpty) // consuming action completes first
+      release()
+      // the broadcast is gone for real: re-executing the lookup's
+      // lineage (what a leaked-but-destroyed broadcast would face)
+      // must fail, proving destroy() actually ran — not just unpersist
+      intercept[Exception] { df.collect() }
+    } finally idx.unpersist()
+  }
+
   test("indexed pairs equal the lazy plan when the index covers the store") {
     val idx = BandIndex.build(sigs)
     try {

@@ -436,6 +436,93 @@ class DocStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent index consults on one sink build once and leak no " +
+      "persisted RDDs") {
+    // the check-then-act window: two streams (or a replayed batch
+    // racing a live one) on the same sinkDir could both miss the
+    // cache, both build sub-indexes, and the losing put would leak
+    // its persisted RDD until JVM exit. The per-sink build lock must
+    // serialize them: afterwards exactly the CACHED sub-indexes'
+    // RDDs may remain persisted — nothing orphaned.
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    val sink = Files.createTempDirectory("ds_race").toString
+    val schemaFrom = Seq((1L, t1)).toDF("doc_id", "text")
+    try {
+      DocStream.processBatch(spark, Seq((1L, t1)).toDF("doc_id", "text"),
+        0L, "doc_id", "text", 0.9, sink, "ds_race", compactEvery = 2)
+      DocStream.processBatch(spark, Seq((2L, t2)).toDF("doc_id", "text"),
+        1L, "doc_id", "text", 0.9, sink, "ds_race", compactEvery = 2)
+      assert(new java.io.File(s"$sink/_sig/gen=0").isDirectory)
+      DocStream.invalidateIndex(sink) // everyone starts from a miss
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Set[Int]]
+      val threads = (0 until 4).map { _ =>
+        new Thread(() =>
+          try {
+            val idx = DocStream.consultIndex(spark, sink, schemaFrom,
+              "doc_id", "text", minBytes = 0L)
+            assert(idx.isDefined, "expected an index above the min gate")
+            // probing it must work mid-race too
+            assert(idx.get.indexedRows > 0)
+          } catch { case e: Throwable => errs.add(e) })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(errs.isEmpty, s"concurrent consult failed: ${errs.peek()}")
+      val cached = DocStream.cachedGenIndexes(sink)
+      assert(cached.keySet === Set("gen=0"))
+      val cachedIds = cached.values.map(_.rddId).toSet
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet
+        .diff(before).diff(cachedIds)
+      assert(leaked.isEmpty,
+        s"orphaned persisted RDDs from racing builds: $leaked")
+    } finally DocStream.invalidateIndex(sink)
+  }
+
+  test("over the memory ceiling the sink takes the fetched path — " +
+      "no index cached, same accepted set") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    val t3 = "red orange yellow green blue indigo violet colors rainbow sky"
+    val batches = Seq(
+      Seq((1L, t1), (2L, t2)),
+      Seq((11L, t3)),
+      // 21 near-dups the FOLDED doc 1 — must be rejected even with
+      // the index gated off (the fetched scan path answers instead)
+      Seq((21L, t1), (22L, "north south east west compass direction")))
+    def runAll(sink: String, name: String, maxBytes: Long): Set[Long] = {
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        DocStream.processBatch(spark, rows.toDF("doc_id", "text"),
+          i.toLong, "doc_id", "text", 0.9, sink, name, compactEvery = 2,
+          bandIndexBytes = 0L, bandIndexMaxBytes = maxBytes)
+      }
+      DocStream.accepted(spark, sink, batches.head.toDF("doc_id", "text"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val sinkA = Files.createTempDirectory("ds_ceiling_on").toString
+    val sinkB = Files.createTempDirectory("ds_ceiling_off").toString
+    try {
+      val gotIdx = runAll(sinkA, "ds_ceiling_on", 0L) // auto: fits
+      val gotGated = runAll(sinkB, "ds_ceiling_off", 1L) // over ceiling
+      assert(gotIdx === gotGated)
+      assert(gotIdx === Set(1L, 2L, 11L, 22L))
+      assert(DocStream.cachedIndexKey(sinkA).isDefined,
+        "the fitting sink should have built the index")
+      assert(DocStream.cachedIndexKey(sinkB).isEmpty,
+        "the over-ceiling sink must not hold an index")
+      // and the gated verdict is cached per snapshot, not re-decided:
+      // a direct consult at the same ceiling still answers None
+      assert(DocStream.consultIndex(spark, sinkB, batches.head
+        .toDF("doc_id", "text"), "doc_id", "text", minBytes = 0L,
+        maxBytes = 1L).isEmpty)
+    } finally {
+      DocStream.invalidateIndex(sinkA)
+      DocStream.invalidateIndex(sinkB)
+    }
+  }
+
   test("stream with compactEvery folds mid-stream and keeps rejecting") {
     val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (2L, "one two three four five six seven eight nine ten"))
