@@ -6564,29 +6564,39 @@ object Queries {
     * scan + one partial/final aggregate. The warehouse build and star
     * join are q36's; the oracle replays the same semantics on natural
     * keys, so the surrogate machinery must cancel out exactly. */
-  def q203CubeServe(s: SparkSession, dir: String): DataFrame = {
+  /** The star-joined two-cube fact relation q203/q207 serve from, and
+    * its drill hierarchies/levels (Schema_Trabajo_Final.xml:2-91). */
+  private def q203Wide(s: SparkSession, dir: String): DataFrame = {
     import graft.etl.EsiEtl
     val wh = EsiEtl.buildWarehouse(EsiEtl.clean(q36Raw(s, dir)))
     val facts = wh.factInmigrante.withColumn("fact", lit("inmigrante"))
       .unionByName(wh.factEmigrante.withColumn("fact", lit("emigrante")))
-    val wide = EsiEtl.dimSpecs.foldLeft(facts) { case (acc, (name, _, id)) =>
+    EsiEtl.dimSpecs.foldLeft(facts) { case (acc, (name, _, id)) =>
       acc.join(broadcast(wh.dims(name)), Seq(id))
     }
-    val levelCols = Seq("anio_movi", "mes_movi", "dia_movi", "pro_jefm",
-      "can_jefm", "jef_migr", "via_tran", "nac_migr", "sex_migr", "ocu_migr")
-    Cube.memberSets(wide,
-      Seq(Cube.Hierarchy("fecha", Seq("anio_movi", "mes_movi", "dia_movi")),
-        Cube.Hierarchy("frontera", Seq("pro_jefm", "can_jefm", "jef_migr")),
-        Cube.Hierarchy("transporte", Seq("via_tran")),
-        Cube.Hierarchy("nacionalidad", Seq("nac_migr")),
-        Cube.Hierarchy("sexo", Seq("sex_migr")),
-        Cube.Hierarchy("ocupacion", Seq("ocu_migr"))),
+  }
+
+  private val q203Levels = Seq("anio_movi", "mes_movi", "dia_movi",
+    "pro_jefm", "can_jefm", "jef_migr", "via_tran", "nac_migr",
+    "sex_migr", "ocu_migr")
+
+  private val q203Hierarchies = Seq(
+    Cube.Hierarchy("fecha", Seq("anio_movi", "mes_movi", "dia_movi")),
+    Cube.Hierarchy("frontera", Seq("pro_jefm", "can_jefm", "jef_migr")),
+    Cube.Hierarchy("transporte", Seq("via_tran")),
+    Cube.Hierarchy("nacionalidad", Seq("nac_migr")),
+    Cube.Hierarchy("sexo", Seq("sex_migr")),
+    Cube.Hierarchy("ocupacion", Seq("ocu_migr")))
+
+  private def q203Order(df: DataFrame): DataFrame =
+    df.orderBy(col("gid") +: (col("fact") +:
+      q203Levels.map(c => col(c).asc_nulls_first)): _*)
+
+  def q203CubeServe(s: SparkSession, dir: String): DataFrame =
+    q203Order(Cube.memberSets(q203Wide(s, dir), q203Hierarchies,
       Seq(count(col("id_persona")).as("cantidad_movimientos"),
         round(dmean(col("edad")), 6).as("promedio_edades")),
-      always = Seq("fact"))
-      .orderBy(col("gid") +: (col("fact") +:
-        levelCols.map(c => col(c).asc_nulls_first)): _*)
-  }
+      always = Seq("fact")))
 
   val q203Sql: String =
     """WITH raw AS (SELECT
@@ -6643,10 +6653,13 @@ object Queries {
     * is summed in integer MICRO-UNITS (floor(value·10⁶/n)) so the
     * cross-engine sum is exact — the one per-row division happens in
     * identical IEEE doubles on both engines. */
-  def q205Attribution(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ev = t(s, dir, "events")
-    val clicks = ev.filter(col("event_type") === "click")
+  /** q205's join phase — (conversion × in-lookback clicks) rows. Split
+    * out so the STREAMING face (a stream-stream interval join with
+    * watermarked state, [[graft.streaming.EventStream
+    * .intervalJoinStreams]]) can be parity-checked against exactly
+    * this batch relation by the spec. */
+  private[graft] def attributionClicks(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("cts"),
         col("event_id").as("cid"),
         // a props row without '$.k' would otherwise yield a NULL
@@ -6659,12 +6672,21 @@ object Queries {
         coalesce(concat(lit("ch"),
           get_json_object(col("props"), "$.k").cast("long") % 3),
           lit("ch?")).as("channel"))
-    val conv = ev.filter(col("event_type") === "purchase")
+
+  private[graft] def attributionConversions(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("pts"),
         col("event_id").as("pid"), col("value"))
-    val joined = conv.join(clicks, Seq("user_id"))
+
+  private[graft] def attributionPairs(ev: DataFrame): DataFrame =
+    attributionConversions(ev).join(attributionClicks(ev), Seq("user_id"))
       .filter(col("cts") <= col("pts") &&
         col("cts") > col("pts") - expr("INTERVAL 7 DAYS"))
+
+  /** q205's aggregate phase over [[attributionPairs]]-shaped rows
+    * (`pid, value, cts, cid, channel`). */
+  private[graft] def attributionAggregate(joined: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byConv = Window.partitionBy(col("pid"))
     val w = joined
       .withColumn("n", count(lit(1)).over(byConv))
@@ -6682,6 +6704,9 @@ object Queries {
           .cast("double") / 1000000L, 6).as("linear_credit"))
       .orderBy("channel")
   }
+
+  def q205Attribution(s: SparkSession, dir: String): DataFrame =
+    attributionAggregate(attributionPairs(t(s, dir, "events")))
 
   val q205Sql: String =
     """WITH clicks AS (SELECT user_id, ts AS cts, event_id AS cid,
@@ -6792,6 +6817,163 @@ object Queries {
       |  / (v_a * v_a / n_a / n_a / (n_a - 1)
       |   + v_b * v_b / n_b / n_b / (n_b - 1)), 6) AS welch_df
       |FROM m""".stripMargin
+
+  /** INCREMENTAL CUBE-SERVE MAINTENANCE — q203's whole member space
+    * kept fresh the q82 way instead of rescanned: the fact relation
+    * splits into a BASE (historical years — the partials a served
+    * cube would have materialized) and a DELTA (the arriving append),
+    * each contributes member-keyed MERGEABLE partials (count, decimal
+    * age sum, age count) from its own grouping-sets pass, and
+    * [[graft.olap.Cube.mergeMemberSets]] re-groups them on the member
+    * identity (level columns + gid, so rolled-up NULLs never collide
+    * with data NULLs). The avg measure re-derives at the read edge
+    * from the merged exact sums. Per append this touches O(batch +
+    * member space) — at a 100 TB cube the fact table is never
+    * rescanned. The oracle is the FULL q203 recompute over everything
+    * (base ∪ delta = the whole fact table), so hash-green certifies
+    * the merge's VALUES member-for-member, not just its shape. */
+  def q207CubeIncr(s: SparkSession, dir: String): DataFrame = {
+    val wide = q203Wide(s, dir)
+    val cut = 1997
+    def partials(df: DataFrame) = Cube.memberSets(df, q203Hierarchies,
+      Seq(count(col("id_persona")).as("cnt"),
+        sum(col("edad").cast(dec2)).as("s_edad"),
+        count(col("edad")).as("n_edad")),
+      always = Seq("fact"))
+    val merged = Cube.mergeMemberSets(
+      Seq(partials(wide.filter(col("anio_movi") < cut)),
+        partials(wide.filter(col("anio_movi") >= cut))),
+      "fact" +: q203Levels,
+      Seq(sum(col("cnt")).as("cantidad_movimientos"),
+        sum(col("s_edad")).as("s_edad"),
+        sum(col("n_edad")).as("n_edad")))
+    q203Order(merged.select(
+      (col("fact") +: q203Levels.map(col)) ++ Seq(col("gid"),
+        col("cantidad_movimientos"),
+        // cast-then-divide mirrors the oracle's CAST(sum AS DOUBLE) /
+        // count exactly; the merged decimal sums are exact, so the one
+        // double division runs on bit-identical operands
+        round(col("s_edad").cast("double") / col("n_edad"), 6)
+          .as("promedio_edades")): _*))
+  }
+
+  val q207Sql: String = q203Sql
+
+  /** PERIODIC-SNAPSHOT FACT (Kimball's third fact-table type — the
+    * warehouse staple the surface lacked): end-of-period balance per
+    * customer on a monthly 1995 grid, where the balance is the
+    * cumulative order total AS OF each period end. Shape: one daily
+    * pre-aggregate (shuffle on (cust, day)), one cumulative window per
+    * customer, then the grid rows FORWARD-FILL from the last
+    * observation via a union + last(ignoreNulls) window — an as-of
+    * join per period computed in ONE shuffle on the customer key, no
+    * per-period join, no grid × observation blowup (the q69 LOCF
+    * idiom). Customers with no orders yet snapshot to 0. The oracle is
+    * DuckDB's native ASOF LEFT JOIN per grid row — an independent
+    * engine's as-of semantics certifying the fill. Balances stay
+    * DECIMAL-exact through the cumulative sum; the one double cast
+    * happens at the output edge. */
+  def q208SnapshotGrid(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"),
+        col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast(dec2)).as("damt"))
+    val cum = daily.withColumn("bal",
+      sum(col("damt")).over(
+        Window.partitionBy(col("custkey")).orderBy(col("d")))
+        .cast("decimal(38,2)"))
+    val grid = t(s, dir, "customer")
+      .select(col("c_custkey").as("custkey"),
+        explode(sequence(lit("1995-01-01").cast("date"),
+          lit("1995-12-01").cast("date"),
+          expr("INTERVAL 1 MONTH"))).as("pe"))
+    // union + ffill: order rows sort before the grid row on the same
+    // date (__g 0 < 1), so a same-day order is included — ASOF <=
+    val unioned = cum
+      .select(col("custkey"), col("d"), col("bal"), lit(0).as("__g"),
+        lit(null).cast("date").as("pe"))
+      .unionByName(grid.select(col("custkey"), col("pe").as("d"),
+        lit(null).cast("decimal(38,2)").as("bal"), lit(1).as("__g"),
+        col("pe")))
+    val fill = Window.partitionBy(col("custkey"))
+      .orderBy(col("d").asc, col("__g").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("filled", last(col("bal"), ignoreNulls = true).over(fill))
+      .filter(col("__g") === 1)
+      .select(col("custkey"), col("pe").as("period_end"),
+        round(coalesce(col("filled"), lit(0).cast("decimal(38,2)"))
+          .cast("double"), 6).as("balance"))
+      .orderBy("custkey", "period_end")
+  }
+
+  val q208Sql: String =
+    """WITH daily AS (SELECT o_custkey AS custkey, o_orderdate AS d,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS damt
+      | FROM orders GROUP BY 1, 2),
+      |cum AS (SELECT custkey, d,
+      |  sum(damt) OVER (PARTITION BY custkey ORDER BY d) AS bal
+      | FROM daily),
+      |grid AS (SELECT c_custkey AS custkey,
+      |  CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-12-01',
+      |    INTERVAL 1 MONTH)) AS DATE) AS pe
+      | FROM customer)
+      |SELECT g.custkey, g.pe AS period_end,
+      | round(CAST(coalesce(b.bal, 0) AS DOUBLE), 6) AS balance
+      |FROM grid g ASOF LEFT JOIN cum b
+      |  ON g.custkey = b.custkey AND b.d <= g.pe
+      |ORDER BY 1, 2""".stripMargin
+
+  /** TOP-K PER CUBE MEMBER — the drill Mondrian cannot express in one
+    * generated SQL: for EVERY member of the cube's member space (each
+    * status, each priority, and the grand total) the top-3 customers
+    * by exact decimal spend. One grouping-sets pass builds the
+    * per-member-per-customer totals (map-side partials collapse to
+    * member × customer cardinality), then [[graft.functions
+    * .BoundedTopKAgg]] holds AT MOST k rows per member buffer at every
+    * stage — no window sort over the member's full customer list, the
+    * per-group OOM at 100 TB skew. Ordering rides the EXACT decimal
+    * (desc, custkey tiebreak), so the cut is engine-stable; the one
+    * double cast happens at the output edge. */
+  def q209CubeTopK(s: SparkSession, dir: String): DataFrame = {
+    val per = Cube.memberSets(t(s, dir, "orders"),
+      Seq(Cube.Hierarchy("status", Seq("o_orderstatus")),
+        Cube.Hierarchy("prio", Seq("o_orderpriority"))),
+      Seq(sum(col("o_totalprice").cast(dec2)).as("spend")),
+      always = Seq("o_custkey"))
+    per.groupBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+      .agg(graft.functions.bounded_topk(
+        struct(negate(col("spend")).as("__ns"),
+          col("o_custkey").as("custkey"),
+          col("spend").as("spend")), 3).as("__top"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        posexplode(col("__top")))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("col.custkey").as("custkey"),
+        round(col("col.spend").cast("double"), 6).as("spend"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first, col("rn"))
+  }
+
+  val q209Sql: String =
+    """WITH per AS (SELECT o_custkey AS custkey, o_orderstatus,
+      |  o_orderpriority,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+      |  CAST(2*GROUPING(o_orderstatus) + GROUPING(o_orderpriority)
+      |    AS BIGINT) AS gid
+      | FROM orders
+      | GROUP BY GROUPING SETS ((o_custkey), (o_custkey, o_orderstatus),
+      |  (o_custkey, o_orderpriority))),
+      |r AS (SELECT *, row_number() OVER (
+      |  PARTITION BY gid, o_orderstatus, o_orderpriority
+      |  ORDER BY spend DESC, custkey) AS rn FROM per)
+      |SELECT gid, o_orderstatus, o_orderpriority, CAST(rn AS BIGINT) AS rn,
+      | custkey, round(CAST(spend AS DOUBLE), 6) AS spend
+      |FROM r WHERE rn <= 3
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+      | rn""".stripMargin
 
   // ===================================================================
   // Wiring
@@ -7004,6 +7186,9 @@ object Queries {
     "q204_sigindex_dedup" -> (q204SigIndexDedup _),
     "q205_attribution" -> (q205Attribution _),
     "q206_ab_welch" -> (q206AbWelch _),
+    "q207_cube_incr" -> (q207CubeIncr _),
+    "q208_snapshot_grid" -> (q208SnapshotGrid _),
+    "q209_cube_topk" -> (q209CubeTopK _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -7218,6 +7403,9 @@ object Queries {
     "q204_sigindex_dedup" -> q23Sql,
     "q205_attribution" -> q205Sql,
     "q206_ab_welch" -> q206Sql,
+    "q207_cube_incr" -> q207Sql,
+    "q208_snapshot_grid" -> q208Sql,
+    "q209_cube_topk" -> q209Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -7306,5 +7494,10 @@ object Queries {
     // round-11: the one-pass Mondrian member space and the analytics
     // sweep's two additions — cheap aggregates, benched from birth so
     // regressions stay visible
-    "q205_attribution", "q206_ab_welch")
+    "q205_attribution", "q206_ab_welch",
+    // round-13: incremental cube maintenance (benched beside q203's
+    // full recompute so the merge's saving stays measured), the
+    // periodic-snapshot fact (union+ffill as-of per period grid), and
+    // top-k per cube member (grouping sets × bounded heap)
+    "q207_cube_incr", "q208_snapshot_grid", "q209_cube_topk")
 }

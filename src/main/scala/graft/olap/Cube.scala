@@ -75,4 +75,26 @@ object Cube {
     wide.groupingSets(sets, groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** INCREMENTAL maintenance of a [[memberSets]] result — the
+    * materialized-cube counterpart of the q82 base⊕delta pattern:
+    * each input is a member-set relation of MERGEABLE partial stats
+    * (counts and decimal sums add; an avg re-derives from sum/count
+    * at the read edge), typically the served base plus one append
+    * batch's partials. The merge re-groups on the member identity —
+    * every grouping column PLUS `gid` — so a level value that is
+    * genuinely NULL in the data can never collide with the
+    * same-position rolled-up NULL (their gid bits differ). Per append
+    * this costs O(batch + member space): the batch's own
+    * grouping-sets pass collapses map-side to member cardinality and
+    * the merge shuffles only member-sized relations — the fact table
+    * is never rescanned, which at a 100 TB cube is the difference
+    * between touching one arriving batch and touching the corpus. */
+  def mergeMemberSets(partials: Seq[DataFrame], groupCols: Seq[String],
+      mergeAggs: Seq[Column]): DataFrame = {
+    require(partials.nonEmpty, "nothing to merge")
+    partials.reduce(_.unionByName(_))
+      .groupBy((groupCols :+ "gid").map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+  }
 }

@@ -57,6 +57,86 @@ class CubeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  private val incrHs = Seq(Cube.Hierarchy("fecha", Seq("y", "m")),
+    Cube.Hierarchy("status", Seq("o_orderstatus")))
+  private val incrGroupCols = Seq("y", "m", "o_orderstatus")
+
+  private def incrPartials(df: org.apache.spark.sql.DataFrame) =
+    Cube.memberSets(df, incrHs,
+      Seq(count(lit(1)).as("cnt"),
+        sum($"o_totalprice".cast("decimal(18,2)")).as("s")))
+
+  private val incrMergeAggs = Seq(sum($"cnt").as("cnt"), sum($"s").as("s"))
+
+  private def memberMap(df: org.apache.spark.sql.DataFrame) =
+    df.select("y", "m", "o_orderstatus", "gid", "cnt", "s")
+      .collect()
+      .map(r => ((r.get(0), r.get(1), r.get(2), r.getLong(3)),
+        (r.getLong(4), Option(r.getDecimal(5)).map(_.toPlainString))))
+      .toMap
+
+  test("mergeMemberSets: base ⊕ delta equals the full recompute, " +
+      "data-NULL levels never collide with rolled-up NULLs") {
+    // a genuinely NULL level value must stay a distinct member from
+    // the same-position rolled-up NULL — the gid in the merge key is
+    // what keeps them apart
+    val facts = orders.withColumn("o_orderstatus",
+      when($"m" % 4 === 0, lit(null: String)).otherwise($"o_orderstatus"))
+    val base = facts.filter($"y" < 1996)
+    val delta = facts.filter($"y" >= 1996)
+    val merged = Cube.mergeMemberSets(
+      Seq(incrPartials(base), incrPartials(delta)),
+      incrGroupCols, incrMergeAggs)
+    val full = incrPartials(facts)
+    val got = memberMap(merged)
+    val want = memberMap(full)
+    assert(got === want)
+    // vacuity guards: both halves are non-trivial, and the NULL-status
+    // data member exists at a leaf gid alongside rolled-up rows
+    assert(base.count() > 0 && delta.count() > 0)
+    assert(want.keys.exists { case (_, _, st, gid) =>
+      st == null && gid == 1L }) // (y, m) set: status bit rolled
+    assert(want.keys.exists { case (_, _, st, gid) =>
+      st == null && gid == 6L }) // (status) set: genuine NULL member
+  }
+
+  test("foreachBatch cube maintenance: merged state after the stream " +
+      "equals the full recompute") {
+    // the served-cube lifecycle: facts arrive as files, each
+    // micro-batch contributes member partials, the sink merges them
+    // into the state relation — the fact table is never rescanned
+    val base = java.nio.file.Files.createTempDirectory("cube_maint")
+      .toString
+    val src = s"$base/src"
+    // three single-file waves → maxFilesPerTrigger=1 yields three
+    // genuine merge steps
+    (0 until 3).foreach(i => orders.filter($"y" % 3 === i)
+      .coalesce(1).write.mode("append").parquet(src))
+    var stateDir: Option[String] = None
+    val q = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val merged = stateDir match {
+          case None => incrPartials(batch)
+          case Some(d) => Cube.mergeMemberSets(
+            Seq(spark.read.parquet(d), incrPartials(batch)),
+            incrGroupCols, incrMergeAggs)
+        }
+        val out = s"$base/state_v$id"
+        merged.write.mode("overwrite").parquet(out)
+        stateDir = Some(out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "maintenance stream timed out")
+    assert(stateDir.isDefined)
+    val got = memberMap(spark.read.parquet(stateDir.get))
+    val want = memberMap(incrPartials(orders))
+    assert(got === want)
+    assert(want.size > 10)
+  }
+
   test("memberSets: one pass equals every per-prefix slice, gid-keyed") {
     val hs = Seq(Cube.Hierarchy("fecha", Seq("y", "m")),
       Cube.Hierarchy("status", Seq("o_orderstatus")))

@@ -96,6 +96,52 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("attribution face: the 7-day stream-stream interval join feeds " +
+      "q205's aggregate — stream equals batch channel-for-channel") {
+    // q205's conversions × lookback-clicks shape as a REAL watermarked
+    // stream-stream join: clicks and purchases arrive as two streams,
+    // state is evicted by the watermark + time bound, and the joined
+    // pairs feed the SAME attribution aggregate as the batch query
+    val ev = graft.Tables.events(spark, TestSpark.sf)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val lDir = Files.createTempDirectory("attr_clicks").toString
+    val rDir = Files.createTempDirectory("attr_purch").toString
+    ev.filter($"event_type" === "click").write.mode("overwrite").parquet(lDir)
+    ev.filter($"event_type" === "purchase").write.mode("overwrite").parquet(rDir)
+    val q = EventStream.intervalJoinStreams(spark, lDir, rDir, ev,
+      "user_id", windowSeconds = 7L * 86400, watermark = "1 hour",
+      "attrib7_test")
+    assert(q.awaitTermination(180000), "attribution stream timed out")
+    // the interval join's closed lower bound admits the measure-zero
+    // cts == pts − 7d boundary q205 excludes — apply the strict bound
+    val pairs = spark.table("attrib7_test")
+      .filter($"l_ts" > $"r_ts" - expr("INTERVAL 7 DAYS"))
+      .select($"l_id".as("cid"), $"r_id".as("pid"),
+        $"l_ts".as("cts"), $"r_ts".as("pts"))
+    val batchPairs = graft.Queries.attributionPairs(ev)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("cid", "pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(batchPairs).nonEmpty)
+    assert(pairSet(pairs) === pairSet(batchPairs))
+    // end-to-end: enrich the streamed pairs (channel from the click
+    // row, value from the conversion row — deterministic id joins)
+    // and run the identical aggregate phase
+    val joined = pairs
+      .join(graft.Queries.attributionClicks(ev).select("cid", "channel"),
+        Seq("cid"))
+      .join(graft.Queries.attributionConversions(ev).select("pid", "value"),
+        Seq("pid"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val got = rows(graft.Queries.attributionAggregate(joined))
+    val want = rows(graft.Queries.attributionAggregate(batchPairs))
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("batch sessionization: sessions partition each user's events") {
     val sessions = EventStream.sessionizeBatch(events, gapSeconds = 3600)
     val totalEvents = sessions.agg(sum($"n_events")).head.getLong(0)
