@@ -72,6 +72,8 @@ object ScaleProbe {
     else if (set == "sigfetch") sigFetchProbes(spark, dir, k)
     else if (set == "r8") r8Probes(spark, dir, k)
     else if (set == "r9") r9Probes(spark, dir, k)
+    else if (set == "r13") r13Probes(spark, dir, k)
+    else if (set == "r13lookup") r13LookupProbes(spark, dir, k)
     else r3Probes(spark, dir, k)
     spark.stop()
   }
@@ -1194,6 +1196,189 @@ object ScaleProbe {
           s""""stored_docs":$storedDocs,"replication":$k}"""))
     } finally Seq(plainDir, storeDir).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
+  /** Round-13 probes — the indexed ingest path's three open scale
+    * questions, measured:
+    *
+    * (a) PRUNING SWEEP: per-batch indexed cross-dedup wall as the
+    * index's partition count grows, pruned (partitioner-aligned key
+    * filter) vs unpruned (every partition binary-searches every key —
+    * the pre-r13 behavior, reconstructed over the SAME persisted
+    * partitions via [[graft.dedup.BandIndex.withoutPruning]]). The
+    * unpruned miss term is P × K × log(rows/P) array probes; pruned,
+    * each partition hash-screens the key array (~ns/key, no array
+    * access) and searches only its own ~K/P keys. Claim: the pruned
+    * wall stays flat as P grows.
+    *
+    * (b) RESTART REBUILD: `BandIndex.build` wall over the full store —
+    * the cold-start a restarted sink pays per generation before its
+    * first batch (the index is deliberately rebuildable state, so a
+    * restart re-pays one fold-epoch build; this prices it).
+    *
+    * (c) REPLAY STABILITY: 40 at-least-once replays of ONE committed
+    * batch against a compacted, index-forced sink. The corpus and the
+    * index are CONSTANT across replays (a replayed batch excludes its
+    * own partition), so storage memory and the persisted-RDD count
+    * must stay FLAT — any climb is per-batch leaked state. The
+    * pre-r13 lookup broadcasts leaked exactly here, one pair per
+    * replayed/normal batch. */
+  private def r13Probes(spark: SparkSession, dir: String, k: Int): Unit = {
+    def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val storeDir = tmp("r13_store")
+    val sinkBase = tmp("r13_sink")
+    try {
+      val docs = tbl("documents").select("doc_id", "text")
+      val sigs = dedup.Dedup.nearDupSignatures(
+        replicateTextSalted(docs, k), "doc_id", "text")
+      val tmpPlain = tmp("r13_plain")
+      sigs.write.mode("overwrite").parquet(tmpPlain)
+      val plainPath = new org.apache.hadoop.fs.Path(tmpPlain)
+      val fsConf = spark.sessionState.newHadoopConf()
+      val plainBytes = plainPath.getFileSystem(fsConf)
+        .getContentSummary(plainPath).getLength
+      val nFiles = math.max(1L,
+        (plainBytes + (128L << 20) - 1) / (128L << 20)).toInt
+      dedup.Dedup.writeSignatures(spark.read.parquet(tmpPlain), storeDir,
+        nFiles)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmpPlain))
+      val stored = spark.read.parquet(storeDir)
+      val storedDocs = stored.count()
+      val batch = docs.limit(2000)
+        .withColumn("doc_id", col("doc_id") + lit(7700000000L))
+        .withColumn("text", regexp_replace(col("text"),
+          "((\\S+\\s+){2})", "$1zzr3 ")).persist(lvl)
+      batch.count()
+      // (b) restart rebuild at the store's stats-sized partitioning
+      val t0 = System.nanoTime()
+      val idx0 = dedup.BandIndex.build(stored)
+      val rebuildSec = (System.nanoTime() - t0) / 1e9
+      val idxRows = idx0.indexedRows
+      idx0.unpersist()
+      // (a) the partition-count sweep, pruned vs unpruned
+      val sweep = Seq(1, 8, 32, 128).map { p =>
+        val idx = dedup.BandIndex.build(stored, numParts = p)
+        def shot(ix: dedup.BandIndex): (Double, Long) = {
+          val s = System.nanoTime()
+          val n = dedup.Dedup.crossNearDupPairsVsSignaturesIndexed(batch,
+            "doc_id", "text", stored, ix, None, 0.9,
+            smallRelationBytes = 0L).count()
+          ((System.nanoTime() - s) / 1e9, n)
+        }
+        val pruned = (1 to 3).map(_ => shot(idx))
+        val noPrune = idx.withoutPruning
+        val unpruned = (1 to 3).map(_ => shot(noPrune))
+        idx.unpersist()
+        require(pruned.map(_._2).distinct == unpruned.map(_._2).distinct,
+          s"pruned/unpruned pair counts diverge at p=$p")
+        f""""p$p":{"pruned_sec":${pruned.map(_._1).min}%.2f,""" +
+          f""""unpruned_sec":${unpruned.map(_._1).min}%.2f,""" +
+          s""""pairs":${pruned.head._2}}"""
+      }
+      println(sweep.mkString("""[probe] {"prune_sweep":{""", ",",
+        f"""},"rebuild_sec":$rebuildSec%.2f,"index_rows":$idxRows,""" +
+          s""""stored_docs":$storedDocs,"replication":$k}"""))
+      // (c) replay stability: 8 committed waves fold into gen=0, one
+      // more batch commits, then 40 replays of it — constant corpus,
+      // constant index, so memory must be flat
+      val sink = s"$sinkBase/accepted"
+      val name = "r13_replay"
+      (0 until 8).foreach { i =>
+        val wave = docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+          .withColumn("text", regexp_replace(col("text"),
+            "((\\S+\\s+){2})", s"$$1zzw$i "))
+        streaming.DocStream.processBatch(spark, wave, i.toLong, "doc_id",
+          "text", 0.9, sink, name, compactEvery = 8, bandIndexBytes = 0L)
+      }
+      streaming.DocStream.processBatch(spark, batch, 8L, "doc_id",
+        "text", 0.9, sink, name, compactEvery = 8, bandIndexBytes = 0L)
+      val fs = new org.apache.hadoop.fs.Path(sink).getFileSystem(fsConf)
+      def usedStorageMb(): Long =
+        spark.sparkContext.getExecutorMemoryStatus.values
+          .map { case (max, rem) => max - rem }.sum / (1024 * 1024)
+      val samples = (1 to 40).map { _ =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$sink/_applied/$name/8"), false)
+        streaming.DocStream.processBatch(spark, batch, 8L, "doc_id",
+          "text", 0.9, sink, name, compactEvery = 8, bandIndexBytes = 0L)
+        (usedStorageMb(), spark.sparkContext.getPersistentRDDs.size)
+      }
+      streaming.DocStream.invalidateIndex(sink)
+      val mem = samples.map(_._1)
+      val rdds = samples.map(_._2)
+      val firstQ = mem.take(10).sum / 10.0
+      val lastQ = mem.takeRight(10).sum / 10.0
+      println(s"""[probe] {"replay_stability":{""" +
+        s""""storage_mb":${mem.mkString("[", ",", "]")},""" +
+        s""""persistent_rdds":${rdds.mkString("[", ",", "]")},""" +
+        f""""first10_avg_mb":$firstQ%.1f,"last10_avg_mb":$lastQ%.1f,""" +
+        f""""drift":${lastQ / math.max(firstQ, 1.0)}%.3f}}""")
+    } finally {
+      streaming.DocStream.invalidateIndex(s"$sinkBase/accepted")
+      Seq(storeDir, sinkBase).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    }
+  }
+
+  /** The LOOKUP-ONLY face of the r13 pruning sweep: the full-plan
+    * sweep buries the lookup under the batch's own shingle/verify
+    * work (a 2000-doc batch's 16k keys cost ms either way), so this
+    * isolates `BandIndex.lookup` itself at the cap-scale key set —
+    * `MaxLookupKeys`-sized probes (a ~250k-doc mega-batch), ~7/8
+    * misses (keys drawn from the store's buckets with most bands
+    * perturbed) — across partition counts, pruned vs unpruned over
+    * the same persisted partitions. The unpruned miss term P × K ×
+    * log(rows/P) is exactly what this exposes. */
+  private def r13LookupProbes(spark: SparkSession, dir: String,
+      k: Int): Unit = {
+    def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val storeDir = tmp("r13l_store")
+    try {
+      val docs = tbl("documents").select("doc_id", "text")
+      dedup.Dedup.nearDupSignatures(replicateTextSalted(docs, k),
+        "doc_id", "text").write.mode("overwrite").parquet(storeDir)
+      val stored = spark.read.parquet(storeDir)
+      val storedDocs = stored.count()
+      // cap-scale key set from the store's own face: band 0 keys kept
+      // as hits, bands 1..7 bucket-perturbed into (near-certain)
+      // misses — uniform 64-bit buckets make collisions negligible,
+      // so ~1/8 of probes hit, the ingest steady-state shape
+      val keys = stored
+        .select(posexplode(col("bands")).as(Seq("band", "bucket")))
+        .select(col("band"),
+          when(col("band") === 0, col("bucket"))
+            .otherwise(xxhash64(col("bucket"), col("band"))).as("bucket"))
+        .distinct()
+        .limit(dedup.Dedup.MaxLookupKeys)
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val sweep = Seq(1, 8, 32, 128).map { p =>
+        val idx = dedup.BandIndex.build(stored, numParts = p)
+        def shots(ix: dedup.BandIndex): (Double, Long) = {
+          val timed = (1 to 3).map { _ =>
+            val s = System.nanoTime()
+            val n = ix.lookup(spark, keys).count()
+            ((System.nanoTime() - s) / 1e9, n)
+          }
+          (timed.map(_._1).min, timed.head._2)
+        }
+        val (prunedSec, prunedRows) = shots(idx)
+        val (unprunedSec, unprunedRows) = shots(idx.withoutPruning)
+        idx.unpersist()
+        require(prunedRows == unprunedRows,
+          s"pruned/unpruned row counts diverge at p=$p")
+        f""""p$p":{"pruned_sec":$prunedSec%.2f,""" +
+          f""""unpruned_sec":$unprunedSec%.2f,"rows":$prunedRows}"""
+      }
+      println(sweep.mkString("""[probe] {"lookup_sweep":{""", ",",
+        s"""},"keys":${keys.length},"stored_docs":$storedDocs,""" +
+          s""""replication":$k}"""))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(storeDir))
   }
 
   private def streamCompactProbes(spark: SparkSession, dir: String,
