@@ -6975,6 +6975,100 @@ object Queries {
       |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
       | rn""".stripMargin
 
+  /** ACCUMULATING-SNAPSHOT FACT — the third Kimball fact-table type,
+    * completing the set (transaction = q36, periodic snapshot = q208):
+    * each order accretes milestone timestamps as its lifecycle
+    * progresses (placed → first line shipped → last line shipped),
+    * and the report reads lag-between-milestone averages per order
+    * month. Shape: one grouped min/max over the line items (the
+    * milestone accretion — at 100 TB this is the incremental MERGE a
+    * real pipeline runs per arriving batch, here expressed as the
+    * full-history aggregate the oracle can replay), one key join, one
+    * month aggregate. Lags sum as exact integer day counts; the one
+    * division runs in double at the edge. */
+  def q210AccumSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val ms = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+    val acc = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      .join(ms, Seq("o_orderkey"), "left")
+    acc
+      .groupBy(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("first_ship")).as("n_shipped"),
+        round(sum(datediff(col("first_ship"), col("o_orderdate")))
+          .cast("double") / count(col("first_ship")), 6)
+          .as("avg_order_to_ship"),
+        round(sum(datediff(col("last_ship"), col("first_ship")))
+          .cast("double") / count(col("first_ship")), 6)
+          .as("avg_ship_span"))
+      .orderBy("y", "m")
+  }
+
+  val q210Sql: String =
+    """WITH ms AS (SELECT l_orderkey AS o_orderkey,
+      |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+      | FROM lineitem GROUP BY 1),
+      |acc AS (SELECT o.o_orderdate, m.first_ship, m.last_ship
+      | FROM orders o LEFT JOIN ms m USING (o_orderkey))
+      |SELECT CAST(year(o_orderdate) AS INT) AS y,
+      | CAST(month(o_orderdate) AS INT) AS m,
+      | count(*) AS n_orders, count(first_ship) AS n_shipped,
+      | round(CAST(sum(date_diff('day', o_orderdate, first_ship)) AS DOUBLE)
+      |   / count(first_ship), 6) AS avg_order_to_ship,
+      | round(CAST(sum(date_diff('day', first_ship, last_ship)) AS DOUBLE)
+      |   / count(first_ship), 6) AS avg_ship_span
+      |FROM acc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** TIME-DECAY ATTRIBUTION — the fourth model over q205's join phase
+    * ([[attributionPairs]]): each click's credit halves per whole day
+    * of age at conversion (7-day lookback ⇒ ages 0–6, weights 1 …
+    * 1/64). Engine-exact: age is an integer micros division, the
+    * per-row credit is floor(value·10⁶ / 2^age) — multiplying and
+    * dividing a double by small powers of two is EXACT IEEE, so both
+    * engines floor the identical value — and credits sum as integer
+    * micro-units. Same join/aggregate scale shape as q205: sort-merge
+    * range join, one hash aggregate, no windows at all (decay needs
+    * no per-conversion ordinals). */
+  def q211TimeDecay(s: SparkSession, dir: String): DataFrame = {
+    // second-floored epochs (the engine's NTZ-safe idiom — q31/q105
+    // pair unix_timestamp with DuckDB's floor(epoch())); the floor is
+    // identical on both engines, so the day bucket is too
+    val age = expr(
+      "(unix_timestamp(pts) - unix_timestamp(cts)) div 86400")
+    attributionPairs(t(s, dir, "events"))
+      .select(col("channel"),
+        floor(col("value") * 1000000L / pow(lit(2.0), age.cast("double")))
+          .cast("long").as("credit_u"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("touches"),
+        round(sum(col("credit_u")).cast("double") / 1000000L, 6)
+          .as("decayed_credit"))
+      .orderBy("channel")
+  }
+
+  val q211Sql: String =
+    """WITH clicks AS (SELECT user_id, ts AS cts, event_id AS cid,
+      |  coalesce('ch' || CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 3
+      |    AS VARCHAR), 'ch?') AS channel
+      | FROM events WHERE event_type = 'click'),
+      |conv AS (SELECT user_id, ts AS pts, event_id AS pid, value
+      | FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT k.channel, c.value, c.pts, k.cts
+      | FROM conv c JOIN clicks k USING (user_id)
+      | WHERE k.cts <= c.pts AND k.cts > c.pts - INTERVAL 7 DAY),
+      |d AS (SELECT channel,
+      |  CAST(floor(value * 1000000 / power(2,
+      |    CAST((CAST(floor(epoch(pts)) AS BIGINT)
+      |      - CAST(floor(epoch(cts)) AS BIGINT)) // 86400 AS DOUBLE)))
+      |    AS BIGINT) AS credit_u
+      | FROM j)
+      |SELECT channel, count(*) AS touches,
+      | round(CAST(sum(credit_u) AS DOUBLE) / 1000000, 6) AS decayed_credit
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -7189,6 +7283,8 @@ object Queries {
     "q207_cube_incr" -> (q207CubeIncr _),
     "q208_snapshot_grid" -> (q208SnapshotGrid _),
     "q209_cube_topk" -> (q209CubeTopK _),
+    "q210_accum_snapshot" -> (q210AccumSnapshot _),
+    "q211_time_decay" -> (q211TimeDecay _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -7406,6 +7502,8 @@ object Queries {
     "q207_cube_incr" -> q207Sql,
     "q208_snapshot_grid" -> q208Sql,
     "q209_cube_topk" -> q209Sql,
+    "q210_accum_snapshot" -> q210Sql,
+    "q211_time_decay" -> q211Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -7499,5 +7597,8 @@ object Queries {
     // full recompute so the merge's saving stays measured), the
     // periodic-snapshot fact (union+ffill as-of per period grid), and
     // top-k per cube member (grouping sets × bounded heap)
-    "q207_cube_incr", "q208_snapshot_grid", "q209_cube_topk")
+    "q207_cube_incr", "q208_snapshot_grid", "q209_cube_topk",
+    // round-13: the accumulating-snapshot fact (milestone min/max +
+    // key join) and time-decay attribution (q205's join, no windows)
+    "q210_accum_snapshot", "q211_time_decay")
 }

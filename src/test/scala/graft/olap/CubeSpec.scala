@@ -137,6 +137,31 @@ class CubeSpec extends AnyFunSuite {
     assert(want.size > 10)
   }
 
+  test("member space written partitioned by gid serves each drill " +
+      "partition-pruned") {
+    // the serving layout: q203/q207's member space lands partitioned
+    // by grouping-set id, so an MDX-style drill (one gid slice) reads
+    // ONE partition directory — at a 100 TB cube the serving store is
+    // member-sized and a drill touches member-count/gids rows, never
+    // the fact table and never the other drills' members
+    val dir = java.nio.file.Files.createTempDirectory("cube_serve")
+      .toString
+    incrPartials(orders).write.partitionBy("gid")
+      .mode("overwrite").parquet(dir)
+    val served = spark.read.parquet(dir).filter(col("gid") === 3)
+    val got = served.select("y", "m", "o_orderstatus", "cnt")
+      .collect().map(_.toSeq).toSet
+    val want = incrPartials(orders).filter(col("gid") === 3)
+      .select("y", "m", "o_orderstatus", "cnt")
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters: [") && l.contains("gid")),
+      s"no gid partition pruning:\n$plan")
+  }
+
   test("memberSets: one pass equals every per-prefix slice, gid-keyed") {
     val hs = Seq(Cube.Hierarchy("fecha", Seq("y", "m")),
       Cube.Hierarchy("status", Seq("o_orderstatus")))
