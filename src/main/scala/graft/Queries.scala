@@ -6873,7 +6873,12 @@ object Queries {
     * engine's as-of semantics certifying the fill. Balances stay
     * DECIMAL-exact through the cumulative sum; the one double cast
     * happens at the output edge. */
-  def q208SnapshotGrid(s: SparkSession, dir: String): DataFrame = {
+  /** The DECIMAL-exact snapshot relation q208/q212 share:
+    * `(custkey, period_end, bal)` — every customer × every monthly
+    * 1995 period end, balance = cumulative order total as of that
+    * date (0 for not-yet-active customers). One union + one
+    * last(ignoreNulls) window per customer — see q208's scaladoc. */
+  private def snapshotBalances(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = t(s, dir, "orders")
       .groupBy(col("o_custkey").as("custkey"),
@@ -6903,10 +6908,14 @@ object Queries {
       .withColumn("filled", last(col("bal"), ignoreNulls = true).over(fill))
       .filter(col("__g") === 1)
       .select(col("custkey"), col("pe").as("period_end"),
-        round(coalesce(col("filled"), lit(0).cast("decimal(38,2)"))
-          .cast("double"), 6).as("balance"))
-      .orderBy("custkey", "period_end")
+        coalesce(col("filled"), lit(0).cast("decimal(38,2)")).as("bal"))
   }
+
+  def q208SnapshotGrid(s: SparkSession, dir: String): DataFrame =
+    snapshotBalances(s, dir)
+      .select(col("custkey"), col("period_end"),
+        round(col("bal").cast("double"), 6).as("balance"))
+      .orderBy("custkey", "period_end")
 
   val q208Sql: String =
     """WITH daily AS (SELECT o_custkey AS custkey, o_orderdate AS d,
@@ -7068,6 +7077,111 @@ object Queries {
       |SELECT channel, count(*) AS touches,
       | round(CAST(sum(credit_u) AS DOUBLE) / 1000000, 6) AS decayed_credit
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** SEMI-ADDITIVE MEASURE AGGREGATION — the read pattern periodic
+    * snapshots exist for, and the one naive SUM gets WRONG: a balance
+    * adds across customers but NOT across time (summing a customer's
+    * twelve month-end balances twelve-counts their money). Per
+    * segment: SUM balances within each period (the additive
+    * dimension), then AVG/MIN/MAX across the periods (the
+    * semi-additive one). Rides [[snapshotBalances]]' exact decimal
+    * grid; the only division (the across-periods mean) runs once in
+    * double at the edge. Scale shape: the q208 machinery + one
+    * broadcast-dim join + two member-sized aggregates. */
+  def q212SemiAdditive(s: SparkSession, dir: String): DataFrame = {
+    val seg = snapshotBalances(s, dir)
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"),
+          col("c_mktsegment").as("segment"))), Seq("custkey"))
+      .groupBy(col("segment"), col("period_end"))
+      .agg(sum(col("bal")).as("seg_bal"))
+    seg.groupBy(col("segment"))
+      .agg(
+        round(sum(col("seg_bal")).cast("double") / count(lit(1)), 6)
+          .as("avg_period_balance"),
+        round(min(col("seg_bal")).cast("double"), 6)
+          .as("min_period_balance"),
+        round(max(col("seg_bal")).cast("double"), 6)
+          .as("max_period_balance"))
+      .orderBy("segment")
+  }
+
+  val q212Sql: String =
+    """WITH daily AS (SELECT o_custkey AS custkey, o_orderdate AS d,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS damt
+      | FROM orders GROUP BY 1, 2),
+      |cum AS (SELECT custkey, d,
+      |  sum(damt) OVER (PARTITION BY custkey ORDER BY d) AS bal
+      | FROM daily),
+      |grid AS (SELECT c_custkey AS custkey,
+      |  CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-12-01',
+      |    INTERVAL 1 MONTH)) AS DATE) AS pe
+      | FROM customer),
+      |snap AS (SELECT g.custkey, g.pe, coalesce(b.bal, 0) AS bal
+      | FROM grid g ASOF LEFT JOIN cum b
+      |   ON g.custkey = b.custkey AND b.d <= g.pe),
+      |seg AS (SELECT c.c_mktsegment AS segment, s.pe,
+      |  sum(s.bal) AS seg_bal
+      | FROM snap s JOIN customer c ON s.custkey = c.c_custkey
+      | GROUP BY 1, 2)
+      |SELECT segment,
+      | round(CAST(sum(seg_bal) AS DOUBLE) / count(*), 6) AS avg_period_balance,
+      | round(CAST(min(seg_bal) AS DOUBLE), 6) AS min_period_balance,
+      | round(CAST(max(seg_bal) AS DOUBLE), 6) AS max_period_balance
+      |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** WEIGHTED BRIDGE-TABLE ALLOCATION — Kimball's many-to-many
+    * pattern: an order-grain fact (o_totalprice) allocated across the
+    * BRANDS its lines touch, weight = the brand's share of the
+    * order's line count, so per-order credit conserves (up to the
+    * deliberate floor). Engine-exact: credit is
+    * floor(cents · n_brand_lines · 10⁴ / n_order_lines) — pure BIGINT
+    * arithmetic (≤ 6e7 cents × 7 × 10⁴ ≈ 4e12, no overflow), integer
+    * division identical on both engines — summed as integer
+    * 10⁻⁶-dollar units. Scale shape: two hash aggregates and two
+    * equi-joins keyed on (order, brand) / order — no windows, and the
+    * bridge (order × brand counts) is exactly the allocation a real
+    * warehouse would materialize once per load. */
+  def q213BridgeAlloc(s: SparkSession, dir: String): DataFrame = {
+    val lines = t(s, dir, "lineitem")
+      .join(t(s, dir, "part").select(col("p_partkey").as("l_partkey"),
+        col("p_brand")), Seq("l_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    val perBrand = lines.groupBy(col("l_orderkey"), col("p_brand"))
+      .agg(count(lit(1)).as("n_brand"))
+    val perOrder = lines.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_order"))
+    val alloc = perBrand.join(perOrder, Seq("l_orderkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_totalprice")), Seq("l_orderkey"))
+      .select(col("p_brand"),
+        // cents via DECIMAL: double×100 truncates differently across
+        // engines (Spark cast truncates, DuckDB rounds) — the decimal
+        // hop makes the integer exact before any cast
+        expr("(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)" +
+          " * n_brand * 10000) div n_order").cast("long").as("credit_u"))
+    alloc.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_order_brands"),
+        round(sum(col("credit_u")).cast("double") / 1000000L, 6)
+          .as("alloc_revenue"))
+      .orderBy("p_brand")
+  }
+
+  val q213Sql: String =
+    """WITH lines AS (SELECT l.l_orderkey, p.p_brand
+      | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |per_brand AS (SELECT l_orderkey, p_brand, count(*) AS n_brand
+      | FROM lines GROUP BY 1, 2),
+      |per_order AS (SELECT l_orderkey, count(*) AS n_order
+      | FROM lines GROUP BY 1),
+      |alloc AS (SELECT b.p_brand,
+      |  CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    * b.n_brand * 10000 // p.n_order AS BIGINT) AS credit_u
+      | FROM per_brand b JOIN per_order p USING (l_orderkey)
+      | JOIN orders o ON b.l_orderkey = o.o_orderkey)
+      |SELECT p_brand, count(*) AS n_order_brands,
+      | round(CAST(sum(credit_u) AS DOUBLE) / 1000000, 6) AS alloc_revenue
+      |FROM alloc GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ===================================================================
   // Wiring
@@ -7285,6 +7399,8 @@ object Queries {
     "q209_cube_topk" -> (q209CubeTopK _),
     "q210_accum_snapshot" -> (q210AccumSnapshot _),
     "q211_time_decay" -> (q211TimeDecay _),
+    "q212_semi_additive" -> (q212SemiAdditive _),
+    "q213_bridge_alloc" -> (q213BridgeAlloc _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -7504,6 +7620,8 @@ object Queries {
     "q209_cube_topk" -> q209Sql,
     "q210_accum_snapshot" -> q210Sql,
     "q211_time_decay" -> q211Sql,
+    "q212_semi_additive" -> q212Sql,
+    "q213_bridge_alloc" -> q213Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -7600,5 +7718,9 @@ object Queries {
     "q207_cube_incr", "q208_snapshot_grid", "q209_cube_topk",
     // round-13: the accumulating-snapshot fact (milestone min/max +
     // key join) and time-decay attribution (q205's join, no windows)
-    "q210_accum_snapshot", "q211_time_decay")
+    "q210_accum_snapshot", "q211_time_decay",
+    // round-13: semi-additive snapshot aggregation (rides q208's
+    // machinery + one broadcast dim) and weighted bridge allocation
+    // (two hash aggregates + two equi-joins, exact integer credits)
+    "q212_semi_additive", "q213_bridge_alloc")
 }

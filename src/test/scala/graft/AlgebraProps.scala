@@ -83,6 +83,34 @@ object AlgebraProps extends Properties("EngineAlgebra") {
       }
     }
 
+  property("member-set partials merge: base ⊕ delta == full, for ANY split " +
+      "and data-NULL level values") =
+    Prop.forAll(Gen.listOfN(30, Gen.zip(
+      Gen.option(Gen.oneOf("a", "b", "c")),
+      Gen.oneOf("x", "y"),
+      Gen.chooseNum(-5, 5),
+      Gen.chooseNum(0, 9)))) { rows =>
+      rows.isEmpty || {
+        import graft.olap.Cube
+        val df = rows.toDF("k1", "k2", "v", "s")
+        def partials(d: org.apache.spark.sql.DataFrame) =
+          Cube.memberSets(d,
+            Seq(Cube.Hierarchy("h", Seq("k1", "k2"))),
+            Seq(count(lit(1)).as("cnt"),
+              sum(col("v").cast("long")).as("sv")))
+        def toMap(d: org.apache.spark.sql.DataFrame) =
+          d.select("k1", "k2", "gid", "cnt", "sv").collect()
+            .map(r => ((r.get(0), r.get(1), r.getLong(2)),
+              (r.getLong(3), r.getLong(4)))).toMap
+        val merged = Cube.mergeMemberSets(
+          Seq(partials(df.filter(col("s") < 5)),
+            partials(df.filter(col("s") >= 5))),
+          Seq("k1", "k2"),
+          Seq(sum(col("cnt")).as("cnt"), sum(col("sv")).as("sv")))
+        toMap(merged) == toMap(partials(df))
+      }
+    }
+
   property("snapshotDiff then applyChanges reconstructs the new snapshot") =
     Prop.forAll(
       Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 8L), Gen.oneOf("p", "q", "r"))),
