@@ -1344,6 +1344,21 @@ object ScaleProbe {
         "doc_id", "text").write.mode("overwrite").parquet(storeDir)
       val stored = spark.read.parquet(storeDir)
       val storedDocs = stored.count()
+      // price the ceiling gate's estimate: actual persisted index
+      // bytes (block-manager truth) vs the projected (id, bands) face
+      // stats the gate multiplies by BandIndexBytesPerFaceStatByte
+      val sizeIdx = dedup.BandIndex.build(stored)
+      val faceStats = stored.select(col("id"), col("bands"))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val info = spark.sparkContext.getRDDStorageInfo
+        .find(_.id == sizeIdx.rddId)
+      val memB = info.map(_.memSize).getOrElse(-1L)
+      val diskB = info.map(_.diskSize).getOrElse(-1L)
+      println(f"""[probe-entry] "index_size":{"mem_bytes":$memB,""" +
+        s""""disk_bytes":$diskB,"face_stats_bytes":$faceStats,""" +
+        f""""ratio":${memB.toDouble / faceStats.toDouble}%.3f,""" +
+        s""""rows":${sizeIdx.indexedRows}}""")
+      sizeIdx.unpersist()
       // cap-scale key set from the store's own face: band 0 keys kept
       // as hits, bands 1..7 bucket-perturbed into (near-certain)
       // misses — uniform 64-bit buckets make collisions negligible,
