@@ -1,0 +1,63 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warehouse
+
+/** Partition-scoped maintenance of a materialized DENORMALIZED view
+  * under dimension updates — the backfill problem every star schema
+  * hits: an SCD1 attribute overwrite (a customer changes segment, a
+  * product is re-categorized) invalidates the denormalized rows of
+  * JUST the affected dim members, but a naive refresh rewrites the
+  * whole view. Here the view is laid out partitioned by a BUCKET of
+  * the dim key, so a dim delta maps to a bounded set of partitions:
+  * recompute the join for those buckets only and swap them in with a
+  * dynamic-partition overwrite ([[Warehouse.overwritePartitions]] —
+  * the write replaces only the partitions present in the frame). At
+  * 100 TB a 1%-of-keys dim update touches ~1% of the view's bytes
+  * (bucket granularity), not the corpus; readers of untouched
+  * partitions never see a file change (ViewRefreshSpec asserts the
+  * untouched files are byte-identical after a refresh).
+  *
+  * The bucket count trades refresh granularity against small-file
+  * pressure: more buckets → less over-rebuild per changed key but
+  * more directories. Keys hash via `pmod(hash(key), n)` so skewed or
+  * negative key domains spread evenly.
+  */
+object ViewRefresh {
+
+  val BucketCol = "pbucket"
+
+  /** The partition-bucket expression — MUST be identical at
+    * materialize and refresh time, or a refresh writes rows into a
+    * different partition than the stale copy it means to replace. */
+  def bucketOf(key: Column, nBuckets: Int): Column =
+    pmod(hash(key), lit(nBuckets))
+
+  /** Initial build: the view rows, laid out by dim-key bucket. */
+  def materialize(view: DataFrame, key: Column, nBuckets: Int,
+      path: String): Unit =
+    view.withColumn(BucketCol, bucketOf(key, nBuckets))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
+
+  /** The partitions a dim delta invalidates: distinct buckets of the
+    * changed keys. Bounded by nBuckets (a driver-side list the size of
+    * the partition count, never the key count). */
+  def affectedBuckets(changedKeys: DataFrame, key: Column,
+      nBuckets: Int): Seq[Int] =
+    changedKeys.select(bucketOf(key, nBuckets).as(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+
+  /** Refresh: recompute `view` (already joined against the UPDATED
+    * dimension) restricted to the affected buckets, and overwrite only
+    * those partitions. The filter on the freshly-computed bucket
+    * column prunes the fact scan too when the view source is itself
+    * bucket-partitioned. */
+  def refresh(view: DataFrame, key: Column, nBuckets: Int,
+      buckets: Seq[Int], path: String): Unit = {
+    val scoped = view.withColumn(BucketCol, bucketOf(key, nBuckets))
+      .filter(col(BucketCol).isin(buckets: _*))
+    Warehouse.overwritePartitions(scoped, path, Seq(BucketCol))
+  }
+}

@@ -1,0 +1,197 @@
+package graft.olap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Mondrian-style AGGREGATE NAVIGATION — the serving-layer feature the
+  * reference's OLAP stack ships as "aggregate tables" (Mondrian reads
+  * `Schema_Trabajo_Final.xml:2-91` cubes and, when the DBA registers
+  * pre-aggregated rollups, silently rewrites each MDX slice to the
+  * smallest one that covers it). Same contract here, Spark-first:
+  *
+  *  - `register` materializes each rollup ONCE (one fact scan per
+  *    grain, map-side combine, dim-sized parquet output) and records
+  *    its row count — the offline build, like a signature store.
+  *  - `navigate` answers a group-by at grain L from the SMALLEST
+  *    registered aggregate whose grain ⊇ L, re-aggregating MERGEABLE
+  *    partials; when nothing covers, it falls back to the fact table.
+  *
+  * The partials are chosen so the navigated answer is BIT-IDENTICAL to
+  * the fact-table answer, not merely close: counts add; sums are kept
+  * in exact DECIMAL (never re-rounded at rest); an average is stored
+  * as (decimal sum, non-null count) and re-derived with ONE double
+  * division at the read edge — the same exact-grid idiom as the q203
+  * member-set serve. At 100 TB this is the difference between a drill
+  * that scans the corpus and one that scans a few thousand rows: the
+  * fact table is touched only at registration time.
+  */
+object AggNavigator {
+
+  /** A measure that can be answered either directly from the fact
+    * table or by merging stored partials — the two faces MUST agree
+    * exactly (the navigator's whole contract). */
+  sealed trait Measure {
+    def name: String
+    /** Aggregate over raw fact rows. */
+    def direct: Column
+    /** Partial columns stored in an aggregate table (names are
+      * namespaced by the measure name so measures never collide). */
+    def partials: Seq[Column]
+    /** Aggregate over stored partials, re-deriving [[direct]]. */
+    def merge: Column
+    /** Re-aggregate partials INTO partials (same names) — the
+      * incremental-refresh combiner: stored partials ∪ a delta
+      * batch's partials collapse back to one row per grain key. */
+    def combine: Seq[Column]
+  }
+
+  /** count(*) — partial is a long count, merge is its sum. */
+  final case class CountAll(name: String) extends Measure {
+    def direct: Column = count(lit(1)).as(name)
+    def partials: Seq[Column] = Seq(count(lit(1)).as(s"__p_cnt_$name"))
+    def merge: Column = sum(col(s"__p_cnt_$name")).as(name)
+    def combine: Seq[Column] =
+      Seq(sum(col(s"__p_cnt_$name")).as(s"__p_cnt_$name"))
+  }
+
+  /** Exact cross-engine mean of a numeric column, rounded at `scale`:
+    * stored as (exact decimal sum, non-null count). Both routes cast
+    * the EXACT decimal sum to double FIRST and then do the one lossy
+    * double division (the q207 merge idiom) — the direct and merged
+    * decimal sums are equal exactly, so the double operands are
+    * bit-identical regardless of which route answered. */
+  final case class ExactAvg(name: String, column: String,
+      dt: DecimalType = DecimalType(18, 2), scale: Int = 6) extends Measure {
+    def direct: Column =
+      round(sum(col(column).cast(dt)).cast("double") / count(col(column)),
+        scale).as(name)
+    def partials: Seq[Column] = Seq(
+      sum(col(column).cast(dt)).as(s"__p_sum_$name"),
+      count(col(column)).as(s"__p_cnt_$name"))
+    def merge: Column =
+      round(sum(col(s"__p_sum_$name")).cast("double") /
+        sum(col(s"__p_cnt_$name")), scale).as(name)
+    def combine: Seq[Column] = Seq(
+      sum(col(s"__p_sum_$name")).as(s"__p_sum_$name"),
+      sum(col(s"__p_cnt_$name")).as(s"__p_cnt_$name"))
+  }
+
+  /** Exact decimal sum surfaced as double (the q01 `dsum` idiom). */
+  final case class ExactSum(name: String, column: String,
+      dt: DecimalType = DecimalType(18, 2)) extends Measure {
+    def direct: Column = sum(col(column).cast(dt)).cast("double").as(name)
+    def partials: Seq[Column] = Seq(sum(col(column).cast(dt)).as(s"__p_sum_$name"))
+    def merge: Column = sum(col(s"__p_sum_$name")).cast("double").as(name)
+    def combine: Seq[Column] =
+      Seq(sum(col(s"__p_sum_$name")).as(s"__p_sum_$name"))
+  }
+
+  /** DISTINCT COUNT via a mergeable HLL++ sketch — THE measure that
+    * historically breaks aggregate tables (distinct is not additive:
+    * you cannot sum per-month unique users into yearly uniques). A
+    * stored HLL sketch IS additive: registers union with max, so the
+    * union of sub-sketches is REGISTER-IDENTICAL to the sketch of the
+    * unioned data — the routed estimate equals the direct estimate
+    * exactly (same sketch, same estimator), not just approximately
+    * (AggNavigatorSpec asserts equality). Estimate error vs the TRUE
+    * distinct count is the usual HLL ±~1.6% at lgK=12 — declared
+    * approximate; use it where a 100 TB exact distinct is the thing
+    * you're buying your way out of. */
+  final case class DistinctSketch(name: String, column: String,
+      lgK: Int = 12) extends Measure {
+    def direct: Column =
+      hll_sketch_estimate(hll_sketch_agg(col(column), lit(lgK))).as(name)
+    def partials: Seq[Column] =
+      Seq(hll_sketch_agg(col(column), lit(lgK)).as(s"__p_hll_$name"))
+    def merge: Column =
+      hll_sketch_estimate(hll_union_agg(col(s"__p_hll_$name"))).as(name)
+    def combine: Seq[Column] =
+      Seq(hll_union_agg(col(s"__p_hll_$name")).as(s"__p_hll_$name"))
+  }
+
+  /** A registered aggregate table: its grain, its materialized size
+    * (the navigator's cost model, same as Mondrian's row-count
+    * heuristic), and where it lives. */
+  final case class AggTable(name: String, grain: Seq[String], rows: Long,
+      path: String)
+
+  final case class Registry(spark: SparkSession, measures: Seq[Measure],
+      aggs: Seq[AggTable]) {
+    /** Smallest covering aggregate, or None → fact fallback. A grain
+      * covers a query iff every group-by column is a grain column
+      * (partials then re-aggregate losslessly). */
+    def choose(groupCols: Seq[String]): Option[AggTable] =
+      aggs.filter(a => groupCols.forall(a.grain.contains))
+        .sortBy(a => (a.rows, a.name)).headOption
+  }
+
+  /** One grain's partial relation: one scan, partial/final hash
+    * aggregate (map-side combine), dim-cardinality output. */
+  def partialsFor(fact: DataFrame, grain: Seq[String],
+      measures: Seq[Measure]): DataFrame = {
+    val cols = measures.flatMap(_.partials)
+    fact.groupBy(grain.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  /** Offline build: materialize every grain under `root` and record
+    * row counts (the count is an action over the already-tiny agg,
+    * not the fact). Grains are built independently — each is one
+    * fact scan; a shared-scan GROUPING SETS build is possible but
+    * couples the tables' lifecycles for no serving benefit. */
+  def register(fact: DataFrame, grains: Seq[(String, Seq[String])],
+      measures: Seq[Measure], root: String): Registry = {
+    val spark = fact.sparkSession
+    val aggs = grains.map { case (name, grain) =>
+      val path = s"$root/agg_$name"
+      partialsFor(fact, grain, measures).write.mode("overwrite").parquet(path)
+      val rows = spark.read.parquet(path).count()
+      AggTable(name, grain, rows, path)
+    }
+    Registry(spark, measures, aggs)
+  }
+
+  /** INCREMENTAL REFRESH under a fact APPEND — the reason real
+    * warehouses abandon aggregate tables is that a naive refresh
+    * rescans the fact corpus per load; here each stored table absorbs
+    * the delta in O(delta + table): the batch's own partials collapse
+    * map-side to grain cardinality, union with the stored relation,
+    * and [[Measure.combine]] folds partials into partials (counts and
+    * decimal sums add; HLL sketches union) — exactly the q207
+    * member-set merge argument, applied to the whole registry. Each
+    * rewrite publishes via atomic rename-swap
+    * ([[graft.sources.Warehouse.publish]]), so a concurrent navigated
+    * drill reads the old committed table or the new one, never a
+    * half-written directory. Returns the refreshed registry (row
+    * counts re-measured — they are the navigator's cost model). */
+  def refresh(reg: Registry, delta: DataFrame): Registry = {
+    val spark = reg.spark
+    val aggs = reg.aggs.map { agg =>
+      val fold = reg.measures.flatMap(_.combine)
+      val merged = spark.read.parquet(agg.path)
+        .unionByName(partialsFor(delta, agg.grain, reg.measures))
+        .groupBy(agg.grain.map(col): _*).agg(fold.head, fold.tail: _*)
+      graft.sources.Warehouse.publish(spark, agg.path) { tmp =>
+        merged.write.parquet(tmp)
+      }
+      agg.copy(rows = spark.read.parquet(agg.path).count())
+    }
+    reg.copy(aggs = aggs)
+  }
+
+  /** Answer `groupCols` × `measures` through the navigator. `fact` is
+    * by-name: when an aggregate covers, the fact lineage is never
+    * constructed, so the physical plan reads ONLY the agg parquet
+    * (PlanSpec-assertable). */
+  def navigate(reg: Registry, fact: => DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    reg.choose(groupCols) match {
+      case Some(agg) =>
+        val merged = reg.measures.map(_.merge)
+        reg.spark.read.parquet(agg.path)
+          .groupBy(groupCols.map(col): _*).agg(merged.head, merged.tail: _*)
+      case None =>
+        val direct = reg.measures.map(_.direct)
+        fact.groupBy(groupCols.map(col): _*).agg(direct.head, direct.tail: _*)
+    }
+}

@@ -1,0 +1,79 @@
+package graft.etl
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-scoped view refresh: untouched partitions keep their
+  * exact files; the refreshed view equals the full recompute. */
+class ViewRefreshSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val n = 8
+
+  private lazy val facts = TestSpark.table("orders")
+    .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  private lazy val dimV1 = TestSpark.table("customer")
+    .select(col("c_custkey"), col("c_mktsegment"))
+
+  private def view(dim: DataFrame): DataFrame =
+    facts.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_custkey"),
+        col("c_mktsegment"))
+
+  // files per partition dir: name → (length, mtime)
+  private def fileState(path: String): Map[String, Map[String, (Long, Long)]] = {
+    val base = new java.io.File(path)
+    base.listFiles().filter(f => f.isDirectory &&
+      f.getName.startsWith(s"${ViewRefresh.BucketCol}=")).map { d =>
+      d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    }.toMap
+  }
+
+  test("refresh rewrites only the affected buckets, byte-identically elsewhere") {
+    val root = java.nio.file.Files.createTempDirectory("vr_spec").toString
+    val path = s"$root/view"
+    ViewRefresh.materialize(view(dimV1), col("c_custkey"), n, path)
+    val before = fileState(path)
+
+    val dimV2 = dimV1.withColumn("c_mktsegment",
+      when(col("c_custkey") % 29 === 0, lit("UPDATED"))
+        .otherwise(col("c_mktsegment")))
+    val changed = dimV1.filter(col("c_custkey") % 29 === 0)
+      .select(col("c_custkey"))
+    val buckets = ViewRefresh.affectedBuckets(changed, col("c_custkey"), n)
+    assert(buckets.nonEmpty && buckets.size < n,
+      s"fixture must leave some buckets untouched, got $buckets")
+    ViewRefresh.refresh(view(dimV2), col("c_custkey"), n, buckets, path)
+    val after = fileState(path)
+
+    val touched = buckets.map(b => s"${ViewRefresh.BucketCol}=$b").toSet
+    for ((dir, files) <- before if !touched.contains(dir))
+      assert(after(dir) === files, s"untouched partition $dir changed")
+    assert(touched.forall(d => after(d) != before(d)),
+      "affected partitions should have been rewritten")
+
+    // the refreshed view IS the full recompute
+    val got = spark.read.parquet(path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)"))
+        .as("rev"))
+      .orderBy("c_mktsegment").collect().toSeq.map(_.toSeq)
+    val want = view(dimV2)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)"))
+        .as("rev"))
+      .orderBy("c_mktsegment").collect().toSeq.map(_.toSeq)
+    assert(got === want)
+  }
+
+  test("bucketOf is stable across calls (refresh targets the right partition)") {
+    val a = ViewRefresh.affectedBuckets(dimV1.limit(50).select("c_custkey"),
+      col("c_custkey"), n)
+    val b = ViewRefresh.affectedBuckets(dimV1.limit(50).select("c_custkey"),
+      col("c_custkey"), n)
+    assert(a === b)
+  }
+}

@@ -1,0 +1,138 @@
+package graft.olap
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Aggregate navigation: route choice, plan-level proof that a routed
+  * drill never touches the fact lineage, and the bit-identity contract
+  * between the routed and direct answers. */
+class AggNavigatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // a small fact with a nullable measure (exercises the ExactAvg
+  // non-null-count partial) — the orders table in star-ish shape
+  private lazy val fact = TestSpark.table("orders")
+    .select(col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("prio"),
+      year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+      when(col("o_orderkey") % 7 =!= 0, col("o_totalprice")).as("price"))
+
+  private val measures = Seq(
+    AggNavigator.CountAll("n"),
+    AggNavigator.ExactAvg("avg_price", "price"),
+    AggNavigator.ExactSum("sum_price", "price"))
+
+  private lazy val root =
+    java.nio.file.Files.createTempDirectory("aggnav_spec").toString
+
+  private lazy val reg = AggNavigator.register(fact, Seq(
+    "ym" -> Seq("y", "m"),
+    "yearly" -> Seq("y"),
+    "status_prio" -> Seq("status", "prio")), measures, root)
+
+  test("choose picks the smallest covering aggregate") {
+    assert(reg.choose(Seq("y")).map(_.name) === Some("yearly"))
+    assert(reg.choose(Seq("y", "m")).map(_.name) === Some("ym"))
+    assert(reg.choose(Seq("status")).map(_.name) === Some("status_prio"))
+    // nothing carries both a date and a status column → fact fallback
+    assert(reg.choose(Seq("y", "status")) === None)
+  }
+
+  test("routed plan reads ONLY the aggregate parquet — no fact lineage") {
+    var factBuilt = false
+    val routed = AggNavigator.navigate(reg, { factBuilt = true; fact }, Seq("y"))
+    assert(!factBuilt, "covered drill must not construct the fact lineage")
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("agg_yearly"), s"expected agg_yearly scan in:\n$plan")
+    assert(!plan.contains("orders.parquet"),
+      s"routed drill must not scan the fact table:\n$plan")
+  }
+
+  private def rows(df: DataFrame, keys: Seq[String]): Seq[Seq[Any]] =
+    df.orderBy(keys.map(col): _*).collect().toSeq.map(_.toSeq)
+
+  test("routed answers are bit-identical to the direct fact aggregate") {
+    for (groupCols <- Seq(Seq("y"), Seq("y", "m"), Seq("status"),
+        Seq("prio"), Seq("status", "prio"))) {
+      val routed = AggNavigator.navigate(reg, fact, groupCols)
+      val direct = fact.groupBy(groupCols.map(col): _*)
+        .agg(measures.map(_.direct).head, measures.map(_.direct).tail: _*)
+      assert(rows(routed, groupCols) === rows(direct, groupCols),
+        s"route for $groupCols diverged from the direct aggregate")
+    }
+  }
+
+  test("fallback drill answers from the fact table and still agrees") {
+    val fb = AggNavigator.navigate(reg, fact, Seq("y", "status"))
+    val plan = fb.queryExecution.executedPlan.toString
+    assert(plan.contains("orders.parquet"),
+      s"uncovered drill must fall back to the fact scan:\n$plan")
+    val direct = fact.groupBy(col("y"), col("status"))
+      .agg(measures.map(_.direct).head, measures.map(_.direct).tail: _*)
+    assert(rows(fb, Seq("y", "status")) === rows(direct, Seq("y", "status")))
+  }
+
+  test("incremental refresh ≡ rebuild from the full fact, bit for bit") {
+    val r1 = java.nio.file.Files.createTempDirectory("aggnav_inc").toString
+    val r2 = java.nio.file.Files.createTempDirectory("aggnav_full").toString
+    val base = fact.filter(col("y") < 1997)
+    val delta = fact.filter(col("y") >= 1997)
+    val grains = Seq("ym" -> Seq("y", "m"), "status" -> Seq("status"))
+    val incr = AggNavigator.refresh(
+      AggNavigator.register(base, grains, measures, r1), delta)
+    val full = AggNavigator.register(fact, grains, measures, r2)
+    for (groupCols <- Seq(Seq("y"), Seq("y", "m"), Seq("status"))) {
+      assert(rows(AggNavigator.navigate(incr, fact, groupCols), groupCols) ===
+        rows(AggNavigator.navigate(full, fact, groupCols), groupCols),
+        s"incrementally-refreshed route for $groupCols diverged from rebuild")
+    }
+    // cost model re-measured: refreshed tables carry post-append counts
+    assert(incr.aggs.map(_.rows) === full.aggs.map(_.rows))
+  }
+
+  test("sketch distinct-count: routed estimate EQUALS the direct estimate") {
+    // HLL registers union with max, so the union of per-grain
+    // sub-sketches is register-identical to the sketch over the raw
+    // rows — same sketch, same estimator, same number.
+    val m = Seq[AggNavigator.Measure](
+      AggNavigator.CountAll("n"),
+      AggNavigator.DistinctSketch("approx_custs", "cust"))
+    val f = TestSpark.table("orders").select(
+      year(col("o_orderdate")).as("y"), col("o_custkey").as("cust"))
+    val r = java.nio.file.Files.createTempDirectory("aggnav_hll").toString
+    val reg = AggNavigator.register(f, Seq("ym" ->
+      Seq("y")), m, r)
+    val routed = rows(AggNavigator.navigate(reg, f, Seq("y")), Seq("y"))
+    val direct = rows(f.groupBy(col("y"))
+      .agg(m.map(_.direct).head, m.map(_.direct).tail: _*), Seq("y"))
+    assert(routed === direct)
+    // and the estimate survives an incremental refresh (sketch-fold)
+    val reg2 = AggNavigator.refresh(
+      AggNavigator.register(f.filter(col("y") < 1997),
+        Seq("ym" -> Seq("y")), m,
+        java.nio.file.Files.createTempDirectory("aggnav_hll2").toString),
+      f.filter(col("y") >= 1997))
+    assert(rows(AggNavigator.navigate(reg2, f, Seq("y")), Seq("y")) === direct)
+  }
+
+  test("all-null measure groups agree across routes (NULL, not 0/NaN)") {
+    // force a grain where some member has zero non-null prices:
+    // synthesize a tiny fact where one year is entirely null-priced
+    val tiny = spark.range(10).selectExpr(
+      "cast(id % 2 as int) + 1990 as y",
+      "case when id % 2 = 0 then cast(id as double) end as price")
+    val r = java.nio.file.Files.createTempDirectory("aggnav_null").toString
+    val m = Seq(AggNavigator.CountAll("n"),
+      AggNavigator.ExactAvg("avg_price", "price"))
+    val reg2 = AggNavigator.register(tiny, Seq("yearly" -> Seq("y")), m, r)
+    val routed = rows(AggNavigator.navigate(reg2, tiny, Seq("y")), Seq("y"))
+    val direct = rows(tiny.groupBy(col("y"))
+      .agg(m.map(_.direct).head, m.map(_.direct).tail: _*), Seq("y"))
+    assert(routed === direct)
+    // the all-null year's average is NULL on both routes
+    val nullRow = routed.find(_.head == 1991).get
+    assert(nullRow(2) == null)
+  }
+}
