@@ -74,6 +74,7 @@ object ScaleProbe {
     else if (set == "r9") r9Probes(spark, dir, k)
     else if (set == "r13") r13Probes(spark, dir, k)
     else if (set == "r13lookup") r13LookupProbes(spark, dir, k)
+    else if (set == "aggnav") aggNavProbes(spark, dir, k)
     else r3Probes(spark, dir, k)
     spark.stop()
   }
@@ -1223,6 +1224,67 @@ object ScaleProbe {
     * must stay FLAT — any climb is per-batch leaked state. The
     * pre-r13 lookup broadcasts leaked exactly here, one pair per
     * replayed/normal batch. */
+  /** Aggregate-navigation probe: a k×1M-row synthetic fact (dims wide
+    * enough that grains stay dim-sized), then the four costs that
+    * justify agg tables — registration (offline), a routed drill vs
+    * the direct fact aggregate (the serving win), and an incremental
+    * 1M-row refresh vs a full rebuild (the maintenance win). The
+    * routed/direct results are compared for equality in the same shot
+    * so the speedup is never of a wrong answer. */
+  private def aggNavProbes(spark: SparkSession, dir: String, k: Int): Unit = {
+    import graft.olap.AggNavigator
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val rows = k.toLong * 1000000L
+    def synth(n: Long, offset: Long): DataFrame =
+      spark.range(offset, offset + n).selectExpr(
+        "cast(1990 + id % 8 as int) as y",
+        "cast(1 + (id / 8) % 12 as int) as m",
+        "case cast(id % 3 as int) when 0 then 'O' when 1 then 'F' " +
+          "else 'P' end as status",
+        "concat('p-', cast(id % 5 as string)) as prio",
+        "cast(id % 100000 as double) / 100.0 as price")
+    val factPath = tmp("aggnav_fact")
+    synth(rows, 0L).write.mode("overwrite").parquet(factPath)
+    def fact = spark.read.parquet(factPath)
+    val measures = Seq[AggNavigator.Measure](
+      AggNavigator.CountAll("n"),
+      AggNavigator.ExactAvg("avg_price", "price"),
+      AggNavigator.ExactSum("revenue", "price"))
+    val grains = Seq("ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
+      "status_prio" -> Seq("status", "prio"))
+    var t0 = System.nanoTime()
+    val reg = AggNavigator.register(fact, grains, measures, tmp("aggnav_aggs"))
+    val registerSec = (System.nanoTime() - t0) / 1e9
+    def shot(df: => DataFrame): (Double, Seq[Seq[Any]]) = {
+      val s = System.nanoTime()
+      val r = df.orderBy("y").collect().toSeq.map(_.toSeq)
+      ((System.nanoTime() - s) / 1e9, r)
+    }
+    val direct = (1 to 3).map(_ => shot(fact.groupBy(col("y"))
+      .agg(measures.map(_.direct).head, measures.map(_.direct).tail: _*)))
+    val routed = (1 to 3).map(_ =>
+      shot(AggNavigator.navigate(reg, fact, Seq("y"))))
+    require(direct.head._2 == routed.head._2,
+      "routed drill diverged from the direct aggregate")
+    // maintenance: absorb a 1M-row append vs rebuilding everything
+    val delta = synth(1000000L, rows)
+    t0 = System.nanoTime()
+    AggNavigator.refresh(reg, delta)
+    val refreshSec = (System.nanoTime() - t0) / 1e9
+    val deltaPath = tmp("aggnav_delta")
+    delta.write.mode("overwrite").parquet(deltaPath)
+    t0 = System.nanoTime()
+    AggNavigator.register(fact.unionByName(spark.read.parquet(deltaPath)),
+      grains, measures, tmp("aggnav_aggs2"))
+    val rebuildSec = (System.nanoTime() - t0) / 1e9
+    println(f"""[probe] {"fact_rows":$rows,"register_sec":$registerSec%.2f,""" +
+      f""""drill_direct_sec":${direct.map(_._1).min}%.3f,""" +
+      f""""drill_routed_sec":${routed.map(_._1).min}%.3f,""" +
+      f""""refresh_sec":$refreshSec%.2f,"rebuild_sec":$rebuildSec%.2f,""" +
+      s""""agg_rows":${reg.aggs.map(a => s""""${a.name}":${a.rows}""")
+        .mkString("{", ",", "}")},"replication":$k}""")
+  }
+
   private def r13Probes(spark: SparkSession, dir: String, k: Int): Unit = {
     def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

@@ -289,6 +289,38 @@ object AlgebraProps extends Properties("EngineAlgebra") {
       }
     }
 
+  property("agg-table partial algebra: merged partials over ANY split ≡ direct") =
+    Prop.forAll(
+      Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.option(Gen.chooseNum(-999, 999)))),
+      Gen.chooseNum(0, 30)) { (rows, cut) =>
+      rows.isEmpty || {
+        import graft.olap.AggNavigator
+        val measures = Seq[AggNavigator.Measure](
+          AggNavigator.CountAll("n"),
+          AggNavigator.ExactAvg("avg_v", "v"),
+          AggNavigator.ExactSum("sum_v", "v"))
+        val df = rows.zipWithIndex
+          .map { case ((k, v), i) => (k, v.map(_.toDouble), i) }
+          .toDF("k", "v", "i")
+        // arbitrary split point → two partial relations, combined then merged
+        val parts = Seq(df.filter(col("i") < cut), df.filter(col("i") >= cut))
+          .map(p => AggNavigator.partialsFor(p, Seq("k"), measures))
+        val fold = measures.flatMap(_.combine)
+        val combined = parts.reduce(_.unionByName(_))
+          .groupBy(col("k")).agg(fold.head, fold.tail: _*)
+        val mergeAggs = measures.map(_.merge)
+        val merged = combined.groupBy(col("k"))
+          .agg(mergeAggs.head, mergeAggs.tail: _*)
+          .orderBy("k").collect().toSeq.map(_.toSeq)
+        val directAggs = measures.map(_.direct)
+        val direct = df.groupBy(col("k"))
+          .agg(directAggs.head, directAggs.tail: _*)
+          .orderBy("k").collect().toSeq.map(_.toSeq)
+        merged == direct
+      }
+    }
+
   property("as-of join preserves every left row exactly once") =
     Prop.forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L))),
       Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))) { (l, r) =>

@@ -117,6 +117,38 @@ class AggNavigatorSpec extends AnyFunSuite {
     assert(rows(AggNavigator.navigate(reg2, f, Seq("y")), Seq("y")) === direct)
   }
 
+  test("foreachBatch registry maintenance: streamed appends ≡ full rebuild") {
+    // the agg tables' production lifecycle: fact files arrive, each
+    // micro-batch folds its partials into every registered table —
+    // the base fact is never rescanned (the CubeSpec q207 pattern,
+    // applied to the whole registry)
+    val base = java.nio.file.Files.createTempDirectory("aggnav_stream").toString
+    val src = s"$base/src"
+    (0 until 3).foreach(i => fact.filter(pmod(col("y"), lit(3)) === i)
+      .coalesce(1).write.mode("append").parquet(src))
+    val grains = Seq("ym" -> Seq("y", "m"), "status" -> Seq("status"))
+    // seed: an empty registry (zero-row tables, correct schema)
+    var reg = AggNavigator.register(fact.filter(lit(false)), grains,
+      measures, s"$base/aggs")
+    val q = spark.readStream.schema(fact.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        reg = AggNavigator.refresh(reg, batch)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "maintenance stream timed out")
+    val full = AggNavigator.register(fact, grains, measures,
+      java.nio.file.Files.createTempDirectory("aggnav_full2").toString)
+    for (groupCols <- Seq(Seq("y"), Seq("y", "m"), Seq("status"))) {
+      assert(rows(AggNavigator.navigate(reg, fact, groupCols), groupCols) ===
+        rows(AggNavigator.navigate(full, fact, groupCols), groupCols),
+        s"stream-maintained route for $groupCols diverged from rebuild")
+    }
+    assert(reg.aggs.map(_.rows) === full.aggs.map(_.rows))
+  }
+
   test("all-null measure groups agree across routes (NULL, not 0/NaN)") {
     // force a grain where some member has zero non-null prices:
     // synthesize a tiny fact where one year is entirely null-priced
