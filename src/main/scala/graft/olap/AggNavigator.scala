@@ -179,6 +179,31 @@ object AggNavigator {
     reg.copy(aggs = aggs)
   }
 
+  /** Consistency audit — the navigator's "trust but verify": an agg
+    * table that missed a load (or absorbed one twice) serves WRONG
+    * drills silently, the classic operational failure of aggregate
+    * tables. One fact scan total: the fact's grand-total measures are
+    * computed once, then each table's merged grand totals (tiny scans)
+    * are compared value-for-value — exact for counts/decimal-sum
+    * measures; sketch estimates compare equal when registers match,
+    * the register-identity the refresh fold preserves. Returns one row
+    * per table with a `consistent` verdict; run it on the cadence
+    * staleness costs you (per load, per day — it prices at one
+    * aggregation pass over the fact). */
+  def audit(reg: Registry, fact: DataFrame): DataFrame = {
+    import reg.spark.implicits._
+    val direct = reg.measures.map(_.direct)
+    val want = fact.agg(direct.head, direct.tail: _*).head()
+    val rows = reg.aggs.map { agg =>
+      val merged = reg.measures.map(_.merge)
+      val got = reg.spark.read.parquet(agg.path)
+        .agg(merged.head, merged.tail: _*).head()
+      val ok = reg.measures.indices.forall(i => want.get(i) == got.get(i))
+      (agg.name, agg.rows, ok)
+    }
+    rows.toDF("agg_table", "rows", "consistent")
+  }
+
   /** Answer `groupCols` × `measures` through the navigator. `fact` is
     * by-name: when an aggregate covers, the fact lineage is never
     * constructed, so the physical plan reads ONLY the agg parquet

@@ -149,6 +149,26 @@ class AggNavigatorSpec extends AnyFunSuite {
     assert(reg.aggs.map(_.rows) === full.aggs.map(_.rows))
   }
 
+  test("audit passes fresh/refreshed tables and catches a stale one") {
+    val base = fact.filter(col("y") < 1997)
+    val delta = fact.filter(col("y") >= 1997)
+    val grains = Seq("ym" -> Seq("y", "m"), "status" -> Seq("status"))
+    val reg0 = AggNavigator.register(base, grains, measures,
+      java.nio.file.Files.createTempDirectory("aggnav_audit").toString)
+    // stale: registered on the base, audited against the full fact
+    val stale = AggNavigator.audit(reg0, fact).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(stale.values.forall(_ == false),
+      s"a table that missed a load must audit inconsistent: $stale")
+    // ...but consistent against the fact it actually reflects
+    val selfOk = AggNavigator.audit(reg0, base).collect()
+    assert(selfOk.forall(_.getBoolean(2)))
+    // after absorbing the delta, consistent with the full fact again
+    val reg = AggNavigator.refresh(reg0, delta)
+    val fresh = AggNavigator.audit(reg, fact).collect()
+    assert(fresh.forall(_.getBoolean(2)))
+  }
+
   test("all-null measure groups agree across routes (NULL, not 0/NaN)") {
     // force a grain where some member has zero non-null prices:
     // synthesize a tiny fact where one year is entirely null-priced
