@@ -68,7 +68,13 @@ object LateDim {
   def scd1Arrive(dim: DataFrame, arrivals: DataFrame,
       naturalKeys: Seq[String], idCol: String,
       attrs: Seq[String]): DataFrame = {
-    val a = arrivals
+    // one row per key BEFORE the update join: a delivery carrying the
+    // same key twice would otherwise fan the dim row out (a LEFT join
+    // duplicates per match) — which row of a dup pair wins is
+    // undefined here by design, matching SCD1's "the source must be
+    // keyed" contract
+    val onePerKey = arrivals.dropDuplicates(naturalKeys)
+    val a = onePerKey
       .select((naturalKeys ++ attrs).map(c => col(c).as(s"__a_$c")) :+
         lit(true).as("__a_hit"): _*)
     val cond = naturalKeys.map(k => col(k) <=> col(s"__a_$k")).reduce(_ && _)
@@ -82,8 +88,7 @@ object LateDim {
     // keys the dimension has never seen: ordinary appends, not inferred
     val ex = dim.select(naturalKeys.map(c => col(c).as(s"__e_$c")): _*)
     val exCond = naturalKeys.map(k => col(k) <=> col(s"__e_$k")).reduce(_ && _)
-    val newRows = arrivals.select((naturalKeys ++ attrs).map(col): _*)
-      .dropDuplicates(naturalKeys)
+    val newRows = onePerKey.select((naturalKeys ++ attrs).map(col): _*)
       .join(ex, exCond, "left_anti")
     val maxId = dim.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
     val appended = SurrogateKeys.assignIds(newRows, naturalKeys, idCol)

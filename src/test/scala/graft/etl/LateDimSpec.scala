@@ -73,6 +73,18 @@ class LateDimSpec extends AnyFunSuite {
       ("UNKNOWN", 50.0)))
   }
 
+  test("a delivery carrying the same key twice never fans the dim out") {
+    val arrivals = Seq((3L, "RAIL"), (3L, "RAIL"), (9L, "PLANE"),
+      (9L, "PLANE")).toDF("k", "seg")
+    val d2 = LateDim.scd1Arrive(d1, arrivals, Seq("k"), "sk", Seq("seg"))
+    // one row per key — before the dedup fix the LEFT join duplicated
+    // the k=3 member once per matching arrival row
+    assert(d2.groupBy("k").count().filter(col("count") > 1).count() === 0)
+    assert(d2.count() === d1.count() + 1)
+    // surrogate keys still unique
+    assert(d2.select("sk").distinct().count() === d2.count())
+  }
+
   test("null natural key is a value: gets one member, matches arrivals null-safely") {
     val dimN = Seq((Some(1L), "AUTO")).toDF("k", "seg")
     val factsN = Seq((Option.empty[Long], 5.0), (Some(1L), 1.0))
