@@ -7427,6 +7427,56 @@ object Queries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY slice, member")
   }
 
+  /** MEMBER SPACE SERVED THROUGH THE NAVIGATOR — q203's serving shape
+    * composed with q214's aggregate tables, which is the actual
+    * Mondrian-with-agg-tables path: a GROUPING SETS member space where
+    * EACH set routes independently to its smallest covering rollup
+    * ([[graft.olap.AggNavigator.navigateSets]]) — the grand total
+    * reads a 15-row table, the date drills read the date rollups, and
+    * one deliberately uncovered set ((y, status)) alone pays the fact
+    * scan. The oracle is the plain `GROUP BY GROUPING SETS` aggregate
+    * with hand-weighted GROUPING() bits, so the routed union must
+    * reproduce the single-pass member space value-for-value, gid
+    * included. At 100 TB the covered drills never touch the fact —
+    * each is a dim-sized parquet read. */
+  def q218NavSets(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("q218_aggs").toString
+    val fact = t(s, dir, "orders").select(
+      year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("prio"), col("o_totalprice"))
+    val measures = Seq[AggNavigator.Measure](
+      AggNavigator.CountAll("n_orders"),
+      AggNavigator.ExactAvg("avg_price", "o_totalprice"),
+      AggNavigator.ExactSum("revenue", "o_totalprice"))
+    val reg = AggNavigator.register(fact,
+      Seq("ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
+        "status_prio" -> Seq("status", "prio")), measures, root)
+    val levels = Seq("y", "m", "status", "prio")
+    val sets = Seq(Seq.empty[String], Seq("y"), Seq("y", "m"),
+      Seq("status"), Seq("status", "prio"), Seq("y", "status"))
+    AggNavigator.navigateSets(reg, fact, levels, sets)
+      .orderBy(col("gid") +: levels.map(c => col(c).asc_nulls_first): _*)
+  }
+
+  val q218Sql: String =
+    """WITH f AS (SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  o_orderstatus AS status, o_orderpriority AS prio, o_totalprice
+      | FROM orders)
+      |SELECT y, m, status, prio,
+      | CAST(8*GROUPING(y) + 4*GROUPING(m) + 2*GROUPING(status)
+      |   + GROUPING(prio) AS BIGINT) AS gid,
+      | count(*) AS n_orders,
+      | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   / count(o_totalprice), 6) AS avg_price,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM f
+      |GROUP BY GROUPING SETS ((), (y), (y, m), (status), (status, prio),
+      | (y, status))
+      |ORDER BY gid, y NULLS FIRST, m NULLS FIRST, status NULLS FIRST,
+      | prio NULLS FIRST""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -7649,6 +7699,7 @@ object Queries {
     "q215_view_refresh" -> (q215ViewRefresh _),
     "q216_late_dim" -> (q216LateDim _),
     "q217_agg_refresh" -> (q217AggRefresh _),
+    "q218_nav_sets" -> (q218NavSets _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -7874,6 +7925,7 @@ object Queries {
     "q215_view_refresh" -> q215Sql,
     "q216_late_dim" -> q216Sql,
     "q217_agg_refresh" -> q217Sql,
+    "q218_nav_sets" -> q218Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -7975,5 +8027,6 @@ object Queries {
     // machinery + one broadcast dim) and weighted bridge allocation
     // (two hash aggregates + two equi-joins, exact integer credits)
     "q212_semi_additive", "q213_bridge_alloc", "q214_agg_nav",
-    "q215_view_refresh", "q216_late_dim", "q217_agg_refresh")
+    "q215_view_refresh", "q216_late_dim", "q217_agg_refresh",
+    "q218_nav_sets")
 }

@@ -219,4 +219,46 @@ object AggNavigator {
         val direct = reg.measures.map(_.direct)
         fact.groupBy(groupCols.map(col): _*).agg(direct.head, direct.tail: _*)
     }
+
+  /** Serve a whole GROUPING SETS member space through the navigator —
+    * the actual Mondrian serving path with aggregate tables: each MDX
+    * drill is one member set, and each set routes INDEPENDENTLY to its
+    * smallest covering rollup (the grand total reads the smallest
+    * table of all; an uncovered set alone pays the fact scan). Output
+    * is union-compatible with a plain grouping-sets aggregate:
+    * `allLevels` columns (null where a set doesn't group them) plus a
+    * `gid` whose bits mark the non-grouped levels — computed as a
+    * LITERAL per set, first level = most significant bit, exactly
+    * Spark's/SQL's GROUPING() weighting, so the result is
+    * hash-comparable with a `GROUP BY GROUPING SETS` oracle. Level
+    * types for the null slots come from the registered tables'
+    * schemas (one driver-side footer read each), not the fact — a
+    * fully-routed member space never touches the fact lineage. */
+  def navigateSets(reg: Registry, fact: => DataFrame,
+      allLevels: Seq[String], sets: Seq[Seq[String]]): DataFrame = {
+    require(sets.nonEmpty, "need at least one member set")
+    val levelType: Map[String, org.apache.spark.sql.types.DataType] =
+      reg.aggs.flatMap(a => reg.spark.read.parquet(a.path).schema
+        .filter(f => allLevels.contains(f.name))
+        .map(f => f.name -> f.dataType)).toMap
+    val n = allLevels.size
+    val branches = sets.map { groupCols =>
+      val gid = allLevels.zipWithIndex.map { case (c, i) =>
+        if (groupCols.contains(c)) 0L else 1L << (n - 1 - i)
+      }.sum
+      val levelCols = allLevels.map { c =>
+        if (groupCols.contains(c)) col(c)
+        else levelType.get(c) match {
+          case Some(dt) => lit(null).cast(dt).as(c)
+          // a level no rollup carries: this set routed to the fact
+          // anyway, so the type is resolvable from its output later
+          case None => lit(null).as(c)
+        }
+      }
+      navigate(reg, fact, groupCols)
+        .select(levelCols ++ (lit(gid).as("gid") +:
+          reg.measures.map(m => col(m.name))): _*)
+    }
+    branches.reduce(_.unionByName(_))
+  }
 }

@@ -169,6 +169,31 @@ class AggNavigatorSpec extends AnyFunSuite {
     assert(fresh.forall(_.getBoolean(2)))
   }
 
+  test("navigateSets ≡ one-pass grouping sets, gid included, per-set routing") {
+    val grains = Seq("ym" -> Seq("y", "m"), "status_prio" ->
+      Seq("status", "prio"))
+    val reg = AggNavigator.register(fact, grains, measures,
+      java.nio.file.Files.createTempDirectory("aggnav_sets").toString)
+    val levels = Seq("y", "m", "status", "prio")
+    val sets = Seq(Seq.empty[String], Seq("y"), Seq("y", "m"),
+      Seq("status"), Seq("y", "status"))
+    var factBuilt = 0
+    val served = AggNavigator.navigateSets(reg,
+      { factBuilt += 1; fact }, levels, sets)
+    // only the uncovered (y, status) set may construct the fact lineage
+    assert(factBuilt === 1,
+      s"exactly one set is uncovered, fact built $factBuilt times")
+    val direct = measures.map(_.direct)
+    val want = fact.groupingSets(sets.map(_.map(col)), levels.map(col): _*)
+      .agg((direct :+ grouping_id().cast("long").as("gid")).head,
+        (direct.tail :+ grouping_id().cast("long").as("gid")): _*)
+      .select((levels.map(col) :+ col("gid")) ++
+        measures.map(m => col(m.name)): _*)
+    def canon(df: DataFrame) = df.collect().toSeq.map(_.toSeq)
+      .sortBy(_.mkString("|"))
+    assert(canon(served) === canon(want))
+  }
+
   test("all-null measure groups agree across routes (NULL, not 0/NaN)") {
     // force a grain where some member has zero non-null prices:
     // synthesize a tiny fact where one year is entirely null-priced
