@@ -6774,11 +6774,15 @@ object Queries {
     val df = se2 * se2 /
       (vA * vA / col("n_a") / col("n_a") / (col("n_a") - 1) +
         vB * vB / col("n_b") / col("n_b") / (col("n_b") - 1))
-    // execution-level overflow trap: a NULL ss means the decimal sum
-    // overflowed — fail loudly instead of propagating NULL stats
-    // (adds +0.0 when healthy, so the oracle hash is untouched)
+    // execution-level overflow trap: a NULL ss WITH rows present means
+    // the decimal sum overflowed — fail loudly instead of propagating
+    // NULL stats (adds +0.0 when healthy, so the oracle hash is
+    // untouched). An EMPTY input (no purchase rows at all) legitimately
+    // yields the all-NULL stats row on both engines — n_a/n_b are then
+    // NULL too, and the trap must not fire on it
     val ssOk = coalesce(
-      assert_true(col("ss_a").isNotNull && col("ss_b").isNotNull,
+      assert_true(col("n_a").isNull ||
+        (col("ss_a").isNotNull && col("ss_b").isNotNull),
         lit("q206: sum-of-squares overflowed DECIMAL(38,0)"))
         .cast("double"),
       lit(0.0))
@@ -7217,25 +7221,39 @@ object Queries {
     "s4_sexnac" -> Seq("fact", "sex_migr", "nac_migr"),
     "s5_pro" -> Seq("fact", "pro_jefm"))
 
+  /** Collect a SMALL (member/dim-cardinality) result into a
+    * LocalRelation so the scratch directories backing its lineage can
+    * be deleted before the caller executes the plan — the q202
+    * delete-before-execute contract, reused by the agg-table faces
+    * whose registries live under a per-run temp root. */
+  private def localized(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   def q214AggNav(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("q214_aggs").toString
-    // stage the star-joined fact ONCE (in production it IS a stored
-    // table): registration's per-grain scans and the uncovered drill
-    // then read parquet instead of re-running the warehouse build —
-    // one ETL execution total instead of one per grain
-    val staged = s"$root/fact"
-    q203Wide(s, dir).write.parquet(staged)
-    def fact = s.read.parquet(staged)
-    // offline build: three fact scans, dim-sized parquet outputs
-    val reg = AggNavigator.register(fact, q214Grains, q214Measures, root)
-    val slices = q214Slices.map { case (tag, groupCols) =>
-      AggNavigator.navigate(reg, fact, groupCols)
-        .select(lit(tag).as("slice"),
-          concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
-            .as("member"),
-          col("cantidad_movimientos"), col("promedio_edades"))
-    }
-    slices.reduce(_.unionByName(_)).orderBy("slice", "member")
+    try {
+      // stage the star-joined fact ONCE (in production it IS a stored
+      // table): registration's per-grain scans and the uncovered drill
+      // then read parquet instead of re-running the warehouse build —
+      // one ETL execution total instead of one per grain
+      val staged = s"$root/fact"
+      q203Wide(s, dir).write.parquet(staged)
+      def fact = s.read.parquet(staged)
+      // offline build: three fact scans, dim-sized parquet outputs
+      val reg = AggNavigator.register(fact, q214Grains, q214Measures, root)
+      val slices = q214Slices.map { case (tag, groupCols) =>
+        AggNavigator.navigate(reg, fact, groupCols)
+          .select(lit(tag).as("slice"),
+            concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
+              .as("member"),
+            col("cantidad_movimientos"), col("promedio_edades"))
+      }
+      localized(slices.reduce(_.unionByName(_))).orderBy("slice", "member")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   val q214Sql: String = {
@@ -7284,30 +7302,33 @@ object Queries {
   def q215ViewRefresh(s: SparkSession, dir: String): DataFrame = {
     import graft.etl.ViewRefresh
     val root = java.nio.file.Files.createTempDirectory("q215_view").toString
-    val path = s"$root/view"
-    val n = 16
-    val facts = t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    def view(dim: DataFrame): DataFrame =
-      facts.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
-        .select(col("o_orderkey"), col("o_totalprice"), col("c_custkey"),
-          col("c_mktsegment"))
-    val dimV1 = t(s, dir, "customer")
-      .select(col("c_custkey"), col("c_mktsegment"))
-    ViewRefresh.materialize(view(dimV1), col("c_custkey"), n, path)
-    // the SCD1 delta: ~1% of customers change segment
-    val dimV2 = dimV1.withColumn("c_mktsegment",
-      when(col("c_custkey") % 97 === 0, lit("UPDATED"))
-        .otherwise(col("c_mktsegment")))
-    val changed = dimV1.filter(col("c_custkey") % 97 === 0)
-      .select(col("c_custkey"))
-    val buckets = ViewRefresh.affectedBuckets(changed, col("c_custkey"), n)
-    ViewRefresh.refresh(view(dimV2), col("c_custkey"), n, buckets, path)
-    s.read.parquet(path)
-      .groupBy(col("c_mktsegment").as("segment"))
-      .agg(count(lit(1)).as("n_orders"),
-        dsum(col("o_totalprice")).as("revenue"))
-      .orderBy("segment")
+    try {
+      val path = s"$root/view"
+      val n = 16
+      val facts = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def view(dim: DataFrame): DataFrame =
+        facts.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("c_custkey"),
+            col("c_mktsegment"))
+      val dimV1 = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      ViewRefresh.materialize(view(dimV1), col("c_custkey"), n, path)
+      // the SCD1 delta: ~1% of customers change segment
+      val dimV2 = dimV1.withColumn("c_mktsegment",
+        when(col("c_custkey") % 97 === 0, lit("UPDATED"))
+          .otherwise(col("c_mktsegment")))
+      val changed = dimV1.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"))
+      val buckets = ViewRefresh.affectedBuckets(changed, col("c_custkey"), n)
+      ViewRefresh.refresh(view(dimV2), col("c_custkey"), n, buckets, path)
+      localized(s.read.parquet(path)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue")))
+        .orderBy("segment")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   val q215Sql: String =
@@ -7378,30 +7399,33 @@ object Queries {
     * decimal precision decay) breaks the hash. */
   def q217AggRefresh(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("q217_aggs").toString
-    val fact = t(s, dir, "orders").select(
-      year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
-      col("o_orderstatus").as("status"),
-      col("o_orderpriority").as("prio"), col("o_totalprice"))
-    val measures = Seq[AggNavigator.Measure](
-      AggNavigator.CountAll("n_orders"),
-      AggNavigator.ExactAvg("avg_price", "o_totalprice"),
-      AggNavigator.ExactSum("revenue", "o_totalprice"))
-    val grains = Seq("ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
-      "status_prio" -> Seq("status", "prio"))
-    val reg0 = AggNavigator.register(fact.filter(col("y") < 1997),
-      grains, measures, root)
-    val reg = AggNavigator.refresh(reg0, fact.filter(col("y") >= 1997))
-    val slices = Seq(
-      "s1_y" -> Seq("y"), "s2_ym" -> Seq("y", "m"),
-      "s3_status" -> Seq("status"), "s4_prio" -> Seq("prio"),
-      "s5_fallback" -> Seq("status", "y"))
-    slices.map { case (tag, groupCols) =>
-      AggNavigator.navigate(reg, fact, groupCols)
-        .select(lit(tag).as("slice"),
-          concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
-            .as("member"),
-          col("n_orders"), col("avg_price"), col("revenue"))
-    }.reduce(_.unionByName(_)).orderBy("slice", "member")
+    try {
+      val fact = t(s, dir, "orders").select(
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("prio"), col("o_totalprice"))
+      val measures = Seq[AggNavigator.Measure](
+        AggNavigator.CountAll("n_orders"),
+        AggNavigator.ExactAvg("avg_price", "o_totalprice"),
+        AggNavigator.ExactSum("revenue", "o_totalprice"))
+      val grains = Seq("ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
+        "status_prio" -> Seq("status", "prio"))
+      val reg0 = AggNavigator.register(fact.filter(col("y") < 1997),
+        grains, measures, root)
+      val reg = AggNavigator.refresh(reg0, fact.filter(col("y") >= 1997))
+      val slices = Seq(
+        "s1_y" -> Seq("y"), "s2_ym" -> Seq("y", "m"),
+        "s3_status" -> Seq("status"), "s4_prio" -> Seq("prio"),
+        "s5_fallback" -> Seq("status", "y"))
+      localized(slices.map { case (tag, groupCols) =>
+        AggNavigator.navigate(reg, fact, groupCols)
+          .select(lit(tag).as("slice"),
+            concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
+              .as("member"),
+            col("n_orders"), col("avg_price"), col("revenue"))
+      }.reduce(_.unionByName(_))).orderBy("slice", "member")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   val q217Sql: String = {
@@ -7441,22 +7465,25 @@ object Queries {
     * each is a dim-sized parquet read. */
   def q218NavSets(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("q218_aggs").toString
-    val fact = t(s, dir, "orders").select(
-      year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
-      col("o_orderstatus").as("status"),
-      col("o_orderpriority").as("prio"), col("o_totalprice"))
-    val measures = Seq[AggNavigator.Measure](
-      AggNavigator.CountAll("n_orders"),
-      AggNavigator.ExactAvg("avg_price", "o_totalprice"),
-      AggNavigator.ExactSum("revenue", "o_totalprice"))
-    val reg = AggNavigator.register(fact,
-      Seq("ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
-        "status_prio" -> Seq("status", "prio")), measures, root)
-    val levels = Seq("y", "m", "status", "prio")
-    val sets = Seq(Seq.empty[String], Seq("y"), Seq("y", "m"),
-      Seq("status"), Seq("status", "prio"), Seq("y", "status"))
-    AggNavigator.navigateSets(reg, fact, levels, sets)
-      .orderBy(col("gid") +: levels.map(c => col(c).asc_nulls_first): _*)
+    try {
+      val fact = t(s, dir, "orders").select(
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("prio"), col("o_totalprice"))
+      val measures = Seq[AggNavigator.Measure](
+        AggNavigator.CountAll("n_orders"),
+        AggNavigator.ExactAvg("avg_price", "o_totalprice"),
+        AggNavigator.ExactSum("revenue", "o_totalprice"))
+      val reg = AggNavigator.register(fact,
+        Seq("ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
+          "status_prio" -> Seq("status", "prio")), measures, root)
+      val levels = Seq("y", "m", "status", "prio")
+      val sets = Seq(Seq.empty[String], Seq("y"), Seq("y", "m"),
+        Seq("status"), Seq("status", "prio"), Seq("y", "status"))
+      localized(AggNavigator.navigateSets(reg, fact, levels, sets))
+        .orderBy(col("gid") +: levels.map(c => col(c).asc_nulls_first): _*)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   val q218Sql: String =

@@ -1354,10 +1354,12 @@ object ScaleProbe {
           .withColumn("text", regexp_replace(col("text"),
             "((\\S+\\s+){2})", s"$$1zzw$i "))
         streaming.DocStream.processBatch(spark, wave, i.toLong, "doc_id",
-          "text", 0.9, sink, name, compactEvery = 8, bandIndexBytes = 0L)
+          "text", 0.9, sink, name, compactEvery = 8, bandIndexBytes = 0L,
+          bandIndexMaxBytes = Long.MaxValue)
       }
       streaming.DocStream.processBatch(spark, batch, 8L, "doc_id",
-        "text", 0.9, sink, name, compactEvery = 8, bandIndexBytes = 0L)
+        "text", 0.9, sink, name, compactEvery = 8, bandIndexBytes = 0L,
+          bandIndexMaxBytes = Long.MaxValue)
       val fs = new org.apache.hadoop.fs.Path(sink).getFileSystem(fsConf)
       def usedStorageMb(): Long =
         spark.sparkContext.getExecutorMemoryStatus.values
@@ -1366,7 +1368,8 @@ object ScaleProbe {
         fs.delete(new org.apache.hadoop.fs.Path(
           s"$sink/_applied/$name/8"), false)
         streaming.DocStream.processBatch(spark, batch, 8L, "doc_id",
-          "text", 0.9, sink, name, compactEvery = 8, bandIndexBytes = 0L)
+          "text", 0.9, sink, name, compactEvery = 8, bandIndexBytes = 0L,
+          bandIndexMaxBytes = Long.MaxValue)
         (usedStorageMb(), spark.sparkContext.getPersistentRDDs.size)
       }
       streaming.DocStream.invalidateIndex(sink)

@@ -105,8 +105,13 @@ final class BandIndex private (
         }
       }
     }
+    // the handle is IDEMPOTENT: a destroyed broadcast throws on a
+    // second destroy, and callers with layered error handling (catch +
+    // finally) would otherwise mask the original failure with a
+    // SparkException from the cleanup path
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     (spark.createDataFrame(rows, BandIndex.lookupSchema),
-      () => bKeys.destroy())
+      () => if (released.compareAndSet(false, true)) bKeys.destroy())
   }
 
   /** [[lookupReleasable]] without the release handle — the broadcast

@@ -643,13 +643,12 @@ object Dedup {
       return crossNearDupPairsVsSignaturesFetched(left, leftId, leftText,
         allSigs, threshold, shingleWidth, bands, rowsPerBand, maxBucket,
         obs, smallRelationBytes, maxFetchIds, maxLocalPairs)
-    val (rbIdx, releaseRaw) = index.lookupReleasable(spark,
+    // the release handle is idempotent (guarded inside
+    // lookupReleasable), so the multiple exit paths below can each
+    // call it without a second-destroy SparkException masking the
+    // original failure
+    val (rbIdx, release) = index.lookupReleasable(spark,
       keyRows.map(r => (r.getInt(0), r.getLong(1))))
-    // destroy-once guard: every exit path below calls release exactly
-    // once, but a destroyed broadcast throws on a second destroy —
-    // make the handle idempotent so error paths can't double-fire
-    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val release = () => if (released.compareAndSet(false, true)) releaseRaw()
     try {
       val rb = freshSigs match {
         case None => rbIdx

@@ -40,31 +40,31 @@ object LateDim {
       .withColumn(InferredCol, lit(false))
 
   /** Guarantee every fact key resolves: unseen keys become inferred
-    * members with `defaults` attributes. Existing members (real OR
-    * already-inferred) are untouched — re-running over the same facts
-    * is a no-op, so the step is load-idempotent. */
+    * members with `defaults` attributes (dim columns neither keyed
+    * nor defaulted fill NULL — the Kimball placeholder). Existing
+    * members (real OR already-inferred) are untouched — re-running
+    * over the same facts is a no-op, so the step is load-idempotent. */
   def ensureMembers(dim: DataFrame, facts: DataFrame,
       naturalKeys: Seq[String], idCol: String,
       defaults: Map[String, Column]): DataFrame = {
-    val ex = dim.select(naturalKeys.map(c => col(c).as(s"__e_$c")): _*)
-    val cond = naturalKeys.map(k => col(k) <=> col(s"__e_$k")).reduce(_ && _)
-    val unseen = facts.select(naturalKeys.map(col): _*).distinct()
-      .join(ex, cond, "left_anti")
-    val maxId = dim.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
-    val fresh0 = SurrogateKeys.assignIds(unseen, naturalKeys, idCol)
-      .withColumn(idCol, col(idCol) + lit(maxId))
+    val unseen = SurrogateKeys.unseenKeys(dim,
+      facts.select(naturalKeys.map(col): _*).distinct(), naturalKeys)
+    val fresh0 = SurrogateKeys.appendIdsAboveMax(dim, unseen,
+      naturalKeys, idCol)
       .withColumn(InferredCol, lit(true))
     val fresh = defaults.foldLeft(fresh0) { case (df, (c, v)) =>
       df.withColumn(c, v)
     }
-    dim.unionByName(fresh)
+    dim.unionByName(fresh, allowMissingColumns = true)
   }
 
   /** A (late) dimension delivery: matched members take the arriving
     * attribute values in place — surrogates stable, `inferred` cleared
     * (an arriving NULL attribute is a real value and overwrites, it is
     * not "keep the placeholder") — and genuinely new keys append as
-    * regular members above the current max id. */
+    * regular members above the current max id. Dim columns NOT listed
+    * in `attrs` pass through untouched (an update never narrows the
+    * dimension's schema); appended new members fill them with NULL. */
   def scd1Arrive(dim: DataFrame, arrivals: DataFrame,
       naturalKeys: Seq[String], idCol: String,
       attrs: Seq[String]): DataFrame = {
@@ -79,21 +79,22 @@ object LateDim {
         lit(true).as("__a_hit"): _*)
     val cond = naturalKeys.map(k => col(k) <=> col(s"__a_$k")).reduce(_ && _)
     val hit = col("__a_hit")
+    // every dim column survives: attrs swap under a hit, the inferred
+    // flag clears, everything else passes through
     val updated = dim.join(a, cond, "left")
-      .select(naturalKeys.map(col) ++
-        attrs.map(c => when(hit, col(s"__a_$c")).otherwise(col(c)).as(c)) ++
-        Seq(col(idCol),
-          when(hit, lit(false)).otherwise(col(InferredCol))
-            .as(InferredCol)): _*)
+      .select(dim.columns.toSeq.map { c =>
+        if (attrs.contains(c))
+          when(hit, col(s"__a_$c")).otherwise(col(c)).as(c)
+        else if (c == InferredCol)
+          when(hit, lit(false)).otherwise(col(InferredCol)).as(InferredCol)
+        else col(c)
+      }: _*)
     // keys the dimension has never seen: ordinary appends, not inferred
-    val ex = dim.select(naturalKeys.map(c => col(c).as(s"__e_$c")): _*)
-    val exCond = naturalKeys.map(k => col(k) <=> col(s"__e_$k")).reduce(_ && _)
-    val newRows = onePerKey.select((naturalKeys ++ attrs).map(col): _*)
-      .join(ex, exCond, "left_anti")
-    val maxId = dim.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
-    val appended = SurrogateKeys.assignIds(newRows, naturalKeys, idCol)
-      .withColumn(idCol, col(idCol) + lit(maxId))
+    val newRows = SurrogateKeys.unseenKeys(dim,
+      onePerKey.select((naturalKeys ++ attrs).map(col): _*), naturalKeys)
+    val appended = SurrogateKeys.appendIdsAboveMax(dim, newRows,
+      naturalKeys, idCol)
       .withColumn(InferredCol, lit(false))
-    updated.unionByName(appended.select(updated.columns.map(col): _*))
+    updated.unionByName(appended, allowMissingColumns = true)
   }
 }

@@ -53,6 +53,36 @@ object SurrogateKeys {
           Window.partitionBy(graft.plans.PinnedWindow.key(col(naturalKeys.head)))
             .orderBy(naturalKeys.map(col): _*)).cast(LongType))
 
+  /** Rows of `incoming` whose natural-key tuple `existing` has not
+    * seen, every incoming column preserved. Null-safe anti-join
+    * (`<=>`): null is a valid key value here (it has its own dim row,
+    * and resolve matches it null-safely) — a plain column anti-join
+    * would re-append every null-bearing tuple on every load, and
+    * resolve would then duplicate facts against the twin dim rows.
+    * The shared first half of every incremental-append face
+    * ([[dimAppend]], [[LateDim.ensureMembers]],
+    * [[LateDim.scd1Arrive]]) — one place to fix the contract. */
+  def unseenKeys(existing: DataFrame, incoming: DataFrame,
+      naturalKeys: Seq[String]): DataFrame = {
+    val ex = existing.select(naturalKeys.map(c => col(c).as(s"__e_$c")): _*)
+    val cond = naturalKeys.map(k => col(k) <=> col(s"__e_$k")).reduce(_ && _)
+    incoming.join(ex, cond, "left_anti")
+  }
+
+  /** Ids above `existing`'s current max for an already-distinct batch
+    * of new rows — the shared second half of incremental append.
+    * Existing ids are never reassigned. */
+  def appendIdsAboveMax(existing: DataFrame, newRows: DataFrame,
+      naturalKeys: Seq[String], idCol: String): DataFrame = {
+    // coalesce: an empty existing dim has max(id) = NULL (first load)
+    val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L)))
+      .head().getLong(0)
+    // assignIds, not dim(): newRows is already distinct — dim() would
+    // re-shuffle for a redundant distinct
+    assignIds(newRows, naturalKeys, idCol)
+      .withColumn(idCol, col(idCol) + lit(maxId))
+  }
+
   /** Incremental append — the one inherently sequential CombinationLookup
     * semantic: new natural keys get ids above the current max. Anti-join
     * finds the new tuples; the offset is a scalar agg. Existing ids are
@@ -60,23 +90,10 @@ object SurrogateKeys {
     */
   def dimAppend(existing: DataFrame, incoming: DataFrame,
       naturalKeys: Seq[String], idCol: String): DataFrame = {
-    // coalesce: an empty existing dim has max(id) = NULL (first load)
-    val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L)))
-      .head().getLong(0)
-    // null-safe anti-join (<=>): null is a valid key value here (it has
-    // its own dim row, and resolve matches it null-safely) — a plain
-    // column anti-join would re-append every null-bearing tuple on
-    // every load, and resolve would then duplicate facts against the
-    // twin dim rows
-    val ex = existing.select(naturalKeys.map(c => col(c).as(s"__e_$c")): _*)
-    val cond = naturalKeys.map(k => col(k) <=> col(s"__e_$k")).reduce(_ && _)
-    val newKeys = incoming.select(naturalKeys.map(col): _*).distinct()
-      .join(ex, cond, "left_anti")
-    // assignIds, not dim(): newKeys is already distinct — dim() would
-    // re-shuffle for a redundant distinct
-    val fresh = assignIds(newKeys, naturalKeys, idCol)
-      .withColumn(idCol, col(idCol) + lit(maxId))
-    existing.unionByName(fresh)
+    val newKeys = unseenKeys(existing,
+      incoming.select(naturalKeys.map(col): _*).distinct(), naturalKeys)
+    existing.unionByName(
+      appendIdsAboveMax(existing, newKeys, naturalKeys, idCol))
   }
 
   /** Replace natural keys in a fact stream with the dim's surrogate key —

@@ -241,6 +241,12 @@ object AggNavigator {
       reg.aggs.flatMap(a => reg.spark.read.parquet(a.path).schema
         .filter(f => allLevels.contains(f.name))
         .map(f => f.name -> f.dataType)).toMap
+    // a level carried by NO rollup: its null slots must still be
+    // typed (NullType won't write to parquet), and only the fact
+    // knows the type — resolved lazily so a fully-covered member
+    // space never touches the fact lineage
+    lazy val factType: Map[String, org.apache.spark.sql.types.DataType] =
+      fact.schema.map(f => f.name -> f.dataType).toMap
     val n = allLevels.size
     val branches = sets.map { groupCols =>
       val gid = allLevels.zipWithIndex.map { case (c, i) =>
@@ -248,12 +254,7 @@ object AggNavigator {
       }.sum
       val levelCols = allLevels.map { c =>
         if (groupCols.contains(c)) col(c)
-        else levelType.get(c) match {
-          case Some(dt) => lit(null).cast(dt).as(c)
-          // a level no rollup carries: this set routed to the fact
-          // anyway, so the type is resolvable from its output later
-          case None => lit(null).as(c)
-        }
+        else lit(null).cast(levelType.getOrElse(c, factType(c))).as(c)
       }
       navigate(reg, fact, groupCols)
         .select(levelCols ++ (lit(gid).as("gid") +:
