@@ -7296,9 +7296,11 @@ object Queries {
     * their exact files (ViewRefreshSpec asserts byte-identity); the
     * oracle is the full recompute with the update applied — so the
     * partition-scoped refresh must land the view in exactly the
-    * all-rewrite state. At 100 TB this touches ~1/16 of the view's
-    * bytes instead of all of them (and proportionally less at higher
-    * bucket counts). */
+    * all-rewrite state. Write amplification is (affected buckets)/16
+    * — ≈c/16 for c ≪ 16 changed keys, degrading gracefully to a full
+    * rewrite for bulk deltas (the fixture's ~15 random keys touch
+    * most buckets; the win case is the small delivery — see the
+    * module doc's B·(1−(1−1/B)^c) arithmetic). */
   def q215ViewRefresh(s: SparkSession, dir: String): DataFrame = {
     import graft.etl.ViewRefresh
     val root = java.nio.file.Files.createTempDirectory("q215_view").toString

@@ -75,6 +75,7 @@ object ScaleProbe {
     else if (set == "r13") r13Probes(spark, dir, k)
     else if (set == "r13lookup") r13LookupProbes(spark, dir, k)
     else if (set == "aggnav") aggNavProbes(spark, dir, k)
+    else if (set == "viewrefresh") viewRefreshProbes(spark, dir, k)
     else r3Probes(spark, dir, k)
     spark.stop()
   }
@@ -1283,6 +1284,48 @@ object ScaleProbe {
       f""""refresh_sec":$refreshSec%.2f,"rebuild_sec":$rebuildSec%.2f,""" +
       s""""agg_rows":${reg.aggs.map(a => s""""${a.name}":${a.rows}""")
         .mkString("{", ",", "}")},"replication":$k}""")
+  }
+
+  /** View-refresh probe: prices the write-amplification claim on a
+    * k×1M-row denormalized view over a 100k-key dim at B=64 buckets —
+    * full materialize vs partition-scoped refresh at c=3 (the
+    * fix-one-customer case) and c=1000 (bulk delta, most buckets
+    * touched, should approach the rewrite). */
+  private def viewRefreshProbes(spark: SparkSession, dir: String,
+      k: Int): Unit = {
+    import graft.etl.ViewRefresh
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val rows = k.toLong * 1000000L
+    val b = 64
+    val dimPath = tmp("vr_dim")
+    spark.range(100000L).selectExpr("id as k",
+      "concat('seg-', cast(id % 5 as string)) as seg")
+      .write.mode("overwrite").parquet(dimPath)
+    val factPath = tmp("vr_fact")
+    spark.range(rows).selectExpr("id % 100000 as k",
+      "cast(id % 9973 as double) / 100.0 as amount")
+      .write.mode("overwrite").parquet(factPath)
+    def dim = spark.read.parquet(dimPath)
+    def fact = spark.read.parquet(factPath)
+    def view(d: DataFrame): DataFrame = fact.join(broadcast(d), Seq("k"))
+    val path = tmp("vr_view") + "/view"
+    var t0 = System.nanoTime()
+    ViewRefresh.materialize(view(dim), col("k"), b, path)
+    val materializeSec = (System.nanoTime() - t0) / 1e9
+    val results = Seq(3L, 1000L).map { c =>
+      val updated = dim.withColumn("seg",
+        when(col("k") < c, lit("UPDATED")).otherwise(col("seg")))
+      val changed = dim.filter(col("k") < c).select(col("k"))
+      val buckets = ViewRefresh.affectedBuckets(changed, col("k"), b)
+      t0 = System.nanoTime()
+      ViewRefresh.refresh(view(updated), col("k"), b, buckets, path)
+      val sec = (System.nanoTime() - t0) / 1e9
+      f""""c$c":{"buckets":${buckets.size},"refresh_sec":$sec%.2f}"""
+    }
+    println(results.mkString(
+      f"""[probe] {"fact_rows":$rows,"n_buckets":$b,""" +
+        f""""materialize_sec":$materializeSec%.2f,""",
+      ",", s""","replication":$k}"""))
   }
 
   private def r13Probes(spark: SparkSession, dir: String, k: Int): Unit = {

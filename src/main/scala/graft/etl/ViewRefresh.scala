@@ -14,11 +14,21 @@ import graft.sources.Warehouse
   * the dim key, so a dim delta maps to a bounded set of partitions:
   * recompute the join for those buckets only and swap them in with a
   * dynamic-partition overwrite ([[Warehouse.overwritePartitions]] —
-  * the write replaces only the partitions present in the frame). At
-  * 100 TB a 1%-of-keys dim update touches ~1% of the view's bytes
-  * (bucket granularity), not the corpus; readers of untouched
-  * partitions never see a file change (ViewRefreshSpec asserts the
-  * untouched files are byte-identical after a refresh).
+  * the write replaces only the partitions present in the frame).
+  * Readers of untouched partitions never see a file change
+  * (ViewRefreshSpec asserts the untouched files are byte-identical
+  * after a refresh).
+  *
+  * What is saved, honestly: the WRITE. c randomly-hashed changed keys
+  * touch B·(1−(1−1/B)^c) of B buckets — ≈c buckets while c ≪ B, all
+  * of them once c approaches B·ln B. The win case is the common small
+  * delivery (correct one customer, a handful of late fixes): write
+  * amplification drops from a full view rewrite to ~c/B of it, and it
+  * degrades gracefully to a plain rewrite for bulk updates. The
+  * refresh still SCANS one pass of the fact to recompute the affected
+  * rows (prunable further only when the fact layout shares the bucket
+  * key) — at 100 TB the saving is write bandwidth on (B−c)/B of the
+  * view's parquet, which is the expensive half of a rewrite.
   *
   * The bucket count trades refresh granularity against small-file
   * pressure: more buckets → less over-rebuild per changed key but
