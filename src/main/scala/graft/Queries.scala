@@ -6837,7 +6837,14 @@ object Queries {
     * (base ∪ delta = the whole fact table), so hash-green certifies
     * the merge's VALUES member-for-member, not just its shape. */
   def q207CubeIncr(s: SparkSession, dir: String): DataFrame = {
-    val wide = q203Wide(s, dir)
+    // stage the star-joined fact once (the q214 idiom): the base and
+    // delta partials would otherwise EACH re-execute the whole
+    // warehouse-build lineage, double-paying the ETL this face exists
+    // to show is never re-paid
+    val root = java.nio.file.Files.createTempDirectory("q207_wide").toString
+    try {
+    q203Wide(s, dir).write.parquet(s"$root/fact")
+    val wide = s.read.parquet(s"$root/fact")
     val cut = 1997
     def partials(df: DataFrame) = Cube.memberSets(df, q203Hierarchies,
       Seq(count(col("id_persona")).as("cnt"),
@@ -6851,14 +6858,16 @@ object Queries {
       Seq(sum(col("cnt")).as("cantidad_movimientos"),
         sum(col("s_edad")).as("s_edad"),
         sum(col("n_edad")).as("n_edad")))
-    q203Order(merged.select(
+    q203Order(localized(merged.select(
       (col("fact") +: q203Levels.map(col)) ++ Seq(col("gid"),
         col("cantidad_movimientos"),
         // cast-then-divide mirrors the oracle's CAST(sum AS DOUBLE) /
         // count exactly; the merged decimal sums are exact, so the one
         // double division runs on bit-identical operands
         round(col("s_edad").cast("double") / col("n_edad"), 6)
-          .as("promedio_edades")): _*))
+          .as("promedio_edades")): _*)))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   val q207Sql: String = q203Sql
@@ -6892,11 +6901,17 @@ object Queries {
       sum(col("damt")).over(
         Window.partitionBy(col("custkey")).orderBy(col("d")))
         .cast("decimal(38,2)"))
+    // the snapshot dates are the months' LAST days (last_day of each
+    // month start — stepping the sequence by month from a month END
+    // would clamp differently across engines): a period_end row
+    // includes the whole month's activity, the Kimball periodic-
+    // snapshot contract
     val grid = t(s, dir, "customer")
       .select(col("c_custkey").as("custkey"),
         explode(sequence(lit("1995-01-01").cast("date"),
           lit("1995-12-01").cast("date"),
-          expr("INTERVAL 1 MONTH"))).as("pe"))
+          expr("INTERVAL 1 MONTH"))).as("pe0"))
+      .select(col("custkey"), last_day(col("pe0")).as("pe"))
     // union + ffill: order rows sort before the grid row on the same
     // date (__g 0 < 1), so a same-day order is included — ASOF <=
     val unioned = cum
@@ -6929,8 +6944,8 @@ object Queries {
       |  sum(damt) OVER (PARTITION BY custkey ORDER BY d) AS bal
       | FROM daily),
       |grid AS (SELECT c_custkey AS custkey,
-      |  CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-12-01',
-      |    INTERVAL 1 MONTH)) AS DATE) AS pe
+      |  last_day(CAST(unnest(generate_series(DATE '1995-01-01',
+      |    DATE '1995-12-01', INTERVAL 1 MONTH)) AS DATE)) AS pe
       | FROM customer)
       |SELECT g.custkey, g.pe AS period_end,
       | round(CAST(coalesce(b.bal, 0) AS DOUBLE), 6) AS balance
@@ -7118,8 +7133,8 @@ object Queries {
       |  sum(damt) OVER (PARTITION BY custkey ORDER BY d) AS bal
       | FROM daily),
       |grid AS (SELECT c_custkey AS custkey,
-      |  CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-12-01',
-      |    INTERVAL 1 MONTH)) AS DATE) AS pe
+      |  last_day(CAST(unnest(generate_series(DATE '1995-01-01',
+      |    DATE '1995-12-01', INTERVAL 1 MONTH)) AS DATE)) AS pe
       | FROM customer),
       |snap AS (SELECT g.custkey, g.pe, coalesce(b.bal, 0) AS bal
       | FROM grid g ASOF LEFT JOIN cum b

@@ -63,11 +63,38 @@ object ViewRefresh {
     * dimension) restricted to the affected buckets, and overwrite only
     * those partitions. The filter on the freshly-computed bucket
     * column prunes the fact scan too when the view source is itself
-    * bucket-partitioned. */
+    * bucket-partitioned.
+    *
+    * DELETION correctness: dynamic-partition overwrite only replaces
+    * partitions PRESENT in the written frame — an affected bucket
+    * whose recomputed content is now EMPTY (its only member was
+    * deleted / dropped by the view's inner join) would silently keep
+    * its stale files. Those buckets are detected (one distinct over
+    * the already-bucket-filtered rows, bounded by nBuckets) and their
+    * partition directories deleted explicitly. */
   def refresh(view: DataFrame, key: Column, nBuckets: Int,
       buckets: Seq[Int], path: String): Unit = {
+    val spark = view.sparkSession
+    // pinned across the write and the bucket census: recomputing the
+    // view for the census would double the refresh's join work, and
+    // reading the census from the table AFTER the write would see the
+    // stale partition it exists to detect
     val scoped = view.withColumn(BucketCol, bucketOf(key, nBuckets))
       .filter(col(BucketCol).isin(buckets: _*))
-    Warehouse.overwritePartitions(scoped, path, Seq(BucketCol))
+      .persist()
+    try {
+      Warehouse.overwritePartitions(scoped, path, Seq(BucketCol))
+      val written = scoped.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val emptied = buckets.filterNot(written)
+      if (emptied.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        emptied.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$BucketCol=$b"),
+            true): Unit
+        }
+      }
+    } finally scoped.unpersist(): Unit
   }
 }

@@ -112,9 +112,13 @@ object AggNavigator {
 
   /** A registered aggregate table: its grain, its materialized size
     * (the navigator's cost model, same as Mondrian's row-count
-    * heuristic), and where it lives. */
+    * heuristic), where it lives, and its grain columns' types
+    * (captured from the written frame at register/refresh time so the
+    * serving path never re-reads parquet footers just to type a null
+    * level slot). */
   final case class AggTable(name: String, grain: Seq[String], rows: Long,
-      path: String)
+      path: String,
+      grainTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
 
   final case class Registry(spark: SparkSession, measures: Seq[Measure],
       aggs: Seq[AggTable]) {
@@ -144,9 +148,12 @@ object AggNavigator {
     val spark = fact.sparkSession
     val aggs = grains.map { case (name, grain) =>
       val path = s"$root/agg_$name"
-      partialsFor(fact, grain, measures).write.mode("overwrite").parquet(path)
+      val partials = partialsFor(fact, grain, measures)
+      partials.write.mode("overwrite").parquet(path)
       val rows = spark.read.parquet(path).count()
-      AggTable(name, grain, rows, path)
+      AggTable(name, grain, rows, path,
+        partials.schema.filter(f => grain.contains(f.name))
+          .map(f => f.name -> f.dataType).toMap)
     }
     Registry(spark, measures, aggs)
   }
@@ -163,18 +170,42 @@ object AggNavigator {
     * ([[graft.sources.Warehouse.publish]]), so a concurrent navigated
     * drill reads the old committed table or the new one, never a
     * half-written directory. Returns the refreshed registry (row
-    * counts re-measured — they are the navigator's cost model). */
-  def refresh(reg: Registry, delta: DataFrame): Registry = {
+    * counts re-measured — they are the navigator's cost model).
+    *
+    * REPLAY SAFETY: pass the source's batch identity as `batchId`
+    * when deliveries are at-least-once (foreachBatch retries, a crash
+    * mid-registry) — each table records an `_applied/<batchId>`
+    * marker AFTER its publish, and a redelivered batch skips the
+    * tables that already absorbed it. Double-absorbing a batch would
+    * silently inflate every count and sum — the stale-table failure
+    * [[audit]] exists to catch, created by the refresh itself. The
+    * marker-after-publish ordering means a crash BETWEEN publish and
+    * marker re-absorbs that one table on retry (at-least-once, not
+    * exactly-once) — same window as any non-transactional sink; the
+    * audit catches it. Omit batchId only for one-shot batch use. */
+  def refresh(reg: Registry, delta: DataFrame,
+      batchId: Option[Long] = None): Registry = {
     val spark = reg.spark
     val aggs = reg.aggs.map { agg =>
-      val fold = reg.measures.flatMap(_.combine)
-      val merged = spark.read.parquet(agg.path)
-        .unionByName(partialsFor(delta, agg.grain, reg.measures))
-        .groupBy(agg.grain.map(col): _*).agg(fold.head, fold.tail: _*)
-      graft.sources.Warehouse.publish(spark, agg.path) { tmp =>
-        merged.write.parquet(tmp)
+      val marker = batchId.map(id =>
+        new org.apache.hadoop.fs.Path(s"${agg.path}/_applied/$id"))
+      val fs = marker.map(_.getFileSystem(spark.sessionState.newHadoopConf()))
+      if (marker.isDefined && fs.get.exists(marker.get)) agg
+      else {
+        val fold = reg.measures.flatMap(_.combine)
+        val merged = spark.read.parquet(agg.path)
+          .unionByName(partialsFor(delta, agg.grain, reg.measures))
+          .groupBy(agg.grain.map(col): _*).agg(fold.head, fold.tail: _*)
+        graft.sources.Warehouse.publish(spark, agg.path) { tmp =>
+          merged.write.parquet(tmp)
+        }
+        // marker AFTER the publish — see the replay-safety contract
+        marker.foreach { m =>
+          fs.get.mkdirs(m.getParent)
+          fs.get.create(m, true).close()
+        }
+        agg.copy(rows = spark.read.parquet(agg.path).count())
       }
-      agg.copy(rows = spark.read.parquet(agg.path).count())
     }
     reg.copy(aggs = aggs)
   }
@@ -231,16 +262,15 @@ object AggNavigator {
     * LITERAL per set, first level = most significant bit, exactly
     * Spark's/SQL's GROUPING() weighting, so the result is
     * hash-comparable with a `GROUP BY GROUPING SETS` oracle. Level
-    * types for the null slots come from the registered tables'
-    * schemas (one driver-side footer read each), not the fact — a
-    * fully-routed member space never touches the fact lineage. */
+    * types for the null slots come from the grain types captured at
+    * register/refresh time — no parquet footer reads on the serving
+    * path, and a fully-routed member space never touches the fact
+    * lineage. */
   def navigateSets(reg: Registry, fact: => DataFrame,
       allLevels: Seq[String], sets: Seq[Seq[String]]): DataFrame = {
     require(sets.nonEmpty, "need at least one member set")
     val levelType: Map[String, org.apache.spark.sql.types.DataType] =
-      reg.aggs.flatMap(a => reg.spark.read.parquet(a.path).schema
-        .filter(f => allLevels.contains(f.name))
-        .map(f => f.name -> f.dataType)).toMap
+      reg.aggs.flatMap(_.grainTypes).toMap
     // a level carried by NO rollup: its null slots must still be
     // typed (NullType won't write to parquet), and only the fact
     // knows the type — resolved lazily so a fully-covered member

@@ -69,6 +69,31 @@ class ViewRefreshSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("a deletion that empties a bucket removes its stale partition") {
+    import spark.implicits._
+    // 3 keys spread over 64 buckets → each key alone in its bucket
+    val nb = 64
+    val dimA = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "seg")
+    val factsT = Seq((1L, 10.0), (2L, 20.0), (2L, 21.0), (3L, 30.0))
+      .toDF("k", "amount")
+    def v(d: org.apache.spark.sql.DataFrame) = factsT.join(d, Seq("k"))
+    val root = java.nio.file.Files.createTempDirectory("vr_del").toString
+    val path = s"$root/view"
+    ViewRefresh.materialize(v(dimA), col("k"), nb, path)
+    assert(spark.read.parquet(path).filter(col("k") === 2L).count() === 2)
+    // member k=2 is DELETED from the dimension: the inner join drops
+    // its rows, its bucket's recomputed content is empty — dynamic
+    // overwrite alone would keep the stale files
+    val dimB = dimA.filter(col("k") =!= 2L)
+    val changed = Seq(Tuple1(2L)).toDF("k")
+    val buckets = ViewRefresh.affectedBuckets(changed, col("k"), nb)
+    ViewRefresh.refresh(v(dimB), col("k"), nb, buckets, path)
+    val left = spark.read.parquet(path)
+    assert(left.filter(col("k") === 2L).count() === 0,
+      "deleted member's rows must not survive the refresh")
+    assert(left.count() === 2)
+  }
+
   test("bucketOf is stable across calls (refresh targets the right partition)") {
     val a = ViewRefresh.affectedBuckets(dimV1.limit(50).select("c_custkey"),
       col("c_custkey"), n)

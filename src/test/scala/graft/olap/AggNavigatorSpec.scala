@@ -133,8 +133,10 @@ class AggNavigatorSpec extends AnyFunSuite {
     val q = spark.readStream.schema(fact.schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        reg = AggNavigator.refresh(reg, batch)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // batchId makes the fold replay-safe under foreachBatch's
+        // at-least-once redelivery
+        reg = AggNavigator.refresh(reg, batch, Some(id))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -147,6 +149,39 @@ class AggNavigatorSpec extends AnyFunSuite {
         s"stream-maintained route for $groupCols diverged from rebuild")
     }
     assert(reg.aggs.map(_.rows) === full.aggs.map(_.rows))
+  }
+
+  test("a redelivered batch is absorbed once: refresh is replay-safe per table") {
+    val base = fact.filter(col("y") < 1997)
+    val b42 = fact.filter(col("y") === 1997)
+    val b43 = fact.filter(col("y") > 1997)
+    val grains = Seq("yearly" -> Seq("y"), "status" -> Seq("status"))
+    val reg0 = AggNavigator.register(base, grains, measures,
+      java.nio.file.Files.createTempDirectory("aggnav_replay").toString)
+    val once = AggNavigator.refresh(reg0, b42, Some(42L))
+    // the at-least-once retry: same batch id, delivered again
+    val twice = AggNavigator.refresh(once, b42, Some(42L))
+    val upTo97 = fact.filter(col("y") <= 1997)
+    val want = rows(AggNavigator.navigate(once, upTo97, Seq("y")), Seq("y"))
+    assert(rows(AggNavigator.navigate(twice, upTo97, Seq("y")), Seq("y"))
+      === want, "a replayed batch must not double-count")
+    assert(AggNavigator.audit(twice, upTo97).collect()
+      .forall(_.getBoolean(2)))
+    // a crash BETWEEN tables: table 1 carries batch 43's marker (its
+    // publish landed) but table 2 does not — redelivering 43 must
+    // skip table 1 and absorb into table 2 only
+    val m = new org.apache.hadoop.fs.Path(
+      s"${twice.aggs.head.path}/_applied/43")
+    val fs = m.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(m.getParent); fs.create(m, true).close()
+    val after = AggNavigator.refresh(twice, b43, Some(43L))
+    val verdicts = AggNavigator.audit(after, fact).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    // table 1 never actually absorbed 43 (the marker lied, as it does
+    // in the publish-then-crash window) → stale, which audit catches;
+    // table 2 absorbed it exactly once → consistent
+    assert(!verdicts(after.aggs.head.name) && verdicts(after.aggs(1).name),
+      s"marker must skip exactly the marked table: $verdicts")
   }
 
   test("audit passes fresh/refreshed tables and catches a stale one") {
