@@ -186,9 +186,18 @@ object DocStream {
     * [[BandIndexMaxMemFraction]]. Computed per consult (executors
     * come and go on a dynamic-allocation cluster). */
   private[graft] def bandIndexMaxBytesAuto(spark: SparkSession): Long = {
-    val total = spark.sparkContext.getExecutorMemoryStatus
-      .values.map(_._1).sum
-    (total * BandIndexMaxMemFraction).toLong
+    val capacities = spark.sparkContext.getExecutorMemoryStatus
+      .values.map(_._1).toSeq
+    // getExecutorMemoryStatus includes the DRIVER's block manager, but
+    // the MEMORY_AND_DISK index lives on executors only — counting the
+    // driver would let an index ~2x real executor storage through the
+    // gate on a small cluster, admitting exactly the spill regression
+    // the gate exists to prevent. One entry = local mode (the driver
+    // IS the executor); otherwise drop one average share.
+    val total = capacities.sum
+    val execTotal =
+      if (capacities.size > 1) total - total / capacities.size else total
+    (execTotal * BandIndexMaxMemFraction).toLong
   }
 
   /** How many sinks' generation-face verdicts (index or under-gate)
@@ -214,7 +223,17 @@ object DocStream {
     * probe composes the survivors ([[graft.dedup.BandIndex.union]] —
     * an RDD union of persisted partitions, nothing copied).
     * Access-ordered LRU bounded at [[MaxCachedSinkIndexes]]; eviction
-    * unpersists every sub-index. */
+    * unpersists every sub-index — DEFERRED to [[drainEvicted]] under
+    * the EVICTED sink's own lock: unpersisting inside
+    * removeEldestEntry would bypass the lock protocol
+    * ([[invalidateIndex]]'s whole point) and could yank another
+    * sink's sub-indexes out from under the hand-out window of its
+    * concurrent [[genIndexFor]]. The queue hop is deadlock-free
+    * because the drain runs after the evictor has released both the
+    * map monitor and its own sink lock. */
+  private val evicted = new java.util.concurrent.ConcurrentLinkedQueue[
+    (String, Option[Map[String, graft.dedup.BandIndex]])]()
+
   private val indexCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[
         String,
@@ -224,10 +243,25 @@ object DocStream {
           String,
           (String, Option[Map[String, graft.dedup.BandIndex]])]): Boolean = {
         val evict = size() > MaxCachedSinkIndexes
-        if (evict) e.getValue._2.foreach(_.values.foreach(_.unpersist()))
+        if (evict) evicted.add((e.getKey, e.getValue._2)): Unit
         evict
       }
     })
+
+  /** Unpersist LRU-evicted sub-indexes under their own sink's lock —
+    * called lock-free (see [[indexCache]]). An evicted sink's entry is
+    * already out of the map, so a concurrent rebuild there creates
+    * fresh instances and never re-hands these out; the lock only
+    * defers the unpersist past that sink's current hand-out window. */
+  private def drainEvicted(): Unit = {
+    var e = evicted.poll()
+    while (e != null) {
+      lockFor(e._1).synchronized {
+        e._2.foreach(_.values.foreach(_.unpersist()))
+      }
+      e = evicted.poll()
+    }
+  }
 
   /** Per-sink build locks: [[genIndexFor]]'s miss path is
     * check-then-act (read cache → build sub-indexes → put), and two
@@ -281,7 +315,17 @@ object DocStream {
     * `minBytes`. */
   private def genIndexFor(spark: SparkSession, sinkDir: String,
       genSigDirs: Seq[Path], genRel: Option[DataFrame], minBytes: Long,
-      maxBytes: Long = 0L): Option[graft.dedup.BandIndex] =
+      maxBytes: Long = 0L): Option[graft.dedup.BandIndex] = {
+    val result = genIndexForLocked(spark, sinkDir, genSigDirs, genRel,
+      minBytes, maxBytes)
+    // outside every lock: see drainEvicted's deadlock argument
+    drainEvicted()
+    result
+  }
+
+  private def genIndexForLocked(spark: SparkSession, sinkDir: String,
+      genSigDirs: Seq[Path], genRel: Option[DataFrame], minBytes: Long,
+      maxBytes: Long): Option[graft.dedup.BandIndex] =
     lockFor(sinkDir).synchronized {
       if (genSigDirs.isEmpty || genRel.isEmpty) {
         invalidateIndex(sinkDir); return None
@@ -390,9 +434,9 @@ object DocStream {
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) return None
     val sigBase = new Path(base, "_sig")
-    def dirsIn(p: Path): Seq[Path] =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toIndexedSeq
+    // the one shared listing implementation (module-header contract:
+    // a listing fix lands in exactly one place, for both sinks)
+    def dirsIn(p: Path): Seq[Path] = Manifests.dirsIn(fs, p)
     // GC: finish any earlier fold that crashed between publish and
     // source deletion, drop orphan sig generations and temp debris.
     // Manifested sources are deleted only when their modification
@@ -538,13 +582,18 @@ object DocStream {
       // it saves. Materialize BEFORE the consumers — a lazily
       // populated cache read by two branches of one job races, each
       // branch computing its own copy before either publishes blocks.
+      // persist() is a lazy marking and cannot fail; everything that
+      // RUNS work on the pinned relations (counts, the index build,
+      // the eager pair collect) happens inside the try whose finally
+      // unpersists — an exception anywhere in between must not leave
+      // a MEMORY_AND_DISK copy pinned per failed at-least-once retry
       val contaminated = bench.map { b =>
-        val ids = graft.text.Decontaminate
+        graft.text.Decontaminate
           .contaminatedIds(batch, b, idCol, textCol, benchGramN)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ids.count()
-        ids
       }
+      try {
+      contaminated.foreach(_.count())
       val clean = contaminated match {
         case Some(ids) => batch.join(ids, Seq(idCol), "left_anti")
         case None => batch
@@ -591,15 +640,13 @@ object DocStream {
       // join above would run once per consumer
       val survivors = survivorsRaw
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      survivors.count() // materialize before the pair plan's branches
       try {
+        survivors.count() // materialize before the pair plan's branches
         val out = Dedup.dropNearDups(survivors, idCol,
           Dedup.nearDupPairs(survivors, idCol, textCol, threshold))
         out.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
-      } finally {
-        survivors.unpersist()
-        contaminated.foreach(_.unpersist())
-      }
+      } finally survivors.unpersist()
+      } finally contaminated.foreach(_.unpersist())
       val written = spark.read.schema(batch.schema)
         .parquet(s"$sinkDir/batch_id=$batchId")
       Dedup.writeSignatures(
@@ -608,9 +655,9 @@ object DocStream {
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
       if (compactEvery > 0) {
-        val live = new Path(sinkDir).getFileSystem(
-          spark.sessionState.newHadoopConf())
-          .listStatus(new Path(sinkDir))
+        // the fs constructed at the top of this batch — rebuilding a
+        // Hadoop conf + FileSystem here would tax every micro-batch
+        val live = fs.listStatus(new Path(sinkDir))
           .count(s => s.isDirectory &&
             partId(s.getPath.getName, "batch_id=").isDefined)
         if (live >= compactEvery)

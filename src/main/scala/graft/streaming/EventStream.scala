@@ -436,12 +436,17 @@ object EventStream {
   /** Streaming sessionization with custom state: per-user open-session
     * state, closed and emitted when a later event arrives past the gap
     * OR when the processing-time timeout fires (so the final session of
-    * an idle user IS eventually emitted on a live stream; on a bounded
-    * AvailableNow replay the stream terminates before any timeout, so
-    * still-open sessions stay unemitted there — asserted in the spec).
+    * an idle user IS eventually emitted on a live stream).
+    *
+    * `idleTimeout = false` for BOUNDED runs (`Trigger.AvailableNow`
+    * replays, tests): a pending processing-time timeout keeps an
+    * AvailableNow query alive waiting for a trigger that never comes —
+    * the query NEVER terminates (measured, not theorized). Without the
+    * timeout a bounded replay terminates normally and each user's
+    * final session simply stays open/unemitted — asserted in the spec.
     * The streaming face of [[sessionizeBatch]]. */
-  def sessionizeStream(events: Dataset[Event], gapSeconds: Long)
-      : Dataset[Session] = {
+  def sessionizeStream(events: Dataset[Event], gapSeconds: Long,
+      idleTimeout: Boolean = true): Dataset[Session] = {
     import events.sparkSession.implicits._
     def emit(userId: Long, s: SessionState): Session =
       Session(userId, new java.sql.Timestamp(s.start),
@@ -449,7 +454,9 @@ object EventStream {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(),
+        if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
           if (state.hasTimedOut) {
             // gap elapsed with no new events: close the open session
@@ -459,26 +466,68 @@ object EventStream {
             out
           } else {
             // bounded per-trigger batch: sort this trigger's events,
-            // fold into (possibly continued) sessions
+            // fold into (possibly continued) sessions. LATE events
+            // (older than the open session) are handled in three
+            // tiers, matching sessionizeBatch where bounded state
+            // can: within the open session's span-or-gap they MERGE
+            // (start moves back via min — a late event must never be
+            // silently counted into a session whose [start,last]
+            // excludes it); deeper-late events fold into a transient
+            // within-trigger chain that either bridges into the open
+            // session at trigger end or closes as its own session(s).
+            // Residual divergence from batch: a deep-late chain SPLIT
+            // ACROSS triggers closes early — the price of not keeping
+            // unbounded late state.
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var open = state.getOption.flatMap(_.headOption)
+            var lateOpen = Option.empty[SessionState]
             val closed = scala.collection.mutable.ListBuffer[Session]()
+            def closeLate(): Unit = {
+              lateOpen.foreach(ls => closed += emit(userId, ls))
+              lateOpen = None
+            }
             sorted.foreach { e =>
               val t = e.ts.getTime // millis; gap compares truncated seconds
               open match {         // to match sessionizeBatch's unix_timestamp
+                case Some(s) if t / 1000 < s.start / 1000 - gapSeconds =>
+                  // deep-late: belongs to an earlier session entirely
+                  lateOpen match {
+                    case Some(ls) if t / 1000 - ls.last / 1000 <= gapSeconds =>
+                      lateOpen = Some(ls.copy(last = math.max(ls.last, t),
+                        n = ls.n + 1))
+                    case Some(ls) =>
+                      closed += emit(userId, ls)
+                      lateOpen = Some(SessionState(t, t, 1))
+                    case None => lateOpen = Some(SessionState(t, t, 1))
+                  }
                 case Some(s) if t / 1000 - s.last / 1000 <= gapSeconds =>
-                  // max(): a late event from a previous trigger must not
-                  // move the session end backwards
-                  open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                  // min()/max(): a late event from a previous trigger
+                  // must move the session START back, not vanish into
+                  // a span that excludes it; a late one must not move
+                  // the end backwards
+                  open = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) =>
+                  closeLate() // the late chain predates s — emit in order
                   closed += emit(userId, s)
                   open = Some(SessionState(t, t, 1))
                 case None =>
                   open = Some(SessionState(t, t, 1))
               }
             }
+            // trigger end: a late chain that now reaches within the
+            // gap of the open session's start BRIDGES into it (batch
+            // would see one session); otherwise it closes
+            (lateOpen, open) match {
+              case (Some(ls), Some(s))
+                  if s.start / 1000 - ls.last / 1000 <= gapSeconds =>
+                open = Some(s.copy(start = math.min(s.start, ls.start),
+                  n = s.n + ls.n))
+                lateOpen = None
+              case _ => closeLate()
+            }
             state.update(open.toList)
-            state.setTimeoutDuration(gapSeconds * 1000)
+            if (idleTimeout) state.setTimeoutDuration(gapSeconds * 1000)
             closed.iterator
           }
       }

@@ -271,6 +271,54 @@ class EventStreamSpec extends AnyFunSuite {
       ("c", 3L, 103L, 9.0, 3L)))
   }
 
+  test("late events across triggers: in-gap ones extend the session START, " +
+      "deep-late ones form their own session — never a distorted span") {
+    import EventStream.{Event, Session}
+    def ev(id: Long, sec: Long) =
+      Event(id, new java.sql.Timestamp(sec * 1000), 7L, "click", 0.0)
+    // gap 60 s. Wave 1 opens a session at t=36000. Wave 2 delivers:
+    //  - 35970 (late but within the gap BEFORE the start → must MERGE
+    //    and move session_start back, not vanish inside [36000, ...])
+    //  - 28800, 28830 (deep-late chain → their own 2-event session)
+    //  - 36030 (normal continuation)
+    val wave1 = Seq(ev(1, 36000))
+    val wave2 = Seq(ev(2, 35970), ev(3, 28800), ev(4, 28830), ev(5, 36030))
+    val tmp = Files.createTempDirectory("sess_late").toString
+    val src = s"$tmp/src"; val sink = s"$tmp/sessions"; val ck = s"$tmp/ck"
+    def runWave(ws: Seq[Event]): Unit = {
+      ws.toDS().write.mode("append").parquet(src)
+      // idleTimeout = false: a pending processing-time timeout keeps
+      // an AvailableNow query alive forever (see sessionizeStream doc)
+      val q = EventStream.sessionizeStream(
+          spark.readStream.schema(wave1.toDS().schema).parquet(src)
+            .as[Event], gapSeconds = 60, idleTimeout = false)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "streaming query timed out")
+    }
+    runWave(wave1)
+    runWave(wave2)
+    val closedSessions = spark.read.parquet(sink).as[Session].collect()
+      .map(s => (s.session_start.getTime / 1000, s.session_end.getTime / 1000,
+        s.n_events)).toSet
+    // only the deep-late chain closes (the live session stays open on
+    // a bounded replay); it must be exactly the 2-event 28800–28830
+    // span — NOT merged into the 36000 session, NOT two singletons
+    assert(closedSessions === Set((28800L, 28830L, 2L)),
+      s"deep-late chain mishandled: $closedSessions")
+    // drive one more event past the gap to flush the live session:
+    // its start must have moved BACK to the in-gap late event
+    runWave(Seq(ev(6, 40000)))
+    val after = spark.read.parquet(sink).as[Session].collect()
+      .map(s => (s.session_start.getTime / 1000, s.session_end.getTime / 1000,
+        s.n_events)).toSet
+    assert(after.contains((35970L, 36030L, 3L)),
+      s"in-gap late event must extend session_start: $after")
+  }
+
   test("streaming sessionization with custom state emits closed sessions") {
     val ds = events.as[EventStream.Event]
     // batch Dataset works through the same flatMapGroupsWithState code
