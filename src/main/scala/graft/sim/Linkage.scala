@@ -70,10 +70,24 @@ object Linkage {
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
       sortCol: String, w: Int): DataFrame = {
     require(w >= 1, "window must be >= 1")
+    // the global rank below consumes the range exchange TWICE (the
+    // offsets branch and the ranked branch); their partition ids only
+    // agree because Spark's exchange reuse dedups the two subtrees
+    // into ONE materialized exchange. With reuse disabled each branch
+    // would re-sample its own boundaries and the ranks would go
+    // silently wrong — fail loudly instead (a value-derived bucket,
+    // the PrefixSum fix, needs a numeric order key; sortCol here is
+    // an arbitrary orderable)
+    require(df.sparkSession.conf
+        .get("spark.sql.exchange.reuse", "true").toBoolean,
+      "sortedNeighborhoodPairs requires spark.sql.exchange.reuse=true: " +
+        "its two consumers of the range exchange must share one " +
+        "sampled partitioning")
+    // no sortWithinPartitions: spark_partition_id doesn't depend on
+    // intra-partition order, and the pid window re-sorts anyway
     val sorted = df.select(col(idCol).as("id"), col(sortCol).as("k"))
       .filter(col("k").isNotNull)
       .repartitionByRange(col("k"), col("id"))
-      .sortWithinPartitions(col("k"), col("id"))
       .withColumn("pid", spark_partition_id())
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pid")).orderBy(col("k"), col("id"))
@@ -102,7 +116,12 @@ object Linkage {
       right: DataFrame, rightId: String,
       blockKeys: Seq[(String, String)],
       fields: Seq[(String, String, Double)]): DataFrame = {
+    // score.isNotNull: a null similarity field (jaro_winkler
+    // null-propagates) nulls the whole weighted score, and the heap's
+    // struct ordering sorts a null sort key FIRST — an uninformative
+    // pair would evict every real candidate
     val scored = scoredPairs(left, leftId, right, rightId, blockKeys, fields)
+      .filter(col("score").isNotNull)
     graft.features.Features.topKPerGroupBounded(scored, "left_id",
         struct(negate(col("score")).as("ns"), col("right_id").as("right_id")), 1)
       .select(col("left_id"), col("right_id"), (-col("ns")).as("score"))

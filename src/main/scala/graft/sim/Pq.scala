@@ -86,41 +86,89 @@ object Pq {
     * pure function of the data, so any engine (and the q185 oracle)
     * re-draws the identical sample and replays the identical fit. */
   def fitSample(vectors: DataFrame, idCol: String, vecCol: String,
-      m: Int, kCodes: Int, iters: Int, hexThreshold: String): PqModel =
+      m: Int, kCodes: Int, iters: Int, hexThreshold: String): PqModel = {
+    // ragged-dimension validation over the FULL corpus, not just the
+    // sample (fit's own check only sees sampled rows, but encode
+    // slices EVERY row — a ragged vector outside the sample would
+    // silently mis-slice into confidently wrong codes). One cheap
+    // size() min/max aggregate, nothing vector-width moves.
+    val d = vectors.filter(col(vecCol).isNotNull)
+      .agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    require(!d.isNullAt(0) && d.getInt(0) == d.getInt(1),
+      s"PQ corpus has ragged dimensions: min ${d.get(0)} max ${d.get(1)} — " +
+        "encode would silently mis-slice rows outside the fit sample")
     fit(vectors.filter(
         graft.features.Features.hashSample(col(idCol), hexThreshold)),
       idCol, vecCol, m, kCodes, iters)
+  }
+
+  /** The `(distance-expanded, index)` score structs for a vector
+    * against an embedded centroid table — THE shared argmin idiom
+    * behind [[codesFor]], [[coarseCell]] and [[probeCellsCol]] (one
+    * place for the tie-break and null contracts; `array_min`/
+    * `array_sort` struct ordering breaks ties to the lower index). */
+  private def centScores(v: Column, cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      val cArr = array(c.map(lit).toIndexedSeq: _*)
+      struct((lit(c2) - lit(2.0) * Similarity.dot(v, cArr)).as("d"),
+        lit(i).as("i"))
+    }.toIndexedSeq: _*)
 
   /** The m-code array for one vector: per subspace, argmin over codes
     * of ‖c‖²−2⟨v_s,c⟩ (ties to the lower code — the
     * [[Similarity.ivfCell]] expression shape, m·kCodes fused dot
-    * products per row, whole-stage codegen, zero shuffle). */
+    * products per row, whole-stage codegen, zero shuffle). A NULL
+    * vector yields NULL codes — array_min over null-distance structs
+    * would otherwise silently encode it as code 0 in every subspace,
+    * giving a null row finite fake ADC distances. */
   def codesFor(vec: Column, model: PqModel): Column = {
     val v = vec.cast("array<double>")
     val per = model.books.zipWithIndex.map { case (book, s) =>
       val vs = slice(v, s * model.subDim + 1, model.subDim)
-      val scored = book.zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(x => x * x).sum
-        val cArr = array(c.map(lit).toIndexedSeq: _*)
-        struct((lit(c2) - lit(2.0) * Similarity.dot(vs, cArr)).as("d"),
-          lit(i).as("i"))
-      }
-      array_min(array(scored.toIndexedSeq: _*)).getField("i")
+      array_min(centScores(vs, book)).getField("i")
     }
-    array(per.toIndexedSeq: _*)
+    when(vec.isNull, lit(null)).otherwise(array(per.toIndexedSeq: _*))
   }
 
   /** Encode a corpus: (id, codes array<int>) — the relation a 100 TB
-    * deployment materializes (bucketed by id) instead of raw vectors. */
+    * deployment materializes (bucketed by id) instead of raw vectors.
+    * Null-vector rows are EXCLUDED (they cannot be searched; the fit
+    * already dropped them via KMeansRel.clean) — keeping them would
+    * either fabricate code-0 rows or null codes every probe must
+    * re-filter. */
   def encode(vectors: DataFrame, idCol: String, vecCol: String,
       model: PqModel): DataFrame =
-    vectors.select(col(idCol), codesFor(col(vecCol), model).as("codes"))
+    vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol), codesFor(col(vecCol), model).as("codes"))
+
+  /** Per-subspace query self-dots ⟨q_s,q_s⟩ as an m-element array —
+    * constant per query, so [[adcTopK]]/[[ivfAdcTopK]] compute it ONCE
+    * on the broadcast query side instead of once per (query, code)
+    * row (the hoist roughly halves the scored scan's dot-product
+    * flops). Kept as PER-SUBSPACE values, not one full-vector dot, so
+    * [[adcDistPre]]'s term grouping — and therefore every raw double
+    * the heap ranks on — is bit-identical to [[adcDist]]. */
+  def qSubNorms(qvec: Column, model: PqModel): Column = {
+    val q = qvec.cast("array<double>")
+    array(model.books.indices.map { s =>
+      val qs = slice(q, s * model.subDim + 1, model.subDim)
+      Similarity.dot(qs, qs)
+    }.toIndexedSeq: _*)
+  }
 
   /** ADC distance of an un-quantized query to a code row:
     * Σ_s (‖c_s‖² − 2⟨q_s,c_s⟩ + ⟨q_s,q_s⟩) = ‖q − reconstruct(codes)‖².
     * Codebook arrays and norms embed as literals; the code column
     * indexes into them with `element_at` — still a pure projection. */
-  def adcDist(qvec: Column, codes: Column, model: PqModel): Column = {
+  def adcDist(qvec: Column, codes: Column, model: PqModel): Column =
+    adcDistPre(qvec, qSubNorms(qvec, model), codes, model)
+
+  /** [[adcDist]] with the query self-dots precomputed (see
+    * [[qSubNorms]]) — identical values, per-row work reduced to the
+    * m codebook lookups and m sub-dots against the centroids. */
+  def adcDistPre(qvec: Column, qn2s: Column, codes: Column,
+      model: PqModel): Column = {
     val q = qvec.cast("array<double>")
     val terms = model.books.zipWithIndex.map { case (book, s) =>
       val qs = slice(q, s * model.subDim + 1, model.subDim)
@@ -130,7 +178,7 @@ object Pq {
         lit(c.map(x => x * x).sum)).toIndexedSeq: _*)
       val idx = element_at(codes, s + 1) + 1
       element_at(norms, idx) - lit(2.0) * Similarity.dot(qs, element_at(cents, idx)) +
-        Similarity.dot(qs, qs)
+        element_at(qn2s, s + 1)
     }
     terms.reduceLeft(_ + _)
   }
@@ -161,11 +209,19 @@ object Pq {
   def adcTopK(codes: DataFrame, idCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       model: PqModel, k: Int): DataFrame = {
+    // __qn2s materializes into the broadcast hash relation — the
+    // query self-dots are computed once per QUERY, not per scored row
     val q = broadcast(queries.select(col(qIdCol).as("__qid"),
-      col(qVecCol).cast("array<double>").as("__qv")))
+      col(qVecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn2s", qSubNorms(col("__qv"), model)))
     val scored = codes.crossJoin(q)
       .select(col("__qid").as(qIdCol), col(idCol),
-        adcDist(col("__qv"), col("codes"), model).as("__ad2"))
+        adcDistPre(col("__qv"), col("__qn2s"), col("codes"), model)
+          .as("__ad2"))
+      // a null QUERY vector nulls every distance; the heap's struct
+      // ordering would rank those null keys FIRST — drop them (the
+      // query is then absent from the output, not fabricated)
+      .filter(col("__ad2").isNotNull)
     heapTopK(scored, qIdCol, idCol, k)
   }
 
@@ -193,16 +249,8 @@ object Pq {
     * recomputable across engines and re-runs. */
   final case class IvfAdcModel(coarse: Array[Array[Double]], pq: PqModel)
 
-  private def coarseCell(vec: Column, coarse: Array[Array[Double]]): Column = {
-    val v = vec.cast("array<double>")
-    val scored = coarse.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      val cArr = array(c.map(lit).toIndexedSeq: _*)
-      struct((lit(c2) - lit(2.0) * Similarity.dot(v, cArr)).as("d"),
-        lit(i).as("i"))
-    }
-    array_min(array(scored.toIndexedSeq: _*)).getField("i")
-  }
+  private def coarseCell(vec: Column, coarse: Array[Array[Double]]): Column =
+    array_min(centScores(vec.cast("array<double>"), coarse)).getField("i")
 
   /** v − coarse[cell], as a codegen'd zip_with over the embedded
     * centroid table. */
@@ -232,7 +280,9 @@ object Pq {
     * so probes prune partitions at planning time. */
   def ivfAdcIndex(vectors: DataFrame, idCol: String, vecCol: String,
       model: IvfAdcModel): DataFrame =
-    vectors
+    // null-vector rows excluded for the same reason as [[encode]] —
+    // a null would otherwise land in cell 0 with code-0 codes
+    vectors.filter(col(vecCol).isNotNull)
       .withColumn("cell", coarseCell(col(vecCol), model.coarse))
       .select(col(idCol), col("cell"),
         codesFor(residual(col(vecCol), col("cell"), model.coarse),
@@ -244,17 +294,11 @@ object Pq {
     * per-row instead of driver-side so a query RELATION probes in one
     * pass). */
   private def probeCellsCol(qvec: Column, coarse: Array[Array[Double]],
-      nprobe: Int): Column = {
-    val v = qvec.cast("array<double>")
-    val scored = coarse.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      val cArr = array(c.map(lit).toIndexedSeq: _*)
-      struct((lit(c2) - lit(2.0) * Similarity.dot(v, cArr)).as("d"),
-        lit(i).as("i"))
-    }
-    transform(slice(array_sort(array(scored.toIndexedSeq: _*)), 1, nprobe),
+      nprobe: Int): Column =
+    transform(
+      slice(array_sort(centScores(qvec.cast("array<double>"), coarse)),
+        1, nprobe),
       x => x.getField("i"))
-  }
 
   /** IVF-ADC search: explode each query into its nprobe (query, cell)
     * probes, join the cell-keyed index (only probed cells are read —
@@ -274,6 +318,9 @@ object Pq {
     val scored = index.join(probes, Seq("cell"))
       .select(col("__qid").as(qIdCol), col(idCol),
         adcDist(col("__qres"), col("codes"), model.pq).as("__ad2"))
+      // null query vector → null residual → null distances: drop (the
+      // heap would rank null sort keys first) — see adcTopK
+      .filter(col("__ad2").isNotNull)
     heapTopK(scored, qIdCol, idCol, k)
   }
 }

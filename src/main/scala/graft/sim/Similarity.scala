@@ -60,8 +60,14 @@ object Similarity {
       matchCol: String = "matched", distCol: String = "dist"): DataFrame = {
     val cands = array(candidates.distinct.sorted.map(lit): _*)
     keys
-      .withColumn("__best", array_min(transform(cands,
-        x => struct(levenshtein(col(c), x).as("d"), x.as("s")))))
+      // the isNull guard: levenshtein(null, x) is null for EVERY
+      // candidate, and array_min's struct ordering would then
+      // tie-break on the candidate string — fabricating a "match" to
+      // the alphabetically-first candidate for a null key. A null key
+      // matches nothing.
+      .withColumn("__best", when(col(c).isNull, lit(null))
+        .otherwise(array_min(transform(cands,
+          x => struct(levenshtein(col(c), x).as("d"), x.as("s"))))))
       .withColumn(matchCol, col("__best.s"))
       .withColumn(distCol, col("__best.d").cast("long"))
       .drop("__best")
@@ -86,11 +92,17 @@ object Similarity {
   /** Sign-of-dot-product bucket id with `bits` hyperplanes;
     * `seedOffset` selects an independent hyperplane family (for
     * multi-table LSH). */
-  def lshBucket(vec: Column, bits: Int, dim: Int, seedOffset: Int = 0): Column =
+  def lshBucket(vec: Column, bits: Int, dim: Int, seedOffset: Int = 0): Column = {
+    // the bucket is a Long bitmask: shiftleft(1L, 64) silently WRAPS
+    // to bit 0 (Java << semantics), aliasing hyperplane 64 onto
+    // hyperplane 0 and corrupting every bucket — fail loudly instead
+    require(bits >= 1 && bits <= 64,
+      s"lshBucket supports 1..64 hyperplanes (Long bitmask), got $bits")
     (0 until bits).map { b =>
       val h = array(hyperplane(seedOffset + b, dim).toIndexedSeq.map(lit): _*)
       when(dot(vec, h) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce[Column]((a, c) => a.bitwiseOR(c))
+  }
 
   /** IVF coarse quantizer: nlist k-means centroids (spark.ml KMeans,
     * seeded) held on the driver — the index is nlist × dim doubles,
