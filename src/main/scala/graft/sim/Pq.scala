@@ -86,21 +86,27 @@ object Pq {
     * pure function of the data, so any engine (and the q185 oracle)
     * re-draws the identical sample and replays the identical fit. */
   def fitSample(vectors: DataFrame, idCol: String, vecCol: String,
-      m: Int, kCodes: Int, iters: Int, hexThreshold: String): PqModel = {
-    // ragged-dimension validation over the FULL corpus, not just the
-    // sample (fit's own check only sees sampled rows, but encode
-    // slices EVERY row — a ragged vector outside the sample would
-    // silently mis-slice into confidently wrong codes). One cheap
-    // size() min/max aggregate, nothing vector-width moves.
-    val d = vectors.filter(col(vecCol).isNotNull)
-      .agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
-    require(!d.isNullAt(0) && d.getInt(0) == d.getInt(1),
-      s"PQ corpus has ragged dimensions: min ${d.get(0)} max ${d.get(1)} — " +
-        "encode would silently mis-slice rows outside the fit sample")
+      m: Int, kCodes: Int, iters: Int, hexThreshold: String): PqModel =
+    // Ragged-dimension safety for rows OUTSIDE the sample (fit's own
+    // check only sees sampled rows) is enforced per-row inside
+    // [[encode]]/[[ivfAdcIndex]] — the scans that actually slice every
+    // row — not by an extra full-corpus aggregate here: a fit call
+    // must cost O(sample), and encode fails loudly on the first
+    // mis-sized vector it would otherwise mis-slice.
     fit(vectors.filter(
         graft.features.Features.hashSample(col(idCol), hexThreshold)),
       idCol, vecCol, m, kCodes, iters)
-  }
+
+  /** Per-row dimension guard for the corpus-slicing scans: passes the
+    * vector through unchanged when its size matches the model's
+    * dimension, raises (with the offending size) otherwise. A lazy
+    * CaseWhen branch — codegen'd, O(1) per row (array size is a
+    * header read), so the guard rides the scan that was already
+    * touching every row instead of costing its own corpus pass. */
+  private def checkedDim(vec: Column, dim: Int): Column =
+    when(size(vec) === dim, vec).otherwise(raise_error(format_string(
+      s"PQ encode: vector has %s dims, model expects $dim — a ragged " +
+        "corpus would silently mis-slice into wrong codes", size(vec))))
 
   /** The `(distance-expanded, index)` score structs for a vector
     * against an embedded centroid table — THE shared argmin idiom
@@ -136,11 +142,15 @@ object Pq {
     * Null-vector rows are EXCLUDED (they cannot be searched; the fit
     * already dropped them via KMeansRel.clean) — keeping them would
     * either fabricate code-0 rows or null codes every probe must
-    * re-filter. */
+    * re-filter. A vector whose size differs from the model dimension
+    * raises on the spot ([[checkedDim]]) — the fit may have seen only
+    * a sample ([[fitSample]]), but encode sees every row. */
   def encode(vectors: DataFrame, idCol: String, vecCol: String,
       model: PqModel): DataFrame =
     vectors.filter(col(vecCol).isNotNull)
-      .select(col(idCol), codesFor(col(vecCol), model).as("codes"))
+      .select(col(idCol),
+        codesFor(checkedDim(col(vecCol), model.subDim * model.m), model)
+          .as("codes"))
 
   /** Per-subspace query self-dots ⟨q_s,q_s⟩ as an m-element array —
     * constant per query, so [[adcTopK]]/[[ivfAdcTopK]] compute it ONCE
@@ -281,9 +291,12 @@ object Pq {
   def ivfAdcIndex(vectors: DataFrame, idCol: String, vecCol: String,
       model: IvfAdcModel): DataFrame =
     // null-vector rows excluded for the same reason as [[encode]] —
-    // a null would otherwise land in cell 0 with code-0 codes
+    // a null would otherwise land in cell 0 with code-0 codes; a
+    // mis-sized vector raises per-row ([[checkedDim]]) before it can
+    // assign to a bogus cell or mis-slice its residual
     vectors.filter(col(vecCol).isNotNull)
-      .withColumn("cell", coarseCell(col(vecCol), model.coarse))
+      .withColumn("cell", coarseCell(
+        checkedDim(col(vecCol), model.coarse.head.length), model.coarse))
       .select(col(idCol), col("cell"),
         codesFor(residual(col(vecCol), col("cell"), model.coarse),
           model.pq).as("codes"))

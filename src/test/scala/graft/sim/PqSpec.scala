@@ -183,6 +183,32 @@ class PqSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("uniform"))
   }
 
+  test("encode raises per-row on a ragged vector the sampled fit never saw") {
+    // md5 first hex of ids 1..11 puts only {6, 9, 11} under a
+    // threshold-'8' sample; make id 3 (outside) ragged: the sampled
+    // fit must still succeed (it scans only the sample), and encode —
+    // which slices every row — must fail loudly instead of mis-slicing
+    val corpus = Seq(
+      (1L, Seq(1.0, 2.0, 3.0, 4.0)), (2L, Seq(2.0, 1.0, 0.0, 5.0)),
+      (3L, Seq(9.0, 9.0)), (4L, Seq(0.0, 1.0, 2.0, 3.0)),
+      (5L, Seq(4.0, 4.0, 4.0, 4.0)), (6L, Seq(7.0, 1.0, 7.0, 1.0)),
+      (7L, Seq(3.0, 3.0, 2.0, 2.0)), (9L, Seq(5.0, 0.0, 5.0, 0.0)),
+      (11L, Seq(2.0, 6.0, 2.0, 6.0))).toDF("id", "v")
+    val sampled = Pq.fitSample(corpus, "id", "v", m = 2, kCodes = 2,
+      iters = 1, hexThreshold = "8")
+    assert(sampled.subDim === 2)
+    val e = intercept[Exception] {
+      Pq.encode(corpus, "id", "v", sampled).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("ragged")),
+      s"expected the per-row dimension guard to fire, got: ${messages(e)}")
+    // the uniform-dimension rows still encode once the ragged row is gone
+    assert(Pq.encode(corpus.filter($"id" =!= 3L), "id", "v", sampled)
+      .count() === 8)
+  }
+
   test("fitSample: full-sample threshold reproduces fit; partial sample fits on the subsample") {
     // every md5 hex digit sorts below 'g' — 100% sample ≡ full fit
     val full = Pq.fitSample(emb, "vec_id", "embedding", m, kCodes,
