@@ -7521,6 +7521,149 @@ object Queries {
       |ORDER BY gid, y NULLS FIRST, m NULLS FIRST, status NULLS FIRST,
       | prio NULLS FIRST""".stripMargin
 
+  /** CROSS-CUBE DRILL-ACROSS ([[graft.olap.DrillAcross]]) — the
+    * reference's Mondrian schema declares TWO cubes over conformed
+    * dimensions (`Schema_Trabajo_Final.xml:56-91`), and the question
+    * that spans them (net flow at a shared grain) has no single-cube
+    * answer. Here: customer-nation order revenue vs supplier-nation
+    * shipped value at the conformed (nation, month) grain, with
+    * DELIBERATELY OFFSET month windows (A: ≤8, B: ≥5) so the
+    * conformed FULL OUTER merge must surface one-sided members with
+    * NULL measures on the missing side — the semantics an inner merge
+    * silently destroys. Each side collapses map-side to dim
+    * cardinality before the only cross-fact operation, a join of two
+    * grain-sized relations; fact rows never meet fact rows. Oracle:
+    * DuckDB FULL JOIN of the two grouped facts. */
+  def q219DrillAcross(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val factA = t(s, dir, "orders")
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), month(col("o_orderdate")).as("mo"),
+        col("o_totalprice"))
+      .filter(col("mo") <= 8)
+    val factB = t(s, dir, "lineitem")
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), month(col("l_shipdate")).as("mo"),
+        col("l_extendedprice"))
+      .filter(col("mo") >= 5)
+    graft.olap.DrillAcross.drillAcross(
+      factA, Seq(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sales")),
+      factB, Seq(count(lit(1)).as("n_ship"),
+        dsum(col("l_extendedprice")).as("supply")),
+      on = Seq("n_name", "mo"),
+      derived = Seq((coalesce(col("sales"), lit(0.0)) -
+        coalesce(col("supply"), lit(0.0))).as("net")))
+      .orderBy("n_name", "mo")
+  }
+
+  private val q219FactsSql: String =
+    """fa AS (SELECT n_name, CAST(month(o_orderdate) AS INT) AS mo, o_totalprice
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE CAST(month(o_orderdate) AS INT) <= 8),
+      |fb AS (SELECT n_name, CAST(month(l_shipdate) AS INT) AS mo, l_extendedprice
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE CAST(month(l_shipdate) AS INT) >= 5)""".stripMargin
+
+  val q219Sql: String =
+    s"""WITH $q219FactsSql
+       |SELECT n_name, mo, n_orders, sales, n_ship, supply,
+       | coalesce(sales, 0.0) - coalesce(supply, 0.0) AS net
+       |FROM (SELECT n_name, mo, count(*) AS n_orders,
+       |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+       |  FROM fa GROUP BY 1, 2) a
+       |FULL JOIN (SELECT n_name, mo, count(*) AS n_ship,
+       |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS supply
+       |  FROM fb GROUP BY 1, 2) b
+       |USING (n_name, mo)
+       |ORDER BY n_name, mo""".stripMargin
+
+  /** DRILL-ACROSS SERVED THROUGH TWO AGGREGATE-TABLE REGISTRIES
+    * ([[graft.olap.DrillAcross.navigated]]) — the Mondrian
+    * virtual-cube serving path: each cube side routes its grain to
+    * its own smallest covering rollup ([[graft.olap.AggNavigator]]),
+    * so every drill here reads two dim-sized parquet tables and ZERO
+    * fact bytes (DrillAcrossSpec plan-asserts the fact lineage is
+    * never constructed). Three conformed drills — nation,
+    * nation×month, month — each a full-outer conformed merge with the
+    * derived net; the oracle recomputes every drill from the raw
+    * facts, so a mis-routed or stale table breaks the hash. */
+  def q220DrillNavigated(s: SparkSession, dir: String): DataFrame = {
+    import graft.olap.{AggNavigator, DrillAcross}
+    val root = java.nio.file.Files.createTempDirectory("q220_aggs").toString
+    try {
+      val nation = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      // stage both conformed fact grains once (in production each IS a
+      // stored fact table — the q214 staging idiom)
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), month(col("o_orderdate")).as("mo"),
+          col("o_totalprice"))
+        .filter(col("mo") <= 8)
+        .write.parquet(s"$root/factA")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), month(col("l_shipdate")).as("mo"),
+          col("l_extendedprice"))
+        .filter(col("mo") >= 5)
+        .write.parquet(s"$root/factB")
+      def factA = s.read.parquet(s"$root/factA")
+      def factB = s.read.parquet(s"$root/factB")
+      val regA = AggNavigator.register(factA,
+        Seq("nm" -> Seq("n_name", "mo")),
+        Seq(AggNavigator.CountAll("n_orders"),
+          AggNavigator.ExactSum("sales", "o_totalprice")), s"$root/aggA")
+      val regB = AggNavigator.register(factB,
+        Seq("nm" -> Seq("n_name", "mo")),
+        Seq(AggNavigator.CountAll("n_ship"),
+          AggNavigator.ExactSum("supply", "l_extendedprice")), s"$root/aggB")
+      val net = (coalesce(col("sales"), lit(0.0)) -
+        coalesce(col("supply"), lit(0.0))).as("net")
+      val drills = Seq("d1_nation" -> Seq("n_name"),
+        "d2_nation_month" -> Seq("n_name", "mo"), "d3_month" -> Seq("mo"))
+      localized(drills.map { case (tag, on) =>
+        DrillAcross.navigated(regA, factA, regB, factB, on, Seq(net))
+          .select(lit(tag).as("slice"),
+            concat_ws("|", on.map(c => col(c).cast("string")): _*)
+              .as("member"),
+            col("n_orders"), col("sales"), col("n_ship"), col("supply"),
+            col("net"))
+      }.reduce(_.unionByName(_))).orderBy("slice", "member")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  val q220Sql: String = {
+    def drill(tag: String, cols: Seq[String]) = {
+      val member = cols.map(c => s"CAST($c AS VARCHAR)").mkString(", ")
+      val keys = cols.mkString(", ")
+      s"""SELECT '$tag' AS slice, concat_ws('|', $member) AS member,
+         | n_orders, sales, n_ship, supply,
+         | coalesce(sales, 0.0) - coalesce(supply, 0.0) AS net
+         |FROM (SELECT $keys, count(*) AS n_orders,
+         |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+         |  FROM fa GROUP BY $keys) a
+         |FULL JOIN (SELECT $keys, count(*) AS n_ship,
+         |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS supply
+         |  FROM fb GROUP BY $keys) b
+         |USING ($keys)""".stripMargin
+    }
+    val drills = Seq("d1_nation" -> Seq("n_name"),
+      "d2_nation_month" -> Seq("n_name", "mo"), "d3_month" -> Seq("mo"))
+    s"WITH $q219FactsSql\n" + drills.map { case (t, c) => drill(t, c) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY slice, member")
+  }
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -7744,6 +7887,8 @@ object Queries {
     "q216_late_dim" -> (q216LateDim _),
     "q217_agg_refresh" -> (q217AggRefresh _),
     "q218_nav_sets" -> (q218NavSets _),
+    "q219_drill_across" -> (q219DrillAcross _),
+    "q220_drill_navigated" -> (q220DrillNavigated _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -7970,6 +8115,8 @@ object Queries {
     "q216_late_dim" -> q216Sql,
     "q217_agg_refresh" -> q217Sql,
     "q218_nav_sets" -> q218Sql,
+    "q219_drill_across" -> q219Sql,
+    "q220_drill_navigated" -> q220Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -8072,5 +8219,11 @@ object Queries {
     // (two hash aggregates + two equi-joins, exact integer credits)
     "q212_semi_additive", "q213_bridge_alloc", "q214_agg_nav",
     "q215_view_refresh", "q216_late_dim", "q217_agg_refresh",
-    "q218_nav_sets")
+    "q218_nav_sets",
+    // round-14: cross-cube drill-across (two grain-sized aggregates +
+    // one conformed full-outer merge) and its navigator-served form
+    // (two dim-sized parquet reads per drill, zero fact bytes) —
+    // benched from birth, q220 beside q219 so the registry build's
+    // fixed cost stays visible against the fact scans it removes
+    "q219_drill_across", "q220_drill_navigated")
 }

@@ -174,23 +174,37 @@ object AggNavigator {
     *
     * REPLAY SAFETY: pass the source's batch identity as `batchId`
     * when deliveries are at-least-once (foreachBatch retries, a crash
-    * mid-registry) — each table records an `_applied/<batchId>`
-    * marker AFTER its publish, and a redelivered batch skips the
-    * tables that already absorbed it. Double-absorbing a batch would
-    * silently inflate every count and sum — the stale-table failure
-    * [[audit]] exists to catch, created by the refresh itself. The
-    * marker-after-publish ordering means a crash BETWEEN publish and
-    * marker re-absorbs that one table on retry (at-least-once, not
-    * exactly-once) — same window as any non-transactional sink; the
-    * audit catches it. Omit batchId only for one-shot batch use. */
+    * mid-registry, a checkpoint reset re-delivering an OLD batch) —
+    * each table keeps an `_applied/<batchId>` ledger of every batch it
+    * has absorbed, and a redelivered batch skips the tables that
+    * already absorbed it. Double-absorbing a batch would silently
+    * inflate every count and sum — the stale-table failure [[audit]]
+    * exists to catch, created by the refresh itself. The ledger RIDES
+    * THE PUBLISH: prior markers plus the new batch's are written into
+    * the temp directory BEFORE [[graft.sources.Warehouse.publish]]'s
+    * atomic rename, so (a) the full ledger survives every swap — a
+    * replay of ANY previously-absorbed batch is skipped, not just the
+    * latest — and (b) marker and data commit in the same rename: a
+    * crash anywhere in the refresh leaves either the old table (no
+    * marker, retry re-absorbs into the OLD rows — correct) or the new
+    * table with its marker (retry skips) — exactly-once by
+    * construction, no audit-only window. The skip path re-measures
+    * `rows` from the committed table so a replayed batch still returns
+    * the registry with the cost model the navigator ranks by. Omit
+    * batchId only for one-shot batch use (ledger then stays empty). */
   def refresh(reg: Registry, delta: DataFrame,
       batchId: Option[Long] = None): Registry = {
     val spark = reg.spark
+    val conf = spark.sessionState.newHadoopConf()
     val aggs = reg.aggs.map { agg =>
-      val marker = batchId.map(id =>
-        new org.apache.hadoop.fs.Path(s"${agg.path}/_applied/$id"))
-      val fs = marker.map(_.getFileSystem(spark.sessionState.newHadoopConf()))
-      if (marker.isDefined && fs.get.exists(marker.get)) agg
+      val ledger = new org.apache.hadoop.fs.Path(s"${agg.path}/_applied")
+      val fs = ledger.getFileSystem(conf)
+      val alreadyApplied = batchId.exists(id =>
+        fs.exists(new org.apache.hadoop.fs.Path(ledger, id.toString)))
+      if (alreadyApplied)
+        // rows stay the navigator's cost model even on the skip path —
+        // a stale pre-absorb count would let `choose` mis-rank tables
+        agg.copy(rows = spark.read.parquet(agg.path).count())
       else {
         val fold = reg.measures.flatMap(_.combine)
         val merged = spark.read.parquet(agg.path)
@@ -198,11 +212,21 @@ object AggNavigator {
           .groupBy(agg.grain.map(col): _*).agg(fold.head, fold.tail: _*)
         graft.sources.Warehouse.publish(spark, agg.path) { tmp =>
           merged.write.parquet(tmp)
-        }
-        // marker AFTER the publish — see the replay-safety contract
-        marker.foreach { m =>
-          fs.get.mkdirs(m.getParent)
-          fs.get.create(m, true).close()
+          // the ledger rides the swap: carry every prior marker (they
+          // are empty files — name IS the record) and add this batch's
+          // INSIDE the temp dir, before the atomic rename. Parquet
+          // readers ignore the `_`-prefixed subdirectory.
+          val tmpLedger = new org.apache.hadoop.fs.Path(s"$tmp/_applied")
+          fs.mkdirs(tmpLedger)
+          if (fs.exists(ledger))
+            fs.listStatus(ledger).foreach { st =>
+              fs.create(new org.apache.hadoop.fs.Path(tmpLedger,
+                st.getPath.getName), true).close()
+            }
+          batchId.foreach { id =>
+            fs.create(new org.apache.hadoop.fs.Path(tmpLedger,
+              id.toString), true).close()
+          }
         }
         agg.copy(rows = spark.read.parquet(agg.path).count())
       }

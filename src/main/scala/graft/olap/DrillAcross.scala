@@ -1,0 +1,88 @@
+package graft.olap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DRILL-ACROSS — the cross-cube conformed-dimension query (Kimball's
+  * "drill across": one report row sourced from SEVERAL fact tables
+  * that share dimensions). The reference serves exactly this shape:
+  * its Mondrian schema declares TWO cubes, `cubo_inmigrante` and
+  * `cubo_emigrante`, over the SAME conformed dimensions
+  * (`Schema_Trabajo_Final.xml:56-91` — shared Fecha/Via/Perfil
+  * hierarchies), and the analyst question that spans them ("net
+  * migration per province and month" = inmigrante − emigrante at a
+  * shared grain) has no single-cube answer.
+  *
+  * The drill-across algorithm, Spark-first:
+  *  1. aggregate EACH fact independently at the conformed grain —
+  *     each side is one scan with map-side partial aggregation,
+  *     collapsing to dim cardinality before anything crosses facts;
+  *  2. FULL OUTER merge the two grain-sized results on the conformed
+  *     level columns (full outer, not inner: a grain member present
+  *     in one fact and absent in the other — a month with arrivals
+  *     but no departures — must surface with NULL measures on the
+  *     missing side, not vanish);
+  *  3. derive cross-cube measures (net, ratio) AFTER the merge, as
+  *     plain column expressions over both sides' aggregates.
+  *
+  * Never join fact-to-fact at row grain: at 100 TB that is a
+  * corpus × corpus shuffle on non-keys. Here the only cross-fact
+  * operation is a join of two ALREADY-AGGREGATED dim-sized relations
+  * — broadcastable in practice, and AQE picks that up on its own.
+  *
+  * [[navigated]] composes this with [[AggNavigator]]: each cube side
+  * answers from its own registered aggregate tables when one covers
+  * the grain, so a fully-covered drill-across reads two dim-sized
+  * parquet tables and no fact bytes at all — the Mondrian
+  * virtual-cube serving path, made explicit.
+  */
+object DrillAcross {
+
+  /** Merge two pre-aggregated grain relations on the conformed
+    * levels and append derived cross-cube columns. The USING-style
+    * join coalesces each level column across sides, so an unmatched
+    * member keeps its key values and nulls only the other side's
+    * measures. */
+  private def merged(ga: DataFrame, gb: DataFrame, on: Seq[String],
+      derived: Seq[Column]): DataFrame = {
+    val j = ga.join(gb, on, "full_outer")
+    if (derived.isEmpty) j
+    else j.select(j.columns.map(col).toIndexedSeq ++ derived: _*)
+  }
+
+  /** Drill across two fact tables: per-fact aggregation at the
+    * conformed grain `on`, full-outer conformed merge, then `derived`
+    * columns (e.g. `coalesce(col("in"), lit(0)) - coalesce(col("out"),
+    * lit(0))` as the net). Measure aliases must be disjoint across the
+    * two sides — they share the merged row. */
+  def drillAcross(factA: DataFrame, measuresA: Seq[Column],
+      factB: DataFrame, measuresB: Seq[Column],
+      on: Seq[String], derived: Seq[Column] = Nil): DataFrame = {
+    require(on.nonEmpty, "drill-across needs at least one conformed level")
+    require(measuresA.nonEmpty && measuresB.nonEmpty,
+      "each fact side needs at least one measure")
+    val ga = factA.groupBy(on.map(col): _*)
+      .agg(measuresA.head, measuresA.tail: _*)
+    val gb = factB.groupBy(on.map(col): _*)
+      .agg(measuresB.head, measuresB.tail: _*)
+    merged(ga, gb, on, derived)
+  }
+
+  /** [[drillAcross]] served through two aggregate-table registries:
+    * each side routes via [[AggNavigator.navigate]] to its smallest
+    * covering rollup (fact by-name — a covered side never constructs
+    * its fact lineage, DrillAcrossSpec plan-asserts it). Measure
+    * names must be disjoint across the registries: both sides'
+    * measures land on one merged row. */
+  def navigated(regA: AggNavigator.Registry, factA: => DataFrame,
+      regB: AggNavigator.Registry, factB: => DataFrame,
+      on: Seq[String], derived: Seq[Column] = Nil): DataFrame = {
+    val clash = regA.measures.map(_.name).toSet
+      .intersect(regB.measures.map(_.name).toSet)
+    require(clash.isEmpty,
+      s"cross-cube measure names must be disjoint, both sides define: " +
+        clash.toSeq.sorted.mkString(", "))
+    merged(AggNavigator.navigate(regA, factA, on),
+      AggNavigator.navigate(regB, factB, on), on, derived)
+  }
+}

@@ -184,6 +184,35 @@ class AggNavigatorSpec extends AnyFunSuite {
       s"marker must skip exactly the marked table: $verdicts")
   }
 
+  test("the applied-ledger survives later publishes: an OLD batch replayed after a NEWER one is still skipped") {
+    val base = fact.filter(col("y") < 1996)
+    val b1 = fact.filter(col("y") === 1996)
+    val b2 = fact.filter(col("y") === 1997)
+    val grains = Seq("yearly" -> Seq("y"))
+    val reg0 = AggNavigator.register(base, grains, measures,
+      java.nio.file.Files.createTempDirectory("aggnav_ledger").toString)
+    val r1 = AggNavigator.refresh(reg0, b1, Some(1L))
+    val r2 = AggNavigator.refresh(r1, b2, Some(2L))
+    // batch 2's publish rename-swapped the table directory — batch 1's
+    // marker must have ridden the swap (checkpoint reset / second
+    // writer redelivers ARBITRARY old batches, not just the latest)
+    val ledger = new org.apache.hadoop.fs.Path(
+      s"${r2.aggs.head.path}/_applied")
+    val fs = ledger.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(ledger, "1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(ledger, "2")),
+      "ledger must accumulate across publishes, not hold only the latest batch")
+    val replayed = AggNavigator.refresh(r2, b1, Some(1L))
+    val upTo97 = fact.filter(col("y") <= 1997)
+    assert(rows(AggNavigator.navigate(replayed, upTo97, Seq("y")), Seq("y"))
+      === rows(AggNavigator.navigate(r2, upTo97, Seq("y")), Seq("y")),
+      "an old batch redelivered after newer publishes must not double-count")
+    assert(AggNavigator.audit(replayed, upTo97).collect()
+      .forall(_.getBoolean(2)))
+    // the skip path still refreshes the cost model from the table
+    assert(replayed.aggs.head.rows === r2.aggs.head.rows)
+  }
+
   test("audit passes fresh/refreshed tables and catches a stale one") {
     val base = fact.filter(col("y") < 1997)
     val delta = fact.filter(col("y") >= 1997)

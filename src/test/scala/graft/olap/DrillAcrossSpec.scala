@@ -1,0 +1,110 @@
+package graft.olap
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drill-across: conformed full-outer semantics, derived measures,
+  * navigator routing (zero fact bytes when covered), and the
+  * measure-name disjointness contract. */
+class DrillAcrossSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two tiny facts over a conformed (region, period) grain; period 1
+  // exists only in arrivals, period 3 only in departures
+  private lazy val arrivals = Seq(
+    ("north", 1, 10.0), ("north", 2, 20.0), ("south", 2, 5.0))
+    .toDF("region", "period", "amt")
+  private lazy val departures = Seq(
+    ("north", 2, 8.0), ("south", 3, 4.0), ("south", 2, 1.0))
+    .toDF("region", "period", "amt")
+
+  private def net = (coalesce(col("a_sum"), lit(0.0)) -
+    coalesce(col("d_sum"), lit(0.0))).as("net")
+
+  test("full-outer conformed merge: one-sided members survive with null other-side measures") {
+    val got = DrillAcross.drillAcross(
+      arrivals, Seq(sum(col("amt")).as("a_sum")),
+      departures, Seq(sum(col("amt")).as("d_sum")),
+      on = Seq("region", "period"), derived = Seq(net))
+      .orderBy("region", "period").collect()
+    val byKey = got.map(r => (r.getString(0), r.getInt(1)) ->
+      (Option(r.get(2)), Option(r.get(3)), r.getDouble(4))).toMap
+    assert(byKey.keySet === Set(("north", 1), ("north", 2),
+      ("south", 2), ("south", 3)))
+    // arrivals-only member: departures measures null, net = arrivals
+    assert(byKey(("north", 1)) === ((Some(10.0), None, 10.0)))
+    // departures-only member: arrivals null, net negative
+    assert(byKey(("south", 3)) === ((None, Some(4.0), -4.0)))
+    // both sides: net is the difference
+    assert(byKey(("north", 2)) === ((Some(20.0), Some(8.0), 12.0)))
+    assert(byKey(("south", 2)) === ((Some(5.0), Some(1.0), 4.0)))
+  }
+
+  test("navigated drill-across ≡ direct, and a covered drill never constructs either fact lineage") {
+    val root = java.nio.file.Files.createTempDirectory("dax_nav").toString
+    try {
+      arrivals.write.parquet(s"$root/fa")
+      departures.write.parquet(s"$root/fb")
+      var builtA = 0; var builtB = 0
+      def fa = { builtA += 1; spark.read.parquet(s"$root/fa") }
+      def fb = { builtB += 1; spark.read.parquet(s"$root/fb") }
+      val measuresA = Seq[AggNavigator.Measure](
+        AggNavigator.CountAll("a_cnt"), AggNavigator.ExactSum("a_sum", "amt"))
+      val measuresB = Seq[AggNavigator.Measure](
+        AggNavigator.CountAll("d_cnt"), AggNavigator.ExactSum("d_sum", "amt"))
+      val regA = AggNavigator.register(spark.read.parquet(s"$root/fa"),
+        Seq("rp" -> Seq("region", "period")), measuresA, s"$root/aggA")
+      val regB = AggNavigator.register(spark.read.parquet(s"$root/fb"),
+        Seq("rp" -> Seq("region", "period")), measuresB, s"$root/aggB")
+      for (on <- Seq(Seq("region"), Seq("region", "period"), Seq("period"))) {
+        val routed = DrillAcross.navigated(regA, fa, regB, fb, on, Seq(net))
+        // covered drills read ONLY the agg parquet — no fact files in
+        // the scanned plan, and the by-name fact was never even built
+        val scanned = routed.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+        }.flatten
+        assert(scanned.forall(p => p.contains("aggA") || p.contains("aggB")),
+          s"drill $on read beyond the agg tables: $scanned")
+        def dsum(c: org.apache.spark.sql.Column) =
+          sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double")
+        val direct = DrillAcross.drillAcross(
+          spark.read.parquet(s"$root/fa"),
+          Seq(count(lit(1)).as("a_cnt"), dsum(col("amt")).as("a_sum")),
+          spark.read.parquet(s"$root/fb"),
+          Seq(count(lit(1)).as("d_cnt"), dsum(col("amt")).as("d_sum")),
+          on, Seq(net))
+        val key = (r: org.apache.spark.sql.Row) =>
+          on.indices.map(r.get).mkString("|")
+        assert(routed.collect().map(r => key(r) -> r.toSeq.drop(on.size)).toMap
+          === direct.collect().map(r => key(r) -> r.toSeq.drop(on.size)).toMap,
+          s"navigated drill $on diverged from the direct drill-across")
+      }
+      assert(builtA === 0 && builtB === 0,
+        "covered drills must not construct the fact lineage")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("clashing measure names across the two registries are rejected") {
+    val root = java.nio.file.Files.createTempDirectory("dax_clash").toString
+    try {
+      arrivals.write.parquet(s"$root/fa")
+      val m = Seq[AggNavigator.Measure](AggNavigator.CountAll("cnt"))
+      val reg = AggNavigator.register(spark.read.parquet(s"$root/fa"),
+        Seq("r" -> Seq("region")), m, s"$root/agg")
+      val e = intercept[IllegalArgumentException] {
+        DrillAcross.navigated(reg, arrivals, reg, departures, Seq("region"))
+      }
+      assert(e.getMessage.contains("disjoint"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+}
