@@ -7257,8 +7257,9 @@ object Queries {
       val staged = s"$root/fact"
       q203Wide(s, dir).write.parquet(staged)
       def fact = s.read.parquet(staged)
-      // offline build: three fact scans, dim-sized parquet outputs
-      val reg = AggNavigator.register(fact, q214Grains, q214Measures, root)
+      // offline build: ONE shared GROUPING SETS fact scan for all
+      // three grains (registerShared), dim-sized parquet outputs
+      val reg = AggNavigator.registerShared(fact, q214Grains, q214Measures, root)
       val slices = q214Slices.map { case (tag, groupCols) =>
         AggNavigator.navigate(reg, fact, groupCols)
           .select(lit(tag).as("slice"),
@@ -7427,7 +7428,7 @@ object Queries {
         AggNavigator.ExactSum("revenue", "o_totalprice"))
       val grains = Seq("ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
         "status_prio" -> Seq("status", "prio"))
-      val reg0 = AggNavigator.register(fact.filter(col("y") < 1997),
+      val reg0 = AggNavigator.registerShared(fact.filter(col("y") < 1997),
         grains, measures, root)
       val reg = AggNavigator.refresh(reg0, fact.filter(col("y") >= 1997))
       val slices = Seq(
@@ -7491,7 +7492,7 @@ object Queries {
         AggNavigator.CountAll("n_orders"),
         AggNavigator.ExactAvg("avg_price", "o_totalprice"),
         AggNavigator.ExactSum("revenue", "o_totalprice"))
-      val reg = AggNavigator.register(fact,
+      val reg = AggNavigator.registerShared(fact,
         Seq("ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
           "status_prio" -> Seq("status", "prio")), measures, root)
       val levels = Seq("y", "m", "status", "prio")

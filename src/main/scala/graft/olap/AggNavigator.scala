@@ -141,8 +141,8 @@ object AggNavigator {
   /** Offline build: materialize every grain under `root` and record
     * row counts (the count is an action over the already-tiny agg,
     * not the fact). Grains are built independently — each is one
-    * fact scan; a shared-scan GROUPING SETS build is possible but
-    * couples the tables' lifecycles for no serving benefit. */
+    * fact scan. Prefer [[registerShared]] when registering several
+    * grains over a large fact: same stored bytes, one scan total. */
   def register(fact: DataFrame, grains: Seq[(String, Seq[String])],
       measures: Seq[Measure], root: String): Registry = {
     val spark = fact.sparkSession
@@ -156,6 +156,73 @@ object AggNavigator {
           .map(f => f.name -> f.dataType).toMap)
     }
     Registry(spark, measures, aggs)
+  }
+
+  /** Every grain's partials from ONE fact pass: a GROUPING SETS
+    * aggregate (Catalyst's Expand — the q203 member-space idiom) with
+    * `grouping_id()` tagging which grain each output row belongs to.
+    * The gid weighting mirrors Spark's GROUPING() contract: first
+    * level in the union = most significant bit, bit set ⇔ the level
+    * is NOT grouped in that set. Exposed for the build-plan spec
+    * (exactly one fact relation in this plan) and reused by
+    * [[registerShared]]. */
+  def sharedPartials(fact: DataFrame, grains: Seq[(String, Seq[String])],
+      measures: Seq[Measure]): DataFrame = {
+    require(grains.map(_._2.toSet).distinct.size == grains.size,
+      "shared registration needs distinct grain column sets " +
+        "(equal sets would share one grouping_id)")
+    val allLevels = grains.flatMap(_._2).distinct
+    val cols = measures.flatMap(_.partials) :+
+      grouping_id().cast("long").as("__gid")
+    fact.groupingSets(grains.map(_._2.map(col)), allLevels.map(col): _*)
+      .agg(cols.head, cols.tail: _*)
+  }
+
+  /** The grouping_id [[sharedPartials]] assigns to one grain. */
+  private def gidOf(allLevels: Seq[String], grain: Seq[String]): Long =
+    allLevels.zipWithIndex.map { case (c, i) =>
+      if (grain.contains(c)) 0L else 1L << (allLevels.size - 1 - i)
+    }.sum
+
+  /** [[register]] from ONE fact scan — at 100 TB, N grains cost one
+    * corpus pass instead of N. The shared pass is staged partitioned
+    * by `__gid`, then each grain's table is carved from its gid
+    * partition (a partition-pruned, dim-sized read — no fact bytes)
+    * and written exactly where [[register]] would have put it. The
+    * stored rows are bit-identical to the per-grain build
+    * (spec-asserted, HLL sketch bytes included): every partial is an
+    * order-insensitive fold (counts and decimal sums add, sketch
+    * registers max), so the Expand route groups the same underlying
+    * rows into the same partials. The registry it returns serves,
+    * refreshes and audits exactly like [[register]]'s — the shared
+    * scan couples nothing but the build. */
+  def registerShared(fact: DataFrame, grains: Seq[(String, Seq[String])],
+      measures: Seq[Measure], root: String): Registry = {
+    val spark = fact.sparkSession
+    val allLevels = grains.flatMap(_._2).distinct
+    val pNames = partialsFor(fact.limit(0), grains.head._2, measures)
+      .schema.map(_.name).filterNot(grains.head._2.contains)
+    val staged = s"$root/__gs_stage"
+    sharedPartials(fact, grains, measures)
+      .write.partitionBy("__gid").mode("overwrite").parquet(staged)
+    try {
+      val aggs = grains.map { case (name, grain) =>
+        val path = s"$root/agg_$name"
+        val carved = spark.read.parquet(staged)
+          .filter(col("__gid") === gidOf(allLevels, grain))
+          .select((grain ++ pNames).map(col): _*)
+        carved.write.mode("overwrite").parquet(path)
+        val rows = spark.read.parquet(path).count()
+        AggTable(name, grain, rows, path,
+          carved.schema.filter(f => grain.contains(f.name))
+            .map(f => f.name -> f.dataType).toMap)
+      }
+      Registry(spark, measures, aggs)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(staged)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(p, true): Unit
+    }
   }
 
   /** INCREMENTAL REFRESH under a fact APPEND — the reason real

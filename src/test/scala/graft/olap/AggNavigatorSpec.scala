@@ -184,6 +184,60 @@ class AggNavigatorSpec extends AnyFunSuite {
       s"marker must skip exactly the marked table: $verdicts")
   }
 
+  test("registerShared ≡ register bit-for-bit (sketch bytes included) from ONE fact scan") {
+    val grains = Seq("ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
+      "status_prio" -> Seq("status", "prio"))
+    // DistinctSketch included: the shared Expand route must produce
+    // REGISTER-identical sketch bytes, not just equal estimates
+    val ms = measures :+ AggNavigator.DistinctSketch("uprio", "prio")
+    // build-plan proof: the one fact-touching job in registerShared
+    // writes sharedPartials, whose plan reads the fact EXACTLY once
+    // (one Expand over one scan — not one scan per grain)
+    val gsPlan = AggNavigator.sharedPartials(fact, grains, ms)
+      .queryExecution.optimizedPlan
+    val factScans = gsPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(factScans.size === 1,
+      s"shared build must read the fact once, saw ${factScans.size} scans")
+    assert(gsPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }.nonEmpty, "shared build should go through one GROUPING SETS Expand")
+    val rootA = java.nio.file.Files.createTempDirectory("aggnav_sep").toString
+    val rootB = java.nio.file.Files.createTempDirectory("aggnav_shared").toString
+    val sep = AggNavigator.register(fact, grains, ms, rootA)
+    val shared = AggNavigator.registerShared(fact, grains, ms, rootB)
+    assert(shared.aggs.map(a => (a.name, a.grain, a.rows)) ===
+      sep.aggs.map(a => (a.name, a.grain, a.rows)))
+    assert(shared.aggs.map(_.grainTypes) === sep.aggs.map(_.grainTypes))
+    for ((a, b) <- sep.aggs.zip(shared.aggs)) {
+      val left = spark.read.parquet(a.path)
+      val cols = left.columns.sorted.toSeq
+      def dump(p: String) = spark.read.parquet(p)
+        .select(cols.map(c => col(c).cast("string").as(c)): _*)
+        .orderBy(cols.map(col): _*).collect().toSeq.map(_.toSeq)
+      assert(dump(a.path) === dump(b.path),
+        s"stored rows diverge for grain ${a.name}")
+      // sketch partials compared as raw bytes, not stringified
+      val sk = (p: String) => spark.read.parquet(p)
+        .select(col("__p_hll_uprio"))
+        .collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
+      assert(sk(a.path) === sk(b.path),
+        s"sketch bytes diverge for grain ${a.name}")
+    }
+    // the staging directory does not outlive the build
+    assert(!new java.io.File(s"$rootB/__gs_stage").exists())
+    // and the shared registry serves/refreshes like the per-grain one
+    val delta = fact.filter(col("y") === 1997)
+    val r1 = AggNavigator.refresh(sep, delta)
+    val r2 = AggNavigator.refresh(shared, delta)
+    for (groupCols <- Seq(Seq("y"), Seq("status", "prio")))
+      assert(rows(AggNavigator.navigate(r2, fact, groupCols), groupCols)
+        === rows(AggNavigator.navigate(r1, fact, groupCols), groupCols))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rootA))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rootB))
+  }
+
   test("the applied-ledger survives later publishes: an OLD batch replayed after a NEWER one is still skipped") {
     val base = fact.filter(col("y") < 1996)
     val b1 = fact.filter(col("y") === 1996)
