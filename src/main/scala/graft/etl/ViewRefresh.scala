@@ -48,8 +48,36 @@ object ViewRefresh {
   /** Initial build: the view rows, laid out by dim-key bucket. */
   def materialize(view: DataFrame, key: Column, nBuckets: Int,
       path: String): Unit =
-    view.withColumn(BucketCol, bucketOf(key, nBuckets))
+    withBucket(view, key, nBuckets)
       .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
+
+  /** Co-bucketed SOURCE layout: write a fact (or any view input)
+    * partitioned by the bucket of ITS copy of the dim key — the same
+    * `pmod(hash(key), n)` as the view layout. A view built from this
+    * layout carries `pbucket` from the scan through the join, so
+    * [[refresh]]'s bucket filter lands on the source scan as a
+    * PARTITION filter: the refresh then READS ~c/B of the fact
+    * instead of scanning it all and discarding (B−c)/B post-join —
+    * the scan-side half of the write-amplification win documented
+    * above, and the one that dominates at 100 TB. */
+  def materializeSource(fact: DataFrame, factKey: Column, nBuckets: Int,
+      path: String): Unit =
+    fact.withColumn(BucketCol, bucketOf(factKey, nBuckets))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
+
+  /** The view frame with its bucket column: REUSED when the caller
+    * already carries [[BucketCol]] (from a [[materializeSource]]
+    * layout — that provenance is what turns the refresh filter into
+    * partition pruning; recomputing here would shadow it with a
+    * post-join expression), derived from `key` otherwise. A carried
+    * column MUST equal `bucketOf(key, nBuckets)` row-for-row — it
+    * does by construction when it is the source layout's partition
+    * column over the same key and count; anything else mis-partitions
+    * the view (the [[bucketOf]] contract). */
+  private def withBucket(view: DataFrame, key: Column,
+      nBuckets: Int): DataFrame =
+    if (view.columns.contains(BucketCol)) view
+    else view.withColumn(BucketCol, bucketOf(key, nBuckets))
 
   /** The partitions a dim delta invalidates: distinct buckets of the
     * changed keys. Bounded by nBuckets (a driver-side list the size of
@@ -71,7 +99,16 @@ object ViewRefresh {
     * deleted / dropped by the view's inner join) would silently keep
     * its stale files. Those buckets are detected (one distinct over
     * the already-bucket-filtered rows, bounded by nBuckets) and their
-    * partition directories deleted explicitly. */
+    * partition directories deleted explicitly.
+    *
+    * Reader isolation caveat: the emptied-partition delete (and the
+    * dynamic overwrite itself) are file-level swaps, NOT the
+    * rename-swap publish used elsewhere — a reader scanning a
+    * replaced partition mid-refresh can see missing-file errors or a
+    * stale-then-vanishing directory. Same isolation level as any
+    * dynamic-partition overwrite; route through a
+    * [[graft.sources.Warehouse.publish]]-style rebuild when readers
+    * are concurrent with refreshes. */
   def refresh(view: DataFrame, key: Column, nBuckets: Int,
       buckets: Seq[Int], path: String): Unit = {
     val spark = view.sparkSession
@@ -79,7 +116,7 @@ object ViewRefresh {
     // view for the census would double the refresh's join work, and
     // reading the census from the table AFTER the write would see the
     // stale partition it exists to detect
-    val scoped = view.withColumn(BucketCol, bucketOf(key, nBuckets))
+    val scoped = withBucket(view, key, nBuckets)
       .filter(col(BucketCol).isin(buckets: _*))
       .persist()
     try {

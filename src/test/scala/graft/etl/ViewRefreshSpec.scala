@@ -69,6 +69,70 @@ class ViewRefreshSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("co-bucketed source layout: the refresh filter prunes the fact SCAN, cost scales with affected buckets") {
+    val root = java.nio.file.Files.createTempDirectory("vr_prune").toString
+    val factPath = s"$root/fact"
+    val path = s"$root/view"
+    // the fact laid out co-bucketed on ITS dim key copy
+    ViewRefresh.materializeSource(facts, col("o_custkey"), n, factPath)
+    // view built FROM the layout, carrying the partition column
+    def viewFrom(dim: DataFrame): DataFrame =
+      spark.read.parquet(factPath)
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_custkey"),
+          col("c_mktsegment"), col(ViewRefresh.BucketCol))
+    ViewRefresh.materialize(viewFrom(dimV1), col("c_custkey"), n, path)
+
+    val dimV2 = dimV1.withColumn("c_mktsegment",
+      when(col("c_custkey") === 1, lit("UPDATED"))
+        .otherwise(col("c_mktsegment")))
+    val changed = dimV1.filter(col("c_custkey") === 1).select(col("c_custkey"))
+    val buckets = ViewRefresh.affectedBuckets(changed, col("c_custkey"), n)
+    assert(buckets.size === 1)
+
+    // plan assert: the scoped frame's fact scan carries the bucket
+    // predicate as a PARTITION filter, not a post-join filter
+    val scoped = viewFrom(dimV2)
+      .filter(col(ViewRefresh.BucketCol).isin(buckets: _*))
+    val planText = scoped.queryExecution.executedPlan.toString
+    val partFilters =
+      "PartitionFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(planText)
+        .map(_.group(1)).toSeq
+    assert(partFilters.exists(_.contains(ViewRefresh.BucketCol)),
+      s"bucket filter must prune the fact scan:\n$planText")
+
+    // cost probe: rows actually read scale with affected buckets
+    def rowsScanned(df: DataFrame): Long = {
+      df.collect()
+      val top = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      top.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    val total = facts.count()
+    val pruned = rowsScanned(spark.read.parquet(factPath)
+      .filter(col(ViewRefresh.BucketCol).isin(buckets: _*)))
+    assert(pruned < total / 2,
+      s"1 of $n buckets should read a fraction of the fact: $pruned of $total")
+
+    // and the refresh through the carried column lands the same state
+    // as a full recompute
+    ViewRefresh.refresh(viewFrom(dimV2), col("c_custkey"), n, buckets, path)
+    val got = spark.read.parquet(path)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment").collect().map(r => r.getString(0) -> r.getLong(1))
+    val want = view(dimV2)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq === want.toSeq)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("a deletion that empties a bucket removes its stale partition") {
     import spark.implicits._
     // 3 keys spread over 64 buckets → each key alone in its bucket
