@@ -186,17 +186,25 @@ object DocStream {
     * [[BandIndexMaxMemFraction]]. Computed per consult (executors
     * come and go on a dynamic-allocation cluster). */
   private[graft] def bandIndexMaxBytesAuto(spark: SparkSession): Long = {
-    val capacities = spark.sparkContext.getExecutorMemoryStatus
-      .values.map(_._1).toSeq
+    val statuses = spark.sparkContext.getExecutorMemoryStatus
     // getExecutorMemoryStatus includes the DRIVER's block manager, but
     // the MEMORY_AND_DISK index lives on executors only — counting the
     // driver would let an index ~2x real executor storage through the
     // gate on a small cluster, admitting exactly the spill regression
     // the gate exists to prevent. One entry = local mode (the driver
-    // IS the executor); otherwise drop one average share.
-    val total = capacities.sum
+    // IS the executor); otherwise subtract the driver's ACTUAL
+    // capacity (looked up by its block-manager hostPort): driver and
+    // executor memory are usually asymmetric, and subtracting a mean
+    // share would re-inflate the estimate whenever the driver is
+    // larger than an average executor.
+    val total = statuses.values.map(_._1).sum
     val execTotal =
-      if (capacities.size > 1) total - total / capacities.size else total
+      if (statuses.size > 1) {
+        val driverKey =
+          org.apache.spark.SparkEnv.get.blockManager.blockManagerId.hostPort
+        total - statuses.get(driverKey).map(_._1)
+          .getOrElse(total / statuses.size)
+      } else total
     (execTotal * BandIndexMaxMemFraction).toLong
   }
 

@@ -444,9 +444,29 @@ object EventStream {
     * the query NEVER terminates (measured, not theorized). Without the
     * timeout a bounded replay terminates normally and each user's
     * final session simply stays open/unemitted — asserted in the spec.
-    * The streaming face of [[sessionizeBatch]]. */
+    * The streaming face of [[sessionizeBatch]].
+    *
+    * OBSERVABILITY of the residual batch/stream divergence: pass
+    * [[lateCloseCounter]] as `lateChainClosed` and every LATE-TIER
+    * session closure increments it — exactly the closures that COULD
+    * have merged with events a later trigger delivers (the documented
+    * deep-late-chain-split-across-triggers divergence). The counter is
+    * an upper bound on divergent sessions: zero means the stream
+    * emitted nothing the batch fold wouldn't; a nonzero value says
+    * which runs deserve a batch reconciliation pass. As a named
+    * SparkContext accumulator it surfaces in the Spark UI / listener
+    * metrics of a production run without touching the output schema. */
+  /** Named accumulator for [[sessionizeStream]]'s late-tier closure
+    * count — register once per query; read `.value` after (or during)
+    * the run, or watch "graft.sessionize.lateChainClosed" in the UI. */
+  def lateCloseCounter(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.util.LongAccumulator =
+    spark.sparkContext.longAccumulator("graft.sessionize.lateChainClosed")
+
   def sessionizeStream(events: Dataset[Event], gapSeconds: Long,
-      idleTimeout: Boolean = true): Dataset[Session] = {
+      idleTimeout: Boolean = true,
+      lateChainClosed: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[Session] = {
     import events.sparkSession.implicits._
     def emit(userId: Long, s: SessionState): Session =
       Session(userId, new java.sql.Timestamp(s.start),
@@ -483,7 +503,10 @@ object EventStream {
             var lateOpen = Option.empty[SessionState]
             val closed = scala.collection.mutable.ListBuffer[Session]()
             def closeLate(): Unit = {
-              lateOpen.foreach(ls => closed += emit(userId, ls))
+              lateOpen.foreach { ls =>
+                closed += emit(userId, ls)
+                lateChainClosed.foreach(_.add(1))
+              }
               lateOpen = None
             }
             sorted.foreach { e =>
@@ -497,6 +520,7 @@ object EventStream {
                         n = ls.n + 1))
                     case Some(ls) =>
                       closed += emit(userId, ls)
+                      lateChainClosed.foreach(_.add(1))
                       lateOpen = Some(SessionState(t, t, 1))
                     case None => lateOpen = Some(SessionState(t, t, 1))
                   }

@@ -319,6 +319,54 @@ class EventStreamSpec extends AnyFunSuite {
       s"in-gap late event must extend session_start: $after")
   }
 
+  test("late-chain closures are counted: the batch/stream divergence is observable") {
+    import EventStream.{Event, Session}
+    def ev(id: Long, sec: Long) =
+      Event(id, new java.sql.Timestamp(sec * 1000), 9L, "click", 0.0)
+    // gap 60 s. Wave 1 opens at 36000. Wave 2's deep-late chain
+    // (28800, 28830) closes at trigger end — counter fires once.
+    // Wave 3 delivers 28890, IN-GAP of the closed chain: batch over
+    // all events would emit ONE 28800–28890 session, the stream
+    // already closed 28800–28830 and now closes 28890 as its own —
+    // the documented divergence, and the counter must have marked
+    // every such closure.
+    val wave1 = Seq(ev(1, 36000))
+    val wave2 = Seq(ev(2, 28800), ev(3, 28830))
+    val wave3 = Seq(ev(4, 28890))
+    val tmp = Files.createTempDirectory("sess_ctr").toString
+    val src = s"$tmp/src"; val sink = s"$tmp/sessions"; val ck = s"$tmp/ck"
+    val counter = EventStream.lateCloseCounter(spark)
+    def runWave(ws: Seq[Event]): Unit = {
+      ws.toDS().write.mode("append").parquet(src)
+      val q = EventStream.sessionizeStream(
+          spark.readStream.schema(wave1.toDS().schema).parquet(src)
+            .as[Event], gapSeconds = 60, idleTimeout = false,
+          lateChainClosed = Some(counter))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "streaming query timed out")
+    }
+    runWave(wave1)
+    assert(counter.value === 0, "no late events yet — counter must be silent")
+    runWave(wave2)
+    assert(counter.value === 1,
+      s"one deep-late chain closed at trigger end, counter=${counter.value}")
+    runWave(wave3)
+    assert(counter.value === 2,
+      s"the split-across-triggers closure must be counted too: ${counter.value}")
+    // and the divergence the counter flags is real: two sessions where
+    // the batch fold over the same events would emit one
+    val late = spark.read.parquet(sink).as[Session].collect()
+      .filter(_.session_start.getTime < 36000 * 1000L)
+      .map(s => (s.session_start.getTime / 1000,
+        s.session_end.getTime / 1000, s.n_events)).toSet
+    assert(late === Set((28800L, 28830L, 2L), (28890L, 28890L, 1L)),
+      s"expected the early-closed chain plus the orphan: $late")
+  }
+
   test("streaming sessionization with custom state emits closed sessions") {
     val ds = events.as[EventStream.Event]
     // batch Dataset works through the same flatMapGroupsWithState code
