@@ -7665,6 +7665,71 @@ object Queries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY slice, member")
   }
 
+  /** THREE-WAY DRILL-ACROSS ([[graft.olap.DrillAcross
+    * .drillAcrossAll]]) — Kimball's general form: one report row per
+    * conformed (nation, year) member, sourced from THREE fact
+    * streams (customer-nation order revenue, supplier-nation shipped
+    * value, supplier-nation RETURNED value). The return stream dries
+    * up in later ship years (TPC-H returnflag semantics), so the
+    * chained conformed merges must carry members missing from one or
+    * two sides — including members introduced by a LATER side of the
+    * fold — with nulls only in the absent measures. Derived net
+    * composes all three sides. Oracle: two chained DuckDB FULL JOINs
+    * USING the conformed levels. */
+  def q221DrillAcross3(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val factA = t(s, dir, "orders")
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("yr"),
+        col("o_totalprice"))
+    val ship = t(s, dir, "lineitem")
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("l_shipdate")).as("yr"),
+        col("l_extendedprice"), col("l_returnflag"))
+    graft.olap.DrillAcross.drillAcrossAll(Seq(
+      factA -> Seq(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sales")),
+      ship -> Seq(count(lit(1)).as("n_ship"),
+        dsum(col("l_extendedprice")).as("supply")),
+      ship.filter(col("l_returnflag") === "R") ->
+        Seq(count(lit(1)).as("n_ret"),
+          dsum(col("l_extendedprice")).as("returned"))),
+      on = Seq("n_name", "yr"),
+      derived = Seq((coalesce(col("sales"), lit(0.0)) -
+        coalesce(col("supply"), lit(0.0)) +
+        coalesce(col("returned"), lit(0.0))).as("net")))
+      .orderBy("n_name", "yr")
+  }
+
+  val q221Sql: String =
+    """WITH fa AS (SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+      |   o_totalprice
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |fs AS (SELECT n_name, CAST(year(l_shipdate) AS INT) AS yr,
+      |   l_extendedprice, l_returnflag
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT n_name, yr, n_orders, sales, n_ship, supply, n_ret, returned,
+      | coalesce(sales, 0.0) - coalesce(supply, 0.0)
+      |   + coalesce(returned, 0.0) AS net
+      |FROM (SELECT n_name, yr, count(*) AS n_orders,
+      |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+      |  FROM fa GROUP BY 1, 2) a
+      |FULL JOIN (SELECT n_name, yr, count(*) AS n_ship,
+      |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS supply
+      |  FROM fs GROUP BY 1, 2) b
+      |USING (n_name, yr)
+      |FULL JOIN (SELECT n_name, yr, count(*) AS n_ret,
+      |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS returned
+      |  FROM fs WHERE l_returnflag = 'R' GROUP BY 1, 2) c
+      |USING (n_name, yr)
+      |ORDER BY n_name, yr""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -7890,6 +7955,7 @@ object Queries {
     "q218_nav_sets" -> (q218NavSets _),
     "q219_drill_across" -> (q219DrillAcross _),
     "q220_drill_navigated" -> (q220DrillNavigated _),
+    "q221_drill_across3" -> (q221DrillAcross3 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -8118,6 +8184,7 @@ object Queries {
     "q218_nav_sets" -> q218Sql,
     "q219_drill_across" -> q219Sql,
     "q220_drill_navigated" -> q220Sql,
+    "q221_drill_across3" -> q221Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -8226,5 +8293,5 @@ object Queries {
     // (two dim-sized parquet reads per drill, zero fact bytes) —
     // benched from birth, q220 beside q219 so the registry build's
     // fixed cost stays visible against the fact scans it removes
-    "q219_drill_across", "q220_drill_navigated")
+    "q219_drill_across", "q220_drill_navigated", "q221_drill_across3")
 }

@@ -301,6 +301,51 @@ object AggNavigator {
     reg.copy(aggs = aggs)
   }
 
+  /** Persist the registry's metadata — grains, row counts (the cost
+    * model), table paths, grain column types — as one JSON relation
+    * under `root/registry_meta`. Measures are CODE, not data: the
+    * caller re-supplies them at [[load]], the same way a Mondrian
+    * schema file defines measures while the database holds the
+    * tables. The serving process that restarts can then route
+    * immediately — without this, a restart loses `choose`'s cost
+    * model and every grain definition, and the only recovery is a
+    * full re-register (one fact scan per registry it didn't need).
+    * Grain types travel as parallel (column, DataType.json) arrays —
+    * inference-proof, unlike a JSON map (which the reader would
+    * re-infer as a row-dependent struct). */
+  def save(reg: Registry, root: String): Unit = {
+    import reg.spark.implicits._
+    reg.aggs.zipWithIndex.map { case (a, i) =>
+      val (tCols, tJson) = a.grainTypes.toSeq.sortBy(_._1)
+        .map { case (k, v) => (k, v.json) }.unzip
+      (i, a.name, a.grain, a.rows, a.path, tCols, tJson)
+    }.toDF("idx", "name", "grain", "rows", "path",
+        "grain_type_cols", "grain_type_json")
+      .coalesce(1).write.mode("overwrite").json(s"$root/registry_meta")
+  }
+
+  /** Rebuild a [[Registry]] from [[save]]d metadata plus the caller's
+    * measures (which must match the ones the tables were built with —
+    * the stored partial column names are the contract, and [[audit]]
+    * catches a mismatch loudly). */
+  def load(spark: SparkSession, measures: Seq[Measure],
+      root: String): Registry = {
+    val aggs = spark.read.json(s"$root/registry_meta")
+      .orderBy(col("idx")).collect().toSeq.map { r =>
+      val tCols = r.getAs[scala.collection.Seq[String]]("grain_type_cols")
+      val tJson = r.getAs[scala.collection.Seq[String]]("grain_type_json")
+      AggTable(
+        r.getAs[String]("name"),
+        r.getAs[scala.collection.Seq[String]]("grain").toSeq,
+        r.getAs[Long]("rows"),
+        r.getAs[String]("path"),
+        tCols.zip(tJson).map { case (k, v) =>
+          k -> org.apache.spark.sql.types.DataType.fromJson(v)
+        }.toMap)
+    }
+    Registry(spark, measures, aggs)
+  }
+
   /** Consistency audit — the navigator's "trust but verify": an agg
     * table that missed a load (or absorbed one twice) serves WRONG
     * drills silently, the classic operational failure of aggregate

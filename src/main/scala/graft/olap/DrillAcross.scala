@@ -57,15 +57,31 @@ object DrillAcross {
     * two sides — they share the merged row. */
   def drillAcross(factA: DataFrame, measuresA: Seq[Column],
       factB: DataFrame, measuresB: Seq[Column],
-      on: Seq[String], derived: Seq[Column] = Nil): DataFrame = {
+      on: Seq[String], derived: Seq[Column] = Nil): DataFrame =
+    drillAcrossAll(Seq(factA -> measuresA, factB -> measuresB), on, derived)
+
+  /** N-way drill-across — Kimball's general form (a report row
+    * sourced from SEVERAL fact tables): every fact aggregates
+    * independently at the conformed grain, then the grain-sized
+    * results fold left through conformed FULL OUTER merges. Chained
+    * USING-joins coalesce the level columns pairwise, so a member
+    * present in ANY fact keeps its key values; each fact's measures
+    * are null where it has no rows at that member. Measure aliases
+    * must be disjoint across all sides. The only cross-fact shuffles
+    * are joins of dim-sized relations — same scale shape as the
+    * two-way form, N−1 times. */
+  def drillAcrossAll(facts: Seq[(DataFrame, Seq[Column])], on: Seq[String],
+      derived: Seq[Column] = Nil): DataFrame = {
     require(on.nonEmpty, "drill-across needs at least one conformed level")
-    require(measuresA.nonEmpty && measuresB.nonEmpty,
+    require(facts.size >= 2, "drill-across needs at least two fact sides")
+    require(facts.forall(_._2.nonEmpty),
       "each fact side needs at least one measure")
-    val ga = factA.groupBy(on.map(col): _*)
-      .agg(measuresA.head, measuresA.tail: _*)
-    val gb = factB.groupBy(on.map(col): _*)
-      .agg(measuresB.head, measuresB.tail: _*)
-    merged(ga, gb, on, derived)
+    val grouped = facts.map { case (f, ms) =>
+      f.groupBy(on.map(col): _*).agg(ms.head, ms.tail: _*)
+    }
+    val j = grouped.reduceLeft(_.join(_, on, "full_outer"))
+    if (derived.isEmpty) j
+    else j.select(j.columns.map(col).toIndexedSeq ++ derived: _*)
   }
 
   /** [[drillAcross]] served through two aggregate-table registries:

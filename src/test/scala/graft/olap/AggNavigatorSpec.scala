@@ -267,6 +267,35 @@ class AggNavigatorSpec extends AnyFunSuite {
     assert(replayed.aggs.head.rows === r2.aggs.head.rows)
   }
 
+  test("save/load: a restarted serving process routes identically without re-registering") {
+    val root = java.nio.file.Files.createTempDirectory("aggnav_persist").toString
+    val grains = Seq("yearly" -> Seq("y"), "status_prio" -> Seq("status", "prio"))
+    val reg0 = AggNavigator.registerShared(fact, grains, measures, root)
+    AggNavigator.save(reg0, root)
+    // "restart": a registry rebuilt from disk metadata + code measures
+    val loaded = AggNavigator.load(spark, measures, root)
+    assert(loaded.aggs.map(a => (a.name, a.grain, a.rows, a.path)) ===
+      reg0.aggs.map(a => (a.name, a.grain, a.rows, a.path)))
+    assert(loaded.aggs.map(_.grainTypes) === reg0.aggs.map(_.grainTypes))
+    var built = false
+    for (groupCols <- Seq(Seq("y"), Seq("status")))
+      assert(rows(AggNavigator.navigate(loaded, { built = true; fact },
+        groupCols), groupCols) ===
+        rows(AggNavigator.navigate(reg0, fact, groupCols), groupCols))
+    assert(!built, "loaded registry must route without the fact lineage")
+    // and the loaded registry still absorbs deltas correctly (the
+    // routed answer equals a direct aggregate over base ∪ delta)
+    val delta = fact.filter(col("y") === 1998)
+    val r1 = AggNavigator.refresh(loaded, delta)
+    val want = fact.unionByName(delta)
+    for (groupCols <- Seq(Seq("y"), Seq("status", "prio")))
+      assert(rows(AggNavigator.navigate(r1, fact, groupCols), groupCols) ===
+        rows(want.groupBy(groupCols.map(col): _*)
+          .agg(measures.map(_.direct).head, measures.map(_.direct).tail: _*),
+          groupCols))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("audit passes fresh/refreshed tables and catches a stale one") {
     val base = fact.filter(col("y") < 1997)
     val delta = fact.filter(col("y") >= 1997)

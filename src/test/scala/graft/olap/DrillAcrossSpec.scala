@@ -93,6 +93,32 @@ class DrillAcrossSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("N-way drill-across: members from ANY side survive the chained conformed merge") {
+    val returns = Seq(("south", 3, 2.0), ("east", 4, 9.0))
+      .toDF("region", "period", "amt")
+    val got = DrillAcross.drillAcrossAll(Seq(
+      arrivals -> Seq(sum(col("amt")).as("a_sum")),
+      departures -> Seq(sum(col("amt")).as("d_sum")),
+      returns -> Seq(sum(col("amt")).as("r_sum"))),
+      on = Seq("region", "period"),
+      derived = Seq((coalesce(col("a_sum"), lit(0.0)) -
+        coalesce(col("d_sum"), lit(0.0)) +
+        coalesce(col("r_sum"), lit(0.0))).as("net")))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+          r.getDouble(5))).toMap
+    // ("east", 4) exists ONLY in the third fact — a member introduced
+    // by the last side of the fold must keep its coalesced keys
+    assert(got.keySet === Set(("north", 1), ("north", 2), ("south", 2),
+      ("south", 3), ("east", 4)))
+    assert(got(("east", 4)) === ((None, None, Some(9.0), 9.0)))
+    // a member spanning sides 2 and 3 but not 1
+    assert(got(("south", 3)) === ((None, Some(4.0), Some(2.0), -2.0)))
+    // and the three-way derived composes all sides
+    assert(got(("north", 2)) === ((Some(20.0), Some(8.0), None, 12.0)))
+  }
+
   test("clashing measure names across the two registries are rejected") {
     val root = java.nio.file.Files.createTempDirectory("dax_clash").toString
     try {
