@@ -38,18 +38,6 @@ import org.apache.spark.sql.functions._
   */
 object DrillAcross {
 
-  /** Merge two pre-aggregated grain relations on the conformed
-    * levels and append derived cross-cube columns. The USING-style
-    * join coalesces each level column across sides, so an unmatched
-    * member keeps its key values and nulls only the other side's
-    * measures. */
-  private def merged(ga: DataFrame, gb: DataFrame, on: Seq[String],
-      derived: Seq[Column]): DataFrame = {
-    val j = ga.join(gb, on, "full_outer")
-    if (derived.isEmpty) j
-    else j.select(j.columns.map(col).toIndexedSeq ++ derived: _*)
-  }
-
   /** Drill across two fact tables: per-fact aggregation at the
     * conformed grain `on`, full-outer conformed merge, then `derived`
     * columns (e.g. `coalesce(col("in"), lit(0)) - coalesce(col("out"),
@@ -92,13 +80,27 @@ object DrillAcross {
     * measures land on one merged row. */
   def navigated(regA: AggNavigator.Registry, factA: => DataFrame,
       regB: AggNavigator.Registry, factB: => DataFrame,
+      on: Seq[String], derived: Seq[Column] = Nil): DataFrame =
+    navigatedAll(Seq(regA -> (() => factA), regB -> (() => factB)),
+      on, derived)
+
+  /** [[drillAcrossAll]] through N registries — each cube side routes
+    * independently; facts are thunks so a covered side never
+    * constructs its lineage. */
+  def navigatedAll(
+      sides: Seq[(AggNavigator.Registry, () => DataFrame)],
       on: Seq[String], derived: Seq[Column] = Nil): DataFrame = {
-    val clash = regA.measures.map(_.name).toSet
-      .intersect(regB.measures.map(_.name).toSet)
+    require(sides.size >= 2, "drill-across needs at least two cube sides")
+    val names = sides.flatMap(_._1.measures.map(_.name))
+    val clash = names.diff(names.distinct).distinct
     require(clash.isEmpty,
-      s"cross-cube measure names must be disjoint, both sides define: " +
-        clash.toSeq.sorted.mkString(", "))
-    merged(AggNavigator.navigate(regA, factA, on),
-      AggNavigator.navigate(regB, factB, on), on, derived)
+      s"cross-cube measure names must be disjoint, defined more than " +
+        s"once: ${clash.sorted.mkString(", ")}")
+    val grouped = sides.map { case (reg, fact) =>
+      AggNavigator.navigate(reg, fact(), on)
+    }
+    val j = grouped.reduceLeft(_.join(_, on, "full_outer"))
+    if (derived.isEmpty) j
+    else j.select(j.columns.map(col).toIndexedSeq ++ derived: _*)
   }
 }

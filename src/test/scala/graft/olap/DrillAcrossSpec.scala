@@ -119,6 +119,40 @@ class DrillAcrossSpec extends AnyFunSuite {
     assert(got(("north", 2)) === ((Some(20.0), Some(8.0), None, 12.0)))
   }
 
+  test("navigatedAll: three cube sides route with zero fact lineage and match the direct N-way merge") {
+    val root = java.nio.file.Files.createTempDirectory("dax_nav3").toString
+    try {
+      val returns = Seq(("south", 3, 2.0), ("east", 4, 9.0))
+        .toDF("region", "period", "amt")
+      val frames = Seq("fa" -> arrivals, "fb" -> departures, "fc" -> returns)
+      frames.foreach { case (n, df) => df.write.parquet(s"$root/$n") }
+      var built = 0
+      val sides = frames.zip(Seq("a", "d", "r")).map { case ((n, _), p) =>
+        val reg = AggNavigator.register(spark.read.parquet(s"$root/$n"),
+          Seq("rp" -> Seq("region", "period")),
+          Seq[AggNavigator.Measure](AggNavigator.ExactSum(s"${p}_sum", "amt")),
+          s"$root/agg_$n")
+        reg -> (() => { built += 1; spark.read.parquet(s"$root/$n") })
+      }
+      val got = DrillAcross.navigatedAll(sides, Seq("region", "period"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          (Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+      assert(built === 0, "covered drills must not construct any fact lineage")
+      assert(got(("east", 4)) === ((None, None, Some(9.0))))
+      assert(got(("north", 2)) === ((Some(20.0), Some(8.0), None)))
+      val direct = DrillAcross.drillAcrossAll(
+        frames.zip(Seq("a", "d", "r")).map { case ((_, df), p) =>
+          df -> Seq(sum(col("amt").cast(
+            org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
+            .as(s"${p}_sum"))
+        }, Seq("region", "period"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          (Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+      assert(got === direct)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("clashing measure names across the two registries are rejected") {
     val root = java.nio.file.Files.createTempDirectory("dax_clash").toString
     try {
