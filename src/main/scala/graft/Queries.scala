@@ -7730,6 +7730,65 @@ object Queries {
       |USING (n_name, yr)
       |ORDER BY n_name, yr""".stripMargin
 
+  private[graft] val q222Candidates: Seq[(String, Seq[String])] = Seq(
+    "ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
+    "status_prio" -> Seq("status", "prio"), "y_status" -> Seq("y", "status"),
+    "all4" -> Seq("y", "m", "status", "prio"))
+
+  private[graft] val q222Workload: Seq[Seq[String]] = Seq(
+    Seq("y"), Seq("y", "m"), Seq("m"), Seq("status"), Seq("prio"),
+    Seq("y", "status"), Seq("status", "prio"), Seq("y", "m", "status"))
+
+  /** AGGREGATE ADVISOR ([[graft.olap.AggNavigator.advise]]) — the
+    * registration-time tooling Mondrian shipped as AggGen: price five
+    * candidate rollups against an eight-drill workload from ONE
+    * grouping-sets fact pass. Exact-integer cost model (member
+    * cardinality per candidate; each drill credits its smallest
+    * covering candidate, the navigator's own routing order; benefit =
+    * credited drills × rows saved per scan), so the oracle replays it
+    * with DISTINCT counts, a static coverage relation, and the same
+    * argmin — any drift in the gid bookkeeping or the credit
+    * assignment breaks the hash. */
+  def q222AggAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "orders").select(
+      year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+      col("o_orderstatus").as("status"), col("o_orderpriority").as("prio"))
+    graft.olap.AggNavigator.advise(fact, q222Candidates, q222Workload)
+  }
+
+  val q222Sql: String = {
+    val cands = q222Candidates.map { case (name, grain) =>
+      s"""SELECT '$name' AS agg_name, (SELECT count(*) FROM
+         |  (SELECT DISTINCT ${grain.mkString(", ")} FROM f)) AS grain_rows"""
+        .stripMargin
+    }.mkString("\nUNION ALL ")
+    // the coverage relation is STATIC (grain ⊇ drill is set algebra on
+    // the authored constants); the best-covering CHOICE is data-driven
+    val coverRows = q222Workload.zipWithIndex.flatMap { case (drill, i) =>
+      q222Candidates.collect {
+        case (name, grain) if drill.forall(grain.contains) => s"($i, '$name')"
+      }
+    }.mkString(", ")
+    s"""WITH f AS (SELECT CAST(year(o_orderdate) AS INT) AS y,
+       |  CAST(month(o_orderdate) AS INT) AS m,
+       |  o_orderstatus AS status, o_orderpriority AS prio FROM orders),
+       |fr AS (SELECT count(*) AS fact_rows FROM f),
+       |cand AS ($cands),
+       |cover AS (SELECT * FROM (VALUES $coverRows) AS t(drill_id, agg_name)),
+       |best AS (SELECT drill_id, agg_name FROM (
+       |  SELECT c.drill_id, c.agg_name,
+       |    row_number() OVER (PARTITION BY c.drill_id
+       |      ORDER BY k.grain_rows, c.agg_name) AS rn
+       |  FROM cover c JOIN cand k USING (agg_name)) WHERE rn = 1),
+       |credit AS (SELECT agg_name, count(*) AS n_drills FROM best GROUP BY 1)
+       |SELECT k.agg_name, k.grain_rows, fr.fact_rows,
+       |  CAST(coalesce(c.n_drills, 0) AS BIGINT) AS n_drills,
+       |  CAST(coalesce(c.n_drills, 0) * (fr.fact_rows - k.grain_rows)
+       |    AS BIGINT) AS benefit
+       |FROM cand k CROSS JOIN fr LEFT JOIN credit c USING (agg_name)
+       |ORDER BY benefit DESC, agg_name""".stripMargin
+  }
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -7956,6 +8015,7 @@ object Queries {
     "q219_drill_across" -> (q219DrillAcross _),
     "q220_drill_navigated" -> (q220DrillNavigated _),
     "q221_drill_across3" -> (q221DrillAcross3 _),
+    "q222_agg_advisor" -> (q222AggAdvisor _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -8185,6 +8245,7 @@ object Queries {
     "q219_drill_across" -> q219Sql,
     "q220_drill_navigated" -> q220Sql,
     "q221_drill_across3" -> q221Sql,
+    "q222_agg_advisor" -> q222Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -8293,5 +8354,6 @@ object Queries {
     // (two dim-sized parquet reads per drill, zero fact bytes) —
     // benched from birth, q220 beside q219 so the registry build's
     // fixed cost stays visible against the fact scans it removes
-    "q219_drill_across", "q220_drill_navigated", "q221_drill_across3")
+    "q219_drill_across", "q220_drill_navigated", "q221_drill_across3",
+    "q222_agg_advisor")
 }

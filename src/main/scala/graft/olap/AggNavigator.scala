@@ -346,6 +346,61 @@ object AggNavigator {
     Registry(spark, measures, aggs)
   }
 
+  /** AGGREGATE ADVISOR — which rollups are WORTH registering (the
+    * tooling gap Mondrian filled with AggGen): given candidate grains
+    * and a drill workload, price every candidate from ONE
+    * grouping-sets fact pass and rank by scanned-rows saved.
+    *
+    * Cost model, all exact integers so any engine reproduces it:
+    *  - `grain_rows(g)` = the candidate's member cardinality (what a
+    *    routed drill would scan instead of the fact) — counted as
+    *    groups per grouping_id in the shared pass;
+    *  - a workload drill credits ONLY its best covering candidate —
+    *    smallest `(grain_rows, name)`, exactly the [[Registry.choose]]
+    *    routing order — because that is where the navigator would
+    *    actually send it;
+    *  - `benefit(g)` = Σ over credited drills of
+    *    `(fact_rows − grain_rows(g))`.
+    *
+    * Returns one row per candidate: (agg_name, grain_rows, fact_rows,
+    * n_drills, benefit), benefit-descending — register the head
+    * entries, skip the zeros (covered by nothing, or always out-ranked
+    * by a smaller candidate). Driver-side work is bounded by
+    * |candidates| × |workload|; the cluster does one Expand pass over
+    * the fact and a member-space-sized count. */
+  def advise(fact: DataFrame, candidates: Seq[(String, Seq[String])],
+      workload: Seq[Seq[String]]): DataFrame = {
+    val spark = fact.sparkSession
+    import spark.implicits._
+    require(candidates.map(_._2.toSet).distinct.size == candidates.size,
+      "advisor candidates need distinct grain column sets")
+    val allLevels = candidates.flatMap(_._2).distinct
+    // one fact pass: per-gid group count (= grain cardinality) and
+    // per-gid row sum (= fact row count, identical for every gid)
+    val gs = fact
+      .groupingSets(candidates.map(_._2.map(col)), allLevels.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        grouping_id().cast("long").as("__gid"))
+    val perGid = gs.groupBy(col("__gid"))
+      .agg(count(lit(1)).as("grain_rows"), sum(col("__cnt")).as("fact_rows"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val priced = candidates.map { case (name, grain) =>
+      val (gRows, fRows) = perGid(gidOf(allLevels, grain))
+      (name, grain, gRows, fRows)
+    }
+    // each drill credits its best covering candidate (choose's order)
+    val credit = workload.flatMap { drill =>
+      priced.filter { case (_, grain, _, _) => drill.forall(grain.contains) }
+        .sortBy { case (name, _, gRows, _) => (gRows, name) }
+        .headOption.map { case (name, _, _, _) => name }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    priced.map { case (name, _, gRows, fRows) =>
+      val n = credit.getOrElse(name, 0L)
+      (name, gRows, fRows, n, n * (fRows - gRows))
+    }.toDF("agg_name", "grain_rows", "fact_rows", "n_drills", "benefit")
+      .orderBy(col("benefit").desc, col("agg_name"))
+  }
+
   /** Consistency audit — the navigator's "trust but verify": an agg
     * table that missed a load (or absorbed one twice) serves WRONG
     * drills silently, the classic operational failure of aggregate

@@ -267,6 +267,27 @@ class AggNavigatorSpec extends AnyFunSuite {
     assert(replayed.aggs.head.rows === r2.aggs.head.rows)
   }
 
+  test("advise: grain cardinalities are exact, each drill credits its smallest cover, benefit-ordered") {
+    val candidates = Seq("ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
+      "status_prio" -> Seq("status", "prio"))
+    val workload = Seq(Seq("y"), Seq("y", "m"), Seq("status"), Seq("m"))
+    val out = AggNavigator.advise(fact, candidates, workload).collect()
+    val byName = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byName("yearly")._1 === fact.select("y").distinct().count())
+    assert(byName("ym")._1 === fact.select("y", "m").distinct().count())
+    assert(byName.values.map(_._2).toSet === Set(fact.count()))
+    // (y) credits yearly (smaller than ym); (y,m) and (m) credit ym;
+    // (status) credits status_prio
+    assert(byName("yearly")._3 === 1L)
+    assert(byName("ym")._3 === 2L)
+    assert(byName("status_prio")._3 === 1L)
+    // benefit = credited drills × (fact − grain) rows, sorted desc
+    for ((g, f, n, b) <- byName.values) assert(b === n * (f - g))
+    assert(out.map(_.getLong(4)).toSeq ===
+      out.map(_.getLong(4)).toSeq.sorted(Ordering[Long].reverse))
+  }
+
   test("save/load: a restarted serving process routes identically without re-registering") {
     val root = java.nio.file.Files.createTempDirectory("aggnav_persist").toString
     val grains = Seq("yearly" -> Seq("y"), "status_prio" -> Seq("status", "prio"))
