@@ -6,7 +6,7 @@ DIR=${1:-/root/testdata/sf0.1}
 OUT=${2:-/tmp/bench_out.json}
 ONLY=${3:-}
 XMX=${4:-48g}
-CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | paste -sd:)"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do

@@ -120,6 +120,21 @@ object ViewRefresh {
       .filter(col(BucketCol).isin(buckets: _*))
       .persist()
     try {
+      // a CARRIED bucket column is a trust-but-verify contract: a
+      // layout bucketed on a different key or count would silently
+      // swap the WRONG partitions. Verify on the scoped rows (already
+      // persisted, affected-buckets-sized — not a fact scan): any row
+      // whose carried bucket disagrees with bucketOf(key, nBuckets)
+      // proves a mismatched layout, and refreshing from it corrupts
+      // the view — fail loudly instead.
+      if (view.columns.contains(BucketCol)) {
+        val bad = scoped
+          .filter(col(BucketCol) =!= bucketOf(key, nBuckets)).count()
+        require(bad == 0,
+          s"carried $BucketCol column disagrees with bucketOf(key, " +
+            s"$nBuckets) on $bad scoped rows — the source layout was " +
+            "bucketed on a different key or bucket count")
+      }
       Warehouse.overwritePartitions(scoped, path, Seq(BucketCol))
       val written = scoped.select(col(BucketCol)).distinct()
         .collect().map(_.getInt(0)).toSet

@@ -203,12 +203,16 @@ object AggNavigator {
     val pNames = partialsFor(fact.limit(0), grains.head._2, measures)
       .schema.map(_.name).filterNot(grains.head._2.contains)
     val staged = s"$root/__gs_stage"
-    sharedPartials(fact, grains, measures)
-      .write.partitionBy("__gid").mode("overwrite").parquet(staged)
+    val shared = sharedPartials(fact, grains, measures)
+    shared.write.partitionBy("__gid").mode("overwrite").parquet(staged)
     try {
       val aggs = grains.map { case (name, grain) =>
         val path = s"$root/agg_$name"
-        val carved = spark.read.parquet(staged)
+        // explicit schema: an EMPTY fact leaves a staging dir with no
+        // partition directories at all, and schema inference would
+        // fail where register() builds valid empty tables — with the
+        // schema supplied, the carve is simply empty
+        val carved = spark.read.schema(shared.schema).parquet(staged)
           .filter(col("__gid") === gidOf(allLevels, grain))
           .select((grain ++ pNames).map(col): _*)
         carved.write.mode("overwrite").parquet(path)
@@ -385,7 +389,10 @@ object AggNavigator {
       .agg(count(lit(1)).as("grain_rows"), sum(col("__cnt")).as("fact_rows"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val priced = candidates.map { case (name, grain) =>
-      val (gRows, fRows) = perGid(gidOf(allLevels, grain))
+      // an empty fact yields no grouping-sets rows at all: every
+      // candidate prices at zero rows / zero benefit, not a crash
+      val (gRows, fRows) =
+        perGid.getOrElse(gidOf(allLevels, grain), (0L, 0L))
       (name, grain, gRows, fRows)
     }
     // each drill credits its best covering candidate (choose's order)
@@ -468,11 +475,8 @@ object AggNavigator {
     // space never touches the fact lineage
     lazy val factType: Map[String, org.apache.spark.sql.types.DataType] =
       fact.schema.map(f => f.name -> f.dataType).toMap
-    val n = allLevels.size
     val branches = sets.map { groupCols =>
-      val gid = allLevels.zipWithIndex.map { case (c, i) =>
-        if (groupCols.contains(c)) 0L else 1L << (n - 1 - i)
-      }.sum
+      val gid = gidOf(allLevels, groupCols)
       val levelCols = allLevels.map { c =>
         if (groupCols.contains(c)) col(c)
         else lit(null).cast(levelType.getOrElse(c, factType(c))).as(c)

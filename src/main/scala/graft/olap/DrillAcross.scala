@@ -67,6 +67,14 @@ object DrillAcross {
     val grouped = facts.map { case (f, ms) =>
       f.groupBy(on.map(col): _*).agg(ms.head, ms.tail: _*)
     }
+    // alias disjointness checked HERE, where the resolved names are
+    // known — a clash would otherwise surface as a far-away
+    // AMBIGUOUS_REFERENCE with no hint about the contract
+    val names = grouped.flatMap(_.columns.drop(on.size))
+    val clash = names.diff(names.distinct).distinct
+    require(clash.isEmpty,
+      s"cross-fact measure aliases must be disjoint, defined more than " +
+        s"once: ${clash.sorted.mkString(", ")}")
     val j = grouped.reduceLeft(_.join(_, on, "full_outer"))
     if (derived.isEmpty) j
     else j.select(j.columns.map(col).toIndexedSeq ++ derived: _*)

@@ -433,6 +433,22 @@ object EventStream {
     }
   }
 
+  /** Named accumulator for [[sessionizeStream]]'s divergence count —
+    * register once per query; read `.value` after (or during) the
+    * run, or watch "graft.sessionize.divergence" in the UI. */
+  def lateCloseCounter(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.util.LongAccumulator =
+    spark.sparkContext.longAccumulator("graft.sessionize.divergence")
+
+  /** Per-user sessionize state: the open session (0/1-element list)
+    * plus the end (epoch millis) of the LAST session this user has
+    * already had EMITTED — `Long.MinValue` before any emission. The
+    * emitted end is what makes divergence against already-shipped
+    * output detectable, not just divergence involving the open
+    * session. */
+  private[streaming] final case class SessState(open: List[SessionState],
+      emittedEnd: Long)
+
   /** Streaming sessionization with custom state: per-user open-session
     * state, closed and emitted when a later event arrives past the gap
     * OR when the processing-time timeout fires (so the final session of
@@ -447,25 +463,25 @@ object EventStream {
     * The streaming face of [[sessionizeBatch]].
     *
     * OBSERVABILITY of the residual batch/stream divergence: pass
-    * [[lateCloseCounter]] as `lateChainClosed` and every LATE-TIER
-    * session closure increments it — exactly the closures that COULD
-    * have merged with events a later trigger delivers (the documented
-    * deep-late-chain-split-across-triggers divergence). The counter is
-    * an upper bound on divergent sessions: zero means the stream
-    * emitted nothing the batch fold wouldn't; a nonzero value says
-    * which runs deserve a batch reconciliation pass. As a named
-    * SparkContext accumulator it surfaces in the Spark UI / listener
-    * metrics of a production run without touching the output schema. */
-  /** Named accumulator for [[sessionizeStream]]'s late-tier closure
-    * count — register once per query; read `.value` after (or during)
-    * the run, or watch "graft.sessionize.lateChainClosed" in the UI. */
-  def lateCloseCounter(spark: org.apache.spark.sql.SparkSession)
-      : org.apache.spark.util.LongAccumulator =
-    spark.sparkContext.longAccumulator("graft.sessionize.lateChainClosed")
-
+    * [[lateCloseCounter]] as `divergence` and the fold increments it
+    * whenever it does something the batch fold over the full history
+    * might not have: (a) a LATE-TIER chain closes (a later trigger
+    * could have extended it — the deep-late-split-across-triggers
+    * case), and (b) an event lands within the gap of a session this
+    * user already had EMITTED (the batch fold would have merged into
+    * that session; the stream cannot un-emit it). The counter is an
+    * upper bound on divergent sessions: zero means the stream emitted
+    * nothing the batch fold wouldn't; nonzero says which runs deserve
+    * a batch reconciliation pass. One blind spot remains, documented:
+    * after an idle-timeout emission the per-user state is REMOVED
+    * (bounded state wins at scale), so an event arriving after the
+    * timeout but within the gap of the timed-out session is not
+    * counted. As a named SparkContext accumulator the count surfaces
+    * in the Spark UI / listener metrics of a production run without
+    * touching the output schema. */
   def sessionizeStream(events: Dataset[Event], gapSeconds: Long,
       idleTimeout: Boolean = true,
-      lateChainClosed: Option[org.apache.spark.util.LongAccumulator] = None)
+      divergence: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[Session] = {
     import events.sparkSession.implicits._
     def emit(userId: Long, s: SessionState): Session =
@@ -473,14 +489,14 @@ object EventStream {
         new java.sql.Timestamp(s.last), s.n.toLong)
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], Session](
+      .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append(),
         if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
         else GroupStateTimeout.NoTimeout()) {
-        (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+        (userId: Long, it: Iterator[Event], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             // gap elapsed with no new events: close the open session
-            val out = state.getOption.flatMap(_.headOption)
+            val out = state.getOption.toList.flatMap(_.open.headOption)
               .map(emit(userId, _)).iterator
             state.remove()
             out
@@ -497,15 +513,27 @@ object EventStream {
             // session at trigger end or closes as its own session(s).
             // Residual divergence from batch: a deep-late chain SPLIT
             // ACROSS triggers closes early — the price of not keeping
-            // unbounded late state.
+            // unbounded late state; the `divergence` counter marks it.
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var open = state.getOption.flatMap(_.headOption)
+            val prior = state.getOption.getOrElse(SessState(Nil, Long.MinValue))
+            var open = prior.open.headOption
+            var emittedEnd = prior.emittedEnd
             var lateOpen = Option.empty[SessionState]
             val closed = scala.collection.mutable.ListBuffer[Session]()
+            def record(s: SessionState): Unit = {
+              closed += emit(userId, s)
+              emittedEnd = math.max(emittedEnd, s.last)
+            }
+            // an event time within the gap of the last EMITTED end —
+            // batch would have merged it into a session the stream
+            // has already shipped
+            def overlapsEmitted(t: Long): Boolean =
+              emittedEnd != Long.MinValue &&
+                t / 1000 - emittedEnd / 1000 <= gapSeconds
             def closeLate(): Unit = {
               lateOpen.foreach { ls =>
-                closed += emit(userId, ls)
-                lateChainClosed.foreach(_.add(1))
+                record(ls)
+                divergence.foreach(_.add(1))
               }
               lateOpen = None
             }
@@ -518,9 +546,8 @@ object EventStream {
                     case Some(ls) if t / 1000 - ls.last / 1000 <= gapSeconds =>
                       lateOpen = Some(ls.copy(last = math.max(ls.last, t),
                         n = ls.n + 1))
-                    case Some(ls) =>
-                      closed += emit(userId, ls)
-                      lateChainClosed.foreach(_.add(1))
+                    case Some(_) =>
+                      closeLate() // chain rollover: the old chain is final
                       lateOpen = Some(SessionState(t, t, 1))
                     case None => lateOpen = Some(SessionState(t, t, 1))
                   }
@@ -528,14 +555,20 @@ object EventStream {
                   // min()/max(): a late event from a previous trigger
                   // must move the session START back, not vanish into
                   // a span that excludes it; a late one must not move
-                  // the end backwards
+                  // the end backwards. A back-extension that reaches
+                  // into the gap of already-EMITTED output is the
+                  // other divergence face — count it (the batch fold
+                  // would have merged; the emitted row is already out)
+                  if (t < s.start && overlapsEmitted(t))
+                    divergence.foreach(_.add(1))
                   open = Some(s.copy(start = math.min(s.start, t),
                     last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) =>
                   closeLate() // the late chain predates s — emit in order
-                  closed += emit(userId, s)
+                  record(s)
                   open = Some(SessionState(t, t, 1))
                 case None =>
+                  if (overlapsEmitted(t)) divergence.foreach(_.add(1))
                   open = Some(SessionState(t, t, 1))
               }
             }
@@ -550,7 +583,7 @@ object EventStream {
                 lateOpen = None
               case _ => closeLate()
             }
-            state.update(open.toList)
+            state.update(SessState(open.toList, emittedEnd))
             if (idleTimeout) state.setTimeoutDuration(gapSeconds * 1000)
             closed.iterator
           }

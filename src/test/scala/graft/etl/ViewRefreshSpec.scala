@@ -133,6 +133,22 @@ class ViewRefreshSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("a carried bucket column from a MISMATCHED layout fails the refresh loudly") {
+    val root = java.nio.file.Files.createTempDirectory("vr_mismatch").toString
+    val path = s"$root/view"
+    ViewRefresh.materialize(view(dimV1), col("c_custkey"), n, path)
+    // the source was bucketed on the WRONG key (orderkey, not the dim
+    // key) — refreshing through that carried column would swap wrong
+    // partitions; the verify pass must reject it instead
+    val wrong = view(dimV1).withColumn(ViewRefresh.BucketCol,
+      ViewRefresh.bucketOf(col("o_orderkey"), n))
+    val e = intercept[IllegalArgumentException] {
+      ViewRefresh.refresh(wrong, col("c_custkey"), n, Seq(0, 1), path)
+    }
+    assert(e.getMessage.contains("bucketed on a different key"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("a deletion that empties a bucket removes its stale partition") {
     import spark.implicits._
     // 3 keys spread over 64 buckets → each key alone in its bucket

@@ -288,6 +288,19 @@ class AggNavigatorSpec extends AnyFunSuite {
       out.map(_.getLong(4)).toSeq.sorted(Ordering[Long].reverse))
   }
 
+  test("registerShared and advise degrade to empty registries / zero reports on an empty fact") {
+    val root = java.nio.file.Files.createTempDirectory("aggnav_empty").toString
+    val empty = fact.filter(lit(false))
+    val grains = Seq("yearly" -> Seq("y"), "status_prio" -> Seq("status", "prio"))
+    val reg = AggNavigator.registerShared(empty, grains, measures, root)
+    assert(reg.aggs.map(_.rows) === Seq(0L, 0L))
+    assert(AggNavigator.navigate(reg, empty, Seq("y")).count() === 0)
+    val advice = AggNavigator.advise(empty, grains, Seq(Seq("y")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(advice.toSet === Set(("yearly", 0L, 0L), ("status_prio", 0L, 0L)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("save/load: a restarted serving process routes identically without re-registering") {
     val root = java.nio.file.Files.createTempDirectory("aggnav_persist").toString
     val grains = Seq("yearly" -> Seq("y"), "status_prio" -> Seq("status", "prio"))

@@ -153,6 +153,15 @@ class DrillAcrossSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("clashing measure aliases across fact sides are rejected with the contract named") {
+    val e = intercept[IllegalArgumentException] {
+      DrillAcross.drillAcrossAll(Seq(
+        arrivals -> Seq(sum(col("amt")).as("s")),
+        departures -> Seq(sum(col("amt")).as("s"))), Seq("region"))
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("clashing measure names across the two registries are rejected") {
     val root = java.nio.file.Files.createTempDirectory("dax_clash").toString
     try {

@@ -341,7 +341,7 @@ class EventStreamSpec extends AnyFunSuite {
       val q = EventStream.sessionizeStream(
           spark.readStream.schema(wave1.toDS().schema).parquet(src)
             .as[Event], gapSeconds = 60, idleTimeout = false,
-          lateChainClosed = Some(counter))
+          divergence = Some(counter))
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ck)
         .outputMode("append")
@@ -365,6 +365,48 @@ class EventStreamSpec extends AnyFunSuite {
         s.session_end.getTime / 1000, s.n_events)).toSet
     assert(late === Set((28800L, 28830L, 2L), (28890L, 28890L, 1L)),
       s"expected the early-closed chain plus the orphan: $late")
+  }
+
+  test("divergence counter also marks back-extensions into already-emitted output") {
+    import EventStream.{Event, Session}
+    def ev(id: Long, sec: Long) =
+      Event(id, new java.sql.Timestamp(sec * 1000), 11L, "click", 0.0)
+    // gap 60 s. Trigger 1 delivers 100, 140, 250: the stream EMITS
+    // [100,140] and holds [250] open. Trigger 2 delivers 190 — in-gap
+    // of the open session (250−190 = 60), so it back-extends the open
+    // session... but 190 is ALSO within the gap of the emitted 140:
+    // batch over {100,140,190,250} emits ONE [100,250] session. The
+    // stream cannot un-emit [100,140] — the counter must mark it.
+    val wave1 = Seq(ev(1, 100), ev(2, 140), ev(3, 250))
+    val wave2 = Seq(ev(4, 190))
+    val tmp = Files.createTempDirectory("sess_backext").toString
+    val src = s"$tmp/src"; val sink = s"$tmp/sessions"; val ck = s"$tmp/ck"
+    val counter = EventStream.lateCloseCounter(spark)
+    def runWave(ws: Seq[Event]): Unit = {
+      ws.toDS().write.mode("append").parquet(src)
+      val q = EventStream.sessionizeStream(
+          spark.readStream.schema(wave1.toDS().schema).parquet(src)
+            .as[Event], gapSeconds = 60, idleTimeout = false,
+          divergence = Some(counter))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "streaming query timed out")
+    }
+    runWave(wave1)
+    assert(counter.value === 0,
+      "within-trigger rollover is batch-equivalent at that point in time")
+    runWave(wave2)
+    assert(counter.value === 1,
+      s"the back-extension into emitted output must be counted: ${counter.value}")
+    // the stream's output is genuinely divergent here — [100,140] is
+    // already out while the open session now spans [190,250]
+    val emitted = spark.read.parquet(sink).as[Session].collect()
+      .map(s => (s.session_start.getTime / 1000,
+        s.session_end.getTime / 1000, s.n_events)).toSet
+    assert(emitted === Set((100L, 140L, 2L)), s"unexpected emissions: $emitted")
   }
 
   test("streaming sessionization with custom state emits closed sessions") {
