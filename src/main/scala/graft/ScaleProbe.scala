@@ -75,6 +75,7 @@ object ScaleProbe {
     else if (set == "r13") r13Probes(spark, dir, k)
     else if (set == "r13lookup") r13LookupProbes(spark, dir, k)
     else if (set == "aggnav") aggNavProbes(spark, dir, k)
+    else if (set == "r14") r14Probes(spark, dir, k)
     else if (set == "viewrefresh") viewRefreshProbes(spark, dir, k)
     else r3Probes(spark, dir, k)
     spark.stop()
@@ -1284,6 +1285,73 @@ object ScaleProbe {
       f""""refresh_sec":$refreshSec%.2f,"rebuild_sec":$rebuildSec%.2f,""" +
       s""""agg_rows":${reg.aggs.map(a => s""""${a.name}":${a.rows}""")
         .mkString("{", ",", "}")},"replication":$k}""")
+  }
+
+  /** Round-14 probe: (a) shared-scan registration vs per-grain at
+    * N=5 grains on a k×1M synthetic fact — the saving should approach
+    * (N−1)/N of the registration's scan cost as the fact grows; (b)
+    * cross-cube drill-across at a covered grain, direct (two fact
+    * scans) vs navigated (two dim-sized parquet reads) — the
+    * virtual-cube serving claim, priced. */
+  private def r14Probes(spark: SparkSession, dir: String, k: Int): Unit = {
+    import graft.olap.{AggNavigator, DrillAcross}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val rows = k.toLong * 1000000L
+    def synth(n: Long, offset: Long): DataFrame =
+      spark.range(offset, offset + n).selectExpr(
+        "cast(1990 + id % 8 as int) as y",
+        "cast(1 + (id / 8) % 12 as int) as m",
+        "case cast(id % 3 as int) when 0 then 'O' when 1 then 'F' " +
+          "else 'P' end as status",
+        "concat('p-', cast(id % 5 as string)) as prio",
+        "cast(id % 100000 as double) / 100.0 as price")
+    val factPath = tmp("r14_fact")
+    synth(rows, 0L).write.mode("overwrite").parquet(factPath)
+    def fact = spark.read.parquet(factPath)
+    val measures = Seq[AggNavigator.Measure](
+      AggNavigator.CountAll("n"),
+      AggNavigator.ExactAvg("avg_price", "price"),
+      AggNavigator.ExactSum("revenue", "price"))
+    val grains = Seq("ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
+      "status_prio" -> Seq("status", "prio"),
+      "y_status" -> Seq("y", "status"), "prio" -> Seq("prio"))
+    var t0 = System.nanoTime()
+    val regSep = AggNavigator.register(fact, grains, measures, tmp("r14_sep"))
+    val sepSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val regShared =
+      AggNavigator.registerShared(fact, grains, measures, tmp("r14_shared"))
+    val sharedSec = (System.nanoTime() - t0) / 1e9
+    require(regSep.aggs.map(a => (a.name, a.rows)) ==
+      regShared.aggs.map(a => (a.name, a.rows)),
+      "shared build diverged from the per-grain build")
+    // cross-cube side: a second fact at the same conformed grain
+    val factBPath = tmp("r14_factb")
+    synth(rows, rows).write.mode("overwrite").parquet(factBPath)
+    def factB = spark.read.parquet(factBPath)
+    val measuresB = Seq[AggNavigator.Measure](
+      AggNavigator.CountAll("nb"),
+      AggNavigator.ExactSum("rev_b", "price"))
+    val regB = AggNavigator.registerShared(factB,
+      Seq("ym" -> Seq("y", "m")), measuresB, tmp("r14_aggb"))
+    def shot(df: => DataFrame): (Double, Seq[Seq[Any]]) = {
+      val s = System.nanoTime()
+      val r = df.orderBy("y", "m").collect().toSeq.map(_.toSeq)
+      ((System.nanoTime() - s) / 1e9, r)
+    }
+    val direct = (1 to 3).map(_ => shot(DrillAcross.drillAcross(
+      fact, measures.map(_.direct), factB, measuresB.map(_.direct),
+      Seq("y", "m"))))
+    val routed = (1 to 3).map(_ => shot(
+      DrillAcross.navigated(regShared, fact, regB, factB, Seq("y", "m"))))
+    require(direct.head._2 == routed.head._2,
+      "navigated drill-across diverged from the direct merge")
+    println(f"""[probe] {"fact_rows":$rows,"grains":${grains.size},""" +
+      f""""register_pergrain_sec":$sepSec%.2f,""" +
+      f""""register_shared_sec":$sharedSec%.2f,""" +
+      f""""drillacross_direct_sec":${direct.map(_._1).min}%.3f,""" +
+      f""""drillacross_navigated_sec":${routed.map(_._1).min}%.3f,""" +
+      s""""replication":$k}""")
   }
 
   /** View-refresh probe: prices the write-amplification claim on a

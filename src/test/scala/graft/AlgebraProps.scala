@@ -321,6 +321,29 @@ object AlgebraProps extends Properties("EngineAlgebra") {
       }
     }
 
+  property("drill-across ≡ per-key map merge for ANY fact sides (members from any side survive)") =
+    Prop.forAll(rowsGen, rowsGen, rowsGen) { (a, b, c) =>
+      (a.isEmpty || b.isEmpty || c.isEmpty) || {
+        val frames = Seq(a, b, c).map(_.toDF("k", "v"))
+        val aliases = Seq("sa", "sb", "sc")
+        val got = graft.olap.DrillAcross.drillAcrossAll(
+          frames.zip(aliases).map { case (f, n) =>
+            f -> Seq(sum(col("v").cast("long")).as(n)) },
+          on = Seq("k"))
+          .collect().map(r => r.getString(0) ->
+            aliases.indices.map(i =>
+              if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1))))
+          .toMap
+        // reference model: plain Scala maps, outer-merged on the key
+        val sums = Seq(a, b, c).map(_.groupBy(_._1)
+          .view.mapValues(_.map(_._2.toLong).sum).toMap)
+        val keys = sums.flatMap(_.keySet).toSet
+        got.keySet == keys && keys.forall { k =>
+          got(k) == sums.map(_.get(k))
+        }
+      }
+    }
+
   property("as-of join preserves every left row exactly once") =
     Prop.forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L))),
       Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))) { (l, r) =>
