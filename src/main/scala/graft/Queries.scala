@@ -7789,6 +7789,48 @@ object Queries {
        |ORDER BY benefit DESC, agg_name""".stripMargin
   }
 
+  /** DRILL-THROUGH ([[graft.olap.Cube.drillThrough]]) — from three
+    * member-space cells back to their fact rows, the Mondrian
+    * DRILLTHROUGH serving path. The `st` level has GENUINE null
+    * members (nullif on 'P'), so the three cells pin the contract's
+    * hard part: a null cell value with the gid bit CLEAR means "the
+    * null member's rows" (IS NULL predicate), while a set gid bit
+    * means "rolled up" (no predicate at all) — confusing the two
+    * returns the wrong transactions silently. The predicate is a
+    * conjunctive filter that pushes to the scan; the oracle replays
+    * each cell as a plain WHERE clause. */
+  def q223DrillThrough(s: SparkSession, dir: String): DataFrame = {
+    import graft.olap.Cube
+    val fact = t(s, dir, "orders").select(col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      when(col("o_orderstatus") === "P", lit(null))
+        .otherwise(col("o_orderstatus")).as("st"))
+    val levels = Seq("y", "st")
+    val drills = Seq(
+      // gid 0, st = NULL: the genuine null member's 1995 rows
+      ("cell_null", 0L, Map[String, Any]("y" -> 1995, "st" -> null)),
+      // gid 1 (st rolled up): ALL 1995 rows regardless of st
+      ("cell_rolled", 1L, Map[String, Any]("y" -> 1995)),
+      // gid 0, both levels valued
+      ("cell_val", 0L, Map[String, Any]("y" -> 1996, "st" -> "O")))
+    drills.map { case (tag, gid, values) =>
+      Cube.drillThrough(fact, levels, gid, values)
+        .select(lit(tag).as("cell"), col("o_orderkey"), col("y"), col("st"))
+    }.reduce(_.unionByName(_)).orderBy("cell", "o_orderkey")
+  }
+
+  val q223Sql: String =
+    """WITH f AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
+      |  nullif(o_orderstatus, 'P') AS st FROM orders)
+      |SELECT 'cell_null' AS cell, o_orderkey, y, st FROM f
+      | WHERE y = 1995 AND st IS NULL
+      |UNION ALL
+      |SELECT 'cell_rolled', o_orderkey, y, st FROM f WHERE y = 1995
+      |UNION ALL
+      |SELECT 'cell_val', o_orderkey, y, st FROM f
+      | WHERE y = 1996 AND st = 'O'
+      |ORDER BY cell, o_orderkey""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -8016,6 +8058,7 @@ object Queries {
     "q220_drill_navigated" -> (q220DrillNavigated _),
     "q221_drill_across3" -> (q221DrillAcross3 _),
     "q222_agg_advisor" -> (q222AggAdvisor _),
+    "q223_drill_through" -> (q223DrillThrough _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -8246,6 +8289,7 @@ object Queries {
     "q220_drill_navigated" -> q220Sql,
     "q221_drill_across3" -> q221Sql,
     "q222_agg_advisor" -> q222Sql,
+    "q223_drill_through" -> q223Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -8355,5 +8399,5 @@ object Queries {
     // benched from birth, q220 beside q219 so the registry build's
     // fixed cost stays visible against the fact scans it removes
     "q219_drill_across", "q220_drill_navigated", "q221_drill_across3",
-    "q222_agg_advisor")
+    "q222_agg_advisor", "q223_drill_through")
 }

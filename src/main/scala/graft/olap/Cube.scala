@@ -76,6 +76,40 @@ object Cube {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** DRILL-THROUGH — from one member-space cell back to the FACT ROWS
+    * behind it (Mondrian's DrillThrough / MDX DRILLTHROUGH: the
+    * analyst double-clicks an aggregate cell and gets the underlying
+    * transactions). The cell is identified exactly as [[memberSets]] /
+    * [[graft.olap.AggNavigator.navigateSets]] emit it: the full level
+    * list, the cell's `gid`, and the cell row's level values — because
+    * a NULL level value is AMBIGUOUS on its own: the gid bit says
+    * whether the level was ROLLED UP in this cell (no predicate at
+    * all) or grouped with a GENUINE null member (an `IS NULL`
+    * predicate). Getting that wrong silently returns the wrong rows —
+    * the whole reason drill-through takes the gid, not just the
+    * values.
+    *
+    * Aggregate tables can never answer this (they hold partials, not
+    * rows), so drill-through always reads the fact — but as a pure
+    * conjunctive filter the predicate pushes to the scan
+    * (PushedFilters when the levels are physical columns;
+    * PartitionFilters under a level-partitioned layout), so one cell's
+    * rows cost a pruned scan, not a corpus pass. Gid bit order is the
+    * [[memberSets]] contract: first level = most significant bit. */
+  def drillThrough(fact: DataFrame, allLevels: Seq[String], gid: Long,
+      values: Map[String, Any]): DataFrame = {
+    val n = allLevels.size
+    require(gid >= 0 && gid < (1L << n), s"gid $gid out of range for $n levels")
+    val preds = allLevels.zipWithIndex.flatMap { case (c, i) =>
+      if ((gid & (1L << (n - 1 - i))) != 0) None // rolled up: no predicate
+      else values.get(c) match {
+        case Some(null) | None => Some(col(c).isNull) // genuine null member
+        case Some(v) => Some(col(c) === lit(v))
+      }
+    }
+    preds.foldLeft(fact)(_.filter(_))
+  }
+
   /** INCREMENTAL maintenance of a [[memberSets]] result — the
     * materialized-cube counterpart of the q82 base⊕delta pattern:
     * each input is a member-set relation of MERGEABLE partial stats
