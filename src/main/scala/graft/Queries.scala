@@ -7831,6 +7831,44 @@ object Queries {
       | WHERE y = 1996 AND st = 'O'
       |ORDER BY cell, o_orderkey""".stripMargin
 
+  /** CLOSURE-TABLE SUBTREE ROLLUP ([[graft.operators.Hierarchy
+    * .closure]]) — Mondrian's `<Closure>` mechanism for RAGGED
+    * parent-child hierarchies: a digit-tree over customer keys
+    * (parent = key DIV 10 — ragged: leaves sit at different depths),
+    * closed into every (descendant, ancestor, dist) pair by
+    * log-rounds pointer doubling, then every node's WHOLE-SUBTREE
+    * account balance and headcount in one equi-join + one aggregate —
+    * no recursion at query time. The oracle rebuilds the closure with
+    * a recursive CTE and replays the rollup; a missing pair, a wrong
+    * distance, or a double-counted self-pair all break the hash. */
+  def q224ClosureRollup(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val nodes = cust.select(col("c_custkey").as("node"),
+      when(col("c_custkey") >= 10, expr("c_custkey DIV 10")).as("parent"))
+    val cl = graft.operators.Hierarchy.closure(nodes, "node", "parent")
+    cl.join(cust, col("desc") === col("c_custkey"))
+      .groupBy(col("anc"))
+      .agg(count(lit(1)).as("n_desc"),
+        dsum(col("c_acctbal")).as("subtree_bal"),
+        max(col("dist")).as("max_depth"))
+      .orderBy("anc")
+  }
+
+  val q224Sql: String =
+    """WITH RECURSIVE nodes AS (SELECT c_custkey AS node,
+      |  CASE WHEN c_custkey >= 10 THEN c_custkey // 10 END AS parent
+      | FROM customer),
+      |cl AS (
+      |  SELECT node AS dsc, node AS anc, 0 AS dist FROM nodes
+      |  UNION ALL
+      |  SELECT cl.dsc, n.parent, cl.dist + 1
+      |  FROM cl JOIN nodes n ON cl.anc = n.node WHERE n.parent IS NOT NULL)
+      |SELECT anc, count(*) AS n_desc,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_bal,
+      |  CAST(max(dist) AS BIGINT) AS max_depth
+      |FROM cl JOIN customer ON dsc = c_custkey
+      |GROUP BY anc ORDER BY anc""".stripMargin
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -8059,6 +8097,7 @@ object Queries {
     "q221_drill_across3" -> (q221DrillAcross3 _),
     "q222_agg_advisor" -> (q222AggAdvisor _),
     "q223_drill_through" -> (q223DrillThrough _),
+    "q224_closure_rollup" -> (q224ClosureRollup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -8290,6 +8329,7 @@ object Queries {
     "q221_drill_across3" -> q221Sql,
     "q222_agg_advisor" -> q222Sql,
     "q223_drill_through" -> q223Sql,
+    "q224_closure_rollup" -> q224Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -8399,5 +8439,5 @@ object Queries {
     // benched from birth, q220 beside q219 so the registry build's
     // fixed cost stays visible against the fact scans it removes
     "q219_drill_across", "q220_drill_navigated", "q221_drill_across3",
-    "q222_agg_advisor", "q223_drill_through")
+    "q222_agg_advisor", "q223_drill_through", "q224_closure_rollup")
 }

@@ -67,4 +67,58 @@ object Hierarchy {
       when(col("done"), col("anc")).as("root"),
       when(col("done"), col("d")).as("depth"))
   }
+
+  /** CLOSURE TABLE for a parent-pointer hierarchy: every
+    * (desc, anc, dist) ancestor pair, self-pairs at dist 0 included —
+    * Mondrian's `<Closure>` mechanism, THE way a ragged parent-child
+    * hierarchy (org chart, category tree) rolls measures up: join the
+    * fact on `desc`, group by `anc`, and every manager/category gets
+    * its whole-subtree total in one equi-join + one aggregate, no
+    * recursion at query time.
+    *
+    * Built by the same pointer-doubling idiom as [[rootAndDepth]]:
+    * each round joins the pair set with itself (a path of length
+    * d₁ + d₂ from a d₁-path ending where a d₂-path starts), so round
+    * k holds every path of length ≤ 2^k — ⌈log₂ h⌉ rounds, each ONE
+    * equi-join of pair-sized relations. Pairs are deduplicated to the
+    * MINIMUM distance per (desc, anc): in a tree distances are unique
+    * so this is a no-op, and under a CORRUPT pointer cycle the pair
+    * set saturates instead of growing unboundedly, with the cycle
+    * SURFACING as a nonzero-distance self-pair beside the dist-0 one
+    * (same surface-don't-hang stance as rootAndDepth's NULL rows).
+    *
+    * Size trade, stated: the closure holds Σ depth(node) + n rows —
+    * the classic closure-table storage cost. For a 100 TB fact over a
+    * million-node hierarchy that is a few-million-row dimension-side
+    * relation (broadcastable); the fact is touched once. */
+  def closure(nodes: DataFrame, idCol: String, parentCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 40, "maxRounds in [1, 40]")
+    val self = nodes.select(col(idCol).as("desc"),
+      col(idCol).as("anc"), lit(0L).as("dist"))
+    var pairs = nodes
+      .filter(col(parentCol).isNotNull && col(parentCol) =!= col(idCol))
+      .select(col(idCol).as("desc"), col(parentCol).as("anc"),
+        lit(1L).as("dist"))
+      .localCheckpoint(true)
+    var total = pairs.count()
+    var round = 0
+    var grew = total > 0
+    while (round < maxRounds && grew) {
+      val doubled = pairs.alias("a")
+        .join(pairs.alias("b"), col("a.anc") === col("b.desc"))
+        .select(col("a.desc").as("desc"), col("b.anc").as("anc"),
+          (col("a.dist") + col("b.dist")).as("dist"))
+      val next = pairs.unionByName(doubled)
+        .groupBy(col("desc"), col("anc"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      val n = next.count()
+      grew = n > total
+      total = n
+      pairs = next
+      round += 1
+    }
+    self.unionByName(pairs)
+  }
 }

@@ -15,6 +15,38 @@ class HierarchySpec extends AnyFunSuite {
           Option(r.get(2)).map(_.asInstanceOf[Long]))))
       .toMap
 
+
+  private def pairs(rows: Seq[(Long, java.lang.Long)], maxRounds: Int = 20) =
+    Hierarchy.closure(rows.toDF("id", "parent"), "id", "parent", maxRounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("closure: every (desc, anc, dist) pair of the forest, self-pairs at 0") {
+    //  1 ← 2 ← 4 ; 2 ← 5 ← 6 ; 10 ← 11
+    val rows = Seq[(Long, java.lang.Long)](
+      (1L, null), (2L, 1L), (4L, 2L), (5L, 2L), (6L, 5L),
+      (10L, null), (11L, 10L))
+    // brute-force reference: walk each node's parent chain
+    val parent = rows.collect { case (k, p) if p != null => k -> p.longValue }.toMap
+    val want = rows.flatMap { case (k, _) =>
+      Iterator.iterate(Option(k))(_.flatMap(parent.get))
+        .takeWhile(_.isDefined).map(_.get).zipWithIndex
+        .map { case (anc, d) => (k, anc, d.toLong) }.toSeq
+    }.toSet
+    assert(pairs(rows) === want)
+  }
+
+  test("closure: a pointer cycle saturates at min distances instead of hanging or exploding") {
+    // 1 → 2 → 3 → 1 (corrupt), plus a clean node 9
+    val rows = Seq[(Long, java.lang.Long)]((1L, 3L), (2L, 1L), (3L, 2L), (9L, null))
+    val got = pairs(rows, maxRounds = 12)
+    // each cycle member reaches every member at the MIN distance, and
+    // the cycle SURFACES as a nonzero-distance self-pair (diagnostic)
+    assert(got.size === 13, s"cycle must saturate, got ${got.size} pairs: $got")
+    assert(got.contains((2L, 1L, 1L)) && got.contains((2L, 3L, 2L)) &&
+      got.contains((2L, 2L, 0L)) && got.contains((2L, 2L, 3L)) &&
+      got.contains((9L, 9L, 0L)))
+  }
+
   test("forest with two trees: correct roots and depths") {
     //  1 ← 2 ← 4      10 ← 11
     //      2 ← 5 ← 6
