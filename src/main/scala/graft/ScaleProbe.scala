@@ -1315,13 +1315,27 @@ object ScaleProbe {
     val grains = Seq("ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
       "status_prio" -> Seq("status", "prio"),
       "y_status" -> Seq("y", "status"), "prio" -> Seq("prio"))
-    var t0 = System.nanoTime()
-    val regSep = AggNavigator.register(fact, grains, measures, tmp("r14_sep"))
-    val sepSec = (System.nanoTime() - t0) / 1e9
-    t0 = System.nanoTime()
-    val regShared =
-      AggNavigator.registerShared(fact, grains, measures, tmp("r14_shared"))
-    val sharedSec = (System.nanoTime() - t0) / 1e9
+    // untimed full-column warm read: the first timed path would
+    // otherwise pay the page-cache first touch the later ones skip —
+    // biasing the very ratio this probe prices. Then min-of-2 per
+    // path in ALTERNATING order: this host shows 3-4x co-tenant
+    // bursts on single-shot timings, and min-of-N with interleaving
+    // is the same estimator the bench uses.
+    fact.write.format("noop").mode("overwrite").save()
+    def timed(f: => AggNavigator.Registry): (Double, AggNavigator.Registry) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    val runs = (1 to 2).map { _ =>
+      (timed(AggNavigator.register(fact, grains, measures, tmp("r14_sep"))),
+        timed(AggNavigator.registerShared(fact, grains, measures,
+          tmp("r14_shared"))))
+    }
+    val sepSec = runs.map(_._1._1).min
+    val sharedSec = runs.map(_._2._1).min
+    val regSep = runs.head._1._2
+    val regShared = runs.head._2._2
     require(regSep.aggs.map(a => (a.name, a.rows)) ==
       regShared.aggs.map(a => (a.name, a.rows)),
       "shared build diverged from the per-grain build")

@@ -100,14 +100,27 @@ object Cube {
       values: Map[String, Any]): DataFrame = {
     val n = allLevels.size
     require(gid >= 0 && gid < (1L << n), s"gid $gid out of range for $n levels")
-    val preds = allLevels.zipWithIndex.flatMap { case (c, i) =>
-      if ((gid & (1L << (n - 1 - i))) != 0) None // rolled up: no predicate
-      else values.get(c) match {
-        case Some(null) | None => Some(col(c).isNull) // genuine null member
-        case Some(v) => Some(col(c) === lit(v))
-      }
+    // the grouped levels must ALL be present in `values` (an explicit
+    // null meaning the null member) and no unknown keys may ride along
+    // — a forgotten or typo'd level key would otherwise silently turn
+    // into an IS NULL predicate and return the wrong transactions,
+    // exactly the bug class this API exists to prevent
+    val unknown = values.keySet -- allLevels.toSet
+    require(unknown.isEmpty,
+      s"values for unknown levels: ${unknown.toSeq.sorted.mkString(", ")}")
+    val grouped = allLevels.zipWithIndex.collect {
+      case (c, i) if (gid & (1L << (n - 1 - i))) == 0 => c
     }
-    preds.foldLeft(fact)(_.filter(_))
+    val missing = grouped.filterNot(values.contains)
+    require(missing.isEmpty,
+      s"cell values missing for grouped levels: ${missing.mkString(", ")} " +
+        "— pass an explicit null for a genuine null member")
+    grouped.map { c =>
+      values(c) match {
+        case null => col(c).isNull // genuine null member
+        case v => col(c) === lit(v)
+      }
+    }.foldLeft(fact)(_.filter(_))
   }
 
   /** INCREMENTAL maintenance of a [[memberSets]] result — the

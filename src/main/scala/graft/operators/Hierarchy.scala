@@ -119,6 +119,15 @@ object Hierarchy {
       pairs = next
       round += 1
     }
+    // a pair set still GROWING at maxRounds means heights beyond
+    // 2^maxRounds remain unclosed — a silent return would undercount
+    // every subtree rollup built on it, so fail loudly instead (the
+    // closure has no per-row NULL slot to surface partial rows the way
+    // rootAndDepth does)
+    require(!grew,
+      s"closure did not converge within $maxRounds doubling rounds " +
+        s"(${total} pairs and growing) — raise maxRounds or check for " +
+        "pathological pointer structure")
     self.unionByName(pairs)
   }
 }

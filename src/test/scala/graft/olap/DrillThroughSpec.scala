@@ -48,6 +48,20 @@ class DrillThroughSpec extends AnyFunSuite {
       "the null member must be a strict subset of the rolled-up cell")
   }
 
+  test("a forgotten or typo'd level key fails loudly instead of drilling the wrong rows") {
+    val missing = intercept[IllegalArgumentException] {
+      Cube.drillThrough(fact, levels, 0L, Map[String, Any]("y" -> 1995))
+    }
+    assert(missing.getMessage.contains("missing for grouped levels") &&
+      missing.getMessage.contains("st"))
+    val typo = intercept[IllegalArgumentException] {
+      Cube.drillThrough(fact, levels, 1L,
+        Map[String, Any]("year" -> 1995, "y" -> 1995))
+    }
+    assert(typo.getMessage.contains("unknown levels") &&
+      typo.getMessage.contains("year"))
+  }
+
   test("the drill predicate pushes to the parquet scan") {
     val root = java.nio.file.Files.createTempDirectory("dthru").toString
     try {
