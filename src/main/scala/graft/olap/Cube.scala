@@ -115,6 +115,17 @@ object Cube {
     require(missing.isEmpty,
       s"cell values missing for grouped levels: ${missing.mkString(", ")} " +
         "— pass an explicit null for a genuine null member")
+    // a NON-NULL value for a rolled-up level contradicts the gid (a
+    // member-space cell row always carries null there): the caller's
+    // gid is stale or miscomputed, and silently ignoring the value
+    // would return a SUPERSET of the cell they think they drilled
+    val contradicted = allLevels.zipWithIndex.collect {
+      case (c, i) if (gid & (1L << (n - 1 - i))) != 0 &&
+        values.get(c).exists(_ != null) => c
+    }
+    require(contradicted.isEmpty,
+      s"non-null values supplied for levels rolled up by gid $gid: " +
+        s"${contradicted.mkString(", ")} — the gid and the cell values disagree")
     grouped.map { c =>
       values(c) match {
         case null => col(c).isNull // genuine null member

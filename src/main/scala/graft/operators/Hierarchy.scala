@@ -104,7 +104,11 @@ object Hierarchy {
     var total = pairs.count()
     var round = 0
     var grew = total > 0
-    while (round < maxRounds && grew) {
+    // up to maxRounds GROWTH rounds plus one CONFIRMING no-growth
+    // round (convergence is only provable by a round that adds
+    // nothing): heights ≤ 2^maxRounds close without tripping the
+    // completeness guard below
+    while (round <= maxRounds && grew) {
       val doubled = pairs.alias("a")
         .join(pairs.alias("b"), col("a.anc") === col("b.desc"))
         .select(col("a.desc").as("desc"), col("b.anc").as("anc"),

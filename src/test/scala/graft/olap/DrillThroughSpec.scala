@@ -60,6 +60,18 @@ class DrillThroughSpec extends AnyFunSuite {
     }
     assert(typo.getMessage.contains("unknown levels") &&
       typo.getMessage.contains("year"))
+    // a non-null value for a level the gid says is ROLLED UP means the
+    // gid and the cell row disagree — drilling would return a superset
+    val stale = intercept[IllegalArgumentException] {
+      Cube.drillThrough(fact, levels, 1L,
+        Map[String, Any]("y" -> 1995, "st" -> "O"))
+    }
+    assert(stale.getMessage.contains("rolled up by gid"))
+    // ...but a NULL there is exactly what a member-space row carries —
+    // accepted (the member-space reconciliation test feeds whole rows)
+    assert(Cube.drillThrough(fact, levels, 1L,
+      Map[String, Any]("y" -> 1995, "st" -> null)).count() ===
+      fact.filter(col("y") === 1995).count())
   }
 
   test("the drill predicate pushes to the parquet scan") {

@@ -35,6 +35,20 @@ class HierarchySpec extends AnyFunSuite {
     assert(pairs(rows) === want)
   }
 
+  test("closure: completes when the last pairs land exactly in round maxRounds (confirming round)") {
+    // chain 1←2←3: max dist 2 = 2^1, needs one growth round — with
+    // maxRounds=1 the confirming no-growth round must still fit
+    val rows = Seq[(Long, java.lang.Long)]((1L, null), (2L, 1L), (3L, 2L))
+    val got = pairs(rows, maxRounds = 1)
+    assert(got.contains((3L, 1L, 2L)), s"deepest pair missing: $got")
+    assert(got.size === 3 + 3) // 3 self-pairs + (2,1,1),(3,2,1),(3,1,2)
+    // and a height ABOVE 2^maxRounds still fails loudly, not silently
+    val deep = Seq[(Long, java.lang.Long)](
+      (1L, null), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (6L, 5L))
+    val e = intercept[IllegalArgumentException] { pairs(deep, maxRounds = 1) }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("closure: a pointer cycle saturates at min distances instead of hanging or exploding") {
     // 1 → 2 → 3 → 1 (corrupt), plus a clean node 9
     val rows = Seq[(Long, java.lang.Long)]((1L, 3L), (2L, 1L), (3L, 2L), (9L, null))
