@@ -7339,7 +7339,12 @@ object Queries {
       val changed = dimV1.filter(col("c_custkey") % 97 === 0)
         .select(col("c_custkey"))
       val buckets = ViewRefresh.affectedBuckets(changed, col("c_custkey"), n)
-      ViewRefresh.refresh(view(dimV2), col("c_custkey"), n, buckets, path)
+      // isolated = true: the affected partitions install by atomic
+      // rename-swap (the Warehouse.publish idiom per bucket), so a
+      // concurrent reader sees committed partitions only — same rows,
+      // same hash as the dynamic-overwrite path, stronger isolation
+      ViewRefresh.refresh(view(dimV2), col("c_custkey"), n, buckets, path,
+        isolated = true)
       localized(s.read.parquet(path)
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n_orders"),
@@ -7869,6 +7874,135 @@ object Queries {
       |FROM cl JOIN customer ON dsc = c_custkey
       |GROUP BY anc ORDER BY anc""".stripMargin
 
+  /** INCREMENTAL CLOSURE MAINTENANCE ([[graft.operators.Hierarchy
+    * .closureMove]]) — q224's digit-tree closure, then customer 7's
+    * WHOLE SUBTREE (7, 70–79, 700–799…) is re-parented under customer
+    * 123 and the closure is fixed incrementally: drop the crossing
+    * pairs, keep within-subtree and outside pairs untouched, add
+    * subtree × ancestors-of-123 at d₁+1+d₂ — three dimension-sized
+    * joins, no rebuild, no recursion. The same whole-subtree rollup as
+    * q224 then runs on the maintained closure, while the oracle
+    * REBUILDS the closure from scratch with a recursive CTE over the
+    * MOVED parent relation — a missed crossing pair, a wrong new
+    * distance, or a disturbed within-subtree pair all break the
+    * hash. */
+  def q226ClosureMove(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val nodes = cust.select(col("c_custkey").as("node"),
+      when(col("c_custkey") >= 10, expr("c_custkey DIV 10")).as("parent"))
+    val cl = graft.operators.Hierarchy.closure(nodes, "node", "parent")
+    val moved = graft.operators.Hierarchy.closureMove(cl, 7L, 123L)
+    moved.join(cust, col("desc") === col("c_custkey"))
+      .groupBy(col("anc"))
+      .agg(count(lit(1)).as("n_desc"),
+        dsum(col("c_acctbal")).as("subtree_bal"),
+        max(col("dist")).as("max_depth"))
+      .orderBy("anc")
+  }
+
+  val q226Sql: String =
+    """WITH RECURSIVE nodes AS (SELECT c_custkey AS node,
+      |  CASE WHEN c_custkey = 7 THEN 123
+      |       WHEN c_custkey >= 10 THEN c_custkey // 10 END AS parent
+      | FROM customer),
+      |cl AS (
+      |  SELECT node AS dsc, node AS anc, 0 AS dist FROM nodes
+      |  UNION ALL
+      |  SELECT cl.dsc, n.parent, cl.dist + 1
+      |  FROM cl JOIN nodes n ON cl.anc = n.node WHERE n.parent IS NOT NULL)
+      |SELECT anc, count(*) AS n_desc,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_bal,
+      |  CAST(max(dist) AS BIGINT) AS max_depth
+      |FROM cl JOIN customer ON dsc = c_custkey
+      |GROUP BY anc ORDER BY anc""".stripMargin
+
+  private[graft] val q225Budget = 120L
+
+  /** BUDGET-CONSTRAINED AGGREGATE ADVISOR ([[graft.olap.AggNavigator
+    * .adviseBudget]]) — the real AggGen decision: q222's five
+    * candidates and eight drills, but the DBA will store at most 120
+    * rows, so the output is the chosen SET. Greedy in initial-benefit
+    * order (Harinarayan/Rajaraman/Ullman '96): admit what fits the
+    * remaining budget, skip what doesn't WITHOUT stopping, then
+    * re-credit every drill within the chosen set (the navigator's own
+    * routing order). The oracle replays the pricing with DISTINCT
+    * counts, the initial crediting as in q222, and the greedy itself
+    * as a linear RECURSIVE scan over the ranked candidates — any
+    * drift in the admission rule, the skip semantics, or the
+    * re-crediting breaks the hash. */
+  def q225AggBudget(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "orders").select(
+      year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+      col("o_orderstatus").as("status"), col("o_orderpriority").as("prio"))
+    graft.olap.AggNavigator.adviseBudget(fact, q222Candidates, q222Workload,
+      q225Budget)
+  }
+
+  val q225Sql: String = {
+    val cands = q222Candidates.map { case (name, grain) =>
+      s"""SELECT '$name' AS agg_name, (SELECT count(*) FROM
+         |  (SELECT DISTINCT ${grain.mkString(", ")} FROM f)) AS grain_rows"""
+        .stripMargin
+    }.mkString("\nUNION ALL ")
+    val coverRows = q222Workload.zipWithIndex.flatMap { case (drill, i) =>
+      q222Candidates.collect {
+        case (name, grain) if drill.forall(grain.contains) => s"($i, '$name')"
+      }
+    }.mkString(", ")
+    s"""WITH RECURSIVE f AS (SELECT CAST(year(o_orderdate) AS INT) AS y,
+       |  CAST(month(o_orderdate) AS INT) AS m,
+       |  o_orderstatus AS status, o_orderpriority AS prio FROM orders),
+       |fr AS (SELECT count(*) AS fact_rows FROM f),
+       |cand AS ($cands),
+       |cover AS (SELECT * FROM (VALUES $coverRows) AS t(drill_id, agg_name)),
+       |best0 AS (SELECT drill_id, agg_name FROM (
+       |  SELECT c.drill_id, c.agg_name,
+       |    row_number() OVER (PARTITION BY c.drill_id
+       |      ORDER BY k.grain_rows, c.agg_name) AS rn
+       |  FROM cover c JOIN cand k USING (agg_name)) WHERE rn = 1),
+       |credit0 AS (SELECT agg_name, count(*) AS n0 FROM best0 GROUP BY 1),
+       |ranked AS (SELECT k.agg_name, k.grain_rows,
+       |    coalesce(c.n0, 0) * (fr.fact_rows - k.grain_rows) AS benefit0,
+       |    row_number() OVER (ORDER BY
+       |      coalesce(c.n0, 0) * (fr.fact_rows - k.grain_rows) DESC,
+       |      k.agg_name) AS rn
+       |  FROM cand k CROSS JOIN fr LEFT JOIN credit0 c USING (agg_name)),
+       |greedy AS (
+       |  SELECT 0 AS rn, CAST($q225Budget AS BIGINT) AS remaining,
+       |    CAST(0 AS BIGINT) AS picks, CAST(NULL AS VARCHAR) AS picked,
+       |    CAST(0 AS BIGINT) AS pick
+       |  UNION ALL
+       |  SELECT r.rn,
+       |    CASE WHEN r.benefit0 > 0 AND r.grain_rows <= g.remaining
+       |      THEN g.remaining - r.grain_rows ELSE g.remaining END,
+       |    CASE WHEN r.benefit0 > 0 AND r.grain_rows <= g.remaining
+       |      THEN g.picks + 1 ELSE g.picks END,
+       |    CASE WHEN r.benefit0 > 0 AND r.grain_rows <= g.remaining
+       |      THEN r.agg_name END,
+       |    CASE WHEN r.benefit0 > 0 AND r.grain_rows <= g.remaining
+       |      THEN g.picks + 1 ELSE CAST(0 AS BIGINT) END
+       |  FROM greedy g JOIN ranked r ON r.rn = g.rn + 1),
+       |chosen AS (SELECT picked AS agg_name, pick FROM greedy
+       |  WHERE picked IS NOT NULL),
+       |best1 AS (SELECT drill_id, agg_name FROM (
+       |  SELECT c.drill_id, c.agg_name,
+       |    row_number() OVER (PARTITION BY c.drill_id
+       |      ORDER BY k.grain_rows, c.agg_name) AS rn
+       |  FROM cover c JOIN cand k USING (agg_name)
+       |  JOIN chosen USING (agg_name)) WHERE rn = 1),
+       |credit1 AS (SELECT agg_name, count(*) AS n1 FROM best1 GROUP BY 1)
+       |SELECT k.agg_name, k.grain_rows, fr.fact_rows,
+       |  (ch.agg_name IS NOT NULL) AS chosen,
+       |  CAST(coalesce(ch.pick, 0) AS BIGINT) AS pick,
+       |  CAST(coalesce(c1.n1, 0) AS BIGINT) AS n_drills,
+       |  CAST(coalesce(c1.n1, 0) * (fr.fact_rows - k.grain_rows)
+       |    AS BIGINT) AS benefit
+       |FROM cand k CROSS JOIN fr
+       |LEFT JOIN chosen ch USING (agg_name)
+       |LEFT JOIN credit1 c1 USING (agg_name)
+       |ORDER BY agg_name""".stripMargin
+  }
+
   // ===================================================================
   // Wiring
   // ===================================================================
@@ -8098,6 +8232,8 @@ object Queries {
     "q222_agg_advisor" -> (q222AggAdvisor _),
     "q223_drill_through" -> (q223DrillThrough _),
     "q224_closure_rollup" -> (q224ClosureRollup _),
+    "q225_agg_budget" -> (q225AggBudget _),
+    "q226_closure_move" -> (q226ClosureMove _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -8330,6 +8466,8 @@ object Queries {
     "q222_agg_advisor" -> q222Sql,
     "q223_drill_through" -> q223Sql,
     "q224_closure_rollup" -> q224Sql,
+    "q225_agg_budget" -> q225Sql,
+    "q226_closure_move" -> q226Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -8439,5 +8577,12 @@ object Queries {
     // benched from birth, q220 beside q219 so the registry build's
     // fixed cost stays visible against the fact scans it removes
     "q219_drill_across", "q220_drill_navigated", "q221_drill_across3",
-    "q222_agg_advisor", "q223_drill_through", "q224_closure_rollup")
+    "q222_agg_advisor", "q223_drill_through", "q224_closure_rollup",
+    // round-15: the budget-constrained advisor (same single fact pass
+    // as q222 plus driver-side greedy — benched so the selection layer
+    // stays visibly free)
+    "q225_agg_budget",
+    // round-15: incremental closure maintenance (closure build + three
+    // dim-sized joins, benched beside q224's rebuild-and-rollup)
+    "q226_closure_move")
 }

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Warehouse
@@ -12,10 +12,10 @@ import graft.sources.Warehouse
   * JUST the affected dim members, but a naive refresh rewrites the
   * whole view. Here the view is laid out partitioned by a BUCKET of
   * the dim key, so a dim delta maps to a bounded set of partitions:
-  * recompute the join for those buckets only and swap them in with a
-  * dynamic-partition overwrite ([[Warehouse.overwritePartitions]] —
-  * the write replaces only the partitions present in the frame).
-  * Readers of untouched partitions never see a file change
+  * recompute the join for those buckets only and swap them in —
+  * either with a dynamic-partition overwrite or, reader-isolated,
+  * with a per-partition atomic rename swap ([[refresh]]'s `isolated`
+  * flag). Readers of untouched partitions never see a file change
   * (ViewRefreshSpec asserts the untouched files are byte-identical
   * after a refresh).
   *
@@ -27,8 +27,28 @@ import graft.sources.Warehouse
   * degrades gracefully to a plain rewrite for bulk updates. The
   * refresh still SCANS one pass of the fact to recompute the affected
   * rows (prunable further only when the fact layout shares the bucket
-  * key) — at 100 TB the saving is write bandwidth on (B−c)/B of the
-  * view's parquet, which is the expensive half of a rewrite.
+  * key — declare it via `sourceLayout`) — at 100 TB the saving is
+  * write bandwidth on (B−c)/B of the view's parquet, which is the
+  * expensive half of a rewrite.
+  *
+  * LAYOUT TRUST MODEL. A view frame may CARRY a [[BucketCol]] column
+  * (from a [[materializeSource]] layout); trusting it blindly is how
+  * refreshes corrupt views — a source bucketed on a different key or
+  * a different bucket count silently swaps the wrong partitions or
+  * drops rows. Three defenses, all loud:
+  *  - [[materialize]]/[[materializeSource]] stamp the layout's bucket
+  *    count into a `_graft_layout.json` sidecar; [[refresh]] requires
+  *    the view table's sidecar to match its `nBuckets` argument.
+  *  - [[refresh]] scopes the recompute by the COMPUTED bucket
+  *    expression by default — the true affected-row set regardless of
+  *    what the carried column claims — and REQUIRES carried ==
+  *    computed over every scoped row (a carried column from a finer,
+  *    coarser or wrong-key layout is caught here, including rows a
+  *    carried-scoped filter would have silently excluded).
+  *  - the carried-scoped fast path (partition-pruned source scan)
+  *    must be EARNED: pass `sourceLayout` = the co-bucketed source's
+  *    path, and the refresh verifies that layout's sidecar carries
+  *    the same bucket count before trusting its partition column.
   *
   * The bucket count trades refresh granularity against small-file
   * pressure: more buckets → less over-rebuild per changed key but
@@ -39,45 +59,88 @@ object ViewRefresh {
 
   val BucketCol = "pbucket"
 
+  /** Layout sidecar file name — lives beside the partition dirs; the
+    * leading underscore keeps it invisible to parquet readers. */
+  val LayoutFile = "_graft_layout.json"
+
   /** The partition-bucket expression — MUST be identical at
     * materialize and refresh time, or a refresh writes rows into a
     * different partition than the stale copy it means to replace. */
   def bucketOf(key: Column, nBuckets: Int): Column =
     pmod(hash(key), lit(nBuckets))
 
-  /** Initial build: the view rows, laid out by dim-key bucket. */
+  /** Stamp the layout contract beside the data (metadata-only; the
+    * refresh handshake reads it back). */
+  private def writeLayout(spark: SparkSession, path: String,
+      nBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, LayoutFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    out.write(s"""{"nBuckets":$nBuckets}""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The bucket count a layout was written with, when stamped. */
+  def readLayout(spark: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path, LayoutFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+      """"nBuckets"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(new String(bytes, "UTF-8")).map(_.group(1).toInt)
+    }
+  }
+
+  /** Per-row write-path guard: the written bucket value, failing the
+    * job if a CARRIED bucket disagrees with the computed one — the
+    * initial build's defense against a view that happens to carry a
+    * mismatched (or merely same-named) [[BucketCol]], caught in the
+    * same pass as the write instead of laying the table out wrong. */
+  private def guardedBucket(carried: Column, key: Column,
+      nBuckets: Int): Column = {
+    val computed = bucketOf(key, nBuckets)
+    when(carried === computed, carried).otherwise(raise_error(concat(
+      lit(s"carried $BucketCol disagrees with bucketOf(key, $nBuckets): " +
+        "carried="), carried.cast("string"),
+      lit(" computed="), computed.cast("string"),
+      lit(" — the source layout was bucketed on a different key or " +
+        "bucket count"))))
+  }
+
+  /** Initial build: the view rows, laid out by dim-key bucket. A
+    * carried [[BucketCol]] is verified row-for-row IN the write pass
+    * (no second scan of the view lineage); absent, the bucket is
+    * computed. Stamps the layout sidecar. */
   def materialize(view: DataFrame, key: Column, nBuckets: Int,
-      path: String): Unit =
-    withBucket(view, key, nBuckets)
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
+      path: String): Unit = {
+    val bucketed =
+      if (view.columns.contains(BucketCol))
+        view.withColumn(BucketCol, guardedBucket(col(BucketCol), key, nBuckets))
+      else view.withColumn(BucketCol, bucketOf(key, nBuckets))
+    bucketed.write.partitionBy(BucketCol).mode("overwrite").parquet(path)
+    writeLayout(view.sparkSession, path, nBuckets)
+  }
 
   /** Co-bucketed SOURCE layout: write a fact (or any view input)
     * partitioned by the bucket of ITS copy of the dim key — the same
     * `pmod(hash(key), n)` as the view layout. A view built from this
-    * layout carries `pbucket` from the scan through the join, so
-    * [[refresh]]'s bucket filter lands on the source scan as a
-    * PARTITION filter: the refresh then READS ~c/B of the fact
-    * instead of scanning it all and discarding (B−c)/B post-join —
-    * the scan-side half of the write-amplification win documented
-    * above, and the one that dominates at 100 TB. */
+    * layout carries `pbucket` from the scan through the join, so a
+    * [[refresh]] that declares `sourceLayout` = this path scopes on
+    * the carried column and the bucket filter lands on the source
+    * scan as a PARTITION filter: the refresh then READS ~c/B of the
+    * fact instead of scanning it all and discarding (B−c)/B post-join
+    * — the scan-side half of the write-amplification win documented
+    * above, and the one that dominates at 100 TB. The stamped sidecar
+    * is what lets the refresh TRUST the carried column. */
   def materializeSource(fact: DataFrame, factKey: Column, nBuckets: Int,
-      path: String): Unit =
+      path: String): Unit = {
     fact.withColumn(BucketCol, bucketOf(factKey, nBuckets))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
-
-  /** The view frame with its bucket column: REUSED when the caller
-    * already carries [[BucketCol]] (from a [[materializeSource]]
-    * layout — that provenance is what turns the refresh filter into
-    * partition pruning; recomputing here would shadow it with a
-    * post-join expression), derived from `key` otherwise. A carried
-    * column MUST equal `bucketOf(key, nBuckets)` row-for-row — it
-    * does by construction when it is the source layout's partition
-    * column over the same key and count; anything else mis-partitions
-    * the view (the [[bucketOf]] contract). */
-  private def withBucket(view: DataFrame, key: Column,
-      nBuckets: Int): DataFrame =
-    if (view.columns.contains(BucketCol)) view
-    else view.withColumn(BucketCol, bucketOf(key, nBuckets))
+    writeLayout(fact.sparkSession, path, nBuckets)
+  }
 
   /** The partitions a dim delta invalidates: distinct buckets of the
     * changed keys. Bounded by nBuckets (a driver-side list the size of
@@ -88,65 +151,323 @@ object ViewRefresh {
       .collect().map(_.getInt(0)).sorted.toSeq
 
   /** Refresh: recompute `view` (already joined against the UPDATED
-    * dimension) restricted to the affected buckets, and overwrite only
-    * those partitions. The filter on the freshly-computed bucket
-    * column prunes the fact scan too when the view source is itself
-    * bucket-partitioned.
+    * dimension) restricted to the affected buckets, and replace only
+    * those partitions.
     *
-    * DELETION correctness: dynamic-partition overwrite only replaces
-    * partitions PRESENT in the written frame — an affected bucket
-    * whose recomputed content is now EMPTY (its only member was
-    * deleted / dropped by the view's inner join) would silently keep
-    * its stale files. Those buckets are detected (one distinct over
-    * the already-bucket-filtered rows, bounded by nBuckets) and their
-    * partition directories deleted explicitly.
+    * SCOPING. By default the affected rows are selected by the
+    * COMPUTED bucket expression — sound whatever the view frame
+    * carries. When `sourceLayout` names a [[materializeSource]] path
+    * whose sidecar matches `nBuckets` AND the frame carries
+    * [[BucketCol]], scoping uses the carried partition column instead,
+    * which PRUNES the source scan to the affected partitions (the
+    * fast path). Either way, every scoped row is REQUIRED to satisfy
+    * carried == computed when a carried column is present — under
+    * computed scoping this sees exactly the rows a mismatched layout
+    * would misplace or silently exclude, so a wrong-key, finer or
+    * coarser source layout fails loudly instead of corrupting the
+    * view; under carried scoping the sidecar handshake has already
+    * pinned the bucket count, and the row check still catches a
+    * wrong-key layout.
     *
-    * Reader isolation caveat: the emptied-partition delete (and the
-    * dynamic overwrite itself) are file-level swaps, NOT the
-    * rename-swap publish used elsewhere — a reader scanning a
-    * replaced partition mid-refresh can see missing-file errors or a
-    * stale-then-vanishing directory. Same isolation level as any
-    * dynamic-partition overwrite; route through a
-    * [[graft.sources.Warehouse.publish]]-style rebuild when readers
-    * are concurrent with refreshes. */
+    * DELETION correctness: only partitions PRESENT in the written
+    * frame get replaced — an affected bucket whose recomputed content
+    * is now EMPTY (its only member was deleted / dropped by the
+    * view's inner join) would silently keep its stale files. Those
+    * buckets are detected (one distinct over the already-bucket-
+    * filtered rows, bounded by nBuckets) and emptied explicitly.
+    *
+    * READER ISOLATION. `isolated = false` swaps files via dynamic-
+    * partition overwrite + a raw delete of emptied buckets — cheap,
+    * but a reader scanning a replaced partition mid-refresh can see
+    * missing-file errors (the usual dynamic-overwrite isolation
+    * level). `isolated = true` builds ALL affected partitions in one
+    * write into a hidden temp sibling, then installs each with the
+    * atomic rename-swap of [[graft.sources.Warehouse.publish]]
+    * (emptied buckets swap in an empty directory — zero rows to any
+    * reader, no vanishing-directory window): a concurrent reader of
+    * any partition sees the old committed files or the new ones,
+    * never a torn directory — the PostgreSQL-reader isolation the
+    * reference's serving store gets from MVCC
+    * (`docker-compose.yaml:3-18`), at the cost of two metadata
+    * renames per affected bucket. */
   def refresh(view: DataFrame, key: Column, nBuckets: Int,
-      buckets: Seq[Int], path: String): Unit = {
+      buckets: Seq[Int], path: String,
+      sourceLayout: Option[String] = None,
+      isolated: Boolean = false): Unit = {
     val spark = view.sparkSession
-    // pinned across the write and the bucket census: recomputing the
-    // view for the census would double the refresh's join work, and
-    // reading the census from the table AFTER the write would see the
-    // stale partition it exists to detect
-    val scoped = withBucket(view, key, nBuckets)
-      .filter(col(BucketCol).isin(buckets: _*))
-      .persist()
+    readLayout(spark, path).foreach { stamped =>
+      require(stamped == nBuckets,
+        s"view table at $path was materialized with $stamped buckets, " +
+          s"refresh called with $nBuckets — refusing to swap mismatched " +
+          "partitions")
+    }
+    val scoped = scopedVerified(view, key, nBuckets, buckets, sourceLayout)
     try {
-      // a CARRIED bucket column is a trust-but-verify contract: a
-      // layout bucketed on a different key or count would silently
-      // swap the WRONG partitions. Verify on the scoped rows (already
-      // persisted, affected-buckets-sized — not a fact scan): any row
-      // whose carried bucket disagrees with bucketOf(key, nBuckets)
-      // proves a mismatched layout, and refreshing from it corrupts
-      // the view — fail loudly instead.
-      if (view.columns.contains(BucketCol)) {
-        val bad = scoped
-          .filter(col(BucketCol) =!= bucketOf(key, nBuckets)).count()
+      if (isolated) refreshInstall(spark, scoped, buckets, path)
+      else {
+        Warehouse.overwritePartitions(scoped, path, Seq(BucketCol))
+        val written = scoped.select(col(BucketCol)).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val emptied = buckets.filterNot(written)
+        if (emptied.nonEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          emptied.foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/$BucketCol=$b"),
+              true): Unit
+          }
+        }
+      }
+    } finally scoped.unpersist(): Unit
+  }
+
+  /** The isolated swap: ONE write job builds every affected partition
+    * under a dot-prefixed temp sibling inside the table dir (invisible
+    * to readers — FileIndex skips dot paths), then each affected
+    * bucket — including ones whose rebuild came back EMPTY — installs
+    * by atomic rename-swap. Untouched partitions are never renamed,
+    * so their files stay byte-identical; an emptied bucket becomes an
+    * empty directory (zero rows — partition discovery reads values
+    * from FILE paths, so an empty dir contributes nothing) rather
+    * than a deleted one, keeping any concurrent lister clear of
+    * vanishing directories. */
+  private def refreshInstall(spark: SparkSession, scoped: DataFrame,
+      buckets: Seq[Int], path: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(base)
+    val tmpRoot = new org.apache.hadoop.fs.Path(base,
+      ".refresh-tmp-" + java.util.UUID.randomUUID().toString)
+    try {
+      scoped.write.partitionBy(BucketCol).mode("overwrite")
+        .parquet(tmpRoot.toString)
+      buckets.foreach { b =>
+        val built = new org.apache.hadoop.fs.Path(tmpRoot, s"$BucketCol=$b")
+        if (!fs.exists(built)) fs.mkdirs(built) // emptied bucket → empty dir
+        Warehouse.installBuilt(fs,
+          new org.apache.hadoop.fs.Path(base, s"$BucketCol=$b"), built)
+      }
+    } finally fs.delete(tmpRoot, true): Unit
+  }
+
+  /** The affected-rows frame, persisted, with the module doc's LAYOUT
+    * TRUST MODEL applied: computed-bucket scoping by default,
+    * carried-column (partition-pruned) scoping only under a verified
+    * `sourceLayout` sidecar, and the carried-vs-computed disagreement
+    * check over every scoped row. Unpersisted here on verification
+    * failure; callers unpersist on their paths. */
+  private def scopedVerified(view: DataFrame, key: Column, nBuckets: Int,
+      buckets: Seq[Int], sourceLayout: Option[String]): DataFrame = {
+    val spark = view.sparkSession
+    val carriedPresent = view.columns.contains(BucketCol)
+    val pruned = carriedPresent && sourceLayout.exists { src =>
+      val stamped = readLayout(spark, src)
+      require(stamped.contains(nBuckets),
+        s"sourceLayout $src carries no matching layout sidecar " +
+          s"(found ${stamped.orNull}, need $nBuckets) — cannot trust its " +
+          s"carried $BucketCol for partition-pruned scoping")
+      true
+    }
+    val computed = bucketOf(key, nBuckets)
+    // pinned across the verify, the write and the bucket census:
+    // recomputing the view for each would multiply the refresh's join
+    // work, and reading the census from the table AFTER the write
+    // would see the stale partition it exists to detect
+    val scoped = (
+      if (pruned) view.filter(col(BucketCol).isin(buckets: _*))
+      else if (carriedPresent) view.filter(computed.isin(buckets: _*))
+      else view.withColumn(BucketCol, computed)
+        .filter(col(BucketCol).isin(buckets: _*))
+    ).persist()
+    try {
+      if (carriedPresent) {
+        val bad = scoped.filter(col(BucketCol) =!= computed).count()
         require(bad == 0,
           s"carried $BucketCol column disagrees with bucketOf(key, " +
             s"$nBuckets) on $bad scoped rows — the source layout was " +
             "bucketed on a different key or bucket count")
       }
-      Warehouse.overwritePartitions(scoped, path, Seq(BucketCol))
-      val written = scoped.select(col(BucketCol)).distinct()
-        .collect().map(_.getInt(0)).toSet
-      val emptied = buckets.filterNot(written)
-      if (emptied.nonEmpty) {
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        emptied.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$BucketCol=$b"),
-            true): Unit
+      scoped
+    } catch {
+      case t: Throwable => scoped.unpersist(); throw t
+    }
+  }
+
+  // =====================================================================
+  // SNAPSHOT-ISOLATED views — reader-error-free refresh on a plain FS
+  // =====================================================================
+
+  /** Hidden root holding a snapshot view's generation dirs and
+    * manifests. The underscore prefix makes a DIRECT
+    * `spark.read.parquet(path)` of a snapshot view fail loudly
+    * ("unable to infer schema" — FileIndex skips `_` paths) instead of
+    * silently unioning generations; snapshot views are read via
+    * [[readSnapshot]]. */
+  val SnapDir = "_snap"
+
+  private val genDirRe = s"""$BucketCol=(\\d+)-g(\\d+)""".r
+  private val manifestRe = """v(\d{1,18})""".r
+
+  /** SNAPSHOT layout: per-bucket IMMUTABLE generation directories plus
+    * numbered manifest files mapping each bucket to its current
+    * generation; the HIGHEST-numbered manifest is the committed
+    * snapshot (a manifest appears atomically via temp-write + rename).
+    * A [[refreshSnapshot]] writes NEW generation dirs and publishes a
+    * new manifest — it never renames, rewrites or deletes anything a
+    * published manifest references, so a concurrent [[readSnapshot]]
+    * can never hit a vanished file: the list-then-open race that makes
+    * ANY in-place layout (dynamic overwrite, rename swap) throw
+    * occasionally under concurrency is gone by construction. Old
+    * generations accumulate until [[vacuumSnapshot]] removes the
+    * unreferenced ones past a horizon — exactly the
+    * manifest-plus-vacuum contract of the table formats built for this
+    * problem (Iceberg/Delta), reduced to the one-table case. Same
+    * single-writer assumption as every publish in this repo. */
+  def materializeSnapshot(view: DataFrame, key: Column, nBuckets: Int,
+      path: String): Unit = {
+    val spark = view.sparkSession
+    val base = new org.apache.hadoop.fs.Path(path)
+    val snap = new org.apache.hadoop.fs.Path(base, SnapDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(snap)
+    writeLayout(spark, path, nBuckets)
+    val bucketed =
+      if (view.columns.contains(BucketCol))
+        view.withColumn(BucketCol, guardedBucket(col(BucketCol), key, nBuckets))
+      else view.withColumn(BucketCol, bucketOf(key, nBuckets))
+    publishGeneration(spark, fs, snap, bucketed, gen = 1L,
+      replacedBuckets = Nil, prior = Map.empty)
+  }
+
+  /** Partition-scoped refresh of a [[materializeSnapshot]] view: the
+    * same scoping/verification as [[refresh]], but the affected
+    * buckets land as NEW generation dirs behind a new manifest —
+    * readers of the previous snapshot keep every file they can list.
+    * An affected bucket whose recompute came back empty simply leaves
+    * the new manifest (deletion correctness without touching disk). */
+  def refreshSnapshot(view: DataFrame, key: Column, nBuckets: Int,
+      buckets: Seq[Int], path: String,
+      sourceLayout: Option[String] = None): Unit = {
+    val spark = view.sparkSession
+    readLayout(spark, path).foreach { stamped =>
+      require(stamped == nBuckets,
+        s"snapshot view at $path was materialized with $stamped buckets, " +
+          s"refresh called with $nBuckets")
+    }
+    val base = new org.apache.hadoop.fs.Path(path)
+    val snap = new org.apache.hadoop.fs.Path(base, SnapDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val (gen, cur) = currentManifest(fs, snap).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a snapshot view (no $SnapDir manifest) — " +
+          "materializeSnapshot first"))
+    val scoped = scopedVerified(view, key, nBuckets, buckets, sourceLayout)
+    try publishGeneration(spark, fs, snap, scoped, gen + 1L,
+      replacedBuckets = buckets, prior = cur)
+    finally scoped.unpersist(): Unit
+  }
+
+  /** Write `rows` as generation-`gen` bucket dirs and publish the new
+    * manifest: prior mappings minus `replacedBuckets`, plus every
+    * bucket the write produced. */
+  private def publishGeneration(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, snap: org.apache.hadoop.fs.Path,
+      rows: DataFrame, gen: Long, replacedBuckets: Seq[Int],
+      prior: Map[Int, String]): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(snap,
+      ".stage-" + java.util.UUID.randomUUID().toString)
+    try {
+      // duplicate the bucket into the partition column so the DATA
+      // files keep it — generation dir names are manifest-internal,
+      // not partition-discovery paths
+      rows.withColumn("__pb", col(BucketCol))
+        .write.partitionBy("__pb").mode("overwrite").parquet(staging.toString)
+      val writtenBuckets = fs.listStatus(staging).toSeq
+        .map(_.getPath.getName).collect {
+          case n if n.startsWith("__pb=") => n.stripPrefix("__pb=").toInt
         }
+      val moved = writtenBuckets.map { b =>
+        val dir = s"$BucketCol=$b-g$gen"
+        val dst = new org.apache.hadoop.fs.Path(snap, dir)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(staging, s"__pb=$b"), dst))
+          throw new java.io.IOException(s"failed to stage generation dir $dst")
+        b -> dir
+      }.toMap
+      val next = (prior -- replacedBuckets) ++ moved
+      val body = next.toSeq.sorted
+        .map { case (b, d) => s"$b $d" }.mkString("\n")
+      val tmp = new org.apache.hadoop.fs.Path(snap,
+        ".manifest-tmp-" + java.util.UUID.randomUUID().toString)
+      val out = fs.create(tmp, true)
+      out.write(body.getBytes("UTF-8")); out.close()
+      val mf = new org.apache.hadoop.fs.Path(snap, f"v$gen%018d")
+      if (!fs.rename(tmp, mf))
+        throw new java.io.IOException(s"failed to publish manifest $mf")
+    } finally fs.delete(staging, true): Unit
+  }
+
+  /** The committed snapshot: (generation, bucket → generation dir). */
+  private def currentManifest(fs: org.apache.hadoop.fs.FileSystem,
+      snap: org.apache.hadoop.fs.Path): Option[(Long, Map[Int, String])] = {
+    if (!fs.exists(snap)) return None
+    val manifests = fs.listStatus(snap).toSeq.filter(_.isFile)
+      .flatMap(st => st.getPath.getName match {
+        case manifestRe(g) => Some(g.toLong -> st.getPath)
+        case _ => None
+      })
+    if (manifests.isEmpty) None
+    else {
+      val (gen, p) = manifests.maxBy(_._1)
+      val in = fs.open(p)
+      val body = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      val map = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map { line =>
+          val Array(b, d) = line.split(" ", 2)
+          b.toInt -> d
+        }.toMap
+      Some(gen -> map)
+    }
+  }
+
+  /** Read the committed snapshot — the ONLY correct way to read a
+    * snapshot view (a direct parquet read of `path` fails loudly by
+    * design). Plans a plain multi-directory parquet scan; the bucket
+    * rides in the data, so downstream bucket filters still prune at
+    * the row-group level via parquet stats. */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame = {
+    val snap = new org.apache.hadoop.fs.Path(path, SnapDir)
+    val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
+    val (_, cur) = currentManifest(fs, snap).getOrElse(
+      throw new IllegalArgumentException(s"$path is not a snapshot view"))
+    require(cur.nonEmpty, s"snapshot view at $path has no live buckets")
+    spark.read.parquet(cur.values.map(d => s"$path/$SnapDir/$d").toSeq: _*)
+  }
+
+  /** Garbage-collect generation dirs and manifests no longer
+    * referenced by the CURRENT manifest, once older than `horizonMs`
+    * (the horizon must exceed any plausible reader duration — a
+    * reader that listed the old snapshot keeps its files until it
+    * finishes). Returns how many entries were deleted. */
+  def vacuumSnapshot(spark: SparkSession, path: String,
+      horizonMs: Long): Int = {
+    val snap = new org.apache.hadoop.fs.Path(path, SnapDir)
+    val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
+    val (gen, cur) = currentManifest(fs, snap).getOrElse(return 0)
+    val live = cur.values.toSet
+    val cutoff = System.currentTimeMillis() - horizonMs
+    var removed = 0
+    fs.listStatus(snap).foreach { st =>
+      val n = st.getPath.getName
+      val stale = n match {
+        case _ if st.getModificationTime >= cutoff => false
+        case genDirRe(_, _) => st.isDirectory && !live(n)
+        case manifestRe(g) => st.isFile && g.toLong < gen
+        case _ => n.startsWith(".") // crashed staging/manifest temps
       }
-    } finally scoped.unpersist(): Unit
+      if (stale) { fs.delete(st.getPath, true); removed += 1 }
+    }
+    removed
   }
 }

@@ -316,16 +316,22 @@ object AggNavigator {
     * full re-register (one fact scan per registry it didn't need).
     * Grain types travel as parallel (column, DataType.json) arrays —
     * inference-proof, unlike a JSON map (which the reader would
-    * re-infer as a row-dependent struct). */
+    * re-infer as a row-dependent struct). The write rides
+    * [[graft.sources.Warehouse.publish]]'s atomic rename-swap: a
+    * crash mid-save leaves the PREVIOUS metadata intact — an in-place
+    * overwrite would corrupt exactly the serving-restart path this
+    * file exists for. */
   def save(reg: Registry, root: String): Unit = {
     import reg.spark.implicits._
-    reg.aggs.zipWithIndex.map { case (a, i) =>
+    val meta = reg.aggs.zipWithIndex.map { case (a, i) =>
       val (tCols, tJson) = a.grainTypes.toSeq.sortBy(_._1)
         .map { case (k, v) => (k, v.json) }.unzip
       (i, a.name, a.grain, a.rows, a.path, tCols, tJson)
     }.toDF("idx", "name", "grain", "rows", "path",
         "grain_type_cols", "grain_type_json")
-      .coalesce(1).write.mode("overwrite").json(s"$root/registry_meta")
+    graft.sources.Warehouse.publish(reg.spark, s"$root/registry_meta") {
+      tmp => meta.coalesce(1).write.mode("overwrite").json(tmp)
+    }
   }
 
   /** Rebuild a [[Registry]] from [[save]]d metadata plus the caller's
@@ -376,6 +382,21 @@ object AggNavigator {
       workload: Seq[Seq[String]]): DataFrame = {
     val spark = fact.sparkSession
     import spark.implicits._
+    val priced = priceCandidates(fact, candidates)
+    val credit = creditBest(priced, workload)
+    priced.map { case (name, _, gRows, fRows) =>
+      val n = credit.getOrElse(name, 0L)
+      (name, gRows, fRows, n, n * (fRows - gRows))
+    }.toDF("agg_name", "grain_rows", "fact_rows", "n_drills", "benefit")
+      .orderBy(col("benefit").desc, col("agg_name"))
+  }
+
+  /** Shared pricing pass for [[advise]]/[[adviseBudget]]: ONE
+    * grouping-sets fact scan → per candidate (name, grain,
+    * grain_rows = member cardinality, fact_rows). */
+  private def priceCandidates(fact: DataFrame,
+      candidates: Seq[(String, Seq[String])])
+      : Seq[(String, Seq[String], Long, Long)] = {
     require(candidates.map(_._2.toSet).distinct.size == candidates.size,
       "advisor candidates need distinct grain column sets")
     val allLevels = candidates.flatMap(_._2).distinct
@@ -388,24 +409,79 @@ object AggNavigator {
     val perGid = gs.groupBy(col("__gid"))
       .agg(count(lit(1)).as("grain_rows"), sum(col("__cnt")).as("fact_rows"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val priced = candidates.map { case (name, grain) =>
+    candidates.map { case (name, grain) =>
       // an empty fact yields no grouping-sets rows at all: every
       // candidate prices at zero rows / zero benefit, not a crash
       val (gRows, fRows) =
         perGid.getOrElse(gidOf(allLevels, grain), (0L, 0L))
       (name, grain, gRows, fRows)
     }
-    // each drill credits its best covering candidate (choose's order)
-    val credit = workload.flatMap { drill =>
+  }
+
+  /** Each drill's credit goes to its best covering candidate — the
+    * smallest (grain_rows, name), exactly [[Registry.choose]]'s
+    * routing order. Driver-side, |candidates| × |workload|. */
+  private def creditBest(priced: Seq[(String, Seq[String], Long, Long)],
+      workload: Seq[Seq[String]]): Map[String, Long] =
+    workload.flatMap { drill =>
       priced.filter { case (_, grain, _, _) => drill.forall(grain.contains) }
         .sortBy { case (name, _, gRows, _) => (gRows, name) }
         .headOption.map { case (name, _, _, _) => name }
     }.groupBy(identity).view.mapValues(_.size.toLong).toMap
-    priced.map { case (name, _, gRows, fRows) =>
-      val n = credit.getOrElse(name, 0L)
-      (name, gRows, fRows, n, n * (fRows - gRows))
-    }.toDF("agg_name", "grain_rows", "fact_rows", "n_drills", "benefit")
-      .orderBy(col("benefit").desc, col("agg_name"))
+
+  /** BUDGET-CONSTRAINED advisor — the decision Mondrian's AggGen
+    * actually makes: a DBA materializes at most `budgetRows` stored
+    * rows, so the output is a chosen SET, not a ranking. Greedy
+    * selection in [[advise]]'s benefit order (the greedy of
+    * Harinarayan/Rajaraman/Ullman, "Implementing Data Cubes
+    * Efficiently", SIGMOD '96, over an explicit candidate list with
+    * row-count costs): walk candidates by (initial benefit desc,
+    * name); admit each whose grain_rows still fits the remaining
+    * budget and whose initial benefit is positive; a skipped
+    * candidate does not end the walk — a smaller later one may still
+    * fit. The workload is then RE-CREDITED within the chosen set
+    * (each drill routes to its smallest covering CHOSEN candidate —
+    * what the navigator will actually do once exactly this set is
+    * registered), so the reported n_drills/benefit describe the
+    * selection, not the unconstrained ranking.
+    *
+    * Cost model is stored ROWS (the same quantity [[Registry.choose]]
+    * ranks by and [[register]] measures); all arithmetic is exact
+    * integers, so an oracle replays the greedy deterministically.
+    * One row per candidate ordered by name: (agg_name, grain_rows,
+    * fact_rows, chosen, pick — 1-based admission order, 0 if not
+    * chosen — n_drills, benefit). Same single fact pass as [[advise]];
+    * everything after it is driver arithmetic over |candidates|. */
+  def adviseBudget(fact: DataFrame, candidates: Seq[(String, Seq[String])],
+      workload: Seq[Seq[String]], budgetRows: Long): DataFrame = {
+    val spark = fact.sparkSession
+    import spark.implicits._
+    require(budgetRows >= 0, "budget must be non-negative")
+    val priced = priceCandidates(fact, candidates)
+    val credit0 = creditBest(priced, workload)
+    val ranked = priced.map { case (name, grain, gRows, fRows) =>
+      (name, grain, gRows, fRows,
+        credit0.getOrElse(name, 0L) * (fRows - gRows))
+    }.sortBy { case (name, _, _, _, b) => (-b, name) }
+    var remaining = budgetRows
+    var picks = 0L
+    val chosen = scala.collection.mutable.LinkedHashMap[String, Long]()
+    ranked.foreach { case (name, _, gRows, _, b) =>
+      if (b > 0 && gRows <= remaining) {
+        remaining -= gRows
+        picks += 1
+        chosen(name) = picks
+      }
+    }
+    val credit1 = creditBest(priced.filter(p => chosen.contains(p._1)),
+      workload)
+    priced.sortBy(_._1).map { case (name, _, gRows, fRows) =>
+      val n = credit1.getOrElse(name, 0L)
+      (name, gRows, fRows, chosen.contains(name),
+        chosen.getOrElse(name, 0L), n, n * (fRows - gRows))
+    }.toDF("agg_name", "grain_rows", "fact_rows", "chosen", "pick",
+        "n_drills", "benefit")
+      .orderBy("agg_name")
   }
 
   /** Consistency audit — the navigator's "trust but verify": an agg

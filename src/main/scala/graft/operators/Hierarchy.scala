@@ -134,4 +134,59 @@ object Hierarchy {
         "pathological pointer structure")
     self.unionByName(pairs)
   }
+
+  /** INCREMENTAL closure maintenance under a SUBTREE MOVE — the
+    * update that makes closure tables scary in practice: re-parenting
+    * `node` under `newParent` invalidates every (descendant-of-node,
+    * old-ancestor-above-node) pair, and a naive fix rebuilds the whole
+    * table. This maintains it from the closure itself in THREE
+    * dimension-sized joins, no recursion:
+    *
+    *  - `subtree` = descendants of `node` (closure rows anchored at
+    *    `anc = node`, self included at dist 0);
+    *  - DROP the crossing pairs — desc ∈ subtree, anc ∉ subtree (the
+    *    old paths out of the subtree); pairs fully inside the subtree
+    *    are untouched (relative distances don't change), pairs fully
+    *    outside are untouched;
+    *  - ADD subtree × ancestors-of-`newParent` (self included), at
+    *    dist d₁ + 1 + d₂ — every new path out of the subtree goes
+    *    desc →(d₁) node →(1) newParent →(d₂) anc. The ancestor set is
+    *    read from the ORIGINAL closure: it cannot intersect the
+    *    subtree (that would make `newParent` a descendant of `node`,
+    *    rejected below), so the move doesn't perturb it.
+    *
+    * A CYCLE-INTRODUCING move (`newParent` inside `node`'s subtree,
+    * `node` itself included) is rejected loudly — applying it would
+    * corrupt every rollup downstream. Cost: the subtree relation is
+    * the moved slice's size, the ancestor relation is depth-sized
+    * (broadcast); at 100 TB-fact scale this is dimension maintenance
+    * that never touches a fact row — the oracle for correctness is a
+    * full closure rebuild over the moved parent relation
+    * (q226/HierarchySpec). */
+  def closureMove(closure: DataFrame, node: Any, newParent: Any): DataFrame = {
+    val cycle = closure
+      .filter(col("anc") === lit(node) && col("desc") === lit(newParent))
+      .limit(1).count()
+    require(cycle == 0,
+      s"moving $node under $newParent would create a cycle — " +
+        s"$newParent is a descendant of $node")
+    require(
+      closure.filter(col("desc") === lit(node)).limit(1).count() > 0,
+      s"node $node is not in the closure")
+    val sub = closure.filter(col("anc") === lit(node))
+      .select(col("desc").as("s_desc"), col("dist").as("d1"))
+    val outside = closure
+      .join(sub.select(col("s_desc").as("desc")), Seq("desc"), "left_anti")
+    val within = closure
+      .join(sub.select(col("s_desc").as("desc")), Seq("desc"), "left_semi")
+      .join(sub.select(col("s_desc").as("anc")), Seq("anc"), "left_semi")
+      .select(col("desc"), col("anc"), col("dist"))
+    val newAncs = closure.filter(col("desc") === lit(newParent))
+      .select(col("anc"), col("dist").as("d2"))
+    val added = sub.crossJoin(
+        org.apache.spark.sql.functions.broadcast(newAncs))
+      .select(col("s_desc").as("desc"), col("anc"),
+        (col("d1") + lit(1L) + col("d2")).as("dist"))
+    outside.unionByName(within).unionByName(added)
+  }
 }

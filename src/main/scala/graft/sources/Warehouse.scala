@@ -255,13 +255,25 @@ object Warehouse {
     val tmp = new org.apache.hadoop.fs.Path(parent,
       tmpPrefix + java.util.UUID.randomUUID().toString)
     writeTo(tmp.toString)
+    installBuilt(fs, p, tmp)
+  }
+
+  /** Atomically install an ALREADY-BUILT directory at `p` — the
+    * rename-swap tail of [[commitVia]], exposed for callers that build
+    * several sibling directories in one job and then swap each in
+    * (per-partition publish, [[graft.etl.ViewRefresh]]'s isolated
+    * refresh). `tmp` must be on the same filesystem as `p`; it is
+    * consumed by the swap. */
+  private[graft] def installBuilt(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit = {
+    val parent = p.getParent
     // publish by RENAME-SWAP, not delete-then-rename: the old dir moves
     // aside in one atomic rename and the new one moves in with the
     // next, so the no-directory window is two metadata ops, not a
     // recursive delete; the displaced dir is removed last (open readers
     // of its files survive the unlink, POSIX semantics)
     val old = new org.apache.hadoop.fs.Path(parent,
-      oldPrefix + java.util.UUID.randomUUID().toString)
+      s".${p.getName}.old-" + java.util.UUID.randomUUID().toString)
     val existed = fs.exists(p)
     val hadOld = existed && fs.rename(p, old)
     // a failed move-aside means another publisher won the race. FAIL

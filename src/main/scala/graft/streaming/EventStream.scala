@@ -467,26 +467,34 @@ object EventStream {
     * whenever it does something the batch fold over the full history
     * might not have: (a) a LATE-TIER chain closes (a later trigger
     * could have extended it — the deep-late-split-across-triggers
-    * case), and (b) an event lands within the gap of a session this
+    * case), (b) an event lands within the gap of a session this
     * user already had EMITTED (the batch fold would have merged into
-    * that session; the stream cannot un-emit it). The counter is an
-    * upper bound on divergent sessions: zero means the stream emitted
-    * nothing the batch fold wouldn't; nonzero says which runs deserve
-    * a batch reconciliation pass. One blind spot remains, documented:
-    * after an idle-timeout emission the per-user state is REMOVED
-    * (bounded state wins at scale), so an event arriving after the
-    * timeout but within the gap of the timed-out session is not
-    * counted. As a named SparkContext accumulator the count surfaces
-    * in the Spark UI / listener metrics of a production run without
-    * touching the output schema. */
+    * that session; the stream cannot un-emit it) — including events
+    * arriving after an idle-timeout emission, which land on a
+    * one-horizon TOMBSTONE (open = Nil, emitted end carried) kept
+    * past the timeout exactly so this face stays countable before
+    * the state is finally dropped — and (c) a late chain that
+    * BRIDGES into the open session while its start overlaps emitted
+    * output (batch would have merged all three into one row). The
+    * counter is an upper bound on divergent sessions: zero means the
+    * stream emitted nothing the batch fold wouldn't; nonzero says
+    * which runs deserve a batch reconciliation pass. As a named
+    * SparkContext accumulator the count surfaces in the Spark UI /
+    * listener metrics of a production run without touching the
+    * output schema.
+    *
+    * CHECKPOINT compatibility: the state type changed in r14
+    * (List[SessionState] → SessState) — the state-store schema is
+    * part of a checkpoint, so a streaming query restarted from a
+    * pre-r14 checkpoint fails state-schema validation rather than
+    * resume; reset the checkpoint (and reconcile via the batch face)
+    * when upgrading. The r15 tombstone reuses SessState unchanged —
+    * no new reset needed. */
   def sessionizeStream(events: Dataset[Event], gapSeconds: Long,
       idleTimeout: Boolean = true,
       divergence: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[Session] = {
     import events.sparkSession.implicits._
-    def emit(userId: Long, s: SessionState): Session =
-      Session(userId, new java.sql.Timestamp(s.start),
-        new java.sql.Timestamp(s.last), s.n.toLong)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, Session](
@@ -495,98 +503,139 @@ object EventStream {
         else GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
-            // gap elapsed with no new events: close the open session
-            val out = state.getOption.toList.flatMap(_.open.headOption)
-              .map(emit(userId, _)).iterator
-            state.remove()
-            out
+            val prior = state.getOption.getOrElse(SessState(Nil, Long.MinValue))
+            sessionFoldTimeout(userId, prior) match {
+              case (out, Some(next)) =>
+                state.update(next)
+                state.setTimeoutDuration(gapSeconds * 1000)
+                out.iterator
+              case (out, None) =>
+                state.remove()
+                out.iterator
+            }
           } else {
-            // bounded per-trigger batch: sort this trigger's events,
-            // fold into (possibly continued) sessions. LATE events
-            // (older than the open session) are handled in three
-            // tiers, matching sessionizeBatch where bounded state
-            // can: within the open session's span-or-gap they MERGE
-            // (start moves back via min — a late event must never be
-            // silently counted into a session whose [start,last]
-            // excludes it); deeper-late events fold into a transient
-            // within-trigger chain that either bridges into the open
-            // session at trigger end or closes as its own session(s).
-            // Residual divergence from batch: a deep-late chain SPLIT
-            // ACROSS triggers closes early — the price of not keeping
-            // unbounded late state; the `divergence` counter marks it.
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             val prior = state.getOption.getOrElse(SessState(Nil, Long.MinValue))
-            var open = prior.open.headOption
-            var emittedEnd = prior.emittedEnd
-            var lateOpen = Option.empty[SessionState]
-            val closed = scala.collection.mutable.ListBuffer[Session]()
-            def record(s: SessionState): Unit = {
-              closed += emit(userId, s)
-              emittedEnd = math.max(emittedEnd, s.last)
-            }
-            // an event time within the gap of the last EMITTED end —
-            // batch would have merged it into a session the stream
-            // has already shipped
-            def overlapsEmitted(t: Long): Boolean =
-              emittedEnd != Long.MinValue &&
-                t / 1000 - emittedEnd / 1000 <= gapSeconds
-            def closeLate(): Unit = {
-              lateOpen.foreach { ls =>
-                record(ls)
-                divergence.foreach(_.add(1))
-              }
-              lateOpen = None
-            }
-            sorted.foreach { e =>
-              val t = e.ts.getTime // millis; gap compares truncated seconds
-              open match {         // to match sessionizeBatch's unix_timestamp
-                case Some(s) if t / 1000 < s.start / 1000 - gapSeconds =>
-                  // deep-late: belongs to an earlier session entirely
-                  lateOpen match {
-                    case Some(ls) if t / 1000 - ls.last / 1000 <= gapSeconds =>
-                      lateOpen = Some(ls.copy(last = math.max(ls.last, t),
-                        n = ls.n + 1))
-                    case Some(_) =>
-                      closeLate() // chain rollover: the old chain is final
-                      lateOpen = Some(SessionState(t, t, 1))
-                    case None => lateOpen = Some(SessionState(t, t, 1))
-                  }
-                case Some(s) if t / 1000 - s.last / 1000 <= gapSeconds =>
-                  // min()/max(): a late event from a previous trigger
-                  // must move the session START back, not vanish into
-                  // a span that excludes it; a late one must not move
-                  // the end backwards. A back-extension that reaches
-                  // into the gap of already-EMITTED output is the
-                  // other divergence face — count it (the batch fold
-                  // would have merged; the emitted row is already out)
-                  if (t < s.start && overlapsEmitted(t))
-                    divergence.foreach(_.add(1))
-                  open = Some(s.copy(start = math.min(s.start, t),
-                    last = math.max(s.last, t), n = s.n + 1))
-                case Some(s) =>
-                  closeLate() // the late chain predates s — emit in order
-                  record(s)
-                  open = Some(SessionState(t, t, 1))
-                case None =>
-                  if (overlapsEmitted(t)) divergence.foreach(_.add(1))
-                  open = Some(SessionState(t, t, 1))
-              }
-            }
-            // trigger end: a late chain that now reaches within the
-            // gap of the open session's start BRIDGES into it (batch
-            // would see one session); otherwise it closes
-            (lateOpen, open) match {
-              case (Some(ls), Some(s))
-                  if s.start / 1000 - ls.last / 1000 <= gapSeconds =>
-                open = Some(s.copy(start = math.min(s.start, ls.start),
-                  n = s.n + ls.n))
-                lateOpen = None
-              case _ => closeLate()
-            }
-            state.update(SessState(open.toList, emittedEnd))
+            val (closed, next) =
+              sessionFoldEvents(userId, sorted, prior, gapSeconds, divergence)
+            state.update(next)
             if (idleTimeout) state.setTimeoutDuration(gapSeconds * 1000)
             closed.iterator
           }
       }
+  }
+
+  /** The idle-timeout transition, pure for testability: with a session
+    * open, the gap elapsed with no new events — close and emit it, but
+    * keep a TOMBSTONE (open = Nil, emittedEnd carried) for one more
+    * timeout horizon, so an event arriving after the timeout but
+    * within the gap of the timed-out session lands on
+    * [[sessionFoldEvents]]'s overlapsEmitted path and is COUNTED as
+    * divergence instead of silently diverging (the r14 blind spot).
+    * State stays bounded: the tombstone is one long, and the next
+    * timeout with nothing open returns None → remove. */
+  private[streaming] def sessionFoldTimeout(userId: Long,
+      prior: SessState): (Option[Session], Option[SessState]) =
+    prior.open.headOption match {
+      case Some(s) =>
+        (Some(Session(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.last), s.n.toLong)),
+          Some(SessState(Nil, math.max(prior.emittedEnd, s.last))))
+      case None => (None, None)
+    }
+
+  /** One trigger's fold, pure for testability: sort-ordered events
+    * against the prior state → (closed sessions to emit, next state).
+    * LATE events (older than the open session) are handled in three
+    * tiers, matching sessionizeBatch where bounded state can: within
+    * the open session's span-or-gap they MERGE (start moves back via
+    * min — a late event must never be silently counted into a session
+    * whose [start,last] excludes it); deeper-late events fold into a
+    * transient within-trigger chain that either bridges into the open
+    * session at trigger end or closes as its own session(s). Residual
+    * divergence from batch: a deep-late chain SPLIT ACROSS triggers
+    * closes early — the price of not keeping unbounded late state; the
+    * `divergence` counter marks it. */
+  private[streaming] def sessionFoldEvents(userId: Long,
+      sorted: Seq[Event], prior: SessState, gapSeconds: Long,
+      divergence: Option[org.apache.spark.util.LongAccumulator])
+      : (Seq[Session], SessState) = {
+    def emit(s: SessionState): Session =
+      Session(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.last), s.n.toLong)
+    var open = prior.open.headOption
+    var emittedEnd = prior.emittedEnd
+    var lateOpen = Option.empty[SessionState]
+    val closed = scala.collection.mutable.ListBuffer[Session]()
+    def record(s: SessionState): Unit = {
+      closed += emit(s)
+      emittedEnd = math.max(emittedEnd, s.last)
+    }
+    // an event time within the gap of the last EMITTED end — batch
+    // would have merged it into a session the stream has already
+    // shipped (idle-timeout emissions included, via the tombstone)
+    def overlapsEmitted(t: Long): Boolean =
+      emittedEnd != Long.MinValue &&
+        t / 1000 - emittedEnd / 1000 <= gapSeconds
+    def closeLate(): Unit = {
+      lateOpen.foreach { ls =>
+        record(ls)
+        divergence.foreach(_.add(1))
+      }
+      lateOpen = None
+    }
+    sorted.foreach { e =>
+      val t = e.ts.getTime // millis; gap compares truncated seconds
+      open match {         // to match sessionizeBatch's unix_timestamp
+        case Some(s) if t / 1000 < s.start / 1000 - gapSeconds =>
+          // deep-late: belongs to an earlier session entirely
+          lateOpen match {
+            case Some(ls) if t / 1000 - ls.last / 1000 <= gapSeconds =>
+              lateOpen = Some(ls.copy(last = math.max(ls.last, t),
+                n = ls.n + 1))
+            case Some(_) =>
+              closeLate() // chain rollover: the old chain is final
+              lateOpen = Some(SessionState(t, t, 1))
+            case None => lateOpen = Some(SessionState(t, t, 1))
+          }
+        case Some(s) if t / 1000 - s.last / 1000 <= gapSeconds =>
+          // min()/max(): a late event from a previous trigger must
+          // move the session START back, not vanish into a span that
+          // excludes it; a late one must not move the end backwards. A
+          // back-extension that reaches into the gap of
+          // already-EMITTED output is the other divergence face —
+          // count it (the batch fold would have merged; the emitted
+          // row is already out)
+          if (t < s.start && overlapsEmitted(t))
+            divergence.foreach(_.add(1))
+          open = Some(s.copy(start = math.min(s.start, t),
+            last = math.max(s.last, t), n = s.n + 1))
+        case Some(s) =>
+          closeLate() // the late chain predates s — emit in order
+          record(s)
+          open = Some(SessionState(t, t, 1))
+        case None =>
+          if (overlapsEmitted(t)) divergence.foreach(_.add(1))
+          open = Some(SessionState(t, t, 1))
+      }
+    }
+    // trigger end: a late chain that now reaches within the gap of the
+    // open session's start BRIDGES into it (batch would see one
+    // session); otherwise it closes. A bridging chain whose START
+    // falls within the gap of an already-EMITTED session is the third
+    // divergence face: batch would have merged the emitted session,
+    // this chain and the open one into ONE row, but the emitted row is
+    // already shipped — count it (the r14 counter missed exactly this,
+    // leaving 'counter = 0' claims false for bridged late chains).
+    (lateOpen, open) match {
+      case (Some(ls), Some(s))
+          if s.start / 1000 - ls.last / 1000 <= gapSeconds =>
+        if (overlapsEmitted(ls.start)) divergence.foreach(_.add(1))
+        open = Some(s.copy(start = math.min(s.start, ls.start),
+          n = s.n + ls.n))
+        lateOpen = None
+      case _ => closeLate()
+    }
+    (closed.toSeq, SessState(open.toList, emittedEnd))
   }
 }

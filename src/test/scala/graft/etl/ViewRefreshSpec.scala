@@ -121,8 +121,10 @@ class ViewRefreshSpec extends AnyFunSuite {
       s"1 of $n buckets should read a fraction of the fact: $pruned of $total")
 
     // and the refresh through the carried column lands the same state
-    // as a full recompute
-    ViewRefresh.refresh(viewFrom(dimV2), col("c_custkey"), n, buckets, path)
+    // as a full recompute — the carried-scoped fast path is EARNED by
+    // declaring the co-bucketed source, whose sidecar pins the count
+    ViewRefresh.refresh(viewFrom(dimV2), col("c_custkey"), n, buckets, path,
+      sourceLayout = Some(factPath))
     val got = spark.read.parquet(path)
       .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
       .orderBy("c_mktsegment").collect().map(r => r.getString(0) -> r.getLong(1))
@@ -172,6 +174,216 @@ class ViewRefreshSpec extends AnyFunSuite {
     assert(left.filter(col("k") === 2L).count() === 0,
       "deleted member's rows must not survive the refresh")
     assert(left.count() === 2)
+  }
+
+  test("a FINER carried layout (multiple of nBuckets) is caught — computed scoping sees the rows carried scoping would exclude") {
+    val root = java.nio.file.Files.createTempDirectory("vr_finer").toString
+    val path = s"$root/view"
+    ViewRefresh.materialize(view(dimV1), col("c_custkey"), n, path)
+    // the ADVICE scenario: carried = pmod(hash, 2n) — rows whose carried
+    // value is in [n, 2n) have a TRUE bucket in [0, n); a carried-scoped
+    // refresh would silently drop them from the rewritten partitions.
+    // Computed scoping selects them, and the disagreement check fires.
+    val finer = view(dimV1).withColumn(ViewRefresh.BucketCol,
+      ViewRefresh.bucketOf(col("c_custkey"), 2 * n))
+    val e = intercept[IllegalArgumentException] {
+      ViewRefresh.refresh(finer, col("c_custkey"), n, (0 until n), path)
+    }
+    assert(e.getMessage.contains("disagrees with bucketOf"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("materialize verifies a carried bucket column in the write pass") {
+    val root = java.nio.file.Files.createTempDirectory("vr_matguard").toString
+    val wrong = view(dimV1).withColumn(ViewRefresh.BucketCol,
+      ViewRefresh.bucketOf(col("o_orderkey"), n))
+    val e = intercept[Exception] {
+      ViewRefresh.materialize(wrong, col("c_custkey"), n, s"$root/view")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("disagrees with bucketOf")),
+      s"want the in-pass guard message, got: ${messages(e)}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("refresh refuses a bucket count that contradicts the table's layout sidecar") {
+    val root = java.nio.file.Files.createTempDirectory("vr_sidecar").toString
+    val path = s"$root/view"
+    ViewRefresh.materialize(view(dimV1), col("c_custkey"), n, path)
+    assert(ViewRefresh.readLayout(spark, path) === Some(n))
+    val e = intercept[IllegalArgumentException] {
+      ViewRefresh.refresh(view(dimV1), col("c_custkey"), 2 * n,
+        Seq(0), path)
+    }
+    assert(e.getMessage.contains("materialized with"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("isolated refresh: untouched partitions byte-identical, emptied bucket serves zero rows, result equals full recompute") {
+    import spark.implicits._
+    val nb = 64
+    val dimA = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "seg")
+    val factsT = Seq((1L, 10.0), (2L, 20.0), (2L, 21.0), (3L, 30.0))
+      .toDF("k", "amount")
+    def v(d: DataFrame) = factsT.join(d, Seq("k"))
+    val root = java.nio.file.Files.createTempDirectory("vr_iso").toString
+    val path = s"$root/view"
+    ViewRefresh.materialize(v(dimA), col("k"), nb, path)
+    val before = fileState(path)
+    // k=2 deleted (bucket emptied), k=3 re-segmented (bucket rewritten)
+    val dimB = dimA.filter(col("k") =!= 2L).withColumn("seg",
+      when(col("k") === 3L, lit("Z")).otherwise(col("seg")))
+    val changed = Seq(Tuple1(2L), Tuple1(3L)).toDF("k")
+    val buckets = ViewRefresh.affectedBuckets(changed, col("k"), nb)
+    ViewRefresh.refresh(v(dimB), col("k"), nb, buckets, path,
+      isolated = true)
+    val after = fileState(path)
+    val touched = buckets.map(b => s"${ViewRefresh.BucketCol}=$b").toSet
+    for ((dir, files) <- before if !touched.contains(dir))
+      assert(after(dir) === files, s"untouched partition $dir changed")
+    val got = spark.read.parquet(path).orderBy("k", "amount")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("amount"),
+        r.getAs[String]("seg"))).toSeq
+    assert(got === Seq((1L, 10.0, "A"), (3L, 30.0, "Z")))
+    // no stray non-hidden dirs beyond the partition layout
+    val stray = new java.io.File(path).listFiles().filter(f =>
+      !f.getName.startsWith(".") && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(s"${ViewRefresh.BucketCol}="))
+    assert(stray.isEmpty, s"stray entries: ${stray.map(_.getName).toSeq}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("isolated refresh: a concurrent reader never observes a torn partition") {
+    import spark.implicits._
+    val nb = 8
+    val root = java.nio.file.Files.createTempDirectory("vr_conc").toString
+    val path = s"$root/view"
+    val dims = Seq(
+      Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "seg"),
+      Seq((1L, "A2"), (2L, "B2"), (3L, "C2")).toDF("k", "seg"))
+    val factsT = (1L to 3L).flatMap(k => (1 to 40).map(i =>
+      (k, k * 100.0 + i))).toDF("k", "amount")
+    def v(d: DataFrame) = factsT.join(broadcast(d), Seq("k"))
+    ViewRefresh.materialize(v(dims(0)), col("k"), nb, path)
+    val buckets = ViewRefresh.affectedBuckets(dims(0).select("k"),
+      col("k"), nb)
+
+    // every VALID state has all 120 rows and a single-suffix segment
+    // set — a torn partition (half old, half new, or missing files
+    // turned into lost rows) breaks one of the invariants. The
+    // list-then-open race of a plain filesystem (no manifest) can
+    // surface a benign FileNotFound between a listing and the swap;
+    // the reader retries it and COUNTS it — torn DATA is what must
+    // never appear.
+    @volatile var stop = false
+    val torn = new java.util.concurrent.atomic.AtomicLong
+    val raced = new java.util.concurrent.atomic.AtomicLong
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val rows = spark.read.parquet(path)
+            .groupBy("seg").agg(count(lit(1)).as("n")).collect()
+          val total = rows.map(_.getLong(1)).sum
+          val segs = rows.map(_.getString(0)).toSet
+          val consistent = total == 120 &&
+            (segs == Set("A", "B", "C") || segs == Set("A2", "B2", "C2") ||
+              // per-partition atomicity: a cross-bucket MIX of the two
+              // committed versions is a documented valid state
+              segs.forall(s => Set("A", "B", "C", "A2", "B2", "C2")(s)))
+          if (!consistent) torn.incrementAndGet(): Unit
+        } catch {
+          case _: org.apache.spark.SparkException |
+               _: java.io.FileNotFoundException =>
+            raced.incrementAndGet(): Unit
+        }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 10).foreach { i =>
+        ViewRefresh.refresh(v(dims(i % 2)), col("k"), nb, buckets, path,
+          isolated = true)
+      }
+    } finally {
+      stop = true
+      reader.join(30000)
+    }
+    assert(torn.get() === 0, s"reader observed ${torn.get()} torn states")
+    // the rename swap guarantees ATOMICITY (no torn data), not
+    // availability: a reader that listed files just before a swap can
+    // still fail its open (the plain-FS list-then-open race). That
+    // race is bounded, retried, and CLOSED ENTIRELY by the snapshot
+    // variant below — which is why refreshSnapshot exists.
+    assert(raced.get() < 10 * nb,
+      s"list/open race hit ${raced.get()} times")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("snapshot refresh: a concurrent reader NEVER errors and never sees torn data") {
+    import spark.implicits._
+    val nb = 8
+    val root = java.nio.file.Files.createTempDirectory("vr_snap").toString
+    val path = s"$root/view"
+    val dims = Seq(
+      Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "seg"),
+      Seq((1L, "A2"), (2L, "B2"), (3L, "C2")).toDF("k", "seg"))
+    val factsT = (1L to 3L).flatMap(k => (1 to 40).map(i =>
+      (k, k * 100.0 + i))).toDF("k", "amount")
+    def v(d: DataFrame) = factsT.join(broadcast(d), Seq("k"))
+    ViewRefresh.materializeSnapshot(v(dims(0)), col("k"), nb, path)
+    val buckets = ViewRefresh.affectedBuckets(dims(0).select("k"),
+      col("k"), nb)
+
+    @volatile var stop = false
+    val torn = new java.util.concurrent.atomic.AtomicLong
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val reads = new java.util.concurrent.atomic.AtomicLong
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val rows = ViewRefresh.readSnapshot(spark, path)
+            .groupBy("seg").agg(count(lit(1)).as("n")).collect()
+          val total = rows.map(_.getLong(1)).sum
+          // a snapshot is ALL-old or ALL-new: one manifest, one list
+          val segs = rows.map(_.getString(0)).toSet
+          if (total != 120 ||
+            !(segs == Set("A", "B", "C") || segs == Set("A2", "B2", "C2")))
+            torn.incrementAndGet(): Unit
+          reads.incrementAndGet(): Unit
+        } catch { case t: Throwable => errs.add(t): Unit }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 10).foreach { i =>
+        ViewRefresh.refreshSnapshot(v(dims(i % 2)), col("k"), nb, buckets,
+          path)
+      }
+    } finally {
+      stop = true
+      reader.join(30000)
+    }
+    assert(errs.isEmpty, s"reader errored: ${Option(errs.peek()).orNull}")
+    assert(torn.get() === 0, s"reader observed ${torn.get()} torn snapshots")
+    assert(reads.get() > 0, "reader never completed a read")
+
+    // a direct parquet read of a snapshot view fails LOUDLY (no silent
+    // union of generations)
+    intercept[Exception] { spark.read.parquet(path).count() }
+
+    // vacuum with a zero horizon drops everything the current manifest
+    // doesn't reference; the view still reads whole afterwards
+    val removed = ViewRefresh.vacuumSnapshot(spark, path, horizonMs = 0L)
+    assert(removed > 0, "10 refreshes must leave unreferenced generations")
+    assert(ViewRefresh.readSnapshot(spark, path).count() === 120)
+    // and every surviving generation dir is referenced
+    val snap = new java.io.File(s"$path/${ViewRefresh.SnapDir}")
+    val gens = snap.listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("."))
+    assert(gens.toSet.size === buckets.size,
+      s"expected exactly one live generation per affected bucket: ${gens.toSeq}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   test("bucketOf is stable across calls (refresh targets the right partition)") {

