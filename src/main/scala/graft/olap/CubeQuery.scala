@@ -1,0 +1,117 @@
+package graft.olap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative cube-query front door — the one entry point a
+  * non-Scala client (an MDX bridge, a JSON API, a BI tool adapter)
+  * drives: a [[Query]] names the cube, the hierarchy level-prefixes
+  * OR an explicit grain, the slicers, and optional drill-across
+  * sides, and [[run]] COMPILES it onto the existing engine plans —
+  * [[Cube.memberSets]] / [[AggNavigator.navigateSets]] for member
+  * spaces, [[AggNavigator.navigate]] / a grain aggregate for a single
+  * drill, and [[DrillAcross]]'s conformed merge for cross-cube
+  * queries. The reference exposes exactly this shape twice — Mondrian
+  * compiles MDX over `Schema_Trabajo_Final.xml:2-91`'s cube
+  * declarations, Grafana sends SQL — while the engine's own surface
+  * was method calls; this closes the declarative gap WITHOUT new
+  * execution machinery: every query here lowers to a plan another
+  * test already pins (the spec asserts hash-identity with the direct
+  * calls and zero fact lineage when a registry covers).
+  *
+  * Routing rules, stated where a client hits them:
+  *  - a [[CubeRef]] is DIRECT (fact + measure columns) or ROUTED (an
+  *    [[AggNavigator.Registry]] whose measures serve). A routed side
+  *    never constructs its fact lineage when a registered aggregate
+  *    covers the requested grain.
+  *  - slicers are pre-aggregation fact filters; they are REJECTED on
+  *    routed sides — stored partials are built over the unfiltered
+  *    fact, so serving a sliced query from them would be silently
+  *    wrong (register a filtered rollup, or go direct).
+  *  - `hierarchies` (member space) and `grain` (single-grain drill)
+  *    are mutually exclusive; drill-across sides require a grain
+  *    (Kimball's conformed-grain contract).
+  */
+object CubeQuery {
+
+  /** One cube side: a fact thunk (never forced when a registry
+    * covers), plus EITHER direct measure columns OR a registry. */
+  final case class CubeRef(fact: () => DataFrame,
+      measures: Seq[Column] = Nil,
+      registry: Option[AggNavigator.Registry] = None) {
+    require(registry.isEmpty || measures.isEmpty,
+      "a routed CubeRef serves its registry's measures — direct " +
+        "measure columns would silently diverge from the stored partials")
+    require(registry.nonEmpty || measures.nonEmpty,
+      "a CubeRef needs direct measures or a registry")
+  }
+
+  /** The declarative query: `hierarchies` for a member space (every
+    * level prefix + the All member, q203's shape), or `grain` for one
+    * slice — with `drillAcross` sides merged at that grain (q219's
+    * shape). `always` columns are grouped in every member set (the
+    * multi-cube tag). */
+  final case class Query(
+      cube: CubeRef,
+      hierarchies: Seq[Cube.Hierarchy] = Nil,
+      grain: Seq[String] = Nil,
+      slicers: Seq[Column] = Nil,
+      always: Seq[String] = Nil,
+      drillAcross: Seq[CubeRef] = Nil,
+      derived: Seq[Column] = Nil)
+
+  /** Compile + run. Pure plan construction — every shape lowers to an
+    * existing, separately-specced operator. */
+  def run(q: Query): DataFrame = {
+    require(q.hierarchies.nonEmpty ^ q.grain.nonEmpty,
+      "exactly one of hierarchies (member space) or grain (drill) " +
+        "must be set")
+    def sliced(ref: CubeRef): DataFrame =
+      q.slicers.foldLeft(ref.fact())(_.filter(_))
+    if (q.hierarchies.nonEmpty) {
+      require(q.drillAcross.isEmpty,
+        "drill-across needs a conformed grain — member spaces are " +
+          "single-cube (use `always` for a cube tag)")
+      require(q.derived.isEmpty,
+        "derived measures are a drill-across feature")
+      q.cube.registry match {
+        case Some(reg) =>
+          require(q.slicers.isEmpty,
+            "slicers cannot be served from stored partials — register " +
+              "a filtered rollup or query the cube directly")
+          val prefixes: Seq[Seq[String]] =
+            Seq.empty[String] +: q.hierarchies.flatMap(h =>
+              (1 to h.levels.size).map(h.levels.take(_)))
+          val allLevels =
+            (q.always ++ q.hierarchies.flatMap(_.levels)).distinct
+          AggNavigator.navigateSets(reg, q.cube.fact(), allLevels,
+            prefixes.map(p => q.always ++ p))
+        case None =>
+          Cube.memberSets(sliced(q.cube), q.hierarchies, q.cube.measures,
+            q.always)
+      }
+    } else {
+      require(q.always.isEmpty,
+        "`always` is a member-space feature — fold the column into " +
+          "`grain` for a drill")
+      val sides = q.cube +: q.drillAcross
+      val grouped = sides.map { side =>
+        side.registry match {
+          case Some(reg) =>
+            require(q.slicers.isEmpty,
+              "slicers cannot be served from stored partials — register " +
+                "a filtered rollup or query the cube directly")
+            AggNavigator.navigate(reg, side.fact(), q.grain)
+          case None =>
+            sliced(side).groupBy(q.grain.map(col): _*)
+              .agg(side.measures.head, side.measures.tail: _*)
+        }
+      }
+      if (sides.size == 1) {
+        val g = grouped.head
+        if (q.derived.isEmpty) g
+        else g.select(g.columns.map(col).toIndexedSeq ++ q.derived: _*)
+      } else DrillAcross.mergeConformed(grouped, q.grain, q.derived)
+    }
+  }
+}

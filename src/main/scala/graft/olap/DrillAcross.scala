@@ -67,6 +67,15 @@ object DrillAcross {
     val grouped = facts.map { case (f, ms) =>
       f.groupBy(on.map(col): _*).agg(ms.head, ms.tail: _*)
     }
+    mergeConformed(grouped, on, derived)
+  }
+
+  /** The conformed-merge tail shared by every drill-across face
+    * (direct, navigated, and [[CubeQuery]]'s mixed sides): chained
+    * FULL OUTER USING-joins of the already-aggregated grain-sized
+    * relations, then the derived cross-cube measures. */
+  private[olap] def mergeConformed(grouped: Seq[DataFrame], on: Seq[String],
+      derived: Seq[Column]): DataFrame = {
     // alias disjointness checked HERE, where the resolved names are
     // known — a clash would otherwise surface as a far-away
     // AMBIGUOUS_REFERENCE with no hint about the contract
@@ -107,8 +116,6 @@ object DrillAcross {
     val grouped = sides.map { case (reg, fact) =>
       AggNavigator.navigate(reg, fact(), on)
     }
-    val j = grouped.reduceLeft(_.join(_, on, "full_outer"))
-    if (derived.isEmpty) j
-    else j.select(j.columns.map(col).toIndexedSeq ++ derived: _*)
+    mergeConformed(grouped, on, derived)
   }
 }

@@ -1,0 +1,149 @@
+package graft.olap
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The declarative front door compiles onto the existing plans:
+  * hash-identity with the direct calls, registry routing with zero
+  * fact lineage, and loud rejection of unservable shapes. */
+class CubeQuerySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val wide = TestSpark.table("orders")
+    .select(col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("prio"),
+      year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+      col("o_totalprice").as("price"))
+
+  private val hier = Seq(
+    Cube.Hierarchy("fecha", Seq("y", "m")),
+    Cube.Hierarchy("estado", Seq("status")))
+
+  private val measures = Seq(count(lit(1)).as("n"),
+    sum(col("price").cast("decimal(18,2)")).cast("double").as("rev"))
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).collect().toSeq
+      .map(_.toSeq).sortBy(_.mkString("|"))
+  }
+
+  test("member space through the front door ≡ Cube.memberSets, row for row") {
+    val got = CubeQuery.run(CubeQuery.Query(
+      cube = CubeQuery.CubeRef(() => wide, measures = measures),
+      hierarchies = hier))
+    val want = Cube.memberSets(wide, hier, measures)
+    assert(sortedRows(got) === sortedRows(want))
+  }
+
+  test("slicers apply pre-aggregation on a direct cube") {
+    val got = CubeQuery.run(CubeQuery.Query(
+      cube = CubeQuery.CubeRef(() => wide, measures = measures),
+      hierarchies = hier, slicers = Seq(col("y") >= 1996)))
+    val want = Cube.memberSets(wide.filter(col("y") >= 1996), hier, measures)
+    assert(sortedRows(got) === sortedRows(want))
+  }
+
+  test("a ROUTED member space serves from the registry with zero fact lineage") {
+    val root = java.nio.file.Files.createTempDirectory("cq_routed").toString
+    try {
+      wide.write.parquet(s"$root/fact")
+      var built = 0
+      def fact = { built += 1; spark.read.parquet(s"$root/fact") }
+      val navMeasures = Seq[AggNavigator.Measure](
+        AggNavigator.CountAll("n"), AggNavigator.ExactSum("rev", "price"))
+      val reg = AggNavigator.register(spark.read.parquet(s"$root/fact"),
+        Seq("ym" -> Seq("y", "m"), "ym_status" -> Seq("y", "m", "status")),
+        navMeasures, root)
+      val got = CubeQuery.run(CubeQuery.Query(
+        cube = CubeQuery.CubeRef(() => fact, registry = Some(reg)),
+        hierarchies = hier))
+      val rows = sortedRows(got)
+      assert(built === 0,
+        "a fully-covered member space must not construct the fact lineage")
+      // ...and the routed answer equals the direct member space over
+      // the same measure definitions
+      val want = Cube.memberSets(spark.read.parquet(s"$root/fact"), hier,
+        navMeasures.map(_.direct))
+      assert(rows === sortedRows(want))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("MIXED drill-across: a routed side and a direct side merge conformed, routed side lineage-free") {
+    val root = java.nio.file.Files.createTempDirectory("cq_mixed").toString
+    try {
+      wide.filter(col("status") === "O").write.parquet(s"$root/fa")
+      val fb = wide.filter(col("status") =!= "O")
+      var built = 0
+      def fa = { built += 1; spark.read.parquet(s"$root/fa") }
+      val regA = AggNavigator.register(spark.read.parquet(s"$root/fa"),
+        Seq("y" -> Seq("y")),
+        Seq[AggNavigator.Measure](AggNavigator.ExactSum("open_rev", "price")),
+        root)
+      val got = CubeQuery.run(CubeQuery.Query(
+        cube = CubeQuery.CubeRef(() => fa, registry = Some(regA)),
+        grain = Seq("y"),
+        drillAcross = Seq(CubeQuery.CubeRef(() => fb,
+          measures = Seq(sum(col("price").cast("decimal(18,2)"))
+            .cast("double").as("other_rev")))),
+        derived = Seq((coalesce(col("open_rev"), lit(0.0)) +
+          coalesce(col("other_rev"), lit(0.0))).as("total_rev"))))
+      val rows = got.orderBy("y").collect()
+        .map(r => (r.getAs[Int]("y"), r.getAs[Double]("total_rev")))
+      assert(built === 0, "the covered side must route, not rebuild")
+      // expected = the same per-side exact decimal sums, added in
+      // double exactly as the derived column does (NOT a single
+      // whole-fact decimal sum — double addition is not associative
+      // with the decimal→double cast)
+      def side(f: DataFrame, n: String) = f.groupBy("y")
+        .agg(sum(col("price").cast("decimal(18,2)")).cast("double").as(n))
+      val want = side(spark.read.parquet(s"$root/fa"), "a")
+        .join(side(fb, "b"), Seq("y"), "full_outer")
+        .select(col("y"), (coalesce(col("a"), lit(0.0)) +
+          coalesce(col("b"), lit(0.0))).as("t"))
+        .orderBy("y").collect()
+        .map(r => (r.getAs[Int]("y"), r.getAs[Double]("t")))
+      assert(rows.toSeq === want.toSeq)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("unservable shapes are rejected loudly") {
+    val direct = CubeQuery.CubeRef(() => wide, measures = measures)
+    // both member space and grain
+    intercept[IllegalArgumentException] {
+      CubeQuery.run(CubeQuery.Query(direct, hierarchies = hier,
+        grain = Seq("y")))
+    }
+    // neither
+    intercept[IllegalArgumentException] {
+      CubeQuery.run(CubeQuery.Query(direct))
+    }
+    // slicer on a routed cube: stored partials cannot serve it
+    val root = java.nio.file.Files.createTempDirectory("cq_reject").toString
+    try {
+      val reg = AggNavigator.register(wide, Seq("y" -> Seq("y")),
+        Seq[AggNavigator.Measure](AggNavigator.CountAll("n")), root)
+      val e = intercept[IllegalArgumentException] {
+        CubeQuery.run(CubeQuery.Query(
+          CubeQuery.CubeRef(() => wide, registry = Some(reg)),
+          grain = Seq("y"), slicers = Seq(col("y") >= 1996)))
+      }
+      assert(e.getMessage.contains("stored partials"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // a CubeRef claiming both direct measures and a registry
+    intercept[IllegalArgumentException] {
+      CubeQuery.CubeRef(() => wide, measures = measures,
+        registry = Some(null))
+    }
+    // drill-across without a conformed grain
+    intercept[IllegalArgumentException] {
+      CubeQuery.run(CubeQuery.Query(direct, hierarchies = hier,
+        drillAcross = Seq(direct)))
+    }
+  }
+}
