@@ -7614,7 +7614,7 @@ object Queries {
     * derived net; the oracle recomputes every drill from the raw
     * facts, so a mis-routed or stale table breaks the hash. */
   def q220DrillNavigated(s: SparkSession, dir: String): DataFrame = {
-    import graft.olap.{AggNavigator, DrillAcross}
+    import graft.olap.AggNavigator
     val root = java.nio.file.Files.createTempDirectory("q220_aggs").toString
     try {
       val nation = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
@@ -7650,8 +7650,18 @@ object Queries {
         coalesce(col("supply"), lit(0.0))).as("net")
       val drills = Seq("d1_nation" -> Seq("n_name"),
         "d2_nation_month" -> Seq("n_name", "mo"), "d3_month" -> Seq("mo"))
+      // declared through the CubeQuery front door (r15) with ROUTED
+      // sides: compiles to DrillAcross.navigated's per-registry
+      // routing — the unchanged oracle hash plus DrillAcrossSpec's
+      // zero-fact-lineage assert cover the declarative routed path
+      import graft.olap.CubeQuery
       localized(drills.map { case (tag, on) =>
-        DrillAcross.navigated(regA, factA, regB, factB, on, Seq(net))
+        CubeQuery.run(CubeQuery.Query(
+          cube = CubeQuery.CubeRef(() => factA, registry = Some(regA)),
+          grain = on,
+          drillAcross = Seq(
+            CubeQuery.CubeRef(() => factB, registry = Some(regB))),
+          derived = Seq(net)))
           .select(lit(tag).as("slice"),
             concat_ws("|", on.map(c => col(c).cast("string")): _*)
               .as("member"),

@@ -76,6 +76,7 @@ object ScaleProbe {
     else if (set == "r13lookup") r13LookupProbes(spark, dir, k)
     else if (set == "aggnav") aggNavProbes(spark, dir, k)
     else if (set == "r14") r14Probes(spark, dir, k)
+    else if (set == "r15") r15Probes(spark, dir, k)
     else if (set == "viewrefresh") viewRefreshProbes(spark, dir, k)
     else r3Probes(spark, dir, k)
     spark.stop()
@@ -1365,6 +1366,139 @@ object ScaleProbe {
       f""""register_shared_sec":$sharedSec%.2f,""" +
       f""""drillacross_direct_sec":${direct.map(_._1).min}%.3f,""" +
       f""""drillacross_navigated_sec":${routed.map(_._1).min}%.3f,""" +
+      s""""replication":$k}""")
+  }
+
+  /** Round-15 probe, min-of-2 alternating order (the r14 estimator):
+    * (a) incremental closure maintenance vs a full rebuild on a
+    * k×100k-node digit tree — the move touches subtree × ancestors
+    * pairs, the rebuild re-runs every doubling round, so the gap
+    * should WIDEN with the corpus; (b) the budget advisor's greedy
+    * selection layer beside plain advise — same single grouping-sets
+    * fact pass on a k×1M fact, the driver-side knapsack must price at
+    * ~zero; (c) the refresh-isolation ladder at c=3 changed keys on a
+    * k×1M-row view, B=64: dynamic overwrite vs per-bucket rename swap
+    * vs snapshot generations — the three isolation levels should cost
+    * within noise of each other (all write the same ~3 buckets; the
+    * swap/manifest overhead is metadata). */
+  private def r15Probes(spark: SparkSession, dir: String, k: Int): Unit = {
+    import graft.operators.Hierarchy
+    import graft.olap.AggNavigator
+    import graft.etl.ViewRefresh
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+
+    // ----- (a) closure: incremental move vs full rebuild -----
+    val nNodes = k.toLong * 100000L
+    val nodesPath = tmp("r15_nodes")
+    spark.range(1L, nNodes + 1L).selectExpr("id as node",
+      "case when id >= 10 then id div 10 end as parent")
+      .write.mode("overwrite").parquet(nodesPath)
+    def nodes = spark.read.parquet(nodesPath)
+    def movedNodes = nodes.withColumn("parent",
+      when(col("node") === 7L, lit(123L)).otherwise(col("parent")))
+    var t0 = System.nanoTime()
+    val clPath = tmp("r15_cl")
+    Hierarchy.closure(nodes, "node", "parent")
+      .write.mode("overwrite").parquet(clPath)
+    val closureBuildSec = secs(t0)
+    def clStored = spark.read.parquet(clPath)
+    val pairCount = clStored.count()
+    // min-of-2, alternating: incremental move vs full rebuild (both
+    // forced by count — serve-time cost, no write skew)
+    val moveRuns = (1 to 2).map { _ =>
+      val tA = System.nanoTime()
+      val mc = Hierarchy.closureMove(clStored, 7L, 123L).count()
+      val a = secs(tA)
+      val tB = System.nanoTime()
+      val rc = Hierarchy.closure(movedNodes, "node", "parent").count()
+      val b = secs(tB)
+      require(mc == rc,
+        s"incremental move ($mc pairs) diverged from rebuild ($rc)")
+      (a, b)
+    }
+    val moveSec = moveRuns.map(_._1).min
+    val rebuildSec = moveRuns.map(_._2).min
+
+    // ----- (b) advise vs adviseBudget: the greedy layer's price -----
+    val factRows = k.toLong * 1000000L
+    val factPath = tmp("r15_fact")
+    spark.range(factRows).selectExpr(
+      "cast(1990 + id % 8 as int) as y",
+      "cast(1 + (id / 8) % 12 as int) as m",
+      "case cast(id % 3 as int) when 0 then 'O' when 1 then 'F' " +
+        "else 'P' end as status",
+      "concat('p-', cast(id % 5 as string)) as prio")
+      .write.mode("overwrite").parquet(factPath)
+    def fact = spark.read.parquet(factPath)
+    fact.write.format("noop").mode("overwrite").save()
+    val candidates = Seq("ym" -> Seq("y", "m"), "yearly" -> Seq("y"),
+      "status_prio" -> Seq("status", "prio"),
+      "y_status" -> Seq("y", "status"),
+      "all4" -> Seq("y", "m", "status", "prio"))
+    val workload = Seq(Seq("y"), Seq("y", "m"), Seq("m"), Seq("status"),
+      Seq("prio"), Seq("y", "status"), Seq("status", "prio"),
+      Seq("y", "m", "status"))
+    val adviseRuns = (1 to 2).map { _ =>
+      val tA = System.nanoTime()
+      AggNavigator.advise(fact, candidates, workload).collect()
+      val a = secs(tA)
+      val tB = System.nanoTime()
+      AggNavigator.adviseBudget(fact, candidates, workload, 200L).collect()
+      val b = secs(tB)
+      (a, b)
+    }
+    val adviseSec = adviseRuns.map(_._1).min
+    val adviseBudgetSec = adviseRuns.map(_._2).min
+
+    // ----- (c) the refresh-isolation ladder at c=3 -----
+    val b = 64
+    val dimPath = tmp("r15_dim")
+    spark.range(100000L).selectExpr("id as k",
+      "concat('seg-', cast(id % 5 as string)) as seg")
+      .write.mode("overwrite").parquet(dimPath)
+    val vFactPath = tmp("r15_vfact")
+    spark.range(factRows).selectExpr("id % 100000 as k",
+      "cast(id % 9973 as double) / 100.0 as amount")
+      .write.mode("overwrite").parquet(vFactPath)
+    def dim = spark.read.parquet(dimPath)
+    def vfact = spark.read.parquet(vFactPath)
+    def view(d: DataFrame): DataFrame = vfact.join(broadcast(d), Seq("k"))
+    val updated = dim.withColumn("seg",
+      when(col("k") < 3L, lit("UPDATED")).otherwise(col("seg")))
+    val buckets = ViewRefresh.affectedBuckets(
+      dim.filter(col("k") < 3L).select(col("k")), col("k"), b)
+    val pathDyn = tmp("r15_vdyn") + "/view"
+    val pathIso = tmp("r15_viso") + "/view"
+    val pathSnap = tmp("r15_vsnap") + "/view"
+    ViewRefresh.materialize(view(dim), col("k"), b, pathDyn)
+    ViewRefresh.materialize(view(dim), col("k"), b, pathIso)
+    ViewRefresh.materializeSnapshot(view(dim), col("k"), b, pathSnap)
+    val ladder = (1 to 2).map { _ =>
+      val tA = System.nanoTime()
+      ViewRefresh.refresh(view(updated), col("k"), b, buckets, pathDyn)
+      val a = secs(tA)
+      val tB = System.nanoTime()
+      ViewRefresh.refresh(view(updated), col("k"), b, buckets, pathIso,
+        isolated = true)
+      val bS = secs(tB)
+      val tC = System.nanoTime()
+      ViewRefresh.refreshSnapshot(view(updated), col("k"), b, buckets,
+        pathSnap)
+      val c = secs(tC)
+      (a, bS, c)
+    }
+    println(f"""[probe] {"closure_nodes":$nNodes,"closure_pairs":$pairCount,""" +
+      f""""closure_build_sec":$closureBuildSec%.2f,""" +
+      f""""closure_move_sec":$moveSec%.2f,""" +
+      f""""closure_rebuild_sec":$rebuildSec%.2f,""" +
+      f""""fact_rows":$factRows,""" +
+      f""""advise_sec":$adviseSec%.2f,""" +
+      f""""advise_budget_sec":$adviseBudgetSec%.2f,""" +
+      f""""refresh_buckets":${buckets.size},""" +
+      f""""refresh_dynamic_sec":${ladder.map(_._1).min}%.2f,""" +
+      f""""refresh_isolated_sec":${ladder.map(_._2).min}%.2f,""" +
+      f""""refresh_snapshot_sec":${ladder.map(_._3).min}%.2f,""" +
       s""""replication":$k}""")
   }
 

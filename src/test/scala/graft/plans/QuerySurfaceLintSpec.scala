@@ -43,8 +43,12 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
                         // scan is the operator, the broadcast side is
                         // the bounded probe set
     "q185_pq_sample",   // same ADC scan shape, sampled-fit codebooks
-    "q196_lsh_tune")    // divisors(sigLen) × 99-point grid — both sides
+    "q196_lsh_tune",    // divisors(sigLen) × 99-point grid — both sides
                         // constant-sized by construction (Dedup.tuneBands)
+    "q226_closure_move") // subtree × ancestors-of-newParent: the
+                        // broadcast side is DEPTH-sized (tree height
+                        // rows — ≤7 on the digit tree), the designed
+                        // closureMove shape (Hierarchy scaladoc)
 
   test("every SparkEntry query passes the scale lint (allowlisted exceptions only)") {
     val spark = TestSpark.spark
