@@ -20,10 +20,17 @@ ROUNDS=${4:-3}
 XMX=${5:-48g}
 
 WT=$(mktemp -d /tmp/paired_wt.XXXXXX)
+TMPD=$(mktemp -d /tmp/paired_out.XXXXXX)
 git worktree add --detach "$WT" "$BASE" >/dev/null
-trap 'git worktree remove --force "$WT" >/dev/null 2>&1 || true' EXIT
+trap 'git worktree remove --force "$WT" >/dev/null 2>&1 || true; rm -rf "$TMPD"' EXIT
+# compile BOTH sides: the new side too, or an edited-but-unbuilt
+# /root/repo silently benchmarks stale classes as "new"
+echo "[paired] building new tip (/root/repo) ..." >&2
+(cd /root/repo && sbt -batch compile >"$TMPD/build_new.log" 2>&1) || {
+  echo "[paired] new-tip build FAILED:" >&2; tail -20 "$TMPD/build_new.log" >&2; exit 1; }
 echo "[paired] building $BASE in $WT ..." >&2
-(cd "$WT" && sbt -batch compile >/dev/null 2>&1)
+(cd "$WT" && sbt -batch compile >"$TMPD/build_old.log" 2>&1) || {
+  echo "[paired] old-tip build FAILED:" >&2; tail -20 "$TMPD/build_old.log" >&2; exit 1; }
 
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
@@ -35,16 +42,20 @@ OPENS="$OPENS --add-opens java.base/sun.nio.cs=ALL-UNNAMED"
 OPENS="$OPENS --add-opens java.base/sun.security.action=ALL-UNNAMED"
 OPENS="$OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 
+# NOTE: a query the change under review ADDED does not exist on the
+# old tip — Bench rejects unknown SPARK_GRAFT_BENCH_ONLY names loudly.
+# Pair only queries both tips share; bench new-only queries separately.
 run_bench() { # $1 = repo root, $2 = out json
   CP="$1/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | paste -sd:)"
   env SPARK_GRAFT_SF_DIR="$DIR" SPARK_GRAFT_BENCH_OUT="$2" \
       SPARK_GRAFT_BENCH_ONLY="$ONLY" \
     java -Xmx"$XMX" $OPENS -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench \
-      >/dev/null 2>&1
+      >"$2.log" 2>&1 || {
+        echo "[paired] bench run FAILED ($2):" >&2
+        tail -15 "$2.log" >&2; exit 1; }
 }
 
-TMPD=$(mktemp -d /tmp/paired_out.XXXXXX)
 for i in $(seq "$ROUNDS"); do
   echo "[paired] round $i/$ROUNDS old..." >&2
   run_bench "$WT" "$TMPD/old_$i.json"

@@ -6594,9 +6594,9 @@ object Queries {
 
   def q203CubeServe(s: SparkSession, dir: String): DataFrame =
     // declared through the CubeQuery front door (r15): lowers to the
-    // same Cube.memberSets one-pass GROUPING SETS plan — the oracle
-    // hash is unchanged, proving the declarative layer adds nothing
-    // but the spec
+    // same Cube.memberSets one-pass GROUPING SETS plan (identical
+    // call by construction); the unchanged oracle hash certifies
+    // result identity through the declarative layer
     q203Order(graft.olap.CubeQuery.run(graft.olap.CubeQuery.Query(
       cube = graft.olap.CubeQuery.CubeRef(() => q203Wide(s, dir),
         measures = Seq(count(col("id_persona")).as("cantidad_movimientos"),
@@ -7564,8 +7564,9 @@ object Queries {
       .filter(col("mo") >= 5)
     // declared through the CubeQuery front door (r15): compiles to
     // exactly DrillAcross.drillAcross's per-fact aggregation +
-    // conformed full-outer merge — the unchanged oracle hash IS the
-    // proof of plan-identity through the declarative layer
+    // conformed full-outer merge (identical API calls by
+    // construction); the unchanged oracle hash certifies RESULT
+    // identity through the declarative layer
     import graft.olap.CubeQuery
     CubeQuery.run(CubeQuery.Query(
       cube = CubeQuery.CubeRef(() => factA,

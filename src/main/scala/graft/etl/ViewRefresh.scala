@@ -195,12 +195,7 @@ object ViewRefresh {
       sourceLayout: Option[String] = None,
       isolated: Boolean = false): Unit = {
     val spark = view.sparkSession
-    readLayout(spark, path).foreach { stamped =>
-      require(stamped == nBuckets,
-        s"view table at $path was materialized with $stamped buckets, " +
-          s"refresh called with $nBuckets — refusing to swap mismatched " +
-          "partitions")
-    }
+    requireStampedLayout(spark, path, nBuckets)
     val scoped = scopedVerified(view, key, nBuckets, buckets, sourceLayout)
     try {
       if (isolated) refreshInstall(spark, scoped, buckets, path)
@@ -236,6 +231,18 @@ object ViewRefresh {
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(base)
+    // sweep debris from CRASHED isolated refreshes (a kill between the
+    // temp write and the finally, or inside installBuilt's swap) —
+    // the same 24h horizon as Warehouse.commitVia's sweep: a fresh
+    // dot-dir may belong to a concurrent refresh mid-write
+    val staleBefore = System.currentTimeMillis() - 24L * 60 * 60 * 1000
+    fs.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if ((n.startsWith(".refresh-tmp-") ||
+          (n.startsWith(s".$BucketCol=") && n.contains(".old-"))) &&
+          st.getModificationTime < staleBefore)
+        fs.delete(st.getPath, true): Unit
+    }
     val tmpRoot = new org.apache.hadoop.fs.Path(base,
       ".refresh-tmp-" + java.util.UUID.randomUUID().toString)
     try {
@@ -272,25 +279,93 @@ object ViewRefresh {
     // pinned across the verify, the write and the bucket census:
     // recomputing the view for each would multiply the refresh's join
     // work, and reading the census from the table AFTER the write
-    // would see the stale partition it exists to detect
+    // would see the stale partition it exists to detect. The pruned
+    // filter ALSO admits NULL carried buckets (an outer-join view can
+    // carry NULL on unmatched rows; both disjuncts are partition
+    // predicates, so pruning survives) — the verify below then rejects
+    // them loudly instead of the isin silently dropping them.
     val scoped = (
-      if (pruned) view.filter(col(BucketCol).isin(buckets: _*))
+      if (pruned) view.filter(col(BucketCol).isin(buckets: _*) ||
+        col(BucketCol).isNull)
       else if (carriedPresent) view.filter(computed.isin(buckets: _*))
       else view.withColumn(BucketCol, computed)
         .filter(col(BucketCol).isin(buckets: _*))
     ).persist()
     try {
       if (carriedPresent) {
-        val bad = scoped.filter(col(BucketCol) =!= computed).count()
+        // null-SAFE comparison: a NULL carried bucket is a
+        // disagreement (=!= would evaluate to NULL and slip through
+        // the count, then land in the Hive default partition no
+        // bucket-scoped refresh ever targets)
+        val bad = scoped.filter(!(col(BucketCol) <=> computed)).count()
         require(bad == 0,
           s"carried $BucketCol column disagrees with bucketOf(key, " +
-            s"$nBuckets) on $bad scoped rows — the source layout was " +
-            "bucketed on a different key or bucket count")
+            s"$nBuckets) on $bad scoped rows (NULL carried buckets " +
+            "count as disagreement) — the source layout was bucketed " +
+            "on a different key or bucket count, or the view join " +
+            "produced unmatched rows")
+        // a PRUNED scope that came back EMPTY is suspicious, not
+        // conclusive: a wrong-key layout with a coincidentally-equal
+        // sidecar count could park every affected row outside the
+        // carried buckets, pass the (vacuous) check above, and let the
+        // emptied-bucket path DELETE live partitions. Cross-check with
+        // one computed-scoped existence probe — only in this rare case,
+        // so the pruning win survives the common path.
+        if (pruned && scoped.isEmpty) {
+          val missed = view.filter(computed.isin(buckets: _*))
+            .limit(1).count()
+          require(missed == 0,
+            s"carried-scoped refresh found 0 rows but computed " +
+              s"bucketOf(key, $nBuckets) scoping finds rows in " +
+              s"buckets ${buckets.mkString(",")} — the source layout's " +
+              "carried column does not match this key")
+        }
       }
       scoped
     } catch {
       case t: Throwable => scoped.unpersist(); throw t
     }
+  }
+
+  /** The table-sidecar handshake, FAIL-CLOSED: a refresh against a
+    * table with no `_graft_layout.json` is refused — an unverifiable
+    * bucket count silently writing rows into partitions different
+    * from the stale copies they should replace is exactly the
+    * corruption class this module exists to make loud. Tables
+    * materialized before the sidecar existed adopt it explicitly via
+    * [[stampLayout]] (a human assertion of the legacy layout). */
+  private def requireStampedLayout(spark: SparkSession, path: String,
+      nBuckets: Int): Unit =
+    readLayout(spark, path) match {
+      case Some(stamped) =>
+        require(stamped == nBuckets,
+          s"view table at $path was materialized with $stamped buckets, " +
+            s"refresh called with $nBuckets — refusing to swap " +
+            "mismatched partitions")
+      case None =>
+        throw new IllegalArgumentException(
+          s"view table at $path carries no $LayoutFile sidecar — " +
+            "re-materialize, or assert the legacy layout explicitly " +
+            "with ViewRefresh.stampLayout(spark, path, nBuckets)")
+    }
+
+  /** Explicitly stamp a PRE-EXISTING table's layout sidecar — the
+    * adoption path for tables materialized before the sidecar existed.
+    * The caller asserts the bucket count; the stamp also verifies the
+    * cheap metadata face (every partition-dir value must lie in
+    * [0, nBuckets) — catches a coarser claimed count immediately). */
+  def stampLayout(spark: SparkSession, path: String, nBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val outOfRange = fs.listStatus(p).map(_.getPath.getName).collect {
+      case n if n.startsWith(s"$BucketCol=") &&
+        n.stripPrefix(s"$BucketCol=").forall(_.isDigit) =>
+        n.stripPrefix(s"$BucketCol=").toInt
+    }.filter(_ >= nBuckets)
+    require(outOfRange.isEmpty,
+      s"cannot stamp nBuckets=$nBuckets: partition dirs " +
+        s"${outOfRange.sorted.mkString(",")} lie outside [0, $nBuckets)")
+    writeLayout(spark, path, nBuckets)
   }
 
   // =====================================================================
@@ -304,6 +379,9 @@ object ViewRefresh {
     * silently unioning generations; snapshot views are read via
     * [[readSnapshot]]. */
   val SnapDir = "_snap"
+
+  /** Schema sidecar inside [[SnapDir]] — typed empty reads. */
+  val SchemaFile = "_schema.json"
 
   private val genDirRe = s"""$BucketCol=(\\d+)-g(\\d+)""".r
   private val manifestRe = """v(\d{1,18})""".r
@@ -335,8 +413,26 @@ object ViewRefresh {
       if (view.columns.contains(BucketCol))
         view.withColumn(BucketCol, guardedBucket(col(BucketCol), key, nBuckets))
       else view.withColumn(BucketCol, bucketOf(key, nBuckets))
-    publishGeneration(spark, fs, snap, bucketed, gen = 1L,
-      replacedBuckets = Nil, prior = Map.empty)
+    // a REBUILD of an existing snapshot view must publish ABOVE the
+    // current generation — publishing gen 1 beside a live v5 manifest
+    // would be silently invisible to readers (max wins) and collide
+    // with any surviving g1 dirs. A full materialize replaces EVERY
+    // prior bucket.
+    val (gen, prior) = currentManifest(fs, snap)
+      .map { case (g, m) => (g + 1L, m) }.getOrElse((1L, Map.empty[Int, String]))
+    // schema sidecar: lets readSnapshot serve a legitimately-empty
+    // snapshot (every member deleted) as a typed zero-row table
+    // instead of an unreadable state
+    val schemaTmp = new org.apache.hadoop.fs.Path(snap,
+      ".schema-tmp-" + java.util.UUID.randomUUID().toString)
+    val out = fs.create(schemaTmp, true)
+    out.write(bucketed.schema.json.getBytes("UTF-8")); out.close()
+    val schemaP = new org.apache.hadoop.fs.Path(snap, SchemaFile)
+    fs.delete(schemaP, false)
+    if (!fs.rename(schemaTmp, schemaP))
+      throw new java.io.IOException(s"failed to publish schema $schemaP")
+    publishGeneration(spark, fs, snap, bucketed, gen,
+      replacedBuckets = prior.keys.toSeq, prior = prior)
   }
 
   /** Partition-scoped refresh of a [[materializeSnapshot]] view: the
@@ -349,11 +445,7 @@ object ViewRefresh {
       buckets: Seq[Int], path: String,
       sourceLayout: Option[String] = None): Unit = {
     val spark = view.sparkSession
-    readLayout(spark, path).foreach { stamped =>
-      require(stamped == nBuckets,
-        s"snapshot view at $path was materialized with $stamped buckets, " +
-          s"refresh called with $nBuckets")
-    }
+    requireStampedLayout(spark, path, nBuckets)
     val base = new org.apache.hadoop.fs.Path(path)
     val snap = new org.apache.hadoop.fs.Path(base, SnapDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
@@ -441,8 +533,23 @@ object ViewRefresh {
     val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
     val (_, cur) = currentManifest(fs, snap).getOrElse(
       throw new IllegalArgumentException(s"$path is not a snapshot view"))
-    require(cur.nonEmpty, s"snapshot view at $path has no live buckets")
-    spark.read.parquet(cur.values.map(d => s"$path/$SnapDir/$d").toSeq: _*)
+    if (cur.isEmpty) {
+      // every member legitimately deleted: a readable zero-row table
+      // (typed from the schema sidecar), not an error — parity with
+      // what the dynamic/isolated layouts serve in the same state
+      val schemaP = new org.apache.hadoop.fs.Path(snap, SchemaFile)
+      require(fs.exists(schemaP),
+        s"snapshot view at $path has no live buckets and no $SchemaFile")
+      val in = fs.open(schemaP)
+      val json = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    } else
+      spark.read.parquet(cur.values.map(d => s"$path/$SnapDir/$d").toSeq: _*)
   }
 
   /** Garbage-collect generation dirs and manifests no longer

@@ -164,15 +164,24 @@ object Hierarchy {
     * full closure rebuild over the moved parent relation
     * (q226/HierarchySpec). */
   def closureMove(closure: DataFrame, node: Any, newParent: Any): DataFrame = {
-    val cycle = closure
-      .filter(col("anc") === lit(node) && col("desc") === lit(newParent))
-      .limit(1).count()
-    require(cycle == 0,
+    // ONE validation pass (a serve-time path — separate limit/count
+    // jobs would re-execute the closure lineage per predicate): both
+    // endpoints must exist, and newParent must not sit inside node's
+    // subtree (a cycle; node itself included via the dist-0 self-pair)
+    val checks = closure.agg(
+      sum(when(col("anc") === lit(node) &&
+        col("desc") === lit(newParent), 1L).otherwise(0L)).as("cycle"),
+      sum(when(col("desc") === lit(node), 1L).otherwise(0L)).as("nodeSeen"),
+      sum(when(col("desc") === lit(newParent), 1L).otherwise(0L))
+        .as("parentSeen")).head()
+    require(Option(checks.get(1)).exists(_.asInstanceOf[Long] > 0),
+      s"node $node is not in the closure")
+    require(Option(checks.get(2)).exists(_.asInstanceOf[Long] > 0),
+      s"new parent $newParent is not in the closure — moving under it " +
+        "would silently orphan the subtree from every ancestor rollup")
+    require(checks.getAs[Long]("cycle") == 0,
       s"moving $node under $newParent would create a cycle — " +
         s"$newParent is a descendant of $node")
-    require(
-      closure.filter(col("desc") === lit(node)).limit(1).count() > 0,
-      s"node $node is not in the closure")
     val sub = closure.filter(col("anc") === lit(node))
       .select(col("desc").as("s_desc"), col("dist").as("d1"))
     val outside = closure

@@ -393,4 +393,120 @@ class ViewRefreshSpec extends AnyFunSuite {
       col("c_custkey"), n)
     assert(a === b)
   }
+
+  test("a NULL carried bucket is a loud disagreement, not a silent Hive-default row") {
+    val root = java.nio.file.Files.createTempDirectory("vr_null").toString
+    val path = s"$root/view"
+    ViewRefresh.materialize(view(dimV1), col("c_custkey"), n, path)
+    // an outer-join view can carry NULL pbucket on unmatched rows;
+    // non-null-safe =!= would let them slip through the verify and
+    // land in __HIVE_DEFAULT_PARTITION__
+    val withNull = view(dimV1).withColumn(ViewRefresh.BucketCol,
+      when(col("c_custkey") === 1L, lit(null).cast("int"))
+        .otherwise(ViewRefresh.bucketOf(col("c_custkey"), n)))
+    val buckets = ViewRefresh.affectedBuckets(
+      dimV1.filter(col("c_custkey") === 1L).select("c_custkey"),
+      col("c_custkey"), n)
+    val e = intercept[IllegalArgumentException] {
+      ViewRefresh.refresh(withNull, col("c_custkey"), n, buckets, path)
+    }
+    assert(e.getMessage.contains("disagrees"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("refresh is FAIL-CLOSED on a table without a layout sidecar; stampLayout is the adoption path") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vr_legacy").toString
+    val path = s"$root/view"
+    // a legacy table: correct layout, but written before the sidecar
+    val legacy = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amount")
+    legacy.withColumn(ViewRefresh.BucketCol,
+        ViewRefresh.bucketOf(col("k"), n))
+      .write.partitionBy(ViewRefresh.BucketCol).parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      ViewRefresh.refresh(legacy, col("k"), n, Seq(0), path)
+    }
+    assert(e.getMessage.contains("no _graft_layout.json sidecar"))
+    // claiming a COARSER count than the dirs on disk is rejected
+    intercept[IllegalArgumentException] {
+      ViewRefresh.stampLayout(spark, path, 1)
+    }
+    // the human assertion of the true layout unlocks refresh
+    ViewRefresh.stampLayout(spark, path, n)
+    ViewRefresh.refresh(legacy, col("k"), n,
+      ViewRefresh.affectedBuckets(legacy.select("k"), col("k"), n), path)
+    assert(spark.read.parquet(path).count() === 2)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("pruned scoping with a wrong-key layout that yields ZERO scoped rows is caught, not treated as emptied buckets") {
+    import spark.implicits._
+    val nb = 64
+    val root = java.nio.file.Files.createTempDirectory("vr_vacuous").toString
+    val srcPath = s"$root/src"
+    val path = s"$root/view"
+    val rows = Seq((1L, 0L, 1.0), (2L, 0L, 2.0)).toDF("k", "wrong", "amt")
+    val buckets = ViewRefresh.affectedBuckets(rows.select("k"), col("k"), nb)
+    // pick a wrong-key value whose bucket misses every affected bucket
+    val wrongVal = (100L to 300L).find { w =>
+      val b = ViewRefresh.affectedBuckets(
+        Seq(Tuple1(w)).toDF("w"), col("w"), nb)
+      b.forall(x => !buckets.contains(x))
+    }.get
+    val facts2 = rows.withColumn("wrong", lit(wrongVal))
+    // the source layout was bucketed on the WRONG column, same count —
+    // the sidecar handshake alone cannot see it
+    ViewRefresh.materializeSource(facts2.select("k", "wrong", "amt"),
+      col("wrong"), nb, srcPath)
+    ViewRefresh.materialize(facts2.select("k", "amt"), col("k"), nb, path)
+    val carriedWrong = spark.read.parquet(srcPath) // carries wrong-key pbucket
+    val e = intercept[IllegalArgumentException] {
+      ViewRefresh.refresh(carriedWrong, col("k"), nb, buckets, path,
+        sourceLayout = Some(srcPath))
+    }
+    assert(e.getMessage.contains("does not match this key"))
+    // and the table's partitions were NOT deleted as "emptied"
+    assert(spark.read.parquet(path).count() === 2)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("re-materializing a snapshot view publishes ABOVE the current generation — the rebuild is visible") {
+    import spark.implicits._
+    val nb = 8
+    val root = java.nio.file.Files.createTempDirectory("vr_snapgen").toString
+    val path = s"$root/view"
+    val v1 = Seq((1L, "old")).toDF("k", "tag")
+    val v2 = Seq((1L, "mid"), (2L, "mid")).toDF("k", "tag")
+    val v3 = Seq((3L, "rebuilt")).toDF("k", "tag")
+    ViewRefresh.materializeSnapshot(v1, col("k"), nb, path)
+    ViewRefresh.refreshSnapshot(v2, col("k"), nb,
+      ViewRefresh.affectedBuckets(v2.select("k"), col("k"), nb), path)
+    // full rebuild with different content
+    ViewRefresh.materializeSnapshot(v3, col("k"), nb, path)
+    val got = ViewRefresh.readSnapshot(spark, path)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("tag"))).toSet
+    assert(got === Set((3L, "rebuilt")),
+      "the rebuild must supersede the refreshed generations")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("a snapshot view whose every member is deleted reads as a typed EMPTY table") {
+    import spark.implicits._
+    val nb = 8
+    val root = java.nio.file.Files.createTempDirectory("vr_snapempty").toString
+    val path = s"$root/view"
+    val dimA = Seq((1L, "A"), (2L, "B")).toDF("k", "seg")
+    val factsT = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amount")
+    def v(d: DataFrame) = factsT.join(d, Seq("k"))
+    ViewRefresh.materializeSnapshot(v(dimA), col("k"), nb, path)
+    val buckets = ViewRefresh.affectedBuckets(dimA.select("k"), col("k"), nb)
+    ViewRefresh.refreshSnapshot(v(dimA.filter(lit(false))), col("k"), nb,
+      buckets, path)
+    val out = ViewRefresh.readSnapshot(spark, path)
+    assert(out.count() === 0)
+    assert(out.columns.contains("amount") &&
+      out.columns.contains(ViewRefresh.BucketCol),
+      s"typed empty read, got schema ${out.columns.toSeq}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }

@@ -146,4 +146,35 @@ class CubeQuerySpec extends AnyFunSuite {
         drillAcross = Seq(direct)))
     }
   }
+
+  test("front-door lowering is PLAN-identical to the direct calls (canonicalized)") {
+    // drill-across shape (q219's): same grouped aggregates, same
+    // conformed merge, same derived column
+    val fa = wide.filter(col("status") === "O")
+    val fb = wide.filter(col("status") =!= "O")
+    val ma = Seq(count(lit(1)).as("n_a"),
+      sum(col("price").cast("decimal(18,2)")).cast("double").as("rev_a"))
+    val mb = Seq(count(lit(1)).as("n_b"),
+      sum(col("price").cast("decimal(18,2)")).cast("double").as("rev_b"))
+    val derived = Seq((coalesce(col("rev_a"), lit(0.0)) -
+      coalesce(col("rev_b"), lit(0.0))).as("net"))
+    val direct = DrillAcross.drillAcross(fa, ma, fb, mb,
+      on = Seq("y", "m"), derived = derived)
+    val doored = CubeQuery.run(CubeQuery.Query(
+      cube = CubeQuery.CubeRef(() => fa, measures = ma),
+      grain = Seq("y", "m"),
+      drillAcross = Seq(CubeQuery.CubeRef(() => fb, measures = mb)),
+      derived = derived))
+    assert(doored.queryExecution.optimizedPlan.canonicalized ===
+      direct.queryExecution.optimizedPlan.canonicalized,
+      "the declarative layer must add NOTHING to the drill-across plan")
+    // member-space shape (q203's)
+    val directMs = Cube.memberSets(wide, hier, measures)
+    val dooredMs = CubeQuery.run(CubeQuery.Query(
+      cube = CubeQuery.CubeRef(() => wide, measures = measures),
+      hierarchies = hier))
+    assert(dooredMs.queryExecution.optimizedPlan.canonicalized ===
+      directMs.queryExecution.optimizedPlan.canonicalized,
+      "the declarative layer must add NOTHING to the member-space plan")
+  }
 }

@@ -152,5 +152,11 @@ class HierarchySpec extends AnyFunSuite {
       Hierarchy.closureMove(cl, 99L, 1L).collect()
     }
     assert(e3.getMessage.contains("not in the closure"))
+    // unknown NEW PARENT too — an empty ancestor relation would
+    // silently orphan the subtree from every rollup above it
+    val e4 = intercept[IllegalArgumentException] {
+      Hierarchy.closureMove(cl, 2L, 99L).collect()
+    }
+    assert(e4.getMessage.contains("orphan"))
   }
 }
