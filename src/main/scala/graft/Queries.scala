@@ -7940,6 +7940,115 @@ object Queries {
       |FROM cl JOIN customer ON dsc = c_custkey
       |GROUP BY anc ORDER BY anc""".stripMargin
 
+  /** INCREMENTAL CLOSURE LIFECYCLE ([[graft.operators.Hierarchy
+    * .closureMove]]/[[graft.operators.Hierarchy.closureInsert]]/
+    * [[graft.operators.Hierarchy.closureDelete]]) — the three
+    * maintenance events a served closure table absorbs without a
+    * rebuild, CHAINED: customer 7's subtree re-parents under 123, a
+    * brand-new node lands under 45 (leaf insert: self-pair + one
+    * depth-sized ancestor read), and customer 9's whole subtree is
+    * deleted (one anti join). The rollup aggregates the closure
+    * itself (counts, exact dist sums, max depth per ancestor) so
+    * every event is visible in the output; the oracle rebuilds the
+    * closure from scratch over the EDITED parent relation — any
+    * leaked pair, missing self-pair, or disturbed distance breaks the
+    * hash. */
+  def q227ClosureOps(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Hierarchy
+    val nodes = t(s, dir, "customer").select(
+      col("c_custkey").as("node"),
+      when(col("c_custkey") >= 10, expr("c_custkey DIV 10")).as("parent"))
+    val cl0 = Hierarchy.closure(nodes, "node", "parent")
+    val cl = Hierarchy.closureDelete(
+      Hierarchy.closureInsert(
+        Hierarchy.closureMove(cl0, 7L, 123L), 10000000L, 45L), 9L)
+    cl.groupBy(col("anc"))
+      .agg(count(lit(1)).as("n_desc"), sum(col("dist")).as("sum_dist"),
+        max(col("dist")).as("max_depth"))
+      .orderBy("anc")
+  }
+
+  val q227Sql: String =
+    """WITH RECURSIVE nodes AS (
+      | SELECT c_custkey AS node,
+      |  CASE WHEN c_custkey = 7 THEN 123
+      |       WHEN c_custkey >= 10 THEN c_custkey // 10 END AS parent
+      | FROM customer
+      | UNION ALL SELECT CAST(10000000 AS BIGINT), CAST(45 AS BIGINT)),
+      |cl AS (
+      |  SELECT node AS dsc, node AS anc, 0 AS dist FROM nodes
+      |  UNION ALL
+      |  SELECT cl.dsc, n.parent, cl.dist + 1
+      |  FROM cl JOIN nodes n ON cl.anc = n.node WHERE n.parent IS NOT NULL)
+      |SELECT anc, count(*) AS n_desc,
+      |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+      |  CAST(max(dist) AS BIGINT) AS max_depth
+      |FROM cl
+      |WHERE dsc NOT IN (SELECT dsc FROM cl WHERE anc = 9)
+      |GROUP BY anc ORDER BY anc""".stripMargin
+
+  /** JSON-WIRE CUBE QUERY ([[graft.olap.CubeQuery.runJson]]) — the
+    * literal non-Scala client path: the CATALOG (cube names → fact
+    * refs, the Mondrian-schema role) lives in code, and everything
+    * else — grain, slicers, drill-across sides, measure definitions,
+    * derived columns — arrives as ONE JSON document whose expressions
+    * parse with Spark's own SQL parser. This query ships a two-cube
+    * conformed drill (orders revenue vs lineitem shipped value per
+    * year, sliced to 1996+) entirely from the wire, including the
+    * exact-decimal measure expressions; the oracle replays the same
+    * SQL — a drift in the JSON parsing, the slicer application (BOTH
+    * sides), the measure override, or the conformed merge breaks the
+    * hash. */
+  def q228CubeJson(s: SparkSession, dir: String): DataFrame = {
+    import graft.olap.CubeQuery
+    val fa = t(s, dir, "orders").select(
+      year(col("o_orderdate")).as("y"), col("o_totalprice").as("price"))
+    val fb = t(s, dir, "lineitem").select(
+      year(col("l_shipdate")).as("y"), col("l_extendedprice").as("price"))
+    val catalog = Map(
+      "orders" -> CubeQuery.CubeRef(() => fa,
+        measures = Seq(count(lit(1)).as("default_n"))),
+      "shipments" -> CubeQuery.CubeRef(() => fb,
+        measures = Seq(count(lit(1)).as("default_ship"))))
+    val json =
+      """{ "cube": "orders",
+        |  "grain": ["y"],
+        |  "slicers": ["y >= 1996"],
+        |  "drillAcross": ["shipments"],
+        |  "measures": {
+        |    "orders": [
+        |      {"as": "n_orders", "expr": "count(1)"},
+        |      {"as": "sales",
+        |       "expr": "cast(sum(cast(price as decimal(18,2))) as double)"}],
+        |    "shipments": [
+        |      {"as": "n_ship", "expr": "count(1)"},
+        |      {"as": "supply",
+        |       "expr": "cast(sum(cast(price as decimal(18,2))) as double)"}]},
+        |  "derived": [
+        |    {"as": "net",
+        |     "expr": "coalesce(sales, 0.0) - coalesce(supply, 0.0)"}]
+        |}""".stripMargin
+    CubeQuery.runJson(json, catalog).orderBy("y")
+  }
+
+  val q228Sql: String =
+    """WITH fa AS (SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |   o_totalprice AS price FROM orders
+      |  WHERE CAST(year(o_orderdate) AS INT) >= 1996),
+      |fb AS (SELECT CAST(year(l_shipdate) AS INT) AS y,
+      |   l_extendedprice AS price FROM lineitem
+      |  WHERE CAST(year(l_shipdate) AS INT) >= 1996)
+      |SELECT y, n_orders, sales, n_ship, supply,
+      | coalesce(sales, 0.0) - coalesce(supply, 0.0) AS net
+      |FROM (SELECT y, count(*) AS n_orders,
+      |   CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sales
+      |  FROM fa GROUP BY y) a
+      |FULL JOIN (SELECT y, count(*) AS n_ship,
+      |   CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS supply
+      |  FROM fb GROUP BY y) b
+      |USING (y)
+      |ORDER BY y""".stripMargin
+
   private[graft] val q225Budget = 120L
 
   /** BUDGET-CONSTRAINED AGGREGATE ADVISOR ([[graft.olap.AggNavigator
@@ -8258,6 +8367,8 @@ object Queries {
     "q224_closure_rollup" -> (q224ClosureRollup _),
     "q225_agg_budget" -> (q225AggBudget _),
     "q226_closure_move" -> (q226ClosureMove _),
+    "q227_closure_ops" -> (q227ClosureOps _),
+    "q228_cube_json" -> (q228CubeJson _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -8492,6 +8603,8 @@ object Queries {
     "q224_closure_rollup" -> q224Sql,
     "q225_agg_budget" -> q225Sql,
     "q226_closure_move" -> q226Sql,
+    "q227_closure_ops" -> q227Sql,
+    "q228_cube_json" -> q228Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -8608,5 +8721,12 @@ object Queries {
     "q225_agg_budget",
     // round-15: incremental closure maintenance (closure build + three
     // dim-sized joins, benched beside q224's rebuild-and-rollup)
-    "q226_closure_move")
+    "q226_closure_move",
+    // round-15: the full incremental closure lifecycle (move + leaf
+    // insert + subtree delete chained — three dim-sized maintenance
+    // joins on top of q226's build)
+    "q227_closure_ops",
+    // round-15: the JSON wire path (parse + slicer push + conformed
+    // merge — benched so the binding layer stays visibly free)
+    "q228_cube_json")
 }

@@ -498,18 +498,25 @@ object ViewRefresh {
     } finally fs.delete(staging, true): Unit
   }
 
-  /** The committed snapshot: (generation, bucket → generation dir). */
+  /** The committed snapshot: (generation, bucket → generation dir).
+    * `asOf` pins a specific PUBLISHED generation (time travel) —
+    * readable for as long as [[vacuumSnapshot]]'s horizon retains it;
+    * None reads the latest. */
   private def currentManifest(fs: org.apache.hadoop.fs.FileSystem,
-      snap: org.apache.hadoop.fs.Path): Option[(Long, Map[Int, String])] = {
+      snap: org.apache.hadoop.fs.Path,
+      asOf: Option[Long] = None): Option[(Long, Map[Int, String])] = {
     if (!fs.exists(snap)) return None
     val manifests = fs.listStatus(snap).toSeq.filter(_.isFile)
       .flatMap(st => st.getPath.getName match {
         case manifestRe(g) => Some(g.toLong -> st.getPath)
         case _ => None
       })
-    if (manifests.isEmpty) None
-    else {
-      val (gen, p) = manifests.maxBy(_._1)
+    if (manifests.isEmpty) return None
+    val picked = asOf match {
+      case None => Some(manifests.maxBy(_._1))
+      case Some(g) => manifests.find(_._1 == g)
+    }
+    picked.map { case (gen, p) =>
       val in = fs.open(p)
       val body = try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
@@ -519,7 +526,40 @@ object ViewRefresh {
           val Array(b, d) = line.split(" ", 2)
           b.toInt -> d
         }.toMap
-      Some(gen -> map)
+      gen -> map
+    }
+  }
+
+  /** The published generations still on disk, ascending — the time-
+    * travel index ([[readSnapshotAsOf]]); [[vacuumSnapshot]] trims it
+    * from the left. Metadata-only. */
+  def snapshotGenerations(spark: SparkSession, path: String): Seq[Long] = {
+    val snap = new org.apache.hadoop.fs.Path(path, SnapDir)
+    val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(snap)) Seq.empty
+    else fs.listStatus(snap).toSeq.filter(_.isFile)
+      .flatMap(_.getPath.getName match {
+        case manifestRe(g) => Some(g.toLong)
+        case _ => None
+      }).sorted
+  }
+
+  /** TIME TRAVEL: read a specific published generation — free, given
+    * the manifest layout (each manifest is an immutable complete
+    * bucket map; its generation dirs survive until vacuum's horizon
+    * passes them). A vacuumed generation fails loudly with the
+    * available range, never serves a partial snapshot. */
+  def readSnapshotAsOf(spark: SparkSession, path: String,
+      gen: Long): DataFrame = {
+    val snap = new org.apache.hadoop.fs.Path(path, SnapDir)
+    val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
+    currentManifest(fs, snap, Some(gen)) match {
+      case Some((_, cur)) => readManifestDirs(spark, fs, path, cur)
+      case None =>
+        val avail = snapshotGenerations(spark, path)
+        throw new IllegalArgumentException(
+          s"generation $gen is not published at $path (available: " +
+            s"${avail.mkString(",")}) — vacuumed or never written")
     }
   }
 
@@ -533,6 +573,13 @@ object ViewRefresh {
     val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
     val (_, cur) = currentManifest(fs, snap).getOrElse(
       throw new IllegalArgumentException(s"$path is not a snapshot view"))
+    readManifestDirs(spark, fs, path, cur)
+  }
+
+  private def readManifestDirs(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      cur: Map[Int, String]): DataFrame = {
+    val snap = new org.apache.hadoop.fs.Path(path, SnapDir)
     if (cur.isEmpty) {
       // every member legitimately deleted: a readable zero-row table
       // (typed from the schema sidecar), not an error — parity with
@@ -552,25 +599,46 @@ object ViewRefresh {
       spark.read.parquet(cur.values.map(d => s"$path/$SnapDir/$d").toSeq: _*)
   }
 
-  /** Garbage-collect generation dirs and manifests no longer
-    * referenced by the CURRENT manifest, once older than `horizonMs`
-    * (the horizon must exceed any plausible reader duration — a
-    * reader that listed the old snapshot keeps its files until it
-    * finishes). Returns how many entries were deleted. */
+  /** Garbage-collect old manifests and the generation dirs nothing
+    * SURVIVING references, once older than `horizonMs` (the horizon
+    * must exceed any plausible reader duration — a reader that listed
+    * an old snapshot keeps its files until it finishes). Manifests are
+    * decided FIRST, then liveness is the union over every surviving
+    * manifest — never just the latest: a retained time-travel manifest
+    * ([[readSnapshotAsOf]]) must keep every dir it references, even
+    * ones first published generations ago (an unchanged bucket's dir
+    * is shared across manifests and can be arbitrarily old). Returns
+    * how many entries were deleted. */
   def vacuumSnapshot(spark: SparkSession, path: String,
       horizonMs: Long): Int = {
     val snap = new org.apache.hadoop.fs.Path(path, SnapDir)
     val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
-    val (gen, cur) = currentManifest(fs, snap).getOrElse(return 0)
-    val live = cur.values.toSet
+    val (gen, _) = currentManifest(fs, snap).getOrElse(return 0)
     val cutoff = System.currentTimeMillis() - horizonMs
+    val entries = fs.listStatus(snap).toSeq
+    val staleManifests = entries.filter { st =>
+      st.getPath.getName match {
+        case manifestRe(g) => st.isFile && g.toLong < gen &&
+          st.getModificationTime < cutoff
+        case _ => false
+      }
+    }.map(_.getPath.getName).toSet
+    val live: Set[String] = entries.flatMap { st =>
+      st.getPath.getName match {
+        case manifestRe(g) if st.isFile &&
+            !staleManifests(st.getPath.getName) =>
+          currentManifest(fs, snap, Some(g.toLong)).toSeq
+            .flatMap(_._2.values)
+        case _ => Seq.empty
+      }
+    }.toSet
     var removed = 0
-    fs.listStatus(snap).foreach { st =>
+    entries.foreach { st =>
       val n = st.getPath.getName
       val stale = n match {
         case _ if st.getModificationTime >= cutoff => false
         case genDirRe(_, _) => st.isDirectory && !live(n)
-        case manifestRe(g) => st.isFile && g.toLong < gen
+        case manifestRe(_) => staleManifests(n)
         case _ => n.startsWith(".") // crashed staging/manifest temps
       }
       if (stale) { fs.delete(st.getPath, true); removed += 1 }

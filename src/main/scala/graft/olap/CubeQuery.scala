@@ -114,4 +114,108 @@ object CubeQuery {
       } else DrillAcross.mergeConformed(grouped, q.grain, q.derived)
     }
   }
+
+  /** JSON binding — the wire format a NON-SCALA client actually
+    * sends (Mondrian's split made explicit: the catalog is the schema
+    * file — cubes, facts, registries, measure definitions live in
+    * code/config — and the JSON is the query). Shape:
+    *
+    * {{{
+    * { "cube": "orders",
+    *   "hierarchies": [{"name":"fecha","levels":["y","m"]}],   // OR
+    *   "grain": ["y","m"],
+    *   "slicers": ["y >= 1996"],                 // SQL boolean exprs
+    *   "always": ["fact"],
+    *   "drillAcross": ["shipments"],             // catalog names
+    *   "derived": [{"as":"net","expr":"coalesce(s,0.0)-coalesce(p,0.0)"}],
+    *   "measures": {"orders": [{"as":"n","expr":"count(1)"}]} }
+    * }}}
+    *
+    * `measures` optionally OVERRIDES a DIRECT catalog cube's measure
+    * list with SQL aggregate expressions (aliases required — the
+    * conformed merge and the oracle compare are name-keyed); a routed
+    * cube's measures are its registry's stored partials and cannot be
+    * overridden from the wire (rejected loudly — the override would
+    * silently diverge from what the aggregate tables hold). Slicer
+    * and derived expressions parse with Spark's own SQL parser, so
+    * the wire surface is exactly the engine's expression language. */
+  def fromJson(json: String, catalog: Map[String, CubeRef]): Query = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    def strs(field: String): Seq[String] = j \ field match {
+      case JArray(xs) => xs.map(_.extract[String])
+      case JNothing | JNull => Nil
+      case _ => throw new IllegalArgumentException(
+        s"'$field' must be an array of strings")
+    }
+    val overrides: Map[String, Seq[Column]] = j \ "measures" match {
+      case JObject(fields) => fields.map { case (cube, arr) =>
+        val ms = arr match {
+          case JArray(xs) => xs.map { m =>
+            val e = (m \ "expr").extract[String]
+            val as = (m \ "as").extract[String]
+            expr(e).as(as)
+          }
+          case _ => throw new IllegalArgumentException(
+            s"'measures.$cube' must be an array of {expr, as}")
+        }
+        cube -> ms
+      }.toMap
+      case JNothing | JNull => Map.empty
+      case _ => throw new IllegalArgumentException(
+        "'measures' must be an object of cube -> [{expr, as}]")
+    }
+    def ref(name: String): CubeRef = {
+      val base = catalog.getOrElse(name, throw new IllegalArgumentException(
+        s"cube '$name' is not in the catalog " +
+          s"(available: ${catalog.keys.toSeq.sorted.mkString(", ")})"))
+      overrides.get(name) match {
+        case None => base
+        case Some(ms) =>
+          require(base.registry.isEmpty,
+            s"cube '$name' is ROUTED — its measures are the registry's " +
+              "stored partials and cannot be overridden from the wire")
+          CubeRef(base.fact, measures = ms)
+      }
+    }
+    val cubeName = j \ "cube" match {
+      case JString(s) => s
+      case _ => throw new IllegalArgumentException(
+        "'cube' (a catalog name) is required")
+    }
+    val hierarchies = j \ "hierarchies" match {
+      case JArray(xs) => xs.map { h =>
+        Cube.Hierarchy((h \ "name").extract[String],
+          (h \ "levels") match {
+            case JArray(ls) => ls.map(_.extract[String])
+            case _ => throw new IllegalArgumentException(
+              "each hierarchy needs a 'levels' string array")
+          })
+      }
+      case JNothing | JNull => Nil
+      case _ => throw new IllegalArgumentException(
+        "'hierarchies' must be an array of {name, levels}")
+    }
+    val derived = j \ "derived" match {
+      case JArray(xs) => xs.map { d =>
+        expr((d \ "expr").extract[String]).as((d \ "as").extract[String])
+      }
+      case JNothing | JNull => Nil
+      case _ => throw new IllegalArgumentException(
+        "'derived' must be an array of {expr, as}")
+    }
+    Query(
+      cube = ref(cubeName),
+      hierarchies = hierarchies,
+      grain = strs("grain"),
+      slicers = strs("slicers").map(expr),
+      always = strs("always"),
+      drillAcross = strs("drillAcross").map(ref),
+      derived = derived)
+  }
+
+  /** Parse-and-run convenience for wire clients. */
+  def runJson(json: String, catalog: Map[String, CubeRef]): DataFrame =
+    run(fromJson(json, catalog))
 }

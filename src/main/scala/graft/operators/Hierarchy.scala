@@ -198,4 +198,56 @@ object Hierarchy {
         (col("d1") + lit(1L) + col("d2")).as("dist"))
     outside.unionByName(within).unionByName(added)
   }
+
+  /** INCREMENTAL closure maintenance under a LEAF INSERT: the new
+    * node's pairs are its dist-0 self-pair plus (node, anc-of-parent,
+    * 1 + d) for every ancestor of `parent` (self included) — one
+    * depth-sized read of the existing closure, nothing else changes
+    * (no existing node gains or loses an ancestor). `parent = null`
+    * inserts a new root (self-pair only). The node must be NEW —
+    * inserting an existing id would silently duplicate its pair set
+    * and double every rollup it feeds, so it is rejected loudly, as
+    * is an unknown parent (the [[closureMove]] orphan argument).
+    * Subtree inserts compose: insert parents before children. */
+  def closureInsert(closure: DataFrame, node: Any, parent: Any): DataFrame = {
+    val checks = closure.agg(
+      sum(when(col("desc") === lit(node), 1L).otherwise(0L)).as("nodeSeen"),
+      sum(when(col("desc") === lit(parent), 1L).otherwise(0L))
+        .as("parentSeen")).head()
+    require(!Option(checks.get(0)).exists(_.asInstanceOf[Long] > 0),
+      s"node $node is already in the closure — re-inserting it would " +
+        "double-count every rollup above it")
+    require(parent == null ||
+      Option(checks.get(1)).exists(_.asInstanceOf[Long] > 0),
+      s"parent $parent is not in the closure — inserting under it " +
+        "would orphan the new node from every ancestor rollup")
+    val spark = closure.sparkSession
+    val self = spark.range(1).select(
+      lit(node).cast(closure.schema("desc").dataType).as("desc"),
+      lit(node).cast(closure.schema("anc").dataType).as("anc"),
+      lit(0L).as("dist"))
+    val up =
+      if (parent == null) self.limit(0)
+      else closure.filter(col("desc") === lit(parent))
+        .select(lit(node).cast(closure.schema("desc").dataType).as("desc"),
+          col("anc"), (col("dist") + lit(1L)).as("dist"))
+    closure.unionByName(self).unionByName(up)
+  }
+
+  /** INCREMENTAL closure maintenance under a SUBTREE DELETE: every
+    * pair whose DESCENDANT lies in `node`'s subtree disappears (the
+    * subtree's rows are gone; self-pairs included), and no other pair
+    * changes — remaining nodes had no ancestors inside the subtree
+    * (ancestors of a surviving node are on its root path, which
+    * cannot pass through the deleted subtree). One anti join against
+    * the subtree relation. Deleting an unknown node is rejected —
+    * silently returning the closure unchanged would mask a caller
+    * bug. */
+  def closureDelete(closure: DataFrame, node: Any): DataFrame = {
+    val seen = closure.filter(col("desc") === lit(node)).limit(1).count()
+    require(seen > 0, s"node $node is not in the closure")
+    val sub = closure.filter(col("anc") === lit(node))
+      .select(col("desc"))
+    closure.join(sub, Seq("desc"), "left_anti")
+  }
 }

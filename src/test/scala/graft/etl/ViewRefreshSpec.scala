@@ -509,4 +509,42 @@ class ViewRefreshSpec extends AnyFunSuite {
       s"typed empty read, got schema ${out.columns.toSeq}")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("snapshot time travel: any retained generation reads whole; vacuum trims from the left, loudly") {
+    import spark.implicits._
+    val nb = 8
+    val root = java.nio.file.Files.createTempDirectory("vr_travel").toString
+    val path = s"$root/view"
+    val v1 = Seq((1L, "g1"), (2L, "g1")).toDF("k", "tag")
+    // only k=1 changes in g2 — k=2's generation dir is SHARED between
+    // the manifests, the case vacuum's liveness union must respect
+    val v2 = Seq((1L, "g2"), (2L, "g1")).toDF("k", "tag")
+    ViewRefresh.materializeSnapshot(v1, col("k"), nb, path)
+    ViewRefresh.refreshSnapshot(v2, col("k"), nb,
+      ViewRefresh.affectedBuckets(Seq(Tuple1(1L)).toDF("k"), col("k"), nb),
+      path)
+    assert(ViewRefresh.snapshotGenerations(spark, path) === Seq(1L, 2L))
+    def tags(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("tag"))).toSet
+    assert(tags(ViewRefresh.readSnapshot(spark, path)) ===
+      Set((1L, "g2"), (2L, "g1")))
+    assert(tags(ViewRefresh.readSnapshotAsOf(spark, path, 1L)) ===
+      Set((1L, "g1"), (2L, "g1")))
+    // an infinite horizon keeps both generations readable
+    assert(ViewRefresh.vacuumSnapshot(spark, path, Long.MaxValue) === 0)
+    assert(tags(ViewRefresh.readSnapshotAsOf(spark, path, 1L)) ===
+      Set((1L, "g1"), (2L, "g1")))
+    // a zero horizon trims generation 1 — and the time-travel read
+    // fails LOUDLY with the available range, never a partial snapshot
+    assert(ViewRefresh.vacuumSnapshot(spark, path, 0L) > 0)
+    assert(tags(ViewRefresh.readSnapshot(spark, path)) ===
+      Set((1L, "g2"), (2L, "g1")),
+      "the latest snapshot must survive the vacuum intact")
+    val e = intercept[IllegalArgumentException] {
+      ViewRefresh.readSnapshotAsOf(spark, path, 1L)
+    }
+    assert(e.getMessage.contains("not published"))
+    assert(ViewRefresh.snapshotGenerations(spark, path) === Seq(2L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }

@@ -177,4 +177,51 @@ class CubeQuerySpec extends AnyFunSuite {
       directMs.queryExecution.optimizedPlan.canonicalized,
       "the declarative layer must add NOTHING to the member-space plan")
   }
+
+  test("JSON wire binding: catalog resolution, overrides, and malformed documents are loud") {
+    val catalog = Map(
+      "orders" -> CubeQuery.CubeRef(() => wide, measures = measures))
+    // happy path: a member space from the wire equals the Scala call
+    val got = CubeQuery.runJson(
+      """{"cube":"orders",
+        | "hierarchies":[{"name":"fecha","levels":["y","m"]},
+        |                {"name":"estado","levels":["status"]}],
+        | "measures":{"orders":[
+        |   {"as":"n","expr":"count(1)"},
+        |   {"as":"rev","expr":"cast(sum(cast(price as decimal(18,2))) as double)"}]}
+        |}""".stripMargin, catalog)
+    val want = Cube.memberSets(wide, hier, measures)
+    assert(sortedRows(got) === sortedRows(want))
+    // unknown cube name lists the catalog
+    val e1 = intercept[IllegalArgumentException] {
+      CubeQuery.fromJson("""{"cube":"nope","grain":["y"]}""", catalog)
+    }
+    assert(e1.getMessage.contains("not in the catalog") &&
+      e1.getMessage.contains("orders"))
+    // measure override on a ROUTED cube is rejected
+    val root = java.nio.file.Files.createTempDirectory("cq_json").toString
+    try {
+      val reg = AggNavigator.register(wide, Seq("y" -> Seq("y")),
+        Seq[AggNavigator.Measure](AggNavigator.CountAll("n")), root)
+      val routed = Map("orders" -> CubeQuery.CubeRef(() => wide,
+        registry = Some(reg)))
+      val e2 = intercept[IllegalArgumentException] {
+        CubeQuery.fromJson(
+          """{"cube":"orders","grain":["y"],
+            | "measures":{"orders":[{"as":"n","expr":"count(1)"}]}}"""
+            .stripMargin, routed)
+      }
+      assert(e2.getMessage.contains("ROUTED"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // malformed field shapes are named, not NPE'd
+    val e3 = intercept[IllegalArgumentException] {
+      CubeQuery.fromJson("""{"cube":"orders","grain":"y"}""", catalog)
+    }
+    assert(e3.getMessage.contains("'grain'"))
+    val e4 = intercept[IllegalArgumentException] {
+      CubeQuery.fromJson("""{"grain":["y"]}""", catalog)
+    }
+    assert(e4.getMessage.contains("'cube'"))
+  }
 }

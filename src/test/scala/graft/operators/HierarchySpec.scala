@@ -159,4 +159,39 @@ class HierarchySpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("orphan"))
   }
+
+  test("closureInsert ≡ rebuild: leaf under a parent, and a new root") {
+    val rows = Seq[(Long, java.lang.Long)](
+      (1L, null), (2L, 1L), (4L, 2L))
+    val cl = Hierarchy.closure(rows.toDF("id", "parent"), "id", "parent")
+    val got = Hierarchy.closureInsert(cl, 9L, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === pairs(rows :+ ((9L, java.lang.Long.valueOf(2L)))))
+    val gotRoot = Hierarchy.closureInsert(cl, 9L, null)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotRoot === pairs(rows :+ ((9L, null: java.lang.Long))))
+    // duplicate insert and unknown parent are loud
+    assert(intercept[IllegalArgumentException] {
+      Hierarchy.closureInsert(cl, 2L, 1L).collect()
+    }.getMessage.contains("already in the closure"))
+    assert(intercept[IllegalArgumentException] {
+      Hierarchy.closureInsert(cl, 9L, 99L).collect()
+    }.getMessage.contains("orphan"))
+  }
+
+  test("closureDelete ≡ rebuild without the subtree; unknown node is loud") {
+    val rows = Seq[(Long, java.lang.Long)](
+      (1L, null), (2L, 1L), (4L, 2L), (5L, 2L), (6L, 5L), (10L, null))
+    val cl = Hierarchy.closure(rows.toDF("id", "parent"), "id", "parent")
+    val got = Hierarchy.closureDelete(cl, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === pairs(rows.filterNot(r => Set(5L, 6L)(r._1))))
+    // deleting a whole ROOT tree leaves the other tree intact
+    val gotRoot = Hierarchy.closureDelete(cl, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotRoot === pairs(Seq[(Long, java.lang.Long)]((10L, null))))
+    assert(intercept[IllegalArgumentException] {
+      Hierarchy.closureDelete(cl, 99L).collect()
+    }.getMessage.contains("not in the closure"))
+  }
 }

@@ -45,7 +45,8 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
     "q185_pq_sample",   // same ADC scan shape, sampled-fit codebooks
     "q196_lsh_tune",    // divisors(sigLen) × 99-point grid — both sides
                         // constant-sized by construction (Dedup.tuneBands)
-    "q226_closure_move") // subtree × ancestors-of-newParent: the
+    "q226_closure_move", // subtree × ancestors-of-newParent: the
+    "q227_closure_ops")  // same closureMove shape inside the lifecycle chain
                         // broadcast side is DEPTH-sized (tree height
                         // rows — ≤7 on the digit tree), the designed
                         // closureMove shape (Hierarchy scaladoc)
