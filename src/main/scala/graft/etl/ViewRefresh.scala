@@ -498,6 +498,37 @@ object ViewRefresh {
     } finally fs.delete(staging, true): Unit
   }
 
+  /** Parse one manifest file: bucket → generation dir. Malformed
+    * lines throw a NAMED error (the read path must be loud; the GC
+    * path wraps this in Try — a corrupt manifest must never wedge
+    * vacuum, see [[vacuumSnapshot]]). */
+  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Map[Int, String] = {
+    val in = fs.open(p)
+    val body = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val parts = line.split(" ", 2)
+        if (parts.length != 2 || !parts(0).forall(_.isDigit) ||
+            parts(0).isEmpty)
+          throw new IllegalArgumentException(
+            s"corrupt snapshot manifest ${p.getName}: bad line '$line'")
+        parts(0).toInt -> parts(1)
+      }.toMap
+  }
+
+  /** One listing of the snapshot dir's manifest files: gen → path. */
+  private def listManifests(fs: org.apache.hadoop.fs.FileSystem,
+      snap: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(snap)) Seq.empty
+    else fs.listStatus(snap).toSeq.filter(_.isFile)
+      .flatMap(st => st.getPath.getName match {
+        case manifestRe(g) => Some(g.toLong -> st.getPath)
+        case _ => None
+      })
+
   /** The committed snapshot: (generation, bucket → generation dir).
     * `asOf` pins a specific PUBLISHED generation (time travel) —
     * readable for as long as [[vacuumSnapshot]]'s horizon retains it;
@@ -505,29 +536,13 @@ object ViewRefresh {
   private def currentManifest(fs: org.apache.hadoop.fs.FileSystem,
       snap: org.apache.hadoop.fs.Path,
       asOf: Option[Long] = None): Option[(Long, Map[Int, String])] = {
-    if (!fs.exists(snap)) return None
-    val manifests = fs.listStatus(snap).toSeq.filter(_.isFile)
-      .flatMap(st => st.getPath.getName match {
-        case manifestRe(g) => Some(g.toLong -> st.getPath)
-        case _ => None
-      })
+    val manifests = listManifests(fs, snap)
     if (manifests.isEmpty) return None
     val picked = asOf match {
       case None => Some(manifests.maxBy(_._1))
       case Some(g) => manifests.find(_._1 == g)
     }
-    picked.map { case (gen, p) =>
-      val in = fs.open(p)
-      val body = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-      val map = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-        .map { line =>
-          val Array(b, d) = line.split(" ", 2)
-          b.toInt -> d
-        }.toMap
-      gen -> map
-    }
+    picked.map { case (gen, p) => gen -> readManifestFile(fs, p) }
   }
 
   /** The published generations still on disk, ascending — the time-
@@ -536,12 +551,7 @@ object ViewRefresh {
   def snapshotGenerations(spark: SparkSession, path: String): Seq[Long] = {
     val snap = new org.apache.hadoop.fs.Path(path, SnapDir)
     val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(snap)) Seq.empty
-    else fs.listStatus(snap).toSeq.filter(_.isFile)
-      .flatMap(_.getPath.getName match {
-        case manifestRe(g) => Some(g.toLong)
-        case _ => None
-      }).sorted
+    listManifests(fs, snap).map(_._1).sorted
   }
 
   /** TIME TRAVEL: read a specific published generation — free, given
@@ -623,12 +633,19 @@ object ViewRefresh {
         case _ => false
       }
     }.map(_.getPath.getName).toSet
+    // liveness = union over every SURVIVING manifest, read directly
+    // from the already-listed paths (one listing total, not one per
+    // manifest). A manifest that fails to PARSE contributes nothing
+    // to liveness but is also never deleted here and never aborts the
+    // GC: reads of that generation fail loudly on their own path; a
+    // wedged vacuum would mean unbounded storage growth everywhere
+    // else, the worse failure.
     val live: Set[String] = entries.flatMap { st =>
       st.getPath.getName match {
-        case manifestRe(g) if st.isFile &&
+        case manifestRe(_) if st.isFile &&
             !staleManifests(st.getPath.getName) =>
-          currentManifest(fs, snap, Some(g.toLong)).toSeq
-            .flatMap(_._2.values)
+          scala.util.Try(readManifestFile(fs, st.getPath))
+            .getOrElse(Map.empty[Int, String]).values
         case _ => Seq.empty
       }
     }.toSet

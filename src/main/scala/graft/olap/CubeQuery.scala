@@ -139,12 +139,35 @@ object CubeQuery {
     * silently diverge from what the aggregate tables hold). Slicer
     * and derived expressions parse with Spark's own SQL parser, so
     * the wire surface is exactly the engine's expression language. */
+  private val WireFields = Set("cube", "hierarchies", "grain", "slicers",
+    "always", "drillAcross", "derived", "measures")
+
   def fromJson(json: String, catalog: Map[String, CubeRef]): Query = {
     import org.json4s._
-    implicit val fmts: Formats = DefaultFormats
     val j = org.json4s.jackson.JsonMethods.parse(json)
+    // unknown top-level keys are REJECTED, not dropped: a client typo
+    // ("slicer" for "slicers") silently running the query unfiltered
+    // is the worst wire failure mode — wrong data with no error
+    j match {
+      case JObject(fields) =>
+        val unknown = fields.map(_._1).filterNot(WireFields)
+        require(unknown.isEmpty,
+          s"unknown field(s) ${unknown.sorted.mkString("'", "', '", "'")} — " +
+            s"the wire accepts: ${WireFields.toSeq.sorted.mkString(", ")}")
+      case _ => throw new IllegalArgumentException(
+        "the query must be a JSON object")
+    }
+    // named extraction: a missing/mistyped sub-field must surface as
+    // the same IllegalArgumentException contract as every other wire
+    // error, never a raw json4s MappingException
+    def str(v: JValue, where: String): String = v match {
+      case JString(s) => s
+      case _ => throw new IllegalArgumentException(
+        s"'$where' must be a string (got ${v.getClass.getSimpleName})")
+    }
     def strs(field: String): Seq[String] = j \ field match {
-      case JArray(xs) => xs.map(_.extract[String])
+      case JArray(xs) => xs.zipWithIndex.map { case (x, i) =>
+        str(x, s"$field[$i]") }
       case JNothing | JNull => Nil
       case _ => throw new IllegalArgumentException(
         s"'$field' must be an array of strings")
@@ -152,10 +175,9 @@ object CubeQuery {
     val overrides: Map[String, Seq[Column]] = j \ "measures" match {
       case JObject(fields) => fields.map { case (cube, arr) =>
         val ms = arr match {
-          case JArray(xs) => xs.map { m =>
-            val e = (m \ "expr").extract[String]
-            val as = (m \ "as").extract[String]
-            expr(e).as(as)
+          case JArray(xs) => xs.zipWithIndex.map { case (m, i) =>
+            expr(str(m \ "expr", s"measures.$cube[$i].expr"))
+              .as(str(m \ "as", s"measures.$cube[$i].as"))
           }
           case _ => throw new IllegalArgumentException(
             s"'measures.$cube' must be an array of {expr, as}")
@@ -184,13 +206,23 @@ object CubeQuery {
       case _ => throw new IllegalArgumentException(
         "'cube' (a catalog name) is required")
     }
+    val sideNames = cubeName +: strs("drillAcross")
+    // an override keyed on a cube this query never touches is a typo
+    // (case slip, stale name) that would otherwise silently serve the
+    // catalog's DEFAULT measures instead of the requested ones
+    val unusedOverrides = overrides.keySet -- sideNames.toSet
+    require(unusedOverrides.isEmpty,
+      s"measure overrides for cube(s) ${unusedOverrides.toSeq.sorted
+        .mkString("'", "', '", "'")} that this query does not reference " +
+        s"(sides: ${sideNames.mkString(", ")})")
     val hierarchies = j \ "hierarchies" match {
-      case JArray(xs) => xs.map { h =>
-        Cube.Hierarchy((h \ "name").extract[String],
-          (h \ "levels") match {
-            case JArray(ls) => ls.map(_.extract[String])
+      case JArray(xs) => xs.zipWithIndex.map { case (h, i) =>
+        Cube.Hierarchy(str(h \ "name", s"hierarchies[$i].name"),
+          h \ "levels" match {
+            case JArray(ls) => ls.zipWithIndex.map { case (l, k) =>
+              str(l, s"hierarchies[$i].levels[$k]") }
             case _ => throw new IllegalArgumentException(
-              "each hierarchy needs a 'levels' string array")
+              s"'hierarchies[$i].levels' must be a string array")
           })
       }
       case JNothing | JNull => Nil
@@ -198,8 +230,9 @@ object CubeQuery {
         "'hierarchies' must be an array of {name, levels}")
     }
     val derived = j \ "derived" match {
-      case JArray(xs) => xs.map { d =>
-        expr((d \ "expr").extract[String]).as((d \ "as").extract[String])
+      case JArray(xs) => xs.zipWithIndex.map { case (d, i) =>
+        expr(str(d \ "expr", s"derived[$i].expr"))
+          .as(str(d \ "as", s"derived[$i].as"))
       }
       case JNothing | JNull => Nil
       case _ => throw new IllegalArgumentException(

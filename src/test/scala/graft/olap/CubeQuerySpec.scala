@@ -223,5 +223,31 @@ class CubeQuerySpec extends AnyFunSuite {
       CubeQuery.fromJson("""{"grain":["y"]}""", catalog)
     }
     assert(e4.getMessage.contains("'cube'"))
+    // an UNKNOWN top-level field is a typo that would otherwise run
+    // the query silently wrong (the "slicer" for "slicers" case)
+    val e5 = intercept[IllegalArgumentException] {
+      CubeQuery.fromJson(
+        """{"cube":"orders","grain":["y"],"slicer":["y >= 1996"]}""",
+        catalog)
+    }
+    assert(e5.getMessage.contains("'slicer'") &&
+      e5.getMessage.contains("slicers"))
+    // a measure override keyed on an unreferenced cube (case typo)
+    // must not silently fall back to the catalog's default measures
+    val e6 = intercept[IllegalArgumentException] {
+      CubeQuery.fromJson(
+        """{"cube":"orders","grain":["y"],
+          | "measures":{"Orders":[{"as":"n","expr":"count(1)"}]}}"""
+          .stripMargin, catalog)
+    }
+    assert(e6.getMessage.contains("'Orders'"))
+    // a missing sub-field is a NAMED IllegalArgumentException, not a
+    // raw json4s MappingException
+    val e7 = intercept[IllegalArgumentException] {
+      CubeQuery.fromJson(
+        """{"cube":"orders","grain":["y"],"derived":[{"as":"net"}]}""",
+        catalog)
+    }
+    assert(e7.getMessage.contains("derived[0].expr"))
   }
 }

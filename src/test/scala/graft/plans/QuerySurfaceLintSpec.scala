@@ -45,11 +45,13 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
     "q185_pq_sample",   // same ADC scan shape, sampled-fit codebooks
     "q196_lsh_tune",    // divisors(sigLen) × 99-point grid — both sides
                         // constant-sized by construction (Dedup.tuneBands)
-    "q226_closure_move", // subtree × ancestors-of-newParent: the
-    "q227_closure_ops")  // same closureMove shape inside the lifecycle chain
-                        // broadcast side is DEPTH-sized (tree height
-                        // rows — ≤7 on the digit tree), the designed
-                        // closureMove shape (Hierarchy scaladoc)
+    "q226_closure_move", // closureMove's subtree × ancestors-of-
+                        // newParent cross join: the broadcast side is
+                        // DEPTH-sized (tree height rows — ≤7 on the
+                        // digit tree), the designed shape (Hierarchy
+                        // scaladoc)
+    "q227_closure_ops")  // the same closureMove shape inside the
+                        // move+insert+delete lifecycle chain
 
   test("every SparkEntry query passes the scale lint (allowlisted exceptions only)") {
     val spark = TestSpark.spark
