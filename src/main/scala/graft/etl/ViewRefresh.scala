@@ -440,7 +440,17 @@ object ViewRefresh {
     * buckets land as NEW generation dirs behind a new manifest —
     * readers of the previous snapshot keep every file they can list.
     * An affected bucket whose recompute came back empty simply leaves
-    * the new manifest (deletion correctness without touching disk). */
+    * the new manifest (deletion correctness without touching disk).
+    *
+    * CONCURRENT WRITERS are detected by construction: two refreshes
+    * racing from the same current generation both target manifest
+    * v(N+1), and the second rename-into-existing-file FAILS loudly
+    * (spec-pinned) — the loser's generation dirs become unreferenced
+    * debris for [[vacuumSnapshot]], never a torn snapshot. RETRIES
+    * (foreachBatch redelivery) are content-idempotent: the recompute
+    * of the affected buckets is deterministic, so a replayed refresh
+    * publishes a new generation with identical rows — readers see the
+    * same data either way, no ledger needed on this path. */
   def refreshSnapshot(view: DataFrame, key: Column, nBuckets: Int,
       buckets: Seq[Int], path: String,
       sourceLayout: Option[String] = None): Unit = {
@@ -493,8 +503,30 @@ object ViewRefresh {
       val out = fs.create(tmp, true)
       out.write(body.getBytes("UTF-8")); out.close()
       val mf = new org.apache.hadoop.fs.Path(snap, f"v$gen%018d")
+      // concurrent-writer detection, two layers (single-writer is the
+      // repo-wide assumption; a violation must be LOUD, not
+      // last-writer-wins): (1) a publisher that already committed this
+      // generation is caught before the rename; (2) POSIX rename
+      // REPLACES an existing destination file, so two racers inside
+      // the exists window both "succeed" — read the manifest back and
+      // require OUR body: the loser throws, the winner's complete
+      // manifest is untouched, and the loser's generation dirs are
+      // unreferenced debris for vacuum, never a torn snapshot.
+      if (fs.exists(mf))
+        throw new java.io.IOException(
+          s"concurrent publish detected at $mf — generation $gen is " +
+            "already committed")
       if (!fs.rename(tmp, mf))
         throw new java.io.IOException(s"failed to publish manifest $mf")
+      val in = fs.open(mf)
+      val gotBack = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      if (gotBack != body)
+        throw new java.io.IOException(
+          s"concurrent publish detected at $mf — this refresh lost the " +
+            s"race for generation $gen (its data dirs are unreferenced " +
+            "and will be vacuumed)")
     } finally fs.delete(staging, true): Unit
   }
 

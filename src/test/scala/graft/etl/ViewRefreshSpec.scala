@@ -547,4 +547,49 @@ class ViewRefreshSpec extends AnyFunSuite {
     assert(ViewRefresh.snapshotGenerations(spark, path) === Seq(2L))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("racing snapshot publishers: every silent success is a DISTINCT generation, losers are loud") {
+    import spark.implicits._
+    val nb = 8
+    val root = java.nio.file.Files.createTempDirectory("vr_race").toString
+    val path = s"$root/view"
+    val base = Seq((1L, "base")).toDF("k", "tag")
+    ViewRefresh.materializeSnapshot(base, col("k"), nb, path)
+    val buckets = ViewRefresh.affectedBuckets(base.select("k"), col("k"), nb)
+    // two writers fire together per round. The invariant that forbids
+    // SILENT LOSS: manifests added == silent successes (a same-
+    // generation double-"success" would add one manifest for two
+    // claims — the read-back verify must make one of them throw).
+    val frames = Seq(Seq((1L, "w0")).toDF("k", "tag"),
+      Seq((1L, "w1")).toDF("k", "tag"))
+    (1 to 6).foreach { round =>
+      val before = ViewRefresh.snapshotGenerations(spark, path).size
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val successes = new java.util.concurrent.atomic.AtomicInteger
+      val threads = (0 to 1).map { w =>
+        new Thread(() => {
+          barrier.await()
+          try {
+            ViewRefresh.refreshSnapshot(frames(w), col("k"), nb, buckets,
+              path)
+            successes.incrementAndGet(): Unit
+          } catch { case _: java.io.IOException => () } // loud loser
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(60000))
+      val added =
+        ViewRefresh.snapshotGenerations(spark, path).size - before
+      assert(added === successes.get(),
+        s"round $round: $added manifests for ${successes.get()} silent " +
+          "successes — a racer was silently dropped")
+      assert(successes.get() >= 1, s"round $round: both writers failed")
+      // and the committed snapshot is always a COMPLETE state from
+      // one writer, never a mix
+      val tags = ViewRefresh.readSnapshot(spark, path)
+        .collect().map(_.getAs[String]("tag")).toSet
+      assert(tags.size === 1 && Set("w0", "w1")(tags.head),
+        s"round $round: torn snapshot $tags")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
