@@ -383,7 +383,10 @@ object ViewRefresh {
   /** Schema sidecar inside [[SnapDir]] — typed empty reads. */
   val SchemaFile = "_schema.json"
 
-  private val genDirRe = s"""$BucketCol=(\\d+)-g(\\d+)""".r
+  // generation dirs carry a per-publisher run id (see
+  // publishGeneration's race note); the suffix is optional in the
+  // regex so pre-r15-format dirs still vacuum
+  private val genDirRe = s"""$BucketCol=(\\d+)-g(\\d+)(?:-[0-9a-f]{8})?""".r
   private val manifestRe = """v(\d{1,18})""".r
 
   /** SNAPSHOT layout: per-bucket IMMUTABLE generation directories plus
@@ -488,8 +491,17 @@ object ViewRefresh {
         .map(_.getPath.getName).collect {
           case n if n.startsWith("__pb=") => n.stripPrefix("__pb=").toInt
         }
+      // generation dir names carry a per-publisher run id: with
+      // DETERMINISTIC names, two same-generation racers would fight
+      // over the data dirs too, and data-dir ownership (first rename
+      // wins; a second dir rename onto an existing dir NESTS on
+      // LocalFileSystem) could disagree with manifest ownership — the
+      // committed manifest then serves the FAILED writer's rows while
+      // the "successful" writer's data is invisible debris. Unique
+      // names make the manifest commit the ONLY race.
+      val runId = java.util.UUID.randomUUID().toString.take(8)
       val moved = writtenBuckets.map { b =>
-        val dir = s"$BucketCol=$b-g$gen"
+        val dir = s"$BucketCol=$b-g$gen-$runId"
         val dst = new org.apache.hadoop.fs.Path(snap, dir)
         if (!fs.rename(new org.apache.hadoop.fs.Path(staging, s"__pb=$b"), dst))
           throw new java.io.IOException(s"failed to stage generation dir $dst")
@@ -503,26 +515,26 @@ object ViewRefresh {
       val out = fs.create(tmp, true)
       out.write(body.getBytes("UTF-8")); out.close()
       val mf = new org.apache.hadoop.fs.Path(snap, f"v$gen%018d")
-      // concurrent-writer detection, two layers (single-writer is the
-      // repo-wide assumption; a violation must be LOUD, not
-      // last-writer-wins): (1) a publisher that already committed this
-      // generation is caught before the rename; (2) POSIX rename
-      // REPLACES an existing destination file, so two racers inside
-      // the exists window both "succeed" — read the manifest back and
-      // require OUR body: the loser throws, the winner's complete
-      // manifest is untouched, and the loser's generation dirs are
-      // unreferenced debris for vacuum, never a torn snapshot.
+      // concurrent-writer detection (single-writer is the repo-wide
+      // assumption; a violation must be LOUD, not last-writer-wins),
+      // two layers: (1) an already-committed generation is refused
+      // before the rename; (2) rename-onto-existing-FILE semantics
+      // vary by filesystem (HDFS and Hadoop LocalFileSystem return
+      // false; a raw POSIX rename would REPLACE), so after the rename
+      // the manifest is read back and must carry OUR body — the run
+      // id in every dir name makes two racers' bodies necessarily
+      // different, so whichever layer fires, exactly one writer's
+      // COMPLETE manifest is committed and the loser throws; the
+      // loser's uniquely-named dirs are unreferenced debris for
+      // vacuum, never served.
       if (fs.exists(mf))
         throw new java.io.IOException(
           s"concurrent publish detected at $mf — generation $gen is " +
             "already committed")
       if (!fs.rename(tmp, mf))
-        throw new java.io.IOException(s"failed to publish manifest $mf")
-      val in = fs.open(mf)
-      val gotBack = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-      if (gotBack != body)
+        throw new java.io.IOException(s"concurrent publish detected — " +
+          s"failed to publish manifest $mf")
+      if (readFully(fs, mf) != body)
         throw new java.io.IOException(
           s"concurrent publish detected at $mf — this refresh lost the " +
             s"race for generation $gen (its data dirs are unreferenced " +
@@ -530,26 +542,41 @@ object ViewRefresh {
     } finally fs.delete(staging, true): Unit
   }
 
+  private def readFully(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
   /** Parse one manifest file: bucket → generation dir. Malformed
     * lines throw a NAMED error (the read path must be loud; the GC
     * path wraps this in Try — a corrupt manifest must never wedge
     * vacuum, see [[vacuumSnapshot]]). */
   private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Map[Int, String] = {
-    val in = fs.open(p)
-    val body = try new String(
-      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-    finally in.close()
+      p: org.apache.hadoop.fs.Path): Map[Int, String] =
+    parseManifest(readFully(fs, p), p.getName, strict = true)
+
+  /** `strict = true` (the READ path): any malformed line throws the
+    * named corrupt-manifest error — never a raw NumberFormatException
+    * (`toIntOption` covers overlong numerals). `strict = false` (the
+    * GC liveness union): well-formed lines still contribute their
+    * dirs — a one-bad-line manifest must neither wedge vacuum NOR
+    * condemn the 99 generations its good lines reference. */
+  private def parseManifest(body: String, name: String,
+      strict: Boolean): Map[Int, String] =
     body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-      .map { line =>
+      .flatMap { line =>
         val parts = line.split(" ", 2)
-        if (parts.length != 2 || !parts(0).forall(_.isDigit) ||
-            parts(0).isEmpty)
-          throw new IllegalArgumentException(
-            s"corrupt snapshot manifest ${p.getName}: bad line '$line'")
-        parts(0).toInt -> parts(1)
+        val bucket =
+          if (parts.length == 2) parts(0).toIntOption else None
+        bucket match {
+          case Some(b) => Some(b -> parts(1))
+          case None if strict => throw new IllegalArgumentException(
+            s"corrupt snapshot manifest $name: bad line '$line'")
+          case None => None
+        }
       }.toMap
-  }
 
   /** One listing of the snapshot dir's manifest files: gen → path. */
   private def listManifests(fs: org.apache.hadoop.fs.FileSystem,
@@ -629,11 +656,8 @@ object ViewRefresh {
       val schemaP = new org.apache.hadoop.fs.Path(snap, SchemaFile)
       require(fs.exists(schemaP),
         s"snapshot view at $path has no live buckets and no $SchemaFile")
-      val in = fs.open(schemaP)
-      val json = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-      val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(readFully(fs, schemaP))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
@@ -655,7 +679,12 @@ object ViewRefresh {
       horizonMs: Long): Int = {
     val snap = new org.apache.hadoop.fs.Path(path, SnapDir)
     val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
-    val (gen, _) = currentManifest(fs, snap).getOrElse(return 0)
+    // the latest GENERATION NUMBER comes from the file NAME — parsing
+    // the latest manifest's body here would wedge every vacuum on a
+    // corrupt latest manifest, the exact failure GC must survive
+    val names = listManifests(fs, snap)
+    if (names.isEmpty) return 0
+    val gen = names.map(_._1).max
     val cutoff = System.currentTimeMillis() - horizonMs
     val entries = fs.listStatus(snap).toSeq
     val staleManifests = entries.filter { st =>
@@ -667,16 +696,19 @@ object ViewRefresh {
     }.map(_.getPath.getName).toSet
     // liveness = union over every SURVIVING manifest, read directly
     // from the already-listed paths (one listing total, not one per
-    // manifest). A manifest that fails to PARSE contributes nothing
-    // to liveness but is also never deleted here and never aborts the
-    // GC: reads of that generation fail loudly on their own path; a
-    // wedged vacuum would mean unbounded storage growth everywhere
-    // else, the worse failure.
+    // manifest), parsed LENIENTLY: a corrupt line neither aborts the
+    // GC (a wedged vacuum means unbounded storage growth everywhere
+    // else) nor condemns the generations the manifest's WELL-FORMED
+    // lines still reference (deleting those would turn a repairable
+    // one-bad-line corruption into permanent data loss). An unreadable
+    // manifest FILE contributes nothing but is never deleted here;
+    // reads of that generation fail loudly on their own path.
     val live: Set[String] = entries.flatMap { st =>
       st.getPath.getName match {
         case manifestRe(_) if st.isFile &&
             !staleManifests(st.getPath.getName) =>
-          scala.util.Try(readManifestFile(fs, st.getPath))
+          scala.util.Try(parseManifest(readFully(fs, st.getPath),
+            st.getPath.getName, strict = false))
             .getOrElse(Map.empty[Int, String]).values
         case _ => Seq.empty
       }

@@ -565,31 +565,89 @@ class ViewRefreshSpec extends AnyFunSuite {
     (1 to 6).foreach { round =>
       val before = ViewRefresh.snapshotGenerations(spark, path).size
       val barrier = new java.util.concurrent.CyclicBarrier(2)
-      val successes = new java.util.concurrent.atomic.AtomicInteger
+      val winners =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]
       val threads = (0 to 1).map { w =>
         new Thread(() => {
           barrier.await()
           try {
             ViewRefresh.refreshSnapshot(frames(w), col("k"), nb, buckets,
               path)
-            successes.incrementAndGet(): Unit
+            winners.add(s"w$w"): Unit
           } catch { case _: java.io.IOException => () } // loud loser
         })
       }
       threads.foreach(_.start()); threads.foreach(_.join(60000))
       val added =
         ViewRefresh.snapshotGenerations(spark, path).size - before
-      assert(added === successes.get(),
-        s"round $round: $added manifests for ${successes.get()} silent " +
+      assert(added === winners.size(),
+        s"round $round: $added manifests for ${winners.size()} silent " +
           "successes — a racer was silently dropped")
-      assert(successes.get() >= 1, s"round $round: both writers failed")
-      // and the committed snapshot is always a COMPLETE state from
-      // one writer, never a mix
+      assert(winners.size() >= 1, s"round $round: both writers failed")
+      // the committed snapshot is always a COMPLETE state from one
+      // writer, never a mix — and it must be a writer that REPORTED
+      // success (the r15 review's empirical failure mode: the manifest
+      // winner serving the data of the thread that threw)
       val tags = ViewRefresh.readSnapshot(spark, path)
         .collect().map(_.getAs[String]("tag")).toSet
-      assert(tags.size === 1 && Set("w0", "w1")(tags.head),
-        s"round $round: torn snapshot $tags")
+      assert(tags.size === 1, s"round $round: torn snapshot $tags")
+      val okTags = (0 to 1).map(w => s"w$w")
+        .filter(t => winners.contains(t)).toSet
+      assert(okTags(tags.head),
+        s"round $round: served ${tags.head} but the silent successes " +
+          s"were $okTags — a successful writer's data was dropped")
     }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("corrupt manifests: GC never wedges, good lines stay live, reads are named-loud") {
+    import spark.implicits._
+    val nb = 8
+    val root = java.nio.file.Files.createTempDirectory("vr_corrupt").toString
+    val path = s"$root/view"
+    val v1 = Seq((1L, "a"), (2L, "a")).toDF("k", "tag")
+    ViewRefresh.materializeSnapshot(v1, col("k"), nb, path)
+    ViewRefresh.refreshSnapshot(Seq((1L, "b"), (2L, "b")).toDF("k", "tag"),
+      col("k"), nb,
+      ViewRefresh.affectedBuckets(v1.select("k"), col("k"), nb), path)
+    val snap = new org.apache.hadoop.fs.Path(s"$path/${ViewRefresh.SnapDir}")
+    val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
+    // corrupt the RETAINED older manifest v1 by appending one bad line
+    // (its well-formed lines must keep their generations alive) and
+    // the LATEST v2 by appending an overlong numeral (vacuum must not
+    // wedge; reads must throw the NAMED error)
+    def append(gen: Long, line: String): Unit = {
+      val mp = new org.apache.hadoop.fs.Path(snap, f"v$gen%018d")
+      val body = {
+        val in = fs.open(mp)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      }
+      val out = fs.create(mp, true)
+      out.write((body + "\n" + line).getBytes("UTF-8")); out.close()
+    }
+    append(1L, "not-a-bucket line")
+    append(2L, "99999999999 pbucket=9-g9-deadbeef")
+    // the READ of a corrupt manifest is a NAMED error, not a raw
+    // NumberFormatException / MatchError
+    val e = intercept[IllegalArgumentException] {
+      ViewRefresh.readSnapshot(spark, path)
+    }
+    assert(e.getMessage.contains("corrupt snapshot manifest"))
+    // vacuum does NOT wedge, and v1's well-formed lines keep their
+    // generation dirs alive (an infinite horizon removes nothing)
+    assert(ViewRefresh.vacuumSnapshot(spark, path, Long.MaxValue) === 0)
+    val dirs = fs.listStatus(snap).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).toSet
+    // both generations' dirs survive: v1 (corrupt but lenient-parsed)
+    // still references its g1 dirs
+    assert(dirs.exists(_.contains("-g1-")) && dirs.exists(_.contains("-g2-")),
+      s"generation dirs lost under a corrupt manifest: $dirs")
+    // time travel to the intact part of history still works after a
+    // zero-horizon vacuum trims v1 (the corrupt latest is never
+    // deleted — it is the current manifest)
+    assert(ViewRefresh.vacuumSnapshot(spark, path, 0L) > 0)
+    assert(ViewRefresh.snapshotGenerations(spark, path) === Seq(2L))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 }
