@@ -416,13 +416,6 @@ object ViewRefresh {
       if (view.columns.contains(BucketCol))
         view.withColumn(BucketCol, guardedBucket(col(BucketCol), key, nBuckets))
       else view.withColumn(BucketCol, bucketOf(key, nBuckets))
-    // a REBUILD of an existing snapshot view must publish ABOVE the
-    // current generation — publishing gen 1 beside a live v5 manifest
-    // would be silently invisible to readers (max wins) and collide
-    // with any surviving g1 dirs. A full materialize replaces EVERY
-    // prior bucket.
-    val (gen, prior) = currentManifest(fs, snap)
-      .map { case (g, m) => (g + 1L, m) }.getOrElse((1L, Map.empty[Int, String]))
     // schema sidecar: lets readSnapshot serve a legitimately-empty
     // snapshot (every member deleted) as a typed zero-row table
     // instead of an unreadable state
@@ -434,8 +427,19 @@ object ViewRefresh {
     fs.delete(schemaP, false)
     if (!fs.rename(schemaTmp, schemaP))
       throw new java.io.IOException(s"failed to publish schema $schemaP")
-    publishGeneration(spark, fs, snap, bucketed, gen,
-      replacedBuckets = prior.keys.toSeq, prior = prior)
+    // a REBUILD of an existing snapshot view must publish ABOVE the
+    // current generation — publishing gen 1 beside a live v5 manifest
+    // would be silently invisible to readers (max wins) and collide
+    // with any surviving g1 dirs. A full materialize replaces EVERY
+    // prior bucket. Generation choice + publish ride the per-path
+    // publish lock (see [[publishGeneration]]'s race note).
+    withPublishLock(fs, base) {
+      val (gen, prior) = currentManifest(fs, snap)
+        .map { case (g, m) => (g + 1L, m) }
+        .getOrElse((1L, Map.empty[Int, String]))
+      publishGeneration(spark, fs, snap, bucketed, gen,
+        replacedBuckets = prior.keys.toSeq, prior = prior)
+    }
   }
 
   /** Partition-scoped refresh of a [[materializeSnapshot]] view: the
@@ -445,13 +449,18 @@ object ViewRefresh {
     * An affected bucket whose recompute came back empty simply leaves
     * the new manifest (deletion correctness without touching disk).
     *
-    * CONCURRENT WRITERS are detected by construction: two refreshes
-    * racing from the same current generation both target manifest
-    * v(N+1), and the second rename-into-existing-file FAILS loudly
-    * (spec-pinned) — the loser's generation dirs become unreferenced
-    * debris for [[vacuumSnapshot]], never a torn snapshot. RETRIES
-    * (foreachBatch redelivery) are content-idempotent: the recompute
-    * of the affected buckets is deterministic, so a replayed refresh
+    * CONCURRENT WRITERS within one JVM are SERIALIZED by a per-path
+    * publish lock spanning generation choice through manifest commit
+    * (the [[graft.streaming.DocStream]] sink-lock idiom) — concurrent
+    * local refreshes simply chain as successive generations. Across
+    * JVMs the exists-check + read-back layers make a same-generation
+    * loser LOUD on no-overwrite-rename filesystems (HDFS); on a
+    * filesystem whose rename REPLACES an existing file (raw POSIX),
+    * cross-process mutual exclusion needs an external coordinator —
+    * the same caveat every manifest-committed table format carries on
+    * such stores (Delta's S3 LogStore). RETRIES (foreachBatch
+    * redelivery) are content-idempotent: the recompute of the
+    * affected buckets is deterministic, so a replayed refresh
     * publishes a new generation with identical rows — readers see the
     * same data either way, no ledger needed on this path. */
   def refreshSnapshot(view: DataFrame, key: Column, nBuckets: Int,
@@ -462,14 +471,33 @@ object ViewRefresh {
     val base = new org.apache.hadoop.fs.Path(path)
     val snap = new org.apache.hadoop.fs.Path(base, SnapDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    val (gen, cur) = currentManifest(fs, snap).getOrElse(
+    currentManifest(fs, snap).getOrElse(
       throw new IllegalArgumentException(
         s"$path is not a snapshot view (no $SnapDir manifest) — " +
-          "materializeSnapshot first"))
+          "materializeSnapshot first")): Unit
     val scoped = scopedVerified(view, key, nBuckets, buckets, sourceLayout)
-    try publishGeneration(spark, fs, snap, scoped, gen + 1L,
-      replacedBuckets = buckets, prior = cur)
+    // generation choice + publish under the lock: the CURRENT
+    // manifest is re-read inside, so serialized concurrent refreshes
+    // chain (each sees its predecessor's commit) instead of both
+    // publishing against the same stale prior
+    try withPublishLock(fs, base) {
+      val (gen, cur) = currentManifest(fs, snap).get
+      publishGeneration(spark, fs, snap, scoped, gen + 1L,
+        replacedBuckets = buckets, prior = cur)
+    }
     finally scoped.unpersist(): Unit
+  }
+
+  /** One JVM-wide lock per qualified table path: generation choice
+    * and manifest commit are atomic within this process. */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withPublishLock[T](fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path)(f: => T): T = {
+    val key = fs.makeQualified(base).toString
+    val lock = publishLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized(f)
   }
 
   /** Write `rows` as generation-`gen` bucket dirs and publish the new
@@ -515,25 +543,32 @@ object ViewRefresh {
       val out = fs.create(tmp, true)
       out.write(body.getBytes("UTF-8")); out.close()
       val mf = new org.apache.hadoop.fs.Path(snap, f"v$gen%018d")
-      // concurrent-writer detection (single-writer is the repo-wide
-      // assumption; a violation must be LOUD, not last-writer-wins),
-      // two layers: (1) an already-committed generation is refused
-      // before the rename; (2) rename-onto-existing-FILE semantics
-      // vary by filesystem (HDFS and Hadoop LocalFileSystem return
-      // false; a raw POSIX rename would REPLACE), so after the rename
-      // the manifest is read back and must carry OUR body — the run
-      // id in every dir name makes two racers' bodies necessarily
-      // different, so whichever layer fires, exactly one writer's
-      // COMPLETE manifest is committed and the loser throws; the
-      // loser's uniquely-named dirs are unreferenced debris for
-      // vacuum, never served.
+      // concurrent-writer detection (same-JVM writers are already
+      // serialized by withPublishLock; these layers cover CROSS-
+      // PROCESS writers, who must be LOUD, not last-writer-wins):
+      // (1) an already-committed generation is refused before the
+      // rename; (2) on a no-overwrite-rename filesystem (HDFS) a
+      // racer inside the exists window fails the rename; (3) raw
+      // POSIX rename REPLACES an existing file and returns true
+      // (RawLocalFileSystem delegates to File.renameTo = rename(2) —
+      // do NOT trust the rename return value for this), so the
+      // manifest is read back and must carry OUR body — the run id in
+      // every dir name makes two racers' bodies necessarily
+      // different. The read-back is the ONLY layer that fires for a
+      // rename-replaced loser, and it is itself check-after-act: a
+      // replace landing between a winner's rename and its read-back
+      // can still produce two silent claimants on a replace-semantics
+      // filesystem — cross-process mutual exclusion there needs an
+      // external coordinator (the standard manifest-format caveat;
+      // see refreshSnapshot's scaladoc).
       if (fs.exists(mf))
         throw new java.io.IOException(
           s"concurrent publish detected at $mf — generation $gen is " +
             "already committed")
       if (!fs.rename(tmp, mf))
-        throw new java.io.IOException(s"concurrent publish detected — " +
-          s"failed to publish manifest $mf")
+        throw new java.io.IOException(s"failed to publish manifest $mf " +
+          "(an I/O failure, or a concurrent publisher on a " +
+          "no-overwrite filesystem)")
       if (readFully(fs, mf) != body)
         throw new java.io.IOException(
           s"concurrent publish detected at $mf — this refresh lost the " +
@@ -555,28 +590,40 @@ object ViewRefresh {
     * vacuum, see [[vacuumSnapshot]]). */
   private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Map[Int, String] =
-    parseManifest(readFully(fs, p), p.getName, strict = true)
+    parseManifest(readFully(fs, p), p.getName)
 
-  /** `strict = true` (the READ path): any malformed line throws the
-    * named corrupt-manifest error — never a raw NumberFormatException
-    * (`toIntOption` covers overlong numerals). `strict = false` (the
-    * GC liveness union): well-formed lines still contribute their
-    * dirs — a one-bad-line manifest must neither wedge vacuum NOR
-    * condemn the 99 generations its good lines reference. */
-  private def parseManifest(body: String, name: String,
-      strict: Boolean): Map[Int, String] =
+  /** The READ path's parse: any malformed line — wrong field count,
+    * non-digit or overlong bucket (digits-only guard, then
+    * `toIntOption` for overflow; signed forms are corrupt too) —
+    * throws the named corrupt-manifest error, never a raw
+    * NumberFormatException. */
+  private def parseManifest(body: String, name: String): Map[Int, String] =
+    body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val parts = line.split(" ", 2)
+        val bucket =
+          if (parts.length == 2 && parts(0).nonEmpty &&
+            parts(0).forall(_.isDigit)) parts(0).toIntOption
+          else None
+        bucket match {
+          case Some(b) => b -> parts(1)
+          case None => throw new IllegalArgumentException(
+            s"corrupt snapshot manifest $name: bad line '$line'")
+        }
+      }.toMap
+
+  /** The GC liveness parse: EVERY two-field line contributes its dir
+    * reference, independent of whether its bucket field parses or
+    * collides — corruption must neither wedge vacuum nor condemn a
+    * dir an intact field still references (a deduping bucket-keyed
+    * map would let a corrupt duplicate-bucket line EVICT the real
+    * dir from the liveness union — data loss through the GC). */
+  private def manifestDirsLenient(body: String): Seq[String] =
     body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
       .flatMap { line =>
         val parts = line.split(" ", 2)
-        val bucket =
-          if (parts.length == 2) parts(0).toIntOption else None
-        bucket match {
-          case Some(b) => Some(b -> parts(1))
-          case None if strict => throw new IllegalArgumentException(
-            s"corrupt snapshot manifest $name: bad line '$line'")
-          case None => None
-        }
-      }.toMap
+        if (parts.length == 2 && parts(1).nonEmpty) Some(parts(1)) else None
+      }.toSeq
 
   /** One listing of the snapshot dir's manifest files: gen → path. */
   private def listManifests(fs: org.apache.hadoop.fs.FileSystem,
@@ -707,9 +754,8 @@ object ViewRefresh {
       st.getPath.getName match {
         case manifestRe(_) if st.isFile &&
             !staleManifests(st.getPath.getName) =>
-          scala.util.Try(parseManifest(readFully(fs, st.getPath),
-            st.getPath.getName, strict = false))
-            .getOrElse(Map.empty[Int, String]).values
+          scala.util.Try(manifestDirsLenient(readFully(fs, st.getPath)))
+            .getOrElse(Seq.empty)
         case _ => Seq.empty
       }
     }.toSet
