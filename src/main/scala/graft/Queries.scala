@@ -8049,6 +8049,93 @@ object Queries {
       |USING (y)
       |ORDER BY y""".stripMargin
 
+  /** MDX TEXT QUERY ([[graft.olap.Mdx]]) — the language the
+    * reference's users actually type at the cube (Mondrian over
+    * `Schema_Trabajo_Final.xml:56-91`): a CROSSJOIN drill of the
+    * fecha and transporte hierarchies, sliced to one sexo member,
+    * selecting both schema measures — parsed from the literal MDX
+    * string, compiled onto [[graft.olap.CubeQuery]]'s grain path
+    * (the same groupBy plan a Scala caller gets; MdxSpec asserts
+    * plan identity and routed zero-fact-lineage separately). The
+    * oracle replays the drill directly over the natural-key CTE —
+    * a drift in the parse, the level-prefix expansion
+    * (`[fecha].[anio_movi].Members` → the `anio_movi` grain), the
+    * slicer value typing, or the measure selection breaks the hash. */
+  def q229Mdx(s: SparkSession, dir: String): DataFrame = {
+    import graft.olap.{CubeQuery, Mdx}
+    val catalog = Map("movimientos" -> CubeQuery.CubeRef(
+      () => q203Wide(s, dir),
+      measures = Seq(count(col("id_persona")).as("cantidad_movimientos"),
+        round(dmean(col("edad")), 6).as("promedio_edades"))))
+    val schema = Map("movimientos" -> q203Hierarchies)
+    val mdx =
+      """SELECT {[Measures].[cantidad_movimientos],
+        |        [Measures].[promedio_edades]} ON COLUMNS,
+        |       CROSSJOIN({[fecha].[anio_movi].Members},
+        |                 {[transporte].[via_tran].Members}) ON ROWS
+        |FROM [movimientos]
+        |WHERE ([sexo].[sex_migr].[M])""".stripMargin
+    Mdx.run(mdx, catalog, schema).orderBy("anio_movi", "via_tran")
+  }
+
+  val q229Sql: String =
+    """WITH raw AS (SELECT
+      |  CAST(year(o_orderdate) AS INT) AS anio_movi,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE 'F' END AS sex_migr,
+      |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'aerea'
+      |       WHEN o_orderpriority = '3-MEDIUM' THEN 'terrestre'
+      |       ELSE 'maritima' END AS via_tran,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE CAST(o_custkey % 80 + 1 AS INT) END AS edad
+      | FROM orders)
+      |SELECT anio_movi, via_tran,
+      | count(*) AS cantidad_movimientos,
+      | round(CAST(sum(CAST(edad AS DECIMAL(18,2))) AS DOUBLE) / count(edad), 6)
+      |   AS promedio_edades
+      |FROM raw WHERE sex_migr = 'M'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** SQL-VIEW CUBE FACE ([[graft.olap.CubeQuery.registerSql]]) — the
+    * reference's OTHER textual entry point: Grafana speaks plain SQL
+    * at the serving store (`docker-compose.yaml:20-47`). The whole
+    * q203 member space registers as a session temp view and the
+    * client's query is a LITERAL SQL string over it — picking the
+    * (fact, anio, mes) member set by its grouping id and projecting
+    * the measures. The oracle recomputes that one set directly from
+    * the natural keys, so the registration, the GROUPING SETS gid
+    * arithmetic AND the SQL-face filtering must all agree to hash. */
+  def q230CubeSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.olap.CubeQuery
+    CubeQuery.registerSql(s, "cube_movimientos", CubeQuery.Query(
+      cube = CubeQuery.CubeRef(() => q203Wide(s, dir),
+        measures = Seq(count(col("id_persona")).as("cantidad_movimientos"),
+          round(dmean(col("edad")), 6).as("promedio_edades"))),
+      hierarchies = q203Hierarchies,
+      always = Seq("fact")))
+    // gid 255 = the (fact, anio_movi, mes_movi) set: dia..ocu (8
+    // trailing level columns) grouped OUT → 128+64+32+16+8+4+2+1
+    s.sql("""SELECT fact, anio_movi, mes_movi,
+      |       cantidad_movimientos, promedio_edades
+      |FROM cube_movimientos WHERE gid = 255
+      |ORDER BY fact, anio_movi, mes_movi""".stripMargin)
+  }
+
+  val q230Sql: String =
+    """WITH raw AS (SELECT
+      |  CASE WHEN o_orderstatus = 'O' THEN ' Entrada ' ELSE 'salida' END AS tip_movi,
+      |  CAST(year(o_orderdate) AS INT) AS anio_movi,
+      |  CAST(month(o_orderdate) AS INT) AS mes_movi,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE CAST(o_custkey % 80 + 1 AS INT) END AS edad
+      | FROM orders),
+      |f AS (SELECT CASE WHEN lower(trim(tip_movi)) = 'entrada'
+      |             THEN 'inmigrante' ELSE 'emigrante' END AS fact, * FROM raw)
+      |SELECT fact, anio_movi, mes_movi,
+      | count(*) AS cantidad_movimientos,
+      | round(CAST(sum(CAST(edad AS DECIMAL(18,2))) AS DOUBLE) / count(edad), 6)
+      |   AS promedio_edades
+      |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   private[graft] val q225Budget = 120L
 
   /** BUDGET-CONSTRAINED AGGREGATE ADVISOR ([[graft.olap.AggNavigator
@@ -8369,6 +8456,8 @@ object Queries {
     "q226_closure_move" -> (q226ClosureMove _),
     "q227_closure_ops" -> (q227ClosureOps _),
     "q228_cube_json" -> (q228CubeJson _),
+    "q229_mdx" -> (q229Mdx _),
+    "q230_cube_sql" -> (q230CubeSql _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -8605,6 +8694,8 @@ object Queries {
     "q226_closure_move" -> q226Sql,
     "q227_closure_ops" -> q227Sql,
     "q228_cube_json" -> q228Sql,
+    "q229_mdx" -> q229Sql,
+    "q230_cube_sql" -> q230Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -8728,5 +8819,11 @@ object Queries {
     "q227_closure_ops",
     // round-15: the JSON wire path (parse + slicer push + conformed
     // merge — benched so the binding layer stays visibly free)
-    "q228_cube_json")
+    "q228_cube_json",
+    // round-16: the two TEXT faces — MDX (parse + level-prefix grain +
+    // slicer, lowering to the plain drill plan) and the registered
+    // SQL view over the member space (GROUPING SETS pass + gid filter
+    // through spark.sql) — benched from birth so the language layers
+    // stay visibly free beside q203's direct member space
+    "q229_mdx", "q230_cube_sql")
 }

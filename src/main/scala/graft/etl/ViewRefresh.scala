@@ -48,7 +48,10 @@ import graft.sources.Warehouse
   *  - the carried-scoped fast path (partition-pruned source scan)
   *    must be EARNED: pass `sourceLayout` = the co-bucketed source's
   *    path, and the refresh verifies that layout's sidecar carries
-  *    the same bucket count before trusting its partition column.
+  *    the same bucket count before trusting its partition column —
+  *    and then STILL probes the complement partitions (column-pruned
+  *    to the key) for rows the carried scope would wrongly exclude,
+  *    because the sidecar attests the count, not the key.
   *
   * The bucket count trades refresh granularity against small-file
   * pressure: more buckets → less over-rebuild per changed key but
@@ -85,13 +88,8 @@ object ViewRefresh {
     val p = new org.apache.hadoop.fs.Path(path, LayoutFile)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
-      finally in.close()
-      """"nBuckets"\s*:\s*(\d+)""".r
-        .findFirstMatchIn(new String(bytes, "UTF-8")).map(_.group(1).toInt)
-    }
+    else """"nBuckets"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readFully(fs, p)).map(_.group(1).toInt)
   }
 
   /** Per-row write-path guard: the written bucket value, failing the
@@ -116,12 +114,32 @@ object ViewRefresh {
     * computed. Stamps the layout sidecar. */
   def materialize(view: DataFrame, key: Column, nBuckets: Int,
       path: String): Unit = {
+    requireNotSnapshotView(view.sparkSession, path, "materialize")
     val bucketed =
       if (view.columns.contains(BucketCol))
         view.withColumn(BucketCol, guardedBucket(col(BucketCol), key, nBuckets))
       else view.withColumn(BucketCol, bucketOf(key, nBuckets))
     bucketed.write.partitionBy(BucketCol).mode("overwrite").parquet(path)
     writeLayout(view.sparkSession, path, nBuckets)
+  }
+
+  /** Guard shared by the NON-snapshot write paths: a snapshot view's
+    * root sidecar passes [[requireStampedLayout]] (the same file), so
+    * without this check a plain [[refresh]] would "succeed" by
+    * writing `pbucket=` dirs beside [[SnapDir]] that [[readSnapshot]]
+    * never serves — a silently ineffective refresh that ALSO breaks
+    * the direct-read-fails-loudly property (the root would now carry
+    * readable partition dirs). Mirrors [[refreshSnapshot]]'s
+    * not-a-snapshot guard in the other direction. */
+  private def requireNotSnapshotView(spark: SparkSession, path: String,
+      op: String): Unit = {
+    val snap = new org.apache.hadoop.fs.Path(path, SnapDir)
+    val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
+    require(listManifests(fs, snap).isEmpty,
+      s"$path is a SNAPSHOT view (a committed $SnapDir manifest " +
+        s"exists) — $op would write partition dirs readSnapshot never " +
+        "serves; use materializeSnapshot/refreshSnapshot, or delete " +
+        "the table to convert it to a plain layout")
   }
 
   /** Co-bucketed SOURCE layout: write a fact (or any view input)
@@ -195,6 +213,7 @@ object ViewRefresh {
       sourceLayout: Option[String] = None,
       isolated: Boolean = false): Unit = {
     val spark = view.sparkSession
+    requireNotSnapshotView(spark, path, "refresh")
     requireStampedLayout(spark, path, nBuckets)
     val scoped = scopedVerified(view, key, nBuckets, buckets, sourceLayout)
     try {
@@ -239,7 +258,7 @@ object ViewRefresh {
     fs.listStatus(base).foreach { st =>
       val n = st.getPath.getName
       if ((n.startsWith(".refresh-tmp-") ||
-          (n.startsWith(s".$BucketCol=") && n.contains(".old-"))) &&
+          (n.startsWith(s".$BucketCol=") && n.contains(Warehouse.OldTag))) &&
           st.getModificationTime < staleBefore)
         fs.delete(st.getPath, true): Unit
     }
@@ -304,20 +323,32 @@ object ViewRefresh {
             "count as disagreement) — the source layout was bucketed " +
             "on a different key or bucket count, or the view join " +
             "produced unmatched rows")
-        // a PRUNED scope that came back EMPTY is suspicious, not
-        // conclusive: a wrong-key layout with a coincidentally-equal
-        // sidecar count could park every affected row outside the
-        // carried buckets, pass the (vacuous) check above, and let the
-        // emptied-bucket path DELETE live partitions. Cross-check with
-        // one computed-scoped existence probe — only in this rare case,
-        // so the pruning win survives the common path.
-        if (pruned && scoped.isEmpty) {
-          val missed = view.filter(computed.isin(buckets: _*))
+        // a PRUNED scope's verify above covers only the rows the
+        // carried filter ADMITTED. The sidecar handshake pins the
+        // bucket COUNT but not the KEY: a wrong-key layout with the
+        // same count can park affected rows in partitions OUTSIDE the
+        // carried scope — those rows never enter `scoped`, the check
+        // above is vacuous for them, and the rebuilt partitions would
+        // silently OMIT them (row loss), or, when the whole scope came
+        // back empty, the emptied-bucket path would DELETE live
+        // partitions. Probe the complement on EVERY pruned refresh:
+        // any row whose computed bucket is affected but whose carried
+        // bucket is not proves the carried column does not track this
+        // key. Cost: a scan of the complement partitions, column-
+        // pruned to the key + partition column — the WRITE-side
+        // amplification win of the fast path survives intact; the
+        // read-side win pays for this verification (the price of an
+        // unverifiable key claim; a layout whose KEY identity could be
+        // attested would not need it).
+        if (pruned) {
+          val missed = view.filter(computed.isin(buckets: _*) &&
+              !(col(BucketCol).isin(buckets: _*) || col(BucketCol).isNull))
             .limit(1).count()
           require(missed == 0,
-            s"carried-scoped refresh found 0 rows but computed " +
-              s"bucketOf(key, $nBuckets) scoping finds rows in " +
-              s"buckets ${buckets.mkString(",")} — the source layout's " +
+            s"carried-scoped refresh would DROP rows: computed " +
+              s"bucketOf(key, $nBuckets) places rows in affected " +
+              s"buckets ${buckets.mkString(",")} that the carried " +
+              s"$BucketCol column excludes — the source layout's " +
               "carried column does not match this key")
         }
       }
@@ -346,15 +377,49 @@ object ViewRefresh {
         throw new IllegalArgumentException(
           s"view table at $path carries no $LayoutFile sidecar — " +
             "re-materialize, or assert the legacy layout explicitly " +
-            "with ViewRefresh.stampLayout(spark, path, nBuckets)")
+            "with ViewRefresh.stampLayout(spark, path, nBuckets, key)")
     }
 
   /** Explicitly stamp a PRE-EXISTING table's layout sidecar — the
     * adoption path for tables materialized before the sidecar existed.
-    * The caller asserts the bucket count; the stamp also verifies the
-    * cheap metadata face (every partition-dir value must lie in
-    * [0, nBuckets) — catches a coarser claimed count immediately). */
-  def stampLayout(spark: SparkSession, path: String, nBuckets: Int): Unit = {
+    * The caller names the bucket count AND the bucket key, and the
+    * stamp verifies the claim against the DATA: every stored row's
+    * partition value must equal `bucketOf(key, nBuckets)` (one scan,
+    * column-pruned to the key + partition column). The cheap
+    * range check alone (every dir value in [0, nBuckets)) cannot see
+    * a FINER claimed count — 64 asserted over a real 32-bucket layout
+    * passes it, and later refreshes would swap mod-64 partitions
+    * misaligned with the stored mod-32 dirs, serving stale duplicate
+    * rows beside their refreshed copies. The row verify catches that,
+    * and a wrong-key claim, before the sidecar exists to be trusted. */
+  def stampLayout(spark: SparkSession, path: String, nBuckets: Int,
+      key: Column): Unit = {
+    stampRangeCheck(spark, path, nBuckets)
+    val mismatched = spark.read.parquet(path)
+      .filter(!(col(BucketCol) <=> bucketOf(key, nBuckets)))
+      .limit(1).count()
+    require(mismatched == 0,
+      s"cannot stamp nBuckets=$nBuckets: stored rows' $BucketCol " +
+        s"partition values do not equal bucketOf(key, $nBuckets) — " +
+        "the claimed layout (count or key) does not match the data")
+    writeLayout(spark, path, nBuckets)
+  }
+
+  /** [[stampLayout]] WITHOUT the row verify — for adopters that no
+    * longer know the bucket key expression. UNCHECKED beyond the
+    * range face: a FINER count than the real layout (any multiple)
+    * passes and later corrupts refreshes with stale duplicates —
+    * prefer the keyed overload wherever the key is known. */
+  def stampLayoutUnchecked(spark: SparkSession, path: String,
+      nBuckets: Int): Unit = {
+    stampRangeCheck(spark, path, nBuckets)
+    writeLayout(spark, path, nBuckets)
+  }
+
+  /** The metadata face of the stamp: every partition-dir value in
+    * [0, nBuckets) — catches a coarser claimed count without a scan. */
+  private def stampRangeCheck(spark: SparkSession, path: String,
+      nBuckets: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val outOfRange = fs.listStatus(p).map(_.getPath.getName).collect {
@@ -365,7 +430,6 @@ object ViewRefresh {
     require(outOfRange.isEmpty,
       s"cannot stamp nBuckets=$nBuckets: partition dirs " +
         s"${outOfRange.sorted.mkString(",")} lie outside [0, $nBuckets)")
-    writeLayout(spark, path, nBuckets)
   }
 
   // =====================================================================
@@ -402,44 +466,69 @@ object ViewRefresh {
     * generations accumulate until [[vacuumSnapshot]] removes the
     * unreferenced ones past a horizon — exactly the
     * manifest-plus-vacuum contract of the table formats built for this
-    * problem (Iceberg/Delta), reduced to the one-table case. Same
-    * single-writer assumption as every publish in this repo. */
+    * problem (Iceberg/Delta), reduced to the one-table case.
+    *
+    * ATOMIC METADATA: the bucket count and the schema ride IN the
+    * manifest as header lines, so the layout contract commits in the
+    * SAME rename as the data mapping — a rebuild that dies anywhere
+    * before the commit changes nothing a later refresh could trust
+    * wrongly (the r15 review's stamp-before-commit hazard: a root
+    * sidecar asserting a bucket count the committed snapshot doesn't
+    * have). The root `_graft_layout.json` and `_schema.json` sidecars
+    * are still written AFTER a successful commit — convenience copies
+    * for tooling and the pre-header fallback, never the authority
+    * when a manifest header exists.
+    *
+    * Concurrent publishers are serialized by `coordinator` — the
+    * default [[PublishCoordinator.SameJvm]] covers one JVM; pass a
+    * [[FileLeaseCoordinator]] (or a lock-service impl) when several
+    * PROCESSES may publish on a replace-semantics filesystem (see
+    * [[publishGeneration]]'s race-layer note). */
   def materializeSnapshot(view: DataFrame, key: Column, nBuckets: Int,
-      path: String): Unit = {
+      path: String,
+      coordinator: PublishCoordinator = PublishCoordinator.SameJvm): Unit = {
     val spark = view.sparkSession
     val base = new org.apache.hadoop.fs.Path(path)
     val snap = new org.apache.hadoop.fs.Path(base, SnapDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(snap)
-    writeLayout(spark, path, nBuckets)
     val bucketed =
       if (view.columns.contains(BucketCol))
         view.withColumn(BucketCol, guardedBucket(col(BucketCol), key, nBuckets))
       else view.withColumn(BucketCol, bucketOf(key, nBuckets))
-    // schema sidecar: lets readSnapshot serve a legitimately-empty
-    // snapshot (every member deleted) as a typed zero-row table
-    // instead of an unreadable state
-    val schemaTmp = new org.apache.hadoop.fs.Path(snap,
-      ".schema-tmp-" + java.util.UUID.randomUUID().toString)
-    val out = fs.create(schemaTmp, true)
-    out.write(bucketed.schema.json.getBytes("UTF-8")); out.close()
-    val schemaP = new org.apache.hadoop.fs.Path(snap, SchemaFile)
-    fs.delete(schemaP, false)
-    if (!fs.rename(schemaTmp, schemaP))
-      throw new java.io.IOException(s"failed to publish schema $schemaP")
     // a REBUILD of an existing snapshot view must publish ABOVE the
     // current generation — publishing gen 1 beside a live v5 manifest
     // would be silently invisible to readers (max wins) and collide
     // with any surviving g1 dirs. A full materialize replaces EVERY
-    // prior bucket. Generation choice + publish ride the per-path
-    // publish lock (see [[publishGeneration]]'s race note).
-    withPublishLock(fs, base) {
+    // prior bucket. Generation choice + publish ride the publish
+    // lock (see [[publishGeneration]]'s race note).
+    coordinator.withLock(fs, base) {
       val (gen, prior) = currentManifest(fs, snap)
-        .map { case (g, m) => (g + 1L, m) }
+        .map { case (g, m) => (g + 1L, m.dirs) }
         .getOrElse((1L, Map.empty[Int, String]))
       publishGeneration(spark, fs, snap, bucketed, gen,
-        replacedBuckets = prior.keys.toSeq, prior = prior)
+        replacedBuckets = prior.keys.toSeq, prior = prior,
+        nBuckets = nBuckets, schemaJson = bucketed.schema.json)
+      // post-commit convenience sidecars (authority is the manifest
+      // header): a crash between the commit and here leaves them
+      // stale/absent, which no handshake trusts over the header
+      writeLayout(spark, path, nBuckets)
+      writeSchemaSidecar(fs, snap, bucketed.schema.json)
     }
+  }
+
+  /** The `_schema.json` convenience sidecar (pre-header fallback for
+    * empty reads) — temp-write + rename, post-commit only. */
+  private def writeSchemaSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      snap: org.apache.hadoop.fs.Path, schemaJson: String): Unit = {
+    val schemaTmp = new org.apache.hadoop.fs.Path(snap,
+      ".schema-tmp-" + java.util.UUID.randomUUID().toString)
+    val out = fs.create(schemaTmp, true)
+    out.write(schemaJson.getBytes("UTF-8")); out.close()
+    val schemaP = new org.apache.hadoop.fs.Path(snap, SchemaFile)
+    fs.delete(schemaP, false)
+    if (!fs.rename(schemaTmp, schemaP))
+      throw new java.io.IOException(s"failed to publish schema $schemaP")
   }
 
   /** Partition-scoped refresh of a [[materializeSnapshot]] view: the
@@ -465,48 +554,65 @@ object ViewRefresh {
     * same data either way, no ledger needed on this path. */
   def refreshSnapshot(view: DataFrame, key: Column, nBuckets: Int,
       buckets: Seq[Int], path: String,
-      sourceLayout: Option[String] = None): Unit = {
+      sourceLayout: Option[String] = None,
+      coordinator: PublishCoordinator = PublishCoordinator.SameJvm): Unit = {
     val spark = view.sparkSession
-    requireStampedLayout(spark, path, nBuckets)
     val base = new org.apache.hadoop.fs.Path(path)
     val snap = new org.apache.hadoop.fs.Path(base, SnapDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    currentManifest(fs, snap).getOrElse(
-      throw new IllegalArgumentException(
-        s"$path is not a snapshot view (no $SnapDir manifest) — " +
-          "materializeSnapshot first")): Unit
+    requireSnapshotLayout(spark, fs, snap, path, nBuckets): Unit
     val scoped = scopedVerified(view, key, nBuckets, buckets, sourceLayout)
     // generation choice + publish under the lock: the CURRENT
-    // manifest is re-read inside, so serialized concurrent refreshes
-    // chain (each sees its predecessor's commit) instead of both
-    // publishing against the same stale prior
-    try withPublishLock(fs, base) {
-      val (gen, cur) = currentManifest(fs, snap).get
+    // manifest is re-read inside (handshake included — a serialized
+    // rebuild could have changed the bucket count since the pre-check
+    // above, which exists only to fail fast before the scoped scan),
+    // so serialized concurrent refreshes chain (each sees its
+    // predecessor's commit) instead of both publishing against the
+    // same stale prior
+    try coordinator.withLock(fs, base) {
+      val (gen, cur) = requireSnapshotLayout(spark, fs, snap, path, nBuckets)
       publishGeneration(spark, fs, snap, scoped, gen + 1L,
-        replacedBuckets = buckets, prior = cur)
+        replacedBuckets = buckets, prior = cur.dirs,
+        nBuckets = nBuckets,
+        schemaJson = cur.schemaJson.getOrElse(scoped.schema.json))
     }
     finally scoped.unpersist(): Unit
   }
 
-  /** One JVM-wide lock per qualified table path: generation choice
-    * and manifest commit are atomic within this process. */
-  private val publishLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  private def withPublishLock[T](fs: org.apache.hadoop.fs.FileSystem,
-      base: org.apache.hadoop.fs.Path)(f: => T): T = {
-    val key = fs.makeQualified(base).toString
-    val lock = publishLocks.computeIfAbsent(key, _ => new Object)
-    lock.synchronized(f)
+  /** The snapshot-side layout handshake: the committed manifest's
+    * `#nBuckets` header is the AUTHORITY (it rode the same atomic
+    * rename as the data mapping, so it can never disagree with what
+    * the snapshot actually holds); pre-header manifests (no
+    * `#nBuckets` line) fall back to the root sidecar via
+    * [[requireStampedLayout]]. Returns the current (gen, manifest). */
+  private def requireSnapshotLayout(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, snap: org.apache.hadoop.fs.Path,
+      path: String, nBuckets: Int): (Long, Manifest) = {
+    val (gen, m) = currentManifest(fs, snap).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a snapshot view (no $SnapDir manifest) — " +
+          "materializeSnapshot first"))
+    m.nBuckets match {
+      case Some(stamped) =>
+        require(stamped == nBuckets,
+          s"snapshot view at $path was materialized with $stamped " +
+            s"buckets (manifest header), refresh called with $nBuckets " +
+            "— refusing to publish mismatched partitions")
+      case None => requireStampedLayout(spark, path, nBuckets)
+    }
+    (gen, m)
   }
 
   /** Write `rows` as generation-`gen` bucket dirs and publish the new
     * manifest: prior mappings minus `replacedBuckets`, plus every
-    * bucket the write produced. */
+    * bucket the write produced. The bucket count and schema commit as
+    * `#`-header lines IN the manifest body — the same atomic rename
+    * as the mapping, so layout metadata can never be stamped ahead of
+    * (or behind) the data it describes. */
   private def publishGeneration(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, snap: org.apache.hadoop.fs.Path,
       rows: DataFrame, gen: Long, replacedBuckets: Seq[Int],
-      prior: Map[Int, String]): Unit = {
+      prior: Map[Int, String], nBuckets: Int, schemaJson: String): Unit = {
     val staging = new org.apache.hadoop.fs.Path(snap,
       ".stage-" + java.util.UUID.randomUUID().toString)
     try {
@@ -536,8 +642,12 @@ object ViewRefresh {
         b -> dir
       }.toMap
       val next = (prior -- replacedBuckets) ++ moved
-      val body = next.toSeq.sorted
-        .map { case (b, d) => s"$b $d" }.mkString("\n")
+      // schema json is single-line by construction (compact
+      // rendering); assert rather than corrupt the line-oriented body
+      require(!schemaJson.contains("\n"), "schema json must be one line")
+      val body = (Seq(s"$HeaderBuckets $nBuckets",
+        s"$HeaderSchema $schemaJson") ++
+        next.toSeq.sorted.map { case (b, d) => s"$b $d" }).mkString("\n")
       val tmp = new org.apache.hadoop.fs.Path(snap,
         ".manifest-tmp-" + java.util.UUID.randomUUID().toString)
       val out = fs.create(tmp, true)
@@ -584,40 +694,70 @@ object ViewRefresh {
     finally in.close()
   }
 
-  /** Parse one manifest file: bucket → generation dir. Malformed
-    * lines throw a NAMED error (the read path must be loud; the GC
-    * path wraps this in Try — a corrupt manifest must never wedge
-    * vacuum, see [[vacuumSnapshot]]). */
+  /** Manifest header tags (r16): layout metadata committed in the
+    * same atomic rename as the bucket mapping. `#`-prefixed lines are
+    * headers; both parsers skip unknown ones, so the format extends
+    * without breaking old readers of new files OR new readers of
+    * pre-header files (whose nBuckets/schema are simply None,
+    * handled by the sidecar fallbacks). */
+  private val HeaderBuckets = "#nBuckets"
+  private val HeaderSchema = "#schema"
+
+  /** One committed manifest: header metadata + bucket → generation
+    * dir. `nBuckets`/`schemaJson` are None for pre-header files. */
+  private final case class Manifest(nBuckets: Option[Int],
+      schemaJson: Option[String], dirs: Map[Int, String])
+
+  /** Parse one manifest file. Malformed lines throw a NAMED error
+    * (the read path must be loud; the GC path uses
+    * [[manifestDirsLenient]] instead — a corrupt manifest must never
+    * wedge vacuum, see [[vacuumSnapshot]]). */
   private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Map[Int, String] =
+      p: org.apache.hadoop.fs.Path): Manifest =
     parseManifest(readFully(fs, p), p.getName)
 
-  /** The READ path's parse: any malformed line — wrong field count,
-    * non-digit or overlong bucket (digits-only guard, then
+  /** The READ path's parse: any malformed mapping line — wrong field
+    * count, non-digit or overlong bucket (digits-only guard, then
     * `toIntOption` for overflow; signed forms are corrupt too) —
     * throws the named corrupt-manifest error, never a raw
-    * NumberFormatException. */
-  private def parseManifest(body: String, name: String): Map[Int, String] =
-    body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-      .map { line =>
-        val parts = line.split(" ", 2)
-        val bucket =
-          if (parts.length == 2 && parts(0).nonEmpty &&
-            parts(0).forall(_.isDigit)) parts(0).toIntOption
-          else None
-        bucket match {
-          case Some(b) => b -> parts(1)
-          case None => throw new IllegalArgumentException(
-            s"corrupt snapshot manifest $name: bad line '$line'")
-        }
-      }.toMap
+    * NumberFormatException. A malformed `#nBuckets` header is equally
+    * corrupt (a refresh trusting a garbled count would publish
+    * misaligned partitions). */
+  private def parseManifest(body: String, name: String): Manifest = {
+    val lines = body.split("\n").iterator.map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val nBuckets = lines.find(_.startsWith(HeaderBuckets + " ")).map { l =>
+      l.stripPrefix(HeaderBuckets + " ").trim.toIntOption.filter(_ > 0)
+        .getOrElse(throw new IllegalArgumentException(
+          s"corrupt snapshot manifest $name: bad header '$l'"))
+    }
+    val schema = lines.find(_.startsWith(HeaderSchema + " "))
+      .map(_.stripPrefix(HeaderSchema + " "))
+    val dirs = lines.filterNot(_.startsWith("#")).map { line =>
+      val parts = line.split(" ", 2)
+      val bucket =
+        if (parts.length == 2 && parts(0).nonEmpty &&
+          parts(0).forall(_.isDigit)) parts(0).toIntOption
+        else None
+      bucket match {
+        case Some(b) => b -> parts(1)
+        case None => throw new IllegalArgumentException(
+          s"corrupt snapshot manifest $name: bad line '$line'")
+      }
+    }.toMap
+    Manifest(nBuckets, schema, dirs)
+  }
 
-  /** The GC liveness parse: EVERY two-field line contributes its dir
-    * reference, independent of whether its bucket field parses or
-    * collides — corruption must neither wedge vacuum nor condemn a
-    * dir an intact field still references (a deduping bucket-keyed
-    * map would let a corrupt duplicate-bucket line EVICT the real
-    * dir from the liveness union — data loss through the GC). */
+  /** The GC liveness parse: EVERY two-field line — headers included —
+    * contributes its second field, independent of whether its first
+    * field parses or collides: corruption must neither wedge vacuum
+    * nor condemn a dir an intact field still references (a deduping
+    * bucket-keyed map would let a corrupt duplicate-bucket line EVICT
+    * the real dir from the liveness union; a mapping line whose
+    * bucket field got garbled into a `#` must still keep its dir).
+    * Header values ("8", the schema json) are inert in the live set —
+    * deletion only ever targets names matching the generation-dir
+    * pattern. Never throws on any input. */
   private def manifestDirsLenient(body: String): Seq[String] =
     body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
       .flatMap { line =>
@@ -641,7 +781,7 @@ object ViewRefresh {
     * None reads the latest. */
   private def currentManifest(fs: org.apache.hadoop.fs.FileSystem,
       snap: org.apache.hadoop.fs.Path,
-      asOf: Option[Long] = None): Option[(Long, Map[Int, String])] = {
+      asOf: Option[Long] = None): Option[(Long, Manifest)] = {
     val manifests = listManifests(fs, snap)
     if (manifests.isEmpty) return None
     val picked = asOf match {
@@ -670,7 +810,7 @@ object ViewRefresh {
     val snap = new org.apache.hadoop.fs.Path(path, SnapDir)
     val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
     currentManifest(fs, snap, Some(gen)) match {
-      case Some((_, cur)) => readManifestDirs(spark, fs, path, cur)
+      case Some((_, m)) => readManifestDirs(spark, fs, path, m)
       case None =>
         val avail = snapshotGenerations(spark, path)
         throw new IllegalArgumentException(
@@ -687,29 +827,35 @@ object ViewRefresh {
   def readSnapshot(spark: SparkSession, path: String): DataFrame = {
     val snap = new org.apache.hadoop.fs.Path(path, SnapDir)
     val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
-    val (_, cur) = currentManifest(fs, snap).getOrElse(
+    val (_, m) = currentManifest(fs, snap).getOrElse(
       throw new IllegalArgumentException(s"$path is not a snapshot view"))
-    readManifestDirs(spark, fs, path, cur)
+    readManifestDirs(spark, fs, path, m)
   }
 
   private def readManifestDirs(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String,
-      cur: Map[Int, String]): DataFrame = {
+      m: Manifest): DataFrame = {
     val snap = new org.apache.hadoop.fs.Path(path, SnapDir)
-    if (cur.isEmpty) {
-      // every member legitimately deleted: a readable zero-row table
-      // (typed from the schema sidecar), not an error — parity with
-      // what the dynamic/isolated layouts serve in the same state
-      val schemaP = new org.apache.hadoop.fs.Path(snap, SchemaFile)
-      require(fs.exists(schemaP),
-        s"snapshot view at $path has no live buckets and no $SchemaFile")
+    if (m.dirs.isEmpty) {
+      // every member legitimately deleted: a readable zero-row table,
+      // not an error — parity with what the dynamic/isolated layouts
+      // serve in the same state. The type comes from the manifest's
+      // own schema header (committed with the mapping); pre-header
+      // manifests fall back to the `_schema.json` sidecar.
+      val schemaJson = m.schemaJson.getOrElse {
+        val schemaP = new org.apache.hadoop.fs.Path(snap, SchemaFile)
+        require(fs.exists(schemaP),
+          s"snapshot view at $path has no live buckets and neither a " +
+            s"manifest schema header nor a $SchemaFile sidecar")
+        readFully(fs, schemaP)
+      }
       val schema = org.apache.spark.sql.types.DataType
-        .fromJson(readFully(fs, schemaP))
+        .fromJson(schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     } else
-      spark.read.parquet(cur.values.map(d => s"$path/$SnapDir/$d").toSeq: _*)
+      spark.read.parquet(m.dirs.values.map(d => s"$path/$SnapDir/$d").toSeq: _*)
   }
 
   /** Garbage-collect old manifests and the generation dirs nothing
@@ -723,7 +869,17 @@ object ViewRefresh {
     * is shared across manifests and can be arbitrarily old). Returns
     * how many entries were deleted. */
   def vacuumSnapshot(spark: SparkSession, path: String,
-      horizonMs: Long): Int = {
+      horizonMs: Long): Int =
+    vacuumSnapshotImpl(spark, path, horizonMs, readFully)
+
+  /** [[vacuumSnapshot]] with the manifest READ injectable — the
+    * fault-injection seam for the abort-on-read-failure contract
+    * (there is no portable way to make a real local read fail once
+    * from a spec). Production callers use the public face. */
+  private[etl] def vacuumSnapshotImpl(spark: SparkSession, path: String,
+      horizonMs: Long,
+      readManifest: (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path) => String): Int = {
     val snap = new org.apache.hadoop.fs.Path(path, SnapDir)
     val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
     // the latest GENERATION NUMBER comes from the file NAME — parsing
@@ -743,19 +899,33 @@ object ViewRefresh {
     }.map(_.getPath.getName).toSet
     // liveness = union over every SURVIVING manifest, read directly
     // from the already-listed paths (one listing total, not one per
-    // manifest), parsed LENIENTLY: a corrupt line neither aborts the
+    // manifest), parsed LENIENTLY: a corrupt LINE neither aborts the
     // GC (a wedged vacuum means unbounded storage growth everywhere
     // else) nor condemns the generations the manifest's WELL-FORMED
     // lines still reference (deleting those would turn a repairable
-    // one-bad-line corruption into permanent data loss). An unreadable
-    // manifest FILE contributes nothing but is never deleted here;
-    // reads of that generation fail loudly on their own path.
+    // one-bad-line corruption into permanent data loss). Leniency
+    // stops at the FILE boundary: a surviving manifest that fails to
+    // READ aborts the whole vacuum before anything is deleted —
+    // swallowing the failure would empty that manifest's contribution
+    // to the live set and condemn every generation dir only it
+    // references (on a quiesced table, ALL data past the horizon);
+    // the r15 review's confirmed data-loss path. A transient I/O blip
+    // costs one skipped vacuum pass, retried on the next schedule —
+    // the asymmetry (bounded storage delay vs permanent loss) decides.
     val live: Set[String] = entries.flatMap { st =>
       st.getPath.getName match {
         case manifestRe(_) if st.isFile &&
             !staleManifests(st.getPath.getName) =>
-          scala.util.Try(manifestDirsLenient(readFully(fs, st.getPath)))
-            .getOrElse(Seq.empty)
+          try manifestDirsLenient(readManifest(fs, st.getPath))
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              throw new java.io.IOException(
+                s"vacuum of $path aborted: surviving manifest " +
+                  s"${st.getPath.getName} failed to READ — nothing was " +
+                  "deleted this pass (an unreadable manifest must not " +
+                  "empty the liveness union and condemn the " +
+                  "generations it references)", e)
+          }
         case _ => Seq.empty
       }
     }.toSet

@@ -137,12 +137,100 @@ object CubeQuery {
     * cube's measures are its registry's stored partials and cannot be
     * overridden from the wire (rejected loudly — the override would
     * silently diverge from what the aggregate tables hold). Slicer
-    * and derived expressions parse with Spark's own SQL parser, so
-    * the wire surface is exactly the engine's expression language. */
+    * and derived expressions parse with Spark's own SQL parser but
+    * are GATED through [[DefaultWireFunctions]] first — an untrusted
+    * client gets query shaping, not `reflect()`-style code execution
+    * (see the allowlist's scaladoc for the trust model and opt-outs). */
   private val WireFields = Set("cube", "hierarchies", "grain", "slicers",
     "always", "drillAcross", "derived", "measures")
 
-  def fromJson(json: String, catalog: Map[String, CubeRef]): Query = {
+  /** Functions a WIRE expression may call. The wire parses slicer /
+    * measure / derived strings with Spark's FULL expression language,
+    * which includes `reflect`/`java_method` — arbitrary JVM calls. A
+    * trusted Scala caller already has that power; an untrusted
+    * NON-Scala client (the wire's whole audience) must not get code
+    * execution from a query document, so every wire expression is
+    * gated through this allowlist BEFORE `expr()`: aggregates,
+    * arithmetic/comparison/case/cast (plain syntax nodes — always
+    * allowed), date/string/math scalars. Deliberately absent:
+    * reflection, shell/url/file readers, nondeterministic functions
+    * (`rand`, `uuid` — a cube query must be replayable), and
+    * subqueries (rejected structurally). Extend per deployment via
+    * `fromJson`'s `allowedFunctions`, or pass [[UnrestrictedWire]]
+    * for a client as trusted as Scala code. */
+  val DefaultWireFunctions: Set[String] = Set(
+    // aggregates
+    "count", "count_if", "sum", "avg", "mean", "min", "max", "first",
+    "last", "any_value", "stddev", "stddev_samp", "stddev_pop",
+    "variance", "var_samp", "var_pop", "skewness", "kurtosis", "corr",
+    "covar_samp", "covar_pop", "approx_count_distinct", "median",
+    "percentile", "percentile_approx", "mode", "sum_distinct",
+    "count_distinct", "grouping", "grouping_id",
+    // conditionals / null handling
+    "coalesce", "nullif", "nvl", "nvl2", "ifnull", "if", "isnull",
+    "isnotnull", "greatest", "least", "nanvl",
+    // math
+    "round", "bround", "floor", "ceil", "ceiling", "abs", "sign",
+    "signum", "sqrt", "cbrt", "exp", "ln", "log", "log2", "log10",
+    "pow", "power", "mod", "pmod", "try_divide", "try_add",
+    "try_subtract", "try_multiply",
+    // date/time
+    "year", "quarter", "month", "day", "dayofmonth", "dayofweek",
+    "dayofyear", "weekofyear", "hour", "minute", "second",
+    "date_trunc", "trunc", "to_date", "to_timestamp", "date_add",
+    "date_sub", "datediff", "date_diff", "months_between",
+    "add_months", "last_day", "next_day", "date_format", "make_date",
+    "unix_timestamp", "from_unixtime", "extract", "date_part",
+    // string
+    "concat", "concat_ws", "format_string", "format_number", "lower",
+    "upper", "initcap", "trim", "ltrim", "rtrim", "lpad", "rpad",
+    "substring", "substr", "left", "right", "length", "char_length",
+    "character_length", "instr", "locate", "position", "replace",
+    "translate", "split", "split_part", "regexp_extract",
+    "regexp_replace", "regexp_like", "rlike", "like", "ilike",
+    "contains", "startswith", "endswith", "repeat", "reverse",
+    // deterministic hashing (bucketing/sampling predicates)
+    "hash", "xxhash64", "crc32", "md5", "sha1", "sha2")
+
+  /** Sentinel: skip the wire-function gate entirely — for clients
+    * trusted with the full expression language (equivalent to calling
+    * the Scala API directly). */
+  val UnrestrictedWire: Set[String] = Set("*")
+
+  /** Reject a wire expression that calls outside `allowed` or embeds
+    * a subquery. Parsed with the same parser `expr()` uses, so the
+    * gate sees exactly what would run. */
+  private def requireSafeWireExpr(s: String, where: String,
+      allowed: Set[String]): Unit = {
+    if (allowed.contains("*")) return
+    val parsed =
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(s)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          throw new IllegalArgumentException(
+            s"'$where' failed to parse: ${e.getMessage}")
+      }
+    val badCalls = parsed.collect {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if !allowed.contains(f.nameParts.last.toLowerCase(
+            java.util.Locale.ROOT)) =>
+        f.nameParts.mkString(".")
+    }.distinct.sorted
+    require(badCalls.isEmpty,
+      s"'$where' calls function(s) ${badCalls.mkString("'", "', '", "'")} " +
+        "outside the wire allowlist — extend fromJson's " +
+        "allowedFunctions, or pass CubeQuery.UnrestrictedWire for a " +
+        "fully-trusted client")
+    require(!parsed.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+        .SubqueryExpression]),
+      s"'$where' embeds a subquery — wire expressions are " +
+        "scalar/aggregate only")
+  }
+
+  def fromJson(json: String, catalog: Map[String, CubeRef],
+      allowedFunctions: Set[String] = DefaultWireFunctions): Query = {
     import org.json4s._
     val j = org.json4s.jackson.JsonMethods.parse(json)
     // unknown top-level keys are REJECTED, not dropped: a client typo
@@ -176,8 +264,10 @@ object CubeQuery {
       case JObject(fields) => fields.map { case (cube, arr) =>
         val ms = arr match {
           case JArray(xs) => xs.zipWithIndex.map { case (m, i) =>
-            expr(str(m \ "expr", s"measures.$cube[$i].expr"))
-              .as(str(m \ "as", s"measures.$cube[$i].as"))
+            val s = str(m \ "expr", s"measures.$cube[$i].expr")
+            requireSafeWireExpr(s, s"measures.$cube[$i].expr",
+              allowedFunctions)
+            expr(s).as(str(m \ "as", s"measures.$cube[$i].as"))
           }
           case _ => throw new IllegalArgumentException(
             s"'measures.$cube' must be an array of {expr, as}")
@@ -231,8 +321,9 @@ object CubeQuery {
     }
     val derived = j \ "derived" match {
       case JArray(xs) => xs.zipWithIndex.map { case (d, i) =>
-        expr(str(d \ "expr", s"derived[$i].expr"))
-          .as(str(d \ "as", s"derived[$i].as"))
+        val s = str(d \ "expr", s"derived[$i].expr")
+        requireSafeWireExpr(s, s"derived[$i].expr", allowedFunctions)
+        expr(s).as(str(d \ "as", s"derived[$i].as"))
       }
       case JNothing | JNull => Nil
       case _ => throw new IllegalArgumentException(
@@ -242,13 +333,33 @@ object CubeQuery {
       cube = ref(cubeName),
       hierarchies = hierarchies,
       grain = strs("grain"),
-      slicers = strs("slicers").map(expr),
+      slicers = strs("slicers").zipWithIndex.map { case (s, i) =>
+        requireSafeWireExpr(s, s"slicers[$i]", allowedFunctions)
+        expr(s)
+      },
       always = strs("always"),
       drillAcross = strs("drillAcross").map(ref),
       derived = derived)
   }
 
   /** Parse-and-run convenience for wire clients. */
-  def runJson(json: String, catalog: Map[String, CubeRef]): DataFrame =
-    run(fromJson(json, catalog))
+  def runJson(json: String, catalog: Map[String, CubeRef],
+      allowedFunctions: Set[String] = DefaultWireFunctions): DataFrame =
+    run(fromJson(json, catalog, allowedFunctions))
+
+  /** The SQL face (the reference's Grafana→Postgres entry point,
+    * `docker-compose.yaml:20-47`): compile the query and register it
+    * as a session temp view, so any SQL client of this session —
+    * `spark.sql`, the Thrift/Connect server a BI tool dials — selects
+    * from it by NAME with plain ANSI SQL (filter on `gid` to pick a
+    * member set, project measures, ORDER BY). The registration is a
+    * PLAN, not a materialization: each SQL query re-executes it, so
+    * for serving workloads register a ROUTED query (registry-backed)
+    * — its plan reads dim-sized aggregate tables with zero fact
+    * lineage per hit, which is the shape Grafana polling wants; a
+    * direct member space re-aggregates the fact per query and is only
+    * right for ad-hoc exploration. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession, name: String,
+      q: Query): Unit =
+    run(q).createOrReplaceTempView(name)
 }

@@ -1,0 +1,314 @@
+package graft.olap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A minimal MDX front end over [[CubeQuery]] — the TEXT-language
+  * face the reference's users actually type: Mondrian compiles MDX
+  * against the cube declarations of `Schema_Trabajo_Final.xml:2-91`
+  * (hierarchies fecha/frontera/transporte/…, measures
+  * cantidad_movimientos/promedio_edades). [[CubeQuery.fromJson]]
+  * (r15) closed the wire for programmatic clients; this closes the
+  * human/BI-tool side for the drill shape. NO new execution
+  * machinery: an MDX statement parses into a [[CubeQuery.Query]] and
+  * lowers through the same routed/direct plans every cube test pins —
+  * a registry-backed cube answers an MDX drill with zero fact lineage
+  * exactly like its JSON twin (spec-asserted).
+  *
+  * The SUBSET, stated precisely (everything else is rejected loudly,
+  * never mis-served):
+  *
+  * {{{
+  * SELECT { [Measures].[alias] (, [Measures].[alias])* } ON COLUMNS,
+  *        <rowset> ON ROWS
+  * FROM [cube]
+  * ( WHERE ( [Hier].[level].[value] (, [Hier].[level].[value])* ) )?
+  *
+  * <rowset> := { [Hier].[level].Members }
+  *           | CROSSJOIN( <rowset>, <rowset> )
+  * }}}
+  *
+  *  - `[Hier].[level].Members` groups by the hierarchy's level PREFIX
+  *    down to `level` (member identity in a hierarchy includes its
+  *    ancestors — `[fecha].[mes_movi].Members` is per (anio, mes),
+  *    which is exactly what Mondrian's generated SQL groups by for a
+  *    snowflaked level). CROSSJOIN concatenates prefixes into one
+  *    conformed grain.
+  *  - the COLUMNS axis names a SUBSET of the cube's measures by
+  *    output alias — selection happens on the aggregated result, so
+  *    routed cubes keep serving stored partials untouched.
+  *  - the WHERE tuple is a slicer: equality on the named level's
+  *    column, applied pre-aggregation (and therefore rejected on
+  *    routed cubes by [[CubeQuery.run]]'s stored-partials rule). An
+  *    all-digits value compares numerically, anything else as a
+  *    string.
+  *  - set UNION on ROWS (`{a.Members, b.Members}`) is a member-SPACE
+  *    query — use [[CubeQuery.Query]]'s `hierarchies` face, which
+  *    computes every prefix in one GROUPING SETS pass instead of one
+  *    scan per set (the reason this parser refuses to desugar it).
+  *
+  * Axes may appear in either order; keywords are case-insensitive;
+  * axis numbers (`ON 0`/`ON 1`) are not supported.
+  *
+  * The CATALOG split mirrors Mondrian's: `catalog` maps cube names to
+  * fact/measure/registry bindings (the schema file's role, lives in
+  * code) and `schema` declares each cube's hierarchies — the MDX
+  * document is only ever the QUERY. */
+object Mdx {
+
+  /** One `[Hier].[level].[value]` slicer member. */
+  final case class Member(hierarchy: String, level: String, value: String)
+
+  /** The parsed statement, pre-validation: measures by alias, ROWS
+    * levels as (hierarchy, level) in axis order, slicer members. */
+  final case class Parsed(cube: String, measures: Seq[String],
+      rowLevels: Seq[(String, String)], slicers: Seq[Member])
+
+  /** Parse + compile + run + select the requested measures. */
+  def run(mdx: String, catalog: Map[String, CubeQuery.CubeRef],
+      schema: Map[String, Seq[Cube.Hierarchy]]): DataFrame = {
+    val p = parse(mdx)
+    val q = toQuery(p, catalog, schema)
+    val out = CubeQuery.run(q)
+    val missing = p.measures.filterNot(out.columns.contains)
+    require(missing.isEmpty,
+      s"measure(s) ${missing.mkString("[", "], [", "]")} are not " +
+        s"produced by cube '${p.cube}' (available: " +
+        s"${out.columns.filterNot(q.grain.contains).mkString(", ")})")
+    out.select((q.grain ++ p.measures).map(col): _*)
+  }
+
+  /** Compile a [[Parsed]] statement onto the declarative front door,
+    * validating every hierarchy/level against the cube's schema. */
+  def toQuery(p: Parsed, catalog: Map[String, CubeQuery.CubeRef],
+      schema: Map[String, Seq[Cube.Hierarchy]]): CubeQuery.Query = {
+    val ref = catalog.getOrElse(p.cube, throw new IllegalArgumentException(
+      s"cube '[${p.cube}]' is not in the catalog (available: " +
+        s"${catalog.keys.toSeq.sorted.mkString(", ")})"))
+    val hiers = schema.getOrElse(p.cube, throw new IllegalArgumentException(
+      s"cube '[${p.cube}]' has no hierarchy schema (declared: " +
+        s"${schema.keys.toSeq.sorted.mkString(", ")})"))
+    val byName = hiers.map(h => h.name -> h).toMap
+    def resolve(hn: String, lvl: String): Cube.Hierarchy = {
+      val h = byName.getOrElse(hn, throw new IllegalArgumentException(
+        s"hierarchy '[$hn]' is not declared for cube '${p.cube}' " +
+          s"(declared: ${hiers.map(_.name).mkString(", ")})"))
+      require(h.levels.contains(lvl),
+        s"level '[$lvl]' is not in hierarchy '[$hn]' (levels: " +
+          s"${h.levels.mkString(", ")})")
+      h
+    }
+    val grain = p.rowLevels.flatMap { case (hn, lvl) =>
+      val h = resolve(hn, lvl)
+      h.levels.take(h.levels.indexOf(lvl) + 1)
+    }.distinct
+    require(grain.nonEmpty, "the ROWS axis produced an empty grain")
+    val slicers = p.slicers.map { m =>
+      resolve(m.hierarchy, m.level): Unit
+      val v: Column =
+        if (m.value.matches("-?\\d+")) lit(m.value.toLong)
+        else lit(m.value)
+      col(m.level) === v
+    }
+    CubeQuery.Query(cube = ref, grain = grain, slicers = slicers)
+  }
+
+  // ------------------------------------------------------------------
+  // lexer + recursive-descent parser
+  // ------------------------------------------------------------------
+
+  private sealed trait Tok
+  private final case class TBracket(s: String) extends Tok // [x]
+  private final case class TIdent(s: String) extends Tok // bare word
+  private final case class TSym(c: Char) extends Tok // { } ( ) , .
+
+  private def tokenize(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '[') {
+        val j = s.indexOf(']', i + 1)
+        require(j >= 0, s"unterminated '[' at offset $i")
+        out += TBracket(s.substring(i + 1, j)); i = j + 1
+      } else if ("{}(),.".indexOf(c.toInt) >= 0) {
+        out += TSym(c); i += 1
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
+        out += TIdent(s.substring(i, j)); i = j
+      } else throw new IllegalArgumentException(
+        s"unexpected character '$c' at offset $i in MDX")
+    }
+    out.result()
+  }
+
+  /** Parse one statement of the documented subset. */
+  def parse(mdx: String): Parsed = new Parser(tokenize(mdx)).statement()
+
+  private final class Parser(toks: Vector[Tok]) {
+    private var pos = 0
+
+    private def peek: Option[Tok] = toks.lift(pos)
+    private def next(): Tok = {
+      val t = toks.lift(pos).getOrElse(throw new IllegalArgumentException(
+        "unexpected end of MDX statement"))
+      pos += 1; t
+    }
+    private def keyword(kw: String): Unit = next() match {
+      case TIdent(s) if s.equalsIgnoreCase(kw) => ()
+      case t => throw new IllegalArgumentException(
+        s"expected '$kw', found $t")
+    }
+    private def atKeyword(kw: String): Boolean = peek match {
+      case Some(TIdent(s)) => s.equalsIgnoreCase(kw)
+      case _ => false
+    }
+    private def sym(c: Char): Unit = next() match {
+      case TSym(`c`) => ()
+      case t => throw new IllegalArgumentException(
+        s"expected '$c', found $t")
+    }
+    private def atSym(c: Char): Boolean = peek.contains(TSym(c))
+    private def bracket(what: String): String = next() match {
+      case TBracket(s) => s
+      case t => throw new IllegalArgumentException(
+        s"expected [$what], found $t")
+    }
+
+    def statement(): Parsed = {
+      keyword("SELECT")
+      var measures: Option[Seq[String]] = None
+      var rows: Option[Seq[(String, String)]] = None
+      var more = true
+      while (more) {
+        val set = rowSetOrMeasures()
+        keyword("ON")
+        next() match {
+          case TIdent(a) if a.equalsIgnoreCase("COLUMNS") =>
+            require(measures.isEmpty, "duplicate COLUMNS axis")
+            measures = Some(set match {
+              case Left(ms) => ms
+              case Right(_) => throw new IllegalArgumentException(
+                "the COLUMNS axis must be a set of [Measures].[alias]")
+            })
+          case TIdent(a) if a.equalsIgnoreCase("ROWS") =>
+            require(rows.isEmpty, "duplicate ROWS axis")
+            rows = Some(set match {
+              case Right(ls) => ls
+              case Left(_) => throw new IllegalArgumentException(
+                "the ROWS axis must be level sets " +
+                  "([Hier].[level].Members / CROSSJOIN), not measures")
+            })
+          case t => throw new IllegalArgumentException(
+            s"expected COLUMNS or ROWS, found $t")
+        }
+        if (atSym(',')) { sym(',') } else more = false
+      }
+      keyword("FROM")
+      val cube = next() match {
+        case TBracket(s) => s
+        case TIdent(s) => s
+        case t => throw new IllegalArgumentException(
+          s"expected the cube name after FROM, found $t")
+      }
+      val slicers =
+        if (atKeyword("WHERE")) { keyword("WHERE"); tuple() } else Nil
+      peek.foreach(t => throw new IllegalArgumentException(
+        s"trailing content after the statement: $t"))
+      Parsed(cube,
+        measures.getOrElse(throw new IllegalArgumentException(
+          "missing COLUMNS axis (the measure list)")),
+        rows.getOrElse(throw new IllegalArgumentException(
+          "missing ROWS axis (the drill levels)")),
+        slicers)
+    }
+
+    /** One axis set: Left(measure aliases) for a measure set,
+      * Right(hier→level list) for a ROWS level set. Which one it is
+      * falls out of the first path's head ([Measures] or a
+      * hierarchy); mixing is rejected. */
+    private def rowSetOrMeasures()
+        : Either[Seq[String], Seq[(String, String)]] =
+      if (atKeyword("CROSSJOIN")) Right(crossjoin())
+      else {
+        sym('{')
+        val first = pathItem()
+        var acc = Vector(first)
+        while (atSym(',')) { sym(','); acc = acc :+ pathItem() }
+        sym('}')
+        val (measures, levels) = acc.partition(_.isLeft)
+        if (measures.nonEmpty && levels.nonEmpty)
+          throw new IllegalArgumentException(
+            "a set cannot mix [Measures] members with hierarchy levels")
+        if (measures.nonEmpty) Left(measures.collect { case Left(m) => m })
+        else {
+          val ls = levels.collect { case Right(l) => l }
+          // honest refusal, not silent mis-service: {a.Members,
+          // b.Members} is a set UNION (a member space), whose right
+          // plan is ONE GROUPING SETS pass — CubeQuery's
+          // `hierarchies` face — not a sequence of per-set scans
+          require(ls.size == 1,
+            "set UNION on ROWS is outside the MDX subset — use " +
+              "CubeQuery's member-space face (hierarchies =) for " +
+              "multi-set spaces; CROSSJOIN(...) is the supported " +
+              "multi-hierarchy drill")
+          Right(ls)
+        }
+      }
+
+    private def crossjoin(): Seq[(String, String)] = {
+      keyword("CROSSJOIN")
+      sym('(')
+      val a = rowsOnly()
+      sym(',')
+      val b = rowsOnly()
+      sym(')')
+      a ++ b
+    }
+
+    private def rowsOnly(): Seq[(String, String)] =
+      rowSetOrMeasures() match {
+        case Right(ls) => ls
+        case Left(_) => throw new IllegalArgumentException(
+          "CROSSJOIN operands must be hierarchy level sets")
+      }
+
+    /** `[Measures].[alias]` → Left(alias);
+      * `[Hier].[level].Members` → Right((hier, level)). */
+    private def pathItem(): Either[String, (String, String)] = {
+      val head = bracket("Measures] or [Hierarchy")
+      sym('.')
+      val second = bracket("alias] or [level")
+      if (head.equalsIgnoreCase("Measures")) Left(second)
+      else {
+        sym('.')
+        next() match {
+          case TIdent(m) if m.equalsIgnoreCase("Members") =>
+            Right((head, second))
+          case t => throw new IllegalArgumentException(
+            s"expected .Members after [$head].[$second] on an axis, " +
+              s"found $t (member literals belong in the WHERE slicer)")
+        }
+      }
+    }
+
+    private def tuple(): Seq[Member] = {
+      sym('(')
+      var acc = Vector(member())
+      while (atSym(',')) { sym(','); acc = acc :+ member() }
+      sym(')')
+      acc
+    }
+
+    private def member(): Member = {
+      val h = bracket("Hierarchy")
+      sym('.')
+      val l = bracket("level")
+      sym('.')
+      val v = bracket("value")
+      Member(h, l, v)
+    }
+  }
+}

@@ -16,6 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Warehouse {
 
+  /** Marker segment of a DISPLACED directory mid-publish: the old
+    * version of `p` moves aside as `.<name>.old-<uuid>` during
+    * [[installBuilt]]'s rename-swap. ONE definition — the stale
+    * sweeps in [[commitVia]] and [[graft.etl.ViewRefresh]] match on
+    * it, so a rename here must not be able to strand their debris. */
+  private[graft] val OldTag = ".old-"
+
+  private[graft] def displacedPrefix(name: String): String =
+    s".$name$OldTag"
+
   /** Write `df` as a bucketed (and optionally date/id-partitioned)
     * parquet table. `sortBy` the bucket key so bucket files are
     * merge-join-ready without a per-query sort. */
@@ -237,7 +247,7 @@ object Warehouse {
     val parent = p.getParent
     fs.mkdirs(parent)
     val tmpPrefix = s".${p.getName}.tmp-"
-    val oldPrefix = s".${p.getName}.old-"
+    val oldPrefix = displacedPrefix(p.getName)
     // sweep only scratch dirs OLDER than a day: a fresh .tmp- may be a
     // concurrent builder mid-write — deleting it under them fails their
     // commit with an opaque error. The horizon must exceed any
@@ -273,7 +283,7 @@ object Warehouse {
     // recursive delete; the displaced dir is removed last (open readers
     // of its files survive the unlink, POSIX semantics)
     val old = new org.apache.hadoop.fs.Path(parent,
-      s".${p.getName}.old-" + java.util.UUID.randomUUID().toString)
+      displacedPrefix(p.getName) + java.util.UUID.randomUUID().toString)
     val existed = fs.exists(p)
     val hadOld = existed && fs.rename(p, old)
     // a failed move-aside means another publisher won the race. FAIL

@@ -429,10 +429,10 @@ class ViewRefreshSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no _graft_layout.json sidecar"))
     // claiming a COARSER count than the dirs on disk is rejected
     intercept[IllegalArgumentException] {
-      ViewRefresh.stampLayout(spark, path, 1)
+      ViewRefresh.stampLayout(spark, path, 1, col("k"))
     }
     // the human assertion of the true layout unlocks refresh
-    ViewRefresh.stampLayout(spark, path, n)
+    ViewRefresh.stampLayout(spark, path, n, col("k"))
     ViewRefresh.refresh(legacy, col("k"), n,
       ViewRefresh.affectedBuckets(legacy.select("k"), col("k"), n), path)
     assert(spark.read.parquet(path).count() === 2)
@@ -648,6 +648,286 @@ class ViewRefreshSpec extends AnyFunSuite {
     // deleted — it is the current manifest)
     assert(ViewRefresh.vacuumSnapshot(spark, path, 0L) > 0)
     assert(ViewRefresh.snapshotGenerations(spark, path) === Seq(2L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("vacuum ABORTS on a manifest READ failure — nothing deleted, table intact (never an emptied live set)") {
+    import spark.implicits._
+    val nb = 8
+    val root = java.nio.file.Files.createTempDirectory("vr_gcfault").toString
+    val path = s"$root/view"
+    val v1 = Seq((1L, "g1"), (2L, "g1")).toDF("k", "tag")
+    ViewRefresh.materializeSnapshot(v1, col("k"), nb, path)
+    ViewRefresh.refreshSnapshot(Seq((1L, "g2"), (2L, "g2")).toDF("k", "tag"),
+      col("k"), nb,
+      ViewRefresh.affectedBuckets(v1.select("k"), col("k"), nb), path)
+    def listing(): Set[String] = {
+      val d = new java.io.File(s"$path/${ViewRefresh.SnapDir}")
+      d.listFiles().map(_.getName).toSet
+    }
+    val before = listing()
+    // the r15 data-loss scenario: a TRANSIENT I/O failure reading a
+    // SURVIVING manifest (here: every manifest) — the old code
+    // swallowed it, contributed Seq.empty to the live set, and the
+    // sweep deleted every generation dir past the horizon. The fix:
+    // the whole pass aborts LOUDLY before any deletion.
+    val e = intercept[java.io.IOException] {
+      ViewRefresh.vacuumSnapshotImpl(spark, path, 0L,
+        (_, _) => throw new java.io.IOException("injected read blip"))
+    }
+    assert(e.getMessage.contains("nothing was deleted"))
+    assert(listing() === before,
+      "an aborted vacuum must not have deleted ANYTHING")
+    assert(ViewRefresh.readSnapshot(spark, path).count() === 2)
+    // the blip clears → the next scheduled pass vacuums normally
+    assert(ViewRefresh.vacuumSnapshot(spark, path, 0L) > 0)
+    assert(ViewRefresh.readSnapshot(spark, path).count() === 2)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("layout metadata rides the manifest commit: a rebuild that dies mid-write leaves NOTHING a later refresh can trust wrongly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vr_atomic").toString
+    val path = s"$root/view"
+    val v8 = Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("k", "tag")
+    ViewRefresh.materializeSnapshot(v8, col("k"), 8, path)
+    assert(ViewRefresh.readLayout(spark, path) === Some(8))
+    // a REBUILD at a NEW bucket count that fails during the data
+    // write (mid-write crash surrogate: a row-level raise_error) —
+    // under the r15 layout the sidecar was already stamped 16 at this
+    // point, so a later refresh at 16 passed the handshake and could
+    // publish a mixed-layout manifest
+    val poison = v8.withColumn("tag",
+      when(col("k") === 2L, raise_error(lit("injected mid-write failure")))
+        .otherwise(col("tag")))
+    intercept[Exception] {
+      ViewRefresh.materializeSnapshot(poison, col("k"), 16, path)
+    }
+    // the commit never happened: the authority (manifest header) and
+    // the convenience sidecar BOTH still say 8
+    assert(ViewRefresh.readLayout(spark, path) === Some(8),
+      "a failed rebuild must not have re-stamped the sidecar")
+    // refresh at the crashed rebuild's count is REFUSED...
+    val e = intercept[IllegalArgumentException] {
+      ViewRefresh.refreshSnapshot(v8, col("k"), 16,
+        ViewRefresh.affectedBuckets(v8.select("k"), col("k"), 16), path)
+    }
+    assert(e.getMessage.contains("materialized with 8"))
+    // ...and the table still serves + refreshes at its real count
+    assert(ViewRefresh.readSnapshot(spark, path).count() === 3)
+    ViewRefresh.refreshSnapshot(
+      Seq((1L, "b"), (2L, "b"), (3L, "b")).toDF("k", "tag"), col("k"), 8,
+      ViewRefresh.affectedBuckets(v8.select("k"), col("k"), 8), path)
+    assert(ViewRefresh.readSnapshot(spark, path)
+      .filter(col("tag") === "b").count() === 3)
+    // a SUCCESSFUL rebuild at 16 commits count+data in one rename;
+    // the handshake flips with it
+    ViewRefresh.materializeSnapshot(v8, col("k"), 16, path)
+    assert(ViewRefresh.readLayout(spark, path) === Some(16))
+    intercept[IllegalArgumentException] {
+      ViewRefresh.refreshSnapshot(v8, col("k"), 8, Seq(0), path)
+    }
+    ViewRefresh.refreshSnapshot(v8, col("k"), 16,
+      ViewRefresh.affectedBuckets(v8.select("k"), col("k"), 16), path)
+    assert(ViewRefresh.readSnapshot(spark, path).count() === 3)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("plain refresh()/materialize() REFUSE a snapshot-view path (no silently-unserved partition dirs)") {
+    import spark.implicits._
+    val nb = 8
+    val root = java.nio.file.Files.createTempDirectory("vr_snapguard").toString
+    val path = s"$root/view"
+    val v1 = Seq((1L, "a"), (2L, "a")).toDF("k", "tag")
+    ViewRefresh.materializeSnapshot(v1, col("k"), nb, path)
+    // the r15 hole: the root sidecar passes requireStampedLayout, so
+    // a plain refresh "succeeded" by writing pbucket= dirs beside
+    // _snap that readSnapshot never serves — and that break the
+    // direct-read-fails-loudly property
+    val e = intercept[IllegalArgumentException] {
+      ViewRefresh.refresh(v1, col("k"), nb,
+        ViewRefresh.affectedBuckets(v1.select("k"), col("k"), nb), path)
+    }
+    assert(e.getMessage.contains("SNAPSHOT view"))
+    val e2 = intercept[IllegalArgumentException] {
+      ViewRefresh.refresh(v1, col("k"), nb, Seq(0), path, isolated = true)
+    }
+    assert(e2.getMessage.contains("SNAPSHOT view"))
+    val e3 = intercept[IllegalArgumentException] {
+      ViewRefresh.materialize(v1, col("k"), nb, path)
+    }
+    assert(e3.getMessage.contains("SNAPSHOT view"))
+    // nothing was written; a direct parquet read still fails loudly
+    assert(ViewRefresh.readSnapshot(spark, path).count() === 2)
+    intercept[Exception] { spark.read.parquet(path).count() }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("a PARTIALLY-agreeing wrong-key layout cannot silently drop rows: the complement probe fires on every pruned refresh") {
+    import spark.implicits._
+    val nb = 64
+    val root = java.nio.file.Files.createTempDirectory("vr_partial").toString
+    val srcPath = s"$root/src"
+    val path = s"$root/view"
+    // two keys; the "wrong" layout column AGREES with bucketOf(k, nb)
+    // for k1 (its row lands in the scoped frame and passes the
+    // carried==computed verify) but parks k2 OUTSIDE every affected
+    // bucket (computed ∈ buckets, carried ∉ buckets) — the r15 review
+    // scenario: the scoped verify is vacuous for k2, the old
+    // empty-scope-only cross-probe never fires (the scope is NOT
+    // empty), and the rebuilt partitions would omit k2's row.
+    val k1 = 1L
+    val b1 = ViewRefresh.affectedBuckets(Seq(Tuple1(k1)).toDF("k"),
+      col("k"), nb).head
+    val k2 = (2L to 400L).find { k =>
+      val bk = ViewRefresh.affectedBuckets(Seq(Tuple1(k)).toDF("k"),
+        col("k"), nb).head
+      bk != b1
+    }.get
+    val b2 = ViewRefresh.affectedBuckets(Seq(Tuple1(k2)).toDF("k"),
+      col("k"), nb).head
+    // a "wrong key" whose bucket equals b1 for row1 but misses
+    // {b1, b2} for row2
+    val w2 = (1000L to 2000L).find { w =>
+      val bw = ViewRefresh.affectedBuckets(Seq(Tuple1(w)).toDF("w"),
+        col("w"), nb).head
+      bw != b1 && bw != b2
+    }.get
+    val rows = Seq((k1, k1, 1.0), (k2, w2, 2.0)).toDF("k", "wrong", "amt")
+    ViewRefresh.materializeSource(rows, col("wrong"), nb, srcPath)
+    ViewRefresh.materialize(rows.select("k", "amt"), col("k"), nb, path)
+    val carriedWrong = spark.read.parquet(srcPath)
+    val buckets = Seq(b1, b2)
+    val e = intercept[IllegalArgumentException] {
+      ViewRefresh.refresh(carriedWrong, col("k"), nb, buckets, path,
+        sourceLayout = Some(srcPath))
+    }
+    assert(e.getMessage.contains("would DROP rows") &&
+      e.getMessage.contains("does not match this key"))
+    // no partition was swapped or emptied under the failed refresh
+    assert(spark.read.parquet(path).count() === 2)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("stampLayout's keyed row verify catches a FINER claimed count and a wrong-key claim; stampLayoutUnchecked documents the hole") {
+    import spark.implicits._
+    val n8 = 8
+    val root = java.nio.file.Files.createTempDirectory("vr_stamp").toString
+    val path = s"$root/table"
+    // 200 keys — a finer/wrong-key claim agreeing with every stored
+    // row's mod-8 value by hash coincidence is impossible at this size
+    val legacy = (1L to 200L).map(k => (k, k * 1.5)).toDF("k", "amount")
+    legacy.withColumn(ViewRefresh.BucketCol,
+        ViewRefresh.bucketOf(col("k"), n8))
+      .write.partitionBy(ViewRefresh.BucketCol).parquet(path)
+    // 16 over a real 8-bucket layout passes the dir-range face (every
+    // mod-8 value lies in [0, 16)) — the ADVICE r15 hole; the keyed
+    // verify reads the rows and rejects it
+    val finer = intercept[IllegalArgumentException] {
+      ViewRefresh.stampLayout(spark, path, 2 * n8, col("k"))
+    }
+    assert(finer.getMessage.contains("does not match the data"))
+    // wrong KEY at the right count: also caught by the row verify
+    intercept[IllegalArgumentException] {
+      ViewRefresh.stampLayout(spark, path, n8, col("amount"))
+    }
+    // the unchecked face still stamps (the caller owns the risk)...
+    ViewRefresh.stampLayoutUnchecked(spark, path, n8)
+    assert(ViewRefresh.readLayout(spark, path) === Some(n8))
+    // ...and the keyed face stamps the true layout
+    new java.io.File(path, ViewRefresh.LayoutFile).delete()
+    ViewRefresh.stampLayout(spark, path, n8, col("k"))
+    assert(ViewRefresh.readLayout(spark, path) === Some(n8))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("pre-header (legacy) manifests still read and refresh via the sidecar fallback") {
+    import spark.implicits._
+    val nb = 8
+    val root = java.nio.file.Files.createTempDirectory("vr_legacyman").toString
+    val path = s"$root/view"
+    val v1 = Seq((1L, "a"), (2L, "a")).toDF("k", "tag")
+    ViewRefresh.materializeSnapshot(v1, col("k"), nb, path)
+    // strip the r16 header lines — the on-disk shape every pre-r16
+    // manifest has (mapping lines + root sidecar only)
+    val snap = new org.apache.hadoop.fs.Path(s"$path/${ViewRefresh.SnapDir}")
+    val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
+    val mf = new org.apache.hadoop.fs.Path(snap, f"v${1L}%018d")
+    val body = {
+      val in = fs.open(mf)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    val stripped = body.split("\n").filterNot(_.startsWith("#")).mkString("\n")
+    val out = fs.create(mf, true)
+    out.write(stripped.getBytes("UTF-8")); out.close()
+    assert(ViewRefresh.readSnapshot(spark, path).count() === 2)
+    // the refresh handshake falls back to the root sidecar...
+    ViewRefresh.refreshSnapshot(Seq((1L, "b"), (2L, "b")).toDF("k", "tag"),
+      col("k"), nb,
+      ViewRefresh.affectedBuckets(v1.select("k"), col("k"), nb), path)
+    assert(ViewRefresh.readSnapshot(spark, path)
+      .filter(col("tag") === "b").count() === 2)
+    // ...and the NEW manifest carries headers, so a wrong-count
+    // refresh is now refused by the manifest itself
+    val e = intercept[IllegalArgumentException] {
+      ViewRefresh.refreshSnapshot(v1, col("k"), 2 * nb, Seq(0), path)
+    }
+    assert(e.getMessage.contains("manifest header"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("FileLeaseCoordinator: cross-process-style racers SERIALIZE — every writer commits, generations chain, zero losers") {
+    import spark.implicits._
+    val nb = 8
+    val root = java.nio.file.Files.createTempDirectory("vr_lease").toString
+    val path = s"$root/view"
+    val base = Seq((1L, "base")).toDF("k", "tag")
+    ViewRefresh.materializeSnapshot(base, col("k"), nb, path)
+    val buckets = ViewRefresh.affectedBuckets(base.select("k"), col("k"), nb)
+    // one STATELESS coordinator instance per writer — no shared JVM
+    // state between them; mutual exclusion must come from the lease
+    // FILE alone (exactly what two separate processes would have).
+    // Contrast with the same-JVM racing spec above, where lockless
+    // same-generation racers produce loud losers: here EVERY writer
+    // must succeed, serialized into successive generations.
+    val frames = Seq(Seq((1L, "w0")).toDF("k", "tag"),
+      Seq((1L, "w1")).toDF("k", "tag"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    (1 to 3).foreach { round =>
+      val before = ViewRefresh.snapshotGenerations(spark, path).size
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val threads = (0 to 1).map { w =>
+        new Thread(() => {
+          barrier.await()
+          try ViewRefresh.refreshSnapshot(frames(w), col("k"), nb, buckets,
+            path, coordinator = new FileLeaseCoordinator())
+          catch { case t: Throwable => errs.add(t): Unit }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(120000))
+      assert(errs.isEmpty, s"round $round: a leased writer failed: " +
+        s"${Option(errs.peek()).orNull}")
+      val added = ViewRefresh.snapshotGenerations(spark, path).size - before
+      assert(added === 2,
+        s"round $round: both writers must commit distinct generations, " +
+          s"got $added new manifests")
+      // the committed snapshot is the LAST writer's complete state
+      val tags = ViewRefresh.readSnapshot(spark, path)
+        .collect().map(_.getAs[String]("tag")).toSet
+      assert(tags === Set("w0") || tags === Set("w1"),
+        s"round $round: torn or stale snapshot $tags")
+    }
+    // a dead holder's stale lease is BROKEN once past the horizon
+    val lease = new java.io.File(path, ".graft-publish-lease")
+    assert(lease.createNewFile(), "fixture: plant a dead holder's lease")
+    assert(lease.setLastModified(System.currentTimeMillis() - 60000))
+    val quick = new FileLeaseCoordinator(leaseMs = 1000,
+      acquireTimeoutMs = 30000)
+    ViewRefresh.refreshSnapshot(frames(0), col("k"), nb, buckets, path,
+      coordinator = quick)
+    assert(ViewRefresh.readSnapshot(spark, path)
+      .collect().map(_.getAs[String]("tag")).toSet === Set("w0"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 }

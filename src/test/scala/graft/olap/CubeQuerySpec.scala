@@ -250,4 +250,64 @@ class CubeQuerySpec extends AnyFunSuite {
     }
     assert(e7.getMessage.contains("derived[0].expr"))
   }
+
+  test("wire expressions are GATED: no reflection, no subqueries, no nondeterminism from an untrusted client") {
+    val catalog = Map(
+      "orders" -> CubeQuery.CubeRef(() => wide, measures = measures))
+    def gated(json: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        CubeQuery.fromJson(json, catalog)
+      }
+      assert(e.getMessage.contains(needle),
+        s"want '$needle' in: ${e.getMessage}")
+    }
+    // the r15 ADVICE scenario: a slicer string reaching expr() gives
+    // a wire client arbitrary JVM calls — the allowlist stops it at
+    // parse time, naming the function
+    gated(
+      """{"cube":"orders","grain":["y"],
+        | "slicers":["reflect('java.lang.System','getProperty','user.dir') is not null"]}"""
+        .stripMargin, "'reflect'")
+    gated(
+      """{"cube":"orders","grain":["y"],
+        | "measures":{"orders":[{"as":"n","expr":"java_method('java.lang.Runtime','getRuntime') is not null"}]}}"""
+        .stripMargin, "'java_method'")
+    // nondeterministic functions are absent from the default list (a
+    // cube query must be replayable)
+    gated(
+      """{"cube":"orders","grain":["y"],"slicers":["rand() > 0.5"]}""",
+      "'rand'")
+    // subqueries are rejected structurally, whatever they call
+    gated(
+      """{"cube":"orders","grain":["y"],
+        | "slicers":["y in (select 1996)"]}""".stripMargin, "subquery")
+    // an unparseable expression is a NAMED wire error
+    gated(
+      """{"cube":"orders","grain":["y"],"slicers":["y >= >= 1996"]}""",
+      "failed to parse")
+    // the allowlisted surface still covers the real queries (q228's
+    // exact shapes parse clean)...
+    val q = CubeQuery.fromJson(
+      """{"cube":"orders","grain":["y"],
+        | "slicers":["y >= 1996 and upper(status) like 'O%'"],
+        | "measures":{"orders":[
+        |   {"as":"n","expr":"count(1)"},
+        |   {"as":"rev","expr":"cast(sum(cast(price as decimal(18,2))) as double)"}]},
+        | "derived":[{"as":"net","expr":"coalesce(rev, 0.0) - 1.0"}]}"""
+        .stripMargin, catalog)
+    assert(CubeQuery.run(q).collect().nonEmpty)
+    // ...and a fully-trusted client can opt out explicitly
+    val trusted = CubeQuery.fromJson(
+      """{"cube":"orders","grain":["y"],
+        | "slicers":["hex(y) is not null"]}""".stripMargin,
+      catalog, allowedFunctions = CubeQuery.UnrestrictedWire)
+    assert(CubeQuery.run(trusted).collect().nonEmpty)
+    // per-deployment extension: the same function admitted by name
+    val extended = CubeQuery.fromJson(
+      """{"cube":"orders","grain":["y"],
+        | "slicers":["hex(y) is not null"]}""".stripMargin,
+      catalog,
+      allowedFunctions = CubeQuery.DefaultWireFunctions + "hex")
+    assert(CubeQuery.run(extended).collect().nonEmpty)
+  }
 }

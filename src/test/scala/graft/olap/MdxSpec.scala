@@ -1,0 +1,156 @@
+package graft.olap
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MDX subset parses into the declarative front door, lowers to
+  * the SAME plans as the Scala calls, routes through registries with
+  * zero fact lineage, and refuses everything outside the subset
+  * loudly. */
+class MdxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val wide = TestSpark.table("orders")
+    .select(col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("prio"),
+      year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+      col("o_totalprice").as("price"))
+
+  private val hierSchema = Seq(
+    Cube.Hierarchy("fecha", Seq("y", "m")),
+    Cube.Hierarchy("estado", Seq("status")))
+
+  private val measures = Seq(count(lit(1)).as("n"),
+    sum(col("price").cast("decimal(18,2)")).cast("double").as("rev"))
+
+  private def catalog = Map(
+    "orders" -> CubeQuery.CubeRef(() => wide, measures = measures))
+  private def schema = Map("orders" -> hierSchema)
+
+  test("a CROSSJOIN drill with a slicer equals the direct Scala call, plan-identically") {
+    val got = Mdx.run(
+      """SELECT {[Measures].[n], [Measures].[rev]} ON COLUMNS,
+        | CROSSJOIN({[fecha].[m].Members}, {[estado].[status].Members})
+        |   ON ROWS
+        |FROM [orders]
+        |WHERE ([fecha].[y].[1996])""".stripMargin, catalog, schema)
+    // [fecha].[m].Members expands to the level PREFIX (y, m) — member
+    // identity includes ancestors
+    val want = wide.filter(col("y") === 1996L)
+      .groupBy("y", "m", "status").agg(measures.head, measures.tail: _*)
+    assert(got.queryExecution.optimizedPlan.canonicalized ===
+      want.queryExecution.optimizedPlan.canonicalized,
+      "the MDX layer must add NOTHING to the drill plan")
+    val rows = got.orderBy("y", "m", "status").collect().map(_.toSeq).toSeq
+    val wantRows = want.select(got.columns.map(col): _*)
+      .orderBy("y", "m", "status").collect().map(_.toSeq).toSeq
+    assert(rows === wantRows && rows.nonEmpty)
+  }
+
+  test("measure selection on COLUMNS is a subset by alias, applied AFTER aggregation") {
+    val got = Mdx.run(
+      """SELECT {[Measures].[rev]} ON COLUMNS,
+        | {[estado].[status].Members} ON ROWS
+        |FROM [orders]""".stripMargin, catalog, schema)
+    assert(got.columns.toSeq === Seq("status", "rev"))
+    val want = wide.groupBy("status")
+      .agg(sum(col("price").cast("decimal(18,2)")).cast("double").as("rev"))
+    assert(got.orderBy("status").collect().map(_.toSeq).toSeq ===
+      want.orderBy("status").collect().map(_.toSeq).toSeq)
+  }
+
+  test("a ROUTED cube answers MDX from the registry with zero fact lineage") {
+    val root = java.nio.file.Files.createTempDirectory("mdx_routed").toString
+    try {
+      wide.write.parquet(s"$root/fact")
+      var built = 0
+      def fact = { built += 1; spark.read.parquet(s"$root/fact") }
+      val reg = AggNavigator.register(spark.read.parquet(s"$root/fact"),
+        Seq("ym" -> Seq("y", "m")),
+        Seq[AggNavigator.Measure](AggNavigator.CountAll("n"),
+          AggNavigator.ExactSum("rev", "price")), root)
+      val got = Mdx.run(
+        """SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[m].Members} ON ROWS
+          |FROM [orders]""".stripMargin,
+        Map("orders" -> CubeQuery.CubeRef(() => fact,
+          registry = Some(reg))), schema)
+      val rows = got.orderBy("y", "m").collect()
+      assert(built === 0,
+        "a covered MDX drill must not construct the fact lineage")
+      val want = spark.read.parquet(s"$root/fact")
+        .groupBy("y", "m").agg(count(lit(1)).as("n"))
+        .orderBy("y", "m").collect()
+      assert(rows.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+      // ...and a slicer against the routed cube is refused by the
+      // stored-partials rule, through the MDX face too
+      val e = intercept[IllegalArgumentException] {
+        Mdx.run(
+          """SELECT {[Measures].[n]} ON COLUMNS,
+            | {[fecha].[m].Members} ON ROWS
+            |FROM [orders] WHERE ([fecha].[y].[1996])""".stripMargin,
+          Map("orders" -> CubeQuery.CubeRef(() => fact,
+            registry = Some(reg))), schema)
+      }
+      assert(e.getMessage.contains("stored partials"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("axes in either order; string slicer values type as strings") {
+    val got = Mdx.run(
+      """select {[estado].[status].Members} on rows,
+        | {[Measures].[n]} on columns
+        |from orders where ([estado].[status].[O])""".stripMargin,
+      catalog, schema)
+    val want = wide.filter(col("status") === "O")
+      .groupBy("status").agg(count(lit(1)).as("n"))
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+  }
+
+  test("everything outside the subset is refused loudly, never mis-served") {
+    def bad(mdx: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Mdx.run(mdx, catalog, schema)
+      }
+      assert(e.getMessage.contains(needle),
+        s"want '$needle' in: ${e.getMessage}")
+    }
+    // set UNION on ROWS is a member space, not a drill
+    bad("""SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].Members, [estado].[status].Members} ON ROWS
+          |FROM [orders]""".stripMargin, "set UNION on ROWS")
+    // unknown cube / hierarchy / level / measure are named
+    bad("""SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].Members} ON ROWS FROM [nope]""".stripMargin,
+      "not in the catalog")
+    bad("""SELECT {[Measures].[n]} ON COLUMNS,
+          | {[tiempo].[y].Members} ON ROWS FROM [orders]""".stripMargin,
+      "hierarchy '[tiempo]'")
+    bad("""SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[week].Members} ON ROWS FROM [orders]""".stripMargin,
+      "level '[week]'")
+    bad("""SELECT {[Measures].[margin]} ON COLUMNS,
+          | {[fecha].[y].Members} ON ROWS FROM [orders]""".stripMargin,
+      "measure(s) [margin]")
+    // member literals on an axis (calculated-member territory)
+    bad("""SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].[1996]} ON ROWS FROM [orders]""".stripMargin,
+      "expected .Members")
+    // missing axes are named
+    bad("SELECT {[Measures].[n]} ON COLUMNS FROM [orders]",
+      "missing ROWS axis")
+    bad("SELECT {[fecha].[y].Members} ON ROWS FROM [orders]",
+      "missing COLUMNS axis")
+    // mixing measures and levels in one set
+    bad("""SELECT {[Measures].[n], [fecha].[y].Members} ON COLUMNS,
+          | {[fecha].[y].Members} ON ROWS FROM [orders]""".stripMargin,
+      "cannot mix")
+    // trailing garbage is not silently ignored
+    bad("""SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].Members} ON ROWS FROM [orders] LIMIT""".stripMargin,
+      "trailing content")
+  }
+}
