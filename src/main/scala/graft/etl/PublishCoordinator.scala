@@ -86,20 +86,27 @@ final class FileLeaseCoordinator(
     val lease = new Path(base, LeaseName)
     val token = java.util.UUID.randomUUID().toString
     acquire(fs, lease, token)
+    // a failed RELEASE is loud (it strands a fresh-looking lease that
+    // blocks every publisher until the break horizon) but must not
+    // MASK the protected section's own failure — suppress, not
+    // replace, when both throw
+    var primary: Throwable = null
     try f
-    finally release(fs, lease, token)
+    catch { case t: Throwable => primary = t; throw t }
+    finally {
+      try release(fs, lease, token)
+      catch {
+        case rel: Throwable =>
+          if (primary != null) primary.addSuppressed(rel) else throw rel
+      }
+    }
   }
 
   private def acquire(fs: FileSystem, lease: Path, token: String): Unit = {
     val deadline = System.currentTimeMillis() + acquireTimeoutMs
     while (true) {
       if (tryCreate(fs, lease, token)) return
-      // contended: break a stale lease (dead holder), else wait
-      try {
-        val st = fs.getFileStatus(lease)
-        if (st.getModificationTime < System.currentTimeMillis() - leaseMs)
-          fs.delete(lease, false): Unit // best effort; racers re-loop
-      } catch { case _: java.io.FileNotFoundException => () }
+      breakIfStale(fs, lease)
       if (System.currentTimeMillis() > deadline)
         throw new java.io.IOException(
           s"failed to acquire publish lease $lease within " +
@@ -107,6 +114,54 @@ final class FileLeaseCoordinator(
             "(or a dead holder's lease is younger than the " +
             s"${leaseMs}ms break horizon)")
       Thread.sleep(pollMs)
+    }
+  }
+
+  /** Break a dead holder's lease — WITHOUT the bare check-then-act
+    * delete, which could unlock a LIVE rival: between this
+    * contender's staleness stat and its delete, another contender may
+    * have broken the same stale lease and created a fresh one of its
+    * own; deleting by path would then remove the rival's live hold
+    * and let two publishers in. Instead the observed-stale file is
+    * CLAIMED by an atomic rename to a unique sideline name (exactly
+    * one claimant can win the rename), and the sidelined file's mtime
+    * is compared against the one the staleness decision was made on:
+    *  - equal → it IS the dead holder's file; discard it.
+    *  - different → a fresh rival lease was claimed by mistake;
+    *    rename it back (the path is normally still free — the rival
+    *    believes it holds the lock, so it creates nothing new). If a
+    *    third process has already created yet another lease at the
+    *    path, the claimed one is dropped and that victim's hold is no
+    *    longer exclusion-protected — a residual needing THREE
+    *    processes inside one stat-to-rename window (the victim's
+    *    publish still has the manifest read-back layer behind it);
+    *    on a no-overwrite filesystem the restore fails loudly instead.
+    * The mtime comparison cannot alias: a breakable lease is over
+    * `leaseMs` old, a mistakenly-claimed one was written moments ago. */
+  private def breakIfStale(fs: FileSystem, lease: Path): Unit = {
+    val staleMtime =
+      try {
+        val st = fs.getFileStatus(lease)
+        if (st.getModificationTime >=
+          System.currentTimeMillis() - leaseMs) return
+        st.getModificationTime
+      } catch { case _: java.io.FileNotFoundException => return }
+    val sideline = new Path(lease.getParent,
+      LeaseName + ".broken-" + java.util.UUID.randomUUID().toString)
+    val claimed =
+      try fs.rename(lease, sideline)
+      catch { case _: java.io.IOException => false }
+    if (!claimed) return // another contender claimed it first
+    val st =
+      try Some(fs.getFileStatus(sideline))
+      catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case Some(s) if s.getModificationTime == staleMtime =>
+        fs.delete(sideline, false): Unit // the dead holder's file
+      case Some(_) =>
+        if (fs.exists(lease) || !fs.rename(sideline, lease))
+          fs.delete(sideline, false): Unit
+      case None => ()
     }
   }
 
@@ -134,14 +189,35 @@ final class FileLeaseCoordinator(
     true
   }
 
-  private def release(fs: FileSystem, lease: Path, token: String): Unit =
-    try {
-      val in = fs.open(lease)
-      val held =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
-      if (held == token) fs.delete(lease, false): Unit
-      // else: our lease was broken mid-hold — the file is a
-      // successor's claim now; deleting it would unlock THEIR hold
-    } catch { case _: java.io.IOException => () }
+  /** Delete the lease only while it still carries this holder's
+    * token (a lease broken mid-hold — a publish that outran `leaseMs`
+    * — is a successor's claim now; deleting it would unlock THEIR
+    * hold). A missing lease is that same broken-lease case and is
+    * fine; any OTHER I/O failure is retried and then THROWN — a
+    * silently-stranded fresh-looking lease would block every
+    * publisher for up to `leaseMs` with a misleading "another
+    * publisher holds it" error and no record of why. */
+  private def release(fs: FileSystem, lease: Path, token: String): Unit = {
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(lease)
+        val held =
+          try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+        if (held == token) fs.delete(lease, false): Unit
+        return
+      } catch {
+        case _: java.io.FileNotFoundException => return
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= 3) throw new java.io.IOException(
+            s"failed to release publish lease $lease after $attempt " +
+              s"attempts — publishers are blocked until the ${leaseMs}ms " +
+              "break horizon passes", e)
+          Thread.sleep(pollMs)
+      }
+    }
+  }
 }

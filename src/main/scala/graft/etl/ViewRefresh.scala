@@ -491,6 +491,20 @@ object ViewRefresh {
     val base = new org.apache.hadoop.fs.Path(path)
     val snap = new org.apache.hadoop.fs.Path(base, SnapDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    // REVERSE guard of [[requireNotSnapshotView]]: converting a PLAIN
+    // bucketed layout in place would leave its root `pbucket=` dirs
+    // readable by a direct parquet read beside the hidden SnapDir —
+    // two divergent versions of the table, the stale one served to
+    // exactly the readers the snapshot design promises to fail loudly
+    if (fs.exists(base)) {
+      val plainDirs = fs.listStatus(base).map(_.getPath.getName)
+        .filter(_.startsWith(s"$BucketCol="))
+      require(plainDirs.isEmpty,
+        s"$path holds a PLAIN bucketed layout (${plainDirs.length} " +
+          s"$BucketCol= partition dirs) — materializeSnapshot would " +
+          "leave them readable beside the snapshot; delete the table " +
+          "first to convert it")
+    }
     fs.mkdirs(snap)
     val bucketed =
       if (view.columns.contains(BucketCol))

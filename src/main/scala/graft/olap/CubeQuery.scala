@@ -197,12 +197,20 @@ object CubeQuery {
     * the Scala API directly). */
   val UnrestrictedWire: Set[String] = Set("*")
 
-  /** Reject a wire expression that calls outside `allowed` or embeds
-    * a subquery. Parsed with the same parser `expr()` uses, so the
-    * gate sees exactly what would run. */
-  private def requireSafeWireExpr(s: String, where: String,
-      allowed: Set[String]): Unit = {
-    if (allowed.contains("*")) return
+  /** Parse a wire expression, reject calls outside `allowed` (and any
+    * embedded subquery), and return a Column built from THE VALIDATED
+    * TREE itself — not a re-parse. Re-parsing through `expr()` would
+    * hand the string to the active session's parser, which
+    * `SparkSessionExtensions` can replace: the gate would then have
+    * validated a different tree than the one that runs (a macro-
+    * expanding custom parser could smuggle `reflect` past it), and
+    * every expression would be parsed twice besides. Under
+    * [[UnrestrictedWire]] the session parser IS the contract (the
+    * client is trusted with the session's full surface), so that path
+    * alone uses `expr()`. */
+  private def safeWireExpr(s: String, where: String,
+      allowed: Set[String]): Column = {
+    if (allowed.contains("*")) return expr(s)
     val parsed =
       try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseExpression(s)
@@ -227,6 +235,7 @@ object CubeQuery {
         .SubqueryExpression]),
       s"'$where' embeds a subquery — wire expressions are " +
         "scalar/aggregate only")
+    org.apache.spark.sql.graft.Bridge.column(parsed)
   }
 
   def fromJson(json: String, catalog: Map[String, CubeRef],
@@ -265,9 +274,8 @@ object CubeQuery {
         val ms = arr match {
           case JArray(xs) => xs.zipWithIndex.map { case (m, i) =>
             val s = str(m \ "expr", s"measures.$cube[$i].expr")
-            requireSafeWireExpr(s, s"measures.$cube[$i].expr",
-              allowedFunctions)
-            expr(s).as(str(m \ "as", s"measures.$cube[$i].as"))
+            safeWireExpr(s, s"measures.$cube[$i].expr", allowedFunctions)
+              .as(str(m \ "as", s"measures.$cube[$i].as"))
           }
           case _ => throw new IllegalArgumentException(
             s"'measures.$cube' must be an array of {expr, as}")
@@ -322,8 +330,8 @@ object CubeQuery {
     val derived = j \ "derived" match {
       case JArray(xs) => xs.zipWithIndex.map { case (d, i) =>
         val s = str(d \ "expr", s"derived[$i].expr")
-        requireSafeWireExpr(s, s"derived[$i].expr", allowedFunctions)
-        expr(s).as(str(d \ "as", s"derived[$i].as"))
+        safeWireExpr(s, s"derived[$i].expr", allowedFunctions)
+          .as(str(d \ "as", s"derived[$i].as"))
       }
       case JNothing | JNull => Nil
       case _ => throw new IllegalArgumentException(
@@ -334,8 +342,7 @@ object CubeQuery {
       hierarchies = hierarchies,
       grain = strs("grain"),
       slicers = strs("slicers").zipWithIndex.map { case (s, i) =>
-        requireSafeWireExpr(s, s"slicers[$i]", allowedFunctions)
-        expr(s)
+        safeWireExpr(s, s"slicers[$i]", allowedFunctions)
       },
       always = strs("always"),
       drillAcross = strs("drillAcross").map(ref),

@@ -39,9 +39,11 @@ import org.apache.spark.sql.functions._
   *    routed cubes keep serving stored partials untouched.
   *  - the WHERE tuple is a slicer: equality on the named level's
   *    column, applied pre-aggregation (and therefore rejected on
-  *    routed cubes by [[CubeQuery.run]]'s stored-partials rule). An
-  *    all-digits value compares numerically, anything else as a
-  *    string.
+  *    routed cubes by [[CubeQuery.run]]'s stored-partials rule). The
+  *    value types by the CUBE COLUMN — cast to its type, with a named
+  *    error when a numeric column gets a non-numeric value — never by
+  *    the value's shape (an all-digits literal against a string level
+  *    stays a string: '7' and '007' are distinct members).
   *  - set UNION on ROWS (`{a.Members, b.Members}`) is a member-SPACE
   *    query — use [[CubeQuery.Query]]'s `hierarchies` face, which
   *    computes every prefix in one GROUPING SETS pass instead of one
@@ -103,13 +105,53 @@ object Mdx {
       h.levels.take(h.levels.indexOf(lvl) + 1)
     }.distinct
     require(grain.nonEmpty, "the ROWS axis produced an empty grain")
-    val slicers = p.slicers.map { m =>
-      resolve(m.hierarchy, m.level): Unit
-      val v: Column =
-        if (m.value.matches("-?\\d+")) lit(m.value.toLong)
-        else lit(m.value)
-      col(m.level) === v
-    }
+    // slicer values type by the CUBE COLUMN, not by the value's shape:
+    // guessing "all digits → number" would CAST a string-typed level
+    // for the comparison and conflate distinct members ('7' vs '007')
+    // — silent mis-service. The literal is cast to the column's own
+    // type instead (plan-only schema read; the fact thunk is forced
+    // only when slicers exist, so routed zero-lineage drills stay
+    // lineage-free), with driver-side validation so a value the cast
+    // would silently null out is a NAMED error, not an empty result.
+    val slicers =
+      if (p.slicers.isEmpty) Nil
+      else {
+        val factSchema = ref.fact().schema
+        p.slicers.map { m =>
+          resolve(m.hierarchy, m.level): Unit
+          val field = factSchema.find(_.name == m.level)
+            .getOrElse(throw new IllegalArgumentException(
+              s"slicer level '[${m.level}]' is not a column of cube " +
+                s"'${p.cube}' (columns: " +
+                s"${factSchema.fieldNames.mkString(", ")})"))
+          locally {
+            import org.apache.spark.sql.types._
+            field.dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                // in-range too, not just parseable: the non-ANSI cast
+                // turns an overflowing literal into NULL → a silently
+                // empty drill instead of this named error
+                val inRange = m.value.matches("-?\\d+") &&
+                  m.value.toLongOption.exists(v => field.dataType match {
+                    case ByteType => v.isValidByte
+                    case ShortType => v.isValidShort
+                    case IntegerType => v.isValidInt
+                    case _ => true
+                  })
+                require(inRange,
+                  s"slicer value '[${m.value}]' is not a valid integer " +
+                    s"for ${field.dataType.simpleString} level " +
+                    s"'[${m.level}]'")
+              case FloatType | DoubleType | _: DecimalType =>
+                require(m.value.toDoubleOption.isDefined,
+                  s"slicer value '[${m.value}]' is not numeric for " +
+                    s"${field.dataType.simpleString} level '[${m.level}]'")
+              case _ => ()
+            }
+          }
+          col(m.level) === lit(m.value).cast(field.dataType)
+        }
+      }
     CubeQuery.Query(cube = ref, grain = grain, slicers = slicers)
   }
 

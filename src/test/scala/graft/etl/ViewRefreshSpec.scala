@@ -760,6 +760,17 @@ class ViewRefreshSpec extends AnyFunSuite {
     // nothing was written; a direct parquet read still fails loudly
     assert(ViewRefresh.readSnapshot(spark, path).count() === 2)
     intercept[Exception] { spark.read.parquet(path).count() }
+    // ...and the REVERSE guard: materializeSnapshot on a PLAIN layout
+    // would leave the old root pbucket= dirs readable beside _snap —
+    // two divergent versions of the table
+    val plainPath = s"$root/plain"
+    ViewRefresh.materialize(v1, col("k"), nb, plainPath)
+    val e4 = intercept[IllegalArgumentException] {
+      ViewRefresh.materializeSnapshot(v1, col("k"), nb, plainPath)
+    }
+    assert(e4.getMessage.contains("PLAIN bucketed layout"))
+    assert(spark.read.parquet(plainPath).count() === 2,
+      "the refused conversion must leave the plain table untouched")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 

@@ -36,8 +36,9 @@ class MdxSpec extends AnyFunSuite {
         |FROM [orders]
         |WHERE ([fecha].[y].[1996])""".stripMargin, catalog, schema)
     // [fecha].[m].Members expands to the level PREFIX (y, m) — member
-    // identity includes ancestors
-    val want = wide.filter(col("y") === 1996L)
+    // identity includes ancestors; the slicer literal types by the
+    // column (y is int → int literal after constant folding)
+    val want = wide.filter(col("y") === lit(1996))
       .groupBy("y", "m", "status").agg(measures.head, measures.tail: _*)
     assert(got.queryExecution.optimizedPlan.canonicalized ===
       want.queryExecution.optimizedPlan.canonicalized,
@@ -108,6 +109,44 @@ class MdxSpec extends AnyFunSuite {
       .groupBy("status").agg(count(lit(1)).as("n"))
     assert(got.collect().map(_.toSeq).toSeq ===
       want.collect().map(_.toSeq).toSeq)
+  }
+
+  test("slicer values type by the CUBE COLUMN: digit strings stay strings on string levels, bad numerics are named errors") {
+    import spark.implicits._
+    // a string level with the '7' vs '007' member pair: value-shape
+    // typing would cast the column and conflate them
+    val codes = Seq(("7", 10.0), ("007", 99.0), ("7", 15.0))
+      .toDF("code", "amt")
+    val cat = Map("codes" -> CubeQuery.CubeRef(() => codes,
+      measures = Seq(count(lit(1)).as("n"),
+        sum(col("amt").cast("decimal(18,2)")).cast("double").as("rev"))))
+    val sch = Map("codes" -> Seq(Cube.Hierarchy("c", Seq("code"))))
+    val got = Mdx.run(
+      """SELECT {[Measures].[n], [Measures].[rev]} ON COLUMNS,
+        | {[c].[code].Members} ON ROWS
+        |FROM [codes] WHERE ([c].[code].[7])""".stripMargin, cat, sch)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("7", 2L, 25.0)),
+      "member '007' must NOT satisfy the [7] slicer on a string level")
+    // a non-numeric value on a numeric level is a NAMED error, not a
+    // silently-empty result (the cast would null it out)
+    val e1 = intercept[IllegalArgumentException] {
+      Mdx.run(
+        """SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].Members} ON ROWS
+          |FROM [orders] WHERE ([fecha].[y].[abc])""".stripMargin,
+        catalog, schema)
+    }
+    assert(e1.getMessage.contains("not a valid integer"))
+    // ...and so is an integer that would overflow the column type
+    val e2 = intercept[IllegalArgumentException] {
+      Mdx.run(
+        """SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].Members} ON ROWS
+          |FROM [orders] WHERE ([fecha].[y].[99999999999999999999])"""
+          .stripMargin, catalog, schema)
+    }
+    assert(e2.getMessage.contains("not a valid integer"))
   }
 
   test("everything outside the subset is refused loudly, never mis-served") {
