@@ -8136,6 +8136,55 @@ object Queries {
       |   AS promedio_edades
       |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** MDX SET UNION ([[graft.olap.Mdx]] → [[graft.olap.CubeQuery]]'s
+    * explicit-sets face, r16) — `{a.Members, b.Members, c.Members}`
+    * on ROWS is several member sets at DIFFERENT grains; Mondrian
+    * would answer it with one generated SQL per set (one scan each),
+    * this face lowers the whole union to ONE GROUPING SETS pass with
+    * the memberSets `gid` as the cell identity. The oracle replays
+    * the same three sets with SQL GROUPING SETS — the parse, the
+    * union→sets lowering, the gid bit arithmetic and the single-pass
+    * plan must all agree to hash. */
+  def q231MdxSets(s: SparkSession, dir: String): DataFrame = {
+    import graft.olap.{CubeQuery, Mdx}
+    val catalog = Map("movimientos" -> CubeQuery.CubeRef(
+      () => q203Wide(s, dir),
+      measures = Seq(count(col("id_persona")).as("cantidad_movimientos"),
+        round(dmean(col("edad")), 6).as("promedio_edades"))))
+    val schema = Map("movimientos" -> q203Hierarchies)
+    val mdx =
+      """SELECT {[Measures].[cantidad_movimientos],
+        |        [Measures].[promedio_edades]} ON COLUMNS,
+        |       {[fecha].[anio_movi].Members,
+        |        [transporte].[via_tran].Members,
+        |        [nacionalidad].[nac_migr].Members} ON ROWS
+        |FROM [movimientos]""".stripMargin
+    Mdx.run(mdx, catalog, schema)
+      .orderBy(col("gid"), col("anio_movi").asc_nulls_first,
+        col("via_tran").asc_nulls_first, col("nac_migr").asc_nulls_first)
+  }
+
+  val q231Sql: String =
+    """WITH raw AS (SELECT
+      |  CAST(year(o_orderdate) AS INT) AS anio_movi,
+      |  o_orderpriority AS nac_migr,
+      |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'aerea'
+      |       WHEN o_orderpriority = '3-MEDIUM' THEN 'terrestre'
+      |       ELSE 'maritima' END AS via_tran,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE CAST(o_custkey % 80 + 1 AS INT) END AS edad
+      | FROM orders)
+      |SELECT anio_movi, via_tran, nac_migr,
+      | CAST(4*GROUPING(anio_movi) + 2*GROUPING(via_tran)
+      |  + GROUPING(nac_migr) AS BIGINT) AS gid,
+      | count(*) AS cantidad_movimientos,
+      | round(CAST(sum(CAST(edad AS DECIMAL(18,2))) AS DOUBLE) / count(edad), 6)
+      |   AS promedio_edades
+      |FROM raw
+      |GROUP BY GROUPING SETS ((anio_movi), (via_tran), (nac_migr))
+      |ORDER BY gid, anio_movi NULLS FIRST, via_tran NULLS FIRST,
+      | nac_migr NULLS FIRST""".stripMargin
+
   private[graft] val q225Budget = 120L
 
   /** BUDGET-CONSTRAINED AGGREGATE ADVISOR ([[graft.olap.AggNavigator
@@ -8458,6 +8507,7 @@ object Queries {
     "q228_cube_json" -> (q228CubeJson _),
     "q229_mdx" -> (q229Mdx _),
     "q230_cube_sql" -> (q230CubeSql _),
+    "q231_mdx_sets" -> (q231MdxSets _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -8696,6 +8746,7 @@ object Queries {
     "q228_cube_json" -> q228Sql,
     "q229_mdx" -> q229Sql,
     "q230_cube_sql" -> q230Sql,
+    "q231_mdx_sets" -> q231Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -8825,5 +8876,9 @@ object Queries {
     // SQL view over the member space (GROUPING SETS pass + gid filter
     // through spark.sql) — benched from birth so the language layers
     // stay visibly free beside q203's direct member space
-    "q229_mdx", "q230_cube_sql")
+    "q229_mdx", "q230_cube_sql",
+    // round-16: the MDX set-union → explicit-sets lowering (one
+    // GROUPING SETS pass for several grains) — benched beside q203's
+    // full member space so the subset face stays visibly cheaper
+    "q231_mdx_sets")
 }

@@ -46,11 +46,17 @@ object CubeQuery {
       "a CubeRef needs direct measures or a registry")
   }
 
-  /** The declarative query: `hierarchies` for a member space (every
-    * level prefix + the All member, q203's shape), or `grain` for one
-    * slice — with `drillAcross` sides merged at that grain (q219's
-    * shape). `always` columns are grouped in every member set (the
-    * multi-cube tag). */
+  /** The declarative query, one of THREE mutually-exclusive faces:
+    * `hierarchies` for a full member space (every level prefix + the
+    * All member, q203's shape); `grain` for one slice — with
+    * `drillAcross` sides merged at that grain (q219's shape); or
+    * `sets` for an EXPLICIT list of member sets (an MDX set union,
+    * a BI tool's ad-hoc cell selection) — computed in ONE
+    * GROUPING SETS pass direct, or routed set-by-set to the smallest
+    * covering aggregate table ([[AggNavigator.navigateSets]]), with
+    * the [[Cube.memberSets]] `gid` cell-identity contract either way
+    * (an empty inner list is the All member). `always` columns are
+    * grouped in every member set (the multi-cube tag). */
   final case class Query(
       cube: CubeRef,
       hierarchies: Seq[Cube.Hierarchy] = Nil,
@@ -58,17 +64,46 @@ object CubeQuery {
       slicers: Seq[Column] = Nil,
       always: Seq[String] = Nil,
       drillAcross: Seq[CubeRef] = Nil,
-      derived: Seq[Column] = Nil)
+      derived: Seq[Column] = Nil,
+      sets: Seq[Seq[String]] = Nil)
 
   /** Compile + run. Pure plan construction — every shape lowers to an
     * existing, separately-specced operator. */
   def run(q: Query): DataFrame = {
-    require(q.hierarchies.nonEmpty ^ q.grain.nonEmpty,
-      "exactly one of hierarchies (member space) or grain (drill) " +
-        "must be set")
+    val faces = Seq(q.hierarchies.nonEmpty, q.grain.nonEmpty,
+      q.sets.nonEmpty).count(identity)
+    require(faces == 1,
+      "exactly one of hierarchies (member space), grain (drill), or " +
+        "sets (explicit member sets) must be set")
     def sliced(ref: CubeRef): DataFrame =
       q.slicers.foldLeft(ref.fact())(_.filter(_))
-    if (q.hierarchies.nonEmpty) {
+    if (q.sets.nonEmpty) {
+      require(q.drillAcross.isEmpty,
+        "drill-across needs a conformed grain — explicit member sets " +
+          "are single-cube")
+      require(q.derived.isEmpty,
+        "derived measures are a drill-across feature")
+      val withAlways = q.sets.map(s => (q.always ++ s).distinct)
+      val allLevels = withAlways.flatten.distinct
+      q.cube.registry match {
+        case Some(reg) =>
+          require(q.slicers.isEmpty,
+            "slicers cannot be served from stored partials — register " +
+              "a filtered rollup or query the cube directly")
+          AggNavigator.navigateSets(reg, q.cube.fact(), allLevels,
+            withAlways)
+        case None =>
+          // one Expand + partial/final aggregate over exactly the
+          // requested sets — the memberSets plan restricted to a
+          // subset; grouping_id's bit order (allLevels, msb first)
+          // matches navigateSets' literal gids, so routed and direct
+          // answers stay cell-identical
+          val aggs = q.cube.measures :+ grouping_id().cast("long").as("gid")
+          sliced(q.cube)
+            .groupingSets(withAlways.map(_.map(col)), allLevels.map(col): _*)
+            .agg(aggs.head, aggs.tail: _*)
+      }
+    } else if (q.hierarchies.nonEmpty) {
       require(q.drillAcross.isEmpty,
         "drill-across needs a conformed grain — member spaces are " +
           "single-cube (use `always` for a cube tag)")
@@ -123,7 +158,9 @@ object CubeQuery {
     * {{{
     * { "cube": "orders",
     *   "hierarchies": [{"name":"fecha","levels":["y","m"]}],   // OR
-    *   "grain": ["y","m"],
+    *   "grain": ["y","m"],                                     // OR
+    *   "sets": [[], ["y"], ["y","m"]],   // explicit member sets
+    *                                     // ([] = the All member)
     *   "slicers": ["y >= 1996"],                 // SQL boolean exprs
     *   "always": ["fact"],
     *   "drillAcross": ["shipments"],             // catalog names
@@ -142,7 +179,7 @@ object CubeQuery {
     * client gets query shaping, not `reflect()`-style code execution
     * (see the allowlist's scaladoc for the trust model and opt-outs). */
   private val WireFields = Set("cube", "hierarchies", "grain", "slicers",
-    "always", "drillAcross", "derived", "measures")
+    "always", "drillAcross", "derived", "measures", "sets")
 
   /** Functions a WIRE expression may call. The wire parses slicer /
     * measure / derived strings with Spark's FULL expression language,
@@ -337,10 +374,23 @@ object CubeQuery {
       case _ => throw new IllegalArgumentException(
         "'derived' must be an array of {expr, as}")
     }
+    val sets = j \ "sets" match {
+      case JArray(xs) => xs.zipWithIndex.map {
+        case (JArray(ss), i) => ss.zipWithIndex.map { case (v, k) =>
+          str(v, s"sets[$i][$k]") }
+        case (_, i) => throw new IllegalArgumentException(
+          s"'sets[$i]' must be a string array (one member set; empty " +
+            "= the All member)")
+      }
+      case JNothing | JNull => Nil
+      case _ => throw new IllegalArgumentException(
+        "'sets' must be an array of string arrays (one per member set)")
+    }
     Query(
       cube = ref(cubeName),
       hierarchies = hierarchies,
       grain = strs("grain"),
+      sets = sets,
       slicers = strs("slicers").zipWithIndex.map { case (s, i) =>
         safeWireExpr(s, s"slicers[$i]", allowedFunctions)
       },

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * FROM [cube]
   * ( WHERE ( [Hier].[level].[value] (, [Hier].[level].[value])* ) )?
   *
-  * <rowset> := { [Hier].[level].Members }
+  * <rowset> := { [Hier].[level].Members (, [Hier].[level].Members)* }
   *           | CROSSJOIN( <rowset>, <rowset> )
   * }}}
   *
@@ -32,8 +32,15 @@ import org.apache.spark.sql.functions._
   *    down to `level` (member identity in a hierarchy includes its
   *    ancestors — `[fecha].[mes_movi].Members` is per (anio, mes),
   *    which is exactly what Mondrian's generated SQL groups by for a
-  *    snowflaked level). CROSSJOIN concatenates prefixes into one
-  *    conformed grain.
+  *    snowflaked level).
+  *  - a ROWS axis of ONE set is a drill ([[CubeQuery.Query]]'s
+  *    `grain`); a set UNION (`{a.Members, b.Members}`) is several
+  *    member sets, lowered to the `sets` face — ONE GROUPING SETS
+  *    pass direct, or per-set aggregate-table routing when the cube
+  *    carries a registry — with the [[Cube.memberSets]] `gid` column
+  *    riding in the output as the cell identity. CROSSJOIN
+  *    distributes over unions the MDX way: each operand's sets pair
+  *    off into concatenated grains.
   *  - the COLUMNS axis names a SUBSET of the cube's measures by
   *    output alias — selection happens on the aggregated result, so
   *    routed cubes keep serving stored partials untouched.
@@ -44,10 +51,6 @@ import org.apache.spark.sql.functions._
   *    error when a numeric column gets a non-numeric value — never by
   *    the value's shape (an all-digits literal against a string level
   *    stays a string: '7' and '007' are distinct members).
-  *  - set UNION on ROWS (`{a.Members, b.Members}`) is a member-SPACE
-  *    query — use [[CubeQuery.Query]]'s `hierarchies` face, which
-  *    computes every prefix in one GROUPING SETS pass instead of one
-  *    scan per set (the reason this parser refuses to desugar it).
   *
   * Axes may appear in either order; keywords are case-insensitive;
   * axis numbers (`ON 0`/`ON 1`) are not supported.
@@ -61,23 +64,28 @@ object Mdx {
   /** One `[Hier].[level].[value]` slicer member. */
   final case class Member(hierarchy: String, level: String, value: String)
 
-  /** The parsed statement, pre-validation: measures by alias, ROWS
-    * levels as (hierarchy, level) in axis order, slicer members. */
+  /** The parsed statement, pre-validation: measures by alias, the
+    * ROWS axis as a UNION of sets — each set a crossjoined list of
+    * (hierarchy, level) pairs — and slicer members. A single-element
+    * union is a plain drill. */
   final case class Parsed(cube: String, measures: Seq[String],
-      rowLevels: Seq[(String, String)], slicers: Seq[Member])
+      rows: Seq[Seq[(String, String)]], slicers: Seq[Member])
 
-  /** Parse + compile + run + select the requested measures. */
+  /** Parse + compile + run + select the requested measures (plus the
+    * `gid` cell identity when the ROWS axis is a set union). */
   def run(mdx: String, catalog: Map[String, CubeQuery.CubeRef],
       schema: Map[String, Seq[Cube.Hierarchy]]): DataFrame = {
     val p = parse(mdx)
     val q = toQuery(p, catalog, schema)
     val out = CubeQuery.run(q)
+    val keyCols =
+      if (q.sets.nonEmpty) q.sets.flatten.distinct :+ "gid" else q.grain
     val missing = p.measures.filterNot(out.columns.contains)
     require(missing.isEmpty,
       s"measure(s) ${missing.mkString("[", "], [", "]")} are not " +
         s"produced by cube '${p.cube}' (available: " +
-        s"${out.columns.filterNot(q.grain.contains).mkString(", ")})")
-    out.select((q.grain ++ p.measures).map(col): _*)
+        s"${out.columns.filterNot(keyCols.contains).mkString(", ")})")
+    out.select((keyCols ++ p.measures).map(col): _*)
   }
 
   /** Compile a [[Parsed]] statement onto the declarative front door,
@@ -100,11 +108,19 @@ object Mdx {
           s"${h.levels.mkString(", ")})")
       h
     }
-    val grain = p.rowLevels.flatMap { case (hn, lvl) =>
-      val h = resolve(hn, lvl)
-      h.levels.take(h.levels.indexOf(lvl) + 1)
-    }.distinct
-    require(grain.nonEmpty, "the ROWS axis produced an empty grain")
+    // each (hierarchy, level) expands to its level PREFIX; a
+    // single-set ROWS axis is a drill (grain), a union is the
+    // explicit-sets face with its per-set grains
+    val expanded: Seq[Seq[String]] = p.rows.map(_.flatMap {
+      case (hn, lvl) =>
+        val h = resolve(hn, lvl)
+        h.levels.take(h.levels.indexOf(lvl) + 1)
+    }.distinct)
+    require(expanded.nonEmpty && expanded.forall(_.nonEmpty),
+      "the ROWS axis produced an empty grain")
+    val (grain, sets) =
+      if (expanded.size == 1) (expanded.head, Nil)
+      else (Nil, expanded)
     // slicer values type by the CUBE COLUMN, not by the value's shape:
     // guessing "all digits → number" would CAST a string-typed level
     // for the comparison and conflate distinct members ('7' vs '007')
@@ -152,7 +168,8 @@ object Mdx {
           col(m.level) === lit(m.value).cast(field.dataType)
         }
       }
-    CubeQuery.Query(cube = ref, grain = grain, slicers = slicers)
+    CubeQuery.Query(cube = ref, grain = grain, sets = sets,
+      slicers = slicers)
   }
 
   // ------------------------------------------------------------------
@@ -222,7 +239,7 @@ object Mdx {
     def statement(): Parsed = {
       keyword("SELECT")
       var measures: Option[Seq[String]] = None
-      var rows: Option[Seq[(String, String)]] = None
+      var rows: Option[Seq[Seq[(String, String)]]] = None
       var more = true
       while (more) {
         val set = rowSetOrMeasures()
@@ -268,11 +285,15 @@ object Mdx {
     }
 
     /** One axis set: Left(measure aliases) for a measure set,
-      * Right(hier→level list) for a ROWS level set. Which one it is
-      * falls out of the first path's head ([Measures] or a
-      * hierarchy); mixing is rejected. */
+      * Right(union of crossjoined (hier, level) tuples) for a ROWS
+      * set. Which one it is falls out of the first path's head
+      * ([Measures] or a hierarchy); mixing is rejected. A braced
+      * list of level segments is a set UNION (one member set per
+      * segment); CROSSJOIN distributes over its operands' unions
+      * (MDX set algebra: every pairing becomes one concatenated
+      * tuple). */
     private def rowSetOrMeasures()
-        : Either[Seq[String], Seq[(String, String)]] =
+        : Either[Seq[String], Seq[Seq[(String, String)]]] =
       if (atKeyword("CROSSJOIN")) Right(crossjoin())
       else {
         sym('{')
@@ -285,32 +306,20 @@ object Mdx {
           throw new IllegalArgumentException(
             "a set cannot mix [Measures] members with hierarchy levels")
         if (measures.nonEmpty) Left(measures.collect { case Left(m) => m })
-        else {
-          val ls = levels.collect { case Right(l) => l }
-          // honest refusal, not silent mis-service: {a.Members,
-          // b.Members} is a set UNION (a member space), whose right
-          // plan is ONE GROUPING SETS pass — CubeQuery's
-          // `hierarchies` face — not a sequence of per-set scans
-          require(ls.size == 1,
-            "set UNION on ROWS is outside the MDX subset — use " +
-              "CubeQuery's member-space face (hierarchies =) for " +
-              "multi-set spaces; CROSSJOIN(...) is the supported " +
-              "multi-hierarchy drill")
-          Right(ls)
-        }
+        else Right(levels.collect { case Right(l) => Seq(l) })
       }
 
-    private def crossjoin(): Seq[(String, String)] = {
+    private def crossjoin(): Seq[Seq[(String, String)]] = {
       keyword("CROSSJOIN")
       sym('(')
       val a = rowsOnly()
       sym(',')
       val b = rowsOnly()
       sym(')')
-      a ++ b
+      for (sa <- a; sb <- b) yield sa ++ sb
     }
 
-    private def rowsOnly(): Seq[(String, String)] =
+    private def rowsOnly(): Seq[Seq[(String, String)]] =
       rowSetOrMeasures() match {
         case Right(ls) => ls
         case Left(_) => throw new IllegalArgumentException(

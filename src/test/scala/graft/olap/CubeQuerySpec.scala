@@ -1,7 +1,7 @@
 package graft.olap
 
 import graft.TestSpark
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -249,6 +249,57 @@ class CubeQuerySpec extends AnyFunSuite {
         catalog)
     }
     assert(e7.getMessage.contains("derived[0].expr"))
+  }
+
+  test("explicit-sets face: direct ≡ GROUPING SETS, routed ≡ per-set navigation, wire binds it, All member included") {
+    val sets = Seq(Seq.empty[String], Seq("y"), Seq("y", "m"))
+    val direct = CubeQuery.run(CubeQuery.Query(
+      cube = CubeQuery.CubeRef(() => wide, measures = measures),
+      sets = sets))
+    val want = wide.groupingSets(
+        Seq(Seq.empty[Column], Seq(col("y")), Seq(col("y"), col("m"))),
+        col("y"), col("m"))
+      .agg(measures.head, measures.tail :+
+        grouping_id().cast("long").as("gid"): _*)
+    assert(sortedRows(direct) === sortedRows(want))
+    // routed: same cells from the registry, zero fact lineage
+    val root = java.nio.file.Files.createTempDirectory("cq_sets").toString
+    try {
+      wide.write.parquet(s"$root/fact")
+      var built = 0
+      def fact = { built += 1; spark.read.parquet(s"$root/fact") }
+      val navMeasures = Seq[AggNavigator.Measure](
+        AggNavigator.CountAll("n"), AggNavigator.ExactSum("rev", "price"))
+      val reg = AggNavigator.register(spark.read.parquet(s"$root/fact"),
+        Seq("ym" -> Seq("y", "m")), navMeasures, root)
+      val routed = CubeQuery.run(CubeQuery.Query(
+        cube = CubeQuery.CubeRef(() => fact, registry = Some(reg)),
+        sets = sets))
+      val rows = sortedRows(routed)
+      assert(built === 0,
+        "a fully-covered set list must not construct the fact lineage")
+      assert(rows === sortedRows(want))
+      // the JSON wire binds the same face ([] = the All member)
+      val wired = CubeQuery.runJson(
+        """{"cube":"orders","sets":[[], ["y"], ["y","m"]]}""",
+        Map("orders" -> CubeQuery.CubeRef(() => fact,
+          registry = Some(reg))))
+      assert(sortedRows(wired) === sortedRows(want))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // exactly one face: sets + grain together is rejected
+    intercept[IllegalArgumentException] {
+      CubeQuery.run(CubeQuery.Query(
+        CubeQuery.CubeRef(() => wide, measures = measures),
+        grain = Seq("y"), sets = Seq(Seq("y"))))
+    }
+    // malformed wire sets are named
+    val e = intercept[IllegalArgumentException] {
+      CubeQuery.fromJson("""{"cube":"orders","sets":["y"]}""",
+        Map("orders" -> CubeQuery.CubeRef(() => wide,
+          measures = measures)))
+    }
+    assert(e.getMessage.contains("'sets[0]'"))
   }
 
   test("wire expressions are GATED: no reflection, no subqueries, no nondeterminism from an untrusted client") {

@@ -28,6 +28,12 @@ class MdxSpec extends AnyFunSuite {
     "orders" -> CubeQuery.CubeRef(() => wide, measures = measures))
   private def schema = Map("orders" -> hierSchema)
 
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).collect().toSeq
+      .map(_.toSeq).sortBy(_.mkString("|"))
+  }
+
   test("a CROSSJOIN drill with a slicer equals the direct Scala call, plan-identically") {
     val got = Mdx.run(
       """SELECT {[Measures].[n], [Measures].[rev]} ON COLUMNS,
@@ -99,6 +105,65 @@ class MdxSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("set UNION on ROWS lowers to the explicit-sets face: one GROUPING SETS pass, gid cell identity") {
+    val got = Mdx.run(
+      """SELECT {[Measures].[n], [Measures].[rev]} ON COLUMNS,
+        | {[fecha].[y].Members, [estado].[status].Members} ON ROWS
+        |FROM [orders]""".stripMargin, catalog, schema)
+    // sets = {(y), (status)}; gid bits over allLevels (y, status)
+    assert(got.columns.toSeq === Seq("y", "status", "gid", "n", "rev"))
+    val want = wide.groupingSets(Seq(Seq(col("y")), Seq(col("status"))),
+        col("y"), col("status"))
+      .agg(measures.head, measures.tail :+
+        grouping_id().cast("long").as("gid"): _*)
+    assert(sortedRows(got) === sortedRows(want))
+    // ONE aggregate (Expand-based), not one scan per set: a union of
+    // the per-set aggregates would plan one more
+    val aggCount = got.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(aggCount === 1, "a set union must be one GROUPING SETS pass")
+    // CROSSJOIN distributes over a union operand: {y, status} × {m}
+    // = {(y,m)-grain set, (status,m)-grain set}
+    val dist = Mdx.run(
+      """SELECT {[Measures].[n]} ON COLUMNS,
+        | CROSSJOIN({[fecha].[y].Members, [estado].[status].Members},
+        |           {[fecha].[m].Members}) ON ROWS
+        |FROM [orders]""".stripMargin, catalog, schema)
+    val wantDist = wide.groupingSets(
+        Seq(Seq(col("y"), col("m")), Seq(col("status"), col("y"), col("m"))),
+        col("y"), col("m"), col("status"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+    assert(sortedRows(dist) === sortedRows(wantDist))
+  }
+
+  test("a ROUTED cube serves an MDX set union per-set from the registry, zero fact lineage") {
+    val root = java.nio.file.Files.createTempDirectory("mdx_sets").toString
+    try {
+      wide.write.parquet(s"$root/fact")
+      var built = 0
+      def fact = { built += 1; spark.read.parquet(s"$root/fact") }
+      val reg = AggNavigator.register(spark.read.parquet(s"$root/fact"),
+        Seq("ym" -> Seq("y", "m"), "status" -> Seq("status")),
+        Seq[AggNavigator.Measure](AggNavigator.CountAll("n")), root)
+      val got = Mdx.run(
+        """SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].Members, [estado].[status].Members} ON ROWS
+          |FROM [orders]""".stripMargin,
+        Map("orders" -> CubeQuery.CubeRef(() => fact,
+          registry = Some(reg))), schema)
+      val rows = sortedRows(got)
+      assert(built === 0,
+        "a fully-covered set union must not construct the fact lineage")
+      val want = spark.read.parquet(s"$root/fact")
+        .groupingSets(Seq(Seq(col("y")), Seq(col("status"))),
+          col("y"), col("status"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+      assert(rows === sortedRows(want))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("axes in either order; string slicer values type as strings") {
     val got = Mdx.run(
       """select {[estado].[status].Members} on rows,
@@ -157,10 +222,6 @@ class MdxSpec extends AnyFunSuite {
       assert(e.getMessage.contains(needle),
         s"want '$needle' in: ${e.getMessage}")
     }
-    // set UNION on ROWS is a member space, not a drill
-    bad("""SELECT {[Measures].[n]} ON COLUMNS,
-          | {[fecha].[y].Members, [estado].[status].Members} ON ROWS
-          |FROM [orders]""".stripMargin, "set UNION on ROWS")
     // unknown cube / hierarchy / level / measure are named
     bad("""SELECT {[Measures].[n]} ON COLUMNS,
           | {[fecha].[y].Members} ON ROWS FROM [nope]""".stripMargin,
