@@ -128,14 +128,17 @@ final class FileLeaseCoordinator(
     * is compared against the one the staleness decision was made on:
     *  - equal → it IS the dead holder's file; discard it.
     *  - different → a fresh rival lease was claimed by mistake;
-    *    rename it back (the path is normally still free — the rival
-    *    believes it holds the lock, so it creates nothing new). If a
-    *    third process has already created yet another lease at the
-    *    path, the claimed one is dropped and that victim's hold is no
-    *    longer exclusion-protected — a residual needing THREE
-    *    processes inside one stat-to-rename window (the victim's
-    *    publish still has the manifest read-back layer behind it);
-    *    on a no-overwrite filesystem the restore fails loudly instead.
+    *    restore it ATOMICALLY-NO-REPLACE: a hard link back to the
+    *    lease path on local filesystems (link(2) fails if the target
+    *    exists — a bare exists+rename would be check-then-act again,
+    *    and POSIX rename REPLACES, so it could overwrite a THIRD
+    *    contender's live lease), a no-overwrite rename on HDFS. If
+    *    the restore loses (a third process already re-created the
+    *    lease), the claimed file is dropped and that victim's hold is
+    *    no longer exclusion-protected — a residual needing THREE
+    *    processes inside one stat-to-rename window, with the manifest
+    *    read-back layer still behind the victim's publish; no LIVE
+    *    lease is ever overwritten.
     * The mtime comparison cannot alias: a breakable lease is over
     * `leaseMs` old, a mistakenly-claimed one was written moments ago. */
   private def breakIfStale(fs: FileSystem, lease: Path): Unit = {
@@ -159,8 +162,21 @@ final class FileLeaseCoordinator(
       case Some(s) if s.getModificationTime == staleMtime =>
         fs.delete(sideline, false): Unit // the dead holder's file
       case Some(_) =>
-        if (fs.exists(lease) || !fs.rename(sideline, lease))
-          fs.delete(sideline, false): Unit
+        if (fs.getScheme == "file")
+          try
+            // link(2): atomic create-at-target, fails if it exists
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(lease.toUri.getPath),
+              java.nio.file.Paths.get(sideline.toUri.getPath)): Unit
+          catch { case _: java.io.IOException => () }
+        else
+          try fs.rename(sideline, lease): Unit // HDFS: no-overwrite
+          catch { case _: java.io.IOException => () }
+        // drop the sideline name: after a link restore it is a second
+        // name for the restored inode; after a lost restore it is the
+        // three-process residual documented above; after an HDFS
+        // rename it is already gone (no-op delete)
+        fs.delete(sideline, false): Unit
       case None => ()
     }
   }

@@ -83,7 +83,16 @@ object CubeQuery {
           "are single-cube")
       require(q.derived.isEmpty,
         "derived measures are a drill-across feature")
+      // SET semantics across the union too: two requests for the same
+      // grain (a literal duplicate from the wire, or two hierarchies
+      // whose prefixes expand to the same columns in MDX) are ONE
+      // member set — duplicates would emit every cell twice under the
+      // SAME gid, breaking the (levels, gid) cell-identity contract
+      // a set's identity is its COLUMN SET (order inside a set
+      // affects neither the grouping nor the gid, whose bits follow
+      // allLevels positions), so [y,m] and [m,y] are one set too
       val withAlways = q.sets.map(s => (q.always ++ s).distinct)
+        .distinctBy(_.toSet)
       val allLevels = withAlways.flatten.distinct
       q.cube.registry match {
         case Some(reg) =>

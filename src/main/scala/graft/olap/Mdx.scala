@@ -121,54 +121,57 @@ object Mdx {
     val (grain, sets) =
       if (expanded.size == 1) (expanded.head, Nil)
       else (Nil, expanded)
+    // slicers on a ROUTED cube can never be served (stored partials
+    // are built over the unfiltered fact) — CubeQuery.run rejects
+    // them too, but failing HERE keeps the rejection from first
+    // constructing the fact lineage just to read a schema it never
+    // uses
+    require(ref.registry.isEmpty || p.slicers.isEmpty,
+      "slicers cannot be served from stored partials — register a " +
+        "filtered rollup or query the cube directly")
+    // memoize the fact thunk: the slicer typing below reads its
+    // schema and CubeQuery.run forces it again — unmemoized, every
+    // sliced MDX query would build the (possibly warehouse-sized)
+    // fact plan twice on the driver
+    val memoRef = { lazy val df = ref.fact(); ref.copy(fact = () => df) }
     // slicer values type by the CUBE COLUMN, not by the value's shape:
     // guessing "all digits → number" would CAST a string-typed level
     // for the comparison and conflate distinct members ('7' vs '007')
     // — silent mis-service. The literal is cast to the column's own
     // type instead (plan-only schema read; the fact thunk is forced
     // only when slicers exist, so routed zero-lineage drills stay
-    // lineage-free), with driver-side validation so a value the cast
-    // would silently null out is a NAMED error, not an empty result.
+    // lineage-free), and the SAME legacy-mode Cast the comparison
+    // will run is evaluated driver-side first: any value it would
+    // silently null out — out-of-range integers, malformed dates,
+    // non-numeric decimals, garbled booleans — is a NAMED error here
+    // instead of a silently empty drill.
     val slicers =
       if (p.slicers.isEmpty) Nil
       else {
-        val factSchema = ref.fact().schema
+        val fact = memoRef.fact()
+        // the session's resolution rules, not bare string equality —
+        // under default case-insensitive resolution a level declared
+        // 'Anio' must find column 'anio' exactly as col() would
+        val resolver = fact.sparkSession.sessionState.analyzer.resolver
+        val tz = fact.sparkSession.sessionState.conf.sessionLocalTimeZone
         p.slicers.map { m =>
           resolve(m.hierarchy, m.level): Unit
-          val field = factSchema.find(_.name == m.level)
+          val field = fact.schema.find(f => resolver(f.name, m.level))
             .getOrElse(throw new IllegalArgumentException(
               s"slicer level '[${m.level}]' is not a column of cube " +
                 s"'${p.cube}' (columns: " +
-                s"${factSchema.fieldNames.mkString(", ")})"))
-          locally {
-            import org.apache.spark.sql.types._
-            field.dataType match {
-              case ByteType | ShortType | IntegerType | LongType =>
-                // in-range too, not just parseable: the non-ANSI cast
-                // turns an overflowing literal into NULL → a silently
-                // empty drill instead of this named error
-                val inRange = m.value.matches("-?\\d+") &&
-                  m.value.toLongOption.exists(v => field.dataType match {
-                    case ByteType => v.isValidByte
-                    case ShortType => v.isValidShort
-                    case IntegerType => v.isValidInt
-                    case _ => true
-                  })
-                require(inRange,
-                  s"slicer value '[${m.value}]' is not a valid integer " +
-                    s"for ${field.dataType.simpleString} level " +
-                    s"'[${m.level}]'")
-              case FloatType | DoubleType | _: DecimalType =>
-                require(m.value.toDoubleOption.isDefined,
-                  s"slicer value '[${m.value}]' is not numeric for " +
-                    s"${field.dataType.simpleString} level '[${m.level}]'")
-              case _ => ()
-            }
-          }
-          col(m.level) === lit(m.value).cast(field.dataType)
+                s"${fact.schema.fieldNames.mkString(", ")})"))
+          val casted = org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(m.value),
+            field.dataType, Option(tz),
+            org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+          require(casted.eval(null) != null,
+            s"slicer value '[${m.value}]' does not cast to " +
+              s"${field.dataType.simpleString} for level '[${m.level}]'")
+          col(field.name) === lit(m.value).cast(field.dataType)
         }
       }
-    CubeQuery.Query(cube = ref, grain = grain, sets = sets,
+    CubeQuery.Query(cube = memoRef, grain = grain, sets = sets,
       slicers = slicers)
   }
 

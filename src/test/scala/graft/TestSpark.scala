@@ -23,4 +23,14 @@ object TestSpark {
 
   def table(name: String): DataFrame =
     spark.read.parquet(s"$sf/$name.parquet")
+
+  /** Order-free comparison form: columns sorted by name, rows sorted
+    * by their joined string — shared by the olap specs so the two
+    * sides of an equivalence assert can differ in column AND row
+    * order. */
+  def sortedRows(df: DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+  }
 }

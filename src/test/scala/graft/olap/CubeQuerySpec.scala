@@ -24,11 +24,7 @@ class CubeQuerySpec extends AnyFunSuite {
   private val measures = Seq(count(lit(1)).as("n"),
     sum(col("price").cast("decimal(18,2)")).cast("double").as("rev"))
 
-  private def sortedRows(df: DataFrame): Seq[Seq[Any]] = {
-    val cols = df.columns.sorted.toIndexedSeq
-    df.select(cols.map(col): _*).collect().toSeq
-      .map(_.toSeq).sortBy(_.mkString("|"))
-  }
+  private def sortedRows(df: DataFrame) = TestSpark.sortedRows(df)
 
   test("member space through the front door ≡ Cube.memberSets, row for row") {
     val got = CubeQuery.run(CubeQuery.Query(

@@ -28,11 +28,8 @@ class MdxSpec extends AnyFunSuite {
     "orders" -> CubeQuery.CubeRef(() => wide, measures = measures))
   private def schema = Map("orders" -> hierSchema)
 
-  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
-    val cols = df.columns.sorted.toIndexedSeq
-    df.select(cols.map(col): _*).collect().toSeq
-      .map(_.toSeq).sortBy(_.mkString("|"))
-  }
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    TestSpark.sortedRows(df)
 
   test("a CROSSJOIN drill with a slicer equals the direct Scala call, plan-identically") {
     val got = Mdx.run(
@@ -202,7 +199,7 @@ class MdxSpec extends AnyFunSuite {
           |FROM [orders] WHERE ([fecha].[y].[abc])""".stripMargin,
         catalog, schema)
     }
-    assert(e1.getMessage.contains("not a valid integer"))
+    assert(e1.getMessage.contains("does not cast to"))
     // ...and so is an integer that would overflow the column type
     val e2 = intercept[IllegalArgumentException] {
       Mdx.run(
@@ -211,7 +208,41 @@ class MdxSpec extends AnyFunSuite {
           |FROM [orders] WHERE ([fecha].[y].[99999999999999999999])"""
           .stripMargin, catalog, schema)
     }
-    assert(e2.getMessage.contains("not a valid integer"))
+    assert(e2.getMessage.contains("does not cast to"))
+    // the check is generic over the column type — a malformed DATE
+    // value is equally named, and a valid one slices normally
+    val dated = Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 1.0),
+      (java.sql.Date.valueOf("2024-01-02"), 2.0)).toDF("d", "amt")
+    val dcat = Map("dates" -> CubeQuery.CubeRef(() => dated,
+      measures = Seq(count(lit(1)).as("n"))))
+    val dsch = Map("dates" -> Seq(Cube.Hierarchy("dh", Seq("d"))))
+    val e3 = intercept[IllegalArgumentException] {
+      Mdx.run(
+        """SELECT {[Measures].[n]} ON COLUMNS,
+          | {[dh].[d].Members} ON ROWS
+          |FROM [dates] WHERE ([dh].[d].[2024-13-99])""".stripMargin,
+        dcat, dsch)
+    }
+    assert(e3.getMessage.contains("does not cast to"))
+    val okDate = Mdx.run(
+      """SELECT {[Measures].[n]} ON COLUMNS,
+        | {[dh].[d].Members} ON ROWS
+        |FROM [dates] WHERE ([dh].[d].[2024-01-01])""".stripMargin,
+      dcat, dsch)
+    assert(okDate.collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1))).toSeq ===
+      Seq(("2024-01-01", 1L)))
+    // duplicate grains across a set union collapse to ONE member set
+    // (set semantics — duplicates would double every cell at the
+    // same gid)
+    val dup = Mdx.run(
+      """SELECT {[Measures].[n]} ON COLUMNS,
+        | {[estado].[status].Members, [estado].[status].Members} ON ROWS
+        |FROM [orders]""".stripMargin, catalog, schema)
+    val statuses = wide.select("status").distinct().count()
+    assert(dup.count() === statuses,
+      "duplicate sets must not double the member cells")
   }
 
   test("everything outside the subset is refused loudly, never mis-served") {
