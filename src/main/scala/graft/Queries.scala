@@ -8185,6 +8185,53 @@ object Queries {
       |ORDER BY gid, anio_movi NULLS FIRST, via_tran NULLS FIRST,
       | nac_migr NULLS FIRST""".stripMargin
 
+  /** MDX CALCULATED MEMBER ([[graft.olap.Mdx]] `WITH MEMBER`, r16) —
+    * Mondrian's other core query feature: a measure DERIVED from the
+    * cube's measures in the query text itself. Lowered as a
+    * post-aggregation projection (works identically on routed
+    * queries — a ratio of stored partials never touches the fact)
+    * with `[Measures].[x]` references rewritten to aliases and the
+    * expression gated through the wire function allowlist: MDX
+    * arrives as untrusted text. The oracle derives the same column
+    * from the same aggregate — the WITH parse, the reference rewrite,
+    * the gate, and the projection must all agree to hash. */
+  def q232MdxCalc(s: SparkSession, dir: String): DataFrame = {
+    import graft.olap.{CubeQuery, Mdx}
+    val catalog = Map("movimientos" -> CubeQuery.CubeRef(
+      () => q203Wide(s, dir),
+      measures = Seq(count(col("id_persona")).as("cantidad_movimientos"),
+        round(dmean(col("edad")), 6).as("promedio_edades"))))
+    val schema = Map("movimientos" -> q203Hierarchies)
+    val mdx =
+      """WITH MEMBER [Measures].[carga_estimada] AS
+        | 'round([Measures].[cantidad_movimientos]
+        |        * [Measures].[promedio_edades] / 100.0, 6)'
+        |SELECT {[Measures].[cantidad_movimientos],
+        |        [Measures].[promedio_edades],
+        |        [Measures].[carga_estimada]} ON COLUMNS,
+        |       {[transporte].[via_tran].Members} ON ROWS
+        |FROM [movimientos]""".stripMargin
+    Mdx.run(mdx, catalog, schema).orderBy("via_tran")
+  }
+
+  val q232Sql: String =
+    """WITH raw AS (SELECT
+      |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'aerea'
+      |       WHEN o_orderpriority = '3-MEDIUM' THEN 'terrestre'
+      |       ELSE 'maritima' END AS via_tran,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE CAST(o_custkey % 80 + 1 AS INT) END AS edad
+      | FROM orders),
+      |g AS (SELECT via_tran,
+      |  count(*) AS cantidad_movimientos,
+      |  round(CAST(sum(CAST(edad AS DECIMAL(18,2))) AS DOUBLE) / count(edad), 6)
+      |    AS promedio_edades
+      | FROM raw GROUP BY 1)
+      |SELECT via_tran, cantidad_movimientos, promedio_edades,
+      | round(cantidad_movimientos * promedio_edades / 100.0, 6)
+      |   AS carga_estimada
+      |FROM g ORDER BY via_tran""".stripMargin
+
   private[graft] val q225Budget = 120L
 
   /** BUDGET-CONSTRAINED AGGREGATE ADVISOR ([[graft.olap.AggNavigator
@@ -8508,6 +8555,7 @@ object Queries {
     "q229_mdx" -> (q229Mdx _),
     "q230_cube_sql" -> (q230CubeSql _),
     "q231_mdx_sets" -> (q231MdxSets _),
+    "q232_mdx_calc" -> (q232MdxCalc _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -8747,6 +8795,7 @@ object Queries {
     "q229_mdx" -> q229Sql,
     "q230_cube_sql" -> q230Sql,
     "q231_mdx_sets" -> q231Sql,
+    "q232_mdx_calc" -> q232Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -8880,5 +8929,9 @@ object Queries {
     // round-16: the MDX set-union → explicit-sets lowering (one
     // GROUPING SETS pass for several grains) — benched beside q203's
     // full member space so the subset face stays visibly cheaper
-    "q231_mdx_sets")
+    "q231_mdx_sets",
+    // round-16: the WITH MEMBER path (gated post-agg projection) —
+    // benched so the calc-member layer stays visibly free beside the
+    // plain drill it decorates
+    "q232_mdx_calc")
 }

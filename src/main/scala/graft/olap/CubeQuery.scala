@@ -254,7 +254,7 @@ object CubeQuery {
     * [[UnrestrictedWire]] the session parser IS the contract (the
     * client is trusted with the session's full surface), so that path
     * alone uses `expr()`. */
-  private def safeWireExpr(s: String, where: String,
+  private[olap] def safeWireExpr(s: String, where: String,
       allowed: Set[String]): Column = {
     if (allowed.contains("*")) return expr(s)
     val parsed =

@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   * never mis-served):
   *
   * {{{
+  * ( WITH ( MEMBER [Measures].[alias] AS '<expr>' )+ )?
   * SELECT { [Measures].[alias] (, [Measures].[alias])* } ON COLUMNS,
   *        <rowset> ON ROWS
   * FROM [cube]
@@ -44,6 +45,18 @@ import org.apache.spark.sql.functions._
   *  - the COLUMNS axis names a SUBSET of the cube's measures by
   *    output alias — selection happens on the aggregated result, so
   *    routed cubes keep serving stored partials untouched.
+  *  - `WITH MEMBER [Measures].[x] AS '<expr>'` declares a CALCULATED
+  *    member: a post-aggregation projection over the cube's measure
+  *    aliases, applied AFTER the aggregate (so it works identically
+  *    on direct, routed, drill and set-union queries — a ratio of
+  *    stored partials never touches the fact). The expression is
+  *    SQL, with `[Measures].[alias]` references rewritten to the
+  *    alias first so MDX-style text reads naturally; it is GATED
+  *    through the same function allowlist as the JSON wire
+  *    ([[CubeQuery.DefaultWireFunctions]]) — MDX arrives as untrusted
+  *    text, and a calculated member must shape cells, not execute
+  *    code. Calculated members are selectable on COLUMNS like any
+  *    measure; names must not collide with existing columns.
   *  - the WHERE tuple is a slicer: equality on the named level's
   *    column, applied pre-aggregation (and therefore rejected on
   *    routed cubes by [[CubeQuery.run]]'s stored-partials rule). The
@@ -64,20 +77,40 @@ object Mdx {
   /** One `[Hier].[level].[value]` slicer member. */
   final case class Member(hierarchy: String, level: String, value: String)
 
-  /** The parsed statement, pre-validation: measures by alias, the
-    * ROWS axis as a UNION of sets — each set a crossjoined list of
+  /** The parsed statement, pre-validation: calculated members
+    * (alias → SQL-ish expression text), measures by alias, the ROWS
+    * axis as a UNION of sets — each set a crossjoined list of
     * (hierarchy, level) pairs — and slicer members. A single-element
     * union is a plain drill. */
-  final case class Parsed(cube: String, measures: Seq[String],
-      rows: Seq[Seq[(String, String)]], slicers: Seq[Member])
+  final case class Parsed(cube: String, calc: Seq[(String, String)],
+      measures: Seq[String], rows: Seq[Seq[(String, String)]],
+      slicers: Seq[Member])
+
+  /** `[Measures].[alias]` references inside a calculated member's
+    * expression, rewritten to the bare alias before SQL parsing. */
+  private val MeasureRefRe = """\[Measures\]\.\[([^\]]+)\]""".r
 
   /** Parse + compile + run + select the requested measures (plus the
-    * `gid` cell identity when the ROWS axis is a set union). */
+    * `gid` cell identity when the ROWS axis is a set union).
+    * Calculated-member expressions are gated through
+    * `allowedFunctions` exactly like JSON-wire expressions. */
   def run(mdx: String, catalog: Map[String, CubeQuery.CubeRef],
-      schema: Map[String, Seq[Cube.Hierarchy]]): DataFrame = {
+      schema: Map[String, Seq[Cube.Hierarchy]],
+      allowedFunctions: Set[String] = CubeQuery.DefaultWireFunctions)
+      : DataFrame = {
     val p = parse(mdx)
     val q = toQuery(p, catalog, schema)
-    val out = CubeQuery.run(q)
+    val agg = CubeQuery.run(q)
+    val out = p.calc.foldLeft(agg) { case (df, (alias, exprText)) =>
+      require(!df.columns.contains(alias),
+        s"calculated member [$alias] collides with an existing " +
+          s"column of cube '${p.cube}'")
+      val sql = MeasureRefRe.replaceAllIn(exprText,
+        m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
+      df.withColumn(alias,
+        CubeQuery.safeWireExpr(sql, s"calculated member [$alias]",
+          allowedFunctions))
+    }
     val keyCols =
       if (q.sets.nonEmpty) q.sets.flatten.distinct :+ "gid" else q.grain
     val missing = p.measures.filterNot(out.columns.contains)
@@ -183,6 +216,7 @@ object Mdx {
   private final case class TBracket(s: String) extends Tok // [x]
   private final case class TIdent(s: String) extends Tok // bare word
   private final case class TSym(c: Char) extends Tok // { } ( ) , .
+  private final case class TStr(s: String) extends Tok // '...'
 
   private def tokenize(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -194,6 +228,14 @@ object Mdx {
         val j = s.indexOf(']', i + 1)
         require(j >= 0, s"unterminated '[' at offset $i")
         out += TBracket(s.substring(i + 1, j)); i = j + 1
+      } else if (c == '\'') {
+        // calculated-member expression text; no escape sequences —
+        // SQL string literals inside would need doubling, which the
+        // gate's parser does not see anyway (wire exprs are over
+        // measure aliases and numbers)
+        val j = s.indexOf('\'', i + 1)
+        require(j >= 0, s"unterminated quote at offset $i")
+        out += TStr(s.substring(i + 1, j)); i = j + 1
       } else if ("{}(),.".indexOf(c.toInt) >= 0) {
         out += TSym(c); i += 1
       } else if (c.isLetter || c == '_') {
@@ -240,6 +282,12 @@ object Mdx {
     }
 
     def statement(): Parsed = {
+      val calc =
+        if (atKeyword("WITH")) { keyword("WITH"); withMembers() } else Nil
+      val dupCalc = calc.groupBy(_._1).filter(_._2.size > 1).keys
+      require(dupCalc.isEmpty,
+        s"duplicate calculated member(s) ${dupCalc.toSeq.sorted
+          .mkString("[", "], [", "]")}")
       keyword("SELECT")
       var measures: Option[Seq[String]] = None
       var rows: Option[Seq[Seq[(String, String)]]] = None
@@ -279,12 +327,35 @@ object Mdx {
         if (atKeyword("WHERE")) { keyword("WHERE"); tuple() } else Nil
       peek.foreach(t => throw new IllegalArgumentException(
         s"trailing content after the statement: $t"))
-      Parsed(cube,
+      Parsed(cube, calc,
         measures.getOrElse(throw new IllegalArgumentException(
           "missing COLUMNS axis (the measure list)")),
         rows.getOrElse(throw new IllegalArgumentException(
           "missing ROWS axis (the drill levels)")),
         slicers)
+    }
+
+    /** `MEMBER [Measures].[alias] AS '<expr>'`, one or more (MDX
+      * separates WITH declarations by juxtaposition, not commas). */
+    private def withMembers(): Seq[(String, String)] = {
+      var acc = Vector.empty[(String, String)]
+      while (atKeyword("MEMBER")) {
+        keyword("MEMBER")
+        val head = bracket("Measures")
+        require(head.equalsIgnoreCase("Measures"),
+          s"calculated members live in [Measures], found [$head]")
+        sym('.')
+        val alias = bracket("alias")
+        keyword("AS")
+        val e = next() match {
+          case TStr(s) => s
+          case t => throw new IllegalArgumentException(
+            s"expected a quoted expression after AS, found $t")
+        }
+        acc = acc :+ (alias -> e)
+      }
+      require(acc.nonEmpty, "WITH requires at least one MEMBER declaration")
+      acc
     }
 
     /** One axis set: Left(measure aliases) for a measure set,

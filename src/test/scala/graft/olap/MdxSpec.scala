@@ -245,6 +245,78 @@ class MdxSpec extends AnyFunSuite {
       "duplicate sets must not double the member cells")
   }
 
+  test("WITH MEMBER: calculated members are gated post-agg projections, routed cubes stay lineage-free") {
+    val got = Mdx.run(
+      """WITH MEMBER [Measures].[rev_per] AS
+        | 'round([Measures].[rev] / [Measures].[n], 2)'
+        |SELECT {[Measures].[n], [Measures].[rev_per]} ON COLUMNS,
+        | {[estado].[status].Members} ON ROWS
+        |FROM [orders]""".stripMargin, catalog, schema)
+    assert(got.columns.toSeq === Seq("status", "n", "rev_per"))
+    val want = wide.groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price").cast("decimal(18,2)")).cast("double").as("rev"))
+      .select(col("status"), col("n"),
+        round(col("rev") / col("n"), 2).as("rev_per"))
+    assert(sortedRows(got) === sortedRows(want))
+    // a calc member over a ROUTED cube is a projection of stored
+    // partials — zero fact lineage
+    val root = java.nio.file.Files.createTempDirectory("mdx_calc").toString
+    try {
+      wide.write.parquet(s"$root/fact")
+      var built = 0
+      def fact = { built += 1; spark.read.parquet(s"$root/fact") }
+      val reg = AggNavigator.register(spark.read.parquet(s"$root/fact"),
+        Seq("status" -> Seq("status")),
+        Seq[AggNavigator.Measure](AggNavigator.CountAll("n"),
+          AggNavigator.ExactSum("rev", "price")), root)
+      val routed = Mdx.run(
+        """WITH MEMBER [Measures].[rev_per] AS
+          | 'round([Measures].[rev] / [Measures].[n], 2)'
+          |SELECT {[Measures].[rev_per]} ON COLUMNS,
+          | {[estado].[status].Members} ON ROWS
+          |FROM [orders]""".stripMargin,
+        Map("orders" -> CubeQuery.CubeRef(() => fact,
+          registry = Some(reg))), schema)
+      routed.collect(): Unit
+      assert(built === 0,
+        "a calc member must not force the fact lineage on a routed cube")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // the GATE applies to calc expressions — MDX is untrusted text
+    val e1 = intercept[IllegalArgumentException] {
+      Mdx.run(
+        """WITH MEMBER [Measures].[evil] AS
+          | 'reflect("java.lang.System", "getProperty", "user.dir")'
+          |SELECT {[Measures].[evil]} ON COLUMNS,
+          | {[estado].[status].Members} ON ROWS
+          |FROM [orders]""".stripMargin, catalog, schema)
+    }
+    assert(e1.getMessage.contains("'reflect'"))
+    // collisions and malformed WITH clauses are named
+    val e2 = intercept[IllegalArgumentException] {
+      Mdx.run(
+        """WITH MEMBER [Measures].[n] AS '1 + 1'
+          |SELECT {[Measures].[n]} ON COLUMNS,
+          | {[estado].[status].Members} ON ROWS
+          |FROM [orders]""".stripMargin, catalog, schema)
+    }
+    assert(e2.getMessage.contains("collides"))
+    val e3 = intercept[IllegalArgumentException] {
+      Mdx.parse(
+        """WITH MEMBER [Measures].[a] AS '1' MEMBER [Measures].[a] AS '2'
+          |SELECT {[Measures].[a]} ON COLUMNS,
+          | {[estado].[status].Members} ON ROWS
+          |FROM [orders]""".stripMargin)
+    }
+    assert(e3.getMessage.contains("duplicate calculated member"))
+    val e4 = intercept[IllegalArgumentException] {
+      Mdx.parse("WITH SELECT {[Measures].[n]} ON COLUMNS, " +
+        "{[estado].[status].Members} ON ROWS FROM [orders]")
+    }
+    assert(e4.getMessage.contains("at least one MEMBER"))
+  }
+
   test("everything outside the subset is refused loudly, never mis-served") {
     def bad(mdx: String, needle: String): Unit = {
       val e = intercept[IllegalArgumentException] {
