@@ -8232,6 +8232,212 @@ object Queries {
       |   AS carga_estimada
       |FROM g ORDER BY via_tran""".stripMargin
 
+  /** MDX NON EMPTY ([[graft.olap.Mdx]], r16) — Mondrian's
+    * empty-tuple pruning: cells whose every SELECTED measure is null
+    * drop from the axis. The measure here (count of 80-year-olds) is
+    * null for most (anio, mes, dia) cells, so NON EMPTY does real
+    * work; the oracle replays the prune as a HAVING over the same
+    * aggregate — the parse, the selected-measure scoping and the
+    * post-agg filter must agree to hash. */
+  def q233MdxNonempty(s: SparkSession, dir: String): DataFrame = {
+    import graft.olap.{CubeQuery, Mdx}
+    val catalog = Map("movimientos" -> CubeQuery.CubeRef(
+      () => q203Wide(s, dir),
+      measures = Seq(count(col("id_persona")).as("cantidad_movimientos"),
+        sum(when(col("edad") === 80, 1)).cast("long").as("octogenarios"))))
+    val schema = Map("movimientos" -> q203Hierarchies)
+    val mdx =
+      """SELECT {[Measures].[octogenarios]} ON COLUMNS,
+        |       NON EMPTY {[fecha].[dia_movi].Members} ON ROWS
+        |FROM [movimientos]""".stripMargin
+    Mdx.run(mdx, catalog, schema)
+      .orderBy("anio_movi", "mes_movi", "dia_movi")
+  }
+
+  val q233Sql: String =
+    """WITH raw AS (SELECT
+      |  CAST(year(o_orderdate) AS INT) AS anio_movi,
+      |  CAST(month(o_orderdate) AS INT) AS mes_movi,
+      |  CAST(day(o_orderdate) AS INT) AS dia_movi,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE CAST(o_custkey % 80 + 1 AS INT) END AS edad
+      | FROM orders)
+      |SELECT anio_movi, mes_movi, dia_movi,
+      | CAST(sum(CASE WHEN edad = 80 THEN 1 END) AS BIGINT)
+      |   AS octogenarios
+      |FROM raw GROUP BY 1, 2, 3
+      |HAVING sum(CASE WHEN edad = 80 THEN 1 END) IS NOT NULL
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** MDX AXIS MEMBER LITERALS ([[graft.olap.Mdx]], r16) — individual
+    * members selected ON the axis (`{[anio].[1995], [anio].[1996]}`),
+    * the everyday BI query shape. Unlike a WHERE slicer this is CELL
+    * selection: the drill runs at the level's prefix grain and the
+    * literals filter the AGGREGATED result — so a routed cube serves
+    * it from stored partials with zero fact lineage (MdxSpec asserts
+    * that separately). Values type by the cube column (the '1995'
+    * text casts to the int level). The oracle filters the same two
+    * years pre-aggregation — equivalent because the grain contains
+    * the level — so the parse, the literal merge, the typed cast and
+    * the post-agg selection must all agree to hash. */
+  def q234MdxMembers(s: SparkSession, dir: String): DataFrame = {
+    import graft.olap.{CubeQuery, Mdx}
+    val catalog = Map("movimientos" -> CubeQuery.CubeRef(
+      () => q203Wide(s, dir),
+      measures = Seq(count(col("id_persona")).as("cantidad_movimientos"),
+        round(dmean(col("edad")), 6).as("promedio_edades"))))
+    val schema = Map("movimientos" -> q203Hierarchies)
+    val mdx =
+      """SELECT {[Measures].[cantidad_movimientos],
+        |        [Measures].[promedio_edades]} ON COLUMNS,
+        |       CROSSJOIN({[fecha].[anio_movi].[1995],
+        |                  [fecha].[anio_movi].[1996]},
+        |                 {[transporte].[via_tran].Members}) ON ROWS
+        |FROM [movimientos]""".stripMargin
+    Mdx.run(mdx, catalog, schema).orderBy("anio_movi", "via_tran")
+  }
+
+  val q234Sql: String =
+    """WITH raw AS (SELECT
+      |  CAST(year(o_orderdate) AS INT) AS anio_movi,
+      |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'aerea'
+      |       WHEN o_orderpriority = '3-MEDIUM' THEN 'terrestre'
+      |       ELSE 'maritima' END AS via_tran,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE CAST(o_custkey % 80 + 1 AS INT) END AS edad
+      | FROM orders)
+      |SELECT anio_movi, via_tran,
+      | count(*) AS cantidad_movimientos,
+      | round(CAST(sum(CAST(edad AS DECIMAL(18,2))) AS DOUBLE) / count(edad), 6)
+      |   AS promedio_edades
+      |FROM raw WHERE anio_movi IN (1995, 1996)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** MDX TOPCOUNT ([[graft.olap.Mdx]], r16) — the classic BI rank-n:
+    * the 5 (anio, nacionalidad) cells with the most movements. A
+    * post-aggregation sort+limit, DETERMINISTIC by construction
+    * (measure DESC nulls-last, then the grain columns ascending as
+    * the tie-break — rank-n is a function of the data, never of
+    * partitioning), so it is routed-safe and the result row ORDER is
+    * part of the contract. The oracle replays the same rank with
+    * ORDER BY … DESC / tie-break / LIMIT. */
+  def q235MdxTopcount(s: SparkSession, dir: String): DataFrame = {
+    import graft.olap.{CubeQuery, Mdx}
+    val catalog = Map("movimientos" -> CubeQuery.CubeRef(
+      () => q203Wide(s, dir),
+      measures = Seq(count(col("id_persona")).as("cantidad_movimientos"),
+        round(dmean(col("edad")), 6).as("promedio_edades"))))
+    val schema = Map("movimientos" -> q203Hierarchies)
+    val mdx =
+      """SELECT {[Measures].[cantidad_movimientos],
+        |        [Measures].[promedio_edades]} ON COLUMNS,
+        |       TOPCOUNT(CROSSJOIN({[fecha].[anio_movi].Members},
+        |                          {[nacionalidad].[nac_migr].Members}),
+        |                5, [Measures].[cantidad_movimientos]) ON ROWS
+        |FROM [movimientos]""".stripMargin
+    Mdx.run(mdx, catalog, schema)
+  }
+
+  val q235Sql: String =
+    """WITH raw AS (SELECT
+      |  CAST(year(o_orderdate) AS INT) AS anio_movi,
+      |  o_orderpriority AS nac_migr,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE CAST(o_custkey % 80 + 1 AS INT) END AS edad
+      | FROM orders)
+      |SELECT anio_movi, nac_migr,
+      | count(*) AS cantidad_movimientos,
+      | round(CAST(sum(CAST(edad AS DECIMAL(18,2))) AS DOUBLE) / count(edad), 6)
+      |   AS promedio_edades
+      |FROM raw GROUP BY 1, 2
+      |ORDER BY cantidad_movimientos DESC, anio_movi, nac_migr
+      |LIMIT 5""".stripMargin
+
+  /** MDX FILTER + ORDER ([[graft.olap.Mdx]], r16) — composed set
+    * functions, innermost-first: prune the (anio, sexo) cells below
+    * 1000 movements (the condition is QUOTED expression text, gated
+    * through the wire allowlist — MDX is untrusted), then sort by
+    * average age descending with the deterministic grain tie-break.
+    * The oracle replays FILTER as HAVING and ORDER as ORDER BY — the
+    * composition order and both post-agg operators must agree to
+    * hash, row order included. */
+  def q236MdxFilterOrder(s: SparkSession, dir: String): DataFrame = {
+    import graft.olap.{CubeQuery, Mdx}
+    val catalog = Map("movimientos" -> CubeQuery.CubeRef(
+      () => q203Wide(s, dir),
+      measures = Seq(count(col("id_persona")).as("cantidad_movimientos"),
+        round(dmean(col("edad")), 6).as("promedio_edades"))))
+    val schema = Map("movimientos" -> q203Hierarchies)
+    val mdx =
+      """SELECT {[Measures].[cantidad_movimientos],
+        |        [Measures].[promedio_edades]} ON COLUMNS,
+        |       ORDER(FILTER(CROSSJOIN({[fecha].[anio_movi].Members},
+        |                              {[sexo].[sex_migr].Members}),
+        |                    '[Measures].[cantidad_movimientos] >= 1000'),
+        |             [Measures].[promedio_edades], BDESC) ON ROWS
+        |FROM [movimientos]""".stripMargin
+    Mdx.run(mdx, catalog, schema)
+  }
+
+  val q236Sql: String =
+    """WITH raw AS (SELECT
+      |  CAST(year(o_orderdate) AS INT) AS anio_movi,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE 'F' END AS sex_migr,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE CAST(o_custkey % 80 + 1 AS INT) END AS edad
+      | FROM orders)
+      |SELECT anio_movi, sex_migr,
+      | count(*) AS cantidad_movimientos,
+      | round(CAST(sum(CAST(edad AS DECIMAL(18,2))) AS DOUBLE) / count(edad), 6)
+      |   AS promedio_edades
+      |FROM raw GROUP BY 1, 2
+      |HAVING count(*) >= 1000
+      |ORDER BY promedio_edades DESC, anio_movi, sex_migr""".stripMargin
+
+  /** MDX DRILLTHROUGH ([[graft.olap.Mdx]], r16) — Mondrian's other
+    * STATEMENT type: from one cube cell back to the fact rows behind
+    * it (the r14 [[graft.olap.Cube.drillThrough]] operator, now
+    * reachable from query text). The cell is the conjunction of the
+    * axis member literal and the WHERE tuple, each value typed by
+    * the cube column; RETURN projects fact columns. This is the one
+    * statement that always reads the fact — row-level retrieval has
+    * no stored-partials answer. The oracle replays the same
+    * cell predicate over the natural-key CTE: the parse, the
+    * coordinate typing and the projection must agree to hash. */
+  def q237MdxDrillthrough(s: SparkSession, dir: String): DataFrame = {
+    import graft.olap.{CubeQuery, Mdx}
+    val catalog = Map("movimientos" -> CubeQuery.CubeRef(
+      () => q203Wide(s, dir),
+      measures = Seq(count(col("id_persona")).as("cantidad_movimientos"))))
+    val schema = Map("movimientos" -> q203Hierarchies)
+    val mdx =
+      """DRILLTHROUGH
+        |SELECT {[Measures].[cantidad_movimientos]} ON COLUMNS,
+        |       {[transporte].[via_tran].[aerea]} ON ROWS
+        |FROM [movimientos]
+        |WHERE ([fecha].[anio_movi].[1995], [sexo].[sex_migr].[F])
+        |RETURN [anio_movi], [via_tran], [sex_migr], [nac_migr], [edad]"""
+        .stripMargin
+    Mdx.run(mdx, catalog, schema)
+      .orderBy(col("nac_migr"), col("edad").asc_nulls_first)
+  }
+
+  val q237Sql: String =
+    """WITH raw AS (SELECT
+      |  CAST(year(o_orderdate) AS INT) AS anio_movi,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE 'F' END AS sex_migr,
+      |  o_orderpriority AS nac_migr,
+      |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'aerea'
+      |       WHEN o_orderpriority = '3-MEDIUM' THEN 'terrestre'
+      |       ELSE 'maritima' END AS via_tran,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE CAST(o_custkey % 80 + 1 AS INT) END AS edad
+      | FROM orders)
+      |SELECT anio_movi, via_tran, sex_migr, nac_migr, edad
+      |FROM raw
+      |WHERE anio_movi = 1995 AND via_tran = 'aerea' AND sex_migr = 'F'
+      |ORDER BY nac_migr, edad""".stripMargin
+
   private[graft] val q225Budget = 120L
 
   /** BUDGET-CONSTRAINED AGGREGATE ADVISOR ([[graft.olap.AggNavigator
@@ -8556,6 +8762,11 @@ object Queries {
     "q230_cube_sql" -> (q230CubeSql _),
     "q231_mdx_sets" -> (q231MdxSets _),
     "q232_mdx_calc" -> (q232MdxCalc _),
+    "q233_mdx_nonempty" -> (q233MdxNonempty _),
+    "q234_mdx_members" -> (q234MdxMembers _),
+    "q235_mdx_topcount" -> (q235MdxTopcount _),
+    "q236_mdx_filter_order" -> (q236MdxFilterOrder _),
+    "q237_mdx_drillthrough" -> (q237MdxDrillthrough _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -8796,6 +9007,11 @@ object Queries {
     "q230_cube_sql" -> q230Sql,
     "q231_mdx_sets" -> q231Sql,
     "q232_mdx_calc" -> q232Sql,
+    "q233_mdx_nonempty" -> q233Sql,
+    "q234_mdx_members" -> q234Sql,
+    "q235_mdx_topcount" -> q235Sql,
+    "q236_mdx_filter_order" -> q236Sql,
+    "q237_mdx_drillthrough" -> q237Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -8933,5 +9149,9 @@ object Queries {
     // round-16: the WITH MEMBER path (gated post-agg projection) —
     // benched so the calc-member layer stays visibly free beside the
     // plain drill it decorates
-    "q232_mdx_calc")
+    "q232_mdx_calc",
+    // round-16: the rank-n set-function path (post-agg sort + limit
+    // with the deterministic tie-break) — benched so TOPCOUNT stays
+    // a TakeOrdered decoration, never a second aggregate
+    "q235_mdx_topcount")
 }

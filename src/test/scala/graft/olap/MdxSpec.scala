@@ -317,6 +317,237 @@ class MdxSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("at least one MEMBER"))
   }
 
+  test("axis member literals are post-agg cell selection: routed cubes serve them with zero fact lineage") {
+    // {[1996], [1997]} × status.Members: the drill runs at the
+    // (y, status) grain and the year selection filters the
+    // AGGREGATED cells — equivalent to the pre-agg filter on a
+    // direct cube because the grain contains the level
+    val got = Mdx.run(
+      """SELECT {[Measures].[n], [Measures].[rev]} ON COLUMNS,
+        | CROSSJOIN({[fecha].[y].[1996], [fecha].[y].[1997]},
+        |           {[estado].[status].Members}) ON ROWS
+        |FROM [orders]""".stripMargin, catalog, schema)
+    val want = wide.filter(col("y").isin(1996, 1997))
+      .groupBy("y", "status").agg(measures.head, measures.tail: _*)
+    assert(sortedRows(got) === sortedRows(want))
+    assert(got.count() > 0)
+    // a literal beside the same level's .Members is absorbed (all ⊇ any)
+    val absorbed = Mdx.run(
+      """SELECT {[Measures].[n]} ON COLUMNS,
+        | {[fecha].[y].[1996], [fecha].[y].Members} ON ROWS
+        |FROM [orders]""".stripMargin, catalog, schema)
+    assert(absorbed.count() === wide.select("y").distinct().count())
+    // ROUTED: the cell selection reads stored partials only
+    val root = java.nio.file.Files.createTempDirectory("mdx_lit").toString
+    try {
+      wide.write.parquet(s"$root/fact")
+      var built = 0
+      def fact = { built += 1; spark.read.parquet(s"$root/fact") }
+      val reg = AggNavigator.register(spark.read.parquet(s"$root/fact"),
+        Seq("y" -> Seq("y")),
+        Seq[AggNavigator.Measure](AggNavigator.CountAll("n")), root)
+      val routed = Mdx.run(
+        """SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].[1996]} ON ROWS
+          |FROM [orders]""".stripMargin,
+        Map("orders" -> CubeQuery.CubeRef(() => fact,
+          registry = Some(reg))), schema)
+      val rows = routed.collect()
+      assert(built === 0,
+        "axis member selection must not construct the fact lineage " +
+          "on a routed cube — it is cell selection, not a slicer")
+      val wantN = spark.read.parquet(s"$root/fact")
+        .filter(col("y") === 1996).count()
+      assert(rows.map(_.toSeq).toSeq === Seq(Seq(1996, wantN)))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // literals type by the cube column: digit strings stay strings
+    // on string levels ('007' must not satisfy [7]), bad numerics
+    // are named errors
+    import spark.implicits._
+    val codes = Seq(("7", 1), ("007", 1), ("7", 1)).toDF("code", "k")
+    val cat = Map("codes" -> CubeQuery.CubeRef(() => codes,
+      measures = Seq(count(lit(1)).as("n"))))
+    val sch = Map("codes" -> Seq(Cube.Hierarchy("c", Seq("code"))))
+    val lit7 = Mdx.run(
+      """SELECT {[Measures].[n]} ON COLUMNS,
+        | {[c].[code].[7]} ON ROWS FROM [codes]""".stripMargin, cat, sch)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(lit7.toSeq === Seq(("7", 2L)))
+    val e = intercept[IllegalArgumentException] {
+      Mdx.run(
+        """SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].[abc]} ON ROWS FROM [orders]""".stripMargin,
+        catalog, schema)
+    }
+    assert(e.getMessage.contains("does not cast to"))
+  }
+
+  test("NON EMPTY drops cells where every selected measure is null") {
+    import spark.implicits._
+    // cells with a guaranteed-null measure: sum(v) is null for the
+    // all-null groups b and d
+    val df = Seq(("a", Option(10.0)), ("a", Option(5.0)),
+      ("b", Option.empty[Double]), ("c", Option(1.0)),
+      ("d", Option.empty[Double]), ("d", Option.empty[Double]))
+      .toDF("k", "v")
+    val cat = Map("t" -> CubeQuery.CubeRef(() => df,
+      measures = Seq(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("sv"))))
+    val sch = Map("t" -> Seq(Cube.Hierarchy("kh", Seq("k"))))
+    val got = Mdx.run(
+      """SELECT {[Measures].[sv]} ON COLUMNS,
+        | NON EMPTY {[kh].[k].Members} ON ROWS
+        |FROM [t]""".stripMargin, cat, sch)
+    assert(got.orderBy("k").collect().map(r =>
+      (r.getString(0), r.getDouble(1))).toSeq ===
+      Seq(("a", 15.0), ("c", 1.0)),
+      "the all-null cells b and d must drop")
+    // NON EMPTY is selected-measure scoped: selecting the never-null
+    // count keeps every cell
+    val all = Mdx.run(
+      """SELECT {[Measures].[n]} ON COLUMNS,
+        | NON EMPTY {[kh].[k].Members} ON ROWS
+        |FROM [t]""".stripMargin, cat, sch)
+    assert(all.count() === 4)
+    // ...and ANY non-null selected measure keeps the cell (Mondrian
+    // prunes tuples empty in EVERY cell, not in some)
+    val both = Mdx.run(
+      """SELECT {[Measures].[n], [Measures].[sv]} ON COLUMNS,
+        | NON EMPTY {[kh].[k].Members} ON ROWS
+        |FROM [t]""".stripMargin, cat, sch)
+    assert(both.count() === 4)
+  }
+
+  test("TOPCOUNT/BOTTOMCOUNT are deterministic post-agg rank-n: measure order, grain tie-break") {
+    val got = Mdx.run(
+      """SELECT {[Measures].[n], [Measures].[rev]} ON COLUMNS,
+        | TOPCOUNT(CROSSJOIN({[fecha].[y].Members}, {[fecha].[m].Members}),
+        |          5, [Measures].[rev]) ON ROWS
+        |FROM [orders]""".stripMargin, catalog, schema)
+    val base = wide.groupBy("y", "m").agg(measures.head, measures.tail: _*)
+    val want = base.orderBy(col("rev").desc_nulls_last,
+        col("y").asc_nulls_first, col("m").asc_nulls_first)
+      .limit(5).select("y", "m", "n", "rev")
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+    assert(got.count() === 5)
+    // the scale contract: rank-n is a bounded-heap TakeOrdered over
+    // the aggregate, never a full global sort materialization
+    val phys = got.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"TOPCOUNT must plan as TakeOrderedAndProject, got:\n$phys")
+    val bottom = Mdx.run(
+      """SELECT {[Measures].[rev]} ON COLUMNS,
+        | BOTTOMCOUNT({[fecha].[y].Members}, 2, [Measures].[rev]) ON ROWS
+        |FROM [orders]""".stripMargin, catalog, schema)
+    val wantBottom = wide.groupBy("y")
+      .agg(sum(col("price").cast("decimal(18,2)")).cast("double").as("rev"))
+      .orderBy(col("rev").asc_nulls_last, col("y").asc_nulls_first)
+      .limit(2).select("y", "rev")
+    assert(bottom.collect().map(_.toSeq).toSeq ===
+      wantBottom.collect().map(_.toSeq).toSeq)
+  }
+
+  test("ORDER sorts, FILTER prunes by a gated condition; they compose innermost-first over calc members") {
+    val got = Mdx.run(
+      """WITH MEMBER [Measures].[rev_per] AS
+        | 'round([Measures].[rev] / [Measures].[n], 2)'
+        |SELECT {[Measures].[n], [Measures].[rev_per]} ON COLUMNS,
+        | ORDER(FILTER({[estado].[status].Members},
+        |              '[Measures].[n] > 100'),
+        |       [Measures].[rev_per], BDESC) ON ROWS
+        |FROM [orders]""".stripMargin, catalog, schema)
+    val base = wide.groupBy("status").agg(measures.head, measures.tail: _*)
+      .select(col("status"), col("n"),
+        round(col("rev") / col("n"), 2).as("rev_per"))
+    val want = base.filter(col("n") > 100)
+      .orderBy(col("rev_per").desc, col("status").asc_nulls_first)
+      .select("status", "n", "rev_per")
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+    assert(got.count() > 0)
+    // the gate covers set-function expressions too — untrusted text
+    val e = intercept[IllegalArgumentException] {
+      Mdx.run(
+        """SELECT {[Measures].[n]} ON COLUMNS,
+          | FILTER({[estado].[status].Members},
+          |   'reflect("java.lang.System", "getProperty", "a") = "b"')
+          |  ON ROWS
+          |FROM [orders]""".stripMargin, catalog, schema)
+    }
+    assert(e.getMessage.contains("'reflect'"))
+    // quoted-expression measure argument works in TOPCOUNT too
+    val quoted = Mdx.run(
+      """SELECT {[Measures].[n]} ON COLUMNS,
+        | TOPCOUNT({[fecha].[y].Members}, 3,
+        |          '[Measures].[rev] / [Measures].[n]') ON ROWS
+        |FROM [orders]""".stripMargin, catalog, schema)
+    assert(quoted.count() === 3)
+  }
+
+  test("DRILLTHROUGH returns the fact rows behind ONE cell: typed coordinates, RETURN projection, MAXROWS cap") {
+    val got = Mdx.run(
+      """DRILLTHROUGH
+        |SELECT {[Measures].[n]} ON COLUMNS,
+        | {[fecha].[y].[1996]} ON ROWS
+        |FROM [orders]
+        |WHERE ([estado].[status].[F])
+        |RETURN [y], [status], [price]""".stripMargin, catalog, schema)
+    val want = wide.filter(col("y") === 1996 && col("status") === "F")
+      .select("y", "status", "price")
+    assert(sortedRows(got) === sortedRows(want))
+    assert(got.count() > 0)
+    // no RETURN → every fact column; MAXROWS caps the row count
+    val capped = Mdx.run(
+      """DRILLTHROUGH MAXROWS 7
+        |SELECT {[Measures].[n]} ON COLUMNS,
+        | {[fecha].[y].[1996]} ON ROWS
+        |FROM [orders]""".stripMargin, catalog, schema)
+    assert(capped.columns.toSeq === wide.columns.toSeq)
+    assert(capped.count() === 7)
+    // the one-cell contract and the typed-coordinate rules are loud
+    def bad(mdx: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Mdx.run(mdx, catalog, schema)
+      }
+      assert(e.getMessage.contains(needle),
+        s"want '$needle' in: ${e.getMessage}")
+    }
+    bad("""DRILLTHROUGH SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].Members} ON ROWS FROM [orders]""".stripMargin,
+      "use a [member] literal")
+    bad("""DRILLTHROUGH SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].[1996], [estado].[status].[F]} ON ROWS
+          |FROM [orders]""".stripMargin,
+      "single member tuple")
+    bad("""DRILLTHROUGH SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].[1996]} ON ROWS FROM [orders]
+          |WHERE ([fecha].[y].[1997])""".stripMargin,
+      "duplicate cell coordinate")
+    bad("""DRILLTHROUGH SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].[1996]} ON ROWS FROM [orders]
+          |RETURN [nope]""".stripMargin,
+      "RETURN column '[nope]'")
+    bad("""DRILLTHROUGH SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].[abc]} ON ROWS FROM [orders]""".stripMargin,
+      "does not cast")
+    bad("""DRILLTHROUGH MAXROWS 0 SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].[1996]} ON ROWS FROM [orders]""".stripMargin,
+      "MAXROWS must be positive")
+  }
+
+  test("calc member names collide case-insensitively (withColumn would silently replace)") {
+    val e = intercept[IllegalArgumentException] {
+      Mdx.run(
+        """WITH MEMBER [Measures].[N] AS '1 + 1'
+          |SELECT {[Measures].[N]} ON COLUMNS,
+          | {[estado].[status].Members} ON ROWS
+          |FROM [orders]""".stripMargin, catalog, schema)
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("everything outside the subset is refused loudly, never mis-served") {
     def bad(mdx: String, needle: String): Unit = {
       val e = intercept[IllegalArgumentException] {
@@ -338,10 +569,42 @@ class MdxSpec extends AnyFunSuite {
     bad("""SELECT {[Measures].[margin]} ON COLUMNS,
           | {[fecha].[y].Members} ON ROWS FROM [orders]""".stripMargin,
       "measure(s) [margin]")
-    // member literals on an axis (calculated-member territory)
+    // a level path with a bare third segment is neither .Members nor
+    // a [member] literal
     bad("""SELECT {[Measures].[n]} ON COLUMNS,
-          | {[fecha].[y].[1996]} ON ROWS FROM [orders]""".stripMargin,
-      "expected .Members")
+          | {[fecha].[y].foo} ON ROWS FROM [orders]""".stripMargin,
+      "expected .Members or a [member] literal")
+    // member literals in a set UNION would need a per-set gid
+    // discriminator — outside the subset
+    bad("""SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].[1996], [estado].[status].Members} ON ROWS
+          |FROM [orders]""".stripMargin,
+      "single-set axis")
+    // set functions and NON EMPTY are ROWS-axis features
+    bad("""SELECT TOPCOUNT({[Measures].[n]}, 3, [Measures].[n])
+          | ON COLUMNS, {[fecha].[y].Members} ON ROWS
+          |FROM [orders]""".stripMargin,
+      "must be hierarchy level sets")
+    bad("""SELECT NON EMPTY {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[y].Members} ON ROWS FROM [orders]""".stripMargin,
+      "NON EMPTY applies to the ROWS axis")
+    // a set function inside a CROSSJOIN operand has no defined
+    // measure context in this subset
+    bad("""SELECT {[Measures].[n]} ON COLUMNS,
+          | CROSSJOIN(TOPCOUNT({[fecha].[y].Members}, 2, [Measures].[n]),
+          |           {[estado].[status].Members}) ON ROWS
+          |FROM [orders]""".stripMargin,
+      "not a CROSSJOIN operand")
+    // TOPCOUNT's count must be a positive literal
+    bad("""SELECT {[Measures].[n]} ON COLUMNS,
+          | TOPCOUNT({[fecha].[y].Members}, 0, [Measures].[n]) ON ROWS
+          |FROM [orders]""".stripMargin,
+      "must be positive")
+    // FILTER's condition must be quoted (the WITH MEMBER convention)
+    bad("""SELECT {[Measures].[n]} ON COLUMNS,
+          | FILTER({[fecha].[y].Members}, [Measures].[n]) ON ROWS
+          |FROM [orders]""".stripMargin,
+      "quoted expression")
     // missing axes are named
     bad("SELECT {[Measures].[n]} ON COLUMNS FROM [orders]",
       "missing ROWS axis")
