@@ -8438,6 +8438,135 @@ object Queries {
       |WHERE anio_movi = 1995 AND via_tran = 'aerea' AND sex_migr = 'F'
       |ORDER BY nac_migr, edad""".stripMargin
 
+  /** TRANSPARENT SQL→ROLLUP REWRITE ([[graft.olap.AggRoute]], r16) —
+    * the reference's OTHER query door served from aggregate tables:
+    * Grafana speaks plain SQL at the warehouse
+    * (`docker-compose.yaml:20-47`), and a real aggregate-navigation
+    * deployment (Mondrian agg tables, Oracle QUERY REWRITE) answers
+    * that SQL from rollups too, without the client changing a
+    * character. Here the q214 registry's rollups are ROUTED onto the
+    * staged star fact, and the query is a LITERAL SQL string over the
+    * fact view — a filtered month-grain drill — that the Catalyst
+    * rule rewrites onto the `fecha_mes` rollup: the filter commutes
+    * (grain-column selection picks whole groups), the measures
+    * re-derive from mergeable partials, and the optimized plan reads
+    * ONLY dim-sized agg parquet (asserted in-query: a silent
+    * fall-through to the fact would return the same rows, so the
+    * assert makes the correctness gate also gate the ROUTING). The
+    * oracle replays the SQL directly over the natural keys — the
+    * rewrite must be bit-identical, not approximately right. */
+  def q238AggRoute(s: SparkSession, dir: String): DataFrame = {
+    import graft.olap.{AggNavigator, AggRoute}
+    val root = java.nio.file.Files.createTempDirectory("q238_route").toString
+    val staged = s"$root/fact"
+    try {
+      q203Wide(s, dir).write.parquet(staged)
+      val reg = AggNavigator.registerShared(s.read.parquet(staged),
+        q214Grains, q214Measures, root)
+      AggRoute.route(staged, reg)
+      try {
+        s.read.parquet(staged).createOrReplaceTempView("mov_fact_sql")
+        val routed = s.sql(
+          """SELECT fact, anio_movi,
+            | count(*) AS cantidad_movimientos,
+            | round(CAST(sum(CAST(edad AS DECIMAL(18,2))) AS DOUBLE)
+            |   / count(edad), 6) AS promedio_edades
+            |FROM mov_fact_sql
+            |WHERE anio_movi >= 1995
+            |GROUP BY fact, anio_movi""".stripMargin)
+        val scans = routed.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources
+                  .HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+        }.flatten
+        require(scans.nonEmpty && scans.forall(_.contains("agg_fecha_mes")),
+          s"q238 must serve from the fecha_mes rollup, scanned: $scans")
+        localized(routed).orderBy("fact", "anio_movi")
+      } finally AggRoute.unroute(s, staged)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  val q238Sql: String =
+    """WITH raw AS (SELECT
+      |  CASE WHEN o_orderstatus = 'O' THEN ' Entrada ' ELSE 'salida' END AS tip_movi,
+      |  CAST(year(o_orderdate) AS INT) AS anio_movi,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE CAST(o_custkey % 80 + 1 AS INT) END AS edad
+      | FROM orders),
+      |f AS (SELECT CASE WHEN lower(trim(tip_movi)) = 'entrada'
+      |             THEN 'inmigrante' ELSE 'emigrante' END AS fact, * FROM raw)
+      |SELECT fact, anio_movi,
+      | count(*) AS cantidad_movimientos,
+      | round(CAST(sum(CAST(edad AS DECIMAL(18,2))) AS DOUBLE) / count(edad), 6)
+      |   AS promedio_edades
+      |FROM f WHERE anio_movi >= 1995
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** ROUTED SLICED MDX ([[graft.olap.Mdx]] → [[graft.olap.CubeQuery]]
+    * → [[graft.olap.AggNavigator.navigate]] with slicers, r16) — the
+    * serving shape Mondrian users hit constantly: a WHERE-sliced MDX
+    * drill against a cube backed by aggregate tables. A slicer whose
+    * level the covering rollup's grain carries selects WHOLE fact
+    * groups at that grain, so it commutes onto the stored partials —
+    * the sliced drill is served from the dim-sized `fecha_mes` table
+    * with ZERO fact lineage (asserted in-query: before r16 this shape
+    * was rejected outright, and a silent fall-through to the fact
+    * would return the same rows). The slicer value types by the
+    * registry's captured grain types, so not even the fact's SCHEMA
+    * is read. The oracle replays the sliced drill over the natural
+    * keys — partial filtering, merge, and the month-grain grouping
+    * must all be bit-identical. */
+  def q239MdxRoutedSlicer(s: SparkSession, dir: String): DataFrame = {
+    import graft.olap.{AggNavigator, CubeQuery, Mdx}
+    val root = java.nio.file.Files.createTempDirectory("q239_sliced").toString
+    val staged = s"$root/fact"
+    try {
+      q203Wide(s, dir).write.parquet(staged)
+      val reg = AggNavigator.registerShared(s.read.parquet(staged),
+        q214Grains, q214Measures, root)
+      val catalog = Map("movimientos" -> CubeQuery.CubeRef(
+        () => s.read.parquet(staged), registry = Some(reg)))
+      val schema = Map("movimientos" -> q203Hierarchies)
+      val mdx =
+        """SELECT {[Measures].[cantidad_movimientos],
+          |        [Measures].[promedio_edades]} ON COLUMNS,
+          |       {[fecha].[mes_movi].Members} ON ROWS
+          |FROM [movimientos]
+          |WHERE ([fecha].[anio_movi].[1995])""".stripMargin
+      val routed = Mdx.run(mdx, catalog, schema)
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      require(scans.nonEmpty && scans.forall(_.contains("agg_fecha_mes")),
+        s"q239 must serve the sliced drill from fecha_mes, scanned: $scans")
+      localized(routed).orderBy("anio_movi", "mes_movi")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  val q239Sql: String =
+    """WITH raw AS (SELECT
+      |  CAST(year(o_orderdate) AS INT) AS anio_movi,
+      |  CAST(month(o_orderdate) AS INT) AS mes_movi,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE CAST(o_custkey % 80 + 1 AS INT) END AS edad
+      | FROM orders)
+      |SELECT anio_movi, mes_movi,
+      | count(*) AS cantidad_movimientos,
+      | round(CAST(sum(CAST(edad AS DECIMAL(18,2))) AS DOUBLE) / count(edad), 6)
+      |   AS promedio_edades
+      |FROM raw WHERE anio_movi = 1995
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private[graft] val q225Budget = 120L
 
   /** BUDGET-CONSTRAINED AGGREGATE ADVISOR ([[graft.olap.AggNavigator
@@ -8767,6 +8896,8 @@ object Queries {
     "q235_mdx_topcount" -> (q235MdxTopcount _),
     "q236_mdx_filter_order" -> (q236MdxFilterOrder _),
     "q237_mdx_drillthrough" -> (q237MdxDrillthrough _),
+    "q238_agg_route" -> (q238AggRoute _),
+    "q239_mdx_routed_slicer" -> (q239MdxRoutedSlicer _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -9012,6 +9143,8 @@ object Queries {
     "q235_mdx_topcount" -> q235Sql,
     "q236_mdx_filter_order" -> q236Sql,
     "q237_mdx_drillthrough" -> q237Sql,
+    "q238_agg_route" -> q238Sql,
+    "q239_mdx_routed_slicer" -> q239Sql,
   )
 
   /** Headline queries for the per-round benchmark. q27 vs q52 exposes
@@ -9153,5 +9286,14 @@ object Queries {
     // round-16: the rank-n set-function path (post-agg sort + limit
     // with the deterministic tie-break) — benched so TOPCOUNT stays
     // a TakeOrdered decoration, never a second aggregate
-    "q235_mdx_topcount")
+    "q235_mdx_topcount",
+    // round-16: the transparent SQL→rollup rewrite (register + route +
+    // a literal SQL drill served from agg parquet) — benched beside
+    // q214's navigator so the Catalyst-rule door costs the same as
+    // the method-call door
+    "q238_agg_route",
+    // round-16: the routed SLICED drill (WHERE slicer commuted onto
+    // stored partials) — benched so sliced serving stays dim-sized,
+    // never a fact fallback
+    "q239_mdx_routed_slicer")
 }

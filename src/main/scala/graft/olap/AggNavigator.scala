@@ -512,18 +512,39 @@ object AggNavigator {
   /** Answer `groupCols` × `measures` through the navigator. `fact` is
     * by-name: when an aggregate covers, the fact lineage is never
     * constructed, so the physical plan reads ONLY the agg parquet
-    * (PlanSpec-assertable). */
-  def navigate(reg: Registry, fact: => DataFrame,
-      groupCols: Seq[String]): DataFrame =
-    reg.choose(groupCols) match {
+    * (PlanSpec-assertable).
+    *
+    * SLICERS from stored partials (r16 — the Mondrian behavior: a
+    * sliced MDX query is still served from an aggregate table when
+    * the table carries the slicer's level): a deterministic predicate
+    * that references ONLY grain columns of the chosen table selects
+    * WHOLE fact groups at that table's grain, so filtering the stored
+    * partials before the merge is exactly `filter(fact) → aggregate`
+    * — the same commute [[AggRoute]] proves for SQL WHERE clauses.
+    * Coverage therefore requires grain ⊇ groupCols ∪ `slicerCols`
+    * (the caller names the columns its predicates touch — predicates
+    * arrive as unresolved `Column`s, so the navigator cannot derive
+    * them itself); when nothing covers, the fallback applies the
+    * slicers to the FACT pre-aggregation, which is correct at fact
+    * cost. Passing a `slicerCols` that under-reports the predicate's
+    * columns would mis-serve — [[CubeQuery]] derives it from the
+    * expression tree, never by hand. */
+  def navigate(reg: Registry, fact: => DataFrame, groupCols: Seq[String],
+      slicers: Seq[Column] = Nil, slicerCols: Seq[String] = Nil)
+      : DataFrame = {
+    require(slicers.isEmpty || slicerCols.nonEmpty,
+      "slicers without their referenced columns cannot be routed safely")
+    reg.choose((groupCols ++ slicerCols).distinct) match {
       case Some(agg) =>
         val merged = reg.measures.map(_.merge)
-        reg.spark.read.parquet(agg.path)
+        slicers.foldLeft(reg.spark.read.parquet(agg.path))(_.filter(_))
           .groupBy(groupCols.map(col): _*).agg(merged.head, merged.tail: _*)
       case None =>
         val direct = reg.measures.map(_.direct)
-        fact.groupBy(groupCols.map(col): _*).agg(direct.head, direct.tail: _*)
+        slicers.foldLeft(fact)(_.filter(_))
+          .groupBy(groupCols.map(col): _*).agg(direct.head, direct.tail: _*)
     }
+  }
 
   /** Serve a whole GROUPING SETS member space through the navigator —
     * the actual Mondrian serving path with aggregate tables: each MDX
@@ -541,7 +562,9 @@ object AggNavigator {
     * path, and a fully-routed member space never touches the fact
     * lineage. */
   def navigateSets(reg: Registry, fact: => DataFrame,
-      allLevels: Seq[String], sets: Seq[Seq[String]]): DataFrame = {
+      allLevels: Seq[String], sets: Seq[Seq[String]],
+      slicers: Seq[Column] = Nil, slicerCols: Seq[String] = Nil)
+      : DataFrame = {
     require(sets.nonEmpty, "need at least one member set")
     val levelType: Map[String, org.apache.spark.sql.types.DataType] =
       reg.aggs.flatMap(_.grainTypes).toMap
@@ -557,7 +580,10 @@ object AggNavigator {
         if (groupCols.contains(c)) col(c)
         else lit(null).cast(levelType.getOrElse(c, factType(c))).as(c)
       }
-      navigate(reg, fact, groupCols)
+      // each set routes INDEPENDENTLY: a set whose covering table
+      // carries the slicer levels serves sliced partials; one that
+      // doesn't pays its own fact fallback — never the whole space
+      navigate(reg, fact, groupCols, slicers, slicerCols)
         .select(levelCols ++ (lit(gid).as("gid") +:
           reg.measures.map(m => col(m.name))): _*)
     }

@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   *    [[AggNavigator.Registry]] whose measures serve). A routed side
   *    never constructs its fact lineage when a registered aggregate
   *    covers the requested grain.
-  *  - slicers are pre-aggregation fact filters; they are REJECTED on
-  *    routed sides — stored partials are built over the unfiltered
-  *    fact, so serving a sliced query from them would be silently
-  *    wrong (register a filtered rollup, or go direct).
+  *  - slicers are pre-aggregation fact filters. On a routed side they
+  *    are SERVED FROM STORED PARTIALS when the chosen table's grain
+  *    carries every column the predicate references (filtering grain
+  *    columns selects whole fact groups, so it commutes with the
+  *    partial aggregation — Mondrian's sliced-MDX-from-agg-tables
+  *    behavior, the same commute [[AggRoute]] applies to raw SQL);
+  *    when no table covers grain ∪ slicer columns, the navigator's
+  *    standard fact fallback answers, with the slicers applied
+  *    pre-aggregation — correct, at fact cost.
   *  - `hierarchies` (member space) and `grain` (single-grain drill)
   *    are mutually exclusive; drill-across sides require a grain
   *    (Kimball's conformed-grain contract).
@@ -67,6 +72,22 @@ object CubeQuery {
       derived: Seq[Column] = Nil,
       sets: Seq[Seq[String]] = Nil)
 
+  /** Column names a slicer predicate references — read from the
+    * expression tree (unresolved attributes from `col()`/wire
+    * parses; resolved ones from a caller that bound a frame), never
+    * hand-declared: routing a sliced query to stored partials is only
+    * sound when the chosen table's grain carries EVERY one of these. */
+  private def slicerRefs(slicers: Seq[Column]): Seq[String] =
+    slicers.flatMap { c =>
+      org.apache.spark.sql.graft.Bridge.catalystExpression(
+        org.apache.spark.sql.SparkSession.active, c).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.last
+        case a: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference => a.name
+      }
+    }.distinct
+
   /** Compile + run. Pure plan construction — every shape lowers to an
     * existing, separately-specced operator. */
   def run(q: Query): DataFrame = {
@@ -75,6 +96,7 @@ object CubeQuery {
     require(faces == 1,
       "exactly one of hierarchies (member space), grain (drill), or " +
         "sets (explicit member sets) must be set")
+    val sCols = slicerRefs(q.slicers)
     def sliced(ref: CubeRef): DataFrame =
       q.slicers.foldLeft(ref.fact())(_.filter(_))
     if (q.sets.nonEmpty) {
@@ -96,11 +118,8 @@ object CubeQuery {
       val allLevels = withAlways.flatten.distinct
       q.cube.registry match {
         case Some(reg) =>
-          require(q.slicers.isEmpty,
-            "slicers cannot be served from stored partials — register " +
-              "a filtered rollup or query the cube directly")
           AggNavigator.navigateSets(reg, q.cube.fact(), allLevels,
-            withAlways)
+            withAlways, q.slicers, sCols)
         case None =>
           // one Expand + partial/final aggregate over exactly the
           // requested sets — the memberSets plan restricted to a
@@ -120,16 +139,13 @@ object CubeQuery {
         "derived measures are a drill-across feature")
       q.cube.registry match {
         case Some(reg) =>
-          require(q.slicers.isEmpty,
-            "slicers cannot be served from stored partials — register " +
-              "a filtered rollup or query the cube directly")
           val prefixes: Seq[Seq[String]] =
             Seq.empty[String] +: q.hierarchies.flatMap(h =>
               (1 to h.levels.size).map(h.levels.take(_)))
           val allLevels =
             (q.always ++ q.hierarchies.flatMap(_.levels)).distinct
           AggNavigator.navigateSets(reg, q.cube.fact(), allLevels,
-            prefixes.map(p => q.always ++ p))
+            prefixes.map(p => q.always ++ p), q.slicers, sCols)
         case None =>
           Cube.memberSets(sliced(q.cube), q.hierarchies, q.cube.measures,
             q.always)
@@ -142,10 +158,8 @@ object CubeQuery {
       val grouped = sides.map { side =>
         side.registry match {
           case Some(reg) =>
-            require(q.slicers.isEmpty,
-              "slicers cannot be served from stored partials — register " +
-                "a filtered rollup or query the cube directly")
-            AggNavigator.navigate(reg, side.fact(), q.grain)
+            AggNavigator.navigate(reg, side.fact(), q.grain,
+              q.slicers, sCols)
           case None =>
             sliced(side).groupBy(q.grain.map(col): _*)
               .agg(side.measures.head, side.measures.tail: _*)

@@ -122,8 +122,11 @@ import org.apache.spark.sql.functions._
   *    Mondrian's empty-tuple pruning. Applied AFTER set functions
   *    (a TOPCOUNT keeps its rank-n cells, then empties drop).
   *  - the WHERE tuple is a slicer: equality on the named level's
-  *    column, applied pre-aggregation (and therefore rejected on
-  *    routed cubes by [[CubeQuery.run]]'s stored-partials rule). The
+  *    column, applied pre-aggregation. On a routed cube it is served
+  *    from stored partials when the covering table's grain carries
+  *    the slicer's level ([[CubeQuery.run]]'s commute, r16 — exactly
+  *    Mondrian's sliced-query-from-agg-tables behavior), and from
+  *    the navigator's fact fallback otherwise. The
   *    value types by the CUBE COLUMN — cast to its type, with a named
   *    error when a numeric column gets a non-numeric value — never by
   *    the value's shape (an all-digits literal against a string level
@@ -319,15 +322,11 @@ object Mdx {
     val (grain, sets) =
       if (expanded.size == 1) (expanded.head, Nil)
       else (Nil, expanded)
-    // slicers on a ROUTED cube can never be served (stored partials
-    // are built over the unfiltered fact) — CubeQuery.run rejects
-    // them too, but failing HERE keeps the rejection from first
-    // constructing the fact lineage just to read a schema it never
-    // uses
-    require(ref.registry.isEmpty || p.slicers.isEmpty,
-      "slicers cannot be served from stored partials — register a " +
-        "filtered rollup or query the cube directly")
-    // memoize the fact thunk: the slicer typing below reads its
+    // slicers on a ROUTED cube serve from stored partials when a
+    // registered table's grain carries the slicer's level (the
+    // CubeQuery.run commute, r16), and from the navigator's fact
+    // fallback otherwise.
+    // memoize the fact thunk: the slicer typing below may read its
     // schema and CubeQuery.run forces it again — unmemoized, every
     // sliced MDX query would build the (possibly warehouse-sized)
     // fact plan twice on the driver
@@ -336,37 +335,47 @@ object Mdx {
     // guessing "all digits → number" would CAST a string-typed level
     // for the comparison and conflate distinct members ('7' vs '007')
     // — silent mis-service. The literal is cast to the column's own
-    // type instead (plan-only schema read; the fact thunk is forced
-    // only when slicers exist, so routed zero-lineage drills stay
-    // lineage-free), and the SAME legacy-mode Cast the comparison
+    // type instead, and the SAME legacy-mode Cast the comparison
     // will run is evaluated driver-side first: any value it would
     // silently null out — out-of-range integers, malformed dates,
     // non-numeric decimals, garbled booleans — is a NAMED error here
-    // instead of a silently empty drill.
+    // instead of a silently empty drill. The type comes from the
+    // REGISTRY's captured grain types when the cube is routed and a
+    // rollup carries the level (so a partials-served sliced drill
+    // never constructs the fact lineage, not even for its schema);
+    // only a level no rollup carries falls back to the fact schema —
+    // the same lazy-resolution contract as navigateSets' null slots.
     val slicers =
       if (p.slicers.isEmpty) Nil
       else {
-        val fact = memoRef.fact()
+        val spark = ref.registry.map(_.spark)
+          .getOrElse(org.apache.spark.sql.SparkSession.active)
         // the session's resolution rules, not bare string equality —
         // under default case-insensitive resolution a level declared
         // 'Anio' must find column 'anio' exactly as col() would
-        val resolver = fact.sparkSession.sessionState.analyzer.resolver
-        val tz = fact.sparkSession.sessionState.conf.sessionLocalTimeZone
+        val resolver = spark.sessionState.analyzer.resolver
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        val grainTypes: Seq[(String, org.apache.spark.sql.types.DataType)] =
+          ref.registry.toSeq.flatMap(_.aggs.flatMap(_.grainTypes))
+        lazy val factSchema = memoRef.fact().schema
         p.slicers.map { m =>
           resolve(m.hierarchy, m.level): Unit
-          val field = fact.schema.find(f => resolver(f.name, m.level))
+          val (colName, dt) = grainTypes
+            .find { case (n, _) => resolver(n, m.level) }
+            .orElse(factSchema.find(f => resolver(f.name, m.level))
+              .map(f => f.name -> f.dataType))
             .getOrElse(throw new IllegalArgumentException(
               s"slicer level '[${m.level}]' is not a column of cube " +
                 s"'${p.cube}' (columns: " +
-                s"${fact.schema.fieldNames.mkString(", ")})"))
+                s"${factSchema.fieldNames.mkString(", ")})"))
           val casted = org.apache.spark.sql.catalyst.expressions.Cast(
             org.apache.spark.sql.catalyst.expressions.Literal(m.value),
-            field.dataType, Option(tz),
+            dt, Option(tz),
             org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
           require(casted.eval(null) != null,
             s"slicer value '[${m.value}]' does not cast to " +
-              s"${field.dataType.simpleString} for level '[${m.level}]'")
-          col(field.name) === lit(m.value).cast(field.dataType)
+              s"${dt.simpleString} for level '[${m.level}]'")
+          col(colName) === lit(m.value).cast(dt)
         }
       }
     CubeQuery.Query(cube = memoRef, grain = grain, sets = sets,

@@ -13,6 +13,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER ColumnNode→Catalyst conversion via the session's converter.
+    * [[expression]] returns a lazy `ColumnNodeExpression` wrapper with
+    * no Catalyst children — fine for embedding in a plan, useless for
+    * INSPECTING the tree (collecting referenced attributes). */
+  def catalystExpression(spark: org.apache.spark.sql.SparkSession,
+      c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .expression(c)
+
   /** DataFrame over a custom LogicalPlan (`Dataset.ofRows` is
     * `private[sql]`) — the entry point for graft's own logical
     * operators (e.g. `plans.SkylinePlan`). */

@@ -42,6 +42,44 @@ class CubeQuerySpec extends AnyFunSuite {
     assert(sortedRows(got) === sortedRows(want))
   }
 
+  test("a ROUTED cube serves COVERED slicers from stored partials — " +
+      "zero fact lineage; uncovered slicers fall back to the fact") {
+    val root = java.nio.file.Files.createTempDirectory("cq_sliced").toString
+    try {
+      wide.write.parquet(s"$root/fact")
+      var built = 0
+      def fact = { built += 1; spark.read.parquet(s"$root/fact") }
+      val navMeasures = Seq[AggNavigator.Measure](
+        AggNavigator.CountAll("n"), AggNavigator.ExactSum("rev", "price"))
+      val reg = AggNavigator.register(spark.read.parquet(s"$root/fact"),
+        Seq("ym" -> Seq("y", "m")), navMeasures, root)
+      // covered: slicer on y, drill on (y, m) — the ym grain carries
+      // both, so the filter commutes onto the stored partials
+      val covered = CubeQuery.run(CubeQuery.Query(
+        cube = CubeQuery.CubeRef(() => fact, registry = Some(reg)),
+        grain = Seq("y", "m"), slicers = Seq(col("y") >= 1996)))
+      val rows = sortedRows(covered)
+      assert(built === 0,
+        "a covered sliced drill must not construct the fact lineage")
+      val want = wide.filter(col("y") >= 1996).groupBy("y", "m")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,2)")).cast("double").as("rev"))
+      assert(rows === sortedRows(want))
+      // uncovered: slicer on status (no rollup carries it) — the
+      // navigator's fact fallback answers, slicer pre-aggregation
+      val uncovered = CubeQuery.run(CubeQuery.Query(
+        cube = CubeQuery.CubeRef(() => fact, registry = Some(reg)),
+        grain = Seq("y"), slicers = Seq(col("status") === "O")))
+      val uncoveredRows = sortedRows(uncovered)
+      assert(built > 0, "an uncovered slicer must reach the fact")
+      val uncoveredWant = wide.filter(col("status") === "O").groupBy("y")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,2)")).cast("double").as("rev"))
+      assert(uncoveredRows === sortedRows(uncoveredWant))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("a ROUTED member space serves from the registry with zero fact lineage") {
     val root = java.nio.file.Files.createTempDirectory("cq_routed").toString
     try {
@@ -118,19 +156,6 @@ class CubeQuerySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       CubeQuery.run(CubeQuery.Query(direct))
     }
-    // slicer on a routed cube: stored partials cannot serve it
-    val root = java.nio.file.Files.createTempDirectory("cq_reject").toString
-    try {
-      val reg = AggNavigator.register(wide, Seq("y" -> Seq("y")),
-        Seq[AggNavigator.Measure](AggNavigator.CountAll("n")), root)
-      val e = intercept[IllegalArgumentException] {
-        CubeQuery.run(CubeQuery.Query(
-          CubeQuery.CubeRef(() => wide, registry = Some(reg)),
-          grain = Seq("y"), slicers = Seq(col("y") >= 1996)))
-      }
-      assert(e.getMessage.contains("stored partials"))
-    } finally
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     // a CubeRef claiming both direct measures and a registry
     intercept[IllegalArgumentException] {
       CubeQuery.CubeRef(() => wide, measures = measures,

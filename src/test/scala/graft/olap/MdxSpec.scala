@@ -87,17 +87,25 @@ class MdxSpec extends AnyFunSuite {
         .groupBy("y", "m").agg(count(lit(1)).as("n"))
         .orderBy("y", "m").collect()
       assert(rows.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
-      // ...and a slicer against the routed cube is refused by the
-      // stored-partials rule, through the MDX face too
-      val e = intercept[IllegalArgumentException] {
-        Mdx.run(
-          """SELECT {[Measures].[n]} ON COLUMNS,
-            | {[fecha].[m].Members} ON ROWS
-            |FROM [orders] WHERE ([fecha].[y].[1996])""".stripMargin,
-          Map("orders" -> CubeQuery.CubeRef(() => fact,
-            registry = Some(reg))), schema)
-      }
-      assert(e.getMessage.contains("stored partials"))
+      // ...and a WHERE slicer whose level the rollup's grain carries
+      // is SERVED FROM STORED PARTIALS (the r16 commute — Mondrian's
+      // sliced-MDX-from-agg-tables behavior), still without
+      // constructing the fact lineage: the slicer value types by the
+      // registry's captured grain types, not the fact schema
+      val slicedRows = Mdx.run(
+        """SELECT {[Measures].[n]} ON COLUMNS,
+          | {[fecha].[m].Members} ON ROWS
+          |FROM [orders] WHERE ([fecha].[y].[1996])""".stripMargin,
+        Map("orders" -> CubeQuery.CubeRef(() => fact,
+          registry = Some(reg))), schema).orderBy("y", "m").collect()
+      assert(built === 0,
+        "a covered SLICED drill must not construct the fact lineage")
+      val slicedWant = spark.read.parquet(s"$root/fact")
+        .filter(col("y") === 1996)
+        .groupBy("y", "m").agg(count(lit(1)).as("n"))
+        .orderBy("y", "m").collect()
+      assert(slicedRows.map(_.toSeq).toSeq ===
+        slicedWant.map(_.toSeq).toSeq)
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
