@@ -5282,13 +5282,25 @@ object Queries {
     * Output: (shard, n_docs, chars) — the export manifest. */
   def q177CurationPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // scratchAutoBytes = 0: force the parquet-scratch + pinned-stages
+    // posture (bit-identical output — CurationSpec asserts all three
+    // storage paths equal). r16 profiling: the unpersisted default
+    // recomputes the minhash/shingle signature relation once per
+    // consumer branch (banding + both verify sides) and ran 9.1 s
+    // here; persistStages alone is WORSE (the block cache hands every
+    // branch whole rows, shingle arrays included — 27 s); the scratch
+    // column-prunes each branch's read and won the paired window at
+    // 0.74x (6.8 s, control 0.90x). Same plan shape the module's own
+    // 1000x probe chose — the fixture-scale gate was simply set too
+    // high for this chain's 3-way signature fan-out.
     val accepted = graft.etl.Curation.curate(docs,
       idCol = "doc_id", textCol = "text",
       domainCol = "lang", costCol = "n_chars",
       threshold = 0.9, minQuality = 0.3,
       benchmark = docs.filter(col("doc_id") < 10), decontaminateN = 4,
       weights = q152Weights.toMap, budget = q152Budget,
-      corpusPredicate = col("doc_id") >= 10)
+      corpusPredicate = col("doc_id") >= 10,
+      scratchAutoBytes = 0L)
     graft.etl.Curation.exportProfile(accepted, "doc_id", "n_chars", 8)
   }
 
