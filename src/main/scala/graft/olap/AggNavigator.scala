@@ -146,7 +146,10 @@ object AggNavigator {
   def register(fact: DataFrame, grains: Seq[(String, Seq[String])],
       measures: Seq[Measure], root: String): Registry = {
     val spark = fact.sparkSession
-    val aggs = grains.map { case (name, grain) =>
+    // independent per-grain builds (disjoint outputs) run concurrently
+    // — guide §2.6; prefer [[registerShared]]'s one-scan build for a
+    // large fact regardless
+    val aggs = graft.operators.Par.mapSeq(grains) { case (name, grain) =>
       val path = s"$root/agg_$name"
       val partials = partialsFor(fact, grain, measures)
       partials.write.mode("overwrite").parquet(path)
@@ -206,7 +209,11 @@ object AggNavigator {
     val shared = sharedPartials(fact, grains, measures)
     shared.write.partitionBy("__gid").mode("overwrite").parquet(staged)
     try {
-      val aggs = grains.map { case (name, grain) =>
+      // the per-grain carves are independent (disjoint gid reads,
+      // disjoint output paths) — submit them concurrently so one
+      // carve's write/count latency overlaps the next's (guide §2.6);
+      // result order stays the caller's grain order
+      val aggs = graft.operators.Par.mapSeq(grains) { case (name, grain) =>
         val path = s"$root/agg_$name"
         // explicit schema: an EMPTY fact leaves a staging dir with no
         // partition directories at all, and schema inference would
@@ -267,7 +274,12 @@ object AggNavigator {
       batchId: Option[Long] = None): Registry = {
     val spark = reg.spark
     val conf = spark.sessionState.newHadoopConf()
-    val aggs = reg.aggs.map { agg =>
+    // each table absorbs the delta independently (its own path, its
+    // own ledger, its own publish rename) — refresh them concurrently
+    // (guide §2.6) so the registry-wide refresh costs one table's
+    // latency, not the sum; registry order preserved by Par's
+    // index-ordered results
+    val aggs = graft.operators.Par.mapSeq(reg.aggs) { agg =>
       val ledger = new org.apache.hadoop.fs.Path(s"${agg.path}/_applied")
       val fs = ledger.getFileSystem(conf)
       val alreadyApplied = batchId.exists(id =>

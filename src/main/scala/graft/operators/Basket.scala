@@ -72,15 +72,29 @@ object Basket {
       .join(singles.select(col("__i").as("a"), col("__ni").as("na")), Seq("a"))
       .join(singles.select(col("__i").as("b"), col("__ni").as("nb")), Seq("b"))
       .crossJoin(broadcast(nTx))
-    def dir(ant: String, cons: String, nAnt: String) = withMarginals.select(
-      col(ant).as("antecedent"), col(cons).as("consequent"),
-      col("nab").as("pair_count"),
-      round(col("nab").cast("double") / col("__n").cast("double"), 6)
-        .as("support"),
-      round(col("nab").cast("double") / col(nAnt).cast("double"), 6)
-        .as("confidence"),
-      round(col("nab").cast("double") * col("__n").cast("double") /
-        (col("na").cast("double") * col("nb").cast("double")), 6).as("lift"))
-    dir("a", "b", "na").unionByName(dir("b", "a", "nb"))
+    // both rule directions from ONE pass: a unionByName of two
+    // projections over withMarginals would DUPLICATE the whole mining
+    // subtree (self-join + three joins — Catalyst materializes no
+    // common subexpression across union branches; the r16 plan audit
+    // counted 94 Exchanges, two full copies of the pipeline). An
+    // explode emits the two directed rows per undirected pair from
+    // the single subtree — same rows, half the plan (guide §7.2:
+    // duplicated subtrees).
+    withMarginals.select(col("nab"), col("__n"), col("na"), col("nb"),
+      explode(array(
+        struct(col("a").as("antecedent"), col("b").as("consequent"),
+          col("na").as("nant")),
+        struct(col("b").as("antecedent"), col("a").as("consequent"),
+          col("nb").as("nant")))).as("__d"))
+      .select(col("__d.antecedent").as("antecedent"),
+        col("__d.consequent").as("consequent"),
+        col("nab").as("pair_count"),
+        round(col("nab").cast("double") / col("__n").cast("double"), 6)
+          .as("support"),
+        round(col("nab").cast("double") / col("__d.nant").cast("double"), 6)
+          .as("confidence"),
+        round(col("nab").cast("double") * col("__n").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("lift"))
   }
 }

@@ -66,7 +66,16 @@ object Pq {
         s"got sizes in [${d.getInt(0)}, ${d.getInt(1)}]")
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
-    val books = (0 until m).toArray.map { s =>
+    // The m sub-quantizer fits are INDEPENDENT (each reads its own
+    // slice projection and collects k×subDim doubles); running them
+    // sequentially serializes m × (seed TakeOrdered + iters cell
+    // aggregates) action latencies and leaves the cluster idle in
+    // every fit's scheduling/collect gaps. Submit them from a small
+    // thread pool instead (guide §2.6 — concurrent jobs back-fill
+    // each other's stragglers); each fit's result is keyed by its
+    // subspace index, so the model is bit-identical to the
+    // sequential build.
+    val books = graft.operators.Par.mapIndexed(0 until m) { s =>
       val sub = vectors.select(col(idCol),
         slice(col(vecCol).cast("array<double>"),
           s * subDim + 1, subDim).as("__sub"))

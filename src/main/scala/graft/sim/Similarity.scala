@@ -512,6 +512,40 @@ object Similarity {
     *         a query that is also in the corpus matches itself at
     *         rank 1 — filter `qIdCol =!= nn_id` downstream if
     *         self-matches are unwanted. */
+  /** Salted form of the intra-cell pair join `left ⋈ right ON
+    * cluster`: the cluster key has only nClusters distinct values, so
+    * a plain equi-join shuffles every row into ≤ nClusters reduce
+    * partitions and each cell's whole Σ m_c² pair scan runs in ONE
+    * task (r16 profile: q161's join stage was a single 2 s task at 32
+    * cores — the guide §2.5 hot-key shape, and AQE's skew split never
+    * fires because each cell is a single key). The salt splits the
+    * RIGHT side into `slices` deterministic sub-keys
+    * (`xxhash64(rightSliceKey) mod slices`) and replicates the LEFT
+    * side across all of them, so the join spreads over
+    * nClusters × slices keys while every (left, right) pair still
+    * meets exactly once — output rows are identical, only the
+    * partitioning changes. `slices` is scale-adaptive
+    * (defaultParallelism / nClusters, so the key count tracks the
+    * session's core count, never a local constant) and collapses to 1
+    * (the unsalted plan) when the cluster count alone already spreads
+    * the work. Replication multiplies left-side shuffle bytes by
+    * `slices` — the standard salting trade; keep the smaller relation
+    * on the left. */
+  private def joinSaltedByCluster(left: DataFrame, right: DataFrame,
+      rightSliceKey: String, nClusters: Int): DataFrame = {
+    val slices = math.max(1,
+      left.sparkSession.sparkContext.defaultParallelism /
+        math.max(1, nClusters))
+    if (slices <= 1) left.join(right, Seq("cluster"))
+    else {
+      val lS = left.withColumn("__slice",
+        explode(sequence(lit(0), lit(slices - 1))))
+      val rS = right.withColumn("__slice",
+        pmod(xxhash64(col(rightSliceKey)), lit(slices.toLong)).cast("int"))
+      lS.join(rS, Seq("cluster", "__slice")).drop("__slice")
+    }
+  }
+
   def knnJoin(queries: DataFrame, qIdCol: String,
       corpus: DataFrame, cIdCol: String, vecCol: String,
       nClusters: Int, k: Int, nCoarse: Int = CoarseAuto): DataFrame = {
@@ -525,7 +559,7 @@ object Similarity {
     val ca = corpus.join(assign(corpus, cIdCol), Seq(cIdCol))
       .select(col("cluster"), col(cIdCol).as("nn_id"),
         col(vecCol).as("__vc"))
-    val cand = qa.join(ca, Seq("cluster"))
+    val cand = joinSaltedByCluster(qa, ca, "nn_id", nClusters)
       .withColumn("__c", cosine(col("__vq"), col("__vc")))
       .filter(col("__c").isNotNull)
     graft.features.Features.topKPerGroupBounded(cand, qIdCol,
@@ -561,7 +595,7 @@ object Similarity {
       col(vecCol).as("__va"), col(labelCol).as("__la"))
     val b = withC.select(col("cluster"), col(idCol).as("neg_id"),
       col(vecCol).as("__vb"), col(labelCol).as("__lb"))
-    val cand = a.join(b, Seq("cluster"))
+    val cand = joinSaltedByCluster(a, b, "neg_id", nClusters)
       .filter(col("__la") =!= col("__lb")) // null labels fall out here
       .withColumn("__c", cosine(col("__va"), col("__vb")))
       .filter(col("__c").isNotNull)
