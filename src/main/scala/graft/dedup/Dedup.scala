@@ -875,16 +875,27 @@ object Dedup {
     val nBlocks = maxHamming + 1
     val width = sigBits / nBlocks
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val bucketed = sigs.select(col("id"),
+    // The signature RIDES the bucket shuffle as an 8-byte payload on a
+    // struct id instead of being joined back per side: the old
+    // two-join verify planned the `sigs` subtree three times (banding
+    // + both join sides), recomputing a decode-backed signature
+    // pipeline (audio/video fingerprints, simhash over text) once per
+    // copy — profiled r16 as 3 × ~1.5–3 s jobs on q191. Guide §2.3:
+    // shuffle keys and metadata instead of re-deriving payloads. The
+    // struct sorts by id first (ids are distinct), so bucket pair
+    // enumeration, the dedup, and the emitted rows are identical to
+    // the join-back form.
+    val keyed = sigs.select(struct(col("id"), col("sig")).as("id"))
+    val bucketed = keyed.select(col("id"),
       posexplode(array((0 until nBlocks).map(t =>
-        shiftrightunsigned(col("sig"), t * width).bitwiseAND(lit(mask))): _*))
+        shiftrightunsigned(col("id.sig"), t * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("table", "bucket")))
     pairsFromBuckets(bucketed, Seq("table", "bucket"), maxBucket, obs)
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")).cast("long"))
+      .withColumn("hamming",
+        hamming64(col("id_a.sig"), col("id_b.sig")).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("id_a.id").as("id_a"), col("id_b.id").as("id_b"),
+        col("hamming"))
   }
 
   /** Embedding-cosine near-dup pairs: all-pairs exact cosine above a
