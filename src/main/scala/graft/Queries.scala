@@ -7632,33 +7632,38 @@ object Queries {
     try {
       val nation = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
       // stage both conformed fact grains once (in production each IS a
-      // stored fact table — the q214 staging idiom)
-      t(s, dir, "orders")
-        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-        .select(col("n_name"), month(col("o_orderdate")).as("mo"),
-          col("o_totalprice"))
-        .filter(col("mo") <= 8)
-        .write.parquet(s"$root/factA")
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
-        .select(col("n_name"), month(col("l_shipdate")).as("mo"),
-          col("l_extendedprice"))
-        .filter(col("mo") >= 5)
-        .write.parquet(s"$root/factB")
+      // stored fact table — the q214 staging idiom); the two stagings
+      // are independent jobs with disjoint outputs, so they run
+      // concurrently (guide §2.6), as do the two registry builds below
+      graft.operators.Par.mapSeq(Seq(
+        () => t(s, dir, "orders")
+          .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), month(col("o_orderdate")).as("mo"),
+            col("o_totalprice"))
+          .filter(col("mo") <= 8)
+          .write.parquet(s"$root/factA"),
+        () => t(s, dir, "lineitem")
+          .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), month(col("l_shipdate")).as("mo"),
+            col("l_extendedprice"))
+          .filter(col("mo") >= 5)
+          .write.parquet(s"$root/factB")))(_())
       def factA = s.read.parquet(s"$root/factA")
       def factB = s.read.parquet(s"$root/factB")
-      val regA = AggNavigator.register(factA,
-        Seq("nm" -> Seq("n_name", "mo")),
-        Seq(AggNavigator.CountAll("n_orders"),
-          AggNavigator.ExactSum("sales", "o_totalprice")), s"$root/aggA")
-      val regB = AggNavigator.register(factB,
-        Seq("nm" -> Seq("n_name", "mo")),
-        Seq(AggNavigator.CountAll("n_ship"),
-          AggNavigator.ExactSum("supply", "l_extendedprice")), s"$root/aggB")
+      val Seq(regA, regB) = graft.operators.Par.mapSeq(Seq(
+        () => AggNavigator.register(factA,
+          Seq("nm" -> Seq("n_name", "mo")),
+          Seq(AggNavigator.CountAll("n_orders"),
+            AggNavigator.ExactSum("sales", "o_totalprice")), s"$root/aggA"),
+        () => AggNavigator.register(factB,
+          Seq("nm" -> Seq("n_name", "mo")),
+          Seq(AggNavigator.CountAll("n_ship"),
+            AggNavigator.ExactSum("supply", "l_extendedprice")),
+          s"$root/aggB")))(_())
       val net = (coalesce(col("sales"), lit(0.0)) -
         coalesce(col("supply"), lit(0.0))).as("net")
       val drills = Seq("d1_nation" -> Seq("n_name"),

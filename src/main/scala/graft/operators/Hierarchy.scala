@@ -196,7 +196,13 @@ object Hierarchy {
         org.apache.spark.sql.functions.broadcast(newAncs))
       .select(col("s_desc").as("desc"), col("anc"),
         (col("d1") + lit(1L) + col("d2")).as("dist"))
-    outside.unionByName(within).unionByName(added)
+    // lazily checkpointed: maintenance ops CHAIN (move -> insert ->
+    // delete is the q227 lifecycle) and each op's validation aggregate
+    // plus the caller's final consumer would otherwise RE-EXECUTE every
+    // predecessor's join chain once per action (profiled r16: 78 jobs
+    // on the chained lifecycle). The first consumer materializes the
+    // result once; later consumers read the blocks. Values unchanged.
+    outside.unionByName(within).unionByName(added).localCheckpoint(false)
   }
 
   /** INCREMENTAL closure maintenance under a LEAF INSERT: the new
@@ -231,7 +237,8 @@ object Hierarchy {
       else closure.filter(col("desc") === lit(parent))
         .select(lit(node).cast(closure.schema("desc").dataType).as("desc"),
           col("anc"), (col("dist") + lit(1L)).as("dist"))
-    closure.unionByName(self).unionByName(up)
+    // lazy checkpoint: see closureMove's chaining note
+    closure.unionByName(self).unionByName(up).localCheckpoint(false)
   }
 
   /** INCREMENTAL closure maintenance under a SUBTREE DELETE: every
@@ -248,6 +255,7 @@ object Hierarchy {
     require(seen > 0, s"node $node is not in the closure")
     val sub = closure.filter(col("anc") === lit(node))
       .select(col("desc"))
-    closure.join(sub, Seq("desc"), "left_anti")
+    // lazy checkpoint: see closureMove's chaining note
+    closure.join(sub, Seq("desc"), "left_anti").localCheckpoint(false)
   }
 }
