@@ -743,6 +743,12 @@ object Dedup {
     // smallest intersection count that can still pass the ROUNDED
     // threshold filter (the 1e-5 slack under-approximates round-to-6's
     // boundary — it can only lengthen the prefix, never skip a pair)
+    // lazily checkpointed: SIX plan branches consume this relation
+    // (prefix explode, posting explode, both stage-1 hash sides, both
+    // stage-2 verify sides), and each un-materialized copy re-runs
+    // the shingle build + df join + per-doc collect_list sort — the
+    // r16 plan audit counted 96 Exchanges, six copies of the pipeline.
+    // The first consumer materializes it once; values unchanged.
     val docArr = kept
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("__df"), col("s"))))
@@ -756,6 +762,7 @@ object Dedup {
         ceil(col("__nsh") * lit(threshold - 1e-5)).cast("int"))
       .withColumn("__p", col("__nkept") - col("__minshared") + 1)
       .drop("__ranked")
+      .localCheckpoint(false)
     val prefixes = docArr
       .select(col("id").as("id_a"), col("__minshared").as("__c"),
         col("__nkept").as("__na"),

@@ -319,10 +319,18 @@ object Multimodal {
   def audioNearDups(df: DataFrame, idCol: String, mediaCol: String,
       windowSamples: Int, maxHamming: Int,
       maxBucket: Int = 1000): DataFrame = {
+    // lazily checkpointed: the banded pair plan consumes the signature
+    // relation from more than one branch (bucket sizes + the capped
+    // join), and each un-materialized consumer re-DECODES every audio
+    // payload (r16 profile: two ~1.3 s 32-task jobs on q191, both
+    // re-running the WAV decode). The checkpoint pins the 16-byte
+    // (id, sig) rows — corpus × 16 B, the same relation the stored-
+    // signature variants persist to parquet — so decode runs once.
     val sigs = withAudioFingerprint(
         df.select(col(idCol), col(mediaCol)), mediaCol, windowSamples)
       .filter(col("afp").isNotNull)
       .select(col(idCol).as("id"), col("afp").as("sig"))
+      .localCheckpoint(false)
     graft.dedup.Dedup.simhashPairsFromSigs(sigs, maxHamming,
       sigBits = 64, maxBucket = maxBucket)
   }
@@ -460,9 +468,12 @@ object Multimodal {
   def mediaNearDupsPerceptual(df: DataFrame, idCol: String,
       mediaCol: String, maxHamming: Int,
       maxBucket: Int = 1000): DataFrame = {
+    // lazy checkpoint: see audioNearDups — decode once, not once per
+    // pair-plan branch
     val sigs = withDHash(df.select(col(idCol), col(mediaCol)), mediaCol)
       .filter(col("dhash").isNotNull)
       .select(col(idCol).as("id"), col("dhash").as("sig"))
+      .localCheckpoint(false)
     graft.dedup.Dedup.simhashPairsFromSigs(sigs, maxHamming,
       sigBits = 64, maxBucket = maxBucket)
   }
@@ -635,9 +646,12 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"full-recall blocking supports maxHamming in [0, 7], got $maxHamming")
     require(minMatches >= 1, "minMatches must be >= 1")
+    // lazy checkpoint: see audioNearDups — the sizes branch and both
+    // self-join sides otherwise each re-split + re-decode every frame
     val fh = videoFrameDHash(df, idCol, mediaCol, stride)
       .filter(col("dhash").isNotNull)
       .select(col(idCol).as("id"), col("frame_no"), col("dhash"))
+      .localCheckpoint(false)
     val nBlocks = maxHamming + 1
     val width = 64 / nBlocks
     val mask = (1L << width) - 1

@@ -66,22 +66,15 @@ object Pq {
         s"got sizes in [${d.getInt(0)}, ${d.getInt(1)}]")
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
-    // The m sub-quantizer fits are INDEPENDENT (each reads its own
-    // slice projection and collects k×subDim doubles); running them
-    // sequentially serializes m × (seed TakeOrdered + iters cell
-    // aggregates) action latencies and leaves the cluster idle in
-    // every fit's scheduling/collect gaps. Submit them from a small
-    // thread pool instead (guide §2.6 — concurrent jobs back-fill
-    // each other's stragglers); each fit's result is keyed by its
-    // subspace index, so the model is bit-identical to the
-    // sequential build.
-    val books = graft.operators.Par.mapIndexed(0 until m) { s =>
-      val sub = vectors.select(col(idCol),
-        slice(col(vecCol).cast("array<double>"),
-          s * subDim + 1, subDim).as("__sub"))
-      KMeansRel.fitCentroids(sub, idCol, "__sub", kCodes, iters)
-    }
-    PqModel(subDim, books)
+    // FUSED fit ([[KMeansRel.fitCentroidsSubspaces]]): one seed scan
+    // and one cell-aggregate scan per Lloyd round for ALL m subspaces
+    // — m·(1+iters) corpus passes collapse to 1+iters (the md5 seed
+    // draw orders by id, never by values, so one full-vector draw
+    // sliced driver-side IS each subspace's draw; decimal cell means
+    // are order-independent, so the fused groups equal the
+    // per-subspace ones bit-for-bit — KMeansRelSpec pins it).
+    PqModel(subDim, KMeansRel.fitCentroidsSubspaces(
+      vectors, idCol, vecCol, m, subDim, kCodes, iters))
   }
 
   /** [[fit]] on an md5-deterministic SAMPLE of the corpus — the
