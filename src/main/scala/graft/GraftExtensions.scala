@@ -60,6 +60,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseNormalize)
+    ext.injectOptimizerRule(_ => graft.plans.PruneExpandByFilter)
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     ext.injectOptimizerRule(_ => graft.olap.AggRoute.Rewrite)
     ext.injectPlannerStrategy(_ => graft.plans.SkylineStrategy)

@@ -5235,9 +5235,25 @@ object Queries {
     * packing window. */
   def q176BpePack(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val merges = graft.text.TextOps.bpeMerges(docs, "text", 20)
-    val counts = graft.text.TextOps
-      .bpeTokenCounts(docs, "doc_id", "text", merges)
+    // r17 (guide §1.2: fewer full passes): merge training and token
+    // counting each tokenized the corpus — two full explode+group
+    // passes. The shared (doc, word) counts relation is computed once
+    // and lazily local-checkpointed (materialized by the merges
+    // collect, reused by the count join-back): one corpus tokenize
+    // pass total. Values identical — merges' word counts are the
+    // per-doc counts re-summed. localCheckpoint trade (see
+    // Hierarchy.closureMove note): executor-local, unreplicated
+    // blocks — acceptable here because the relation is
+    // vocabulary-bounded per doc and the pipeline is a batch job a
+    // retry simply re-runs.
+    val wc = TextOps.docWordCounts(docs, "doc_id", "text")
+      .localCheckpoint(false)
+    val merges = TextOps.bpeMergesFromPairCounts(
+      TextOps.bpePairCountsFromWordCounts(
+        wc.groupBy(col("__w")).agg(sum(col("__cnt")).as("cnt"))
+          .select(col("__w").as("w"), col("cnt"))), 20)
+    val counts = TextOps
+      .bpeTokenCountsFromWordCounts(wc, "doc_id", merges)
       .select(col("doc_id"), col("n_bpe_tokens"))
     graft.operators.PrefixSum
       .packBudget(counts, "doc_id", "n_bpe_tokens", budget = 2048L,
@@ -7186,9 +7202,15 @@ object Queries {
       .select(col("l_orderkey"), col("p_brand"))
     val perBrand = lines.groupBy(col("l_orderkey"), col("p_brand"))
       .agg(count(lit(1)).as("n_brand"))
-    val perOrder = lines.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_order"))
-    val alloc = perBrand.join(perOrder, Seq("l_orderkey"))
+    // r17 (guide §7.2/§2.4): the order's line total is the sum of its
+    // per-brand counts, so deriving n_order as a window over perBrand
+    // replaces BOTH the second lineitem⋈part subtree (the plan used to
+    // aggregate `lines` twice) and the perBrand⋈perOrder join — one
+    // fact scan and one join fewer, values identical.
+    val withOrder = perBrand.withColumn("n_order",
+      sum(col("n_brand")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))))
+    val alloc = withOrder
       .join(t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
         col("o_totalprice")), Seq("l_orderkey"))
       .select(col("p_brand"),

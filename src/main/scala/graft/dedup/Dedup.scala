@@ -1182,11 +1182,18 @@ object Dedup {
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
       .select(col("__whash"))
     val cand = occ.join(candHashes, Seq("__whash"), "left_semi")
-    val spans = cand.groupBy(col("__wtext"))
-      .agg(min(struct(col(idCol), col("__s"))).as("__keeper"),
-        count(lit(1)).as("n_occurrences"))
+    // r17 (guide §7.2/§2.4): the per-span count and keeper used to be
+    // a groupBy + join-back, which planned the whole cand subtree
+    // (tokenize → window explode → semi join) TWICE — once per join
+    // side. An unbounded window over the span partition computes both
+    // in ONE pass of cand with one Exchange; rows identical.
+    val wSpan = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__wtext"))
+    cand
+      .withColumn("n_occurrences", count(lit(1)).over(wSpan))
+      .withColumn("__keeper",
+        min(struct(col(idCol), col("__s"))).over(wSpan))
       .filter(col("n_occurrences") > 1)
-    cand.join(spans, Seq("__wtext"))
       .select(col(idCol), col("__s").as("start"),
         col("__wtext").as("span"), col("n_occurrences"),
         (struct(col(idCol), col("__s")) === col("__keeper")).as("is_keeper"))
@@ -1215,28 +1222,35 @@ object Dedup {
     val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__ts"))
     val removed = duplicatedSpans(docs, idCol, textCol, w)
       .filter(!col("is_keeper"))
+    // r17 (guide §2.3: shuffle keys/metadata, not payloads): the
+    // reassembly used to posexplode the ENTIRE corpus into one row per
+    // token, shuffle all of them by (doc, pos) for the anti join, and
+    // shuffle them again into a collect_list + per-doc sort. Covered
+    // positions are a small fraction of corpus tokens (only non-keeper
+    // occurrences of duplicated spans), so the doc-level shape wins at
+    // any scale: aggregate the covered positions to ONE small array
+    // per affected doc, join that doc-sized relation back, and drop /
+    // reassemble tokens with array expressions — token order is the
+    // array's own order, no sort, and the corpus token relation never
+    // shuffles at all. Rows identical (SpanDedupSpec brute-force +
+    // oracle q181 pin it).
     val cov = removed
       .select(col(idCol),
         explode(sequence(col("start"), col("start") + (w - 1))).as("__pos"))
-      .distinct()
-    val tp = toks
-      .select(col(idCol), posexplode(col("__ts")).as(Seq("__p0", "__tok")))
-      .select(col(idCol), (col("__p0") + 1).as("__pos"), col("__tok"))
-    val clean = tp.join(cov, Seq(idCol, "__pos"), "left_anti")
       .groupBy(col(idCol))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
-            x => x.getField("__tok")),
-          " ").as("__clean"),
-        count(lit(1)).as("__kept"))
-    toks.select(col(idCol), size(col("__ts")).cast("long").as("n_tokens"))
-      .join(clean, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__kept"), lit(0L)))
+      .agg(collect_set(col("__pos")).as("__cov"))
+    val emptyCov = array().cast("array<int>")
+    toks.join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("__ts"),
+        filter(col("__ts"),
+          (_, i) => !array_contains(coalesce(col("__cov"), emptyCov), i + 1))
+          .as("__keptArr"))
+      .select(col(idCol), size(col("__ts")).cast("long").as("n_tokens"),
+        (size(col("__ts")).cast("long") -
+          coalesce(when(col("__keptArr").isNotNull,
+            size(col("__keptArr")).cast("long")), lit(0L)))
           .cast("long").as("n_removed"),
-        coalesce(col("__clean"), lit("")).as("clean_text"))
+        coalesce(array_join(col("__keptArr"), " "), lit("")).as("clean_text"))
   }
 
   /** LSH band-plan tuner: score every (bands, rowsPerBand) split of a

@@ -237,15 +237,22 @@ object TextOps {
     * replay against the vocabulary-sized word-count table, never the
     * corpus. Returns (pair, cnt); the caller picks the argmax (the
     * merge candidate) or top-k. */
-  def bpePairCounts(docs: DataFrame, textCol: String): DataFrame = {
-    val wordCounts = docs
+  def bpePairCounts(docs: DataFrame, textCol: String): DataFrame =
+    bpePairCountsFromWordCounts(docs
       .select(explode(tokens(lower(col(textCol)))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .filter(length(col("w")) >= 2) // a 1-char word has no pair
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+
+  /** [[bpePairCounts]] from an existing corpus word-count relation
+    * (`(w, cnt)`) — so a caller that ALREADY paid the corpus tokenize
+    * pass (e.g. for [[bpeTokenCounts]]'s (doc, word) counts) can train
+    * merges from it instead of re-scanning the corpus (r17, guide
+    * §1.2: one full pass, not two). Values identical to
+    * [[bpePairCounts]] by construction. */
+  def bpePairCountsFromWordCounts(wordCounts: DataFrame): DataFrame =
     wordCounts
+      .filter(length(col("w")) >= 2) // a 1-char word has no pair
       .select(explode(charNgrams(col("w"), 2)).as("pair"), col("cnt"))
       .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
-  }
 
   /** One-shot BPE merges table from [[bpePairCounts]]'s first-round
     * statistics: the top-`m` adjacent character pairs by
@@ -256,12 +263,17 @@ object TextOps {
     * [[bpeEncodeWords]] accepts ANY (left, right, rank) relation, so
     * a caller with a real trained merges file feeds it unchanged).
     * Returns (left, right, rank) — model-sized by construction. */
-  def bpeMerges(docs: DataFrame, textCol: String, m: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, textCol: String, m: Int): DataFrame =
+    bpeMergesFromPairCounts(bpePairCounts(docs, textCol), m)
+
+  /** The rank/select half of [[bpeMerges]], over any `(pair, cnt)`
+    * relation ([[bpePairCounts]] or its from-word-counts variant). */
+  def bpeMergesFromPairCounts(pairCounts: DataFrame, m: Int): DataFrame = {
     require(m >= 1, "need at least one merge")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("pair"))
     // the window runs AFTER the limit: a single-task sort of m rows
-    bpePairCounts(docs, textCol)
+    pairCounts
       .orderBy(col("cnt").desc, col("pair")).limit(m)
       .withColumn("rank", (row_number().over(w) - 1).cast("int"))
       .select(substring(col("pair"), 1, 1).as("left"),
@@ -331,10 +343,25 @@ object TextOps {
     * encode + join-back; the merge loop never sees corpus-scale rows.
     * Returns (idCol, n_ws_tokens, n_bpe_tokens). */
   def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
-      merges: DataFrame): DataFrame = {
-    val wc = docs
+      merges: DataFrame): DataFrame =
+    bpeTokenCountsFromWordCounts(docWordCounts(docs, idCol, textCol),
+      idCol, merges)
+
+  /** The shared heavy relation of the BPE stack: per-document word
+    * counts `(idCol, __w, __cnt)` — ONE corpus tokenize pass that both
+    * merge training ([[bpePairCountsFromWordCounts]] over its
+    * `groupBy(__w)` projection) and token counting
+    * ([[bpeTokenCountsFromWordCounts]]) can consume, instead of each
+    * re-scanning and re-tokenizing the corpus (r17, guide §1.2). */
+  def docWordCounts(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__cnt"))
+
+  /** [[bpeTokenCounts]] from an existing [[docWordCounts]] relation. */
+  def bpeTokenCountsFromWordCounts(wc: DataFrame, idCol: String,
+      merges: DataFrame): DataFrame = {
     val vocab = wc.select(col("__w")).distinct()
     val encoded = bpeEncodeWords(vocab, "__w", merges)
       .select(col("__w"),
