@@ -72,6 +72,21 @@ object ViewRefresh {
   def bucketOf(key: Column, nBuckets: Int): Column =
     pmod(hash(key), lit(nBuckets))
 
+  /** Cluster rows by the bucket column before a `partitionBy(bucket)`
+    * write (guide §6: REBALANCE before the write). Without it a write
+    * from T upstream tasks fans out to T×B small files — every task
+    * opens a writer per bucket it sees — and every later read of the
+    * view pays the listing + footer cost (measured r17: the q215
+    * materialize wrote 32×16 ≈ 500 ~5 KB files and the read-back was
+    * the query's single most expensive job). The AQE rebalance keeps
+    * output files near the advisory partition size at any scale:
+    * small buckets coalesce into one task, a skewed bucket splits into
+    * several (several right-sized files in one partition dir), so the
+    * shape is correct both for the bench corpus and for a 100 TB view.
+    * Row content is untouched — layout only. */
+  private def clusterByBucket(df: DataFrame, bucket: String): DataFrame =
+    df.hint("rebalance", col(bucket))
+
   /** Stamp the layout contract beside the data (metadata-only; the
     * refresh handshake reads it back). */
   private def writeLayout(spark: SparkSession, path: String,
@@ -119,7 +134,8 @@ object ViewRefresh {
       if (view.columns.contains(BucketCol))
         view.withColumn(BucketCol, guardedBucket(col(BucketCol), key, nBuckets))
       else view.withColumn(BucketCol, bucketOf(key, nBuckets))
-    bucketed.write.partitionBy(BucketCol).mode("overwrite").parquet(path)
+    clusterByBucket(bucketed, BucketCol)
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
     writeLayout(view.sparkSession, path, nBuckets)
   }
 
@@ -155,7 +171,8 @@ object ViewRefresh {
     * is what lets the refresh TRUST the carried column. */
   def materializeSource(fact: DataFrame, factKey: Column, nBuckets: Int,
       path: String): Unit = {
-    fact.withColumn(BucketCol, bucketOf(factKey, nBuckets))
+    clusterByBucket(fact.withColumn(BucketCol, bucketOf(factKey, nBuckets)),
+        BucketCol)
       .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
     writeLayout(fact.sparkSession, path, nBuckets)
   }
@@ -219,7 +236,8 @@ object ViewRefresh {
     try {
       if (isolated) refreshInstall(spark, scoped, buckets, path)
       else {
-        Warehouse.overwritePartitions(scoped, path, Seq(BucketCol))
+        Warehouse.overwritePartitions(clusterByBucket(scoped, BucketCol),
+          path, Seq(BucketCol))
         val written = scoped.select(col(BucketCol)).distinct()
           .collect().map(_.getInt(0)).toSet
         val emptied = buckets.filterNot(written)
@@ -265,8 +283,8 @@ object ViewRefresh {
     val tmpRoot = new org.apache.hadoop.fs.Path(base,
       ".refresh-tmp-" + java.util.UUID.randomUUID().toString)
     try {
-      scoped.write.partitionBy(BucketCol).mode("overwrite")
-        .parquet(tmpRoot.toString)
+      clusterByBucket(scoped, BucketCol).write.partitionBy(BucketCol)
+        .mode("overwrite").parquet(tmpRoot.toString)
       buckets.foreach { b =>
         val built = new org.apache.hadoop.fs.Path(tmpRoot, s"$BucketCol=$b")
         if (!fs.exists(built)) fs.mkdirs(built) // emptied bucket → empty dir
@@ -633,7 +651,7 @@ object ViewRefresh {
       // duplicate the bucket into the partition column so the DATA
       // files keep it — generation dir names are manifest-internal,
       // not partition-discovery paths
-      rows.withColumn("__pb", col(BucketCol))
+      clusterByBucket(rows.withColumn("__pb", col(BucketCol)), "__pb")
         .write.partitionBy("__pb").mode("overwrite").parquet(staging.toString)
       val writtenBuckets = fs.listStatus(staging).toSeq
         .map(_.getPath.getName).collect {

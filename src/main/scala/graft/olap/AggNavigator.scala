@@ -205,35 +205,41 @@ object AggNavigator {
     val allLevels = grains.flatMap(_._2).distinct
     val pNames = partialsFor(fact.limit(0), grains.head._2, measures)
       .schema.map(_.name).filterNot(grains.head._2.contains)
-    val staged = s"$root/__gs_stage"
+    // r17 (guide §5 reuse): the shared pass used to round-trip through
+    // a __gid-partitioned parquet STAGING dir — one extra write job,
+    // then one partition-pruned read PLUS one count read per grain
+    // (2N+1 actions). The relation is dim-sized by the rollup contract
+    // (distinct grain tuples, not facts), so a lazy local checkpoint
+    // holds it instead: ONE job materializes it (the per-gid count
+    // collect below), the N carve writes read executor-local blocks,
+    // and the row counts all come from that single count job — N+1
+    // actions, no staging I/O. Stored rows are bit-identical (the
+    // carve is the same filter+projection of the same shared rows;
+    // spec-asserted against register()). localCheckpoint trade:
+    // executor-local unreplicated blocks — acceptable for a dim-sized
+    // relation inside one offline build; a lost executor fails the
+    // build, which simply re-runs.
     val shared = sharedPartials(fact, grains, measures)
-    shared.write.partitionBy("__gid").mode("overwrite").parquet(staged)
-    try {
-      // the per-grain carves are independent (disjoint gid reads,
-      // disjoint output paths) — submit them concurrently so one
-      // carve's write/count latency overlaps the next's (guide §2.6);
-      // result order stays the caller's grain order
-      val aggs = graft.operators.Par.mapSeq(grains) { case (name, grain) =>
-        val path = s"$root/agg_$name"
-        // explicit schema: an EMPTY fact leaves a staging dir with no
-        // partition directories at all, and schema inference would
-        // fail where register() builds valid empty tables — with the
-        // schema supplied, the carve is simply empty
-        val carved = spark.read.schema(shared.schema).parquet(staged)
-          .filter(col("__gid") === gidOf(allLevels, grain))
-          .select((grain ++ pNames).map(col): _*)
-        carved.write.mode("overwrite").parquet(path)
-        val rows = spark.read.parquet(path).count()
-        AggTable(name, grain, rows, path,
-          carved.schema.filter(f => grain.contains(f.name))
-            .map(f => f.name -> f.dataType).toMap)
-      }
-      Registry(spark, measures, aggs)
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(staged)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(p, true): Unit
+      .localCheckpoint(false)
+    val gidRows: Map[Long, Long] = shared.groupBy(col("__gid"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the per-grain carves are independent (disjoint output paths) —
+    // submit them concurrently so one carve's write latency overlaps
+    // the next's (guide §2.6); result order stays the caller's grain
+    // order
+    val aggs = graft.operators.Par.mapSeq(grains) { case (name, grain) =>
+      val path = s"$root/agg_$name"
+      val carved = shared
+        .filter(col("__gid") === gidOf(allLevels, grain))
+        .select((grain ++ pNames).map(col): _*)
+      carved.write.mode("overwrite").parquet(path)
+      AggTable(name, grain,
+        gidRows.getOrElse(gidOf(allLevels, grain), 0L), path,
+        carved.schema.filter(f => grain.contains(f.name))
+          .map(f => f.name -> f.dataType).toMap)
     }
+    Registry(spark, measures, aggs)
   }
 
   /** INCREMENTAL REFRESH under a fact APPEND — the reason real

@@ -22,6 +22,12 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .expression(c)
 
+  /** Drain the async listener bus (`private[spark]`) — profiling
+    * tooling needs a real barrier before reading listener state; a
+    * sleep races late events (ADVICE r16). */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** DataFrame over a custom LogicalPlan (`Dataset.ofRows` is
     * `private[sql]`) — the entry point for graft's own logical
     * operators (e.g. `plans.SkylinePlan`). */
