@@ -2936,8 +2936,15 @@ object Queries {
     * {batch, scan, join}, plus each query term's document frequency
     * from the index (both faces oracle-checked). */
   def q108InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    // r17 (VERDICT r16 item 9): the whole-relation .cache() forced the
+    // FULL index aggregation (collect_list over every corpus term) and
+    // pinned it in the block cache so two 3-term consumers could share
+    // it. Uncached, the `term isin` filters push BELOW the groupBy:
+    // each branch tokenizes the corpus but aggregates only its three
+    // terms' rows — at scale a far smaller shuffle than materializing
+    // the full index, and no cached relation outliving the query.
     val idx = graft.text.TextOps.invertedIndex(
-      t(s, dir, "documents"), "doc_id", "text").cache()
+      t(s, dir, "documents"), "doc_id", "text")
     val hits = graft.text.TextOps.searchAnd(idx, Seq("batch", "scan", "join"))
     val dfs = idx.filter(col("term").isin("batch", "scan", "join"))
       .select(col("term"), col("df"))
@@ -7758,14 +7765,24 @@ object Queries {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("n_name"), year(col("l_shipdate")).as("yr"),
         col("l_extendedprice"), col("l_returnflag"))
+    // r17 (guide §7.2): the returned-lines side used to be a THIRD
+    // drill-across input — `ship.filter(flag = 'R')` — which planned
+    // and executed the whole lineitem⋈supplier⋈nation subtree a second
+    // time. Conditional aggregates fold it into the ship side's single
+    // pass; `when(count > 0, …)` reproduces the full-outer merge's
+    // NULLs for members with no returned lines (a side with no rows
+    // contributes null measures), so the merged rows are identical.
     graft.olap.DrillAcross.drillAcrossAll(Seq(
       factA -> Seq(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("sales")),
-      ship -> Seq(count(lit(1)).as("n_ship"),
-        dsum(col("l_extendedprice")).as("supply")),
-      ship.filter(col("l_returnflag") === "R") ->
-        Seq(count(lit(1)).as("n_ret"),
-          dsum(col("l_extendedprice")).as("returned"))),
+      ship -> {
+        val nRet = count(when(col("l_returnflag") === "R", lit(1)))
+        Seq(count(lit(1)).as("n_ship"),
+          dsum(col("l_extendedprice")).as("supply"),
+          when(nRet > 0, nRet).as("n_ret"),
+          dsum(when(col("l_returnflag") === "R",
+            col("l_extendedprice"))).as("returned"))
+      }),
       on = Seq("n_name", "yr"),
       derived = Seq((coalesce(col("sales"), lit(0.0)) -
         coalesce(col("supply"), lit(0.0)) +

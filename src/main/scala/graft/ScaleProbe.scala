@@ -78,6 +78,7 @@ object ScaleProbe {
     else if (set == "r14") r14Probes(spark, dir, k)
     else if (set == "r15") r15Probes(spark, dir, k)
     else if (set == "viewrefresh") viewRefreshProbes(spark, dir, k)
+    else if (set == "r17") r17Probes(spark, dir, k)
     else r3Probes(spark, dir, k)
     spark.stop()
   }
@@ -227,6 +228,59 @@ object ScaleProbe {
           .head().getLong(0)
       })
 
+    println(results.mkString("[probe] {", ",", s""","replication":$k}"""))
+  }
+
+  /** Round-17 probes (VERDICT r16 item 7): decade evidence that the
+    * round-16 techniques' wins GROW with data size — the sf0.1 bench
+    * is overhead-bound and cannot see them.
+    *  - salted low-cardinality cluster join (q161's shape: nClusters=4
+    *    FIXED, salt slices = parallelism/clusters): salted vs the
+    *    forced-unsalted plan (`saltSlices = 1`) on the same corpus —
+    *    the unsalted plan's per-cell pair scan runs in 4 tasks no
+    *    matter the decade, so the ratio must widen with k;
+    *  - fused PQ sub-quantizer fit (q182's shape: one seed scan + one
+    *    cell-aggregate scan per Lloyd round for all m subspaces) vs m
+    *    independent per-slice fits (m·(1+iters) corpus passes) — the
+    *    KMeansRelSpec bit-identity comparator, priced at decades. */
+  private def r17Probes(spark: SparkSession, dir: String, k: Int): Unit = {
+    def t(name: String)(f: => Long): String = timeEntry(name)(f)
+    def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val embK = replicateVecSalted(tbl("embeddings"), k).persist(lvl)
+    embK.count()
+    val m = 4
+    val kCodes = 16
+    val iters = 2
+    lazy val subDim = {
+      val dim = embK
+        .agg(max(org.apache.spark.sql.functions.size(col("embedding"))))
+        .head().getInt(0)
+      require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+      dim / m
+    }
+    val results = Seq(
+      t("hard_negatives_salted") {
+        sim.Similarity.hardNegatives(embK, "vec_id", "embedding", "label",
+          nClusters = 4, k = 5).count()
+      },
+      t("hard_negatives_unsalted") {
+        sim.Similarity.hardNegatives(embK, "vec_id", "embedding", "label",
+          nClusters = 4, k = 5, saltSlices = 1).count()
+      },
+      t("pq_fit_fused") {
+        sim.Pq.fit(embK, "vec_id", "embedding", m, kCodes, iters)
+          .books.map(_.length.toLong).sum
+      },
+      t("pq_fit_independent") {
+        (0 until m).map { s =>
+          ml.KMeansRel.fitCentroids(
+            embK.select(col("vec_id"),
+              slice(col("embedding").cast("array<double>"),
+                s * subDim + 1, subDim).as("__sub")),
+            "vec_id", "__sub", kCodes, iters).length.toLong
+        }.sum
+      })
     println(results.mkString("[probe] {", ",", s""","replication":$k}"""))
   }
 

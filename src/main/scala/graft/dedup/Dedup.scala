@@ -749,6 +749,12 @@ object Dedup {
     // the shingle build + df join + per-doc collect_list sort — the
     // r16 plan audit counted 96 Exchanges, six copies of the pipeline.
     // The first consumer materializes it once; values unchanged.
+    // Cluster trade (unreplicated executor-local blocks; executor loss
+    // fails the job instead of recomputing): see the canonical note in
+    // Hierarchy.closureMove. This relation is O(corpus × kept-shingle
+    // metadata) — the largest checkpointed relation in the repo; a
+    // deployment whose containment pass must survive executor loss
+    // should swap this for a parquet scratch (the Curation posture).
     val docArr = kept
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("__df"), col("s"))))

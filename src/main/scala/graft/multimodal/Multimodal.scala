@@ -326,6 +326,11 @@ object Multimodal {
     // re-running the WAV decode). The checkpoint pins the 16-byte
     // (id, sig) rows — corpus × 16 B, the same relation the stored-
     // signature variants persist to parquet — so decode runs once.
+    // Cluster trade (unreplicated executor-local blocks; executor loss
+    // fails the job instead of recomputing): see the canonical note in
+    // Hierarchy.closureMove — acceptable for a 16 B/row relation
+    // inside one batch dedup pass; a serving deployment uses the
+    // stored-signature variants, which persist to parquet.
     val sigs = withAudioFingerprint(
         df.select(col(idCol), col(mediaCol)), mediaCol, windowSamples)
       .filter(col("afp").isNotNull)

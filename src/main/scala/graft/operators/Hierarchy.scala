@@ -202,6 +202,20 @@ object Hierarchy {
     // predecessor's join chain once per action (profiled r16: 78 jobs
     // on the chained lifecycle). The first consumer materializes the
     // result once; later consumers read the blocks. Values unchanged.
+    //
+    // CLUSTER TRADE (r17, the canonical note for every
+    // localCheckpoint(false) site in this repo): a local checkpoint
+    // truncates lineage to UNREPLICATED executor-local blocks — on a
+    // real cluster, losing an executor after materialization fails
+    // every downstream consumer instead of recomputing, and the blocks
+    // stay pinned until the frame is GC'd. Acceptable here because (a)
+    // the closure relation is O(nodes × depth) — hierarchy-sized, not
+    // fact-sized; (b) maintenance chains are short-lived batch jobs a
+    // retry re-runs from the stored closure; (c) the alternative
+    // (reliable checkpoint / parquet scratch) pays a distributed-FS
+    // write per op on the serving path. Long-lived serving sessions
+    // that must survive executor loss should persist the returned
+    // frame to durable storage instead of holding it.
     outside.unionByName(within).unionByName(added).localCheckpoint(false)
   }
 

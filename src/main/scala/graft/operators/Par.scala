@@ -19,61 +19,97 @@ package graft.operators
   *    (`shutdownNow` + await) before the cause rethrows, so sibling
   *    jobs can't keep writing their output paths in the background
   *    while the caller unwinds into a retry or cleanup;
-  *  - NESTED calls (a Par body that itself calls Par — q220 wraps two
-  *    register() calls, each of which Par-maps its grains) run the
-  *    inner map SEQUENTIALLY on the caller's thread instead of
-  *    spawning a pool per level, so total concurrent driver actions
-  *    stay ≤ 8 instead of multiplying per nesting level. The outer
-  *    level keeps the overlap that matters (the independent jobs are
-  *    still in flight concurrently).
+  *  - a GLOBAL permit pool (8) bounds total concurrent bodies across
+  *    every live Par call, nesting included (q220 Par-wraps two
+  *    register() calls, each of which Par-maps its grains — the r16
+  *    version could multiply pools per level, up to 64 threads). A
+  *    body only goes to a worker thread when a permit is free;
+  *    otherwise it runs INLINE on the submitting thread — never
+  *    blocking on a permit, so nested calls cannot deadlock, and an
+  *    inner map still overlaps its siblings whenever capacity exists
+  *    (the first sequential-nesting fix measurably cost q220 the
+  *    overlap its r16 win came from).
   */
 object Par {
 
-  /** True while the current thread is inside a Par body — nested maps
-    * fall back to the sequential loop (bit-identical results). */
-  private val inBody = new ThreadLocal[Boolean] {
-    override def initialValue(): Boolean = false
-  }
+  /** Global concurrency budget across every live Par call: enough
+    * in-flight Spark actions to fill scheduling gaps, few enough not
+    * to fight for executors. */
+  private val permits = new java.util.concurrent.Semaphore(8)
 
-  /** `indexes.map(body)` with the bodies running concurrently on a
-    * bounded pool (≤ 8 driver threads — enough to fill scheduling
-    * gaps, few enough not to fight for executors; FIFO scheduling
-    * keeps earlier jobs first). */
+  /** `indexes.map(body)` with the bodies running concurrently under
+    * the global permit budget. Results return in INDEX order (FIFO
+    * submission keeps earlier jobs first on the scheduler). */
   def mapIndexed[T: scala.reflect.ClassTag](indexes: Range)
       (body: Int => T): Array[T] = {
-    if (indexes.size <= 1 || inBody.get()) indexes.toArray.map(body)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(indexes.size, 8))
-      try {
-        val futs = indexes.map { i =>
-          pool.submit(new java.util.concurrent.Callable[T] {
-            override def call(): T = {
-              inBody.set(true)
-              try body(i) finally inBody.set(false)
-            }
-          })
-        }
-        try futs.map { f =>
-          try f.get()
-          catch { // surface the body's own exception, not the wrapper
-            case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
-          }
-        }.toArray
-        catch {
-          case t: Throwable =>
-            // cancel the outstanding siblings and WAIT for in-flight
-            // bodies to finish before rethrowing — a retry or cleanup
-            // must never race a background write that survived the
-            // failure (ADVICE r16)
-            futs.foreach(_.cancel(true))
-            pool.shutdownNow()
-            pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-            throw t
-        }
-      } finally pool.shutdown()
+    val n = indexes.size
+    if (n <= 1) return indexes.toArray.map(body)
+    val out = new Array[T](n)
+    // cached pool: threads spin up only for bodies that actually won a
+    // permit, and die after the call (the pool is per-call; the BOUND
+    // is the global semaphore, not the pool size)
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    // one idempotent permit-release per pooled body: the normal path
+    // releases in the callable's finally; the failure path releases
+    // after awaitTermination for tasks cancellation prevented from
+    // ever starting (their finally never runs — without this, every
+    // cancelled-before-start task would LEAK a global permit)
+    final class Task(i: Int)
+        extends java.util.concurrent.Callable[T] {
+      val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def release(): Unit =
+        if (released.compareAndSet(false, true)) permits.release()
+      override def call(): T = try body(indexes(i)) finally release()
     }
+    val tasks = new Array[Task](n)
+    val futs = new Array[java.util.concurrent.Future[T]](n)
+    try {
+      var failure: Throwable = null
+      var k = 0
+      while (k < n && failure == null) {
+        val i = k
+        if (permits.tryAcquire()) {
+          tasks(i) = new Task(i)
+          try futs(i) = pool.submit(tasks(i))
+          catch { case t: Throwable => tasks(i).release(); failure = t }
+        } else {
+          // no capacity anywhere (all 8 permits busy across the JVM):
+          // run inline — the submitting thread would otherwise idle in
+          // get(), and never blocking on a permit keeps nesting
+          // deadlock-free by construction while an inner map still
+          // overlaps its siblings whenever capacity exists
+          try out(i) = body(indexes(i))
+          catch { case t: Throwable => failure = t }
+        }
+        k += 1
+      }
+      if (failure == null) {
+        var j = 0
+        try {
+          while (j < n) {
+            if (futs(j) != null) out(j) = futs(j).get()
+            j += 1
+          }
+        } catch {
+          case e: java.util.concurrent.ExecutionException =>
+            failure = e.getCause
+          case t: Throwable => failure = t
+        }
+      }
+      if (failure != null) {
+        // cancel the outstanding siblings and WAIT for in-flight
+        // bodies to finish before rethrowing — a retry or cleanup
+        // must never race a background write that survived the
+        // failure (ADVICE r16); then release the permits of tasks
+        // that never started
+        futs.foreach(f => if (f != null) f.cancel(true): Unit)
+        pool.shutdownNow()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        tasks.foreach(t => if (t != null) t.release())
+        throw failure
+      }
+      out
+    } finally pool.shutdown()
   }
 
   /** [[mapIndexed]] over a Seq, preserving element order. */

@@ -531,11 +531,21 @@ object Similarity {
     * the work. Replication multiplies left-side shuffle bytes by
     * `slices` — the standard salting trade; keep the smaller relation
     * on the left. */
+  /** [[joinSaltedByCluster]]'s slice-count sentinel: derive from
+    * `defaultParallelism / nClusters` (scale-adaptive — collapses to
+    * the unsalted join when the clusters alone spread the work).
+    * Callers pass an explicit count to pin the layout (or 1 to force
+    * the unsalted plan — the ScaleProbe comparator). */
+  val SaltAuto: Int = 0
+
   private def joinSaltedByCluster(left: DataFrame, right: DataFrame,
-      rightSliceKey: String, nClusters: Int): DataFrame = {
-    val slices = math.max(1,
-      left.sparkSession.sparkContext.defaultParallelism /
-        math.max(1, nClusters))
+      rightSliceKey: String, nClusters: Int,
+      saltSlices: Int = SaltAuto): DataFrame = {
+    val slices =
+      if (saltSlices > 0) saltSlices
+      else math.max(1,
+        left.sparkSession.sparkContext.defaultParallelism /
+          math.max(1, nClusters))
     if (slices <= 1) left.join(right, Seq("cluster"))
     else {
       val lS = left.withColumn("__slice",
@@ -548,7 +558,8 @@ object Similarity {
 
   def knnJoin(queries: DataFrame, qIdCol: String,
       corpus: DataFrame, cIdCol: String, vecCol: String,
-      nClusters: Int, k: Int, nCoarse: Int = CoarseAuto): DataFrame = {
+      nClusters: Int, k: Int, nCoarse: Int = CoarseAuto,
+      saltSlices: Int = SaltAuto): DataFrame = {
     val seeds = seedsOf(corpus, cIdCol, vecCol, nClusters)
     val nc = resolveNCoarse(nClusters, nCoarse)
     def assign(v: DataFrame, id: String) =
@@ -559,7 +570,7 @@ object Similarity {
     val ca = corpus.join(assign(corpus, cIdCol), Seq(cIdCol))
       .select(col("cluster"), col(cIdCol).as("nn_id"),
         col(vecCol).as("__vc"))
-    val cand = joinSaltedByCluster(qa, ca, "nn_id", nClusters)
+    val cand = joinSaltedByCluster(qa, ca, "nn_id", nClusters, saltSlices)
       .withColumn("__c", cosine(col("__vq"), col("__vc")))
       .filter(col("__c").isNotNull)
     graft.features.Features.topKPerGroupBounded(cand, qIdCol,
@@ -588,14 +599,14 @@ object Similarity {
     */
   def hardNegatives(vectors: DataFrame, idCol: String, vecCol: String,
       labelCol: String, nClusters: Int, k: Int,
-      nCoarse: Int = CoarseAuto): DataFrame = {
+      nCoarse: Int = CoarseAuto, saltSlices: Int = SaltAuto): DataFrame = {
     val cells = seedAssign(vectors, idCol, vecCol, nClusters, nCoarse)
     val withC = vectors.join(cells, Seq(idCol))
     val a = withC.select(col("cluster"), col(idCol),
       col(vecCol).as("__va"), col(labelCol).as("__la"))
     val b = withC.select(col("cluster"), col(idCol).as("neg_id"),
       col(vecCol).as("__vb"), col(labelCol).as("__lb"))
-    val cand = joinSaltedByCluster(a, b, "neg_id", nClusters)
+    val cand = joinSaltedByCluster(a, b, "neg_id", nClusters, saltSlices)
       .filter(col("__la") =!= col("__lb")) // null labels fall out here
       .withColumn("__c", cosine(col("__va"), col("__vb")))
       .filter(col("__c").isNotNull)
