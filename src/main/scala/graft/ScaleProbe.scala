@@ -246,9 +246,20 @@ object ScaleProbe {
   private def r17Probes(spark: SparkSession, dir: String, k: Int): Unit = {
     def t(name: String)(f: => Long): String = timeEntry(name)(f)
     def tbl(n: String) = spark.read.parquet(s"$dir/$n.parquet")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val embK = replicateVecSalted(tbl("embeddings"), k).persist(lvl)
-    embK.count()
+    // STAGED PARQUET, deliberately NOT block-cached: the fused-fit
+    // claim is "fewer CORPUS PASSES" — with the replicated corpus
+    // persisted in executor memory a pass costs ~nothing and the probe
+    // would measure only the fused plan's overhead (the ×m explode)
+    // while hiding exactly the scan cost the fusion removes. Reading a
+    // real parquet per pass prices passes the way a 100 TB deployment
+    // pays them. (First r17 shot did persist: fused read 35 s vs
+    // independent 15 s at k=20 — an artifact of free passes; kept here
+    // as the honest record of why the staging exists.)
+    val staged = java.nio.file.Files
+      .createTempDirectory("probe_r17_emb").toString
+    replicateVecSalted(tbl("embeddings"), k).write
+      .mode("overwrite").parquet(staged)
+    def embK = spark.read.parquet(staged)
     val m = 4
     val kCodes = 16
     val iters = 2
@@ -259,29 +270,53 @@ object ScaleProbe {
       require(dim % m == 0, s"dim $dim must divide into $m subspaces")
       dim / m
     }
-    val results = Seq(
-      t("hard_negatives_salted") {
-        sim.Similarity.hardNegatives(embK, "vec_id", "embedding", "label",
-          nClusters = 4, k = 5).count()
-      },
-      t("hard_negatives_unsalted") {
-        sim.Similarity.hardNegatives(embK, "vec_id", "embedding", "label",
-          nClusters = 4, k = 5, saltSlices = 1).count()
-      },
-      t("pq_fit_fused") {
-        sim.Pq.fit(embK, "vec_id", "embedding", m, kCodes, iters)
-          .books.map(_.length.toLong).sum
-      },
-      t("pq_fit_independent") {
-        (0 until m).map { s =>
-          ml.KMeansRel.fitCentroids(
-            embK.select(col("vec_id"),
-              slice(col("embedding").cast("array<double>"),
-                s * subDim + 1, subDim).as("__sub")),
-            "vec_id", "__sub", kCodes, iters).length.toLong
-        }.sum
-      })
-    println(results.mkString("[probe] {", ",", s""","replication":$k}"""))
+    // SPARK_GRAFT_PROBE_ONLY=pq_fit_fused,... isolates entries
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(n: String) = only.forall(_.contains(n))
+    try {
+      val results = Seq(
+        "hard_negatives_salted" -> (() =>
+          sim.Similarity.hardNegatives(embK, "vec_id", "embedding", "label",
+            nClusters = 4, k = 5).count()),
+        "hard_negatives_unsalted" -> (() =>
+          sim.Similarity.hardNegatives(embK, "vec_id", "embedding", "label",
+            nClusters = 4, k = 5, saltSlices = 1).count()),
+        // the PRODUCTION path (r17): shared full-vector seed draw +
+        // Par-overlapped per-subspace Lloyd loops
+        "pq_fit" -> (() =>
+          sim.Pq.fit(embK, "vec_id", "embedding", m, kCodes, iters)
+            .books.map(_.length.toLong).sum),
+        "pq_fit_fused" -> (() =>
+          sim.Pq.PqModel(subDim, ml.KMeansRel.fitCentroidsSubspaces(
+            embK, "vec_id", "embedding", m, subDim, kCodes, iters))
+            .books.map(_.length.toLong).sum),
+        "pq_fit_independent" -> (() =>
+          (0 until m).map { s =>
+            ml.KMeansRel.fitCentroids(
+              embK.select(col("vec_id"),
+                slice(col("embedding").cast("array<double>"),
+                  s * subDim + 1, subDim).as("__sub")),
+              "vec_id", "__sub", kCodes, iters).length.toLong
+          }.sum),
+        // A/B isolator: shared seed draw, SEQUENTIAL per-subspace loops
+        "pq_fit_shared_seq" -> (() => {
+          val seeds = ml.KMeansRel.seedsOf(embK, "vec_id", "embedding",
+            kCodes)
+          (0 until m).map { s =>
+            ml.KMeansRel.fitCentroidsFromSeeds(
+              embK.select(col("vec_id"),
+                slice(col("embedding").cast("array<double>"),
+                  s * subDim + 1, subDim).as("__sub")),
+              "vec_id", "__sub",
+              seeds.map(c => c.slice(s * subDim, (s + 1) * subDim)),
+              iters).length.toLong
+          }.sum
+        })
+      ).collect { case (n, f) if want(n) => t(n)(f()) }
+      println(results.mkString("[probe] {", ",", s""","replication":$k}"""))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staged))
   }
 
   /** Round-8 probes: the sampled-PQ fit (the r7 verdict's PQ-fit

@@ -72,6 +72,29 @@ object KMeansRel {
     cents
   }
 
+  /** The md5-ordered seed rows alone (the first half of
+    * [[fitCentroids]]) — exposed so a product-quantizer fit can draw
+    * ONE full-vector seed set and slice it per subspace (bit-identical
+    * to per-subspace draws: the order is (md5(id), id), never vector
+    * values). */
+  private[graft] def seedsOf(vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int): Array[Array[Double]] = {
+    require(k >= 1, s"need k >= 1 clusters, got $k")
+    seedCentroids(clean(vectors, idCol, vecCol), idCol, k)
+  }
+
+  /** The Lloyd loop of [[fitCentroids]] from caller-supplied seeds —
+    * the second half, for callers that shared the seed draw. */
+  private[graft] def fitCentroidsFromSeeds(vectors: DataFrame,
+      idCol: String, vecCol: String, seeds: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] = {
+    require(iters >= 0, s"need iters >= 0, got $iters")
+    val v = clean(vectors, idCol, vecCol)
+    var cents = seeds
+    for (_ <- 1 to iters) cents = step(v, cents)
+    cents
+  }
+
   /** Assignment under the fitted centroids: one row per input vector,
     * (idCol, cluster, d2) with d2 = full squared euclidean distance to
     * the assigned centroid, rounded to 6 places. A pure projection

@@ -280,6 +280,47 @@ object AggNavigator {
       batchId: Option[Long] = None): Registry = {
     val spark = reg.spark
     val conf = spark.sessionState.newHadoopConf()
+    // r17 (guide §1.2 / the registerShared argument): the delta's
+    // partials used to be computed once PER TABLE — N full delta scans
+    // per refresh. One shared GROUPING SETS pass now computes every
+    // grain's delta partials (lazily local-checkpointed, grain-sized —
+    // see the cluster-trade note in registerShared; never materialized
+    // when every table skips on the replay ledger), and each table
+    // carves its gid. Partials are order-insensitive folds, so the
+    // carved rows are bit-identical to the per-table build
+    // (spec-asserted: refresh ≡ rebuild, streamed ≡ batch, replay
+    // idempotence). Falls back to per-table partials for a
+    // single-table registry (no sharing to win) or duplicate grain
+    // sets (grouping_id could not discriminate them).
+    val grainSets = reg.aggs.map(_.grain.toSet)
+    val sharedDelta: Option[(DataFrame, Seq[String])] =
+      if (reg.aggs.size > 1 && grainSets.distinct.size == grainSets.size) {
+        val allLevels = reg.aggs.flatMap(_.grain).distinct
+        Some((sharedPartials(delta, reg.aggs.map(a => a.name -> a.grain),
+          reg.measures).localCheckpoint(false), allLevels))
+      } else None
+    def deltaPartials(agg: AggTable): DataFrame = sharedDelta match {
+      case Some((shared, allLevels)) =>
+        val pNames = shared.schema.map(_.name)
+          .filterNot(c => c == "__gid" || allLevels.contains(c))
+        shared.filter(col("__gid") === gidOf(allLevels, agg.grain))
+          .select((agg.grain ++ pNames).map(col): _*)
+      case None => partialsFor(delta, agg.grain, reg.measures)
+    }
+    // ledger checks up front (driver-side fs metadata), so the shared
+    // delta pass can be materialized EXACTLY ONCE before the concurrent
+    // folds — a lazy checkpoint first touched by N concurrent jobs
+    // would race its own materialization and each racer would recompute
+    // the full delta lineage, the very scan this exists to share. When
+    // every table skips (a full replay), nothing materializes at all.
+    def appliedOf(agg: AggTable): Boolean = batchId.exists { id =>
+      val ledger = new org.apache.hadoop.fs.Path(s"${agg.path}/_applied")
+      ledger.getFileSystem(conf)
+        .exists(new org.apache.hadoop.fs.Path(ledger, id.toString))
+    }
+    val applied = reg.aggs.map(a => a.name -> appliedOf(a)).toMap
+    if (reg.aggs.exists(a => !applied(a.name)))
+      sharedDelta.foreach(_._1.count(): Unit)
     // each table absorbs the delta independently (its own path, its
     // own ledger, its own publish rename) — refresh them concurrently
     // (guide §2.6) so the registry-wide refresh costs one table's
@@ -288,8 +329,7 @@ object AggNavigator {
     val aggs = graft.operators.Par.mapSeq(reg.aggs) { agg =>
       val ledger = new org.apache.hadoop.fs.Path(s"${agg.path}/_applied")
       val fs = ledger.getFileSystem(conf)
-      val alreadyApplied = batchId.exists(id =>
-        fs.exists(new org.apache.hadoop.fs.Path(ledger, id.toString)))
+      val alreadyApplied = applied(agg.name)
       if (alreadyApplied)
         // rows stay the navigator's cost model even on the skip path —
         // a stale pre-absorb count would let `choose` mis-rank tables
@@ -297,7 +337,7 @@ object AggNavigator {
       else {
         val fold = reg.measures.flatMap(_.combine)
         val merged = spark.read.parquet(agg.path)
-          .unionByName(partialsFor(delta, agg.grain, reg.measures))
+          .unionByName(deltaPartials(agg))
           .groupBy(agg.grain.map(col): _*).agg(fold.head, fold.tail: _*)
         graft.sources.Warehouse.publish(spark, agg.path) { tmp =>
           merged.write.parquet(tmp)

@@ -66,15 +66,37 @@ object Pq {
         s"got sizes in [${d.getInt(0)}, ${d.getInt(1)}]")
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
-    // FUSED fit ([[KMeansRel.fitCentroidsSubspaces]]): one seed scan
-    // and one cell-aggregate scan per Lloyd round for ALL m subspaces
-    // — m·(1+iters) corpus passes collapse to 1+iters (the md5 seed
-    // draw orders by id, never by values, so one full-vector draw
-    // sliced driver-side IS each subspace's draw; decimal cell means
-    // are order-independent, so the fused groups equal the
-    // per-subspace ones bit-for-bit — KMeansRelSpec pins it).
-    PqModel(subDim, KMeansRel.fitCentroidsSubspaces(
-      vectors, idCol, vecCol, m, subDim, kCodes, iters))
+    // SHARED SEED + PAR-OVERLAPPED PER-SUBSPACE LLOYD (r17): the md5
+    // seed draw orders by (md5(id), id), never by vector values, so
+    // ONE full-vector TakeOrdered sliced driver-side IS each
+    // subspace's seed draw (bit-identical — KMeansRelSpec pins the
+    // equivalence chain Pq.fit ≡ fused ≡ m independent fits); the m
+    // Lloyd loops then run on narrow subDim-slice projections as
+    // independent concurrent jobs (the r16 Par overlap, which hides
+    // the per-action latency that dominates the fit at serving scale —
+    // removing it measured q182/q185 1.25× in a paired window).
+    //
+    // The r16 FUSED round ([[KMeansRel.fitCentroidsSubspaces]], kept
+    // as the spec's cross-check comparator) was REVERTED on r17 probe
+    // evidence (ScaleProbe r17, staged-parquet corpus, one JVM per
+    // entry so no entry rides another's warmup): it evaluates an
+    // m-wide array of assignment expressions per row — a projection
+    // ~m× one subspace's, outside whole-stage codegen's comfort zone —
+    // and is the slowest shape at both decades, degrading fastest
+    // with data (18.7 s at k=10 → 29.1 s at k=20, vs 16.7 → 18.4 s
+    // for plain per-subspace fits). The pass-count saving never
+    // repays the per-row cost; the shared seed keeps the one
+    // genuinely free fusion (m seed scans → 1).
+    val seedsFull = KMeansRel.seedsOf(vectors, idCol, vecCol, kCodes)
+    val books = graft.operators.Par.mapIndexed(0 until m) { s =>
+      KMeansRel.fitCentroidsFromSeeds(
+        vectors.select(col(idCol),
+          slice(col(vecCol).cast("array<double>"),
+            s * subDim + 1, subDim).as("__sub")),
+        idCol, "__sub",
+        seedsFull.map(c => c.slice(s * subDim, (s + 1) * subDim)), iters)
+    }
+    PqModel(subDim, books)
   }
 
   /** [[fit]] on an md5-deterministic SAMPLE of the corpus — the

@@ -48,6 +48,17 @@ class KMeansRelSpec extends AnyFunSuite {
       assert(fused(s).map(_.toSeq).toSeq == separate(s).map(_.toSeq).toSeq,
         s"subspace $s codebooks diverge")
     }
+    // ... and the PRODUCTION path (r17: shared full-vector seed draw +
+    // Par-overlapped per-subspace Lloyd loops) closes the equivalence
+    // chain: Pq.fit ≡ fused ≡ m independent fits, codebook for codebook
+    val prod = graft.sim.Pq.fit(vecs, "vec_id", "embedding",
+      m, kCodes, iters)
+    assert(prod.subDim == subDim)
+    (0 until m).foreach { s =>
+      assert(prod.books(s).map(_.toSeq).toSeq ==
+        fused(s).map(_.toSeq).toSeq,
+        s"subspace $s: production Pq.fit diverges from the fused fit")
+    }
   }
 
   test("recovers well-separated planted blobs exactly") {
